@@ -1,0 +1,118 @@
+"""Text-analysis scalar functions for large-scale corpus pipelines.
+
+Beyond-reference surface (north star): language-ID, quality scoring,
+token counting, n-gram shingling, document fingerprinting — all as
+built-in Catalyst expressions (no Python UDFs) so they vectorize and
+stay inside whole-stage codegen at 100 TB scale.
+
+Each function is deliberately expressible in ANSI SQL too, so the
+DuckDB oracle can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+    "es": ("el", "la", "que", "de", "los", "es", "un", "una"),
+}
+
+_FP_MOD = 1_000_000_007  # keeps acc*31+c inside int64 in any engine
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string> (lowercased)."""
+    return F.split(F.trim(F.lower(_c(col))), "\\s+", -1)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+", -1)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword estimate: count word chunks + digit runs +
+    punctuation marks separately (a cheap stand-in for a real
+    tokenizer's token count; deterministic and SQL-expressible)."""
+    s = F.lower(_c(col))
+    words = F.size(F.filter(F.split(s, "[^a-z]+", -1), lambda x: x != ""))
+    digits = F.size(F.filter(F.split(s, "[^0-9]+", -1), lambda x: x != ""))
+    punct = F.length(F.regexp_replace(s, "[^.,;:!?]", ""))
+    return (words + digits + punct).alias("bpe_tokens")
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (for Jaccard/MinHash)."""
+    toks = tokenize(col)
+    # slide a window of n over the token array with transform+slice
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+        lambda g: g != "",
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-profile language heuristic -> 'en'|'de'|'fr'|'es'|'und'.
+
+    Scores each language by how many of its stopwords occur as tokens;
+    ties broken by fixed language order; 0 matches -> 'und'(etermined).
+    """
+    toks = tokenize(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ("es", "fr", "de", "en"):  # reversed priority; later wins ties -> en first
+        words = LANG_STOPWORDS[lang]
+        score = sum(
+            (F.array_contains(toks, w).cast("int") for w in words),
+            F.lit(0),
+        )
+        best = F.when(score >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, score)
+    return best
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: mixes length, alpha ratio,
+    terminal punctuation, and mean word length sanity. Deterministic
+    arithmetic only — SQL-expressible for the oracle."""
+    s = _c(text_col)
+    n = F.length(s).cast("double")
+    alpha = F.length(F.regexp_replace(F.lower(s), "[^a-z ]", "")).cast("double")
+    sentences = F.length(F.regexp_replace(s, "[^.!?]", "")).cast("double")
+    toks = token_count(s).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_score = F.least(sentences / F.lit(3.0), F.lit(1.0))
+    word_len = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    word_len_score = F.when((word_len >= 3) & (word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.2) * punct_score + F.lit(0.2) * word_len_score
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling hash of the raw text, mod 1e9+7.
+
+    fp = fold(chars, acc -> (acc*31 + ascii(ch)) % M). Engine-agnostic
+    (plain int64 arithmetic) so DuckDB computes the identical value —
+    unlike xxhash64/murmur whose seeds differ across engines.
+    """
+    chars = F.split(_c(col), "", -1)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(_FP_MOD).cast("long"),
+    )

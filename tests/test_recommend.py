@@ -1,0 +1,148 @@
+"""Golden tests for the recommendation pipeline (UserHotcar/UserNewcar),
+fixtures per FIXTURES.md A3-A5."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+
+from hadoop_app_spark.plans.recommend import recommend_cars, run_user_hotcar, run_user_newcar
+from hadoop_app_spark.sources.delim001 import read_city_cars, read_user_profiles
+
+SEP = "\x01"
+
+
+def profile_line(user, cityid_enc, priceid):
+    doc = {"bycar_profile": {"cityid": cityid_enc, "priceid": priceid}}
+    return f"{user}{SEP}{json.dumps(doc)}"
+
+
+def cars_line(city, infoidlist):
+    return f"{city}{SEP}{json.dumps({'infoidlist': infoidlist})}"
+
+
+@pytest.fixture()
+def fixture_paths(tmp_path):
+    profiles = tmp_path / "profiles.txt"
+    profiles.write_text(
+        "\n".join(
+            [
+                profile_line("u1", "2@0.9$3@0.8", "150"),  # multi-city
+                profile_line("u2", "2@1.0", "90"),  # single city
+                profile_line("u3", "9@0.5", "100"),  # city with no cars -> dropped
+                profile_line("u4", "2@0.7", "garbage"),  # bad price -> 0.0
+                "malformed-no-separator",
+            ]
+        )
+        + "\n"
+    )
+    cars = tmp_path / "cars.txt"
+    cars.write_text(
+        "\n".join(
+            [
+                cars_line("2", "a@100,b@200,c@140"),
+                cars_line("3", "z@150"),  # single car -> NaN score group
+            ]
+        )
+        + "\n"
+    )
+    return str(profiles), str(cars)
+
+
+def test_profile_source(spark, fixture_paths):
+    profiles, _ = fixture_paths
+    rows = {(r.user_id, r.city_id): r for r in read_user_profiles(spark, profiles).collect()}
+    assert set(rows) == {("u1", "2"), ("u1", "3"), ("u2", "2"), ("u3", "9"), ("u4", "2")}
+    assert rows[("u1", "2")].fav_price == 150.0
+    assert rows[("u1", "3")].city_score == 0.8
+    assert rows[("u4", "2")].fav_price == 0.0  # garbage priceid fallback
+
+
+def test_first_city_only_compat(spark, fixture_paths):
+    """split("$") regex bug: u1 keeps only city 2 (SURVEY §1.3.2)."""
+    profiles, _ = fixture_paths
+    rows = {(r.user_id, r.city_id) for r in read_user_profiles(spark, profiles, first_city_only=True).collect()}
+    assert rows == {("u1", "2"), ("u2", "2"), ("u3", "9"), ("u4", "2")}
+
+
+def test_cars_source(spark, fixture_paths):
+    _, cars = fixture_paths
+    rows = {(r.city_id, r.info_id): r.price for r in read_city_cars(spark, cars).collect()}
+    assert rows == {("2", "a"): 100.0, ("2", "b"): 200.0, ("2", "c"): 140.0, ("3", "z"): 150.0}
+
+
+def test_recommend_golden(spark, fixture_paths):
+    profiles_p, cars_p = fixture_paths
+    recs = run_user_hotcar(spark, profiles_p, cars_p)
+    by_key = {}
+    for r in recs.collect():
+        by_key.setdefault((r.user_id, r.city_id), []).append(r)
+
+    # u3 (city 9, no cars) dropped by inner broadcast-join semantics (P4)
+    assert ("u3", "9") not in by_key
+
+    # u1/city2: fav 150 -> dists a=50 b=50 c=10; order (c,10),(a,50),(b,50)
+    u1c2 = sorted(by_key[("u1", "2")], key=lambda r: r.rank)
+    assert [r.info_id for r in u1c2] == ["c", "a", "b"]  # tie a/b broken by info_id
+    # min=10 max=50: score(c)=1, score(a)=score(b)=0
+    assert [round(r.score, 6) for r in u1c2] == [1.0, 0.0, 0.0]
+
+    # u1/city3: single car -> 0/0 = NaN (nan_compat default, §1.3.5)
+    assert math.isnan(by_key[("u1", "3")][0].score)
+
+    # u4: garbage price -> fav 0.0; dists a=100 c=140 b=200
+    u4 = sorted(by_key[("u4", "2")], key=lambda r: r.rank)
+    assert [r.info_id for r in u4] == ["a", "c", "b"]
+    assert [round(r.score, 6) for r in u4] == [1.0, 0.6, 0.0]
+
+
+def test_nan_compat_off(spark, fixture_paths):
+    profiles_p, cars_p = fixture_paths
+    profiles = read_user_profiles(spark, profiles_p)
+    cars = read_city_cars(spark, cars_p)
+    recs = recommend_cars(profiles, cars, nan_compat=False)
+    u1c3 = [r for r in recs.collect() if (r.user_id, r.city_id) == ("u1", "3")]
+    assert u1c3[0].score == 1.0
+
+
+def test_top_k_bound(spark, tmp_path):
+    """K bounds output per group: 100 hotcar / 60 newcar constants."""
+    profiles = tmp_path / "p.txt"
+    profiles.write_text(profile_line("u", "1@1.0", "0") + "\n")
+    cars = tmp_path / "c.txt"
+    infoidlist = ",".join(f"i{k:03d}@{k}" for k in range(150))
+    cars.write_text(cars_line("1", infoidlist) + "\n")
+    recs = run_user_hotcar(spark, str(profiles), str(cars))
+    assert recs.count() == 100
+
+
+def test_newcar_dt_partition(spark, tmp_path):
+    """UserNewcar reads the dt= partition of the side input (S7)."""
+    profiles = tmp_path / "p.txt"
+    profiles.write_text(profile_line("u", "1@1.0", "100") + "\n")
+    base = tmp_path / "cars"
+    (base / "dt=2016-07-03").mkdir(parents=True)
+    (base / "dt=2016-07-04").mkdir(parents=True)
+    (base / "dt=2016-07-03" / "part-0.txt").write_text(cars_line("1", "old@50") + "\n")
+    (base / "dt=2016-07-04" / "part-0.txt").write_text(cars_line("1", "new@50") + "\n")
+    recs = run_user_newcar(spark, str(profiles), str(base), dt="2016-07-04")
+    assert [r.info_id for r in recs.collect()] == ["new"]
+
+
+def test_output_assembly(spark, fixture_paths, tmp_path):
+    """Output line shape: user_cityId \\x01 {"infoids": "id@score,..."}."""
+    profiles_p, cars_p = fixture_paths
+    out = str(tmp_path / "out")
+    run_user_hotcar(spark, profiles_p, cars_p, out_path=out)
+    import glob
+
+    lines = [l for f in glob.glob(out + "/part-*") for l in open(f).read().splitlines()]
+    parsed = {}
+    for line in lines:
+        key, payload = line.split(SEP)
+        parsed[key] = json.loads(payload)["infoids"]
+    assert set(parsed) == {"u1_2", "u1_3", "u2_2", "u4_2"}
+    items = [p.split("@")[0] for p in parsed["u1_2"].split(",")]
+    assert items == ["c", "a", "b"]

@@ -1,0 +1,72 @@
+"""Golden tests for the reduce-join plan, from the reference docstring
+sample (ReduceJoinJob.java:36-46, FIXTURES.md A2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_app_spark.plans.reduce_join import DEPT_COLS, EMPLOYEE_COLS, reduce_join, run_reduce_join
+from hadoop_app_spark.sources.tsv import read_tsv
+
+from tests.conftest import rows_set
+
+EMPLOYEES = "Bob\t70000\t5\nAlice\t72000\t2\nAmar\t60000\t5\nJoe\t55000\t5\n"
+DEPTS = "2\tMarking\n3\tFinance\n5\tSales\n"
+
+GOLDEN = [
+    ("Alice", 2, "Marking", 72000),
+    ("Amar", 5, "Sales", 60000),
+    ("Bob", 5, "Sales", 70000),
+    ("Joe", 5, "Sales", 55000),
+]
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    e = tmp_path / "employee.tsv"
+    d = tmp_path / "dept.tsv"
+    e.write_text(EMPLOYEES)
+    d.write_text(DEPTS)
+    return str(e), str(d)
+
+
+def test_docstring_golden(spark, paths):
+    e, d = paths
+    result = run_reduce_join(spark, e, d)
+    assert result.columns == ["name", "dept_id", "dept_name", "salary"]
+    assert rows_set(result) == GOLDEN
+
+
+def test_inner_drops_dangling_left(spark, paths, tmp_path):
+    """Employee in dept 4 (absent on the right) is dropped under the
+    reference's actual (inner) semantics (SURVEY §1.3.1)."""
+    e, d = paths
+    with open(e, "a") as f:
+        f.write("Zed\t50000\t4\n")
+    assert rows_set(run_reduce_join(spark, e, d)) == GOLDEN
+
+
+def test_left_compat_flag(spark, paths):
+    """how='left' restores the documented LEFT JOIN intent."""
+    e, d = paths
+    with open(e, "a") as f:
+        f.write("Zed\t50000\t4\n")
+    result = run_reduce_join(spark, e, d, how="left")
+    assert rows_set(result) == GOLDEN + [("Zed", 4, None, 50000)]
+
+
+def test_malformed_rows_dropped(spark, paths):
+    e, d = paths
+    with open(e, "a") as f:
+        f.write("broken\t123\n\nname\t1\t2\t3\n")  # 2 cols, 0 cols, 4 cols
+    assert rows_set(run_reduce_join(spark, e, d)) == GOLDEN
+
+
+def test_many_to_many(spark, tmp_path):
+    """Duplicate dept_id on the right -> per-key cartesian (J3)."""
+    e = tmp_path / "e.tsv"
+    d = tmp_path / "d.tsv"
+    e.write_text("A\t1\t5\nB\t2\t5\n")
+    d.write_text("5\tX\n5\tY\n")
+    result = run_reduce_join(spark, str(e), str(d))
+    assert len(rows_set(result)) == 4
