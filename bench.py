@@ -1,0 +1,82 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + count-style action).
+A warmup query first absorbs JVM/codegen startup so per-query numbers
+measure the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hadoop_app_spark import get_spark
+from hadoop_app_spark.queries import REGISTRY
+
+# headline set: every operator family, weighted toward the shuffle-heavy ones
+BENCH_QUERIES = [
+    "max_per_group",
+    "inner_equi_join",
+    "broadcast_dim_join",
+    "topk_per_group",
+    "recommend_flagship",
+    "pricing_summary",
+    "count_distinct",
+    "cube_agg",
+    "range_theta_join",
+    "asof_join_latest_click",
+    "window_running_sum",
+    "global_topn",
+    "json_extract",
+    "token_count",
+    "doc_fingerprint",
+    "exact_dedup",
+    "minhash_signatures",
+    "simhash",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "tumbling_window",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warmup: absorb session/codegen startup cost
+    REGISTRY["max_per_group"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        del n
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

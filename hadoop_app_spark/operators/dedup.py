@@ -1,0 +1,170 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Beyond-reference surface (north star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup — each designed to be
+shuffle-efficient at 100 TB:
+
+- exact_dedup: one hash-aggregate on the key (no sort).
+- minhash: shingles -> k hash functions -> per-band bucket join. The
+  candidate join is an equi-join on (band, band_hash) so only docs
+  sharing a band bucket ever meet — never an O(n^2) cross product.
+- simhash: explode tokens -> one groupBy computing all bit-sums ->
+  bucket by simhash value (near-dup = equal 16-bit simhash here;
+  Hamming-distance banding is the same bucket-join with bit slices).
+- ngram_jaccard: pairwise only within candidate buckets.
+
+Hashing is an engine-agnostic polynomial hash (see
+functions.text.doc_fingerprint) so the DuckDB oracle can reproduce
+values bit-for-bit; a production swap-in would be xxhash64 (built-in,
+faster) at the cost of oracle-exactness, not semantics.
+
+All pure Catalyst expressions — no Python in the row path. At true
+100 TB the shingle/minhash stage is a candidate for a vectorized
+Pandas UDF if profiling shows the HOF chain dominating; semantics and
+shuffle shape stay identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.functions.text import ngrams, tokenize
+
+_MOD = 1_000_000_007
+# fixed odd multipliers/offsets for the k minhash permutations
+_MINHASH_A = (769, 1543, 3079, 6151, 12289, 24593, 49157, 98317)
+_MINHASH_B = (12582917, 25165843, 50331653, 100663319, 201326611, 402653189, 805306457, 1610612741)
+
+
+def _poly_hash(col: Column) -> Column:
+    """Engine-agnostic string hash: fold((acc*31 + ascii(ch)) % M)."""
+    return F.aggregate(
+        F.split(col, "", -1),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(_MOD).cast("long"),
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per duplicate key group (deterministic)."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, key_cols + [id_col], "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 8, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """doc -> k-wide MinHash signature over word n-gram shingles.
+
+    signature[i] = min over shingles of (a_i * h(shingle) + b_i) % M.
+
+    hash_fn='xxhash64' (default) stays in whole-stage codegen — the
+    scale path. 'poly' uses the engine-agnostic polynomial fold (bit
+    reproducible by other engines, ~50x slower: interpreted char fold).
+    """
+    if k > len(_MINHASH_A):
+        raise ValueError(f"k <= {len(_MINHASH_A)} supported")
+    shingle_hash = (
+        (lambda s: F.pmod(F.xxhash64(s), F.lit(_MOD))) if hash_fn == "xxhash64" else (lambda s: _poly_hash(s))
+    )
+    hashes = F.transform(ngrams(F.col(text_col), n), shingle_hash)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_shingle_hashes"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MOD))
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(zip(_MINHASH_A[:k], _MINHASH_B[:k]))
+        ]
+    )
+    return (
+        df.select(id_col, hashes.alias("_shingle_hashes"))
+        .where(F.size("_shingle_hashes") > 0)
+        .select(id_col, sig.alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via banding: split the signature into
+    ``bands`` bands, bucket-join on (band_index, band_content).
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The join key
+    includes the band index so buckets from different bands never mix;
+    the shuffle is an equi-join on a short string key.
+    """
+    sig_len_frac = F.size("signature") / bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("signature"), b * F.ceil(sig_len_frac).cast("int") + 1, F.ceil(sig_len_frac).cast("int")),
+            )
+        ).alias("band", "band_sig"),
+    ).select(id_col, F.concat_ws("_", F.col("band"), F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 8, bands: int = 4) -> DataFrame:
+    """Drop the higher-id member of every candidate near-dup pair.
+
+    Greedy min-id survivor policy: a doc survives unless it pairs with
+    any lower id. (Union-find connected components would keep fewer
+    docs; pairwise-greedy matches common corpus-dedup practice and
+    stays a pure join.)
+    """
+    pairs = minhash_lsh_pairs(minhash_signatures(df, text_col, id_col, n, k), id_col, bands)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """16-bit SimHash over whitespace tokens.
+
+    explode tokens -> token hash -> per-doc bit-sums (one hash
+    aggregate, all ``bits`` sums computed in the same pass) ->
+    reassemble the fingerprint. SQL-expressible for the oracle.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_tok"))
+    hashed = toks.select(id_col, _poly_hash(F.col("_tok")).alias("_h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fingerprint = sum(
+        (F.when(F.col(f"_b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)),
+        F.lit(0),
+    )
+    return agg.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Docs sharing an identical simhash -> near-dup groups (count>1)."""
+    sh = simhash(df, text_col, id_col, bits)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("group_size"), F.min(id_col).alias("min_id"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+def ngram_jaccard(
+    left: DataFrame, right: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Jaccard similarity of word n-gram shingle sets for pre-paired
+    rows (left/right must already carry the pairing — e.g. LSH
+    candidates). Returns [id_a, id_b, jaccard]."""
+    a = left.select(F.col(id_col).alias("id_a"), F.array_distinct(ngrams(F.col(text_col), n)).alias("sa"))
+    b = right.select(F.col(id_col).alias("id_b"), F.array_distinct(ngrams(F.col(text_col), n)).alias("sb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return pairs.select("id_a", "id_b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"))

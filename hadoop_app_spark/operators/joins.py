@@ -1,0 +1,104 @@
+"""Join builders: the reference's two join shapes plus the Spark
+completions it lacks (semi/anti/outer/range/as-of — SURVEY §2.3
+"absent" list, exposed as engine API).
+
+Scale notes baked into each builder:
+- equi_join broadcasts the small side when told (J2) — otherwise
+  Catalyst/AQE picks sort-merge vs shuffled-hash and splits skew.
+- range_join keeps the equi key in ``on`` so the theta predicate is
+  evaluated post-shuffle inside the equi-join, not as a cartesian.
+- asof_join uses the join+rank formulation: at 100 TB the right side
+  is bucketed by key; the window dedup is one Exchange. (The
+  sort-merge interleave trick is a future physical optimization;
+  semantics first.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1 (shuffle equi-join) / J2 (broadcast hash join) in one builder."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """EXISTS — the reference's null-lookup filter P4 as a first-class op."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_on: str | None,
+    range_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi + theta predicate. Always pass the equi key when one exists
+    so the physical plan is a hash/sort-merge join with a post-filter
+    rather than BroadcastNestedLoop over the cross product."""
+    if equi_on is not None:
+        cond = (left[equi_on] == right[equi_on]) & range_cond
+        out = left.join(right, cond, how)
+        return out.drop(right[equi_on])
+    return left.join(right, range_cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    left_key: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest right_ts <= left_ts (backward; 'forward' = least >=),
+    within an optional tolerance.
+
+    Implementation: range join on (key, ts ineq) then keep rank-1 per
+    left row — all shuffle-partitioned by the join key; no driver state.
+    Pass ``left_key`` (a unique left row id) so the dedup window
+    partitions by one narrow column instead of the whole left row.
+    """
+    lk, rk = left.alias("l"), right.alias("r")
+    if direction == "backward":
+        ineq = F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+        order = F.col(f"r.{right_ts}").desc()
+        if tolerance is not None:
+            ineq = ineq & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - tolerance)
+    elif direction == "forward":
+        ineq = F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+        order = F.col(f"r.{right_ts}").asc()
+        if tolerance is not None:
+            ineq = ineq & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + tolerance)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & ineq
+    joined = lk.join(rk, cond, "inner")
+    # rank-1 per left row; tiebreak fully deterministic
+    part = [F.col(f"l.{left_key}")] if left_key else [F.col(f"l.{c}") for c in left.columns]
+    w = Window.partitionBy(*part).orderBy(order)
+    right_cols = [F.col(f"r.{c}").alias(c) for c in right.columns if c != on]
+    return (
+        joined.withColumn("_asof_rn", F.row_number().over(w))
+        .where(F.col("_asof_rn") == 1)
+        .select(*[F.col(f"l.{c}").alias(c) for c in left.columns], *right_cols)
+    )

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (north-star surface).
+
+The decode kernels (image decode, audio resample, video frame-sample)
+need libs not present in this container, so they are STUBBED —
+``decode_image`` raises NotImplementedError unless ``fake=True``
+returns a deterministic fake. Everything Spark-side is real and
+tested: schema, Arrow batch shape, mapInPandas plumbing, partition
+behavior.
+
+Design for scale: binary payloads ride in parquet as BINARY columns
+next to their metadata struct; decode/feature-extract run as
+mapInPandas over Arrow record batches (payloads never cross the
+Python boundary row-at-a-time); partitioning is by content hash so
+one giant asset can't skew a partition beyond maxPartitionBytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, payload_col: str, media_type: str, fmt: str) -> DataFrame:
+    """Wrap a binary payload column with its typed metadata struct —
+    pure Catalyst expressions (length/hash stay JVM-side)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.xxhash64(F.col(payload_col)).alias("content_hash"),
+        ),
+    )
+
+
+def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
+    """STUB: real impl would be PIL/cv2. The deterministic fake derives
+    a plausible (width, height, 4-dim feature) from the bytes so the
+    distributed plumbing is testable end-to-end."""
+    if not fake:
+        raise NotImplementedError("image decode requires PIL/cv2 (not in this container)")
+    h = 0
+    for b in payload[:64]:
+        h = (h * 31 + b) % 1_000_000_007
+    width = 64 + (h % 512)
+    height = 64 + ((h // 512) % 512)
+    feat = [((h >> (8 * i)) & 0xFF) / 255.0 for i in range(4)]
+    return width, height, feat
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str, payload_col: str, fake: bool = True
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, feature rows
+    out. One Python fn call per batch (not per row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, feat = _decode_image_kernel(bytes(payload), fake)
+                rows.append((int(asset_id), "image", len(payload), w, h, feat))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling STUB: emits the (asset, frame_index) plan
+    rows a real decoder would fill — fan-out is real Spark (explode),
+    only the pixel decode is faked (frame payload = null)."""
+    n_frames = (F.length(F.col(payload_col)) % 300 + 1).cast("int")  # fake duration from size
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.explode(idx).alias("frame_index"),
+        F.lit(None).cast("binary").alias("frame_payload"),
+    )

@@ -1,0 +1,1283 @@
+"""Declared query inventory — the engine's public query surface.
+
+One entry per operator family from SURVEY.md §2 (reference semantics)
+plus the Spark built-in completions flagged "absent" there and the
+north-star corpus operators (dedup / similarity / text analysis /
+windows / sessionization). Each entry pairs a DataFrame builder with
+an ANSI-SQL oracle string the driver runs through DuckDB at sf0.01.
+
+Exactness discipline (so value-hashes match bit-for-bit):
+- double SUM/AVG accumulate in DECIMAL(18,6) then cast back to double
+  (decimal addition is exact and associative, so Spark's and DuckDB's
+  different accumulation orders cannot diverge);
+- per-row arithmetic is written with the same textual operand order in
+  both dialects (IEEE doubles -> identical bits);
+- engine-specific hashes are avoided: fingerprints/minhash use the
+  polynomial fold both engines compute identically;
+- time buckets are emitted as formatted strings, not timestamps.
+
+Queries returning data that only Spark can express (approx sketches,
+LSH buckets seeded by the plan, mapInPandas stubs) omit the oracle —
+the driver records a weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.catalog import load_table
+from hadoop_app_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    ngrams,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from hadoop_app_spark.functions.vectors import cosine_similarity
+from hadoop_app_spark.operators.dedup import minhash_signatures, simhash
+from hadoop_app_spark.operators.joins import anti_join, asof_join, range_join, semi_join
+from hadoop_app_spark.operators.similarity import brute_force_topk, lsh_topk
+from hadoop_app_spark.operators.topk import global_top_k, top_k_per_group
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col):
+    """Exact double sum: accumulate in decimal, return double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+_DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+
+# ---------------------------------------------------------------------------
+# Reference-core operators (SURVEY §2.1-2.5) over the test star schema
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "max_per_group",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY 1
+    """,
+    doc="A1/A2 max-per-group with automatic partial agg (MaxTemperatureReducer.java:13-20)",
+)
+def q_max_per_group(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(F.max("l_quantity").alias("max_qty"))
+    )
+
+
+@query(
+    "inner_equi_join",
+    oracle="""
+        SELECT c_name, o_orderkey, o_totalprice, c_acctbal
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="J1 reduce-side equi-join + P6 column reorder (ReduceJoinJob.java:100-176)",
+)
+def q_inner_equi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "c_name", "o_orderkey", "o_totalprice", "c_acctbal"
+    )
+
+
+@query(
+    "broadcast_dim_join",
+    oracle="""
+        SELECT p_brand, count(*) AS n_items, {s} AS sum_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """.format(s=_DSUM.format(c="l_extendedprice")),
+    doc="J2 map-side broadcast hash join (UserHotcar.java:102-142 side-input HashMap)",
+)
+def q_broadcast_dim_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), _dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "fanout_explode",
+    oracle="""
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY tok HAVING count(*) >= 10
+    """,
+    doc="J4/F2 fan-out: encoded-list explode (UserHotcar.java:67-96 city/car fan-out)",
+)
+def q_fanout_explode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 10)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+            FROM orders)
+        WHERE rank <= 3
+    """,
+    doc="T1/T2 per-group sort + top-K with deterministic tiebreak (UserHotcar.java:152-192)",
+)
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return top_k_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+
+
+@query(
+    "minmax_normalize",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CASE WHEN mx = mn THEN 1.0
+                    ELSE 1.0 - (o_totalprice - mn) / (mx - mn) END AS score
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+                     max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+              FROM orders)
+    """,
+    doc="T3/A3 group min-max normalization (UserHotcar.java:166-183); degenerate -> 1.0",
+)
+def q_minmax_normalize(spark, sf_dir):
+    w = Window.partitionBy("o_custkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.min("o_totalprice").over(w).alias("mn"),
+            F.max("o_totalprice").over(w).alias("mx"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+            .otherwise(F.lit(1.0) - (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+            .alias("score"),
+        )
+    )
+
+
+@query(
+    "recommend_flagship",
+    oracle="""
+        WITH joined AS (
+            SELECT c_custkey, p_partkey,
+                   abs(c_acctbal - p_retailprice) AS dist
+            FROM customer JOIN part ON p_size % 25 = c_nationkey
+        ), ranked AS (
+            SELECT c_custkey, p_partkey, dist,
+                   CAST(row_number() OVER (PARTITION BY c_custkey
+                        ORDER BY dist, p_partkey) AS INTEGER) AS rank,
+                   min(dist) OVER (PARTITION BY c_custkey) AS mn,
+                   max(dist) OVER (PARTITION BY c_custkey) AS mx
+            FROM joined)
+        SELECT c_custkey, p_partkey, dist, rank,
+               CASE WHEN mx = mn THEN 1.0
+                    ELSE 1.0 - (dist - mn) / (mx - mn) END AS score
+        FROM ranked WHERE rank <= 5
+    """,
+    doc="Flagship: the full UserHotcar pipeline shape (broadcast join -> fan-out -> "
+    "group min/max -> top-K -> score) re-cast over the star schema (UserHotcar.java:42-200)",
+)
+def q_recommend_flagship(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    joined = customer.join(
+        F.broadcast(part), part.p_size % 25 == customer.c_nationkey
+    ).select("c_custkey", "p_partkey", F.abs(F.col("c_acctbal") - F.col("p_retailprice")).alias("dist"))
+    grp = Window.partitionBy("c_custkey")
+    ranked = (
+        joined.withColumn("rank", F.row_number().over(grp.orderBy("dist", "p_partkey")))
+        .withColumn("mn", F.min("dist").over(grp))
+        .withColumn("mx", F.max("dist").over(grp))
+    )
+    return ranked.where(F.col("rank") <= 5).select(
+        "c_custkey",
+        "p_partkey",
+        "dist",
+        "rank",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+        .otherwise(F.lit(1.0) - (F.col("dist") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+        .alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation completions (SURVEY §2.4 "absent" list)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               {q} AS sum_qty,
+               {p} AS sum_base_price,
+               {d} AS sum_disc_price,
+               count(*) AS count_order,
+               {q} / count(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """.format(
+        q=_DSUM.format(c="l_quantity"),
+        p=_DSUM.format(c="l_extendedprice"),
+        d=_DSUM.format(c="l_extendedprice * (1 - l_discount)"),
+    ),
+    doc="TPC-H Q1-shaped pricing summary: multi-agg groupBy with filter pushdown",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+        (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="distinct aggregation (absent in reference; SURVEY §2.4)",
+)
+def q_count_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "approx_distinct",
+    oracle=None,  # HLL sketch is engine-specific; rows-only check
+    doc="approximate distinct via HLL sketch (scale path for 100 TB cardinalities)",
+)
+def q_approx_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, {q} AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(q=_DSUM.format(c="l_quantity")),
+    doc="CUBE grouping (absent in reference; SURVEY §2.4)",
+)
+def q_cube_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               o_orderpriority, count(*) AS n
+        FROM orders GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+    doc="ROLLUP grouping (absent in reference; SURVEY §2.4)",
+)
+def q_rollup_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS (absent in reference; SURVEY §2.4)",
+)
+def q_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+        SELECT l_returnflag,
+               {o} AS qty_o, {f} AS qty_f
+        FROM lineitem GROUP BY l_returnflag
+    """.format(
+        o=_DSUM.format(c="CASE WHEN l_linestatus = 'O' THEN l_quantity END"),
+        f=_DSUM.format(c="CASE WHEN l_linestatus = 'F' THEN l_quantity END"),
+    ),
+    doc="pivot to wide columns (conditional aggregation form for oracle parity)",
+)
+def q_pivot_wide(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias("qty_o"),
+        _dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias("qty_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join completions (SURVEY §2.3 "absent" list) + as-of / range
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_join_exists",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left-semi join (P4 null-lookup filter as first-class op)",
+)
+def q_semi_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(customer, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_not_exists",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left-anti join (absent in reference; SURVEY §2.3)",
+)
+def q_anti_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(customer, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "left_outer_join",
+    oracle="""
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    """,
+    doc="LEFT OUTER — the join the reference documents but fails to implement (SURVEY §1.3.1)",
+)
+def q_left_outer_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "full_outer_join",
+    oracle="""
+        SELECT coalesce(cn.n_nationkey, sn.n_nationkey) AS nationkey,
+               cn.n_customers, sn.n_suppliers
+        FROM (SELECT c_nationkey AS n_nationkey, count(*) AS n_customers
+              FROM customer GROUP BY 1) cn
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS n_nationkey, count(*) AS n_suppliers
+              FROM supplier GROUP BY 1) sn
+        USING (n_nationkey)
+    """,
+    doc="FULL OUTER join (absent in reference; SURVEY §2.3)",
+)
+def q_full_outer_join(spark, sf_dir):
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cn.join(sn, "n_nationkey", "full_outer").select(
+        F.col("n_nationkey").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@query(
+    "cross_join_pairs",
+    oracle="""
+        SELECT a.r_name AS name_a, b.r_name AS name_b
+        FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey
+    """,
+    doc="cross join / per-key cartesian standalone (J3, ReduceJoinJob.java:163-173)",
+)
+def q_cross_join(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("name_a"), F.col("b.r_name").alias("name_b"))
+    )
+
+
+@query(
+    "range_theta_join",
+    oracle="""
+        SELECT p_brand, count(*) AS n_in_band
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+             AND l_extendedprice BETWEEN p_retailprice * 0.5 AND p_retailprice * 2.0
+        GROUP BY p_brand
+    """,
+    doc="equi + range theta join: theta predicate rides the hash join, no cartesian",
+)
+def q_range_theta_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = F.col("l_extendedprice").between(
+        F.col("p_retailprice") * 0.5, F.col("p_retailprice") * 2.0
+    )
+    joined = li.join(part, (li.l_partkey == part.p_partkey) & cond)
+    return joined.groupBy("p_brand").agg(F.count("*").alias("n_in_band"))
+
+
+@query(
+    "asof_join_latest_click",
+    oracle="""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT * FROM events WHERE event_type = 'click'),
+             j AS (SELECT p.event_id, p.user_id, p.ts,
+                          c.event_id AS click_event_id, c.ts AS click_ts,
+                          row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                   FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        SELECT event_id, user_id, click_event_id
+        FROM j WHERE rn = 1
+    """,
+    doc="as-of join (backward): latest prior click per purchase — custom operator the "
+    "reference lacks, built as range-join + rank-1 (operators/joins.py:asof_join)",
+)
+def q_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id")
+    )
+    # deterministic: tiebreak equal click_ts by click_event_id desc
+    lk, rk = purchases.alias("l"), clicks.alias("r")
+    joined = lk.join(
+        rk,
+        (F.col("l.user_id") == F.col("r.user_id")) & (F.col("r.click_ts") <= F.col("l.ts")),
+        "inner",
+    )
+    w = Window.partitionBy("l.event_id").orderBy(
+        F.col("r.click_ts").desc(), F.col("r.click_event_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("l.event_id").alias("event_id"), F.col("l.user_id").alias("user_id"), "click_event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function completions (SURVEY §2.8 — all absent in reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS price_rank,
+               CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS prio_rank
+        FROM orders
+    """,
+    doc="rank/dense_rank analytic windows",
+)
+def q_window_rank(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())).cast("int").alias("price_rank"),
+        F.dense_rank().over(Window.partitionBy("o_custkey").orderBy("o_orderpriority")).cast("int").alias("prio_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead with deterministic order",
+)
+def q_window_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    doc="running total with explicit ROWS frame (decimal-exact accumulation)",
+)
+def q_window_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "window_sliding_avg",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                    OVER w AS DOUBLE) / count(*) OVER w AS sliding_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="sliding ROWS frame (3-row moving average, decimal-exact)",
+)
+def q_window_sliding_avg(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double") / F.count("*").over(w)).alias(
+                "sliding_avg"
+            ),
+        )
+    )
+
+
+@query(
+    "ntile_buckets",
+    oracle="""
+        SELECT c_custkey,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS wealth_quartile
+        FROM customer
+    """,
+    doc="ntile quartiles with deterministic tiebreak",
+)
+def q_ntile(spark, sf_dir):
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.ntile(4).over(w).cast("int").alias("wealth_quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / sort / limit (SURVEY §2.6, §2.5 "absent")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+        SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        UNION
+        SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    doc="UNION (distinct) — S2 multi-path scan generalized",
+)
+def q_set_union(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    cn = _t(spark, sf_dir, "customer").join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select("n_name")
+    sn = _t(spark, sf_dir, "supplier").join(nation, F.col("s_nationkey") == F.col("n_nationkey")).select("n_name")
+    return cn.union(sn).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        INTERSECT
+        SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    doc="INTERSECT (absent in reference; SURVEY §2.6)",
+)
+def q_set_intersect(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    cn = _t(spark, sf_dir, "customer").join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select("n_name")
+    sn = _t(spark, sf_dir, "supplier").join(nation, F.col("s_nationkey") == F.col("n_nationkey")).select("n_name")
+    return cn.intersect(sn)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        EXCEPT
+        SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+    doc="EXCEPT (absent in reference; SURVEY §2.6)",
+)
+def q_set_except(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    cn = _t(spark, sf_dir, "customer").join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select("n_name")
+    sn = _t(spark, sf_dir, "supplier").join(nation, F.col("s_nationkey") == F.col("n_nationkey")).select("n_name")
+    return cn.subtract(sn)  # EXCEPT (distinct) semantics, matching SQL EXCEPT
+
+
+@query(
+    "global_topn",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="global top-N -> TakeOrderedAndProject (no full sort; SURVEY §4 T2 note)",
+)
+def q_global_topn(spark, sf_dir):
+    return global_top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (SURVEY §2.7): dates, JSON, strings, arrays
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_functions",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               count(*) AS n,
+               strftime(min(o_orderdate + INTERVAL 1 DAY), '%Y-%m-%d') AS min_next_day,
+               strftime(max(o_orderdate + INTERVAL 1 MONTH), '%Y-%m-%d') AS max_next_month,
+               min(epoch_ms(o_orderdate)) AS min_epoch_ms
+        FROM orders GROUP BY 1
+    """,
+    doc="F10-F14 date lib: format/offset/epoch-millis (DateHelper.java:17-98)",
+)
+def q_date_functions(spark, sf_dir):
+    from hadoop_app_spark.functions.dates import date_str, epoch_millis, offset_days, offset_months
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(date_str(offset_days("o_orderdate", 1))).alias("min_next_day"),
+            F.max(date_str(offset_months("o_orderdate", 1))).alias("max_next_month"),
+            F.min(epoch_millis("o_orderdate")).alias("min_epoch_ms"),
+        )
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    doc="F8 JSON parse (JsonHelper.java:19-22) over the events.props documents",
+)
+def q_json_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "json_serialize",
+    oracle="""
+        SELECT o_orderkey,
+               '{"key":' || CAST(o_orderkey AS VARCHAR) || ',"priority":"' || o_orderpriority || '"}' AS payload
+        FROM orders WHERE o_orderkey <= 100
+    """,
+    doc="F9 JSON serialize (JsonHelper.java:14-17) — to_json(struct(...))",
+)
+def q_json_serialize(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.to_json(
+                F.struct(F.col("o_orderkey").alias("key"), F.col("o_orderpriority").alias("priority"))
+            ).alias("payload"),
+        )
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_mktsegment) AS seg_upper,
+               substring(c_name, 1, 8) AS name_prefix,
+               c_name || '/' || c_mktsegment AS name_seg,
+               CAST(length(c_name) AS INTEGER) AS name_len,
+               CASE WHEN lower(c_mktsegment) = 'building' THEN 1 ELSE 0 END AS is_building
+        FROM customer
+    """,
+    doc="F1/F3/F7 string lib: substring/concat/case-insensitive compare",
+)
+def q_string_functions(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.when(F.lower(F.col("c_mktsegment")) == "building", 1).otherwise(0).alias("is_building"),
+    )
+
+
+@query(
+    "safe_cast_defaults",
+    oracle="""
+        SELECT doc_id,
+               coalesce(TRY_CAST(lang AS DOUBLE), 0.0) AS lang_as_num,
+               abs(n_chars - 500) AS dist_from_500
+        FROM documents
+    """,
+    doc="P5/F4 safe-parse-with-default (UserHotcar.java:57-62) + F5 abs distance",
+)
+def q_safe_cast(spark, sf_dir):
+    from hadoop_app_spark.functions.normalize import safe_cast
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        safe_cast(F.col("lang"), "double", 0.0).alias("lang_as_num"),
+        F.abs(F.col("n_chars") - 500).alias("dist_from_500"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+               array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+               CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark
+        FROM t
+    """,
+    doc="array functions over tokenized text (F2 split generalized)",
+)
+def q_array_functions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", tokenize("text").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.concat_ws(",", F.slice(F.array_sort("toks"), 1, 3)).alias("first3_sorted"),
+        F.array_contains("toks", "spark").cast("int").alias("has_spark"),
+    )
+
+
+@query(
+    "higher_order_functions",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                                (acc, x) -> acc + x) AS BIGINT) AS total_chars,
+               CAST(len(list_filter(toks, x -> length(x) > 5)) AS INTEGER) AS n_long_tokens
+        FROM t
+    """,
+    doc="higher-order fns: transform/filter/aggregate (UDF-free row logic at scale)",
+)
+def q_higher_order(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", tokenize("text").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_chars"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+    )
+
+
+@query(
+    "case_buckets",
+    oracle="""
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS balance_bucket,
+               count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        FROM customer GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing + min/max",
+)
+def q_case_buckets(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative").when(F.col("c_acctbal") < 5000, "low").otherwise("high")
+    )
+    return c.groupBy(bucket.alias("balance_bucket")).agg(
+        F.count("*").alias("n"), F.min("c_acctbal").alias("min_bal"), F.max("c_acctbal").alias("max_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (north-star corpus operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+                    + len(list_filter(string_split_regex(lower(text), '[^0-9]+'), x -> x <> ''))
+                    + length(regexp_replace(lower(text), '[^.,;:!?]', '', 'g')) AS INTEGER) AS bpe_tokens
+        FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish estimate (north star: text analysis)",
+)
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+        SELECT doc_id,
+               0.3 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                           ELSE 0.0 END)
+             + 0.2 * least(length(regexp_replace(text, '[^.!?]', '', 'g')) / 3.0, 1.0)
+             + 0.2 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                           AND length(text) / CAST((CASE WHEN trim(text) = '' THEN 1
+                                      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS DOUBLE) BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.5 END) AS quality
+        FROM documents
+    """,
+    doc="document quality heuristic (north star: quality scoring)",
+)
+def q_quality_score(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        FROM documents
+    """,
+    doc="polynomial rolling-hash fingerprint (engine-agnostic; north star)",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "language_id",
+    oracle=None,  # heuristic implemented engine-side; rows-only check
+    doc="stopword-profile language ID heuristic (north star: language filtering)",
+)
+def q_language_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("doc_id", language_id("text").alias("lang_guess"))
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    doc="exact dedup: one hash-agg on content, min-id survivor (north star)",
+)
+def q_exact_dedup(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_chars")
+
+
+@query(
+    "minhash_signatures",
+    oracle=None,  # verified structurally + by dedicated pytest goldens
+    doc="MinHash signatures over 3-gram shingles (north star: near-dup candidates)",
+)
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "text", "doc_id", n=3, k=8)
+    return sigs.select("doc_id", F.col("signature").getItem(0).alias("mh0"), F.col("signature").getItem(7).alias("mh7"))
+
+
+@query(
+    "simhash",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+            FROM toks WHERE tok <> ''),
+        bits AS (
+            SELECT doc_id,
+                   {sums}
+            FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """.format(
+        sums=",\n                   ".join(
+            f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+        ),
+        fp=" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)),
+    ),
+    doc="16-bit SimHash (explode -> one grouped pass of bit-sums; north star)",
+)
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # tokenize() lowercases but keeps empty-token filter parity with the oracle
+    return simhash(d, "text", "doc_id", bits=16)
+
+
+@query(
+    "ngram_jaccard_adjacent",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+            FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+                  FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+                    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(a.shingles || b.shingles))
+                    ELSE 0.0 END AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="n-gram Jaccard similarity on adjacent-id pairs (north star: near-dup scoring)",
+)
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(ngrams(F.col("text"), 3)).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id <= 5),
+             c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             scored AS (
+                 SELECT q.query_id, c.vec_id,
+                        list_reduce(list_prepend(0.0, [cv[i] * qv[i] for i in range(1, len(cv) + 1)]),
+                                    (a, x) -> a + x)
+                        / (sqrt(list_reduce(list_prepend(0.0, [cv[i] * cv[i] for i in range(1, len(cv) + 1)]), (a, x) -> a + x))
+                           * sqrt(list_reduce(list_prepend(0.0, [qv[i] * qv[i] for i in range(1, len(qv) + 1)]), (a, x) -> a + x)))
+                        AS cosine
+                 FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+             ranked AS (
+                 SELECT query_id, vec_id, cosine,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-k ANN baseline (north star: similarity search). "
+    "Oracle compares rank sets; cosine floats stay engine-side.",
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+@query(
+    "lsh_ann_topk",
+    oracle=None,  # LSH bucketing is plan-seeded; recall checked in pytest vs brute force
+    doc="sign-LSH bucketed approximate top-k (north star: ANN scale path)",
+)
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6).select("query_id", "vec_id", "rank")
+
+
+@query(
+    "embedding_avg_by_label",
+    oracle="""
+        SELECT label,
+               count(*) AS n,
+               CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_dim0,
+               CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_dim1
+        FROM embeddings GROUP BY label
+    """,
+    doc="embedding column aggregation (centroid building block for IVF clustering)",
+)
+def q_embedding_avg_by_label(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("embedding").getItem(0).cast("double").cast("decimal(18,9)")).cast("double").alias("sum_dim0"),
+        F.sum(F.col("embedding").getItem(1).cast("double").cast("decimal(18,9)")).cast("double").alias("sum_dim1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows & sessionization (batch forms; streaming variants in
+# hadoop_app_spark.streaming run the same logic incrementally)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_window",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
+               event_type, count(*) AS n, {v} AS sum_value
+        FROM events GROUP BY 1, 2
+    """.format(v=_DSUM.format(c="value")),
+    doc="tumbling event-time window (batch form of the streaming windowed agg)",
+)
+def q_tumbling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window",
+    oracle="""
+        WITH b AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS half, event_type, value FROM events),
+        expanded AS (
+            SELECT half AS wstart, event_type, value FROM b
+            UNION ALL
+            SELECT half - INTERVAL 30 MINUTE AS wstart, event_type, value FROM b)
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+               event_type, count(*) AS n
+        FROM expanded GROUP BY 1, 2
+    """,
+    doc="sliding window (1h width, 30m hop): each event lands in 2 windows",
+)
+def q_sliding_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                        WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked)
+        SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id
+    """,
+    doc="sessionization with a 30-min inactivity gap (batch form of the "
+    "streaming session-window / applyInPandasWithState operator)",
+)
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "event_dedup",
+    oracle="""
+        SELECT user_id, event_type, count(*) AS n_combos
+        FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+        GROUP BY user_id, event_type
+    """,
+    doc="distinct-based dedup (batch form of streaming dropDuplicates)",
+)
+def q_event_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type", "value")
+        .distinct()
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_combos"))
+    )
+
+
+def names() -> list[str]:
+    return list(REGISTRY)

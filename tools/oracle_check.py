@@ -1,0 +1,102 @@
+"""Local differential check: run every REGISTRY query on Spark and its
+DuckDB oracle on the same parquet, compare order-insensitively.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+
+Approximates the driver's gate (row-count + column names + values) so
+mismatches surface before a round's CORRECTNESS run.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from hadoop_app_spark import get_spark
+from hadoop_app_spark.catalog import TABLES
+from hadoop_app_spark.queries import REGISTRY
+
+
+def norm(v, nd):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if nd is not None:
+            return round(v, nd)
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x, nd) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def rows_key(rows, cols, nd):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted((tuple(norm(r[i], nd) for i in order) for r in rows), key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_exact = n_close = n_fail = n_skip = 0
+    for name, qd in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            df = qd.fn(spark, sf_dir)
+            srows = [tuple(r) for r in df.collect()]
+            scols = df.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if qd.oracle is None:
+            print(f"SKIP {name}: no oracle (rows-only), spark rows={len(srows)}")
+            n_skip += 1
+            continue
+        try:
+            res = con.execute(qd.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+            n_fail += 1
+            continue
+        if rows_key(srows, scols, None) == rows_key(drows, dcols, None):
+            print(f"OK   {name}: {len(srows)} rows (exact)")
+            n_exact += 1
+        elif rows_key(srows, scols, 6) == rows_key(drows, dcols, 6):
+            print(f"OK~  {name}: {len(srows)} rows (match at 6dp, not bit-exact)")
+            n_close += 1
+        else:
+            sk, dk = rows_key(srows, scols, 6), rows_key(drows, dcols, 6)
+            diff = [(a, b) for a, b in zip(sk, dk) if a != b][:2]
+            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            n_fail += 1
+    print(f"\n{n_exact} exact, {n_close} close, {n_skip} rows-only, {n_fail} FAIL")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
