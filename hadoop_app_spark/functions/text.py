@@ -52,16 +52,18 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles -> array<string> (for Jaccard/MinHash)."""
+    """Word n-gram shingles -> array<string> (for Jaccard/MinHash).
+
+    Guarded for short texts: Spark's sequence(1, 0) counts DOWN, so
+    fewer-than-n tokens must short-circuit to an empty array.
+    """
     toks = tokenize(col)
-    # slide a window of n over the token array with transform+slice
-    return F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-        lambda g: g != "",
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, F.filter(shingles, lambda g: g != "")).otherwise(empty)
 
 
 def language_id(col: Column | str) -> Column:

@@ -1,0 +1,216 @@
+"""Operator-level golden tests: joins (as-of/range), top-k, dedup
+family, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from hadoop_app_spark.operators.joins import anti_join, asof_join, range_join, semi_join
+from hadoop_app_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_image_features,
+    frame_sample_plan,
+)
+from hadoop_app_spark.operators.similarity import brute_force_topk, lsh_topk
+from hadoop_app_spark.operators.topk import global_top_k, top_k_per_group
+
+from tests.conftest import rows_set
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# --- joins -----------------------------------------------------------------
+
+
+def test_asof_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01T10:00:00"), 100.0), ("A", ts("2024-01-01T10:05:00"), 101.0),
+         ("B", ts("2024-01-01T10:01:00"), 50.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", ts("2024-01-01T10:03:00")), (2, "A", ts("2024-01-01T10:10:00")),
+         (3, "B", ts("2024-01-01T10:00:00")), (4, "C", ts("2024-01-01T10:00:00"))],
+        "trade_id int, sym string, tts timestamp",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts", left_key="trade_id")
+    got = {r.trade_id: r.px for r in out.collect()}
+    # trade 1 sees the 10:00 quote, trade 2 the 10:05; trade 3 precedes
+    # any B quote and trade 4 has no symbol match -> both absent
+    assert got == {1: 100.0, 2: 101.0}
+
+
+def test_asof_forward_and_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01T10:05:00"), 101.0)], "sym string, qts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", ts("2024-01-01T10:03:00")), (2, "A", ts("2024-01-01T09:00:00"))],
+        "trade_id int, sym string, tts timestamp",
+    )
+    fwd = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                    direction="forward", left_key="trade_id")
+    assert {r.trade_id for r in fwd.collect()} == {1, 2}
+    tol = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                    direction="forward", tolerance=F.expr("INTERVAL 10 MINUTES"), left_key="trade_id")
+    assert {r.trade_id for r in tol.collect()} == {1}  # trade 2 is >10min early
+
+
+def test_semi_anti(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    assert rows_set(semi_join(left, right, "k")) == [(2,), (3,)]
+    assert rows_set(anti_join(left, right, "k")) == [(1,)]
+
+
+def test_range_join_keeps_equi_hash_plan(spark):
+    left = spark.createDataFrame([(1, 5.0), (1, 50.0), (2, 5.0)], "k int, v double")
+    right = spark.createDataFrame([(1, 0.0, 10.0), (2, 40.0, 60.0)], "k int, lo double, hi double")
+    out = range_join(left, right, "k", F.col("v").between(F.col("lo"), F.col("hi")))
+    assert rows_set(out.select("k", "v")) == [(1, 5.0)]
+    # physical plan must be a hash/sort-merge join on k, not nested-loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+# --- top-k -----------------------------------------------------------------
+
+
+def test_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 1.0), ("g", "a", 1.0), ("g", "c", 0.5)], "grp string, id string, score double"
+    )
+    out = top_k_per_group(df, ["grp"], [F.col("score").desc(), F.col("id")], 2)
+    assert [(r.id, r.rank) for r in out.orderBy("rank").collect()] == [("a", 1), ("b", 2)]
+    assert rows_set(global_top_k(df.select("score"), [F.col("score").desc()], 1)) == [(1.0,)]
+
+
+# --- dedup -----------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near dup of 1
+    (4, "completely different content about spark query engines and shuffles here"),
+    (5, "tiny"),  # too short for 3-gram shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = exact_dedup(docs_df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4, 5]  # 2 dropped, min-id kept
+
+
+def test_minhash_identical_signatures(spark, docs_df):
+    sigs = {r.doc_id: tuple(r.signature) for r in minhash_signatures(docs_df, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    assert sigs[1] != sigs[4]
+    assert 5 not in sigs  # no shingles -> excluded
+    # near-dup shares most minhashes
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree >= 4
+
+
+def test_minhash_lsh_dedup(spark, docs_df):
+    pairs = rows_set(minhash_lsh_pairs(minhash_signatures(docs_df, "text", "doc_id"), "doc_id"))
+    assert (1, 2) in pairs  # exact dups always bucket together
+    surviving = sorted(r.doc_id for r in minhash_dedup(docs_df, "text", "doc_id").collect())
+    assert 1 in surviving and 2 not in surviving  # min-id survives
+    assert 4 in surviving and 5 in surviving  # non-dups and shingle-less docs kept
+
+
+def test_simhash_groups(spark, docs_df):
+    sh = {r.doc_id: r.simhash for r in simhash(docs_df, "text", "doc_id").collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < (1 << 16)
+    # near-dup is close in hamming distance
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    assert ham <= 4
+
+
+def test_ngram_jaccard(spark, docs_df):
+    out = ngram_jaccard(docs_df, docs_df, "text", "doc_id")
+    j = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0
+    assert j[(1, 4)] == 0.0
+
+
+# --- similarity ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = (i % 10) * 0.1
+        rows.append((i, [math.cos(angle) + (i // 10) * 1e-4, math.sin(angle), 0.1, 0.2]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_self_excluded(spark, emb_df):
+    queries = emb_df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb_df, queries, k=3).collect()
+    assert len(out) == 3
+    assert all(r.vec_id != 0 for r in out)
+    # nearest neighbours of vec 0 are the same-angle vectors 10,20,30,40
+    assert {r.vec_id for r in out} <= {10, 20, 30, 40}
+
+
+def test_lsh_recall_vs_brute_force(spark, emb_df):
+    queries = emb_df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb_df, queries, k=3).collect()}
+    approx = {(r.query_id, r.vec_id) for r in lsh_topk(emb_df, queries, dim=4, k=3, n_planes=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # clustered data, few planes -> decent recall
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG fake image bytes")), (2, bytearray(b"\xff\xd8JPEG other bytes"))],
+        "asset_id long, payload binary",
+    )
+    meta = attach_media_meta(df, "payload", "image", "png")
+    m = {r.asset_id: r.media_meta for r in meta.collect()}
+    assert m[1].n_bytes == 21 and m[1].media_type == "image"
+
+    feats = extract_image_features(df, "asset_id", "payload", fake=True).collect()
+    assert len(feats) == 2
+    f1 = next(r for r in feats if r.asset_id == 1)
+    assert f1.width >= 64 and f1.height >= 64 and len(f1.feature) == 4
+
+    frames = frame_sample_plan(df, "asset_id", "payload", every_n=10)
+    assert frames.where(F.col("asset_id") == 1).count() >= 1
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        extract_image_features(df, "asset_id", "payload", fake=False).collect()
