@@ -1,0 +1,114 @@
+"""Structured Streaming operators over the events schema.
+
+Greenfield surface (SURVEY §2.9: the reference has NO streaming; its
+daily dt=-partitioned batch, UserNewcar.java:241-247, is the closest
+analogue). These run the SAME logical transformations as the batch
+queries (hadoop_app_spark.queries tumbling/sliding/sessionize/dedup)
+so one codebase serves both modes — the Structured Streaming design
+point.
+
+Scale design:
+- event-time windows + watermark bound state: state store holds only
+  windows newer than the watermark, so state is O(windows x keys in
+  the lateness horizon), not O(stream).
+- streaming dedup keys carry the watermark too
+  (dropDuplicatesWithinWatermark) so the seen-set is bounded.
+- session windows use the built-in F.session_window (gap-based), the
+  same 30-min gap as the batch sessionize query.
+
+Sources here are file/memory/rate (what the container offers); on a
+real cluster the same plans read Kafka by swapping ``readStream``
+options — the transformation graph is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based event stream (json lines); schema declared, never
+    inferred (inference would scan the dir per trigger)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Windowed count/sum per event_type with late-data watermark —
+    the streaming twin of queries.q_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding-window twin of queries.q_sliding_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (built-in session_window
+    stateful operator) — streaming twin of queries.q_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-event_id stream with bounded state: duplicates
+    arriving within the watermark horizon are dropped; the state store
+    evicts ids older than the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "append"):
+    """Test/debug sink: materialize a streaming query into an in-memory
+    table; caller awaits termination or processes availableNow."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,97 @@
+"""Structured Streaming tests: file-source event stream through the
+windowed/session/dedup operators into a memory sink, checked against
+the equivalent batch computation (stream-batch parity)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.streaming import (
+    dedup_stream,
+    read_event_stream,
+    run_to_memory_sink,
+    session_aggregates,
+    tumbling_counts,
+)
+
+
+def write_events(tmp_path, rows, n_files=2):
+    """rows: (event_id, iso_ts, user_id, event_type, value). Split
+    across files so the stream sees multiple micro-batches."""
+    d = tmp_path / "stream_in"
+    d.mkdir(exist_ok=True)
+    chunk = max(1, len(rows) // n_files)
+    for i in range(0, len(rows), chunk):
+        with open(d / f"f{i}.json", "w") as f:
+            for e, t, u, et, v in rows[i : i + chunk]:
+                f.write(json.dumps({"event_id": e, "ts": t, "user_id": u, "event_type": et, "value": v, "props": "{}"}) + "\n")
+    return str(d)
+
+
+EVENTS = [
+    (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+    (2, "2024-01-01 10:20:00", 1, "click", 2.0),
+    (3, "2024-01-01 11:05:00", 1, "click", 3.0),  # new hour window
+    (4, "2024-01-01 10:30:00", 2, "view", 4.0),
+    (5, "2024-01-01 13:00:00", 1, "click", 5.0),  # >30min gap -> new session
+]
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    path = write_events(tmp_path, EVENTS)
+    stream = read_event_stream(spark, path)
+    assert stream.isStreaming
+    q = run_to_memory_sink(tumbling_counts(stream, "1 hour"), "tumbling_t", mode="complete")
+    q.awaitTermination(60)
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "click")] == (1, 3.0)
+    assert got[("2024-01-01 10:00:00", "view")] == (1, 4.0)
+
+
+def test_session_windows(spark, tmp_path):
+    path = write_events(tmp_path, EVENTS)
+    q = run_to_memory_sink(session_aggregates(read_event_stream(spark, path), gap="30 minutes"), "sessions_t", mode="complete")
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sessions_t WHERE user_id = 1").collect()
+    # user 1: events at 10:05/10:20 merge (15min apart), 11:05 merges?
+    # gap session: [10:05..10:50], 11:05 starts new, 13:00 new -> 3 sessions
+    assert len(rows) == 3
+    big = next(r for r in rows if r.n_events == 2)
+    assert str(big.session_start) == "2024-01-01 10:05:00"
+
+
+def test_stream_dedup(spark, tmp_path):
+    dup_rows = EVENTS + [(1, "2024-01-01 10:06:00", 1, "click", 1.0)]  # dup event_id 1
+    path = write_events(tmp_path, dup_rows, n_files=1)
+    q = run_to_memory_sink(dedup_stream(read_event_stream(spark, path)), "dedup_t")
+    q.awaitTermination(60)
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_t").collect()]
+    assert sorted(ids) == [1, 2, 3, 4, 5]
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """The streaming tumbling agg equals the same plan run in batch."""
+    path = write_events(tmp_path, EVENTS)
+    q = run_to_memory_sink(tumbling_counts(read_event_stream(spark, path)), "parity_t", mode="complete")
+    q.awaitTermination(60)
+    stream_rows = sorted(
+        (str(r.window_start), r.event_type, r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM parity_t").collect()
+    )
+    from hadoop_app_spark.streaming.events import EVENTS_SCHEMA
+
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).json(path)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    batch_rows = sorted((str(r.ws), r.event_type, r.n, r.sum_value) for r in batch.collect())
+    assert stream_rows == batch_rows
