@@ -53,15 +53,36 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 8, hash_fn: str = "xxhash64"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 8,
+    hash_fn: str = "xxhash64",
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """doc -> k-wide MinHash signature over word n-gram shingles.
 
     signature[i] = min over shingles of (a_i * h(shingle) + b_i) % M.
 
-    hash_fn='xxhash64' (default) stays in whole-stage codegen — the
-    scale path. 'poly' uses the engine-agnostic polynomial fold (bit
-    reproducible by other engines, ~50x slower: interpreted char fold).
+    Shape chosen for scale: the shingle+hash chain (a nested HOF tree,
+    evaluated interpreted — not codegen, not subexpression-eliminated)
+    runs exactly ONCE per row, inside the explode; the k permutation
+    minima are then plain codegen'd aggregates with map-side partial
+    combine, so the shuffle carries k longs per (doc, map partition).
+    An earlier formulation (k array_min(transform(...)) projections
+    over an aliased hash array) re-evaluated the chain k+1 times —
+    CollapseProject inlines the alias and lambda expressions are
+    exempt from subexpression elimination.
+
+    repartition_to: round-robin the raw docs first — the CPU-heavy
+    chain otherwise inherits the scan's partitioning (a single small
+    parquet file = one core; filters/projects get pushed below a later
+    repartition, explode does not).
+
+    hash_fn='xxhash64' (default) stays JVM-native — the scale path.
+    'poly' uses the engine-agnostic polynomial fold (bit-reproducible
+    by other engines, ~50x slower: interpreted char fold).
     """
     if k > len(_MINHASH_A):
         raise ValueError(f"k <= {len(_MINHASH_A)} supported")
@@ -69,18 +90,18 @@ def minhash_signatures(
         (lambda s: F.pmod(F.xxhash64(s), F.lit(_MOD))) if hash_fn == "xxhash64" else (lambda s: _poly_hash(s))
     )
     hashes = F.transform(ngrams(F.col(text_col), n), shingle_hash)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_shingle_hashes"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MOD))
-            ).alias(f"mh{i}")
-            for i, (a, b) in enumerate(zip(_MINHASH_A[:k], _MINHASH_B[:k]))
-        ]
-    )
+    base = df.select(id_col, text_col)
+    if repartition_to:
+        base = base.repartition(repartition_to)
+    exploded = base.select(id_col, F.explode(hashes).alias("_h"))  # zero-shingle docs drop here
+    mins = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MOD)).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(zip(_MINHASH_A[:k], _MINHASH_B[:k]))
+    ]
     return (
-        df.select(id_col, hashes.alias("_shingle_hashes"))
-        .where(F.size("_shingle_hashes") > 0)
-        .select(id_col, sig.alias("signature"))
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"_mh{i}" for i in range(k)]).alias("signature"))
     )
 
 
@@ -112,7 +133,15 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> Dat
     )
 
 
-def minhash_dedup(df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 8, bands: int = 4) -> DataFrame:
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    repartition_to: int | None = None,
+) -> DataFrame:
     """Drop the higher-id member of every candidate near-dup pair.
 
     Greedy min-id survivor policy: a doc survives unless it pairs with
@@ -120,7 +149,9 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int 
     docs; pairwise-greedy matches common corpus-dedup practice and
     stays a pure join.)
     """
-    pairs = minhash_lsh_pairs(minhash_signatures(df, text_col, id_col, n, k), id_col, bands)
+    pairs = minhash_lsh_pairs(
+        minhash_signatures(df, text_col, id_col, n, k, repartition_to=repartition_to), id_col, bands
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -230,18 +230,45 @@ def q_minmax_normalize(spark, sf_dir):
     "group min/max -> top-K -> score) re-cast over the star schema (UserHotcar.java:42-200)",
 )
 def q_recommend_flagship(spark, sf_dir):
+    # Scale shape: the fan-out join produces |customer| * |parts/bucket|
+    # rows. Keeping the rank window free of non-rank functions lets
+    # Spark insert WindowGroupLimit (partial top-k per map task BEFORE
+    # the shuffle), so the exchange carries ~5 rows/customer/partition
+    # instead of the whole fan-out. The group stats are recovered
+    # without a second full-window pass:
+    #   mn = min dist = dist of the rank-1 row (cheap window over the
+    #        already-filtered top-5);
+    #   mx = max |bal - price| over the bucket, attained at an extreme
+    #        price -> greatest(|bal-min_price|, |bal-max_price|) from a
+    #        25-row broadcast aggregate of part.
     customer = _t(spark, sf_dir, "customer")
     part = _t(spark, sf_dir, "part")
-    joined = customer.join(
-        F.broadcast(part), part.p_size % 25 == customer.c_nationkey
-    ).select("c_custkey", "p_partkey", F.abs(F.col("c_acctbal") - F.col("p_retailprice")).alias("dist"))
-    grp = Window.partitionBy("c_custkey")
-    ranked = (
-        joined.withColumn("rank", F.row_number().over(grp.orderBy("dist", "p_partkey")))
-        .withColumn("mn", F.min("dist").over(grp))
-        .withColumn("mx", F.max("dist").over(grp))
+    bucket = (F.col("p_size") % 25).alias("bucket")
+    price_extremes = part.groupBy(bucket).agg(
+        F.min("p_retailprice").alias("min_price"), F.max("p_retailprice").alias("max_price")
     )
-    return ranked.where(F.col("rank") <= 5).select(
+    joined = customer.join(F.broadcast(part), part.p_size % 25 == customer.c_nationkey).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "p_partkey",
+        F.abs(F.col("c_acctbal") - F.col("p_retailprice")).alias("dist"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist", "p_partkey")
+    top = joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    grp = Window.partitionBy("c_custkey")
+    scored = (
+        top.join(F.broadcast(price_extremes), top.c_nationkey == price_extremes.bucket)
+        .withColumn("mn", F.min("dist").over(grp))
+        .withColumn(
+            "mx",
+            F.greatest(
+                F.abs(F.col("c_acctbal") - F.col("min_price")),
+                F.abs(F.col("c_acctbal") - F.col("max_price")),
+            ),
+        )
+    )
+    return scored.select(
         "c_custkey",
         "p_partkey",
         "dist",
@@ -1023,7 +1050,10 @@ def q_exact_dedup(spark, sf_dir):
 )
 def q_minhash_signatures(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "text", "doc_id", n=3, k=8)
+    # CPU-bound chain; spread the (few-file, small) doc scan across cores
+    sigs = minhash_signatures(
+        d, "text", "doc_id", n=3, k=8, repartition_to=spark.sparkContext.defaultParallelism
+    )
     return sigs.select("doc_id", F.col("signature").getItem(0).alias("mh0"), F.col("signature").getItem(7).alias("mh7"))
 
 
@@ -1122,7 +1152,9 @@ def q_cosine_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return brute_force_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
+    # corpus-side scoring is CPU-bound; don't let one small parquet file pin it to one core
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return brute_force_topk(corpus, queries, k=5).select("query_id", "vec_id", "rank")
 
 
 @query(
@@ -1135,7 +1167,8 @@ def q_lsh_ann_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6).select("query_id", "vec_id", "rank")
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return lsh_topk(corpus, queries, dim=64, k=5, n_planes=6).select("query_id", "vec_id", "rank")
 
 
 @query(
