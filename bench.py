@@ -40,9 +40,15 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "exact_dedup",
     "minhash_signatures",
+    "minhash_dedup",
     "simhash",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_near_dup",
+    "multimodal_meta",
+    "image_features",
+    "frame_sample",
     "tumbling_window",
     "sessionize",
 ]

@@ -112,6 +112,77 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _lit_vec(v: list[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: Voronoi-partition the corpus around centroids,
+    probe only the ``n_probe`` nearest cells per query.
+
+    Centroid choice is training-free and deterministic — the
+    ``n_centroids`` lowest-id corpus vectors (a real deployment would
+    k-means; index structure and probe path are identical, which is
+    what matters for the plan shape).
+
+    Scale shape: centroids are collected once (tiny) and inlined as
+    literals, so cell assignment is a PER-ROW argmax — no fan-out, no
+    shuffle, the corpus is scanned exactly once. Probes explode each
+    query into n_probe (query, cell) rows, broadcast, and equi-join on
+    the int cell key: each query scores ~n_probe/n_centroids of the
+    corpus instead of all of it.
+
+    Ties: cell = first index attaining the max dot (array_position on
+    exact doubles); final rank ties break by ascending id.
+    """
+    cents = [
+        (r[0], list(r[1]))
+        for r in corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    ]
+    if not cents:
+        raise ValueError("empty corpus")
+
+    def cell_expr(vcol: str):
+        dots = F.array(*[dot(F.col(vcol), _lit_vec(v)) for _, v in cents])
+        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+    indexed = corpus.withColumn("cell", cell_expr(vec_col))
+    qdots = F.array(
+        *[
+            F.struct(dot(F.col("query_vec"), _lit_vec(v)).alias("d"), F.lit(i).alias("idx"))
+            for i, (_, v) in enumerate(cents)
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(
+                qdots,
+                lambda l, r: F.when(l["d"] > r["d"], F.lit(-1))
+                .when(l["d"] < r["d"], F.lit(1))
+                .otherwise((l["idx"] - r["idx"]).cast("int")),
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["idx"],
+    )
+    probed = queries.select("query_id", "query_vec", F.explode(probe_cells).alias("cell"))
+    joined = indexed.join(F.broadcast(probed), "cell").where(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id", id_col, cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

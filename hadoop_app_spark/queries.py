@@ -1312,5 +1312,194 @@ def q_event_dedup(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# North-star completions: full dedup pipelines, ANN variants, multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_dedup",
+    oracle=None,  # xxhash64-seeded; end-to-end pair/survivor semantics golden-tested in pytest
+    doc="full MinHash+LSH dedup: shingle -> signature -> band bucket-join -> "
+    "drop higher-id member of each candidate pair (north star)",
+)
+def q_minhash_dedup(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = minhash_dedup(
+        d, "text", "doc_id", repartition_to=spark.sparkContext.defaultParallelism
+    )
+    return survivors.select("doc_id", "n_chars")
+
+
+def _lsh_near_dup_oracle(dim: int = 64, n_planes: int = 6, threshold: float = 0.3) -> str:
+    """Generate the DuckDB oracle for embedding_near_dup with the
+    engine's deterministic hyperplanes inlined as literals, so the
+    oracle reproduces the exact LSH buckets (same doubles, same sign
+    tests) — the candidate set is verified, not just the final filter."""
+    from hadoop_app_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        "(CASE WHEN "
+        + " + ".join(f"CAST(embedding[{j + 1}] AS DOUBLE)*({p[j]!r})" for j in range(dim))
+        + f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0, [{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {dot.format(a="a.v", b="b.v")}
+              / (sqrt({dot.format(a="a.v", b="a.v")}) * sqrt({dot.format(a="b.v", b="b.v")}))
+              >= {threshold}
+    """
+
+
+@query(
+    "embedding_near_dup",
+    oracle=_lsh_near_dup_oracle(),
+    doc="embedding-cosine near-dup pairs, LSH-bucket candidate limited (north star); "
+    "oracle regenerates the sign-LSH buckets from inlined hyperplane literals",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    return embedding_near_dups(emb, threshold=0.3, n_planes=6).select("id_a", "id_b")
+
+
+_IVF_DOT = (
+    "list_reduce(list_prepend(0.0, [{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]),"
+    " (acc, x) -> acc + x)"
+)
+
+_IVF_ORACLE = f"""
+    WITH cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS c_idx,
+               embedding::DOUBLE[] AS cv
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+    corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, v, c_idx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c_idx) AS rn
+        FROM (SELECT corp.vec_id, corp.v, cent.c_idx,
+                     {_IVF_DOT.format(a="corp.v", b="cent.cv")} AS d
+              FROM corp CROSS JOIN cent)),
+    cells AS (SELECT vec_id, v, c_idx AS cell FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id <= 5),
+    probes AS (
+        SELECT query_id, qv, c_idx AS cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d DESC, c_idx) AS rn
+        FROM (SELECT q.query_id, q.qv, cent.c_idx,
+                     {_IVF_DOT.format(a="q.qv", b="cent.cv")} AS d
+              FROM q CROSS JOIN cent)),
+    cand AS (
+        SELECT p.query_id, c.vec_id, p.qv, c.v
+        FROM (SELECT * FROM probes WHERE rn <= 4) p
+        JOIN cells c USING (cell)
+        WHERE c.vec_id <> p.query_id),
+    scored AS (
+        SELECT query_id, vec_id,
+               {_IVF_DOT.format(a="v", b="qv")}
+               / (sqrt({_IVF_DOT.format(a="v", b="v")}) * sqrt({_IVF_DOT.format(a="qv", b="qv")}))
+               AS cosine
+        FROM cand)
+    SELECT query_id, vec_id, rank
+    FROM (SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=_IVF_ORACLE,
+    doc="IVF-style ANN: per-row argmax cell assignment (no shuffle), n_probe=4 of 16 "
+    "cells probed per query (north star: ANN scale path beside sign-LSH)",
+)
+def q_ivf_ann_topk(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id, 'image' AS media_type, 'raw' AS format,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
+    doc="multimodal column plumbing: opaque binary payload + typed metadata struct "
+    "(north star); payload synthesized from text bytes, metadata is pure Catalyst",
+)
+def q_multimodal_meta(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import attach_media_meta
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    m = attach_media_meta(d, "payload", "image", "raw")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "image_features",
+    oracle=None,  # decode kernel is a deterministic fake (binary folding); golden-tested in pytest
+    doc="mapInPandas image feature extraction over Arrow batches (north star multimodal); "
+    "decode kernel stubbed, Spark plumbing (schema/batching/partitioning) real",
+)
+def q_image_features(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import extract_image_features
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return extract_image_features(d, "doc_id", "payload", fake=True).select(
+        "asset_id", "n_bytes", "width", "height"
+    )
+
+
+@query(
+    "frame_sample",
+    oracle="""
+        SELECT asset_id, CAST(frame_index AS INTEGER) AS frame_index
+        FROM (SELECT doc_id AS asset_id,
+                     unnest(range(0, octet_length(encode(text)) % 300 + 1, 30)) AS frame_index
+              FROM documents)
+    """,
+    doc="video frame-sample plan fan-out (north star multimodal): explode of a "
+    "sequence per asset; real Spark fan-out, decode stubbed",
+)
+def q_frame_sample(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    return frame_sample_plan(d, "doc_id", "payload", every_n=30).select("asset_id", "frame_index")
+
+
 def names() -> list[str]:
     return list(REGISTRY)

@@ -214,3 +214,40 @@ def test_multimodal_real_decode_is_stubbed(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         extract_image_features(df, "asset_id", "payload", fake=False).collect()
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb_df):
+    from hadoop_app_spark.operators.similarity import ivf_topk
+
+    queries = emb_df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb_df, queries, k=3).collect()}
+    ivf = ivf_topk(emb_df, queries, k=3, n_centroids=8, n_probe=4)
+    got = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5
+    # deterministic: same plan, same result
+    again = {(r.query_id, r.vec_id) for r in ivf_topk(emb_df, queries, k=3, n_centroids=8, n_probe=4).collect()}
+    assert got == again
+    # probing everything == brute force (modulo identical tiebreaks)
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb_df, queries, k=3, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    from hadoop_app_spark.operators.similarity import embedding_near_dups
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(df, dim=4, threshold=0.95, n_planes=2).collect()}
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
