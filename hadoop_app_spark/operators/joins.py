@@ -42,6 +42,37 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
     return left.join(right, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    salt_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigating inner equi-join for EXTREME single-key skew.
+
+    AQE's skew-join split handles moderate skew automatically; when one
+    key holds a double-digit share of the rows, every row of that key
+    still lands in one task family. Salting fixes that structurally:
+    left rows scatter across ``n_salts`` sub-keys (deterministic hash
+    of ``salt_by`` columns, or all non-key columns), and the right side
+    is replicated n_salts times via a tiny explode, so the join key
+    becomes (key, salt) and the hot key spreads over n_salts tasks.
+
+    Cost model: right side is duplicated n_salts x — use only when
+    right is small relative to the skew being split (dims, lookup
+    tables). Results are identical to a plain inner join; only the
+    physical row distribution changes.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_cols = list(salt_by) if salt_by else [c for c in left.columns if c not in keys]
+    if not salt_cols:
+        raise ValueError("need at least one non-key column (or salt_by) to derive a salt")
+    salted_l = left.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int"))
+    salted_r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return salted_l.join(salted_r, keys + ["_salt"], "inner").drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

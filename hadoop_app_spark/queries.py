@@ -1501,5 +1501,84 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample_plan(d, "doc_id", "payload", every_n=30).select("asset_id", "frame_index")
 
 
+def _event_stream(spark, sf_dir: str):
+    """Streaming twin of catalog.load_table('events'): file stream
+    sources read directories, so the single parquet is exposed through
+    a temp-dir symlink; TIMESTAMP(NANOS) arrives as long and is
+    truncated to micros exactly as the batch path does."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+    raw = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).parquet(d)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query(
+    "stream_tumbling_exec",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
+               event_type, count(*) AS n, {v} AS sum_value
+        FROM events GROUP BY 1, 2
+    """.format(v=_DSUM.format(c="value")),
+    doc="REAL Structured Streaming execution under the correctness gate: "
+    "availableNow parquet stream -> watermarked tumbling window -> complete-mode "
+    "memory sink; the oracle is the equivalent batch SQL (stream-batch parity)",
+)
+def q_stream_tumbling_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import tumbling_counts
+
+    name = "stream_tumbling_" + uuid.uuid4().hex[:8]
+    stream = _event_stream(spark, sf_dir)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_dedup_exec",
+    oracle="""
+        SELECT event_type, count(DISTINCT event_id) AS n_unique
+        FROM events GROUP BY event_type
+    """,
+    doc="Structured Streaming dropDuplicatesWithinWatermark executed end-to-end "
+    "(bounded dedup state); result aggregated batch-side from the memory sink",
+)
+def q_stream_dedup_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import dedup_stream
+
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    stream = _event_stream(spark, sf_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
 def names() -> list[str]:
     return list(REGISTRY)

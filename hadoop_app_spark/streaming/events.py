@@ -52,10 +52,16 @@ def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataF
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Windowed count/sum per event_type with late-data watermark —
     the streaming twin of queries.q_tumbling_window."""
+    # decimal accumulation: exact + associative, so the result is
+    # bit-identical to any batch/oracle computation of the same sum
+    # regardless of micro-batch arrival order
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -251,3 +251,17 @@ def test_embedding_near_dups_finds_planted_pair(spark):
     pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(df, dim=4, threshold=0.95, n_planes=2).collect()}
     assert (1, 2) in pairs
     assert all(a < b for a, b in pairs)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from hadoop_app_spark.operators.joins import salted_join
+
+    # hot key 1 carries 90% of rows
+    left = spark.createDataFrame(
+        [(1, f"u{i}") for i in range(90)] + [(i % 5 + 2, f"v{i}") for i in range(10)],
+        "k int, payload string",
+    )
+    right = spark.createDataFrame([(i, f"dim{i}") for i in range(1, 7)], "k int, name string")
+    plain = sorted(map(tuple, left.join(right, "k").select("k", "payload", "name").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", n_salts=8).select("k", "payload", "name").collect()))
+    assert salted == plain
