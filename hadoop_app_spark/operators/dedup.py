@@ -107,11 +107,17 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs via banding: split the signature into
-    ``bands`` bands, bucket-join on (band_index, band_content).
+    ``bands`` bands; docs sharing a (band_index, band_content) bucket
+    become candidates. Returns distinct (id_a, id_b), id_a < id_b.
 
-    Returns distinct (id_a, id_b) with id_a < id_b. The join key
-    includes the band index so buckets from different bands never mix;
-    the shuffle is an equi-join on a short string key.
+    Shape chosen for scale: group ids per bucket and expand pairs with
+    array functions — the signature pipeline is computed ONCE and
+    shuffled once (on the bucket key). The alternative self-join form
+    re-executes the whole upstream signature computation for both join
+    sides (no ReusedExchange: the two subtrees end up non-identical),
+    i.e. 2x the dominant cost at corpus scale. Pair expansion is
+    quadratic only within a bucket — the same bound as any LSH
+    formulation; band width controls bucket collision rates.
     """
     sig_len_frac = F.size("signature") / bands
     banded = signatures.select(
@@ -123,12 +129,26 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> Dat
             )
         ).alias("band", "band_sig"),
     ).select(id_col, F.concat_ws("_", F.col("band"), F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grouped = (
+        banded.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ids") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda partner: F.struct(
+                    F.element_at(F.col("ids"), (i + 1).cast("int")).alias("id_a"),
+                    partner.alias("id_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, "bucket")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
