@@ -1580,5 +1580,171 @@ def q_stream_dedup_exec(spark, sf_dir):
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
+@query(
+    "stream_session_exec",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               {v} AS session_value
+        FROM sess GROUP BY user_id, sid
+    """.format(v=_DSUM.format(c="value")),
+    doc="Structured Streaming session_window executed end-to-end (gap-merge "
+    "stateful operator); oracle rebuilds the merged sessions with lag/cumsum SQL",
+)
+def q_stream_session_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import session_aggregates
+
+    name = "stream_session_" + uuid.uuid4().hex[:8]
+    q = (
+        session_aggregates(_event_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+@query(
+    "fixed_width_parse",
+    oracle="""
+        WITH lines AS (
+            SELECT repeat('H', 15) || CAST(year(l_shipdate) AS VARCHAR)
+                   || rpad('x', 68, 'x')
+                   || (CASE WHEN l_discount > 0.05 THEN '-' ELSE '+' END)
+                   || lpad(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR), 4, '0') AS line
+            FROM lineitem)
+        SELECT CAST(substring(line, 16, 4) AS INTEGER) AS year,
+               max(CAST(substring(line, 88, 5) AS INTEGER)) AS max_temp,
+               min(CAST(substring(line, 88, 5) AS INTEGER)) AS min_temp,
+               count(*) AS n
+        FROM lines GROUP BY 1
+    """,
+    doc="S3 fixed-width codec under the gate: NCDC-shaped lines synthesized from "
+    "lineitem, parsed back with the engine's FixedWidthField spec (signed ints, "
+    "1-based substring; MaxTemperatureMapper.java:17-22 semantics)",
+)
+def q_fixed_width_parse(spark, sf_dir):
+    from hadoop_app_spark.sources.ncdc import FixedWidthField, parse_fixed_width
+
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat(
+            F.lit("H" * 15),
+            F.year("l_shipdate").cast("string"),
+            F.rpad(F.lit("x"), 68, "x"),
+            F.when(F.col("l_discount") > 0.05, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad(F.col("l_quantity").cast("int").cast("string"), 4, "0"),
+        ).alias("value")
+    )
+    fields = (
+        FixedWidthField("year", 15, 19, "int"),
+        FixedWidthField("temp", 87, 92, "int"),
+    )
+    parsed = parse_fixed_width(lines, fields)
+    return parsed.groupBy("year").agg(
+        F.max("temp").alias("max_temp"), F.min("temp").alias("min_temp"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "micro_format_roundtrip",
+    oracle="""
+        SELECT p_brand, count(*) AS n_items, {s} AS sum_price
+        FROM part GROUP BY p_brand
+    """.format(s=_DSUM.format(c="p_retailprice")),
+    doc="S5/F2 micro-format codec round-trip under the gate: part rows encoded as "
+    "the reference's 'id@price,id@price' string (UserHotcar.java:128), decoded via "
+    "split/explode, re-aggregated — must equal direct aggregation",
+)
+def q_micro_format_roundtrip(spark, sf_dir):
+    from hadoop_app_spark.sources.delim001 import decode_at_pairs
+
+    part = _t(spark, sf_dir, "part")
+    encoded = part.groupBy("p_brand").agg(
+        F.concat_ws(
+            ",", F.collect_list(F.concat_ws("@", F.col("p_partkey"), F.col("p_retailprice")))
+        ).alias("infoidlist")
+    )
+    decoded = encoded.select(
+        "p_brand", F.explode(decode_at_pairs(F.col("infoidlist"), ",")).alias("pair")
+    )
+    return decoded.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("pair.val").cast("double").cast("decimal(18,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "percentile_summary",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS p25,
+               quantile_disc(l_extendedprice, 0.5) AS p50,
+               quantile_disc(l_extendedprice, 0.75) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact discrete percentiles per group (order-statistic selection — "
+    "engine-agnostic exact values, unlike interpolated/approx percentiles)",
+)
+def q_percentile_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+        SELECT 'l_quantity' AS metric, count(*) AS n, {q} AS total FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*), {e} FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), {d} FROM lineitem
+    """.format(
+        q=_DSUM.format(c="l_quantity"),
+        e=_DSUM.format(c="l_extendedprice"),
+        d=_DSUM.format(c="l_discount"),
+    ),
+    doc="unpivot/melt (wide -> long) + re-aggregate per metric",
+)
+def q_unpivot_metrics(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[], values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric", valueColumnName="v",
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"), _dsum("v").alias("total")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)

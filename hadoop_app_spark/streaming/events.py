@@ -90,7 +90,10 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes", watermark: st
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+        )
         .select(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
