@@ -90,6 +90,78 @@ def range_join(
     return left.join(right, range_cond, how)
 
 
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    right_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Sort-merge as-of join — the scale path.
+
+    Union both sides tagged by origin, run ONE window per key ordered
+    by (ts, side[, right tiebreaks]), and carry the most recent right
+    row's values onto each left row with last(..., ignoreNulls). Cost:
+    one shuffle + one sort over |L|+|R| rows. The join+rank form
+    (asof_join) explodes every left row by its full matching-right
+    history first — at a 100 TB click log that fan-out dwarfs the
+    inputs; this form never materializes it.
+
+    Inner semantics (left rows with no qualifying right row drop),
+    matching asof_join. ``right_tiebreak`` columns break equal-ts
+    right rows deterministically: ascending window order, last() wins,
+    so the LAST value in tiebreak order is kept (e.g. pass
+    ['event_id'] to keep the highest event id — the same result as
+    rank-1 with event_id DESC in the join+rank form).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    lcols = left.columns
+    vals = list(right_value_cols)
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in [right_ts, *vals]],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in [right_ts, *vals]],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_order, F.col("_side").asc(), *[F.col(f"_r_{c}").asc() for c in right_tiebreak])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in [right_ts, *vals]]
+    )
+    out = carried.where((F.col("_side") == 1) & F.col(f"_m_{right_ts}").isNotNull())
+    if tolerance is not None:
+        gap = (
+            F.col("_ts") - F.col(f"_m_{right_ts}")
+            if direction == "backward"
+            else F.col(f"_m_{right_ts}") - F.col("_ts")
+        )
+        out = out.where(gap <= tolerance)
+    return out.select(
+        F.col(on),
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in lcols if c not in (on, left_ts)],
+        *[F.col(f"_m_{c}").alias(c) for c in [right_ts, *vals]],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -555,26 +555,25 @@ def q_range_theta_join(spark, sf_dir):
     "reference lacks, built as range-join + rank-1 (operators/joins.py:asof_join)",
 )
 def q_asof_join(spark, sf_dir):
+    # merge form: one shuffle over |purchases|+|clicks|; the join+rank
+    # form would fan each purchase out by its full prior-click history
+    from hadoop_app_spark.operators.joins import asof_join_merge
+
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_event_id")
     )
-    # deterministic: tiebreak equal click_ts by click_event_id desc
-    lk, rk = purchases.alias("l"), clicks.alias("r")
-    joined = lk.join(
-        rk,
-        (F.col("l.user_id") == F.col("r.user_id")) & (F.col("r.click_ts") <= F.col("l.ts")),
-        "inner",
+    out = asof_join_merge(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_value_cols=["click_event_id"],
+        right_tiebreak=["click_event_id"],
     )
-    w = Window.partitionBy("l.event_id").orderBy(
-        F.col("r.click_ts").desc(), F.col("r.click_event_id").desc()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col("l.event_id").alias("event_id"), F.col("l.user_id").alias("user_id"), "click_event_id")
-    )
+    return out.select("event_id", "user_id", "click_event_id")
 
 
 # ---------------------------------------------------------------------------

@@ -265,3 +265,33 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted(map(tuple, left.join(right, "k").select("k", "payload", "name").collect()))
     salted = sorted(map(tuple, salted_join(left, right, "k", n_salts=8).select("k", "payload", "name").collect()))
     assert salted == plain
+
+
+def test_asof_merge_equals_rank_form(spark):
+    from hadoop_app_spark.operators.joins import asof_join_merge
+
+    trades = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 25), (3, "B", 5), (4, "B", 40), (5, "C", 7)],
+        "trade_id long, sym string, tts long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 10, 1.5), ("A", 20, 2.0), ("B", 30, 9.0), ("B", 40, 8.0)],
+        "sym string, qts long, px double",
+    )
+    rank = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts", left_key="trade_id")
+    merge = asof_join_merge(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_value_cols=["px"]
+    )
+    cols = ["trade_id", "sym", "tts", "qts", "px"]
+    assert sorted(map(tuple, merge.select(*cols).collect())) == sorted(
+        map(tuple, rank.select(*cols).collect())
+    )
+    # forward + tolerance parity
+    for kw in ({"direction": "forward"}, {"direction": "backward", "tolerance": F.lit(10)}):
+        r = asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                      left_key="trade_id", **kw)
+        g = asof_join_merge(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                            right_value_cols=["px"], **kw)
+        assert sorted(map(tuple, g.select(*cols).collect())) == sorted(
+            map(tuple, r.select(*cols).collect())
+        )
