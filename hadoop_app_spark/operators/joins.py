@@ -100,6 +100,7 @@ def asof_join_merge(
     direction: str = "backward",
     tolerance: Column | None = None,
     right_tiebreak: Sequence[str] = (),
+    how: str = "inner",
 ) -> DataFrame:
     """Sort-merge as-of join — the scale path.
 
@@ -111,8 +112,9 @@ def asof_join_merge(
     history first — at a 100 TB click log that fan-out dwarfs the
     inputs; this form never materializes it.
 
-    Inner semantics (left rows with no qualifying right row drop),
-    matching asof_join. ``right_tiebreak`` columns break equal-ts
+    ``how='inner'`` (default) drops left rows with no qualifying right
+    row, matching asof_join; ``how='left'`` keeps them with null
+    matched columns. ``right_tiebreak`` columns break equal-ts
     right rows deterministically: ascending window order, last() wins,
     so the LAST value in tiebreak order is kept (e.g. pass
     ['event_id'] to keep the highest event id — the same result as
@@ -146,14 +148,19 @@ def asof_join_merge(
     carried = unioned.select(
         "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in [right_ts, *vals]]
     )
-    out = carried.where((F.col("_side") == 1) & F.col(f"_m_{right_ts}").isNotNull())
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    out = carried.where(F.col("_side") == 1)
+    if how == "inner":
+        out = out.where(F.col(f"_m_{right_ts}").isNotNull())
     if tolerance is not None:
         gap = (
             F.col("_ts") - F.col(f"_m_{right_ts}")
             if direction == "backward"
             else F.col(f"_m_{right_ts}") - F.col("_ts")
         )
-        out = out.where(gap <= tolerance)
+        in_tol = gap <= tolerance
+        out = out.where(in_tol | F.col(f"_m_{right_ts}").isNull() if how == "left" else in_tol)
     return out.select(
         F.col(on),
         F.col("_ts").alias(left_ts),

@@ -230,43 +230,82 @@ def q_minmax_normalize(spark, sf_dir):
     "group min/max -> top-K -> score) re-cast over the star schema (UserHotcar.java:42-200)",
 )
 def q_recommend_flagship(spark, sf_dir):
-    # Scale shape: the fan-out join produces |customer| * |parts/bucket|
-    # rows. Keeping the rank window free of non-rank functions lets
-    # Spark insert WindowGroupLimit (partial top-k per map task BEFORE
-    # the shuffle), so the exchange carries ~5 rows/customer/partition
-    # instead of the whole fan-out. The group stats are recovered
-    # without a second full-window pass:
-    #   mn = min dist = dist of the rank-1 row (cheap window over the
-    #        already-filtered top-5);
-    #   mx = max |bal - price| over the bucket, attained at an extreme
-    #        price -> greatest(|bal-min_price|, |bal-max_price|) from a
-    #        25-row broadcast aggregate of part.
+    # Scale shape — "top-5 nearest prices" WITHOUT the fan-out sort.
+    # A naive plan joins every customer to its bucket's full part list
+    # (|customer| x |parts/bucket| rows) and sorts that per customer.
+    # Instead:
+    #   1. Build the distinct-price ladder per bucket (price -> ordinal
+    #      position + the partkeys at that price), ~|distinct prices|.
+    #   2. Anchor each customer in the ladder with the sort-merge as-of
+    #      join (one window over |customers|+|prices| rows): the
+    #      position of the greatest price <= acctbal.
+    #   3. The 5 nearest distinct prices are inside positions
+    #      [anchor-4, anchor+5] (merge of <=5 below and <=5 above), so
+    #      candidates are a 10-position explode + broadcast joins —
+    #      every part at a candidate price is included, which keeps
+    #      duplicate-price tiebreaks (dist, p_partkey) exact.
+    #   4. Rank the ~10-20 candidate rows per customer; recover
+    #      mn = min dist from the kept rows and mx from the bucket's
+    #      price extremes (|bal-price| is maximized at an extreme).
+    # Work: O(|customer| + |part|) rows through one merge window and
+    # narrow broadcast joins — no |customer| x |parts/bucket| sort.
+    from hadoop_app_spark.operators.joins import asof_join_merge
+
     customer = _t(spark, sf_dir, "customer")
     part = _t(spark, sf_dir, "part")
-    bucket = (F.col("p_size") % 25).alias("bucket")
-    price_extremes = part.groupBy(bucket).agg(
-        F.min("p_retailprice").alias("min_price"), F.max("p_retailprice").alias("max_price")
+    parts = part.select(
+        (F.col("p_size") % 25).alias("bucket"), "p_retailprice", "p_partkey"
     )
-    joined = customer.join(F.broadcast(part), part.p_size % 25 == customer.c_nationkey).select(
+    ladder = parts.groupBy("bucket", "p_retailprice").agg(
+        F.sort_array(F.collect_list("p_partkey")).alias("pks")
+    )
+    wpos = Window.partitionBy("bucket").orderBy("p_retailprice")
+    ladder = ladder.withColumn("pos", F.row_number().over(wpos))
+    bucket_stats = ladder.groupBy("bucket").agg(
+        F.max("pos").alias("npos"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+    probes = customer.select("c_custkey", "c_acctbal", F.col("c_nationkey").alias("bucket"))
+    anchored = asof_join_merge(
+        probes,
+        ladder.select("bucket", F.col("p_retailprice").alias("anchor_price"), "pos"),
+        on="bucket",
+        left_ts="c_acctbal",
+        right_ts="anchor_price",
+        right_value_cols=["pos"],
+        how="left",
+    ).select("c_custkey", "c_acctbal", "bucket", F.coalesce("pos", F.lit(0)).alias("anchor"))
+    cand_pos = anchored.join(F.broadcast(bucket_stats), "bucket").select(
         "c_custkey",
-        "c_nationkey",
         "c_acctbal",
-        "p_partkey",
+        "bucket",
+        "min_price",
+        "max_price",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("anchor") - 4, F.lit(1)),
+                F.least(F.col("anchor") + 5, F.col("npos")),
+            )
+        ).alias("pos"),
+    )
+    cands = cand_pos.join(F.broadcast(ladder), ["bucket", "pos"]).select(
+        "c_custkey",
+        "c_acctbal",
+        "min_price",
+        "max_price",
+        F.explode("pks").alias("p_partkey"),
         F.abs(F.col("c_acctbal") - F.col("p_retailprice")).alias("dist"),
     )
     w = Window.partitionBy("c_custkey").orderBy("dist", "p_partkey")
-    top = joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    top = cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
     grp = Window.partitionBy("c_custkey")
-    scored = (
-        top.join(F.broadcast(price_extremes), top.c_nationkey == price_extremes.bucket)
-        .withColumn("mn", F.min("dist").over(grp))
-        .withColumn(
-            "mx",
-            F.greatest(
-                F.abs(F.col("c_acctbal") - F.col("min_price")),
-                F.abs(F.col("c_acctbal") - F.col("max_price")),
-            ),
-        )
+    scored = top.withColumn("mn", F.min("dist").over(grp)).withColumn(
+        "mx",
+        F.greatest(
+            F.abs(F.col("c_acctbal") - F.col("min_price")),
+            F.abs(F.col("c_acctbal") - F.col("max_price")),
+        ),
     )
     return scored.select(
         "c_custkey",
