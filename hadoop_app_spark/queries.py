@@ -1057,10 +1057,35 @@ def q_doc_fingerprint(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def _language_id_oracle() -> str:
+    """Generate the DuckDB twin of functions.text.language_id: same
+    stopword profiles, same reversed-priority tie-break cascade."""
+    from hadoop_app_spark.functions.text import LANG_STOPWORDS
+
+    score = {
+        lang: " + ".join(f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END" for w in ws)
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    # mirror the engine's fold: start ('und', 0); for each lang in
+    # reversed priority, lang wins if score >= max(best_score, 1)
+    best, best_score = "'und'", "0"
+    for lang in ("es", "fr", "de", "en"):
+        s = f"({score[lang]})"
+        best = f"CASE WHEN {s} >= greatest({best_score}, 1) THEN '{lang}' ELSE {best} END"
+        best_score = f"greatest({best_score}, {s})"
+    return f"""
+        SELECT doc_id, {best} AS lang_guess
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents)
+    """
+
+
 @query(
     "language_id",
-    oracle=None,  # heuristic implemented engine-side; rows-only check
-    doc="stopword-profile language ID heuristic (north star: language filtering)",
+    oracle=_language_id_oracle(),
+    doc="stopword-profile language ID heuristic (north star: language filtering); "
+    "oracle regenerates the same profile scores and tie-break cascade in SQL",
 )
 def q_language_id(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id", language_id("text").alias("lang_guess"))
