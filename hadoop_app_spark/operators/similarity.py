@@ -77,7 +77,7 @@ def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: i
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = sum(
         (
-            F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            F.when(dot(F.col(vec_col), F.lit([float(x) for x in p])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
             for i, p in enumerate(planes)
         ),
         F.lit(0),
@@ -112,10 +112,6 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _lit_vec(v: list[float]):
-    return F.array(*[F.lit(float(x)) for x in v])
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,9 +120,15 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: Voronoi-partition the corpus around centroids,
     probe only the ``n_probe`` nearest cells per query.
+
+    ``centroid_source`` lets the caller hand in a cheaper-to-scan
+    frame for the one-time centroid fetch (e.g. the raw table before
+    any repartition) — the fetch is a driver-side TakeOrdered of
+    n_centroids rows and should not pay the corpus' shuffle.
 
     Centroid choice is training-free and deterministic — the
     ``n_centroids`` lowest-id corpus vectors (a real deployment would
@@ -143,23 +145,26 @@ def ivf_topk(
     Ties: cell = first index attaining the max dot (array_position on
     exact doubles); final rank ties break by ascending id.
     """
+    src = centroid_source if centroid_source is not None else corpus
     cents = [
         (r[0], list(r[1]))
-        for r in corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+        for r in src.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
     ]
     if not cents:
         raise ValueError("empty corpus")
+    # single nested-array literal: one py4j call and one plan node for
+    # the whole centroid matrix — per-element literals made plan
+    # construction (~1k gateway calls) dwarf the actual execution
+    matrix = F.lit([[float(x) for x in v] for _, v in cents])
 
     def cell_expr(vcol: str):
-        dots = F.array(*[dot(F.col(vcol), _lit_vec(v)) for _, v in cents])
+        dots = F.transform(matrix, lambda c: dot(F.col(vcol), c))
         return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
     indexed = corpus.withColumn("cell", cell_expr(vec_col))
-    qdots = F.array(
-        *[
-            F.struct(dot(F.col("query_vec"), _lit_vec(v)).alias("d"), F.lit(i).alias("idx"))
-            for i, (_, v) in enumerate(cents)
-        ]
+    qdots = F.transform(
+        matrix,
+        lambda c, i: F.struct(dot(F.col("query_vec"), c).alias("d"), i.cast("int").alias("idx")),
     )
     probe_cells = F.transform(
         F.slice(

@@ -1499,9 +1499,9 @@ def q_ivf_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
-    return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4).select(
-        "query_id", "vec_id", "rank"
-    )
+    return ivf_topk(
+        corpus, queries, k=5, n_centroids=16, n_probe=4, centroid_source=emb
+    ).select("query_id", "vec_id", "rank")
 
 
 @query(
