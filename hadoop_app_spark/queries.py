@@ -1809,5 +1809,56 @@ def q_unpivot_metrics(spark, sf_dir):
     )
 
 
+@query(
+    "regex_functions",
+    oracle="""
+        SELECT c_custkey,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+               regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
+               CASE WHEN regexp_matches(c_mktsegment, '^(BUILD|MACH)') THEN 1 ELSE 0 END AS seg_match
+        FROM customer
+    """,
+    doc="regex scalar functions (absent in the reference — SURVEY §2.7 completion): "
+    "extract group, strip non-digits, anchored match",
+)
+def q_regex_functions(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[^0-9]", "").alias("name_digits"),
+        F.when(F.col("c_mktsegment").rlike("^(BUILD|MACH)"), 1).otherwise(0).alias("seg_match"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               sqrt(l_extendedprice) AS price_sqrt,
+               abs(l_discount - 0.05) AS disc_dist,
+               floor(l_extendedprice) AS price_floor,
+               ceil(l_quantity) AS qty_ceil,
+               CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+        FROM lineitem
+    """,
+    doc="math scalar functions (SURVEY §2.7 completion), restricted to IEEE-exact "
+    "ops (sqrt/abs/floor/ceil/mod) so both engines produce identical bits — "
+    "transcendentals (exp/log/trig) are exposed but not hash-compared: libm "
+    "implementations legitimately differ in the last ulp",
+)
+def q_math_functions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
