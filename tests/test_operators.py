@@ -295,3 +295,18 @@ def test_asof_merge_equals_rank_form(spark):
         assert sorted(map(tuple, g.select(*cols).collect())) == sorted(
             map(tuple, r.select(*cols).collect())
         )
+
+
+def test_fs_roundtrip(spark, tmp_path):
+    from hadoop_app_spark.sources import fs
+
+    p = f"file://{tmp_path}/marker.txt"
+    assert not fs.exists(spark, p)
+    fs.write_text(spark, p, "hello\nworld\n")
+    assert fs.exists(spark, p)
+    assert fs.read_text(spark, p) == "hello\nworld\n"
+    listing = fs.list_files(spark, f"file://{tmp_path}")
+    assert len(listing) == 1 and listing[0]["path"].endswith("marker.txt")
+    assert listing[0]["size"] == 12
+    assert fs.delete(spark, p)
+    assert not fs.exists(spark, p)
