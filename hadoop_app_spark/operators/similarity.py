@@ -15,6 +15,12 @@ Vector math stays in Catalyst higher-order functions (zip_with /
 aggregate, see functions.vectors). For 1000-dim embeddings at real
 scale, swap the scoring kernel for a Pandas UDF over Arrow batches
 (numpy matmul) — same plan shape, faster inner loop.
+
+Background (public literature, see PAPERS.md): distributed top-k
+similarity with local index structures per partition (REPOSE, ICDE
+2021) and adaptive pruning of candidates (Continuously Adaptive
+Similarity Search, SIGMOD 2020) — the bucket-join shapes here are the
+DataFrame-native forms of those candidate-pruning ideas.
 """
 
 from __future__ import annotations

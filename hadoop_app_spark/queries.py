@@ -1860,5 +1860,123 @@ def q_math_functions(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_filter",
+    oracle=None,  # assembled below from the language/quality/token oracles
+    doc="the canonical pretraining corpus filter: language allowlist + quality floor "
+    "+ token-count bounds, one scan, all JVM expressions (north star: the filter "
+    "stage every training-data pipeline runs first)",
+)
+def q_corpus_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        language_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    return scored.where(
+        (F.col("lang_guess") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens").between(10, 5000))
+    ).select("doc_id", "n_chars", "n_tokens")
+
+
+# quality_score's oracle already exists on its own entry; reuse the same SQL
+# fragments so the filter oracle stays in lockstep with the scalar oracles.
+REGISTRY["corpus_filter"] = QueryDef(
+    REGISTRY["corpus_filter"].fn,
+    oracle="""
+        WITH lang AS ({lang_sql}),
+        q AS (
+            SELECT doc_id,
+                   0.3 * least(length(text) / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN length(text) > 0
+                               THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text)
+                               ELSE 0.0 END)
+                 + 0.2 * least(CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE) / 3.0, 1.0)
+                 + 0.2 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                               AND CAST(length(text) AS DOUBLE)
+                                   / (CASE WHEN trim(text) = '' THEN 1
+                                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                                   BETWEEN 3 AND 12
+                               THEN 1.0 ELSE 0.5 END) AS quality,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+            FROM documents)
+        SELECT d.doc_id, d.n_chars, q.n_tokens
+        FROM documents d
+        JOIN lang ON d.doc_id = lang.doc_id
+        JOIN q ON d.doc_id = q.doc_id
+        WHERE lang.lang_guess = 'en' AND q.quality >= 0.5 AND q.n_tokens BETWEEN 10 AND 5000
+    """.format(lang_sql=_language_id_oracle().strip()),
+    doc=REGISTRY["corpus_filter"].doc,
+)
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+        SELECT doc_id, n_chars
+        FROM (SELECT doc_id, n_chars,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                                 (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+              FROM documents)
+        WHERE fp % 100 < 20
+    """,
+    doc="reproducible 20% corpus sample keyed on CONTENT hash (doc_fingerprint mod "
+    "100) — re-runs, re-partitions, and re-orders select the same documents, unlike "
+    "rand()/sampleBy; the standard trick for auditable training-data subsets",
+)
+def q_deterministic_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", doc_fingerprint("text"))
+        .where(F.col("fp") % 100 < 20)
+        .select("doc_id", "n_chars")
+    )
+
+
+@query(
+    "stream_sliding_exec",
+    oracle="""
+        WITH b AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS half, event_type FROM events),
+        expanded AS (
+            SELECT half AS wstart, event_type FROM b
+            UNION ALL
+            SELECT half - INTERVAL 30 MINUTE AS wstart, event_type FROM b)
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start, event_type,
+               count(*) AS n
+        FROM expanded GROUP BY 1, 2
+    """,
+    doc="Structured Streaming sliding window (1h window, 30m slide) executed "
+    "end-to-end; oracle expands each event into its two covering windows",
+)
+def q_stream_sliding_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import sliding_counts
+
+    name = "stream_sliding_" + uuid.uuid4().hex[:8]
+    q = (
+        sliding_counts(_event_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)

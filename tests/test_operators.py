@@ -310,3 +310,49 @@ def test_fs_roundtrip(spark, tmp_path):
     assert listing[0]["size"] == 12
     assert fs.delete(spark, p)
     assert not fs.exists(spark, p)
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketed tables on the join key co-locate: the sort-merge
+    join runs with NO Exchange on either side — at 100 TB this is the
+    difference between a join that reshuffles both tables and one that
+    streams bucket files."""
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_totalprice")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .option("path", str(tmp_path / "bli")).mode("overwrite").saveAsTable("b_li"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .option("path", str(tmp_path / "bord")).mode("overwrite").saveAsTable("b_ord"))
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_li").join(
+            spark.table("b_ord"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        if old_thr is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def test_compact_parquet(spark, tmp_path):
+    from hadoop_app_spark.operators.maintenance import compact_parquet, plan_compaction
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(src)  # simulate small-file ingest
+    before = plan_compaction(spark, f"file://{src}")
+    assert before["n_files"] == 40
+    compact_parquet(spark, src, dst, target_mb=256, sort_by=["k"])
+    after = plan_compaction(spark, f"file://{dst}")
+    assert after["n_files"] <= 2
+    assert spark.read.parquet(dst).count() == 10000
+    # sorted clustering: each output file's min/max ranges shouldn't all overlap
+    got = sorted(r.k for r in spark.read.parquet(dst).collect())
+    assert got == list(range(10000))
