@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash",
     "cosine_topk",
+    "cosine_topk_vectorized",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",

@@ -57,6 +57,70 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized twin of brute_force_topk — the high-dimension scale
+    path promised in the module docstring.
+
+    Kernel: one numpy matmul per Arrow batch against the broadcast
+    (normalized) query matrix, with a map-side partial top-k — each
+    task emits only k candidates per query, so the final exchange
+    carries n_partitions x m x k rows regardless of corpus size. At
+    1000-dim embeddings this beats the interpreted HOF fold by the
+    BLAS-vs-interpreter gap while keeping the identical plan shape
+    (scan -> per-partition score -> tiny global top-k).
+
+    Cosines come from a different accumulation order than the HOF
+    kernel (pairwise/SIMD vs left fold), so last-ulp values can differ
+    — results are rank-identical except on sub-ulp near-ties; this
+    variant is therefore bench/pipeline surface, not oracle surface.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select("query_id", "query_vec").collect()
+    if not qrows:
+        raise ValueError("empty queries")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+    out_schema = f"query_id long, {id_col} long, cosine double"
+
+    def score(batches):
+        bqids, bQn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            C = Xn @ bQn.T  # (batch, m)
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j, qid in enumerate(bqids):
+                col = C[:, j]
+                mask = ids != qid
+                cids, cval = ids[mask], col[mask]
+                if cids.size == 0:
+                    continue
+                # stable partial top-k with the final (cosine desc, id asc) tiebreak
+                order = np.lexsort((cids, -cval))[:k]
+                parts.append(
+                    pd.DataFrame({"query_id": qid, id_col: cids[order], "cosine": cval[order]})
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = _SEED) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
     simple LCG — no numpy dependency in the plan, reproducible)."""

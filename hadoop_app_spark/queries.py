@@ -1978,5 +1978,24 @@ def q_stream_sliding_exec(spark, sf_dir):
     )
 
 
+@query(
+    "cosine_topk_vectorized",
+    oracle=None,  # numpy accumulation order differs in the last ulp from the HOF fold;
+    # rank-level parity with the oracled cosine_topk is pinned in pytest
+    doc="brute-force cosine top-k with the vectorized kernel: numpy matmul per Arrow "
+    "batch + map-side partial top-k (the high-dim scale path; plan shape identical "
+    "to cosine_topk)",
+)
+def q_cosine_topk_vectorized(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import brute_force_topk_vectorized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return brute_force_topk_vectorized(corpus, queries, k=5).select("query_id", "vec_id", "rank")
+
+
 def names() -> list[str]:
     return list(REGISTRY)

@@ -356,3 +356,17 @@ def test_compact_parquet(spark, tmp_path):
     # sorted clustering: each output file's min/max ranges shouldn't all overlap
     got = sorted(r.k for r in spark.read.parquet(dst).collect())
     assert got == list(range(10000))
+
+
+def test_vectorized_topk_matches_hof_kernel(spark, emb_df):
+    from hadoop_app_spark.operators.similarity import brute_force_topk_vectorized
+
+    queries = emb_df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hof = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb_df, queries, k=3).collect()}
+    vec = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk_vectorized(emb_df, queries, k=3).collect()
+    }
+    assert vec == hof
