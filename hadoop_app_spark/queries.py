@@ -1997,5 +1997,34 @@ def q_cosine_topk_vectorized(spark, sf_dir):
     return brute_force_topk_vectorized(corpus, queries, k=5).select("query_id", "vec_id", "rank")
 
 
+@query(
+    "near_dup_components",
+    oracle="""
+        WITH RECURSIVE e AS ({pairs}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM e
+                UNION SELECT id_b, id_a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach(a, b) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        SELECT a AS vec_id, min(b) AS component
+        FROM reach GROUP BY a
+    """.format(pairs=_lsh_near_dup_oracle().strip()),
+    doc="connected components over the (oracled) embedding near-dup pairs — "
+    "iterative min-label propagation with per-round lineage checkpoints vs a "
+    "recursive-CTE transitive closure in the oracle; the principled dedup "
+    "grouping where greedy pair-drop over-keeps chained duplicates",
+)
+def q_near_dup_components(spark, sf_dir):
+    from hadoop_app_spark.operators.graph import connected_components
+    from hadoop_app_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    pairs = embedding_near_dups(emb, threshold=0.3, n_planes=6).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(F.col("node").alias("vec_id"), "component")
+
+
 def names() -> list[str]:
     return list(REGISTRY)

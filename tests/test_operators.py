@@ -370,3 +370,20 @@ def test_vectorized_topk_matches_hof_kernel(spark, emb_df):
         for r in brute_force_topk_vectorized(emb_df, queries, k=3).collect()
     }
     assert vec == hof
+
+
+def test_connected_components_chain_and_star(spark):
+    from hadoop_app_spark.operators.graph import connected_components, dedup_by_components
+
+    # chain 1-2-3-4, star 10-(11,12,13), isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (21, 20)],
+        "src long, dst long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long, t string")
+    pairs = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    kept = sorted(r.doc_id for r in dedup_by_components(docs, pairs, "doc_id").collect())
+    assert kept == [1, 10, 20, 99]  # one survivor per component + untouched 99
