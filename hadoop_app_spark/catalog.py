@@ -27,6 +27,12 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+        # default. nanosAsLong is a runtime-settable SQLConf, so set it
+        # here rather than at session build — callers (e.g. the driver
+        # harness) may hand us a vanilla SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong conf);
