@@ -24,20 +24,31 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 _FP_MOD = 1_000_000_007  # keeps acc*31+c inside int64 in any engine
 
+# Every codepoint where Python's str.isspace() is True. Java regex \s is
+# ASCII-only, so NBSP / ideographic space / NEL in multilingual web text
+# would otherwise glue tokens together. The literal character class below
+# parses identically in Java regex (Spark) and RE2 (DuckDB oracles);
+# contract pinned by tests/test_property.py::test_token_count_matches_python_split.
+UNICODE_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0"
+    "\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+WS_REGEX = "[" + UNICODE_WS + "]+"
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
 def tokenize(col: Column | str) -> Column:
-    """Whitespace tokenization -> array<string> (lowercased)."""
-    return F.split(F.trim(F.lower(_c(col))), "\\s+", -1)
+    """Whitespace tokenization -> array<string> (lowercased, empties
+    dropped) matching Python ``text.lower().split()``."""
+    return F.filter(F.split(F.lower(_c(col)), WS_REGEX, -1), lambda x: x != "")
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
-    t = F.trim(_c(col))
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+", -1)))
+    """Whitespace token count == ``len(text.split())`` (Unicode ws)."""
+    return F.size(F.filter(F.split(_c(col), WS_REGEX, -1), lambda x: x != ""))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:

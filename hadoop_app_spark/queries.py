@@ -76,6 +76,14 @@ def _dsum(col):
 
 _DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
 
+# SQL twins of functions.text.tokenize / token_count: same Unicode
+# whitespace class (WS_REGEX parses identically in RE2), same
+# drop-empty-tokens semantics == Python's str.split().
+from hadoop_app_spark.functions.text import WS_REGEX as _WS
+
+_TOKS = f"list_filter(string_split_regex(lower(text), '{_WS}'), x -> x <> '')"
+_NTOK = f"len(list_filter(string_split_regex(text, '{_WS}'), x -> x <> ''))"
+
 # ---------------------------------------------------------------------------
 # Reference-core operators (SURVEY §2.1-2.5) over the test star schema
 # ---------------------------------------------------------------------------
@@ -135,9 +143,9 @@ def q_broadcast_dim_join(spark, sf_dir):
 
 @query(
     "fanout_explode",
-    oracle="""
+    oracle=f"""
         SELECT tok, count(*) AS n
-        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM (SELECT unnest({_TOKS}) AS tok
               FROM documents)
         WHERE tok <> '' GROUP BY tok HAVING count(*) >= 10
     """,
@@ -925,8 +933,8 @@ def q_safe_cast(spark, sf_dir):
 
 @query(
     "array_functions",
-    oracle="""
-        WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks
                    FROM documents)
         SELECT doc_id,
                CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -950,8 +958,8 @@ def q_array_functions(spark, sf_dir):
 
 @query(
     "higher_order_functions",
-    oracle="""
-        WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks
                    FROM documents)
         SELECT doc_id,
                CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
@@ -1000,10 +1008,9 @@ def q_case_buckets(spark, sf_dir):
 
 @query(
     "token_count",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+               CAST({_NTOK} AS INTEGER) AS n_tokens,
                CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
                     + len(list_filter(string_split_regex(lower(text), '[^0-9]+'), x -> x <> ''))
                     + length(regexp_replace(lower(text), '[^.,;:!?]', '', 'g')) AS INTEGER) AS bpe_tokens
@@ -1022,17 +1029,15 @@ def q_token_count(spark, sf_dir):
 
 @query(
     "quality_score",
-    oracle="""
+    oracle=f"""
         SELECT doc_id,
                0.3 * least(length(text) / 500.0, 1.0)
              + 0.3 * (CASE WHEN length(text) > 0
                            THEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) / CAST(length(text) AS DOUBLE)
                            ELSE 0.0 END)
              + 0.2 * least(length(regexp_replace(text, '[^.!?]', '', 'g')) / 3.0, 1.0)
-             + 0.2 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                                      ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
-                           AND length(text) / CAST((CASE WHEN trim(text) = '' THEN 1
-                                      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS DOUBLE) BETWEEN 3 AND 12
+             + 0.2 * (CASE WHEN ({_NTOK}) > 0
+                           AND length(text) / CAST(greatest({_NTOK}, 1) AS DOUBLE) BETWEEN 3 AND 12
                            THEN 1.0 ELSE 0.5 END) AS quality
         FROM documents
     """,
@@ -1076,7 +1081,7 @@ def _language_id_oracle() -> str:
     return f"""
         SELECT doc_id, {best} AS lang_guess
         FROM (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                     {_TOKS} AS toks
               FROM documents)
     """
 
@@ -1124,7 +1129,7 @@ def q_minhash_signatures(spark, sf_dir):
     "simhash",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            SELECT doc_id, unnest({toks}) AS tok
             FROM documents),
         hashed AS (
             SELECT doc_id,
@@ -1142,6 +1147,7 @@ def q_minhash_signatures(spark, sf_dir):
             f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
         ),
         fp=" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)),
+        toks=_TOKS,
     ),
     doc="16-bit SimHash (explode -> one grouped pass of bit-sums; north star)",
 )
@@ -1158,7 +1164,7 @@ def q_simhash(spark, sf_dir):
             SELECT doc_id,
                    list_distinct([array_to_string(toks[i:i+2], ' ')
                                   for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
-            FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+            FROM (SELECT doc_id, {toks} AS toks
                   FROM documents))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
@@ -1166,7 +1172,7 @@ def q_simhash(spark, sf_dir):
                          / len(list_distinct(a.shingles || b.shingles))
                     ELSE 0.0 END AS jaccard
         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-    """,
+    """.format(toks=_TOKS),
     doc="n-gram Jaccard similarity on adjacent-id pairs (north star: near-dup scoring)",
 )
 def q_ngram_jaccard_adjacent(spark, sf_dir):
@@ -1896,22 +1902,17 @@ REGISTRY["corpus_filter"] = QueryDef(
                                THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text)
                                ELSE 0.0 END)
                  + 0.2 * least(CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE) / 3.0, 1.0)
-                 + 0.2 * (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
-                               AND CAST(length(text) AS DOUBLE)
-                                   / (CASE WHEN trim(text) = '' THEN 1
-                                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
-                                   BETWEEN 3 AND 12
+                 + 0.2 * (CASE WHEN ({ntok}) > 0
+                               AND length(text) / CAST(greatest({ntok}, 1) AS DOUBLE) BETWEEN 3 AND 12
                                THEN 1.0 ELSE 0.5 END) AS quality,
-                   (CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+                   ({ntok}) AS n_tokens
             FROM documents)
         SELECT d.doc_id, d.n_chars, q.n_tokens
         FROM documents d
         JOIN lang ON d.doc_id = lang.doc_id
         JOIN q ON d.doc_id = q.doc_id
         WHERE lang.lang_guess = 'en' AND q.quality >= 0.5 AND q.n_tokens BETWEEN 10 AND 5000
-    """.format(lang_sql=_language_id_oracle().strip()),
+    """.format(lang_sql=_language_id_oracle().strip(), ntok=_NTOK),
     doc=REGISTRY["corpus_filter"].doc,
 )
 
