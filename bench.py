@@ -30,14 +30,13 @@ BENCH_QUERIES = [
     "recommend_flagship",
     "pricing_summary",
     "count_distinct",
-    "cube_agg",
+    "grouping_analytics",
     "range_theta_join",
     "asof_join_latest_click",
-    "window_running_sum",
+    "window_analytics",
     "global_topn",
     "json_extract",
-    "token_count",
-    "doc_fingerprint",
+    "text_metrics",
     "exact_dedup",
     "minhash_signatures",
     "minhash_dedup",
@@ -67,14 +66,21 @@ def main() -> None:
     # warm = second execution of a fresh identical plan (codegen cached) —
     # the steady-state number that matters at scale, where compile time
     # amortizes to zero over hours of execution.
+    #
+    # The timed action is a noop-format write, not count(): count() lets
+    # Catalyst prune projection-only plans down to the bare scan, so the
+    # expression work being showcased would never execute.
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        run(REGISTRY[name].fn(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        run(REGISTRY[name].fn(spark, sf_dir))
         warm[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(times.values()), 3)
     print(
