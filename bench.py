@@ -38,8 +38,8 @@ BENCH_QUERIES = [
     "json_extract",
     "text_metrics",
     "exact_dedup",
-    "minhash_signatures",
-    "minhash_dedup",
+    "minhash_signatures_fast",
+    "minhash_dedup_fast",
     "simhash",
     "cosine_topk",
     "cosine_topk_vectorized",

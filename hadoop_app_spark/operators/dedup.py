@@ -160,6 +160,7 @@ def minhash_dedup(
     n: int = 3,
     k: int = 8,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
     repartition_to: int | None = None,
 ) -> DataFrame:
     """Drop the higher-id member of every candidate near-dup pair.
@@ -170,7 +171,9 @@ def minhash_dedup(
     stays a pure join.)
     """
     pairs = minhash_lsh_pairs(
-        minhash_signatures(df, text_col, id_col, n, k, repartition_to=repartition_to), id_col, bands
+        minhash_signatures(df, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to),
+        id_col,
+        bands,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -1012,14 +1012,58 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_chars")
 
 
+def _minhash_oracle() -> str:
+    """DuckDB twin of minhash_signatures(hash_fn='poly'): same 3-gram
+    shingles, same polynomial shingle hash, same (a*h+b)%M permutation
+    minima — bit-reproducible across engines."""
+    from hadoop_app_spark.operators.dedup import _MINHASH_A, _MINHASH_B
+
+    fp = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    a0, b0 = _MINHASH_A[0], _MINHASH_B[0]
+    a7, b7 = _MINHASH_A[7], _MINHASH_B[7]
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id,
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS shingles
+               FROM t),
+        h AS (SELECT doc_id, list_transform(shingles, s -> {fp}) AS hs
+              FROM sh WHERE len(shingles) > 0)
+        SELECT doc_id,
+               list_min(list_transform(hs, x -> ({a0} * x + {b0}) % 1000000007)) AS mh0,
+               list_min(list_transform(hs, x -> ({a7} * x + {b7}) % 1000000007)) AS mh7
+        FROM h
+    """
+
+
 @query(
     "minhash_signatures",
-    oracle=None,  # verified structurally + by dedicated pytest goldens
-    doc="MinHash signatures over 3-gram shingles (north star: near-dup candidates)",
+    oracle=_minhash_oracle(),
+    doc="MinHash signatures over 3-gram shingles (north star: near-dup candidates). "
+    "Gate variant runs hash_fn='poly' (engine-agnostic polynomial fold) so DuckDB "
+    "reproduces every signature value; minhash_signatures_fast is the xxhash64 "
+    "JVM-native scale path with the identical plan shape.",
 )
 def q_minhash_signatures(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # CPU-bound chain; spread the (few-file, small) doc scan across cores
+    sigs = minhash_signatures(
+        d, "text", "doc_id", n=3, k=8, hash_fn="poly", repartition_to=spark.sparkContext.defaultParallelism
+    )
+    return sigs.select("doc_id", F.col("signature").getItem(0).alias("mh0"), F.col("signature").getItem(7).alias("mh7"))
+
+
+@query(
+    "minhash_signatures_fast",
+    oracle=None,  # xxhash64 seeds are engine-specific; plan-shape twin of the gate variant
+    doc="MinHash signatures, xxhash64 scale path (bench surface; rank/golden "
+    "parity with the poly gate variant pinned in pytest)",
+)
+def q_minhash_signatures_fast(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(
         d, "text", "doc_id", n=3, k=8, repartition_to=spark.sparkContext.defaultParallelism
     )
@@ -1127,10 +1171,49 @@ def q_cosine_topk(spark, sf_dir):
     return brute_force_topk(corpus, queries, k=5).select("query_id", "vec_id", "rank")
 
 
+def _lsh_ann_topk_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    """DuckDB oracle for lsh_ann_topk with the engine's deterministic
+    hyperplanes inlined as double literals — the same sign tests produce
+    the same buckets, so the approximate candidate set (not just the
+    final ranking) is verified. Same technique as _lsh_near_dup_oracle."""
+    from hadoop_app_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        "(CASE WHEN "
+        + " + ".join(f"CAST(embedding[{j + 1}] AS DOUBLE)*({p[j]!r})" for j in range(dim))
+        + f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0, [{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, ({bucket}) AS bucket
+                   FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, ({bucket}) AS bucket
+                   FROM embeddings WHERE vec_id <= 5),
+             scored AS (
+                 SELECT q.query_id, c.vec_id,
+                        {dot.format(a="cv", b="qv")}
+                        / (sqrt({dot.format(a="cv", b="cv")}) * sqrt({dot.format(a="qv", b="qv")}))
+                        AS cosine
+                 FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+             ranked AS (
+                 SELECT query_id, vec_id,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored)
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 @query(
     "lsh_ann_topk",
-    oracle=None,  # LSH bucketing is plan-seeded; recall checked in pytest vs brute force
-    doc="sign-LSH bucketed approximate top-k (north star: ANN scale path)",
+    oracle=_lsh_ann_topk_oracle(),
+    doc="sign-LSH bucketed approximate top-k (north star: ANN scale path); oracle "
+    "inlines the deterministic hyperplanes so DuckDB reproduces the exact buckets",
 )
 def q_lsh_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1289,11 +1372,71 @@ def q_event_dedup(spark, sf_dir):
 
 @query(
     "minhash_dedup",
-    oracle=None,  # xxhash64-seeded; end-to-end pair/survivor semantics golden-tested in pytest
+    oracle=None,  # assigned below: _minhash_dedup_oracle reuses _minhash_oracle pieces
     doc="full MinHash+LSH dedup: shingle -> signature -> band bucket-join -> "
-    "drop higher-id member of each candidate pair (north star)",
+    "drop higher-id member of each candidate pair (north star). Gate variant "
+    "runs the engine-agnostic poly hash so DuckDB reproduces the whole "
+    "pipeline (signatures, band buckets, candidate pairs, survivors).",
 )
 def q_minhash_dedup(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    survivors = minhash_dedup(
+        d, "text", "doc_id", hash_fn="poly", repartition_to=spark.sparkContext.defaultParallelism
+    )
+    return survivors.select("doc_id", "n_chars")
+
+
+def _minhash_dedup_oracle(n_bands: int = 4, band_w: int = 2) -> str:
+    """DuckDB twin of the full minhash_dedup pipeline under the poly
+    hash: 8 permutation minima -> 4 bands of width 2 -> docs sharing a
+    (band, band-signature) bucket pair up -> higher id of each pair
+    drops, everything else (incl. zero-shingle docs) survives."""
+    from hadoop_app_spark.operators.dedup import _MINHASH_A, _MINHASH_B
+
+    fp = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % 1000000007)) AS mh{i}"
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    )
+    sig = "[" + ", ".join(f"mh{i}" for i in range(8)) + "]"
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id,
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS shingles
+               FROM t),
+        h AS (SELECT doc_id, list_transform(shingles, s -> {fp}) AS hs
+              FROM sh WHERE len(shingles) > 0),
+        m AS (SELECT doc_id,
+               {mins}
+              FROM h),
+        sig AS (SELECT doc_id, {sig} AS sig FROM m),
+        banded AS (SELECT doc_id, b, sig[b*{band_w}+1 : b*{band_w}+{band_w}] AS bs
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b)),
+        losers AS (SELECT DISTINCT x.doc_id AS id_b
+                   FROM banded a JOIN banded x
+                     ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
+REGISTRY["minhash_dedup"] = QueryDef(
+    REGISTRY["minhash_dedup"].fn, _minhash_dedup_oracle(), REGISTRY["minhash_dedup"].doc
+)
+
+
+@query(
+    "minhash_dedup_fast",
+    oracle=None,  # xxhash64 seeds are engine-specific; plan-shape twin of the gate variant
+    doc="full MinHash+LSH dedup, xxhash64 scale path (bench surface)",
+)
+def q_minhash_dedup_fast(spark, sf_dir):
     from hadoop_app_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")
@@ -2012,6 +2155,8 @@ _PRIORITY = [
     "sliding_window",
     "approx_distinct",
     "cosine_topk_vectorized",
+    "minhash_signatures_fast",
+    "minhash_dedup_fast",
     "image_features",
 ]
 
