@@ -30,9 +30,10 @@ Bug-compat flags (SURVEY §1.3):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_app_spark.functions.metrics import observe_counts
 from hadoop_app_spark.functions.normalize import min_max_score
 from hadoop_app_spark.sources.delim001 import read_city_cars, read_user_profiles
 from hadoop_app_spark.sources.sinks import write_text_lines
@@ -107,10 +108,21 @@ def _run(
     dt: str | None,
     first_city_only: bool,
     nan_compat: bool,
+    observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
-    profiles = read_user_profiles(spark, profile_path, first_city_only=first_city_only)
-    cars = read_city_cars(spark, cars_path, dt=dt)
+    profiles = read_user_profiles(
+        spark, profile_path, first_city_only=first_city_only, observations=observations
+    )
+    cars = read_city_cars(spark, cars_path, dt=dt, observations=observations)
+    if observations is not None:
+        # USER_COUNT twin (UserHotcar.java:35,97): one count per
+        # (user, preferred city) row entering the join — the unit the
+        # reference's mapper iterates
+        profiles, observations["user_count"] = observe_counts(profiles)
     recs = recommend_cars(profiles, cars, top_k=top_k, nan_compat=nan_compat)
+    if observations is not None:
+        # HOTCAR_COUNT twin (UserHotcar.java:98): recommendations emitted
+        recs, observations["rec_count"] = observe_counts(recs)
     if out_path is not None:
         write_text_lines(assemble_output(recs), out_path)
     return recs
@@ -123,9 +135,18 @@ def run_user_hotcar(
     out_path: str | None = None,
     first_city_only: bool = False,
     nan_compat: bool = True,
+    observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
-    """UserHotcar.java: top-100, undated side input."""
-    return _run(spark, profile_path, hotcar_path, out_path, HOTCAR_TOP_K, None, first_city_only, nan_compat)
+    """UserHotcar.java: top-100, undated side input.
+
+    observations: pass a dict to collect the reference's A4 counters
+    (USER_COUNT/HOTCAR_COUNT twins plus per-source malformed-drop
+    counts); populated after any action on the returned frame.
+    """
+    return _run(
+        spark, profile_path, hotcar_path, out_path, HOTCAR_TOP_K, None,
+        first_city_only, nan_compat, observations,
+    )
 
 
 def run_user_newcar(
@@ -136,7 +157,11 @@ def run_user_newcar(
     out_path: str | None = None,
     first_city_only: bool = False,
     nan_compat: bool = True,
+    observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """UserNewcar.java: top-60, side input read from the dt= partition
     (UserNewcar.java:241-247 — partition pruning, not directory math)."""
-    return _run(spark, profile_path, newcar_path, out_path, NEWCAR_TOP_K, dt, first_city_only, nan_compat)
+    return _run(
+        spark, profile_path, newcar_path, out_path, NEWCAR_TOP_K, dt,
+        first_city_only, nan_compat, observations,
+    )

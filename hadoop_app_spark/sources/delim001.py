@@ -20,9 +20,11 @@ JVM-side expressions, no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from hadoop_app_spark.functions.metrics import observe_counts
 
 PROFILE_SCHEMA = T.StructType(
     [
@@ -42,19 +44,30 @@ CARLIST_SCHEMA = T.StructType([T.StructField("infoidlist", T.StringType())])
 
 
 def read_delim001_json(
-    spark: SparkSession, path: str | list[str], json_schema: T.StructType, key_name: str = "key"
+    spark: SparkSession,
+    path: str | list[str],
+    json_schema: T.StructType,
+    key_name: str = "key",
+    observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Generic ``key \\x01 json`` reader -> DataFrame[key, doc: struct].
 
     Rows with < 2 fields are dropped (reference arity check,
     UserHotcar.java:46-48). Extra \\x01 fields beyond the second are
     ignored, matching ``split("\\x01")[1]`` indexing.
+
+    observations: pass a dict to make the silent malformed-row drop an
+    observed A4 counter — stored under ``<key_name>_source`` with
+    metrics ``rows`` (in) and ``malformed_dropped``.
     """
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), "\x01", -1)
+    staged = lines.select(parts.alias("_p"))
+    if observations is not None:
+        staged, obs = observe_counts(staged, malformed_dropped=F.size("_p") < 2)
+        observations[f"{key_name}_source"] = obs
     return (
-        lines.select(parts.alias("_p"))
-        .where(F.size("_p") >= 2)
+        staged.where(F.size("_p") >= 2)
         .select(
             F.col("_p").getItem(0).alias(key_name),
             F.from_json(F.col("_p").getItem(1), json_schema).alias("doc"),
@@ -82,7 +95,10 @@ def encode_at_pairs(id_col: F.Column, val_col: F.Column) -> F.Column:
 
 
 def read_user_profiles(
-    spark: SparkSession, path: str | list[str], first_city_only: bool = False
+    spark: SparkSession,
+    path: str | list[str],
+    first_city_only: bool = False,
+    observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Profile source -> DataFrame[user_id, city_id, city_score, fav_price].
 
@@ -90,7 +106,7 @@ def read_user_profiles(
     0.0 on unparseable input (UserHotcar.java:57-62 try/catch default).
     first_city_only reproduces the split("$") regex bug (§1.3.2).
     """
-    raw = read_delim001_json(spark, path, PROFILE_SCHEMA, key_name="user_id")
+    raw = read_delim001_json(spark, path, PROFILE_SCHEMA, key_name="user_id", observations=observations)
     prof = raw.select(
         "user_id",
         F.col("doc.bycar_profile.cityid").alias("cityid_enc"),
@@ -119,7 +135,12 @@ def read_user_profiles(
     )
 
 
-def read_city_cars(spark: SparkSession, path: str | list[str], dt: str | None = None) -> DataFrame:
+def read_city_cars(
+    spark: SparkSession,
+    path: str | list[str],
+    dt: str | None = None,
+    observations: dict[str, Observation] | None = None,
+) -> DataFrame:
     """Broadcast-side source -> DataFrame[city_id, info_id, price].
 
     One row per (city, car). ``dt`` selects a Hive-style ``dt=yyyy-MM-dd``
@@ -131,7 +152,7 @@ def read_city_cars(spark: SparkSession, path: str | list[str], dt: str | None = 
             path = f"{path}/dt={dt}"
         else:
             path = [f"{p}/dt={dt}" for p in path]
-    raw = read_delim001_json(spark, path, CARLIST_SCHEMA, key_name="city_id")
+    raw = read_delim001_json(spark, path, CARLIST_SCHEMA, key_name="city_id", observations=observations)
     cars = decode_at_pairs(F.col("doc.infoidlist"), ",")
     return (
         raw.where(F.col("doc.infoidlist").isNotNull())

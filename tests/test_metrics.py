@@ -1,0 +1,70 @@
+"""A4 counters (SURVEY §2.4): df.observe-based metrics mirror the
+reference's MapReduce counters — USER_COUNT/HOTCAR_COUNT
+(UserHotcar.java:35,97-98) and the silent malformed-row drops that the
+sources previously swallowed without a trace."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.functions.metrics import observe_counts
+from hadoop_app_spark.plans.recommend import run_user_hotcar
+from hadoop_app_spark.sources.tsv import read_tsv_observed
+
+SEP = "\x01"
+
+
+def _profile_line(user, cityid_enc, priceid):
+    doc = {"bycar_profile": {"cityid": cityid_enc, "priceid": priceid}}
+    return f"{user}{SEP}{json.dumps(doc)}"
+
+
+def _cars_line(city, infoidlist):
+    return f"{city}{SEP}{json.dumps({'infoidlist': infoidlist})}"
+
+
+def test_observe_counts_basic(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    observed, obs = observe_counts(df, "basic", negatives=F.col("x") < 0, big=F.col("x") >= 7)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got == {"rows": 10, "negatives": 0, "big": 3}
+
+
+def test_tsv_malformed_drop_counter(spark, tmp_path):
+    p = tmp_path / "emp.tsv"
+    p.write_text("1\talice\t10\n2\tbob\t20\nbad-line\n3\tcarol\t30\textra\n")
+    df, obs = read_tsv_observed(
+        spark, str(p), [("id", "int"), ("name", "string"), ("dept", "int")]
+    )
+    assert df.count() == 2  # the 1-field and 4-field lines drop
+    assert obs.get == {"rows": 4, "malformed_dropped": 2}
+
+
+def test_recommend_counters(spark, tmp_path):
+    profiles = tmp_path / "profiles.txt"
+    profiles.write_text(
+        "\n".join(
+            [
+                _profile_line("u1", "2@0.9$3@0.8", "150"),
+                _profile_line("u2", "2@1.0", "90"),
+                "malformed-no-separator",
+            ]
+        )
+        + "\n"
+    )
+    cars = tmp_path / "cars.txt"
+    cars.write_text(_cars_line("2", "a@100,b@200") + "\n")
+
+    observations: dict = {}
+    recs = run_user_hotcar(spark, str(profiles), str(cars), observations=observations)
+    n_recs = recs.count()
+
+    assert observations["user_id_source"].get == {"rows": 3, "malformed_dropped": 1}
+    assert observations["city_id_source"].get == {"rows": 1, "malformed_dropped": 0}
+    # u1 explodes to cities {2,3}, u2 to {2} -> 3 (user, city) rows
+    assert observations["user_count"].get["rows"] == 3
+    # only city 2 has cars: (u1,2) and (u2,2) x 2 cars each
+    assert observations["rec_count"].get["rows"] == n_recs == 4
