@@ -105,7 +105,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+    observations: dict | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs via banding: split the signature into
     ``bands`` bands; docs sharing a (band_index, band_content) bucket
     become candidates. Returns distinct (id_a, id_b), id_a < id_b.
@@ -118,7 +124,22 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> Dat
     i.e. 2x the dominant cost at corpus scale. Pair expansion is
     quadratic only within a bucket — the same bound as any LSH
     formulation; band width controls bucket collision rates.
+
+    Degenerate-bucket bound: a bucket larger than ``max_bucket_size``
+    (boilerplate/empty-ish docs sharing a band signature — at corpus
+    scale ONE such bucket would collect_list the whole corpus into a
+    single row) is never materialized as an array. Its members pair
+    against the bucket's min id only (star expansion, linear). That
+    preserves exactly the properties downstream consumers rely on —
+    the drop-any-doc-that-pairs-with-a-lower-id survivor set and
+    connected-component connectivity — while bounding every row and
+    the pair count. Pass ``observations`` to record how many
+    (doc, band) rows took the overflow path (no silent caps).
     """
+    from pyspark.sql import Window
+
+    from hadoop_app_spark.functions.metrics import observe_counts
+
     sig_len_frac = F.size("signature") / bands
     banded = signatures.select(
         F.col(id_col),
@@ -129,10 +150,21 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> Dat
             )
         ).alias("band", "band_sig"),
     ).select(id_col, F.concat_ws("_", F.col("band"), F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"))
+    # one shuffle on bucket: per-row bucket size + min id via window,
+    # no per-bucket array yet
+    wb = Window.partitionBy("bucket")
+    sized = banded.select(
+        id_col, "bucket", F.count("*").over(wb).alias("_n"), F.min(id_col).over(wb).alias("_min_id")
+    ).where(F.col("_n") > 1)
+    small = sized.where(F.col("_n") <= max_bucket_size)
+    big = sized.where(F.col("_n") > max_bucket_size)
+    if observations is not None:
+        # rows = (doc, band) memberships that took the overflow path
+        big, observations["lsh_overflow"] = observe_counts(big)
+
     grouped = (
-        banded.groupBy("bucket")
+        small.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") > 1)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -146,11 +178,13 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str, bands: int = 4) -> Dat
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+    small_pairs = grouped.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
+    star_pairs = big.where(F.col(id_col) != F.col("_min_id")).select(
+        F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return small_pairs.union(star_pairs).distinct()
 
 
 def minhash_dedup(
@@ -211,14 +245,20 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16
 
 
 def ngram_jaccard(
-    left: DataFrame, right: DataFrame, text_col: str, id_col: str, n: int = 3
+    docs: DataFrame, pairs: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """Jaccard similarity of word n-gram shingle sets for pre-paired
-    rows (left/right must already carry the pairing — e.g. LSH
-    candidates). Returns [id_a, id_b, jaccard]."""
-    a = left.select(F.col(id_col).alias("id_a"), F.array_distinct(ngrams(F.col(text_col), n)).alias("sa"))
-    b = right.select(F.col(id_col).alias("id_b"), F.array_distinct(ngrams(F.col(text_col), n)).alias("sb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    """Jaccard similarity of word n-gram shingle sets for the given
+    candidate pairs — the verify stage after LSH candidate generation.
+
+    pairs: [id_a, id_b] (e.g. minhash_lsh_pairs output). Scoring is two
+    equi-joins against the shingle frame — never an all-pairs product;
+    at corpus scale the pair frame is what bounds the work. Returns
+    [id_a, id_b, jaccard].
+    """
+    sh = docs.select(F.col(id_col), F.array_distinct(ngrams(F.col(text_col), n)).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sb"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
-    return pairs.select("id_a", "id_b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"))
+    return joined.select("id_a", "id_b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"))

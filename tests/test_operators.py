@@ -147,11 +147,34 @@ def test_simhash_groups(spark, docs_df):
 
 
 def test_ngram_jaccard(spark, docs_df):
-    out = ngram_jaccard(docs_df, docs_df, "text", "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    out = ngram_jaccard(docs_df, pairs, "text", "doc_id")
     j = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
     assert j[(1, 2)] == 1.0
     assert 0.5 < j[(1, 3)] < 1.0
     assert j[(1, 4)] == 0.0
+
+
+def test_lsh_degenerate_bucket_bounded(spark):
+    """1000 identical docs collapse to one bucket per band; the overflow
+    path must star-expand (999 pairs, min id as survivor anchor) instead
+    of materializing a corpus-sized array / half a million pairs."""
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    obs: dict = {}
+    pairs = minhash_lsh_pairs(
+        minhash_signatures(docs, "text", "doc_id"), "doc_id",
+        max_bucket_size=32, observations=obs,
+    )
+    rows = pairs.collect()
+    assert len(rows) == 999
+    assert all(r.id_a == 0 for r in rows)
+    assert obs["lsh_overflow"].get["rows"] == 4000  # 1000 docs x 4 bands
+    # survivor semantics preserved end-to-end
+    survivors = minhash_dedup(docs, "text", "doc_id").select("doc_id").collect()
+    assert [r.doc_id for r in survivors] == [0]
 
 
 # --- similarity ------------------------------------------------------------
