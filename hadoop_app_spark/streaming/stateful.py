@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -44,6 +45,12 @@ PROFILE_OUTPUT_SCHEMA = T.StructType(
 
 def _update_profile(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if state.hasTimedOut:
+        # idle-eviction path: the 1h processing-time timer fired with no
+        # new data for this user — drop the state, emit nothing, and do
+        # NOT re-arm (re-arming would keep dead users resident forever)
+        state.remove()
+        return
     if state.exists:
         n, s, anom = state.get
     else:
@@ -51,12 +58,19 @@ def _update_profile(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Ite
     for pdf in pdfs:
         # deterministic order inside the batch
         pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
-            mean = s / n if n else 0.0
-            if n >= 3 and v > 3.0 * max(mean, 1e-9):
-                anom += 1
-            n += 1
-            s += float(v)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        if v.size:
+            # vectorized running profile: counts/sums BEFORE each row via
+            # a cumsum seeded with the carried state — np.cumsum adds
+            # left-to-right, so every partial sum (and the final one) is
+            # bit-identical to the per-row loop it replaces
+            run = np.cumsum(np.concatenate(([s], v)))
+            ns = n + np.arange(v.size)
+            ss = run[:-1]
+            means = np.divide(ss, ns, out=np.zeros_like(ss), where=ns > 0)
+            anom += int(((ns >= 3) & (v > 3.0 * np.maximum(means, 1e-9))).sum())
+            n += int(v.size)
+            s = float(run[-1])
     state.update((n, s, anom))
     state.setTimeoutDuration(3_600_000)  # evict users idle for 1h of processing time
     yield pd.DataFrame([(user_id, n, s, anom)], columns=[f.name for f in PROFILE_OUTPUT_SCHEMA.fields])
