@@ -28,7 +28,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 100,
 ) -> DataFrame:
     """[node, component] for every node appearing in ``edges``;
     component = the smallest node id reachable from the node.
@@ -36,6 +36,14 @@ def connected_components(
     Undirected: edges are symmetrized internally. Deterministic for a
     given edge set regardless of partitioning or iteration count (the
     fixpoint is unique).
+
+    Runs until the min-label fixpoint (changed == 0). ``max_iter`` is a
+    safety valve, not a result cap: exhausting it RAISES rather than
+    returning unconverged (i.e. wrong) labels — a chain component with
+    more hops than rounds would otherwise silently mislabel. Label
+    propagation needs O(longest min-path) rounds; dedup similarity
+    graphs are dense clusters with tiny diameters, so the bound exists
+    only to stop a runaway driver loop on pathological inputs.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -64,8 +72,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (labels would be wrong if returned unconverged)"
+    )
 
 
 def dedup_by_components(

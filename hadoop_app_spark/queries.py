@@ -742,14 +742,26 @@ def q_global_topn(spark, sf_dir):
                count(*) AS n,
                strftime(min(o_orderdate + INTERVAL 1 DAY), '%Y-%m-%d') AS min_next_day,
                strftime(max(o_orderdate + INTERVAL 1 MONTH), '%Y-%m-%d') AS max_next_month,
+               min(strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S')) AS min_day_start,
+               max(strftime(date_trunc('day', o_orderdate) + INTERVAL 1 DAY - INTERVAL 1 SECOND,
+                            '%Y-%m-%d %H:%M:%S')) AS max_day_end,
                min(epoch_ms(o_orderdate)) AS min_epoch_ms
         FROM orders GROUP BY 1
     """,
-    doc="F10-F14 date lib: format/offset/epoch-millis (DateHelper.java:17-98)",
+    doc="F10-F14 date lib: format/offset/day-start/day-end/epoch-millis "
+    "(DateHelper.java:17-98)",
 )
 def q_date_functions(spark, sf_dir):
-    from hadoop_app_spark.functions.dates import date_str, epoch_millis, offset_days, offset_months
+    from hadoop_app_spark.functions.dates import (
+        date_str,
+        day_end,
+        day_start,
+        epoch_millis,
+        offset_days,
+        offset_months,
+    )
 
+    full = "yyyy-MM-dd HH:mm:ss"
     return (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
@@ -757,6 +769,8 @@ def q_date_functions(spark, sf_dir):
             F.count("*").alias("n"),
             F.min(date_str(offset_days("o_orderdate", 1))).alias("min_next_day"),
             F.max(date_str(offset_months("o_orderdate", 1))).alias("max_next_month"),
+            F.min(F.date_format(day_start("o_orderdate"), full)).alias("min_day_start"),
+            F.max(F.date_format(day_end("o_orderdate"), full)).alias("max_day_end"),
             F.min(epoch_millis("o_orderdate")).alias("min_epoch_ms"),
         )
     )
