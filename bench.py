@@ -44,8 +44,11 @@ BENCH_QUERIES = [
     "cosine_topk",
     "cosine_topk_vectorized",
     "lsh_ann_topk",
+    "lsh_ann_topk_vectorized",
     "ivf_ann_topk",
+    "ivf_ann_topk_vectorized",
     "embedding_near_dup",
+    "embedding_near_dup_vectorized",
     "multimodal_meta",
     "image_features",
     "frame_sample",

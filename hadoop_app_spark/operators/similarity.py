@@ -121,6 +121,39 @@ def brute_force_topk_vectorized(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _np_normalize(X):
+    import numpy as np
+
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+
+
+def _np_buckets(X, P):
+    """Sign-LSH bucket ints for rows of X against hyperplane matrix P:
+    bit i = (x . p_i) > 0 — numpy twin of lsh_bucket's HOF expression.
+    (matmul accumulation order differs from the HOF fold; a dot exactly
+    at 0.0 could in principle flip a bit — measure-zero on real data,
+    rank parity is pinned in pytest)."""
+    import numpy as np
+
+    bits = (X @ P.T) > 0  # (n, p) bool
+    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def _partial_topk_frame(qid, ids, vals, k, id_col):
+    """Stable partial top-k with the final (cosine desc, id asc) tiebreak."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.lexsort((ids, -vals))[:k]
+    return pd.DataFrame({"query_id": qid, id_col: ids[order], "cosine": vals[order]})
+
+
+def _rank_topk(cand: DataFrame, id_col: str, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = _SEED) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
     simple LCG — no numpy dependency in the plan, reproducible)."""
@@ -180,6 +213,60 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def lsh_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Vectorized twin of lsh_topk — same hyperplanes, same buckets,
+    same (cosine desc, id asc) ranking, numpy kernel.
+
+    One mapInPandas over the corpus does bucket assignment (sign matmul)
+    AND masked cosine scoring per Arrow batch with a map-side partial
+    top-k — the corpus never shuffles at all (the HOF form at least
+    avoids reshuffling by broadcasting queries; this also removes the
+    per-row interpreted expression tree). Exchange carries at most
+    partitions x m x k rows. Cosines come from BLAS accumulation, so
+    last-ulp values can differ from the HOF fold — rank parity is the
+    pytest contract, oracle surface stays on the HOF form.
+    """
+    import numpy as np
+
+    P = np.array(_hyperplanes(dim, n_planes), dtype=np.float64)
+    qrows = queries.select("query_id", "query_vec").collect()
+    if not qrows:
+        raise ValueError("empty queries")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qbuckets = _np_buckets(Q, P)
+    Qn = _np_normalize(Q)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn, qbuckets, P))
+    out_schema = f"query_id long, {id_col} long, cosine double"
+
+    def score(batches):
+        bqids, bQn, bqbuckets, bP = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            buckets = _np_buckets(X, bP)
+            Xn = _np_normalize(X)
+            C = Xn @ bQn.T  # (batch, m)
+            for j, qid in enumerate(bqids):
+                mask = (buckets == bqbuckets[j]) & (ids != qid)
+                if not mask.any():
+                    continue
+                yield _partial_topk_frame(qid, ids[mask], C[mask, j], k, id_col)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return _rank_topk(cand, id_col, k)
 
 
 def ivf_topk(
@@ -258,6 +345,72 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
+    """Vectorized twin of ivf_topk — same centroids, same first-argmax
+    cell assignment, same (dot desc, idx asc) probe order, numpy kernel.
+
+    Cell assignment and probe-cell scoring happen inside one
+    mapInPandas pass (argmax over a batch x centroids matmul, then a
+    masked cosine matmul per query) with map-side partial top-k — no
+    corpus shuffle, no interpreted per-row expression tree. Rank parity
+    with the HOF form pinned in pytest; the HOF form stays the oracle
+    surface.
+    """
+    import numpy as np
+
+    src = centroid_source if centroid_source is not None else corpus
+    cents = [
+        (r[0], list(r[1]))
+        for r in src.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    ]
+    if not cents:
+        raise ValueError("empty corpus")
+    C = np.array([v for _, v in cents], dtype=np.float64)  # (c, dim)
+    qrows = queries.select("query_id", "query_vec").collect()
+    if not qrows:
+        raise ValueError("empty queries")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    # probe cells per query: top n_probe by (dot desc, idx asc)
+    qdots = Q @ C.T
+    probe = np.stack(
+        [np.lexsort((np.arange(C.shape[0]), -qdots[j]))[:n_probe] for j in range(len(qids))]
+    )
+    Qn = _np_normalize(Q)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn, probe, C))
+    out_schema = f"query_id long, {id_col} long, cosine double"
+
+    def score(batches):
+        bqids, bQn, bprobe, bC = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            # first index attaining the max dot — np.argmax tie rule ==
+            # the HOF form's array_position(dots, array_max(dots))
+            cells = np.argmax(X @ bC.T, axis=1)
+            Xn = _np_normalize(X)
+            Cs = Xn @ bQn.T
+            for j, qid in enumerate(bqids):
+                mask = np.isin(cells, bprobe[j]) & (ids != qid)
+                if not mask.any():
+                    continue
+                yield _partial_topk_frame(qid, ids[mask], Cs[mask, j], k, id_col)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return _rank_topk(cand, id_col, k)
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -280,3 +433,78 @@ def embedding_near_dups(
         )
     )
     return pairs.where(F.col("cosine") >= threshold)
+
+
+def embedding_near_dups_vectorized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    block: int = 2048,
+) -> DataFrame:
+    """Vectorized twin of embedding_near_dups — same buckets, same
+    pair set (id_a < id_b, cosine >= threshold), numpy kernel.
+
+    Shape: one mapInPandas assigns buckets (sign matmul), ONE shuffle
+    co-locates each bucket, then applyInPandas scores the within-bucket
+    pairs as blocked matmuls — the HOF self-join form instead expands
+    every within-bucket pair into a row and folds a 64-dim interpreted
+    expression per pair. Blocked (``block`` rows at a time) so a skewed
+    bucket costs O(n_b^2) float ops but only O(block * n_b) memory.
+    Cosine values differ from the HOF fold in the last ulp, so pair-set
+    parity (not value parity) is the pytest contract; the HOF form
+    stays the oracle surface.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, n_planes), dtype=np.float64)
+    bp = df.sparkSession.sparkContext.broadcast(planes)
+    assign_schema = f"{id_col} long, {vec_col} array<double>, bucket int"
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list(X),
+                    "bucket": _np_buckets(X, bp.value).astype(np.int32),
+                }
+            )
+
+    bucketed = df.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        Xn = _np_normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+        out = []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            Cb = Xn[lo:hi] @ Xn.T  # (hi-lo, n)
+            bi, bj = np.nonzero(Cb >= threshold)
+            keep = (bi + lo) < bj  # upper triangle only: each pair once
+            if not keep.any():
+                continue
+            ia, ib = ids[bi[keep] + lo], ids[bj[keep]]
+            cos = Cb[bi[keep], bj[keep]]
+            swap = ia > ib
+            ia2 = np.where(swap, ib, ia)
+            ib2 = np.where(swap, ia, ib)
+            out.append(pd.DataFrame({"id_a": ia2, "id_b": ib2, "cosine": cos}))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed.groupBy("bucket").applyInPandas(bucket_pairs, "id_a long, id_b long, cosine double")

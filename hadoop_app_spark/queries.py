@@ -1460,6 +1460,57 @@ def q_minhash_dedup_fast(spark, sf_dir):
     return survivors.select("doc_id", "n_chars")
 
 
+@query(
+    "lsh_ann_topk_vectorized",
+    oracle=None,  # BLAS-vs-fold cosine ulps; rank parity with the oracled HOF form pinned in pytest
+    doc="sign-LSH ANN top-k, numpy kernel: bucket assignment + masked matmul scoring "
+    "in one mapInPandas pass, map-side partial top-k (the ANN scale path)",
+)
+def q_lsh_ann_topk_vectorized(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import lsh_topk_vectorized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return lsh_topk_vectorized(corpus, queries, dim=64, k=5, n_planes=6).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+@query(
+    "ivf_ann_topk_vectorized",
+    oracle=None,  # BLAS-vs-fold cosine ulps; rank parity with the oracled HOF form pinned in pytest
+    doc="IVF ANN top-k, numpy kernel: argmax cell assignment + probe-masked matmul "
+    "scoring in one mapInPandas pass, map-side partial top-k",
+)
+def q_ivf_ann_topk_vectorized(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import ivf_topk_vectorized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return ivf_topk_vectorized(
+        corpus, queries, k=5, n_centroids=16, n_probe=4, centroid_source=emb
+    ).select("query_id", "vec_id", "rank")
+
+
+@query(
+    "embedding_near_dup_vectorized",
+    oracle=None,  # pair-set parity with the oracled HOF form pinned in pytest
+    doc="embedding near-dup pairs, numpy kernel: sign-matmul bucketing, one shuffle "
+    "on bucket, blocked per-bucket pairwise matmul",
+)
+def q_embedding_near_dup_vectorized(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import embedding_near_dups_vectorized
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    return embedding_near_dups_vectorized(emb, threshold=0.3, n_planes=6).select("id_a", "id_b")
+
+
 def _lsh_near_dup_oracle(dim: int = 64, n_planes: int = 6, threshold: float = 0.3) -> str:
     """Generate the DuckDB oracle for embedding_near_dup with the
     engine's deterministic hyperplanes inlined as literals, so the
@@ -2169,6 +2220,9 @@ _PRIORITY = [
     "sliding_window",
     "approx_distinct",
     "cosine_topk_vectorized",
+    "lsh_ann_topk_vectorized",
+    "ivf_ann_topk_vectorized",
+    "embedding_near_dup_vectorized",
     "minhash_signatures_fast",
     "minhash_dedup_fast",
     "image_features",

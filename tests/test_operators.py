@@ -212,6 +212,50 @@ def test_lsh_recall_vs_brute_force(spark, emb_df):
     assert recall >= 0.5  # clustered data, few planes -> decent recall
 
 
+def test_vectorized_ann_rank_parity(spark, emb_df):
+    """The numpy kernels must reproduce the HOF forms' (query, vec,
+    rank) triples exactly — same buckets/cells, same tiebreaks."""
+    from hadoop_app_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_vectorized,
+        lsh_topk_vectorized,
+    )
+
+    queries = emb_df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hof = {(r.query_id, r.vec_id, r.rank) for r in lsh_topk(emb_df, queries, dim=4, k=3, n_planes=2).collect()}
+    vec = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in lsh_topk_vectorized(emb_df, queries, dim=4, k=3, n_planes=2).collect()
+    }
+    assert hof == vec
+
+    hof_ivf = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(emb_df, queries, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    vec_ivf = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk_vectorized(emb_df, queries, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    assert hof_ivf == vec_ivf
+
+
+def test_vectorized_near_dup_pair_parity(spark, emb_df):
+    from hadoop_app_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_vectorized,
+    )
+
+    hof = {(r.id_a, r.id_b) for r in embedding_near_dups(emb_df, dim=4, threshold=0.9, n_planes=2).collect()}
+    vec = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups_vectorized(emb_df, dim=4, threshold=0.9, n_planes=2).collect()
+    }
+    assert hof == vec and len(hof) > 0
+
+
 # --- multimodal ------------------------------------------------------------
 
 
