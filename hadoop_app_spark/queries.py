@@ -1878,6 +1878,34 @@ def q_micro_format_roundtrip(spark, sf_dir):
 
 
 @query(
+    "scan_provenance",
+    oracle="""
+        SELECT 'customer' AS source, c_custkey AS entity_key, c_name AS entity_name
+        FROM customer
+        UNION ALL
+        SELECT 'supplier' AS source, s_suppkey AS entity_key, s_name AS entity_name
+        FROM supplier
+    """,
+    doc="S2/P3 provenance-tagged multi-path scan: customer+supplier parquet stream "
+    "through ONE FileScan, F.input_file_name() tags each row, rows route by path "
+    "substring (ReduceJoinJob.java:66-67,106-135 dispatch, Spark-first: one scan "
+    "stage, codegen'd CASE, no shuffle)",
+)
+def q_scan_provenance(spark, sf_dir):
+    from hadoop_app_spark.sources.provenance import dispatch_by_path, read_tagged_parquet
+
+    df = read_tagged_parquet(
+        spark, [f"{sf_dir}/customer.parquet", f"{sf_dir}/supplier.parquet"]
+    )
+    routed = dispatch_by_path(df, [("customer", "customer"), ("supplier", "supplier")])
+    return routed.select(
+        F.col("source"),
+        F.coalesce("c_custkey", "s_suppkey").alias("entity_key"),
+        F.coalesce("c_name", "s_name").alias("entity_name"),
+    )
+
+
+@query(
     "percentile_summary",
     oracle="""
         SELECT l_returnflag,
@@ -2199,14 +2227,14 @@ _PRIORITY = [
     # event-time batch + streaming execution
     "tumbling_window",
     "sessionize",
-    "event_dedup",
     "stream_tumbling_exec",
     "stream_sliding_exec",
     "stream_dedup_exec",
     "stream_session_exec",
-    # micro-format sources
+    # micro-format / multi-path sources
     "fixed_width_parse",
     "micro_format_roundtrip",
+    "scan_provenance",
     # multimodal plumbing (north star)
     "multimodal_meta",
     "frame_sample",
@@ -2218,6 +2246,7 @@ _PRIORITY = [
     "case_buckets",
     "embedding_avg_by_label",
     "sliding_window",
+    "event_dedup",
     "approx_distinct",
     "cosine_topk_vectorized",
     "lsh_ann_topk_vectorized",

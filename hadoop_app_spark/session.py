@@ -34,6 +34,15 @@ def get_spark(
     On a real cluster, drop ``master`` (spark-submit supplies it) and
     raise ``shuffle_partitions`` toward 2-3x total executor cores; AQE
     coalesces small partitions back down at runtime.
+
+    Compressed-text ingest (SURVEY §2.1 S13, the reference's hadoop-lzo
+    classpath dep, pom.xml:102-105): Spark reads gzip/bzip2/... text
+    transparently; for splittable LZO supply the codec jar on the
+    cluster and pass it through here, e.g. ``extra_conf={
+    "spark.hadoop.io.compression.codecs":
+    "com.hadoop.compression.lzo.LzopCodec"}``. This repo's storage
+    substitution is parquet+zstd (set below) — columnar, splittable,
+    and faster than any row-text codec at 100 TB.
     """
     if master is None:
         master = f"local[{DEFAULT_CPUS}]"

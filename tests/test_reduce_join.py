@@ -70,3 +70,30 @@ def test_many_to_many(spark, tmp_path):
     d.write_text("5\tX\n5\tY\n")
     result = run_reduce_join(spark, str(e), str(d))
     assert len(rows_set(result)) == 4
+
+
+def test_scan_provenance_dispatch(spark, tmp_path):
+    """S2/P3: one multi-path scan, rows routed by path substring, rows
+    from unmatched paths dropped (ReduceJoinJob.java:106-135)."""
+    import pandas as pd
+
+    from hadoop_app_spark.sources.provenance import dispatch_by_path, read_tagged_parquet
+
+    emp = tmp_path / "employee_dir" / "part.parquet"
+    dept = tmp_path / "dept_dir" / "part.parquet"
+    other = tmp_path / "other_dir" / "part.parquet"
+    emp.parent.mkdir()
+    dept.parent.mkdir()
+    other.parent.mkdir()
+    pd.DataFrame({"name": ["A", "B"], "deptno": [5, 6]}).to_parquet(emp)
+    pd.DataFrame({"deptno": [5, 6], "dname": ["X", "Y"]}).to_parquet(dept)
+    pd.DataFrame({"deptno": [7], "dname": ["Z"]}).to_parquet(other)
+
+    df = read_tagged_parquet(spark, [str(emp), str(dept), str(other)])
+    routed = dispatch_by_path(df, [("employee", "employee"), ("dept_dir", "dept")])
+    got = rows_set(routed.select("source", "deptno"))
+    assert got == [("dept", 5), ("dept", 6), ("employee", 5), ("employee", 6)]
+    # unmatched path ("other_dir") dropped, and the scan is a single stage:
+    # input_file_name is scan-local metadata, no shuffle in the plan
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
