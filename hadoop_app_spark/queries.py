@@ -380,15 +380,28 @@ def q_count_distinct(spark, sf_dir):
 
 @query(
     "approx_distinct",
-    oracle=None,  # HLL sketch is engine-specific; rows-only check
-    doc="approximate distinct via HLL sketch (scale path for 100 TB cardinalities)",
+    oracle="""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+               true AS within_band
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approximate distinct via HLL sketch (scale path for 100 TB cardinalities). "
+    "The sketch value is engine-seeded, so the gated contract is the error band: "
+    "the query emits within_band = |approx - exact|/exact <= 0.05 (rsd=0.01, so "
+    "5% is a >4-sigma bound) and the oracle asserts it true per group",
 )
 def q_approx_distinct(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    band = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts").cast("double")
+        <= 0.05
+    )
+    return agg.select("l_returnflag", "exact_parts", band.alias("within_band"))
 
 
 @query(
