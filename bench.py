@@ -62,8 +62,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warmup: absorb session/codegen startup cost
+    # warmup: absorb session/codegen startup cost AND Python-worker-pool
+    # spawn (the first mapInPandas query otherwise pays ~5s of fork/Arrow
+    # init that is one-time per executor, not per-query, at scale)
     REGISTRY["max_per_group"].fn(spark, sf_dir).collect()
+    spark.range(32).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # cold = first execution (plan + whole-stage-codegen compile + run);
     # warm = second execution of a fresh identical plan (codegen cached) —
