@@ -1821,6 +1821,55 @@ def q_stream_session_exec(spark, sf_dir):
 
 
 @query(
+    "stream_stateful_exec",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, value,
+                   count(*) OVER w AS ns,
+                   COALESCE(sum(value) OVER w, 0.0) AS ss
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN ns >= 3 AND value > 3.0 * greatest(ss / ns, 1e-9)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM ordered GROUP BY user_id
+    """,
+    doc="custom stateful streaming operator (applyInPandasWithState running "
+    "per-user profile with spike detection) executed end-to-end under the "
+    "gate; the oracle replays the same stream-order running mean with a "
+    "1-PRECEDING window. sum_value is intentionally not compared (float64 "
+    "accumulation-order sensitivity); the integer anomaly counter depends on "
+    "every intermediate running sum, so it transitively verifies them",
+)
+def q_stream_stateful_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.stateful import user_profile_stream
+
+    name = "stream_stateful_" + uuid.uuid4().hex[:8]
+    # evict_idle=False: pending processing-time timers would keep the
+    # availableNow query alive forever (see user_profile_stream docstring)
+    q = (
+        user_profile_stream(_event_stream(spark, sf_dir), evict_idle=False)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per user per micro-batch; both counters are
+    # monotone in stream order, so max() selects the final profile per user
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("n_anomalies").alias("n_anomalies"))
+    )
+
+
+@query(
     "fixed_width_parse",
     oracle="""
         WITH lines AS (
@@ -2244,14 +2293,15 @@ _PRIORITY = [
     "stream_sliding_exec",
     "stream_dedup_exec",
     "stream_session_exec",
+    "stream_stateful_exec",
     # micro-format / multi-path sources
     "fixed_width_parse",
     "micro_format_roundtrip",
     "scan_provenance",
     # multimodal plumbing (north star)
     "multimodal_meta",
-    "frame_sample",
     # --- beyond the gate budget: pytest-covered variants & perf twins ---
+    "frame_sample",
     "regex_functions",
     "math_functions",
     "percentile_summary",

@@ -43,50 +43,73 @@ PROFILE_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_profile(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        # idle-eviction path: the 1h processing-time timer fired with no
-        # new data for this user — drop the state, emit nothing, and do
-        # NOT re-arm (re-arming would keep dead users resident forever)
-        state.remove()
-        return
-    if state.exists:
-        n, s, anom = state.get
-    else:
-        n, s, anom = 0, 0.0, 0
-    for pdf in pdfs:
-        # deterministic order inside the batch
-        pdf = pdf.sort_values(["ts", "event_id"])
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        if v.size:
-            # vectorized running profile: counts/sums BEFORE each row via
-            # a cumsum seeded with the carried state — np.cumsum adds
-            # left-to-right, so every partial sum (and the final one) is
-            # bit-identical to the per-row loop it replaces
-            run = np.cumsum(np.concatenate(([s], v)))
-            ns = n + np.arange(v.size)
-            ss = run[:-1]
-            means = np.divide(ss, ns, out=np.zeros_like(ss), where=ns > 0)
-            anom += int(((ns >= 3) & (v > 3.0 * np.maximum(means, 1e-9))).sum())
-            n += int(v.size)
-            s = float(run[-1])
-    state.update((n, s, anom))
-    state.setTimeoutDuration(3_600_000)  # evict users idle for 1h of processing time
-    yield pd.DataFrame([(user_id, n, s, anom)], columns=[f.name for f in PROFILE_OUTPUT_SCHEMA.fields])
+def _make_update_profile(evict: bool):
+    def _update_profile(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # idle-eviction path: the 1h processing-time timer fired with no
+            # new data for this user — drop the state, emit nothing, and do
+            # NOT re-arm (re-arming would keep dead users resident forever)
+            state.remove()
+            return
+        if state.exists:
+            n, s, anom = state.get
+        else:
+            n, s, anom = 0, 0.0, 0
+        for pdf in pdfs:
+            # deterministic order inside the batch
+            pdf = pdf.sort_values(["ts", "event_id"])
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            if v.size:
+                # vectorized running profile: counts/sums BEFORE each row via
+                # a cumsum seeded with the carried state — np.cumsum adds
+                # left-to-right, so every partial sum (and the final one) is
+                # bit-identical to the per-row loop it replaces
+                run = np.cumsum(np.concatenate(([s], v)))
+                ns = n + np.arange(v.size)
+                ss = run[:-1]
+                means = np.divide(ss, ns, out=np.zeros_like(ss), where=ns > 0)
+                anom += int(((ns >= 3) & (v > 3.0 * np.maximum(means, 1e-9))).sum())
+                n += int(v.size)
+                s = float(run[-1])
+        state.update((n, s, anom))
+        if evict:
+            state.setTimeoutDuration(3_600_000)  # evict users idle for 1h
+        yield pd.DataFrame(
+            [(user_id, n, s, anom)], columns=[f.name for f in PROFILE_OUTPUT_SCHEMA.fields]
+        )
+
+    return _update_profile
 
 
-def user_profile_stream(events: DataFrame) -> DataFrame:
+# default handler (eviction on) — importable for direct unit tests
+_update_profile = _make_update_profile(evict=True)
+
+
+def user_profile_stream(events: DataFrame, evict_idle: bool = True) -> DataFrame:
     """Streaming per-user running profile with spike detection.
 
     Input: the events stream (event_id, ts, user_id, value, ...).
     Output (update mode): one row per user per micro-batch with the
     cumulative profile.
+
+    evict_idle=True (production default) arms a 1h ProcessingTimeTimeout
+    per user so idle groups are dropped and state stays bounded. Pass
+    False for BOUNDED runs (trigger(availableNow=True) backfills, tests,
+    the correctness gate): pending processing-time timers force
+    shouldRunAnotherBatch=true in the stateful exec, so an availableNow
+    query with timers never terminates — it spins empty micro-batches
+    after the data is exhausted.
     """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if evict_idle else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_profile,
+        _make_update_profile(evict=evict_idle),
         outputStructType=PROFILE_OUTPUT_SCHEMA,
         stateStructType=PROFILE_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )

@@ -112,14 +112,16 @@ def test_stateful_user_profile(spark, tmp_path):
     path = write_events(tmp_path, rows, n_files=2)
     stream = read_event_stream(spark, path)
     q = (
-        user_profile_stream(stream)
+        user_profile_stream(stream, evict_idle=False)
         .writeStream.format("memory")
         .queryName("profile_t")
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # terminates promptly: evict_idle=False arms no processing-time timers,
+    # so availableNow stops once both files are processed
+    assert q.awaitTermination(120), "bounded stateful query failed to terminate"
     # last emitted row per user carries the cumulative profile
     final = {
         r.user_id: r
@@ -133,3 +135,17 @@ def test_stateful_user_profile(spark, tmp_path):
     assert final[1].sum_value == 54.0
     assert final[1].n_anomalies == 1
     assert final[2].n_events == 1
+
+
+def test_stateful_timeout_evicts():
+    """hasTimedOut branch: state dropped, nothing emitted, timer NOT re-armed."""
+    from unittest.mock import MagicMock
+
+    from hadoop_app_spark.streaming.stateful import _update_profile
+
+    state = MagicMock()
+    state.hasTimedOut = True
+    assert list(_update_profile((7,), iter([]), state)) == []
+    state.remove.assert_called_once()
+    state.update.assert_not_called()
+    state.setTimeoutDuration.assert_not_called()
