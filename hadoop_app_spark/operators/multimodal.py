@@ -92,6 +92,95 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    sample_width: int = 2,
+    samples_per_chunk: int = 320,
+) -> DataFrame:
+    """Audio chunking plan: one row per fixed-size hop window (the shape a
+    resampler/featurizer consumes). Pure Catalyst — payload length drives
+    sample count (PCM ``sample_width`` bytes/sample), ``sequence``+``explode``
+    fan out the chunks; the byte decode itself stays in the kernel below.
+
+    A payload always yields >=1 chunk row (empty audio still has an entry,
+    with n_in_chunk=0) so downstream joins see every asset.
+    """
+    n_samples = F.expr(f"length({payload_col}) div {sample_width}")
+    n_chunks = F.greatest(
+        F.ceil(n_samples / F.lit(float(samples_per_chunk))).cast("long"), F.lit(1).cast("long")
+    )
+    out = df.select(
+        F.col(id_col).alias("asset_id"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_index"),
+        n_samples.alias("_n_samples"),
+    )
+    start = F.col("chunk_index") * samples_per_chunk
+    return out.select(
+        "asset_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        start.cast("long").alias("start_sample"),
+        F.least(F.lit(samples_per_chunk).cast("long"), F.col("_n_samples") - start).alias(
+            "n_in_chunk"
+        ),
+    )
+
+
+def _audio_rms_kernel(payload: bytes, sample_width: int, samples_per_chunk: int):
+    """STUB: real impl would be soundfile/librosa decode + resample. The
+    deterministic fake treats the raw bytes as little-endian PCM and
+    computes per-chunk RMS with numpy — same batch shape as the real one."""
+    import numpy as np
+
+    usable = len(payload) - (len(payload) % sample_width)
+    samples = np.frombuffer(payload[:usable], dtype="<i2" if sample_width == 2 else "<i1").astype(
+        np.float64
+    )
+    if samples.size == 0:
+        return [(0, 0, 0.0)]
+    chunks = []
+    for i, off in enumerate(range(0, samples.size, samples_per_chunk)):
+        c = samples[off : off + samples_per_chunk]
+        chunks.append((i, int(c.size), float(np.sqrt(np.mean(c * c)))))
+    return chunks
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    sample_width: int = 2,
+    samples_per_chunk: int = 320,
+    fake: bool = True,
+) -> DataFrame:
+    """mapInPandas per-chunk audio feature extraction (RMS per hop
+    window): Arrow batches in, chunk-feature rows out. Mirrors
+    extract_image_features; only the decode is faked."""
+    if not fake:
+        raise NotImplementedError("audio decode requires soundfile/librosa (not in this container)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, n, rms in _audio_rms_kernel(bytes(payload), sample_width, samples_per_chunk):
+                    rows.append((int(asset_id), idx, n, rms))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str, every_n: int = 30) -> DataFrame:
     """Video frame-sampling STUB: emits the (asset, frame_index) plan
     rows a real decoder would fill — fan-out is real Spark (explode),

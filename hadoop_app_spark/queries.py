@@ -1692,6 +1692,67 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample_plan(d, "doc_id", "payload", every_n=30).select("asset_id", "frame_index")
 
 
+@query(
+    "audio_chunks",
+    oracle="""
+        SELECT asset_id,
+               CAST(chunk_index AS INTEGER) AS chunk_index,
+               CAST(chunk_index * 64 AS BIGINT) AS start_sample,
+               CAST(least(64, n_samples - chunk_index * 64) AS BIGINT) AS n_in_chunk
+        FROM (
+            SELECT doc_id AS asset_id,
+                   octet_length(encode(text)) // 2 AS n_samples,
+                   unnest(range(0, greatest(
+                       CAST(ceil((octet_length(encode(text)) // 2) / 64.0) AS BIGINT),
+                       1))) AS chunk_index
+            FROM documents)
+    """,
+    doc="audio-column chunking plan (north star multimodal): PCM sample count "
+    "derived from payload bytes, sequence+explode hop windows — pure Catalyst "
+    "fan-out mirroring a resampler's consumption shape; byte decode stays in "
+    "the stubbed kernel",
+)
+def q_audio_chunks(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import audio_chunk_plan
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    return audio_chunk_plan(d, "doc_id", "payload", sample_width=2, samples_per_chunk=64)
+
+
+@query(
+    "audio_features",
+    oracle="""
+        SELECT asset_id, CAST(chunk_index AS INTEGER) AS chunk_index,
+               CAST(n_in_chunk AS BIGINT) AS n_samples
+        FROM (
+            SELECT asset_id, chunk_index,
+                   least(64, n_samples - chunk_index * 64) AS n_in_chunk
+            FROM (
+                SELECT doc_id AS asset_id,
+                       octet_length(encode(text)) // 2 AS n_samples,
+                       unnest(range(0, greatest(
+                           CAST(ceil((octet_length(encode(text)) // 2) / 64.0) AS BIGINT),
+                           1))) AS chunk_index
+                FROM documents))
+    """,
+    doc="mapInPandas per-chunk audio feature extraction (north star multimodal): "
+    "Arrow batches in, one RMS row per hop window out; the chunk structure "
+    "(asset, index, sample count) is oracle-checked, the RMS value itself is "
+    "kernel-faked and golden-tested in pytest",
+)
+def q_audio_features(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import extract_audio_features
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return extract_audio_features(d, "doc_id", "payload", samples_per_chunk=64).select(
+        "asset_id", "chunk_index", "n_samples"
+    )
+
+
 def _event_stream(spark, sf_dir: str):
     """Streaming twin of catalog.load_table('events'): file stream
     sources read directories, so the single parquet is exposed through
@@ -2318,6 +2379,8 @@ _PRIORITY = [
     "minhash_signatures_fast",
     "minhash_dedup_fast",
     "image_features",
+    "audio_chunks",
+    "audio_features",
 ]
 
 

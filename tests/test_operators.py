@@ -283,6 +283,41 @@ def test_multimodal_real_decode_is_stubbed(spark):
         extract_image_features(df, "asset_id", "payload", fake=False).collect()
 
 
+def test_audio_chunk_plan_and_features(spark):
+    import numpy as np
+
+    from hadoop_app_spark.operators.multimodal import (
+        _audio_rms_kernel,
+        audio_chunk_plan,
+        extract_audio_features,
+    )
+
+    # kernel golden: 2 int16 LE samples -> one chunk, exact RMS
+    chunks = _audio_rms_kernel(b"\x00\x01\x02\x03", 2, 320)
+    assert chunks == [(0, 2, float(np.sqrt((256.0**2 + 770.0**2) / 2.0)))]
+    # empty payload -> one sentinel chunk
+    assert _audio_rms_kernel(b"", 2, 320) == [(0, 0, 0.0)]
+
+    # 700 bytes = 350 samples -> chunks of 320 + 30 at hop 320
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x02" * 350)), (2, bytearray(b""))], "asset_id long, payload binary"
+    )
+    plan = {
+        (r.asset_id, r.chunk_index): (r.start_sample, r.n_in_chunk)
+        for r in audio_chunk_plan(df, "asset_id", "payload").collect()
+    }
+    assert plan[(1, 0)] == (0, 320) and plan[(1, 1)] == (320, 30)
+    assert plan[(2, 0)] == (0, 0)  # empty audio still gets a plan row
+
+    feats = extract_audio_features(df, "asset_id", "payload").collect()
+    by_key = {(r.asset_id, r.chunk_index): r for r in feats}
+    assert by_key[(1, 0)].n_samples == 320 and by_key[(1, 1)].n_samples == 30
+    assert by_key[(1, 0)].rms > 0 and by_key[(2, 0)].rms == 0.0
+
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        extract_audio_features(df, "asset_id", "payload", fake=False)
+
+
 def test_ivf_topk_recall_and_determinism(spark, emb_df):
     from hadoop_app_spark.operators.similarity import ivf_topk
 
