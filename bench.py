@@ -44,9 +44,9 @@ BENCH_QUERIES = [
     "cosine_topk",
     "cosine_topk_vectorized",
     "lsh_ann_topk",
-    "lsh_ann_topk_vectorized",
+    "lsh_ann_topk_hof",
     "ivf_ann_topk",
-    "ivf_ann_topk_vectorized",
+    "ivf_ann_topk_hof",
     "embedding_near_dup",
     "embedding_near_dup_vectorized",
     "multimodal_meta",

@@ -1186,6 +1186,8 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
     """,
     doc="brute-force cosine top-k ANN baseline (north star: similarity search). "
+    "Catalyst HOF kernel — at dim=64 the JVM fold beats Arrow transfer; "
+    "cosine_topk_vectorized is the high-dimension scale path (same oracle). "
     "Oracle compares rank sets; cosine floats stay engine-side.",
 )
 def q_cosine_topk(spark, sf_dir):
@@ -1239,16 +1241,21 @@ def _lsh_ann_topk_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
 @query(
     "lsh_ann_topk",
     oracle=_lsh_ann_topk_oracle(),
-    doc="sign-LSH bucketed approximate top-k (north star: ANN scale path); oracle "
+    doc="sign-LSH bucketed approximate top-k (north star: ANN scale path), "
+    "vectorized numpy kernel (lsh_ann_topk_hof is the Catalyst twin); oracle "
     "inlines the deterministic hyperplanes so DuckDB reproduces the exact buckets",
 )
 def q_lsh_ann_topk(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import lsh_topk_vectorized
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
-    return lsh_topk(corpus, queries, dim=64, k=5, n_planes=6).select("query_id", "vec_id", "rank")
+    return lsh_topk_vectorized(corpus, queries, dim=64, k=5, n_planes=6).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 @query(
@@ -1474,48 +1481,47 @@ def q_minhash_dedup_fast(spark, sf_dir):
 
 
 @query(
-    "lsh_ann_topk_vectorized",
-    oracle=None,  # BLAS-vs-fold cosine ulps; rank parity with the oracled HOF form pinned in pytest
-    doc="sign-LSH ANN top-k, numpy kernel: bucket assignment + masked matmul scoring "
-    "in one mapInPandas pass, map-side partial top-k (the ANN scale path)",
+    "lsh_ann_topk_hof",
+    oracle=_lsh_ann_topk_oracle(),
+    doc="sign-LSH ANN top-k, Catalyst higher-order-function kernel (zip_with/"
+    "aggregate fold) — same hyperplanes, buckets and ranking as the vectorized "
+    "primary; both forms run the same inlined-hyperplane oracle",
 )
-def q_lsh_ann_topk_vectorized(spark, sf_dir):
-    from hadoop_app_spark.operators.similarity import lsh_topk_vectorized
-
+def q_lsh_ann_topk_hof(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
-    return lsh_topk_vectorized(corpus, queries, dim=64, k=5, n_planes=6).select(
-        "query_id", "vec_id", "rank"
-    )
+    return lsh_topk(corpus, queries, dim=64, k=5, n_planes=6).select("query_id", "vec_id", "rank")
 
 
 @query(
-    "ivf_ann_topk_vectorized",
-    oracle=None,  # BLAS-vs-fold cosine ulps; rank parity with the oracled HOF form pinned in pytest
-    doc="IVF ANN top-k, numpy kernel: argmax cell assignment + probe-masked matmul "
-    "scoring in one mapInPandas pass, map-side partial top-k",
+    "ivf_ann_topk_hof",
+    oracle=None,  # assigned below once _IVF_ORACLE is defined
+    doc="IVF ANN top-k, Catalyst higher-order-function kernel — same centroids, "
+    "first-argmax cell assignment and probe order as the vectorized primary; "
+    "both forms run the same oracle",
 )
-def q_ivf_ann_topk_vectorized(spark, sf_dir):
-    from hadoop_app_spark.operators.similarity import ivf_topk_vectorized
+def q_ivf_ann_topk_hof(spark, sf_dir):
+    from hadoop_app_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
-    return ivf_topk_vectorized(
+    return ivf_topk(
         corpus, queries, k=5, n_centroids=16, n_probe=4, centroid_source=emb
     ).select("query_id", "vec_id", "rank")
 
 
 @query(
     "embedding_near_dup_vectorized",
-    oracle=None,  # pair-set parity with the oracled HOF form pinned in pytest
+    oracle=None,  # assigned below once _lsh_near_dup_oracle is defined
     doc="embedding near-dup pairs, numpy kernel: sign-matmul bucketing, one shuffle "
-    "on bucket, blocked per-bucket pairwise matmul",
+    "on bucket, blocked per-bucket pairwise matmul — same buckets and pair set as "
+    "the HOF primary, same inlined-hyperplane oracle (wins at production dims)",
 )
 def q_embedding_near_dup_vectorized(spark, sf_dir):
     from hadoop_app_spark.operators.similarity import embedding_near_dups_vectorized
@@ -1558,6 +1564,8 @@ def _lsh_near_dup_oracle(dim: int = 64, n_planes: int = 6, threshold: float = 0.
     "embedding_near_dup",
     oracle=_lsh_near_dup_oracle(),
     doc="embedding-cosine near-dup pairs, LSH-bucket candidate limited (north star); "
+    "Catalyst HOF kernel — at dim=64 it matches the blocked-matmul twin "
+    "(embedding_near_dup_vectorized, same oracle, wins at production widths); "
     "oracle regenerates the sign-LSH buckets from inlined hyperplane literals",
 )
 def q_embedding_near_dup(spark, sf_dir):
@@ -1565,6 +1573,13 @@ def q_embedding_near_dup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
     return embedding_near_dups(emb, threshold=0.3, n_planes=6).select("id_a", "id_b")
+
+
+REGISTRY["embedding_near_dup_vectorized"] = QueryDef(
+    REGISTRY["embedding_near_dup_vectorized"].fn,
+    _lsh_near_dup_oracle(),
+    REGISTRY["embedding_near_dup_vectorized"].doc,
+)
 
 
 _IVF_DOT = (
@@ -1616,20 +1631,26 @@ _IVF_ORACLE = f"""
 @query(
     "ivf_ann_topk",
     oracle=_IVF_ORACLE,
-    doc="IVF-style ANN: per-row argmax cell assignment (no shuffle), n_probe=4 of 16 "
-    "cells probed per query (north star: ANN scale path beside sign-LSH)",
+    doc="IVF-style ANN: per-batch argmax cell assignment (no shuffle), n_probe=4 of 16 "
+    "cells probed per query (north star: ANN scale path beside sign-LSH), vectorized "
+    "numpy kernel (ivf_ann_topk_hof is the Catalyst twin)",
 )
 def q_ivf_ann_topk(spark, sf_dir):
-    from hadoop_app_spark.operators.similarity import ivf_topk
+    from hadoop_app_spark.operators.similarity import ivf_topk_vectorized
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
-    return ivf_topk(
+    return ivf_topk_vectorized(
         corpus, queries, k=5, n_centroids=16, n_probe=4, centroid_source=emb
     ).select("query_id", "vec_id", "rank")
+
+
+REGISTRY["ivf_ann_topk_hof"] = QueryDef(
+    REGISTRY["ivf_ann_topk_hof"].fn, _IVF_ORACLE, REGISTRY["ivf_ann_topk_hof"].doc
+)
 
 
 @query(
@@ -1657,9 +1678,31 @@ def q_multimodal_meta(spark, sf_dir):
 
 @query(
     "image_features",
-    oracle=None,  # decode kernel is a deterministic fake (binary folding); golden-tested in pytest
+    # The fake decode is a 31-poly fold over the first 64 payload bytes —
+    # DuckDB reproduces it by folding hex pairs of the UTF-8 blob, so even
+    # the stubbed kernel's outputs (width/height) are oracle-checked.
+    oracle="""
+        WITH hx AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   substr(hex(encode(text)), 1, 128) AS h
+            FROM documents),
+        folded AS (
+            SELECT doc_id, n_bytes,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST((strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+                                 + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS BIGINT)
+                            for i in range(1, length(h) // 2 + 1)]),
+                       (acc, b) -> (acc * 31 + b) % 1000000007) AS hv
+            FROM hx)
+        SELECT doc_id AS asset_id, n_bytes,
+               CAST(64 + hv % 512 AS INTEGER) AS width,
+               CAST(64 + (hv // 512) % 512 AS INTEGER) AS height
+        FROM folded
+    """,
     doc="mapInPandas image feature extraction over Arrow batches (north star multimodal); "
-    "decode kernel stubbed, Spark plumbing (schema/batching/partitioning) real",
+    "decode kernel stubbed (deterministic byte-fold fake), Spark plumbing "
+    "(schema/batching/partitioning) real; the fold is reproduced in the oracle",
 )
 def q_image_features(spark, sf_dir):
     from hadoop_app_spark.operators.multimodal import extract_image_features
@@ -2241,11 +2284,10 @@ def q_stream_sliding_exec(spark, sf_dir):
 
 @query(
     "cosine_topk_vectorized",
-    oracle=None,  # numpy accumulation order differs in the last ulp from the HOF fold;
-    # rank-level parity with the oracled cosine_topk is pinned in pytest
-    doc="brute-force cosine top-k with the vectorized kernel: numpy matmul per Arrow "
-    "batch + map-side partial top-k (the high-dim scale path; plan shape identical "
-    "to cosine_topk)",
+    oracle=None,  # assigned below: shares cosine_topk's rank-set oracle
+    doc="brute-force cosine top-k, numpy matmul per Arrow batch + map-side partial "
+    "top-k — the high-dimension scale path (plan shape identical to cosine_topk, "
+    "same rank-set oracle; at dim=64 the HOF primary wins on Arrow transfer)",
 )
 def q_cosine_topk_vectorized(spark, sf_dir):
     from hadoop_app_spark.operators.similarity import brute_force_topk_vectorized
@@ -2256,6 +2298,13 @@ def q_cosine_topk_vectorized(spark, sf_dir):
     )
     corpus = emb.repartition(spark.sparkContext.defaultParallelism)
     return brute_force_topk_vectorized(corpus, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+REGISTRY["cosine_topk_vectorized"] = QueryDef(
+    REGISTRY["cosine_topk_vectorized"].fn,
+    REGISTRY["cosine_topk"].oracle,
+    REGISTRY["cosine_topk_vectorized"].doc,
+)
 
 
 @query(
@@ -2373,8 +2422,8 @@ _PRIORITY = [
     "event_dedup",
     "approx_distinct",
     "cosine_topk_vectorized",
-    "lsh_ann_topk_vectorized",
-    "ivf_ann_topk_vectorized",
+    "lsh_ann_topk_hof",
+    "ivf_ann_topk_hof",
     "embedding_near_dup_vectorized",
     "minhash_signatures_fast",
     "minhash_dedup_fast",
