@@ -1,0 +1,137 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond-reference surface (north star), sitting above functions.text:
+- tfidf_top_terms: distributed TF-IDF with per-document top-k terms —
+  the classic relevance/keyword-extraction pass.
+- repetition_stats: intra-document repetition measurement (the
+  Gopher-style "fraction of duplicate words" quality gate).
+- stratified_sample: deterministic per-stratum sampling by content
+  hash — reproducible train/eval splits with per-language rates.
+- source_stats: per-source corpus accounting (docs, chars, tokens,
+  exact-duplicate counts, quality mass) — the curation dashboard query.
+
+All four are pure Catalyst expressions/aggregations (no Python in the
+hot path) and ANSI-SQL-expressible for the DuckDB oracle.
+
+Scale shapes (100 TB):
+- tfidf: two hash aggregations with map-side partial combine
+  ((doc,term) then term), a sort-merge join on term (vocabulary is
+  corpus-sized — never broadcast it), a 1-row broadcast for the corpus
+  count, and a per-doc window that WindowGroupLimit prunes to k rows
+  map-side before the shuffle.
+- repetition/sample: single-scan narrow projections — no shuffle.
+- source_stats: one hash aggregation keyed by source; the distinct
+  fingerprint count is a partial_count(distinct) over an int64, not a
+  re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.functions.text import (
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    tokenize,
+)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF: [id, term, tf, dfreq, rank].
+
+    score = tf * ln(n_docs / dfreq). The float score is internal only —
+    callers project the rank, so cross-engine libm last-ulp differences
+    in ln() cannot leak into comparisons (ties break by dfreq asc then
+    term asc, both exact integers/strings).
+    """
+    terms = df.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("dfreq")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("dfreq").asc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition: [id, n_tokens, n_unique, dup_ratio].
+
+    dup_ratio = (n_tokens - n_unique) / n_tokens (0.0 for empty docs) —
+    a single IEEE division with identical operand order in any engine,
+    so the double is hash-comparable.
+    """
+    toks = tokenize(text_col)
+    out = df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+    return out.withColumn(
+        "dup_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.col("n_unique")) / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+# per-mille keep rates per language stratum; unknown strata get DEFAULT
+STRATA_RATES: dict[str, int] = {"en": 300, "de": 200, "fr": 100, "es": 100}
+STRATA_DEFAULT = 50
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    rates: dict[str, int] | None = None,
+    default_rate: int = STRATA_DEFAULT,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff
+    content_fingerprint % 1000 < rate[stratum] (per-mille rates).
+
+    Content-hash keyed like deterministic_sample, so membership is
+    stable under re-runs/re-partitioning — but with per-language rates
+    (the "downsample English, keep the tail languages" rebalancing every
+    multilingual corpus build does). Single scan, no shuffle.
+    """
+    rates = STRATA_RATES if rates is None else rates
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.withColumn("_fp", doc_fingerprint(text_col)).where(
+        F.col("_fp") % 1000 < rate
+    ).drop("_fp")
+
+
+def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus accounting: docs, chars, tokens, exact-distinct
+    content count, and quality mass — one hash aggregation keyed by
+    source (the curation dashboard / per-domain budget query)."""
+    enriched = df.select(
+        "source",
+        "n_chars",
+        token_count(text_col).alias("n_tokens"),
+        doc_fingerprint(text_col).alias("fp"),
+        quality_score(text_col).alias("quality"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+    )

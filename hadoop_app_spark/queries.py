@@ -2244,6 +2244,133 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
+# polynomial content-fingerprint fold — the SQL twin of doc_fingerprint
+_FP_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+# quality_score's SQL twin (same fragment corpus_filter's oracle uses)
+_QUALITY_SQL = """
+        0.3 * least(length(text) / 500.0, 1.0)
+      + 0.3 * (CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END)
+      + 0.2 * least(CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE) / 3.0, 1.0)
+      + 0.2 * (CASE WHEN ({ntok}) > 0
+                    AND length(text) / CAST(greatest({ntok}, 1) AS DOUBLE) BETWEEN 3 AND 12
+                    THEN 1.0 ELSE 0.5 END)
+""".format(ntok=_NTOK)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        ranked AS (
+            SELECT doc_id, term, tf.tf, dfreq.dfreq,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY CAST(tf.tf AS DOUBLE)
+                                 * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfreq) DESC,
+                                 dfreq.dfreq, term) AS INTEGER) AS rank
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, dfreq, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="distributed TF-IDF with per-doc top-3 terms (north star: corpus keyword/"
+    "relevance pass): two partial-combine aggregations, sort-merge join on term "
+    "(vocabulary never broadcasts), WindowGroupLimit-pruned per-doc top-k; the "
+    "ln() score stays internal — rank ties break on exact ints so libm ulps "
+    "can't leak into the comparison",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "text", "doc_id", k=3).select(
+        "doc_id", "term", "tf", "dfreq", "rank"
+    )
+
+
+@query(
+    "repetition_filter",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_unique
+            FROM documents)
+        SELECT doc_id, n_tokens, n_unique,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_tokens - n_unique AS DOUBLE) / n_tokens
+                    ELSE 0.0 END AS dup_ratio
+        FROM s
+        WHERE CASE WHEN n_tokens > 0
+                   THEN CAST(n_tokens - n_unique AS DOUBLE) / n_tokens
+                   ELSE 0.0 END <= 0.5
+    """,
+    doc="intra-document repetition gate (north star: the Gopher-style duplicate-"
+    "word-fraction quality filter): single scan, exact integer counts, one IEEE "
+    "division — keeps docs with dup_ratio <= 0.5",
+)
+def q_repetition_filter(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id").where(F.col("dup_ratio") <= 0.5)
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM (SELECT doc_id, lang, n_chars, {_FP_SQL} AS fp FROM documents)
+        WHERE fp % 1000 < (CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 200
+                                     WHEN 'fr' THEN 100 WHEN 'es' THEN 100
+                                     ELSE 50 END)
+    """,
+    doc="deterministic per-language stratified sample (north star: the 'downsample "
+    "English, keep tail languages' rebalance): content-hash keyed per-mille rates, "
+    "reproducible under re-runs/re-partitioning, single scan, no shuffle",
+)
+def q_stratified_sample(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", "text").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "source_stats",
+    oracle=f"""
+        WITH enriched AS (
+            SELECT source, n_chars,
+                   ({_NTOK}) AS n_tokens,
+                   {_FP_SQL} AS fp,
+                   {_QUALITY_SQL} AS quality
+            FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+               CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        FROM enriched GROUP BY source
+    """,
+    doc="per-source corpus accounting (north star: the curation dashboard / per-"
+    "domain budget query): one hash aggregation keyed by source — docs, chars, "
+    "tokens, exact-distinct content count, decimal-exact quality mass",
+)
+def q_source_stats(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import source_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return source_stats(d, "text")
+
+
 @query(
     "stream_sliding_exec",
     oracle="""
@@ -2430,6 +2557,10 @@ _PRIORITY = [
     "image_features",
     "audio_chunks",
     "audio_features",
+    "tfidf_top_terms",
+    "repetition_filter",
+    "stratified_sample",
+    "source_stats",
 ]
 
 

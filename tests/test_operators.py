@@ -489,3 +489,82 @@ def test_connected_components_chain_and_star(spark):
     pairs = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     kept = sorted(r.doc_id for r in dedup_by_components(docs, pairs, "doc_id").collect())
     assert kept == [1, 10, 20, 99]  # one survivor per component + untouched 99
+
+
+# --- corpus curation (tfidf / repetition / stratified sample / source stats) ---
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry cherry"),
+            (3, "durian apple banana"),
+        ],
+        "doc_id long, text string",
+    )
+    from hadoop_app_spark.operators.corpus import tfidf_top_terms
+
+    out = {
+        (r.doc_id, r.term): (r.tf, r.dfreq, r.rank)
+        for r in tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    }
+    # doc 1: apple tf=2 df=2 -> 2*ln(3/2) = 0.81; cherry tf=1 df=2 -> ln(3/2) = 0.41;
+    # banana tf=1 df=3 -> ln(1) = 0
+    assert out[(1, "apple")] == (2, 2, 1)
+    assert out[(1, "cherry")] == (1, 2, 2)
+    # doc 3: durian tf=1 df=1 -> ln(3) beats apple tf=1 df=2 -> ln(3/2)
+    assert out[(3, "durian")] == (1, 1, 1)
+    assert out[(3, "apple")] == (1, 2, 2)
+    assert math.log(3.0) > math.log(1.5)  # sanity on the intended ordering
+
+
+def test_repetition_stats(spark):
+    from hadoop_app_spark.operators.corpus import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "all unique words here"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert (out[1].n_tokens, out[1].n_unique) == (5, 2) and out[1].dup_ratio == 3.0 / 5.0
+    assert out[2].dup_ratio == 0.0
+    assert (out[3].n_tokens, out[3].dup_ratio) == (0, 0.0)  # empty doc guarded
+
+
+def test_stratified_sample_deterministic(spark):
+    from hadoop_app_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"document body number {i}", "en" if i % 2 else "zz") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    a = sorted(r.doc_id for r in stratified_sample(df, "lang", "text").collect())
+    b = sorted(r.doc_id for r in stratified_sample(df.repartition(7), "lang", "text").collect())
+    assert a == b and len(a) > 0  # content-keyed: stable under repartition
+    kept = {r.doc_id: r.lang for r in stratified_sample(df, "lang", "text").collect()}
+    # 'zz' stratum uses the default 50/1000 rate -> strictly fewer than en's 300/1000
+    n_en = sum(1 for lang in kept.values() if lang == "en")
+    n_zz = len(kept) - n_en
+    assert n_en > n_zz
+
+
+def test_source_stats(spark):
+    from hadoop_app_spark.operators.corpus import source_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three.", "s1", 14),
+            (2, "one two three.", "s1", 14),  # exact dup of doc 1
+            (3, "four five six.", "s1", 14),
+            (4, "seven eight.", "s2", 12),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = {r.source: r for r in source_stats(df, "text").collect()}
+    assert out["s1"].n_docs == 3 and out["s1"].n_unique_docs == 2  # dup collapses
+    assert out["s1"].total_tokens == 9 and out["s2"].total_tokens == 2
+    assert out["s2"].total_chars == 12
+    assert 0.0 < out["s2"].sum_quality < 1.0
