@@ -105,6 +105,67 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_vectorized(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 8,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Vectorized twin of minhash_signatures — one mapInPandas pass
+    computes each doc's k-wide signature directly; no explode, no
+    k-min aggregation, no shuffle at all (the downstream banding join
+    is the pipeline's only exchange).
+
+    Kernel: tokens via Python ``str.lower().split()`` (the engine's
+    Unicode-whitespace contract, pinned by tests/test_property.py),
+    token hash via zlib.crc32 (C speed, deterministic), shingle hash
+    as a numpy rolling polynomial combine of n consecutive token
+    hashes, then all k permutation minima in one (k, n_shingles)
+    broadcasted min. Hash family differs from the HOF forms (crc32
+    combine vs xxhash64/poly of the joined shingle string) — same
+    MinHash semantics, different buckets; pipeline properties (exact
+    dups collide on every band, signature width/range) are pinned in
+    pytest. Zero-shingle docs drop, matching the explode form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k > len(_MINHASH_A):
+        raise ValueError(f"k <= {len(_MINHASH_A)} supported")
+    A = np.array(_MINHASH_A[:k], dtype=np.int64)[:, None]
+    B = np.array(_MINHASH_B[:k], dtype=np.int64)[:, None]
+    P = 1_000_003
+
+    def run(batches):
+        from zlib import crc32
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.lower().split()
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                th = np.fromiter(
+                    (crc32(t.encode("utf-8")) for t in toks), dtype=np.int64, count=len(toks)
+                ) % _MOD
+                sh = th[:m].copy()
+                for j in range(1, n):
+                    sh = (sh * P + th[j : m + j]) % _MOD
+                ids.append(doc_id)
+                # .tolist(): Arrow's pandas converter rejects numpy arrays as list values
+                sigs.append(((A * sh[None, :] + B) % _MOD).min(axis=1).tolist())
+            if ids:  # empty frames get float64 dtype, which Arrow can't cast to list<long>
+                yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    base = df.select(id_col, text_col)
+    if repartition_to:
+        base = base.repartition(repartition_to)
+    return base.mapInPandas(run, f"{id_col} long, signature array<long>")
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str,

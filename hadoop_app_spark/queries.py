@@ -1085,13 +1085,17 @@ def q_minhash_signatures(spark, sf_dir):
 
 @query(
     "minhash_signatures_fast",
-    oracle=None,  # xxhash64 seeds are engine-specific; plan-shape twin of the gate variant
-    doc="MinHash signatures, xxhash64 scale path (bench surface; rank/golden "
-    "parity with the poly gate variant pinned in pytest)",
+    oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
+    doc="MinHash signatures, vectorized scale path: one mapInPandas pass (crc32 "
+    "token hashes + numpy rolling shingle combine + broadcasted k-way minima) — "
+    "no explode, no k-min aggregation, no shuffle; the HOF/xxhash64 form stays "
+    "available as minhash_signatures(hash_fn='xxhash64')",
 )
 def q_minhash_signatures_fast(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import minhash_signatures_vectorized
+
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(
+    sigs = minhash_signatures_vectorized(
         d, "text", "doc_id", n=3, k=8, repartition_to=spark.sparkContext.defaultParallelism
     )
     return sigs.select("doc_id", F.col("signature").getItem(0).alias("mh0"), F.col("signature").getItem(7).alias("mh7"))
@@ -1467,17 +1471,23 @@ REGISTRY["minhash_dedup"] = QueryDef(
 
 @query(
     "minhash_dedup_fast",
-    oracle=None,  # xxhash64 seeds are engine-specific; plan-shape twin of the gate variant
-    doc="full MinHash+LSH dedup, xxhash64 scale path (bench surface)",
+    oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
+    doc="full MinHash+LSH dedup, vectorized scale path: mapInPandas signature "
+    "kernel (no explode/agg) feeding the same banding bucket-join and min-id "
+    "survivor policy as the oracled poly gate variant",
 )
 def q_minhash_dedup_fast(spark, sf_dir):
-    from hadoop_app_spark.operators.dedup import minhash_dedup
+    from hadoop_app_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_vectorized,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    survivors = minhash_dedup(
+    sigs = minhash_signatures_vectorized(
         d, "text", "doc_id", repartition_to=spark.sparkContext.defaultParallelism
     )
-    return survivors.select("doc_id", "n_chars")
+    losers = minhash_lsh_pairs(sigs, "doc_id").select(F.col("id_b").alias("doc_id")).distinct()
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "n_chars")
 
 
 @query(

@@ -568,3 +568,81 @@ def test_source_stats(spark):
     assert out["s1"].total_tokens == 9 and out["s2"].total_tokens == 2
     assert out["s2"].total_chars == 12
     assert 0.0 < out["s2"].sum_quality < 1.0
+
+
+def test_minhash_signatures_vectorized(spark):
+    from hadoop_app_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "a completely different document about spark pipelines here"),
+            (4, "hi"),  # fewer than n tokens -> zero shingles -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: list(r.signature) for r in
+            minhash_signatures_vectorized(df, "text", "doc_id", n=3, k=8).collect()}
+    assert set(sigs) == {1, 2, 3}  # zero-shingle doc dropped like the explode form
+    assert sigs[1] == sigs[2]  # exact dups collide on every permutation
+    assert sigs[1] != sigs[3]
+    assert all(len(s) == 8 and all(0 <= v < 1_000_000_007 for v in s) for s in sigs.values())
+    # and the banding stage pairs the exact dups
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_lsh_pairs(
+                 minhash_signatures_vectorized(df, "text", "doc_id"), "doc_id").collect()}
+    assert (1, 2) in pairs and all(a < b for a, b in pairs)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Skew evidence: 95% of left rows share one key. A plain shuffle
+    join lands them all in one task; salting spreads the hot key over
+    n_salts sub-keys. Asserted on the actual post-shuffle partition
+    distribution (deterministic), not wall time."""
+    from hadoop_app_spark.operators.joins import salted_join
+
+    left = spark.range(40000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("name"))
+    # hint("merge") forces a shuffle join on both forms: broadcast would
+    # sidestep the shuffle (and the skew) entirely at this toy size
+    plain = left.join(right.hint("merge"), "k")
+    salted = salted_join(left, right.hint("merge"), "k", n_salts=16)
+    assert sorted(map(tuple, salted.select("k", "payload", "name").collect())) == sorted(
+        map(tuple, plain.select("k", "payload", "name").collect())
+    )
+
+    def max_partition_share(df):
+        sizes = [r.n for r in df.groupBy(F.spark_partition_id().alias("p")).agg(F.count("*").alias("n")).collect()]
+        return max(sizes) / sum(sizes)
+
+    # AQE would coalesce these toy-sized shuffle partitions into one,
+    # hiding the per-reducer distribution the assertion is about
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    def hot_key_partitions(df):
+        return (
+            df.where(F.col("k") == 1)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # plain: every hot-key row lands in ONE reducer task
+        assert hot_key_partitions(plain) == 1 and max_partition_share(plain) > 0.9
+        # salted: the 16 salt sub-keys occupy most of the reducer space
+        # (bounded by the session's shuffle partitions; a few sub-keys may
+        # murmur3-collide into the same reducer)
+        assert hot_key_partitions(salted) >= max(2, min(16, n_shuffle) // 2)
+        assert max_partition_share(salted) < 0.5
+    finally:
+        spark.conf.set(coalesce_key, prev)
