@@ -31,16 +31,15 @@ BENCH_QUERIES = [
     "pricing_summary",
     "count_distinct",
     "grouping_analytics",
-    "range_theta_join",
+    "cross_range_joins",
     "asof_join_latest_click",
     "window_analytics",
     "global_topn",
-    "json_extract",
+    "json_functions",
     "text_metrics",
-    "exact_dedup",
+    "exact_dedup_simhash",
     "minhash_signatures_fast",
     "minhash_dedup_fast",
-    "simhash",
     "cosine_topk",
     "cosine_topk_vectorized",
     "lsh_ann_topk",

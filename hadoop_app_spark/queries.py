@@ -365,43 +365,33 @@ def q_pricing_summary(spark, sf_dir):
     "count_distinct",
     oracle="""
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
-               count(*) AS n_orders
+               count(*) AS n_orders,
+               true AS within_band
         FROM orders GROUP BY o_orderpriority
     """,
-    doc="distinct aggregation (absent in reference; SURVEY §2.4)",
+    doc="exact + approximate distinct aggregation (absent in reference; SURVEY "
+    "§2.4). The HLL sketch value is engine-seeded, so the gated contract for the "
+    "approx path is the error band: within_band = |approx - exact|/exact <= 0.05 "
+    "(rsd=0.01, so 5% is a >4-sigma bound), asserted true per group by the oracle "
+    "— the scale path for 100 TB cardinalities where exact distinct shuffles "
+    "every key",
 )
 def q_count_distinct(spark, sf_dir):
-    return (
+    agg = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
-    )
-
-
-@query(
-    "approx_distinct",
-    oracle="""
-        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-               true AS within_band
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="approximate distinct via HLL sketch (scale path for 100 TB cardinalities). "
-    "The sketch value is engine-seeded, so the gated contract is the error band: "
-    "the query emits within_band = |approx - exact|/exact <= 0.05 (rsd=0.01, so "
-    "5% is a >4-sigma bound) and the oracle asserts it true per group",
-)
-def q_approx_distinct(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        )
     )
     band = (
-        F.abs(F.col("approx_parts") - F.col("exact_parts"))
-        / F.col("exact_parts").cast("double")
+        F.abs(F.col("approx_customers") - F.col("n_customers"))
+        / F.col("n_customers").cast("double")
         <= 0.05
     )
-    return agg.select("l_returnflag", "exact_parts", band.alias("within_band"))
+    return agg.select("o_orderpriority", "n_customers", "n_orders", band.alias("within_band"))
 
 
 @query(
@@ -560,41 +550,51 @@ def q_outer_joins(spark, sf_dir):
 
 
 @query(
-    "cross_join_pairs",
+    "cross_range_joins",
     oracle="""
-        SELECT a.r_name AS name_a, b.r_name AS name_b
+        SELECT 'cross_pairs' AS join_kind, a.r_name AS k1, b.r_name AS k2,
+               CAST(1 AS BIGINT) AS n
         FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey
-    """,
-    doc="cross join / per-key cartesian standalone (J3, ReduceJoinJob.java:163-173)",
-)
-def q_cross_join(spark, sf_dir):
-    r = _t(spark, sf_dir, "region")
-    a, b = r.alias("a"), r.alias("b")
-    return (
-        a.crossJoin(b)
-        .where(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
-        .select(F.col("a.r_name").alias("name_a"), F.col("b.r_name").alias("name_b"))
-    )
-
-
-@query(
-    "range_theta_join",
-    oracle="""
-        SELECT p_brand, count(*) AS n_in_band
+        UNION ALL
+        SELECT 'range_band', p_brand, '', count(*)
         FROM lineitem JOIN part ON l_partkey = p_partkey
              AND l_extendedprice BETWEEN p_retailprice * 0.5 AND p_retailprice * 2.0
         GROUP BY p_brand
     """,
-    doc="equi + range theta join: theta predicate rides the hash join, no cartesian",
+    doc="non-equi join shapes in one suite: cross join / per-key cartesian (J3, "
+    "ReduceJoinJob.java:163-173) and equi+range theta join where the theta "
+    "predicate rides the hash join (no cartesian) — tag-unioned to one schema",
 )
-def q_range_theta_join(spark, sf_dir):
+def q_cross_range_joins(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    a, b = r.alias("a"), r.alias("b")
+    cross = (
+        a.crossJoin(b)
+        .where(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(
+            F.lit("cross_pairs").alias("join_kind"),
+            F.col("a.r_name").alias("k1"),
+            F.col("b.r_name").alias("k2"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     cond = F.col("l_extendedprice").between(
         F.col("p_retailprice") * 0.5, F.col("p_retailprice") * 2.0
     )
-    joined = li.join(part, (li.l_partkey == part.p_partkey) & cond)
-    return joined.groupBy("p_brand").agg(F.count("*").alias("n_in_band"))
+    band = (
+        li.join(part, (li.l_partkey == part.p_partkey) & cond)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("range_band").alias("join_kind"),
+            F.col("p_brand").alias("k1"),
+            F.lit("").alias("k2"),
+            "n",
+        )
+    )
+    return cross.unionByName(band)
 
 
 @query(
@@ -790,43 +790,39 @@ def q_date_functions(spark, sf_dir):
 
 
 @query(
-    "json_extract",
+    "json_functions",
     oracle="""
         SELECT event_type,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               count(*) AS n
+               count(*) AS n,
+               '{"type":"' || event_type
+                   || '","sum_k":' || CAST(coalesce(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT), 0) AS VARCHAR)
+                   || ',"n":' || CAST(count(*) AS VARCHAR) || '}' AS payload
         FROM events GROUP BY event_type
     """,
-    doc="F8 JSON parse (JsonHelper.java:19-22) over the events.props documents",
+    doc="F8 JSON parse + F9 JSON serialize in one pass (JsonHelper.java:14-22): "
+    "get_json_object over events.props, aggregate, re-serialize the result row "
+    "with to_json(struct(...)) — the parse->compute->emit round-trip the "
+    "reference's JsonHelper exists for",
 )
-def q_json_extract(spark, sf_dir):
-    return (
+def q_json_functions(spark, sf_dir):
+    agg = (
         _t(spark, sf_dir, "events")
         .select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
         .groupBy("event_type")
         .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
     )
-
-
-@query(
-    "json_serialize",
-    oracle="""
-        SELECT o_orderkey,
-               '{"key":' || CAST(o_orderkey AS VARCHAR) || ',"priority":"' || o_orderpriority || '"}' AS payload
-        FROM orders WHERE o_orderkey <= 100
-    """,
-    doc="F9 JSON serialize (JsonHelper.java:14-17) — to_json(struct(...))",
-)
-def q_json_serialize(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") <= 100)
-        .select(
-            "o_orderkey",
-            F.to_json(
-                F.struct(F.col("o_orderkey").alias("key"), F.col("o_orderpriority").alias("priority"))
-            ).alias("payload"),
-        )
+    return agg.select(
+        "event_type",
+        "sum_k",
+        "n",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.coalesce(F.col("sum_k"), F.lit(0)).alias("sum_k"),
+                F.col("n").alias("n"),
+            )
+        ).alias("payload"),
     )
 
 
@@ -877,7 +873,7 @@ def q_safe_cast(spark, sf_dir):
 
 
 @query(
-    "array_functions",
+    "array_hof_functions",
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks
                    FROM documents)
@@ -885,12 +881,17 @@ def q_safe_cast(spark, sf_dir):
                CAST(len(toks) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
                array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
-               CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark
+               CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark,
+               CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                                (acc, x) -> acc + x) AS BIGINT) AS total_chars,
+               CAST(len(list_filter(toks, x -> length(x) > 5)) AS INTEGER) AS n_long_tokens
         FROM t
     """,
-    doc="array functions over tokenized text (F2 split generalized)",
+    doc="array + higher-order functions over tokenized text in one scan (F2 split "
+    "generalized; UDF-free row logic at scale): size/distinct/sort/contains plus "
+    "transform/filter/aggregate — one tokenize, all columns side by side",
 )
-def q_array_functions(spark, sf_dir):
+def q_array_hof_functions(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", tokenize("text").alias("toks"))
     return d.select(
         "doc_id",
@@ -898,51 +899,10 @@ def q_array_functions(spark, sf_dir):
         F.size(F.array_distinct("toks")).alias("n_unique"),
         F.concat_ws(",", F.slice(F.array_sort("toks"), 1, 3)).alias("first3_sorted"),
         F.array_contains("toks", "spark").cast("int").alias("has_spark"),
-    )
-
-
-@query(
-    "higher_order_functions",
-    oracle=f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks
-                   FROM documents)
-        SELECT doc_id,
-               CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
-                                (acc, x) -> acc + x) AS BIGINT) AS total_chars,
-               CAST(len(list_filter(toks, x -> length(x) > 5)) AS INTEGER) AS n_long_tokens
-        FROM t
-    """,
-    doc="higher-order fns: transform/filter/aggregate (UDF-free row logic at scale)",
-)
-def q_higher_order(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", tokenize("text").alias("toks"))
-    return d.select(
-        "doc_id",
         F.aggregate(
             F.transform("toks", lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("total_chars"),
         F.size(F.filter("toks", lambda x: F.length(x) > 5)).alias("n_long_tokens"),
-    )
-
-
-@query(
-    "case_buckets",
-    oracle="""
-        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
-                    WHEN c_acctbal < 5000 THEN 'low'
-                    ELSE 'high' END AS balance_bucket,
-               count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
-        FROM customer GROUP BY 1
-    """,
-    doc="CASE WHEN bucketing + min/max",
-)
-def q_case_buckets(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    bucket = (
-        F.when(F.col("c_acctbal") < 0, "negative").when(F.col("c_acctbal") < 5000, "low").otherwise("high")
-    )
-    return c.groupBy(bucket.alias("balance_bucket")).agg(
-        F.count("*").alias("n"), F.min("c_acctbal").alias("min_bal"), F.max("c_acctbal").alias("max_bal")
     )
 
 
@@ -1025,18 +985,45 @@ def q_text_metrics(spark, sf_dir):
 
 
 @query(
-    "exact_dedup",
+    "exact_dedup_simhash",
     oracle="""
-        SELECT doc_id, n_chars FROM documents
-        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
-    """,
-    doc="exact dedup: one hash-agg on content, min-id survivor (north star)",
+        WITH surv AS (
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+        toks AS (
+            SELECT doc_id, unnest({toks}) AS tok
+            FROM documents),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+            FROM toks WHERE tok <> ''),
+        bits AS (
+            SELECT doc_id,
+                   {sums}
+            FROM hashed GROUP BY doc_id)
+        SELECT surv.doc_id, surv.n_chars, CAST({fp} AS BIGINT) AS simhash
+        FROM surv JOIN bits ON surv.doc_id = bits.doc_id
+    """.format(
+        sums=",\n                   ".join(
+            f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
+        ),
+        fp=" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)),
+        toks="{toks}",
+    ).format(toks=_TOKS),
+    doc="exact dedup + 16-bit SimHash in one pipeline (north star): one hash-agg "
+    "on content with min-id survivor policy, then each surviving doc tagged with "
+    "its SimHash (explode -> one grouped pass of bit-sums) — the exact-dedup-"
+    "then-near-dup-fingerprint sequencing every corpus pipeline runs",
 )
-def q_exact_dedup(spark, sf_dir):
+def q_exact_dedup_simhash(spark, sf_dir):
     from hadoop_app_spark.operators.dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_chars")
+    survivors = exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_chars")
+    sims = simhash(d, "text", "doc_id", bits=16)
+    return survivors.join(sims, "doc_id")
 
 
 def _minhash_oracle() -> str:
@@ -1099,38 +1086,6 @@ def q_minhash_signatures_fast(spark, sf_dir):
         d, "text", "doc_id", n=3, k=8, repartition_to=spark.sparkContext.defaultParallelism
     )
     return sigs.select("doc_id", F.col("signature").getItem(0).alias("mh0"), F.col("signature").getItem(7).alias("mh7"))
-
-
-@query(
-    "simhash",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, unnest({toks}) AS tok
-            FROM documents),
-        hashed AS (
-            SELECT doc_id,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
-                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-                               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-            FROM toks WHERE tok <> ''),
-        bits AS (
-            SELECT doc_id,
-                   {sums}
-            FROM hashed GROUP BY doc_id)
-        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
-    """.format(
-        sums=",\n                   ".join(
-            f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16)
-        ),
-        fp=" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)),
-        toks=_TOKS,
-    ),
-    doc="16-bit SimHash (explode -> one grouped pass of bit-sums; north star)",
-)
-def q_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    # tokenize() lowercases but keeps empty-token filter parity with the oracle
-    return simhash(d, "text", "doc_id", bits=16)
 
 
 @query(
@@ -1984,7 +1939,7 @@ def q_stream_stateful_exec(spark, sf_dir):
 
 
 @query(
-    "fixed_width_parse",
+    "source_codecs",
     oracle="""
         WITH lines AS (
             SELECT repeat('H', 15) || CAST(year(l_shipdate) AS VARCHAR)
@@ -1992,18 +1947,43 @@ def q_stream_stateful_exec(spark, sf_dir):
                    || (CASE WHEN l_discount > 0.05 THEN '-' ELSE '+' END)
                    || lpad(CAST(CAST(l_quantity AS INTEGER) AS VARCHAR), 4, '0') AS line
             FROM lineitem)
-        SELECT CAST(substring(line, 16, 4) AS INTEGER) AS year,
-               max(CAST(substring(line, 88, 5) AS INTEGER)) AS max_temp,
-               min(CAST(substring(line, 88, 5) AS INTEGER)) AS min_temp,
-               count(*) AS n
-        FROM lines GROUP BY 1
-    """,
-    doc="S3 fixed-width codec under the gate: NCDC-shaped lines synthesized from "
-    "lineitem, parsed back with the engine's FixedWidthField spec (signed ints, "
-    "1-based substring; MaxTemperatureMapper.java:17-22 semantics)",
+        SELECT 'fixed_width' AS codec,
+               CAST(CAST(substring(line, 16, 4) AS INTEGER) AS VARCHAR) AS grp,
+               count(*) AS n,
+               CAST(max(CAST(substring(line, 88, 5) AS INTEGER)) AS DOUBLE) AS v1,
+               CAST(min(CAST(substring(line, 88, 5) AS INTEGER)) AS DOUBLE) AS v2
+        FROM lines GROUP BY 2
+        UNION ALL
+        SELECT 'micro_format', p_brand, count(*), {s}, 0.0
+        FROM part GROUP BY p_brand
+        UNION ALL
+        SELECT 'provenance', src, count(*), CAST(sum(entity_key) AS DOUBLE), 0.0
+        FROM (SELECT 'customer' AS src, c_custkey AS entity_key FROM customer
+              UNION ALL
+              SELECT 'supplier', s_suppkey FROM supplier)
+        GROUP BY src
+        UNION ALL
+        SELECT 'jsonl', lang, count(*), CAST(sum(n_chars) AS DOUBLE), 0.0
+        FROM documents GROUP BY lang
+    """.format(s=_DSUM.format(c="p_retailprice")),
+    doc="the reference's source codecs under one gate row, tag-unioned to a "
+    "common schema: (1) S3 fixed-width NCDC codec — lines synthesized from "
+    "lineitem, parsed back with FixedWidthField (signed ints, 1-based substring; "
+    "MaxTemperatureMapper.java:17-22); (2) S5/F2 micro-format round-trip — part "
+    "rows encoded as the reference's 'id@price,id@price' string "
+    "(UserHotcar.java:128), decoded via split/explode, re-aggregated; (3) S2/P3 "
+    "provenance-tagged multi-path scan — customer+supplier through ONE FileScan, "
+    "F.input_file_name() tags each row, rows route by path substring "
+    "(ReduceJoinJob.java:66-67,106-135; one scan stage, codegen'd CASE); "
+    "(4) JSONL encode/decode round-trip — documents rows serialized with "
+    "encode_jsonl, parsed back with decode_jsonl against a declared schema "
+    "(sources/jsonl.py; no inference scan), re-aggregated — must equal direct "
+    "aggregation",
 )
-def q_fixed_width_parse(spark, sf_dir):
+def q_source_codecs(spark, sf_dir):
+    from hadoop_app_spark.sources.delim001 import decode_at_pairs
     from hadoop_app_spark.sources.ncdc import FixedWidthField, parse_fixed_width
+    from hadoop_app_spark.sources.provenance import dispatch_by_path, read_tagged_parquet
 
     li = _t(spark, sf_dir, "lineitem")
     lines = li.select(
@@ -2019,24 +1999,18 @@ def q_fixed_width_parse(spark, sf_dir):
         FixedWidthField("year", 15, 19, "int"),
         FixedWidthField("temp", 87, 92, "int"),
     )
-    parsed = parse_fixed_width(lines, fields)
-    return parsed.groupBy("year").agg(
-        F.max("temp").alias("max_temp"), F.min("temp").alias("min_temp"), F.count("*").alias("n")
+    fixed = (
+        parse_fixed_width(lines, fields)
+        .groupBy("year")
+        .agg(F.max("temp").alias("vmax"), F.min("temp").alias("vmin"), F.count("*").alias("n"))
+        .select(
+            F.lit("fixed_width").alias("codec"),
+            F.col("year").cast("string").alias("grp"),
+            "n",
+            F.col("vmax").cast("double").alias("v1"),
+            F.col("vmin").cast("double").alias("v2"),
+        )
     )
-
-
-@query(
-    "micro_format_roundtrip",
-    oracle="""
-        SELECT p_brand, count(*) AS n_items, {s} AS sum_price
-        FROM part GROUP BY p_brand
-    """.format(s=_DSUM.format(c="p_retailprice")),
-    doc="S5/F2 micro-format codec round-trip under the gate: part rows encoded as "
-    "the reference's 'id@price,id@price' string (UserHotcar.java:128), decoded via "
-    "split/explode, re-aggregated — must equal direct aggregation",
-)
-def q_micro_format_roundtrip(spark, sf_dir):
-    from hadoop_app_spark.sources.delim001 import decode_at_pairs
 
     part = _t(spark, sf_dir, "part")
     encoded = part.groupBy("p_brand").agg(
@@ -2044,109 +2018,133 @@ def q_micro_format_roundtrip(spark, sf_dir):
             ",", F.collect_list(F.concat_ws("@", F.col("p_partkey"), F.col("p_retailprice")))
         ).alias("infoidlist")
     )
-    decoded = encoded.select(
-        "p_brand", F.explode(decode_at_pairs(F.col("infoidlist"), ",")).alias("pair")
+    micro = (
+        encoded.select("p_brand", F.explode(decode_at_pairs(F.col("infoidlist"), ",")).alias("pair"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pair.val").cast("double").cast("decimal(18,6)")).cast("double").alias("v1"),
+        )
+        .select(
+            F.lit("micro_format").alias("codec"),
+            F.col("p_brand").alias("grp"),
+            "n",
+            "v1",
+            F.lit(0.0).alias("v2"),
+        )
     )
-    return decoded.groupBy("p_brand").agg(
-        F.count("*").alias("n_items"),
-        F.sum(F.col("pair.val").cast("double").cast("decimal(18,6)")).cast("double").alias("sum_price"),
-    )
 
-
-@query(
-    "scan_provenance",
-    oracle="""
-        SELECT 'customer' AS source, c_custkey AS entity_key, c_name AS entity_name
-        FROM customer
-        UNION ALL
-        SELECT 'supplier' AS source, s_suppkey AS entity_key, s_name AS entity_name
-        FROM supplier
-    """,
-    doc="S2/P3 provenance-tagged multi-path scan: customer+supplier parquet stream "
-    "through ONE FileScan, F.input_file_name() tags each row, rows route by path "
-    "substring (ReduceJoinJob.java:66-67,106-135 dispatch, Spark-first: one scan "
-    "stage, codegen'd CASE, no shuffle)",
-)
-def q_scan_provenance(spark, sf_dir):
-    from hadoop_app_spark.sources.provenance import dispatch_by_path, read_tagged_parquet
-
-    df = read_tagged_parquet(
+    tagged = read_tagged_parquet(
         spark, [f"{sf_dir}/customer.parquet", f"{sf_dir}/supplier.parquet"]
     )
-    routed = dispatch_by_path(df, [("customer", "customer"), ("supplier", "supplier")])
-    return routed.select(
-        F.col("source"),
-        F.coalesce("c_custkey", "s_suppkey").alias("entity_key"),
-        F.coalesce("c_name", "s_name").alias("entity_name"),
+    routed = dispatch_by_path(tagged, [("customer", "customer"), ("supplier", "supplier")])
+    prov = (
+        routed.select("source", F.coalesce("c_custkey", "s_suppkey").alias("entity_key"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("entity_key").cast("double").alias("v1"))
+        .select(
+            F.lit("provenance").alias("codec"),
+            F.col("source").alias("grp"),
+            "n",
+            "v1",
+            F.lit(0.0).alias("v2"),
+        )
     )
+
+    from hadoop_app_spark.sources.jsonl import decode_jsonl, encode_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(encode_jsonl("doc_id", "lang", "n_chars").alias("line"))
+    parsed = lines.select(
+        decode_jsonl("line", "doc_id long, lang string, n_chars int").alias("r")
+    )
+    jsonl = (
+        parsed.select("r.lang", "r.n_chars")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("double").alias("v1"))
+        .select(
+            F.lit("jsonl").alias("codec"),
+            F.col("lang").alias("grp"),
+            "n",
+            "v1",
+            F.lit(0.0).alias("v2"),
+        )
+    )
+    return fixed.unionByName(micro).unionByName(prov).unionByName(jsonl)
 
 
 @query(
-    "percentile_summary",
+    "metric_profile",
     oracle="""
-        SELECT l_returnflag,
-               quantile_disc(l_extendedprice, 0.25) AS p25,
-               quantile_disc(l_extendedprice, 0.5) AS p50,
-               quantile_disc(l_extendedprice, 0.75) AS p75
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="exact discrete percentiles per group (order-statistic selection — "
-    "engine-agnostic exact values, unlike interpolated/approx percentiles)",
-)
-def q_percentile_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75"),
-    )
-
-
-@query(
-    "unpivot_metrics",
-    oracle="""
-        SELECT 'l_quantity' AS metric, count(*) AS n, {q} AS total FROM lineitem
+        SELECT 'l_quantity' AS metric, count(*) AS n, {q} AS total,
+               quantile_disc(l_quantity, 0.25) AS p25,
+               quantile_disc(l_quantity, 0.5) AS p50,
+               quantile_disc(l_quantity, 0.75) AS p75
+        FROM lineitem
         UNION ALL
-        SELECT 'l_extendedprice', count(*), {e} FROM lineitem
+        SELECT 'l_extendedprice', count(*), {e},
+               quantile_disc(l_extendedprice, 0.25),
+               quantile_disc(l_extendedprice, 0.5),
+               quantile_disc(l_extendedprice, 0.75)
+        FROM lineitem
         UNION ALL
-        SELECT 'l_discount', count(*), {d} FROM lineitem
+        SELECT 'l_discount', count(*), {d},
+               quantile_disc(l_discount, 0.25),
+               quantile_disc(l_discount, 0.5),
+               quantile_disc(l_discount, 0.75)
+        FROM lineitem
     """.format(
         q=_DSUM.format(c="l_quantity"),
         e=_DSUM.format(c="l_extendedprice"),
         d=_DSUM.format(c="l_discount"),
     ),
-    doc="unpivot/melt (wide -> long) + re-aggregate per metric",
+    doc="unpivot/melt (wide -> long) + per-metric profile: count, decimal-exact "
+    "total, and exact discrete percentiles (order-statistic selection — "
+    "engine-agnostic values, unlike interpolated/approx percentiles) — the "
+    "one-pass numeric-profiling query a curation dashboard runs per column",
 )
-def q_unpivot_metrics(spark, sf_dir):
+def q_metric_profile(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=[], values=["l_quantity", "l_extendedprice", "l_discount"],
         variableColumnName="metric", valueColumnName="v",
     )
     return long.groupBy("metric").agg(
-        F.count("*").alias("n"), _dsum("v").alias("total")
+        F.count("*").alias("n"),
+        _dsum("v").alias("total"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").alias("p75"),
     )
 
 
 @query(
-    "regex_functions",
+    "regex_case_functions",
     oracle="""
         SELECT c_custkey,
                regexp_extract(c_name, '([0-9]+)', 1) AS digits,
                regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
-               CASE WHEN regexp_matches(c_mktsegment, '^(BUILD|MACH)') THEN 1 ELSE 0 END AS seg_match
+               CASE WHEN regexp_matches(c_mktsegment, '^(BUILD|MACH)') THEN 1 ELSE 0 END AS seg_match,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS balance_bucket
         FROM customer
     """,
-    doc="regex scalar functions (absent in the reference — SURVEY §2.7 completion): "
-    "extract group, strip non-digits, anchored match",
+    doc="regex scalar functions + CASE WHEN bucketing (absent in the reference — "
+    "SURVEY §2.7 completion): extract group, strip non-digits, anchored match, "
+    "multi-branch conditional labeling — per-row, one scan, all codegen'd",
 )
-def q_regex_functions(spark, sf_dir):
+def q_regex_case_functions(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
         F.regexp_replace("c_name", "[^0-9]", "").alias("name_digits"),
         F.when(F.col("c_mktsegment").rlike("^(BUILD|MACH)"), 1).otherwise(0).alias("seg_match"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_bucket"),
     )
 
 
@@ -2180,13 +2178,17 @@ def q_math_functions(spark, sf_dir):
 
 
 @query(
-    "corpus_filter",
-    oracle=None,  # assembled below from the language/quality/token oracles
-    doc="the canonical pretraining corpus filter: language allowlist + quality floor "
-    "+ token-count bounds, one scan, all JVM expressions (north star: the filter "
-    "stage every training-data pipeline runs first)",
+    "corpus_curation",
+    oracle=None,  # assembled below from the language/quality/token/fingerprint oracles
+    doc="the canonical pretraining corpus curation pass in ONE scan (north star: "
+    "the filter stage every training-data pipeline runs first): language "
+    "allowlist + quality floor + token-count bounds + Gopher-style intra-doc "
+    "repetition gate (duplicate-word-fraction <= 0.5), and each surviving doc "
+    "flagged with a deterministic content-hash 20% audit-sample membership "
+    "(doc_fingerprint mod 100 — reproducible under re-runs/re-partitioning, "
+    "unlike rand()/sampleBy) — all JVM expressions, no shuffle",
 )
-def q_corpus_filter(spark, sf_dir):
+def q_corpus_curation(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -2194,64 +2196,66 @@ def q_corpus_filter(spark, sf_dir):
         language_id("text").alias("lang_guess"),
         quality_score("text").alias("quality"),
         token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokenize("text"))).alias("n_unique"),
+        doc_fingerprint("text").alias("fp"),
     )
-    return scored.where(
-        (F.col("lang_guess") == "en")
-        & (F.col("quality") >= 0.5)
-        & (F.col("n_tokens").between(10, 5000))
-    ).select("doc_id", "n_chars", "n_tokens")
+    dup_ratio = (
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.col("n_unique")).cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        scored.withColumn("dup_ratio", dup_ratio)
+        .where(
+            (F.col("lang_guess") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("n_tokens").between(10, 5000))
+            & (F.col("dup_ratio") <= 0.5)
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "dup_ratio",
+            (F.col("fp") % 100 < 20).cast("int").alias("in_sample"),
+        )
+    )
 
 
-# quality_score's oracle already exists on its own entry; reuse the same SQL
-# fragments so the filter oracle stays in lockstep with the scalar oracles.
-REGISTRY["corpus_filter"] = QueryDef(
-    REGISTRY["corpus_filter"].fn,
+# the language/quality/token oracles already exist on text_metrics; reuse the
+# same SQL fragments so the curation oracle stays in lockstep with them.
+REGISTRY["corpus_curation"] = QueryDef(
+    REGISTRY["corpus_curation"].fn,
     oracle="""
         WITH lang AS ({lang_sql}),
-        q AS (
-            SELECT doc_id,
-                   0.3 * least(length(text) / 500.0, 1.0)
-                 + 0.3 * (CASE WHEN length(text) > 0
-                               THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text)
-                               ELSE 0.0 END)
-                 + 0.2 * least(CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE) / 3.0, 1.0)
-                 + 0.2 * (CASE WHEN ({ntok}) > 0
-                               AND length(text) / CAST(greatest({ntok}, 1) AS DOUBLE) BETWEEN 3 AND 12
-                               THEN 1.0 ELSE 0.5 END) AS quality,
-                   ({ntok}) AS n_tokens
-            FROM documents)
-        SELECT d.doc_id, d.n_chars, q.n_tokens
-        FROM documents d
-        JOIN lang ON d.doc_id = lang.doc_id
-        JOIN q ON d.doc_id = q.doc_id
-        WHERE lang.lang_guess = 'en' AND q.quality >= 0.5 AND q.n_tokens BETWEEN 10 AND 5000
-    """.format(lang_sql=_language_id_oracle().strip(), ntok=_NTOK),
-    doc=REGISTRY["corpus_filter"].doc,
+        m AS (
+            SELECT doc_id, n_chars,
+                   ({ntok}) AS n_tokens,
+                   len(list_distinct({toks})) AS n_unique,
+                   {quality} AS quality,
+                   {fp} AS fp
+            FROM documents),
+        s AS (
+            SELECT m.doc_id, m.n_chars, m.n_tokens, m.fp, m.quality, lang.lang_guess,
+                   CASE WHEN m.n_tokens > 0
+                        THEN CAST(m.n_tokens - m.n_unique AS DOUBLE) / m.n_tokens
+                        ELSE 0.0 END AS dup_ratio
+            FROM m JOIN lang ON m.doc_id = lang.doc_id)
+        SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens, dup_ratio,
+               CAST(fp % 100 < 20 AS INTEGER) AS in_sample
+        FROM s
+        WHERE lang_guess = 'en' AND quality >= 0.5
+          AND n_tokens BETWEEN 10 AND 5000 AND dup_ratio <= 0.5
+    """.format(
+        lang_sql=_language_id_oracle().strip(),
+        ntok=_NTOK,
+        toks=_TOKS,
+        quality=_QUALITY_SQL,
+        fp=_FP_SQL,
+    ),
+    doc=REGISTRY["corpus_curation"].doc,
 )
-
-
-@query(
-    "deterministic_sample",
-    oracle="""
-        SELECT doc_id, n_chars
-        FROM (SELECT doc_id, n_chars,
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-                                 (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-              FROM documents)
-        WHERE fp % 100 < 20
-    """,
-    doc="reproducible 20% corpus sample keyed on CONTENT hash (doc_fingerprint mod "
-    "100) — re-runs, re-partitions, and re-orders select the same documents, unlike "
-    "rand()/sampleBy; the standard trick for auditable training-data subsets",
-)
-def q_deterministic_sample(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.withColumn("fp", doc_fingerprint("text"))
-        .where(F.col("fp") % 100 < 20)
-        .select("doc_id", "n_chars")
-    )
 
 
 # polynomial content-fingerprint fold — the SQL twin of doc_fingerprint
@@ -2303,34 +2307,6 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, "text", "doc_id", k=3).select(
         "doc_id", "term", "tf", "dfreq", "rank"
     )
-
-
-@query(
-    "repetition_filter",
-    oracle=f"""
-        WITH s AS (
-            SELECT doc_id,
-                   len({_TOKS}) AS n_tokens,
-                   len(list_distinct({_TOKS})) AS n_unique
-            FROM documents)
-        SELECT doc_id, n_tokens, n_unique,
-               CASE WHEN n_tokens > 0
-                    THEN CAST(n_tokens - n_unique AS DOUBLE) / n_tokens
-                    ELSE 0.0 END AS dup_ratio
-        FROM s
-        WHERE CASE WHEN n_tokens > 0
-                   THEN CAST(n_tokens - n_unique AS DOUBLE) / n_tokens
-                   ELSE 0.0 END <= 0.5
-    """,
-    doc="intra-document repetition gate (north star: the Gopher-style duplicate-"
-    "word-fraction quality filter): single scan, exact integer counts, one IEEE "
-    "division — keeps docs with dup_ratio <= 0.5",
-)
-def q_repetition_filter(spark, sf_dir):
-    from hadoop_app_spark.operators.corpus import repetition_stats
-
-    d = _t(spark, sf_dir, "documents")
-    return repetition_stats(d, "text", "doc_id").where(F.col("dup_ratio") <= 0.5)
 
 
 @query(
@@ -2495,15 +2471,14 @@ _PRIORITY = [
     "minmax_normalize",
     "recommend_flagship",
     "pricing_summary",
-    # aggregation completions
+    # aggregation completions (count_distinct carries the approx/HLL band check)
     "count_distinct",
     "grouping_analytics",
     "pivot_wide",
     # join completions
     "semi_anti_join",
     "outer_joins",
-    "cross_join_pairs",
-    "range_theta_join",
+    "cross_range_joins",
     "asof_join_latest_click",
     # windows / set ops / sort-limit
     "window_analytics",
@@ -2511,17 +2486,17 @@ _PRIORITY = [
     "global_topn",
     # scalar-function surface
     "date_functions",
-    "json_extract",
-    "json_serialize",
+    "json_functions",
     "string_functions",
     "safe_cast_defaults",
-    "array_functions",
-    "higher_order_functions",
+    "array_hof_functions",
+    "regex_case_functions",
+    "math_functions",
+    "metric_profile",
     # text analysis / dedup (north star)
     "text_metrics",
-    "exact_dedup",
+    "exact_dedup_simhash",
     "minhash_signatures",
-    "simhash",
     "ngram_jaccard_adjacent",
     "minhash_dedup",
     "near_dup_components",
@@ -2530,9 +2505,12 @@ _PRIORITY = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
-    # corpus pipeline stages
-    "corpus_filter",
-    "deterministic_sample",
+    "embedding_avg_by_label",
+    # corpus pipeline stages (north star)
+    "corpus_curation",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "source_stats",
     # event-time batch + streaming execution
     "tumbling_window",
     "sessionize",
@@ -2541,23 +2519,12 @@ _PRIORITY = [
     "stream_dedup_exec",
     "stream_session_exec",
     "stream_stateful_exec",
-    # micro-format / multi-path sources
-    "fixed_width_parse",
-    "micro_format_roundtrip",
-    "scan_provenance",
-    # multimodal plumbing (north star)
+    # micro-format / multi-path sources + multimodal plumbing (north star)
+    "source_codecs",
     "multimodal_meta",
     # --- beyond the gate budget: pytest-covered variants & perf twins ---
-    "frame_sample",
-    "regex_functions",
-    "math_functions",
-    "percentile_summary",
-    "unpivot_metrics",
-    "case_buckets",
-    "embedding_avg_by_label",
     "sliding_window",
     "event_dedup",
-    "approx_distinct",
     "cosine_topk_vectorized",
     "lsh_ann_topk_hof",
     "ivf_ann_topk_hof",
@@ -2565,12 +2532,9 @@ _PRIORITY = [
     "minhash_signatures_fast",
     "minhash_dedup_fast",
     "image_features",
+    "frame_sample",
     "audio_chunks",
     "audio_features",
-    "tfidf_top_terms",
-    "repetition_filter",
-    "stratified_sample",
-    "source_stats",
 ]
 
 

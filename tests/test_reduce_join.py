@@ -97,3 +97,31 @@ def test_scan_provenance_dispatch(spark, tmp_path):
     # input_file_name is scan-local metadata, no shuffle in the plan
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_jsonl_roundtrip_and_corrupt_handling(spark, tmp_path):
+    """JSONL source: write -> declared-schema read is lossless; a
+    malformed line is dropped by default and surfaced under
+    keep_corrupt=True instead of killing the job (PERMISSIVE)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_app_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello"), (2, "de", "hallo")], "doc_id long, lang string, text string"
+    )
+    path = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "doc_id long, lang string, text string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # inject a malformed line next to the good ones
+    bad = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [('{"doc_id": 3, "lang": "fr", "text": "ok"}',), ("{not json",)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(bad)
+    clean = read_jsonl(spark, bad, "doc_id long, lang string, text string")
+    assert [r.doc_id for r in clean.collect()] == [3]
+    kept = read_jsonl(spark, bad, "doc_id long, lang string, text string", keep_corrupt=True)
+    corrupt = kept.where(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(corrupt) == 1 and corrupt[0]._corrupt_record == "{not json"
