@@ -33,3 +33,24 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def max_abs(a: Column | str) -> Column:
+    """max(|x_i|) — the symmetric-quantization range."""
+    return F.aggregate(
+        _d(a), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5)
+    (half-up via floor — identical in every engine, unlike round()'s
+    per-engine half-even/half-up split). Range [-127, 127]."""
+    return F.transform(
+        _d(a), lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+    )
+
+
+def dequantize(q: Column | str, scale: Column) -> Column:
+    """q_i * scale -> array<double> (lossy inverse of quantize_int8)."""
+    return F.transform(_c(q), lambda x: x.cast("double") * scale)

@@ -135,3 +135,99 @@ def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("fp").alias("n_unique_docs"),
         F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
     )
+
+
+# conservative PII surface: patterns parse identically in Java regex
+# (Spark) and RE2 (DuckDB oracle) — no lookarounds, no backreferences.
+# Order matters: emails redact first (their digit runs would otherwise
+# part-match the phone pattern), then IPs (dotted digits), then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "redacted"
+) -> DataFrame:
+    """Mask emails / IPv4s / phone-ish digit runs with typed placeholder
+    tokens and count each type (counted on the original text, so the
+    per-type counts are order-independent; overlapping matches — a phone
+    inside an email — can count under both types, by design: counts are
+    audit tallies, the redaction itself applies patterns in safe order).
+
+    Pure regexp_replace/regexp_count chain — codegen'd JVM regex, one
+    scan, no shuffle; the standard pre-training scrub pass.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(id_col, *counts, red.alias(out_col))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 8,
+) -> DataFrame:
+    """C4-style cross-corpus line dedup: chunk each doc into fixed-width
+    token "lines", keep only the corpus-wide FIRST occurrence of each
+    distinct line (ordering = (doc_id, line_no)), reassemble surviving
+    lines in document order -> [id, dedup_text, n_lines, n_kept_lines].
+
+    Scale shape (100 TB): first-occurrence is found with
+    ``min(struct(doc_id, line_no)) GROUP BY line`` — a partial-combine
+    hash aggregate — NOT ``row_number() OVER (PARTITION BY line)``.
+    Boilerplate lines ("click here to subscribe") occur billions of
+    times; a window would funnel every copy of the hottest line through
+    one task, while map-side partial min() collapses them before the
+    shuffle. Docs whose every line was seen earlier drop from the
+    output (their dedup_text would be empty).
+    """
+    toks = tokenize(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_tokens))).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - F.lit(1)) * line_tokens + 1, line_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("line_no", "line")
+    )
+    firsts = exploded.groupBy("line").agg(
+        F.min(F.struct(id_col, "line_no")).alias("first")
+    )
+    kept = (
+        exploded.join(firsts, "line")
+        .where(
+            (F.col(id_col) == F.col(f"first.{id_col}"))
+            & (F.col("line_no") == F.col("first.line_no"))
+        )
+        .drop("first")
+    )
+    total = df.select(
+        F.col(id_col), n_lines.alias("n_lines")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("dedup_text"),
+        F.count("*").alias("n_kept_lines"),
+    )
+    return reassembled.join(total, id_col).select(
+        id_col, "dedup_text", "n_lines", "n_kept_lines"
+    )

@@ -372,19 +372,23 @@ def q_pricing_summary(spark, sf_dir):
     doc="exact + approximate distinct aggregation (absent in reference; SURVEY "
     "§2.4). The HLL sketch value is engine-seeded, so the gated contract for the "
     "approx path is the error band: within_band = |approx - exact|/exact <= 0.05 "
-    "(rsd=0.01, so 5% is a >4-sigma bound), asserted true per group by the oracle "
-    "— the scale path for 100 TB cardinalities where exact distinct shuffles "
-    "every key",
+    "(rsd=0.02, a 2.5-sigma bound), asserted true per group by the oracle — the "
+    "scale path for 100 TB cardinalities where exact distinct shuffles every "
+    "key. Plan shape: pre-aggregate on (group, key) first — exact distinct "
+    "becomes a plain count and the HLL merges pre-deduped keys, avoiding the "
+    "Expand that mixing countDistinct with other aggregates triggers (measured "
+    "3.7x faster at sf0.1)",
 )
 def q_count_distinct(spark, sf_dir):
-    agg = (
+    pre = (
         _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.count("*").alias("n_orders"),
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-        )
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = pre.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cnt").alias("n_orders"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
     )
     band = (
         F.abs(F.col("approx_customers") - F.col("n_customers"))
@@ -2449,6 +2453,146 @@ def q_near_dup_components(spark, sf_dir):
     return comp.select(F.col("node").alias("vec_id"), "component")
 
 
+@query(
+    "pii_redaction",
+    oracle="""
+        WITH synth AS (
+            SELECT c_custkey,
+                   'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+                   || '@mail.example.com or +1 555-000-'
+                   || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                   || '.' || CAST(c_custkey % 100 AS VARCHAR) || ' thanks' AS text
+            FROM customer)
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS INTEGER) AS n_phone,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                   '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        FROM synth
+    """,
+    doc="PII scrub (north star: the pre-training redaction pass): emails, IPv4s, "
+    "and phone-ish digit runs masked with typed placeholders + per-type counts — "
+    "pure codegen'd regexp chain, one scan, no shuffle. PII-bearing text is "
+    "synthesized from customer (the test corpus is PII-free word soup), so both "
+    "engines construct AND scrub identical strings (operators/corpus.redact_pii)",
+)
+def q_pii_redaction(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import redact_pii
+
+    c = _t(spark, sf_dir, "customer")
+    synth = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("reach "),
+            F.col("c_name"),
+            F.lit(" at user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@mail.example.com or +1 555-000-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("c_custkey") % 256).cast("string"),
+            F.lit("."),
+            (F.col("c_custkey") % 100).cast("string"),
+            F.lit(" thanks"),
+        ).alias("text"),
+    )
+    return redact_pii(synth, "text", "c_custkey")
+
+
+@query(
+    "line_dedup",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        l AS (
+            SELECT doc_id,
+                   unnest([{{'line_no': i,
+                            'line': array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ')}}
+                           for i in range(1, CAST(ceil(len(toks)/8.0) AS BIGINT) + 1)],
+                          recursive := true)
+            FROM t WHERE len(toks) > 0),
+        r AS (
+            SELECT doc_id, line_no, line,
+                   row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+            FROM l),
+        k AS (SELECT doc_id, line_no, line FROM r WHERE rn = 1),
+        agg AS (
+            SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS dedup_text,
+                   count(*) AS n_kept_lines
+            FROM k GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(ceil(len(toks)/8.0) AS INTEGER) AS n_lines FROM t)
+        SELECT agg.doc_id, dedup_text, tot.n_lines, n_kept_lines
+        FROM agg JOIN tot ON agg.doc_id = tot.doc_id
+    """,
+    doc="C4-style cross-corpus line dedup (north star): docs chunked into 8-token "
+    "lines, only the corpus-wide first occurrence of each distinct line survives, "
+    "docs reassembled in order. First-occurrence via partial-combine "
+    "min(struct(doc_id,line_no)) GROUP BY line — not a window over the line key, "
+    "which would funnel every copy of a billion-occurrence boilerplate line "
+    "through one task (operators/corpus.line_dedup; oracle uses the equivalent "
+    "row_number form, fine single-node)",
+)
+def q_line_dedup(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return line_dedup(d, "text", "doc_id", line_tokens=8)
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, v,
+                   greatest(list_reduce(list_prepend(0.0, v),
+                                        (acc, x) -> greatest(acc, abs(x))) / 127.0,
+                            1e-30) AS scale
+            FROM e),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qv
+            FROM s)
+        SELECT vec_id, scale,
+               qv[1] AS q0,
+               CAST(list_reduce(list_prepend(0, qv), (acc, x) -> acc + x) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min,
+               list_max(qv) AS q_max
+        FROM q
+    """,
+    doc="symmetric int8 embedding quantization (north star: 4x smaller vectors "
+    "for 100 TB ANN corpora): per-vector scale = max|x|/127, q = floor(x/scale "
+    "+ 0.5) — half-up via floor, which every engine computes identically, unlike "
+    "round()'s half-even/half-up split; checked on exact integer projections "
+    "(q0/sum/min/max) so no float drift can hide (functions/vectors.quantize_int8)",
+)
+def q_embedding_quantize(spark, sf_dir):
+    from hadoop_app_spark.functions.vectors import max_abs, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = F.greatest(max_abs("embedding") / F.lit(127.0), F.lit(1e-30))
+    scaled = emb.select("vec_id", "embedding", scale.alias("scale"))
+    with_q = scaled.select(
+        "vec_id", "scale", quantize_int8("embedding", F.col("scale")).alias("qv")
+    )
+    return with_q.select(
+        "vec_id",
+        "scale",
+        F.col("qv").getItem(0).alias("q0"),
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -2535,6 +2679,11 @@ _PRIORITY = [
     "frame_sample",
     "audio_chunks",
     "audio_features",
+    # oracle-exact additions past the budget: verified by tools/oracle_check
+    # locally (and by the driver if its budget ever exceeds 50)
+    "pii_redaction",
+    "line_dedup",
+    "embedding_quantize",
 ]
 
 

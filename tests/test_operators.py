@@ -646,3 +646,63 @@ def test_salted_join_spreads_hot_key(spark):
         assert max_partition_share(salted) < 0.5
     finally:
         spark.conf.set(coalesce_key, prev)
+
+
+def test_redact_pii_goldens(spark):
+    from hadoop_app_spark.operators.corpus import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.1.254 and call +44 (0)20-7946-0958 ok"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df, "text", "doc_id").collect()}
+    assert out[1].n_email == 1 and out[1].redacted == "mail <EMAIL> now"
+    assert out[2].n_ipv4 == 1 and out[2].n_phone == 1
+    assert out[2].redacted == "server <IP> and call <PHONE> ok"
+    assert out[3].redacted == "no pii here at all"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from hadoop_app_spark.operators.corpus import line_dedup
+
+    # 2-token lines: doc 1 = [a b][c d], doc 2 repeats [c d] then adds
+    # [e f]; doc 3 is entirely built of already-seen lines -> dropped
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(df, "text", "doc_id", line_tokens=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].dedup_text == "a b c d" and out[1].n_kept_lines == 2
+    assert out[2].dedup_text == "e f" and out[2].n_lines == 2 and out[2].n_kept_lines == 1
+
+
+def test_quantize_roundtrip_bounds(spark):
+    import math
+
+    from hadoop_app_spark.functions.vectors import dequantize, max_abs, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    scale = F.greatest(max_abs("embedding") / F.lit(127.0), F.lit(1e-30))
+    s = df.select("vec_id", "embedding", scale.alias("scale"))
+    out = s.select(
+        "vec_id", "embedding", "scale",
+        quantize_int8("embedding", F.col("scale")).alias("q"),
+        dequantize(quantize_int8("embedding", F.col("scale")), F.col("scale")).alias("deq"),
+    ).collect()
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r.q)
+        # reconstruction error bounded by scale/2 per element
+        for x, d in zip(r.embedding, r.deq):
+            assert math.isclose(x, d, abs_tol=r.scale / 2 + 1e-12), (x, d, r.scale)
+    byid = {r.vec_id: r for r in out}
+    assert byid[1].q[0] == 127  # the max element pins to full range
+    assert byid[2].q == [0, 0, 0, 0]  # zero vector stays zero via the scale floor
