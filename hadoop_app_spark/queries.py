@@ -2593,6 +2593,56 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+@query(
+    "upsert_snapshot",
+    oracle="""
+        WITH changes AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+                   c_mktsegment, 'U' AS op
+            FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 97 <> 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+            FROM customer WHERE c_custkey % 97 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, 'Customer#new' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, 0.0, 'MACHINERY', 'I'
+            FROM customer WHERE c_custkey % 500 = 0),
+        untouched AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)),
+        live AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM changes WHERE op <> 'D')
+        SELECT * FROM untouched UNION ALL SELECT * FROM live
+    """,
+    doc="batch upsert / CDC apply (the Spark-first answer to the reference's "
+    "HBase CRUD stub, CURDSample.java:6-13): a synthesized change batch "
+    "(updates, tombstone deletes, inserts) applied to the customer snapshot via "
+    "broadcast anti-join + union — the snapshot never shuffles "
+    "(operators/upsert.apply_changes)",
+)
+def q_upsert_snapshot(spark, sf_dir):
+    from hadoop_app_spark.operators.upsert import apply_changes
+
+    c = _t(spark, sf_dir, "customer")
+    updates = (
+        c.where((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 97 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = c.where(F.col("c_custkey") % 97 == 0).withColumn("op", F.lit("D"))
+    inserts = c.where(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = apply_changes(c, changes, ["c_custkey"], op_col="op")
+    return merged.select("c_custkey", "c_acctbal", "c_mktsegment")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -2684,6 +2734,7 @@ _PRIORITY = [
     "pii_redaction",
     "line_dedup",
     "embedding_quantize",
+    "upsert_snapshot",
 ]
 
 

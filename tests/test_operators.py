@@ -706,3 +706,25 @@ def test_quantize_roundtrip_bounds(spark):
     byid = {r.vec_id: r for r in out}
     assert byid[1].q[0] == 127  # the max element pins to full range
     assert byid[2].q == [0, 0, 0, 0]  # zero vector stays zero via the scale floor
+
+
+def test_apply_changes_upsert_semantics(spark):
+    from hadoop_app_spark.operators.upsert import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 25.0, "U"),   # update replaces the full row
+            (3, "c", 30.0, "D"),    # tombstone removes the key
+            (9, "new", 90.0, "I"),  # insert adds a key
+        ],
+        "k long, name string, v double, op string",
+    )
+    out = sorted(map(tuple, apply_changes(snap, changes, ["k"], op_col="op").collect()))
+    assert out == [(1, "a", 10.0), (2, "b2", 25.0), (9, "new", 90.0)]
+    # no-op batch returns the snapshot unchanged
+    empty = changes.where(F.col("k") < 0)
+    same = sorted(map(tuple, apply_changes(snap, empty, ["k"], op_col="op").collect()))
+    assert same == sorted(map(tuple, snap.collect()))
