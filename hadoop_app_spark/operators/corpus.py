@@ -182,13 +182,17 @@ def line_dedup(
     lines in document order -> [id, dedup_text, n_lines, n_kept_lines].
 
     Scale shape (100 TB): first-occurrence is found with
-    ``min(struct(doc_id, line_no)) GROUP BY line`` — a partial-combine
-    hash aggregate — NOT ``row_number() OVER (PARTITION BY line)``.
+    ``min(doc_id<<20 | line_no) GROUP BY line`` — a partial-combine
+    HASH aggregate — NOT ``row_number() OVER (PARTITION BY line)``.
     Boilerplate lines ("click here to subscribe") occur billions of
     times; a window would funnel every copy of the hottest line through
     one task, while map-side partial min() collapses them before the
-    shuffle. Docs whose every line was seen earlier drop from the
-    output (their dedup_text would be empty).
+    shuffle. The (doc_id, line_no) pair is bit-packed into one long
+    because min over a struct falls back to the slower SortAggregate;
+    the packing bounds docs at 2^20 lines (8M tokens at the default
+    width — far past any sane document). Docs whose every line was
+    seen earlier drop from the output (their dedup_text would be
+    empty).
     """
     toks = tokenize(text_col)
     n_lines = F.ceil(F.size(toks) / F.lit(float(line_tokens))).cast("int")
@@ -204,16 +208,12 @@ def line_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(lines).alias("line_no", "line")
     )
-    firsts = exploded.groupBy("line").agg(
-        F.min(F.struct(id_col, "line_no")).alias("first")
-    )
+    packed = F.col(id_col) * F.lit(1 << 20) + F.col("line_no")
+    firsts = exploded.groupBy("line").agg(F.min(packed).alias("first_packed"))
     kept = (
         exploded.join(firsts, "line")
-        .where(
-            (F.col(id_col) == F.col(f"first.{id_col}"))
-            & (F.col("line_no") == F.col("first.line_no"))
-        )
-        .drop("first")
+        .where(packed == F.col("first_packed"))
+        .drop("first_packed")
     )
     total = df.select(
         F.col(id_col), n_lines.alias("n_lines")
