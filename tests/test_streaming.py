@@ -149,3 +149,64 @@ def test_stateful_timeout_evicts():
     state.remove.assert_called_once()
     state.update.assert_not_called()
     state.setTimeoutDuration.assert_not_called()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode + watermark contract: a window emits once when the
+    watermark passes its end, and later-arriving rows for that window
+    are DROPPED, not re-aggregated. Files get strictly increasing
+    mtimes so the file source feeds them as ordered micro-batches
+    (maxFilesPerTrigger=1).
+
+    Spark subtlety pinned here: the late-row filter uses the watermark
+    in effect when the batch is PLANNED, which lags the advance by one
+    batch — a late row in the micro-batch immediately after the one
+    that advanced the watermark still reaches state before eviction.
+    The drop is guaranteed from the following batch on, so the late
+    row ships two batches after its window was passed."""
+    import json as _json
+    import os
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    batches = [
+        # batch 1: seeds [10:00,11:00) and advances event time to 12:30
+        [(1, "2024-01-01 10:15:00", 1.0), (2, "2024-01-01 12:30:00", 1.0)],
+        # batch 2: watermark 12:00 -> [10,11) evicts/emits with its
+        # one on-time row
+        [(3, "2024-01-01 13:30:00", 1.0)],
+        # batch 3: the 10:45 straggler is far behind the watermark ->
+        # dropped (its value 100 would be visible in the sums if it
+        # leaked in); 14:30 advances so [12,13) also closes
+        [(4, "2024-01-01 10:45:00", 100.0), (5, "2024-01-01 14:30:00", 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for e, t, v in rows:
+                f.write(_json.dumps({"event_id": e, "ts": t, "user_id": 1,
+                                     "event_type": "click", "value": v, "props": "{}"}) + "\n")
+        os.utime(p, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = read_event_stream(spark, str(d))
+    q = run_to_memory_sink(
+        tumbling_counts(stream, "1 hour", watermark="30 minutes"), "late_t", mode="append"
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    got = {
+        str(r.window_start): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM late_t").collect()
+    }
+    assert dropped == 1  # the straggler was dropped by the watermark, not merged
+    # exactly the closed windows, each with ONLY its on-time rows (the
+    # final empty availableNow batch advances the watermark to 14:00,
+    # which also closes [13,14))
+    assert got == {
+        "2024-01-01 10:00:00": (1, 1.0),
+        "2024-01-01 12:00:00": (1, 1.0),
+        "2024-01-01 13:00:00": (1, 1.0),
+    }
