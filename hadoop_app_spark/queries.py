@@ -977,7 +977,12 @@ def _language_id_oracle() -> str:
     "expressions, one pass over the corpus",
 )
 def q_text_metrics(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # CPU-bound expression chain over a (locally) single-file scan:
+    # repartition first so the per-row work spreads across cores — at
+    # cluster scale the scan already has many splits and this is a
+    # cheap round-robin of the narrow (id, text) projection
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -1024,6 +1029,10 @@ def q_text_metrics(spark, sf_dir):
 def q_exact_dedup_simhash(spark, sf_dir):
     from hadoop_app_spark.operators.dedup import exact_dedup
 
+    # NO pre-repartition here: both branches shuffle almost immediately
+    # (hash-agg on text, explode->bit-sum agg), so an up-front
+    # round-robin of the full text column would just double the bytes
+    # shuffled (measured 1.2s -> 1.8s warm at sf0.1)
     d = _t(spark, sf_dir, "documents")
     survivors = exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_chars")
     sims = simhash(d, "text", "doc_id", bits=16)
