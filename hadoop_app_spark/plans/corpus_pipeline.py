@@ -1,0 +1,131 @@
+"""End-to-end corpus curation pipeline — the north-star composition.
+
+Chains the engine's training-data operators the way a real pretraining
+build runs them, with ``observe``-based counters at every stage (the
+Spark-native form of the reference's MapReduce job counters,
+UserHotcar.java:35,97-98):
+
+    raw docs
+      -> PII scrub                  (redact_pii; counts kept as metrics)
+      -> quality gates              (language allowlist + quality floor
+                                     + token bounds + repetition gate)
+      -> exact dedup                (content hash, min-id survivor)
+      -> near-dup removal           (MinHash signatures -> LSH banding)
+      -> stratified sample          (content-hash keyed per-language)
+      -> per-source accounting      (source_stats)
+
+Everything stays one lazy plan per output: counters accumulate during
+whatever action consumes the result — no extra jobs, no second scan.
+
+Scale notes (100 TB): every stage is a narrow projection or a
+partial-combine aggregation; the only wide exchanges are the dedup
+hash-agg, the LSH band shuffle (bucket-capped, see operators/dedup),
+and the final per-source aggregation. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.functions.text import language_id, quality_score, token_count, tokenize
+from hadoop_app_spark.operators.corpus import redact_pii, source_stats, stratified_sample
+from hadoop_app_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures_vectorized,
+)
+from hadoop_app_spark.functions.metrics import observe_counts
+
+
+def curate(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    quality_floor: float = 0.5,
+    token_bounds: tuple[int, int] = (10, 5000),
+    max_dup_ratio: float = 0.5,
+    sample: bool = False,
+    observations: dict[str, Observation] | None = None,
+) -> DataFrame:
+    """Run the full curation pipeline; returns the curated corpus with
+    the original columns plus ``n_tokens`` (text already PII-scrubbed).
+
+    Pass ``observations={}`` to receive stage counters; read them after
+    an action, e.g. ``observations['scrubbed'].get['pii_rows']``.
+    """
+    obs = observations if observations is not None else {}
+    meta_cols = [c for c in docs.columns if c != "text"]
+
+    # 1. PII scrub — redacted text replaces the original; rows with any
+    # hit are counted, not dropped (the scrub IS the remediation)
+    red = redact_pii(docs, "text", "doc_id", out_col="text")
+    scrubbed = red.join(docs.select(*meta_cols), "doc_id").select(
+        *meta_cols, "text", "n_email", "n_ipv4", "n_phone"
+    )
+    scrubbed, obs["scrubbed"] = observe_counts(
+        scrubbed,
+        pii_rows=(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0,
+    )
+    scrubbed = scrubbed.drop("n_email", "n_ipv4", "n_phone")
+
+    # 2. quality gates — one scan, all JVM expressions
+    toks = tokenize("text")
+    gated = (
+        scrubbed.withColumn("n_tokens", token_count("text"))
+        .withColumn("_nu", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "_dup_ratio",
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.col("n_tokens") - F.col("_nu")).cast("double") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .where(
+            language_id("text").isin(*langs)
+            & (quality_score("text") >= quality_floor)
+            & F.col("n_tokens").between(*token_bounds)
+            & (F.col("_dup_ratio") <= max_dup_ratio)
+        )
+        .drop("_nu", "_dup_ratio")
+    )
+    gated, obs["gated"] = observe_counts(gated)
+
+    # 3. exact dedup — content hash-agg, min-id survivor
+    deduped = exact_dedup(gated, ["text"], "doc_id")
+    deduped, obs["exact_deduped"] = observe_counts(deduped)
+
+    # 4. near-dup removal — MinHash signatures into capped LSH banding;
+    # the min-id side of each candidate pair survives
+    sigs = minhash_signatures_vectorized(deduped, "text", "doc_id")
+    losers = (
+        minhash_lsh_pairs(sigs, "doc_id")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    # no broadcast hint: the loser set is corpus-derived and can be
+    # near-corpus-sized in a boilerplate-heavy crawl — let AQE pick
+    near_deduped = deduped.join(losers, "doc_id", "left_anti")
+    near_deduped, obs["near_deduped"] = observe_counts(near_deduped)
+
+    # 5. optional deterministic per-language downsample
+    out = stratified_sample(near_deduped, "lang", "text") if sample else near_deduped
+    out, obs["final"] = observe_counts(out)
+    return out
+
+
+def run_corpus_pipeline(
+    spark, sf_dir: str, sample: bool = False
+) -> tuple[DataFrame, dict[str, int]]:
+    """Drive the pipeline over the documents table and materialize the
+    per-source accounting; returns (stats, stage_counts)."""
+    from hadoop_app_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    observations: dict[str, Observation] = {}
+    curated = curate(docs, sample=sample, observations=observations)
+    stats = source_stats(curated, "text")
+    rows = stats.collect()  # one action drives every counter
+    counts = {stage: o.get["rows"] for stage, o in observations.items()}
+    counts["pii_rows"] = observations["scrubbed"].get["pii_rows"]
+    out = spark.createDataFrame(rows, stats.schema)
+    return out, counts

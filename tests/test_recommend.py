@@ -146,3 +146,44 @@ def test_output_assembly(spark, fixture_paths, tmp_path):
     assert set(parsed) == {"u1_2", "u1_3", "u2_2", "u4_2"}
     items = [p.split("@")[0] for p in parsed["u1_2"].split(",")]
     assert items == ["c", "a", "b"]
+
+
+def test_corpus_pipeline_stages_and_counters(spark):
+    """End-to-end curation: PII scrub -> gates -> exact dedup ->
+    near-dup removal, with observe counters read after one action."""
+    from hadoop_app_spark.plans.corpus_pipeline import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog naps "
+        "in the warm sun. it is a calm day and the fox rests too."
+    )
+    near = good.replace("calm", "quiet")  # near-dup of good (shingle overlap)
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "srcA", len(good)),
+            (2, good, "en", "srcA", len(good)),              # exact dup of 1
+            (3, near, "en", "srcB", len(near)),              # near dup of 1
+            (4, "mail me at bob@x.example.com for the offer. it is a good deal "
+                "and the price of it is low. act now and see the terms today.",
+                "en", "srcB", 125),  # PII but otherwise distinct -> survives scrubbed
+            (5, "le chat est sur la table et le chien est la aussi near les fenetres "
+                "et la porte. le jour est long et le chat dort bien la nuit.", "fr", "srcA", 120),  # lang gate
+            (6, "tiny", "en", "srcB", 4),                    # token-count gate
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    observations = {}
+    out = curate(docs, observations=observations)
+    rows = {r.doc_id: r for r in out.collect()}
+
+    # survivors: 1 (exact-dup winner), 4 (scrubbed). 2 exact-dupped,
+    # 3 near-dupped away, 5 language-gated, 6 length-gated.
+    assert set(rows) == {1, 4}
+    assert "<EMAIL>" in rows[4].text and "bob@x.example.com" not in rows[4].text
+    c = {k: o.get["rows"] for k, o in observations.items()}
+    assert c["scrubbed"] == 6
+    assert observations["scrubbed"].get["pii_rows"] == 1
+    assert c["gated"] == 4          # 5 and 6 dropped by the gates
+    assert c["exact_deduped"] == 3  # 2 dropped
+    assert c["near_deduped"] == 2   # 3 dropped
+    assert c["final"] == 2
