@@ -129,3 +129,14 @@ def doc_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(_FP_MOD).cast("long"),
     )
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Drop HTML/XML tags and entities, collapse runs of whitespace —
+    the crawl-to-text preprocessing step ahead of tokenization. Pure
+    regexp chain (codegen'd); entity names decode to a space rather
+    than their glyph (a corpus-stats-preserving simplification; a full
+    entity table is a lookup join, not a regex)."""
+    s = F.regexp_replace(_c(col), "<[^>]*>", " ")
+    s = F.regexp_replace(s, "&[A-Za-z]{2,8};|&#[0-9]{1,6};", " ")
+    return F.trim(F.regexp_replace(s, WS_REGEX, " "))

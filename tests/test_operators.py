@@ -728,3 +728,45 @@ def test_apply_changes_upsert_semantics(spark):
     empty = changes.where(F.col("k") < 0)
     same = sorted(map(tuple, apply_changes(snap, empty, ["k"], op_col="op").collect()))
     assert same == sorted(map(tuple, snap.collect()))
+
+
+def test_strip_markup(spark):
+    from hadoop_app_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><p>hello <b>world</b></p>&nbsp;&amp; more&#65;end</html>"),
+            (2, "plain text stays"),
+        ],
+        "i long, t string",
+    )
+    got = {r.i: r.s for r in df.select("i", strip_markup("t").alias("s")).collect()}
+    assert got[1] == "hello world more end"
+    assert got[2] == "plain text stays"
+
+
+def test_quantized_ann_recall(spark):
+    """int8-quantized brute-force top-k keeps >=80% of the float top-5
+    per query on the fixture embeddings — the storage/bandwidth trade
+    the quantizer exists for."""
+    from hadoop_app_spark.functions.vectors import dequantize, max_abs, quantize_int8
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    scale = F.greatest(max_abs("embedding") / F.lit(127.0), F.lit(1e-30))
+    s = emb.select("vec_id", "embedding", scale.alias("scale"))
+    deq = s.select(
+        "vec_id", dequantize(quantize_int8("embedding", F.col("scale")), F.col("scale")).alias("embedding")
+    )
+    top_f = brute_force_topk(emb, queries, k=5).select("query_id", "vec_id").collect()
+    top_q = brute_force_topk(deq, queries, k=5).select("query_id", "vec_id").collect()
+    from collections import defaultdict
+    f, q = defaultdict(set), defaultdict(set)
+    for r in top_f: f[r.query_id].add(r.vec_id)
+    for r in top_q: q[r.query_id].add(r.vec_id)
+    assert set(f) == set(q)
+    for qid in f:
+        assert len(f[qid] & q[qid]) >= 4, (qid, f[qid], q[qid])
