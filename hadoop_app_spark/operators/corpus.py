@@ -103,7 +103,7 @@ def stratified_sample(
     """Deterministic per-stratum sample: keep a row iff
     content_fingerprint % 1000 < rate[stratum] (per-mille rates).
 
-    Content-hash keyed like deterministic_sample, so membership is
+    Content-hash keyed like corpus_curation's audit-sample flag, so membership is
     stable under re-runs/re-partitioning — but with per-language rates
     (the "downsample English, keep the tail languages" rebalancing every
     multilingual corpus build does). Single scan, no shuffle.

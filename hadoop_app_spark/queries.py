@@ -2278,7 +2278,7 @@ _FP_SQL = (
     "(acc, c) -> (acc * 31 + c) % 1000000007)"
 )
 
-# quality_score's SQL twin (same fragment corpus_filter's oracle uses)
+# quality_score's SQL twin (same fragment corpus_curation's oracle uses)
 _QUALITY_SQL = """
         0.3 * least(length(text) / 500.0, 1.0)
       + 0.3 * (CASE WHEN length(text) > 0
