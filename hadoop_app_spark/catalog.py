@@ -27,21 +27,40 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-        # default. nanosAsLong is a runtime-settable SQLConf, so set it
-        # here rather than at session build — callers (e.g. the driver
-        # harness) may hand us a vanilla SparkSession.
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df.schema  # force analysis so a nanos-rejecting build fails here
+    except Exception:
+        if name != "events":
+            raise
+        # pre-4.1 builds reject TIMESTAMP(NANOS) unless this legacy conf
+        # (runtime-settable) maps it to a nanosecond long
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong conf);
-        # truncate to micros — the engine's timestamp grain
+        # events.parquet stores parquet TIMESTAMP(NANOS). Spark 4.1 reads
+        # it natively as TIMESTAMP_NTZ truncated to micros; older builds
+        # need spark.sql.legacy.parquet.nanosAsLong and deliver a raw
+        # nanosecond long. Normalize both to TIMESTAMP_NTZ — the
+        # wall-clock-naive type whose formatting/windowing is independent
+        # of the caller session's timezone, matching the naive-timestamp
+        # oracle semantics under ANY SparkSession the harness hands us.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(ts_type, T.TimestampType):
+            # LTZ read (explicit-schema path): reinterpret as naive
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

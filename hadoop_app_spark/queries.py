@@ -1336,8 +1336,10 @@ def q_sessionize(spark, sf_dir):
         "user_id",
         "ts",
         "event_id",
+        # interval comparison instead of unix_millis: valid for both
+        # TIMESTAMP and TIMESTAMP_NTZ (the events ts is NTZ — catalog.py)
         F.when(F.lag("ts").over(w).isNull(), 1)
-        .when(F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 1800000, 1)
+        .when(F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), 1)
         .otherwise(0)
         .alias("new_session"),
     )
@@ -1777,17 +1779,21 @@ def q_audio_features(spark, sf_dir):
 def _event_stream(spark, sf_dir: str):
     """Streaming twin of catalog.load_table('events'): file stream
     sources read directories, so the single parquet is exposed through
-    a temp-dir symlink; TIMESTAMP(NANOS) arrives as long and is
-    truncated to micros exactly as the batch path does."""
+    a temp-dir symlink. Watermarks demand TIMESTAMP (with-local-tz), so
+    unlike the batch path's TIMESTAMP_NTZ the stream declares ts as
+    TIMESTAMP — Spark 4.1 reads parquet TIMESTAMP(NANOS) under an
+    explicit timestamp schema truncated to micros — and the session
+    timezone is pinned to UTC so window boundaries and formatted output
+    match the timezone-naive oracle under ANY caller session."""
     import os
     import tempfile
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     d = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
-    raw = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    return spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     ).parquet(d)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @query(
