@@ -2173,8 +2173,8 @@ def q_regex_case_functions(spark, sf_dir):
         SELECT l_orderkey, l_linenumber,
                sqrt(l_extendedprice) AS price_sqrt,
                abs(l_discount - 0.05) AS disc_dist,
-               floor(l_extendedprice) AS price_floor,
-               ceil(l_quantity) AS qty_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
                CAST(l_orderkey % 7 AS BIGINT) AS key_mod
         FROM lineitem
     """,
@@ -2359,8 +2359,8 @@ def q_stratified_sample(spark, sf_dir):
             FROM documents)
         SELECT source,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
-               sum(CAST(n_tokens AS BIGINT)) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
                CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
                CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
         FROM enriched GROUP BY source

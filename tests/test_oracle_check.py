@@ -1,0 +1,64 @@
+"""Unit tests for the oracle-check type-drift guard.
+
+Round-2 postmortem: `math_functions` and `source_stats` were value-exact
+(Python ``68423 == 68423.0``) yet hash-red in the driver, because the
+driver hashes *formatted* cells and DuckDB's floor()/ceil() return DOUBLE
+while Spark's return BIGINT (and DuckDB sum(int) returns HUGEINT).  The
+guard must flag any int/float/decimal/bool class drift per column so the
+next dialect divergence fails locally before a round lands.
+"""
+
+import datetime
+import decimal
+
+import pytest
+
+from tools.oracle_check import _kind, type_drift
+
+
+def test_uncast_floor_is_flagged():
+    # Spark floor() -> BIGINT (int), DuckDB floor() -> DOUBLE (float).
+    spark_rows = [(1, 68423), (2, 901)]
+    duck_rows = [(1, 68423.0), (2, 901.0)]
+    drift = type_drift(spark_rows, ["k", "price_floor"], duck_rows, ["k", "price_floor"])
+    assert drift == [("price_floor", ["int"], ["float"])]
+
+
+def test_matching_types_pass():
+    assert type_drift([(1, 1.5)], ["k", "v"], [(1, 1.5)], ["k", "v"]) == []
+
+
+def test_decimal_vs_float_is_flagged():
+    drift = type_drift([(1.5,)], ["v"], [(decimal.Decimal("1.5"),)], ["v"])
+    assert drift == [("v", ["float"], ["decimal"])]
+
+
+def test_nulls_are_ignored_but_values_still_compared():
+    # None cells carry no type signal; the remaining ints must agree.
+    assert type_drift([(None,), (3,)], ["v"], [(3,), (None,)], ["v"]) == []
+    assert type_drift([(None,), (3,)], ["v"], [(3.0,), (None,)], ["v"]) == [
+        ("v", ["int"], ["float"])
+    ]
+
+
+def test_column_order_independent():
+    # Same columns in different physical order must align by name.
+    assert type_drift([(1, "x")], ["n", "s"], [("x", 1)], ["s", "n"]) == []
+
+
+@pytest.mark.parametrize(
+    "value,kind",
+    [
+        (True, "bool"),
+        (3, "int"),
+        (3.0, "float"),
+        (decimal.Decimal("3"), "decimal"),
+        (datetime.date(2024, 1, 1), "date"),
+        (datetime.datetime(2024, 1, 1), "datetime"),
+        ([1, 2], "list"),
+        ("s", "str"),
+    ],
+)
+def test_kind_classes(value, kind):
+    # bool is an int subclass — must classify before int.
+    assert _kind(value) == kind

@@ -42,6 +42,51 @@ def rows_key(rows, cols, nd):
     return sorted((tuple(norm(r[i], nd) for i in order) for r in rows), key=repr)
 
 
+def _kind(v):
+    """Coarse type class a formatted-value hash is sensitive to.
+
+    The driver hashes str()-formatted cells, so int 68423 vs float
+    68423.0 hash differently even though == is True. Any int/float/
+    Decimal/bool drift between engines must be flagged, not forgiven.
+    """
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, datetime.datetime):
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return type(v).__name__
+
+
+def type_drift(srows, scols, drows, dcols):
+    """Per-column value-type classes that differ between engines.
+
+    Returns [(col, spark_kinds, duck_kinds), ...] — empty when the
+    formatted-value hash cannot diverge on type grounds.
+    """
+    out = []
+    for col in scols:
+        si, di = scols.index(col), dcols.index(col)
+        sk = {_kind(r[si]) for r in srows} - {None}
+        dk = {_kind(r[di]) for r in drows} - {None}
+        if sk != dk:
+            out.append((col, sorted(sk), sorted(dk)))
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -80,6 +125,11 @@ def main():
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+            n_fail += 1
+            continue
+        drift = type_drift(srows, scols, drows, dcols)
+        if drift:
+            print(f"FAIL {name}: type drift (driver hash WILL differ): {drift}")
             n_fail += 1
             continue
         if rows_key(srows, scols, None) == rows_key(drows, dcols, None):
