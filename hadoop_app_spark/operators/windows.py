@@ -1,0 +1,141 @@
+"""Scale-safe global window operators.
+
+A bare ``ntile(k) OVER (ORDER BY ...)`` (or any unpartitioned window)
+makes Spark emit ``WindowExec: No Partition Defined`` and funnel the
+ENTIRE input through one task — correct at sf0.1, fatal at 100 TB.
+Exact ``percentile()`` is no rescue: Spark's implementation is an
+imperative aggregate that buffers every distinct value in one reducer,
+and it cannot honor a multi-column tiebreak anyway.
+
+``global_ntile`` reproduces ntile's exact semantics with bounded
+driver state and no global single-partition stage:
+
+1. range-repartition the order columns (the same machinery a scale-safe
+   ``ORDER BY`` uses) and persist, so both passes see one partitioning;
+2. per-partition counts -> driver (P rows, P = shuffle parallelism);
+3. the k-1 bucket cut positions each live in a known partition at a
+   known local offset; extract those boundary tuples with a window
+   PARTITIONED by partition id (never global);
+4. assign buckets on the ORIGINAL DataFrame as a shuffle-free CASE
+   chain against the broadcast boundary literals.
+
+The returned plan's hot path is scan -> project: zero exchanges, no
+WindowExec. The boundary job costs one range shuffle of the order
+columns only — the 2-pass price any exact distributed order statistic
+pays.
+
+ntile semantics replicated exactly (SQL standard): with n rows and k
+buckets, q = n div k, r = n mod k; buckets 1..r hold q+1 rows, the
+rest q. A row's bucket is 1 + (#cut tuples strictly below it), with
+cut_b at global position b*q + min(b, r) under the total order. The
+caller must supply order columns forming a STRICT total order (include
+a unique key) — that is also what makes plain ntile deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gn_pid"
+_RN = "__gn_rn"
+
+
+def ntile_cut_positions(n: int, k: int) -> list[int]:
+    """Global 1-based position of the LAST row of each of buckets 1..k-1."""
+    q, r = divmod(n, k)
+    return [b * q + min(b, r) for b in range(1, k)]
+
+
+def _tuple_gt(order_cols: Sequence[str], boundary: tuple) -> Column:
+    """Lexicographic ``row > boundary`` over the order columns."""
+    cond = F.lit(False)
+    for col, val in reversed(list(zip(order_cols, boundary))):
+        cond = (F.col(col) > F.lit(val)) | ((F.col(col) == F.lit(val)) & cond)
+    return cond
+
+
+def global_ntile_boundaries(
+    df: DataFrame, k: int, order_cols: Sequence[str], num_partitions: int | None = None
+) -> list[tuple]:
+    """The k-1 boundary tuples (values of *order_cols* at the cut rows).
+
+    Bounded driver state: P partition counts + (k-1) boundary rows.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    # Persist: repartitionByRange samples range bounds per action; without
+    # pinning, the counts pass and the boundary pass could see different
+    # partitionings and the extracted offsets would be wrong.
+    r = (
+        df.select(*order_cols)
+        .repartitionByRange(p, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    try:
+        cnts = {row[_PID]: row["cnt"] for row in r.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
+        n = sum(cnts.values())
+        if n == 0:
+            return []
+        offsets, acc = {}, 0
+        for pid in sorted(cnts):
+            offsets[pid] = acc
+            acc += cnts[pid]
+        # cut position -> (owning partition, local 1-based offset)
+        wanted: dict[int, dict[int, list[int]]] = {}
+        cut_local: list[tuple[int, int]] = []
+        for cut in ntile_cut_positions(n, k):
+            cut = max(cut, 1)  # n < k: early buckets may be empty
+            for pid in sorted(cnts):
+                if offsets[pid] < cut <= offsets[pid] + cnts[pid]:
+                    loc = cut - offsets[pid]
+                    wanted.setdefault(pid, {}).setdefault(loc, []).append(cut)
+                    cut_local.append((pid, loc))
+                    break
+        w = Window.partitionBy(_PID).orderBy(*order_cols)
+        pairs = reduce(
+            lambda a, b: a | b,
+            (
+                (F.col(_PID) == pid) & F.col(_RN).isin(list(locs))
+                for pid, locs in wanted.items()
+            ),
+        )
+        rows = (
+            r.where(F.col(_PID).isin(list(wanted)))
+            .withColumn(_RN, F.row_number().over(w))
+            .where(pairs)
+            .collect()
+        )
+        by_key = {(row[_PID], row[_RN]): tuple(row[c] for c in order_cols) for row in rows}
+        return [by_key[key] for key in cut_local]
+    finally:
+        r.unpersist()
+
+
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: Sequence[str],
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_cols)`` without a global window.
+
+    *order_cols* must form a strict total order (include a unique key).
+    The returned DataFrame's plan adds only a projection to *df* — the
+    boundary side-job runs eagerly at build time (bounded collects, as
+    with IVF centroids).
+    """
+    bounds = global_ntile_boundaries(df, k, order_cols, num_partitions)
+    if not bounds:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    bucket = reduce(
+        lambda acc, b: acc + _tuple_gt(order_cols, b).cast("int"),
+        bounds,
+        F.lit(1),
+    )
+    return df.withColumn(out_col, bucket.cast("int"))

@@ -666,15 +666,21 @@ def q_asof_join(spark, sf_dir):
     doc="SURVEY §2.8 analytic-window family in one pass: rank/dense_rank, lag/lead "
     "with deterministic order, running total + 3-row sliding avg with explicit ROWS "
     "frames (decimal-exact accumulation), and global ntile quartiles with "
-    "deterministic tiebreak. The three o_custkey windows share one shuffle; only "
-    "ntile is global (single-partition by construction, as any global ntile is).",
+    "deterministic tiebreak. The three o_custkey windows share one shuffle; the "
+    "quartiles come from operators.windows.global_ntile (broadcast boundary CASE "
+    "chain), NOT an unpartitioned WindowExec — no single-partition stage anywhere.",
 )
 def q_window_analytics(spark, sf_dir):
+    from hadoop_app_spark.operators.windows import global_ntile
+
     wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w_run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_slide = wo.rowsBetween(-2, Window.currentRow)
     dec_price = F.col("o_totalprice").cast("decimal(18,6)")
-    return _t(spark, sf_dir, "orders").select(
+    orders = global_ntile(
+        _t(spark, sf_dir, "orders"), 4, ["o_totalprice", "o_orderkey"], "price_quartile"
+    )
+    return orders.select(
         "o_custkey",
         "o_orderkey",
         F.rank()
@@ -689,7 +695,7 @@ def q_window_analytics(spark, sf_dir):
         F.lead("o_totalprice").over(wo).alias("next_price"),
         F.sum(dec_price).over(w_run).cast("double").alias("running_spend"),
         (F.sum(dec_price).over(w_slide).cast("double") / F.count("*").over(w_slide)).alias("sliding_avg"),
-        F.ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).cast("int").alias("price_quartile"),
+        "price_quartile",
     )
 
 
