@@ -23,6 +23,7 @@ the driver records a weaker rows-only check for those.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1319,7 +1320,7 @@ def q_sliding_window(spark, sf_dir):
         WITH marked AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                        WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+                        WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
                         ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1787,19 +1788,46 @@ def _event_stream(spark, sf_dir: str):
     sources read directories, so the single parquet is exposed through
     a temp-dir symlink. Watermarks demand TIMESTAMP (with-local-tz), so
     unlike the batch path's TIMESTAMP_NTZ the stream declares ts as
-    TIMESTAMP — Spark 4.1 reads parquet TIMESTAMP(NANOS) under an
-    explicit timestamp schema truncated to micros — and the session
-    timezone is pinned to UTC so window boundaries and formatted output
-    match the timezone-naive oracle under ANY caller session."""
+    TIMESTAMP (the file stores TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    an explicit timestamp schema reads the stored micros as instant
+    micros). Callers run the stream inside ``_utc_session`` so nothing
+    tz-sensitive executes under a non-UTC caller session."""
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     d = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
     return spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     ).parquet(d)
+
+
+@_contextlib.contextmanager
+def _utc_session(spark):
+    """Pin spark.sql.session.timeZone to UTC for a streaming execution,
+    restoring the caller's setting afterwards. The r2 version pinned
+    permanently, silently changing any tz-sensitive query run later on
+    the same shared session (ADVICE r2)."""
+    prev = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def _fmt_utc(col: str, fmt: str):
+    """Session-tz-independent date_format for memory-sink instants.
+
+    The sink's TIMESTAMP columns hold instants whose UTC wall clock is
+    the oracle's naive value. The returned DataFrame is collected by the
+    driver AFTER ``_utc_session`` restored the caller's timezone, so a
+    bare date_format would shift under a non-UTC caller; converting to
+    TIMESTAMP_NTZ at UTC first makes the lazy formatting invariant."""
+    return F.date_format(F.expr(f"convert_timezone('UTC', {col})"), fmt)
 
 
 @query(
@@ -1819,18 +1847,19 @@ def q_stream_tumbling_exec(spark, sf_dir):
     from hadoop_app_spark.streaming.events import tumbling_counts
 
     name = "stream_tumbling_" + uuid.uuid4().hex[:8]
-    stream = _event_stream(spark, sf_dir)
-    q = (
-        tumbling_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir)
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        _fmt_utc("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
         "event_type",
         "n",
         "sum_value",
@@ -1852,16 +1881,17 @@ def q_stream_dedup_exec(spark, sf_dir):
     from hadoop_app_spark.streaming.events import dedup_stream
 
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    stream = _event_stream(spark, sf_dir)
-    q = (
-        dedup_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
@@ -1896,19 +1926,20 @@ def q_stream_session_exec(spark, sf_dir):
     from hadoop_app_spark.streaming.events import session_aggregates
 
     name = "stream_session_" + uuid.uuid4().hex[:8]
-    q = (
-        session_aggregates(_event_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _utc_session(spark):
+        q = (
+            session_aggregates(_event_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        _fmt_utc("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        _fmt_utc("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
         "session_value",
     )
@@ -1945,15 +1976,16 @@ def q_stream_stateful_exec(spark, sf_dir):
     name = "stream_stateful_" + uuid.uuid4().hex[:8]
     # evict_idle=False: pending processing-time timers would keep the
     # availableNow query alive forever (see user_profile_stream docstring)
-    q = (
-        user_profile_stream(_event_stream(spark, sf_dir), evict_idle=False)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _utc_session(spark):
+        q = (
+            user_profile_stream(_event_stream(spark, sf_dir), evict_idle=False)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update mode emits one row per user per micro-batch; both counters are
     # monotone in stream order, so max() selects the final profile per user
     return (
@@ -2404,17 +2436,18 @@ def q_stream_sliding_exec(spark, sf_dir):
     from hadoop_app_spark.streaming.events import sliding_counts
 
     name = "stream_sliding_" + uuid.uuid4().hex[:8]
-    q = (
-        sliding_counts(_event_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _utc_session(spark):
+        q = (
+            sliding_counts(_event_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        _fmt_utc("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
         "event_type",
         "n",
     )

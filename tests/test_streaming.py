@@ -210,3 +210,52 @@ def test_watermark_drops_late_data(spark, tmp_path):
         "2024-01-01 12:00:00": (1, 1.0),
         "2024-01-01 13:00:00": (1, 1.0),
     }
+
+
+def test_utc_session_restores_caller_timezone(spark):
+    """ADVICE r2: the stream helpers must not permanently mutate the
+    shared session's timezone."""
+    from hadoop_app_spark.queries import _utc_session
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        with _utc_session(spark):
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        # restores even when the body raises
+        with pytest.raises(RuntimeError):
+            with _utc_session(spark):
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_catalog_ltz_read_is_timezone_invariant(spark):
+    """catalog.load_table's LTZ branch (inferTimestampNTZ disabled) must
+    recover the stored naive wall clock under ANY session timezone — a
+    bare cast('timestamp_ntz') went through the session tz (ADVICE r2)."""
+    from hadoop_app_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ref = [r.ts for r in load_table(spark, sf, "events").orderBy("event_id").limit(5).collect()]
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, sf, "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        got = [r.ts for r in df.orderBy("event_id").limit(5).collect()]
+        assert got == ref
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_catalog_missing_file_not_masked(spark):
+    """The nanos-fallback retry must not mask unrelated read errors."""
+    from hadoop_app_spark.catalog import load_table
+
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        load_table(spark, "/tmp/definitely_missing_sf", "events")
