@@ -70,9 +70,11 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     # cold = first execution (plan + whole-stage-codegen compile + run);
-    # warm = second execution of a fresh identical plan (codegen cached) —
-    # the steady-state number that matters at scale, where compile time
-    # amortizes to zero over hours of execution.
+    # warm = MEDIAN of three further executions of fresh identical plans
+    # (codegen cached) — the steady-state number that matters at scale,
+    # where compile time amortizes to zero over hours of execution.
+    # Median-of-3 because single-sample warm numbers flapped round-over-
+    # round (r2's tumbling_window measured warm > cold on one GC hiccup).
     #
     # The timed action is a noop-format write, not count(): count() lets
     # Catalyst prune projection-only plans down to the bare scan, so the
@@ -80,15 +82,16 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def timed(name: str) -> float:
+        t0 = time.perf_counter()
+        run(REGISTRY[name].fn(spark, sf_dir))
+        return time.perf_counter() - t0
+
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        run(REGISTRY[name].fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        run(REGISTRY[name].fn(spark, sf_dir))
-        warm[name] = round(time.perf_counter() - t0, 3)
+        times[name] = round(timed(name), 3)
+        warm[name] = round(sorted(timed(name) for _ in range(3))[1], 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
