@@ -61,3 +61,49 @@ def test_micro_end_to_end(spark, tmp_path):
         for line in open(f).read().splitlines()
     )
     assert lines == ["1950\t-11", "1951\t-12", "1952\t-13", "1953\t-14"]
+
+
+def test_compressed_text_read_gz(spark, tmp_path):
+    """S13: compressed-text ingest decompresses transparently by
+    extension through the Hadoop codec factory (.gz exercises the same
+    path the reference's LZO classpath entry did)."""
+    import gzip
+
+    from hadoop_app_spark.sources.codecs import is_splittable, read_text
+    from hadoop_app_spark.sources.ncdc import NCDC_FIELDS, parse_fixed_width
+
+    line = "0" * 15 + "1950" + "x" * 68 + "+0011" + "0" * 10
+    p = tmp_path / "ncdc.txt.gz"
+    p.write_bytes(gzip.compress((line + "\n" + line + "\n").encode()))
+
+    df = read_text(spark, str(p))
+    assert df.count() == 2
+    parsed = parse_fixed_width(df, NCDC_FIELDS).collect()
+    assert [(r.year, r.temp) for r in parsed] == [("1950", 11), ("1950", 11)]
+
+    # plain text through the same entry point
+    q = tmp_path / "plain.txt"
+    q.write_text(line + "\n")
+    assert read_text(spark, str(q)).count() == 1
+
+    assert not is_splittable("part-0.gz")
+    assert is_splittable("part-0.bz2") and is_splittable("part-0.txt")
+
+
+def test_compressed_text_nonsplittable_warning(spark, tmp_path):
+    import gzip
+    import warnings as _warnings
+
+    from hadoop_app_spark.sources import codecs
+
+    p = tmp_path / "big.txt.gz"
+    p.write_bytes(gzip.compress(b"line\n" * 100))
+    old = codecs._NON_SPLITTABLE_WARN_BYTES
+    codecs._NON_SPLITTABLE_WARN_BYTES = 10  # force the threshold
+    try:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            codecs.read_text(spark, str(p)).count()
+        assert any("ONE task" in str(w.message) for w in caught)
+    finally:
+        codecs._NON_SPLITTABLE_WARN_BYTES = old

@@ -314,8 +314,78 @@ def test_audio_chunk_plan_and_features(spark):
     assert by_key[(1, 0)].n_samples == 320 and by_key[(1, 1)].n_samples == 30
     assert by_key[(1, 0)].rms > 0 and by_key[(2, 0)].rms == 0.0
 
-    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
-        extract_audio_features(df, "asset_id", "payload", fake=False)
+    # fake=False expects a real WAV container; raw PCM bytes are rejected
+    with pytest.raises(Exception, match="RIFF|wave|Error"):
+        extract_audio_features(df, "asset_id", "payload", fake=False).collect()
+
+
+def _wav_bytes(samples, framerate=16000, sampwidth=2, nchannels=1):
+    """Build an in-memory PCM WAV file from an int-sample numpy array."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nchannels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_real_wav_decode(spark):
+    """fake=False decodes actual PCM WAV via the stdlib wave kernel —
+    the r2 verdict's de-stub item."""
+    import numpy as np
+
+    from hadoop_app_spark.operators.multimodal import extract_audio_features
+
+    # 500 int16 mono samples: ramp 0..499 -> chunks of 320 + 180
+    mono = np.arange(500, dtype="<i2")
+    # stereo: L = ramp, R = -ramp -> mono mix = 0 everywhere -> rms 0
+    stereo = np.zeros(2 * 300, dtype="<i2")
+    stereo[0::2] = np.arange(300, dtype="<i2")
+    stereo[1::2] = -np.arange(300, dtype="<i2")
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(mono))),
+            (2, bytearray(_wav_bytes(stereo, nchannels=2))),
+        ],
+        "asset_id long, payload binary",
+    )
+    feats = extract_audio_features(df, "asset_id", "payload", fake=False).collect()
+    by_key = {(r.asset_id, r.chunk_index): r for r in feats}
+    assert by_key[(1, 0)].n_samples == 320 and by_key[(1, 1)].n_samples == 180
+    expected_rms0 = float(np.sqrt(np.mean(np.arange(320, dtype=np.float64) ** 2)))
+    assert by_key[(1, 0)].rms == pytest.approx(expected_rms0, rel=1e-12)
+    # stereo mixed to mono: L + R cancel exactly
+    assert by_key[(2, 0)].rms == 0.0
+
+    # 8-bit unsigned WAV: constant 138 -> centered value 10 -> rms 10
+    u8 = np.full(100, 138, dtype=np.uint8)
+    df8 = spark.createDataFrame(
+        [(3, bytearray(_wav_bytes(u8, sampwidth=1)))], "asset_id long, payload binary"
+    )
+    r8 = extract_audio_features(df8, "asset_id", "payload", fake=False).collect()[0]
+    assert r8.n_samples == 100 and r8.rms == pytest.approx(10.0)
+
+
+def test_audio_on_error_skip(spark):
+    """on_error='skip' drops undecodable payloads instead of failing the
+    job — corpus-scale robustness for truncated files."""
+    import numpy as np
+
+    from hadoop_app_spark.operators.multimodal import extract_audio_features
+
+    good = _wav_bytes(np.arange(10, dtype="<i2"))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a wav at all"))],
+        "asset_id long, payload binary",
+    )
+    feats = extract_audio_features(df, "asset_id", "payload", fake=False, on_error="skip").collect()
+    assert {r.asset_id for r in feats} == {1}
+    with pytest.raises(ValueError, match="on_error"):
+        extract_audio_features(df, "asset_id", "payload", on_error="bogus")
 
 
 def test_ivf_topk_recall_and_determinism(spark, emb_df):
