@@ -131,6 +131,18 @@ def doc_fingerprint(col: Column | str) -> Column:
     )
 
 
+def doc_fingerprint_fast(col: Column | str) -> Column:
+    """Production-path content fingerprint: ONE JVM xxhash64 call per
+    row vs the poly fold's per-character interpreted HOF (~len(text)
+    lambda evaluations). Same contract as ``doc_fingerprint`` — a
+    nonnegative long < 1e9+7 usable for `% rate` bucket selection —
+    but NOT oracle-reproducible (DuckDB has no xxhash64 with Spark's
+    seed); use it wherever no SQL oracle needs to recompute the value
+    (corpus pipeline sampling/accounting), and keep the poly fold where
+    one does (the gated stratified_sample / source_stats queries)."""
+    return F.pmod(F.xxhash64(_c(col)), F.lit(_FP_MOD).cast("long"))
+
+
 def strip_markup(col: Column | str) -> Column:
     """Drop HTML/XML tags and entities, collapse runs of whitespace —
     the crawl-to-text preprocessing step ahead of tokenization. Pure

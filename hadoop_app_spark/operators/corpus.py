@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from hadoop_app_spark.functions.text import (
     doc_fingerprint,
+    doc_fingerprint_fast,
     quality_score,
     token_count,
     tokenize,
@@ -99,6 +100,7 @@ def stratified_sample(
     text_col: str = "text",
     rates: dict[str, int] | None = None,
     default_rate: int = STRATA_DEFAULT,
+    fingerprint: str = "poly",
 ) -> DataFrame:
     """Deterministic per-stratum sample: keep a row iff
     content_fingerprint % 1000 < rate[stratum] (per-mille rates).
@@ -107,25 +109,34 @@ def stratified_sample(
     stable under re-runs/re-partitioning — but with per-language rates
     (the "downsample English, keep the tail languages" rebalancing every
     multilingual corpus build does). Single scan, no shuffle.
+
+    ``fingerprint='fast'`` keys membership on xxhash64 (one JVM hash
+    call/row) instead of the oracle-reproducible per-char poly fold —
+    the production choice; membership differs but is equally
+    deterministic and rate-accurate.
     """
     rates = STRATA_RATES if rates is None else rates
     rate = F.lit(default_rate)
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
-    return df.withColumn("_fp", doc_fingerprint(text_col)).where(
-        F.col("_fp") % 1000 < rate
-    ).drop("_fp")
+    fp = doc_fingerprint_fast if fingerprint == "fast" else doc_fingerprint
+    return df.withColumn("_fp", fp(text_col)).where(F.col("_fp") % 1000 < rate).drop("_fp")
 
 
-def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def source_stats(df: DataFrame, text_col: str = "text", fingerprint: str = "poly") -> DataFrame:
     """Per-source corpus accounting: docs, chars, tokens, exact-distinct
     content count, and quality mass — one hash aggregation keyed by
-    source (the curation dashboard / per-domain budget query)."""
+    source (the curation dashboard / per-domain budget query).
+
+    ``fingerprint='fast'`` counts distinct content by raw xxhash64
+    (fewer collisions than the 1e9+7 poly fold AND no per-char HOF) —
+    use unless a SQL oracle must recompute the fingerprints."""
+    fp = (lambda c: F.xxhash64(F.col(c))) if fingerprint == "fast" else doc_fingerprint
     enriched = df.select(
         "source",
         "n_chars",
         token_count(text_col).alias("n_tokens"),
-        doc_fingerprint(text_col).alias("fp"),
+        fp(text_col).alias("fp"),
         quality_score(text_col).alias("quality"),
     )
     return enriched.groupBy("source").agg(

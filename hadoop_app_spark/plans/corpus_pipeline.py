@@ -107,8 +107,14 @@ def curate(
     near_deduped = deduped.join(losers, "doc_id", "left_anti")
     near_deduped, obs["near_deduped"] = observe_counts(near_deduped)
 
-    # 5. optional deterministic per-language downsample
-    out = stratified_sample(near_deduped, "lang", "text") if sample else near_deduped
+    # 5. optional deterministic per-language downsample — fast (xxhash64)
+    # fingerprint: no oracle recomputes pipeline membership, and the poly
+    # fold costs a per-character interpreted HOF per doc
+    out = (
+        stratified_sample(near_deduped, "lang", "text", fingerprint="fast")
+        if sample
+        else near_deduped
+    )
     out, obs["final"] = observe_counts(out)
     return out
 
@@ -123,7 +129,7 @@ def run_corpus_pipeline(
     docs = load_table(spark, sf_dir, "documents")
     observations: dict[str, Observation] = {}
     curated = curate(docs, sample=sample, observations=observations)
-    stats = source_stats(curated, "text")
+    stats = source_stats(curated, "text", fingerprint="fast")
     rows = stats.collect()  # one action drives every counter
     counts = {stage: o.get["rows"] for stage, o in observations.items()}
     counts["pii_rows"] = observations["scrubbed"].get["pii_rows"]
