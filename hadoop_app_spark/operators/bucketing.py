@@ -1,0 +1,67 @@
+"""Bucketed (co-located) joins — the shuffle-elimination strategy for
+repeated large-x-large joins.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle of both
+sides. When the same join recurs (events x user-profiles every batch,
+lineitem x orders in every mart build), pre-bucketing both tables by
+the join key amortizes that shuffle to ZERO: `bucketBy(n, key)` hashes
+rows into n files per partition at WRITE time, and Spark's scan
+reports the matching HashPartitioning, so SortMergeJoin consumes both
+sides with no Exchange (and with `sortBy` no per-task Sort either).
+
+Rules the helpers below encode:
+- both sides must agree on bucket count and key for exchange-free
+  joins (`spark.sql.sources.bucketing.enabled` is on by default);
+- bucketed output requires `saveAsTable` (metastore tracks bucket
+  spec) — a plain `.parquet(path)` write silently drops bucketing;
+- bucket count is a layout decision: ~total_size / target_file_size,
+  rounded to keep per-bucket files near maxPartitionBytes.
+
+The reference has no analogue (every MapReduce join re-shuffles); this
+is SURVEY §4's "free from the engine, if you lay data out for it"
+surface, and the co-location twin of `salted_join`'s skew handling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist *df* bucketed (and by default sorted) by *keys*.
+
+    ``sort=True`` additionally orders rows within each bucket file so a
+    later SortMergeJoin needs no per-task Sort — do it at write time,
+    the scan is then merge-ready forever.
+    """
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-spec bucketed tables — exchange-free by layout."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def bucket_count_for(total_bytes: int, target_file_bytes: int = 256 * 1024 * 1024) -> int:
+    """Pick a bucket count: one ~target-sized file per bucket per
+    writing partition keeps scans vectorized and tasks balanced."""
+    return max(1, round(total_bytes / target_file_bytes))

@@ -840,3 +840,43 @@ def test_quantized_ann_recall(spark):
     assert set(f) == set(q)
     for qid in f:
         assert len(f[qid] & q[qid]) >= 4, (qid, f[qid], q[qid])
+
+
+# --- bucketed co-located joins ---------------------------------------------
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Both sides pre-bucketed by the join key at matching bucket counts
+    -> SortMergeJoin with NO Exchange (the repeated fact-fact join
+    pattern that amortizes the 100 TB shuffle to zero)."""
+    from hadoop_app_spark.operators.bucketing import (
+        bucket_count_for,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS lv")
+    right = spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS rv")
+    write_bucketed(left, "bkt_left", ["k"], 4)
+    write_bucketed(right, "bkt_right", ["k"], 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real join strategy decision (no broadcast shortcut)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bkt_left", "bkt_right", "k")
+        assert joined.count() == 2000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        # control: the same join from unbucketed frames DOES exchange
+        control = left.join(right, "k")
+        control.count()
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in cplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+    assert bucket_count_for(10 * 256 * 1024 * 1024) == 10
+    assert bucket_count_for(1) == 1
