@@ -67,6 +67,57 @@ def tfidf_top_terms(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ngram_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style intra-document n-gram repetition profile, long form:
+    [id, n, n_ngrams, n_distinct, dup_frac, top_frac] — one row per doc
+    per n with at least one n-gram.
+
+    dup_frac  = (n_ngrams - n_distinct) / n_ngrams  (repeated mass)
+    top_frac  = count(most frequent n-gram) / n_ngrams (loop detector)
+
+    The Gopher paper gates docs where either fraction is high (templated
+    or looping text). Scale shape: ONE scan builds every n's grams into
+    a single exploded stream, then two keyed hash aggregations (partial
+    combine on (id, n, gram), final on (id, n)) — no window over the
+    gram key, no per-doc quadratic HOF.
+    """
+    from hadoop_app_spark.functions.text import ngrams
+
+    def tagged(n: int):
+        # NB: a factory, not a default-arg lambda — F.transform treats a
+        # two-parameter lambda as (element, index) and would silently
+        # pass the array index into n
+        return F.transform(
+            ngrams(text_col, n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+
+    per_n = [tagged(n) for n in ns]
+    exploded = df.select(
+        F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("t")
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
+    stats = counts.groupBy(id_col, "n").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return stats.select(
+        id_col,
+        "n",
+        "n_ngrams",
+        "n_distinct",
+        ((F.col("n_ngrams") - F.col("n_distinct")).cast("double") / F.col("n_ngrams")).alias(
+            "dup_frac"
+        ),
+        (F.col("top_count").cast("double") / F.col("n_ngrams")).alias("top_frac"),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Intra-document repetition: [id, n_tokens, n_unique, dup_ratio].
 

@@ -2697,6 +2697,40 @@ def q_upsert_snapshot(spark, sf_dir):
     return merged.select("c_custkey", "c_acctbal", "c_mktsegment")
 
 
+@query(
+    "repetition_ngrams",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ns AS (SELECT unnest([2, 3, 4]) AS n),
+        g AS (
+            SELECT doc_id, n,
+                   unnest([array_to_string(toks[i:i+n-1], ' ')
+                           for i in range(1, greatest(len(toks) - (n-1), 0) + 1)]) AS gram
+            FROM t CROSS JOIN ns),
+        c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+        s AS (SELECT doc_id, n,
+                     CAST(sum(c) AS BIGINT) AS n_ngrams,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(max(c) AS BIGINT) AS top_count
+              FROM c GROUP BY doc_id, n)
+        SELECT doc_id, n, n_ngrams, n_distinct,
+               CAST(n_ngrams - n_distinct AS DOUBLE) / n_ngrams AS dup_frac,
+               CAST(top_count AS DOUBLE) / n_ngrams AS top_frac
+        FROM s
+    """,
+    doc="Gopher-style intra-doc n-gram repetition profile (north star: the "
+    "templated/looping-text gate): per (doc, n in 2..4) duplicate-ngram and "
+    "top-ngram fractions via one exploded stream and two keyed partial-combine "
+    "hash aggregations — no window over the gram key "
+    "(operators/corpus.ngram_repetition_stats)",
+)
+def q_repetition_ngrams(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import ngram_repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_repetition_stats(d, "text", "doc_id")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -2787,6 +2821,7 @@ _PRIORITY = [
     "tumbling_window",
     "sessionize",
     "stratified_sample",
+    "repetition_ngrams",
     "sliding_window",
     "event_dedup",
     "cosine_topk_vectorized",

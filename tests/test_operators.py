@@ -604,6 +604,31 @@ def test_repetition_stats(spark):
     assert (out[3].n_tokens, out[3].dup_ratio) == (0, 0.0)  # empty doc guarded
 
 
+def test_ngram_repetition_stats(spark):
+    from hadoop_app_spark.operators.corpus import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "go go go go go"),  # pure loop: every 2-gram is "go go"
+            (2, "one two three four five"),  # all n-grams unique
+            (3, "x"),  # too short for any n in (2,3,4)
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.n): r for r in ngram_repetition_stats(df, "text", "doc_id").collect()}
+    # doc 1, n=2: 4 grams, 1 distinct -> dup 3/4, top 4/4
+    r = out[(1, 2)]
+    assert (r.n_ngrams, r.n_distinct) == (4, 1)
+    assert r.dup_frac == 3.0 / 4.0 and r.top_frac == 1.0
+    # doc 1, n=4: 2 grams, 1 distinct
+    assert (out[(1, 4)].n_ngrams, out[(1, 4)].n_distinct) == (2, 1)
+    # doc 2: no repetition at any n
+    assert all(out[(2, n)].dup_frac == 0.0 for n in (2, 3, 4))
+    assert out[(2, 2)].top_frac == 1.0 / 4.0
+    # doc 3 emits no rows (no n-grams at any n)
+    assert not any(k[0] == 3 for k in out)
+
+
 def test_stratified_sample_deterministic(spark):
     from hadoop_app_spark.operators.corpus import stratified_sample
 
