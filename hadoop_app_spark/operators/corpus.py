@@ -118,6 +118,80 @@ def ngram_repetition_stats(
     )
 
 
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination scan: per doc, how many of its word
+    *n*-grams appear in the benchmark suite -> [id, n_ngrams,
+    n_contaminated, contamination] (contamination = hit fraction; docs
+    with zero n-grams report 0.0).
+
+    The standard pre-training hygiene pass (GPT-3 used 13-gram overlap;
+    n=8 is the stricter modern default): any eval example whose shingles
+    leak into the corpus inflates benchmark scores, so flagged docs are
+    dropped or audited. Scale shape: the benchmark side reduces to
+    DISTINCT n-grams and — being eval-suite-sized, i.e. tiny vs the
+    corpus — broadcasts into a map-side semi-join against the exploded
+    corpus shingles; the per-doc hit count is a keyed partial-combine
+    aggregation. The corpus is scanned once and never shuffles on the
+    gram key (set ``broadcast_benchmark=False`` only if the benchmark
+    is itself corpus-sized, which turns the overlap into a shuffle
+    equi-join).
+    """
+    from hadoop_app_spark.functions.text import ngrams
+
+    bench_grams = benchmark.select(F.explode(ngrams(text_col, n)).alias("gram")).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(F.col(id_col), F.explode(ngrams(text_col, n)).alias("gram"))
+    hits = (
+        doc_grams.join(bench_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(ngrams(text_col, n)).cast("long").alias("n_ngrams")
+    )
+    out = totals.join(hits, id_col, "left").withColumn(
+        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_contaminated",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_ngrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_contamination: float = 0.0,
+) -> DataFrame:
+    """Drop docs whose benchmark n-gram hit fraction exceeds
+    ``max_contamination`` (default 0.0: any overlap disqualifies).
+    Returns the clean corpus with original columns."""
+    dirty = (
+        contamination_stats(docs, benchmark, text_col, id_col, n)
+        .where(F.col("contamination") > max_contamination)
+        .select(id_col)
+    )
+    return docs.join(dirty, id_col, "left_anti")
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Intra-document repetition: [id, n_tokens, n_unique, dup_ratio].
 

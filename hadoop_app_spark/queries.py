@@ -2731,6 +2731,45 @@ def q_repetition_ngrams(spark, sf_dir):
     return ngram_repetition_stats(d, "text", "doc_id")
 
 
+@query(
+    "decontamination",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+7], ' ')
+                           for i in range(1, greatest(len(toks) - 7, 0) + 1)]) AS gram
+            FROM t),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        hits AS (
+            SELECT doc_id, count(*) AS n_contaminated
+            FROM g WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id),
+        tot AS (SELECT doc_id,
+                       CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_ngrams
+                FROM t)
+        SELECT tot.doc_id, n_ngrams,
+               CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               CASE WHEN n_ngrams > 0
+                    THEN CAST(COALESCE(hits.n_contaminated, 0) AS DOUBLE) / n_ngrams
+                    ELSE 0.0 END AS contamination
+        FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+    """,
+    doc="benchmark decontamination scan (north star: pre-training hygiene — "
+    "GPT-3-style n-gram overlap vs the eval suite, n=8 here): every doc's hit "
+    "fraction against the benchmark shingle set (docs with doc_id%50=0 stand in "
+    "as the eval suite, so overlap is guaranteed non-trivial). The benchmark "
+    "side reduces to distinct grams and BROADCASTS into a map-side semi-join "
+    "against the exploded corpus — the corpus never shuffles on the gram key "
+    "(operators/corpus.contamination_stats / decontaminate)",
+)
+def q_decontamination(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import contamination_stats
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return contamination_stats(d, bench, "text", "doc_id", n=8)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -2822,6 +2861,7 @@ _PRIORITY = [
     "sessionize",
     "stratified_sample",
     "repetition_ngrams",
+    "decontamination",
     "sliding_window",
     "event_dedup",
     "cosine_topk_vectorized",

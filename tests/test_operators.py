@@ -629,6 +629,40 @@ def test_ngram_repetition_stats(spark):
     assert not any(k[0] == 3 for k in out)
 
 
+def test_decontamination(spark):
+    from hadoop_app_spark.operators.corpus import contamination_stats, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains the bench 4-gram
+            (2, "alpha beta gamma delta something else entirely here"),  # same leading 4-gram
+            (3, "totally unrelated text about spark engines and shuffles"),
+            (4, "tiny"),  # no 4-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    stats = {r.doc_id: r for r in contamination_stats(docs, bench, n=4).collect()}
+    assert stats[1].n_contaminated == 1 and stats[1].n_ngrams == 3
+    assert stats[1].contamination == 1.0 / 3.0
+    assert stats[2].n_contaminated == 1
+    assert stats[3].n_contaminated == 0 and stats[3].contamination == 0.0
+    assert stats[4].n_ngrams == 0 and stats[4].contamination == 0.0
+    # zero-tolerance drop keeps only clean docs (4 has no grams -> clean)
+    clean = sorted(r.doc_id for r in decontaminate(docs, bench, n=4).collect())
+    assert clean == [3, 4]
+    # the benchmark side must broadcast (map-side semi-join, no gram shuffle)
+    plan = (
+        contamination_stats(docs, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_stratified_sample_deterministic(spark):
     from hadoop_app_spark.operators.corpus import stratified_sample
 
