@@ -11,6 +11,7 @@ UserHotcar.java:35,97-98):
                                      + token bounds + repetition gate)
       -> exact dedup                (content hash, min-id survivor)
       -> near-dup removal           (MinHash signatures -> LSH banding)
+      -> decontamination            (benchmark n-gram overlap, optional)
       -> stratified sample          (content-hash keyed per-language)
       -> per-source accounting      (source_stats)
 
@@ -29,7 +30,12 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hadoop_app_spark.functions.text import language_id, quality_score, token_count, tokenize
-from hadoop_app_spark.operators.corpus import redact_pii, source_stats, stratified_sample
+from hadoop_app_spark.operators.corpus import (
+    decontaminate,
+    redact_pii,
+    source_stats,
+    stratified_sample,
+)
 from hadoop_app_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -45,6 +51,7 @@ def curate(
     token_bounds: tuple[int, int] = (10, 5000),
     max_dup_ratio: float = 0.5,
     sample: bool = False,
+    benchmark: DataFrame | None = None,
     observations: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the curated corpus with
@@ -107,7 +114,13 @@ def curate(
     near_deduped = deduped.join(losers, "doc_id", "left_anti")
     near_deduped, obs["near_deduped"] = observe_counts(near_deduped)
 
-    # 5. optional deterministic per-language downsample — fast (xxhash64)
+    # 5. optional benchmark decontamination — the eval-suite shingle set
+    # broadcasts; the corpus never shuffles on the gram key
+    if benchmark is not None:
+        near_deduped = decontaminate(near_deduped, benchmark, "text", "doc_id")
+        near_deduped, obs["decontaminated"] = observe_counts(near_deduped)
+
+    # 6. optional deterministic per-language downsample — fast (xxhash64)
     # fingerprint: no oracle recomputes pipeline membership, and the poly
     # fold costs a per-character interpreted HOF per doc
     out = (

@@ -56,8 +56,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # the events table carries TIMESTAMP(NANOS) parquet which Spark
-        # refuses by default; read as long and convert in the catalog
+        # defensive: files that genuinely store parquet TIMESTAMP(NANOS)
+        # are refused by pre-4.1 builds unless read as long (the catalog
+        # converts). The driver's events.parquet actually stores
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false), which reads natively
+        # as TIMESTAMP_NTZ — this conf is a no-op for the shipped data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -187,3 +187,11 @@ def test_corpus_pipeline_stages_and_counters(spark):
     assert c["exact_deduped"] == 3  # 2 dropped
     assert c["near_deduped"] == 2   # 3 dropped
     assert c["final"] == 2
+
+    # optional decontamination stage: a benchmark overlapping doc 1's
+    # shingles drops it; doc 4 stays
+    bench = spark.createDataFrame([(99, good)], "doc_id long, text string")
+    obs2: dict = {}
+    out2 = curate(docs, benchmark=bench, observations=obs2)
+    assert {r.doc_id for r in out2.collect()} == {4}
+    assert obs2["decontaminated"].get["rows"] == 1
