@@ -116,6 +116,95 @@ def global_ntile_boundaries(
         r.unpersist()
 
 
+def grouped_percentile_disc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    num_partitions: int | None = None,
+) -> dict[tuple, dict[float, object]]:
+    """Exact ``percentile_disc(p) WITHIN GROUP (ORDER BY value)`` per
+    group, without buffering any group's values in one task.
+
+    Spark's built-in percentile/percentile_disc is an imperative
+    aggregate that materializes EVERY value of a group in a single
+    reducer — fine for many small groups, fatal for few huge ones
+    (3 metrics over a 100 TB fact table = n/3 rows in one task's
+    memory). This runs the same bounded 2-pass order-statistic
+    extraction as ``global_ntile_boundaries``: range-repartition on
+    (group, value), per-(partition, group) counts to the driver
+    (P x G rows — use it for FEW groups; for high-cardinality groups
+    the built-in's per-group buffering is the right tool), then pull
+    each cut row with partition-local windows.
+
+    percentile_disc semantics: the value at 1-based sorted position
+    ceil(p * n_g) (the smallest value whose cumulative distribution
+    >= p). Returns {group_tuple: {p: value}}.
+    """
+    spark = df.sparkSession
+    p_n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [*group_cols, value_col]
+    r = (
+        df.select(*cols)
+        .repartitionByRange(p_n, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    try:
+        cnt_rows = r.groupBy(_PID, *group_cols).agg(F.count("*").alias("cnt")).collect()
+        per_group: dict[tuple, list[tuple[int, int]]] = {}
+        for row in cnt_rows:
+            g = tuple(row[c] for c in group_cols)
+            per_group.setdefault(g, []).append((row[_PID], row["cnt"]))
+        import math
+
+        wanted: dict[tuple[int, tuple], dict[int, list[tuple]]] = {}
+        want_keys: dict[tuple, tuple[int, int]] = {}  # (g, p) -> (pid, loc)
+        for g, pid_counts in per_group.items():
+            pid_counts.sort()
+            n_g = sum(c for _, c in pid_counts)
+            for p in probs:
+                k = min(max(math.ceil(p * n_g), 1), n_g)
+                acc = 0
+                for pid, c in pid_counts:
+                    if acc < k <= acc + c:
+                        loc = k - acc
+                        wanted.setdefault((pid, g), {}).setdefault(loc, []).append(p)
+                        want_keys[(g, p)] = (pid, loc)
+                        break
+                    acc += c
+        w = Window.partitionBy(_PID, *group_cols).orderBy(value_col)
+        pid_set = {pid for pid, _ in wanted}
+        cond = reduce(
+            lambda a, b: a | b,
+            (
+                reduce(
+                    lambda x, y: x & y,
+                    [F.col(_PID) == pid]
+                    + [F.col(c) == F.lit(v) for c, v in zip(group_cols, g)],
+                )
+                & F.col(_RN).isin(list(locs))
+                for (pid, g), locs in wanted.items()
+            ),
+        )
+        rows = (
+            r.where(F.col(_PID).isin(list(pid_set)))
+            .withColumn(_RN, F.row_number().over(w))
+            .where(cond)
+            .collect()
+        )
+        by_pos = {
+            (row[_PID], tuple(row[c] for c in group_cols), row[_RN]): row[value_col]
+            for row in rows
+        }
+        out: dict[tuple, dict[float, object]] = {}
+        for (g, p), (pid, loc) in want_keys.items():
+            out.setdefault(g, {})[p] = by_pos[(pid, g, loc)]
+        return out
+    finally:
+        r.unpersist()
+
+
 def global_ntile(
     df: DataFrame,
     k: int,

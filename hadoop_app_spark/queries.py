@@ -2161,17 +2161,32 @@ def q_source_codecs(spark, sf_dir):
     "one-pass numeric-profiling query a curation dashboard runs per column",
 )
 def q_metric_profile(spark, sf_dir):
+    from hadoop_app_spark.operators.windows import grouped_percentile_disc
+
     li = _t(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=[], values=["l_quantity", "l_extendedprice", "l_discount"],
         variableColumnName="metric", valueColumnName="v",
     )
-    return long.groupBy("metric").agg(
-        F.count("*").alias("n"),
-        _dsum("v").alias("total"),
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").alias("p25"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").alias("p75"),
+    # exact order-statistic percentiles WITHOUT the built-in
+    # percentile_disc, whose imperative aggregate buffers each group's
+    # n/3 values in one task — the bounded 2-pass side-job instead
+    # (operators/windows.grouped_percentile_disc)
+    pcts = grouped_percentile_disc(long, ["metric"], "v", [0.25, 0.5, 0.75])
+
+    def pct_col(p: float):
+        c = F.lit(None).cast("double")
+        for (metric,), by_p in pcts.items():
+            c = F.when(F.col("metric") == metric, F.lit(by_p[p])).otherwise(c)
+        return c
+
+    return long.groupBy("metric").agg(F.count("*").alias("n"), _dsum("v").alias("total")).select(
+        "metric",
+        "n",
+        "total",
+        pct_col(0.25).alias("p25"),
+        pct_col(0.5).alias("p50"),
+        pct_col(0.75).alias("p75"),
     )
 
 

