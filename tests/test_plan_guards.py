@@ -1,0 +1,82 @@
+"""Plan-level scale guards over the whole query inventory.
+
+Walks every registry query's physical plan (planning only — no
+execution) and rejects the scale-killer classes found in earlier
+rounds, so they cannot silently reappear:
+
+- a Window/WindowGroupLimit with an EMPTY partitionSpec funnels every
+  row through ONE task (r2's global ntile);
+- a CartesianProduct / BroadcastNestedLoopJoin where an equi-join was
+  intended explodes quadratically (r1's ngram_jaccard).
+
+Streaming-exec queries are excluded (their builders run the stream to
+completion; batch twins cover their plan shapes).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_app_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose builders EXECUTE (streams run to completion in fn())
+EXECUTING = {n for n in REGISTRY if n.startswith("stream_")}
+
+# deliberate cross joins: J3 per-key cartesian showcase; 1-row count
+# broadcasts in tfidf/corpus accounting are nested-loop by design;
+# brute-force cosine IS an intentional broadcast nested-loop (every
+# query x corpus pair scored, bounded query set broadcast, corpus
+# never shuffles — the exact-scoring baseline the ANN paths beat)
+CROSS_ALLOWED = {"cross_range_joins", "tfidf_top_terms", "corpus_curation"}
+NLJ_ALLOWED = CROSS_ALLOWED | {"source_codecs", "cosine_topk"}
+
+
+def _iter_nodes(jnode):
+    yield jnode
+    children = jnode.children()
+    for i in range(children.size()):
+        yield from _iter_nodes(children.apply(i))
+
+
+def _plan_nodes(df):
+    return list(_iter_nodes(df._jdf.queryExecution().sparkPlan()))
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, qd in REGISTRY.items():
+        if name in EXECUTING:
+            continue
+        out[name] = _plan_nodes(qd.fn(spark, SF))
+    return out
+
+
+def test_no_unpartitioned_window_anywhere(plans):
+    bad = []
+    for name, nodes in plans.items():
+        for n in nodes:
+            cls = n.getClass().getSimpleName()
+            if cls in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+                if n.partitionSpec().isEmpty():
+                    bad.append((name, cls))
+    assert not bad, f"single-partition window stages: {bad}"
+
+
+def test_no_unintended_cartesian(plans):
+    bad = []
+    for name, nodes in plans.items():
+        for n in nodes:
+            cls = n.getClass().getSimpleName()
+            if cls == "CartesianProductExec" and name not in CROSS_ALLOWED:
+                bad.append((name, cls))
+            if cls == "BroadcastNestedLoopJoinExec" and name not in NLJ_ALLOWED:
+                bad.append((name, cls))
+    assert not bad, f"unintended cartesian/nested-loop joins: {bad}"
+
+
+def test_every_query_plans(plans):
+    # every non-executing registry entry produced a physical plan
+    assert len(plans) == len(REGISTRY) - len(EXECUTING)
