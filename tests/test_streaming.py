@@ -259,3 +259,51 @@ def test_catalog_missing_file_not_masked(spark):
 
     with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
         load_table(spark, "/tmp/definitely_missing_sf", "events")
+
+
+def test_streaming_cdc_apply(spark, tmp_path):
+    """A change stream folds into a versioned snapshot via foreachBatch:
+    upserts replace, tombstones delete, last writer per key wins within
+    a batch, and the pointer only advances on committed versions."""
+    import json as _json
+
+    from hadoop_app_spark.streaming.cdc import apply_changes_stream, current_snapshot
+
+    root = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    seed.write.parquet(root + "/v0")
+
+    # change stream: one JSONL file -> one availableNow run
+    changes = [
+        {"k": 2, "name": "b2", "v": 21.0, "op": "U", "seq": 1},
+        {"k": 2, "name": "b3", "v": 22.0, "op": "U", "seq": 2},  # later seq wins
+        {"k": 3, "name": "c", "v": 0.0, "op": "D", "seq": 3},    # tombstone
+        {"k": 4, "name": "d", "v": 40.0, "op": "I", "seq": 4},   # insert
+    ]
+    cdir = tmp_path / "changes"
+    cdir.mkdir()
+    (cdir / "batch1.jsonl").write_text("\n".join(_json.dumps(c) for c in changes))
+    stream = spark.readStream.schema("k long, name string, v double, op string, seq long").json(
+        str(cdir)
+    )
+    q = apply_changes_stream(
+        stream, root, ["k"], op_col="op", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    snap = {r.k: (r.name, r.v) for r in current_snapshot(spark, root).collect()}
+    assert snap == {1: ("a", 10.0), 2: ("b3", 22.0), 4: ("d", 40.0)}
+
+    # second stream run with a new change file advances the version again
+    (cdir / "batch2.jsonl").write_text(_json.dumps({"k": 1, "name": "a1", "v": 11.0, "op": "U", "seq": 5}))
+    q2 = apply_changes_stream(
+        stream, root, ["k"], op_col="op", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    snap2 = {r.k: (r.name, r.v) for r in current_snapshot(spark, root).collect()}
+    assert snap2[1] == ("a1", 11.0) and snap2[2] == ("b3", 22.0)
+    assert (tmp_path / "snap" / "_CURRENT").read_text() == "2"
