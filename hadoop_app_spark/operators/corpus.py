@@ -302,6 +302,57 @@ def source_stats(df: DataFrame, text_col: str = "text", fingerprint: str = "poly
     )
 
 
+def extract_domain(url_col) -> F.Column:
+    """Registrable host from a URL: scheme/userinfo/port/path stripped,
+    leading ``www.`` dropped, lowercased. Pure regexp (codegen'd; the
+    pattern parses identically in Java regex and RE2 for oracles)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.regexp_extract(F.lower(c), r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def domain_filter(
+    docs: DataFrame,
+    url_col: str,
+    domains: DataFrame,
+    mode: str = "block",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Block- or allow-list filtering by registrable domain — the crawl
+    hygiene stage ahead of every quality gate. ``domains`` is a 1-column
+    frame (eval-suite/blocklist sized); it broadcasts into a map-side
+    anti-join (block) or semi-join (allow), so the corpus never
+    shuffles."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    how = "left_anti" if mode == "block" else "left_semi"
+    tagged = docs.withColumn("_dom", extract_domain(url_col))
+    listed = F.broadcast(domains.select(F.col(domain_col).alias("_dom")).distinct())
+    return tagged.join(listed, "_dom", how).drop("_dom")
+
+
+def domain_caps(
+    docs: DataFrame,
+    url_col: str,
+    id_col: str = "doc_id",
+    max_per_domain: int = 1000,
+    order_col=None,
+) -> DataFrame:
+    """Cap documents per domain (anti-SEO-farm measure): keep the first
+    ``max_per_domain`` docs per registrable domain under a deterministic
+    order (default: ascending id; pass e.g. a quality score desc to keep
+    the best). One keyed window partitioned by domain — WindowGroupLimit
+    prunes to the cap map-side before the exchange."""
+    order = [order_col] if order_col is not None else [F.col(id_col)]
+    w = Window.partitionBy("_dom").orderBy(*order)
+    return (
+        docs.withColumn("_dom", extract_domain(url_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_domain)
+        .drop("_dom", "_rn")
+    )
+
+
 # conservative PII surface: patterns parse identically in Java regex
 # (Spark) and RE2 (DuckDB oracle) — no lookarounds, no backreferences.
 # Order matters: emails redact first (their digit runs would otherwise

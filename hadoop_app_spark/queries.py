@@ -2785,6 +2785,74 @@ def q_decontamination(spark, sf_dir):
     return contamination_stats(d, bench, "text", "doc_id", n=8)
 
 
+@query(
+    "domain_filter_caps",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'https://www.' || source || '.example.com:8080/p/' || CAST(doc_id AS VARCHAR)
+                        WHEN 1 THEN 'http://bot@sub.' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR) || '?q=1'
+                        ELSE source || '.example.net/p/' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents),
+        d AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_extract(lower(url),
+                           '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1),
+                       '^www\\.', '') AS domain
+            FROM u),
+        blocked AS (
+            SELECT doc_id, domain FROM d
+            WHERE domain NOT IN ('src0.example.com', 'sub.src1.example.org')),
+        capped AS (
+            SELECT doc_id, domain,
+                   row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+            FROM blocked)
+        SELECT doc_id, domain FROM capped WHERE rn <= 20
+    """,
+    doc="crawl-hygiene pair (north star): registrable-domain extraction "
+    "(scheme/userinfo/port/path stripped, www. dropped) -> broadcast blocklist "
+    "anti-join -> per-domain doc cap (anti-SEO-farm, WindowGroupLimit prunes "
+    "map-side). URLs synthesized deterministically from documents so both "
+    "engines build and parse identical strings "
+    "(operators/corpus.extract_domain/domain_filter/domain_caps)",
+)
+def q_domain_filter_caps(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import domain_caps, domain_filter, extract_domain
+
+    d = _t(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit(".example.com:8080/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://bot@sub."), F.col("source"), F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"), F.lit("?q=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("source"), F.lit(".example.net/p/"), F.col("doc_id").cast("string")
+            )
+        )
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    blocklist = spark.createDataFrame(
+        [("src0.example.com",), ("sub.src1.example.org",)], "domain string"
+    )
+    kept = domain_filter(docs, "url", blocklist, mode="block")
+    capped = domain_caps(kept, "url", "doc_id", max_per_domain=20)
+    return capped.select("doc_id", extract_domain("url").alias("domain"))
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -2877,6 +2945,7 @@ _PRIORITY = [
     "stratified_sample",
     "repetition_ngrams",
     "decontamination",
+    "domain_filter_caps",
     "sliding_window",
     "event_dedup",
     "cosine_topk_vectorized",

@@ -663,6 +663,39 @@ def test_decontamination(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_domain_extract_filter_caps(spark):
+    from hadoop_app_spark.operators.corpus import domain_caps, domain_filter, extract_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.Example.COM:8443/a/b?q=1"),
+            (2, "http://user:pw@sub.example.org/x"),
+            (3, "example.net/plain/path"),
+            (4, "https://www.seo-farm.biz/p/1"),
+            (5, "https://www.seo-farm.biz/p/2"),
+            (6, "https://www.seo-farm.biz/p/3"),
+        ],
+        "doc_id long, url string",
+    )
+    doms = {r.doc_id: r.d for r in df.select("doc_id", extract_domain("url").alias("d")).collect()}
+    assert doms == {
+        1: "example.com",
+        2: "sub.example.org",
+        3: "example.net",
+        4: "seo-farm.biz",
+        5: "seo-farm.biz",
+        6: "seo-farm.biz",
+    }
+    block = spark.createDataFrame([("seo-farm.biz",)], "domain string")
+    assert sorted(r.doc_id for r in domain_filter(df, "url", block).collect()) == [1, 2, 3]
+    allow = sorted(r.doc_id for r in domain_filter(df, "url", block, mode="allow").collect())
+    assert allow == [4, 5, 6]
+    capped = sorted(r.doc_id for r in domain_caps(df, "url", max_per_domain=2).collect())
+    assert capped == [1, 2, 3, 4, 5]  # farm capped at 2, others untouched
+    with pytest.raises(ValueError, match="mode"):
+        domain_filter(df, "url", block, mode="nope")
+
+
 def test_stratified_sample_deterministic(spark):
     from hadoop_app_spark.operators.corpus import stratified_sample
 
