@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "frame_sample",
     "tumbling_window",
     "sessionize",
+    # r3 curation additions
+    "repetition_ngrams",
+    "decontamination",
+    "domain_filter_caps",
 ]
 
 
