@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata (north-star surface).
 
-Audio decode is REAL for PCM WAV (stdlib ``wave`` + numpy — see
-``_audio_wav_kernel``). Image and video decode need libs not present
-in this container (PIL/cv2), so those kernels are STUBBED —
-``decode_image`` raises NotImplementedError unless ``fake=True``
-returns a deterministic fake. Everything Spark-side is real and
-tested regardless: schema, Arrow batch shape, mapInPandas plumbing,
+Decode is REAL wherever no external library is needed: PCM WAV audio
+(stdlib ``wave`` + numpy), P6 PPM and uncompressed 24-bit BMP images
+(pure numpy header parse). Compressed image formats (png/jpeg) and
+video decode need PIL/cv2/ffmpeg — absent from this container — so
+those paths raise NotImplementedError unless ``fake=True`` supplies a
+deterministic fake. Everything Spark-side is real and tested
+regardless: schema, Arrow batch shape, mapInPandas plumbing,
 partition behavior.
 
 Design for scale: binary payloads ride in parquet as BINARY columns
@@ -61,12 +62,81 @@ def attach_media_meta(df: DataFrame, payload_col: str, media_type: str, fmt: str
     )
 
 
+def _decode_ppm(payload: bytes):
+    """P6 (binary) PPM: 'P6' <ws> W <ws> H <ws> MAXVAL <single ws> RGB
+    bytes. Pure numpy — no imaging library."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header tokens may be separated by any whitespace/comments
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after MAXVAL
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3).astype(np.float64)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): BGR rows padded to 4
+    bytes, stored bottom-up (negative height = top-down)."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (bpp={bpp})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up storage -> top-down
+    return w, h, img.astype(np.float64)
+
+
 def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
-    """STUB: real impl would be PIL/cv2. The deterministic fake derives
-    a plausible (width, height, 4-dim feature) from the bytes so the
-    distributed plumbing is testable end-to-end."""
+    """Image decode. REAL for formats needing no imaging library: P6 PPM
+    and uncompressed 24-bit BMP (pure numpy); the feature is [mean_R,
+    mean_G, mean_B, mean_luma] / 255. Compressed formats (png/jpeg)
+    would need PIL/cv2 — absent from this container — and raise.
+
+    The deterministic fake (``fake=True``) derives a plausible (width,
+    height, 4-dim feature) from the bytes so distributed plumbing stays
+    testable with arbitrary payloads."""
     if not fake:
-        raise NotImplementedError("image decode requires PIL/cv2 (not in this container)")
+        import numpy as np
+
+        if payload.startswith(b"P6"):
+            w, h, img = _decode_ppm(payload)
+        elif payload.startswith(b"BM"):
+            w, h, img = _decode_bmp(payload)
+        else:
+            raise NotImplementedError(
+                "compressed image decode (png/jpeg) requires PIL/cv2 (not in this container)"
+            )
+        means = img.reshape(-1, 3).mean(axis=0)
+        luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+        feat = [float(means[0] / 255.0), float(means[1] / 255.0), float(means[2] / 255.0), float(luma / 255.0)]
+        return w, h, feat
     h = 0
     for b in payload[:64]:
         h = (h * 31 + b) % 1_000_000_007

@@ -277,10 +277,56 @@ def test_multimodal_plumbing(spark):
     assert frames.where(F.col("asset_id") == 1).count() >= 1
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, payload binary")
+def test_multimodal_compressed_decode_is_stubbed(spark):
+    # png/jpeg (or unknown) payloads still raise without PIL/cv2
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNGxxxx"))], "asset_id long, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         extract_image_features(df, "asset_id", "payload", fake=False).collect()
+
+
+def _ppm_bytes(img):
+    h, w, _ = img.shape
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def _bmp_bytes(img):
+    """Minimal uncompressed 24-bit BMP writer (bottom-up)."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].astype("uint8").tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return bytes(header + info + rows)
+
+
+def test_image_real_ppm_bmp_decode(spark):
+    """fake=False genuinely decodes P6 PPM and uncompressed BMP — pure
+    numpy, golden-checked channel means."""
+    import numpy as np
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red
+    img[0, 0] = (255, 255, 255)  # one white pixel
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(img))), (2, bytearray(_bmp_bytes(img)))],
+        "asset_id long, payload binary",
+    )
+    feats = {r.asset_id: r for r in extract_image_features(df, "asset_id", "payload", fake=False).collect()}
+    exp_r = 1.0  # every pixel has R=255
+    exp_g = exp_b = 255.0 / 24 / 255.0  # one white pixel in 24
+    for aid in (1, 2):
+        r = feats[aid]
+        assert (r.width, r.height) == (6, 4)
+        assert r.feature[0] == pytest.approx(exp_r)
+        assert r.feature[1] == pytest.approx(exp_g)
+        assert r.feature[2] == pytest.approx(exp_b)
+    # PPM and BMP decodes of the same pixels must agree exactly
+    assert list(feats[1].feature) == pytest.approx(list(feats[2].feature))
 
 
 def test_audio_chunk_plan_and_features(spark):
