@@ -48,5 +48,13 @@ def date_str(col: Column | str) -> Column:
 
 
 def epoch_millis(col: Column | str) -> Column:
-    """Epoch milliseconds (DateHelper.java:93-94)."""
-    return F.unix_millis(_c(col).cast("timestamp"))
+    """Epoch milliseconds at UTC midnight of the DATE
+    (DateHelper.java:93-94 is a day-granularity helper).
+
+    ``unix_date`` counts days timezone-free; the previous
+    ``unix_millis(cast('timestamp'))`` interpreted midnight in the
+    SESSION timezone, so the same date produced different epochs on
+    differently-configured sessions (caught by the vanilla-session
+    oracle run under America/New_York).
+    """
+    return F.unix_date(_c(col).cast("date")).cast("long") * 86400000

@@ -1,10 +1,14 @@
 """Local differential check: run every REGISTRY query on Spark and its
 DuckDB oracle on the same parquet, compare order-insensitively.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
 
 Approximates the driver's gate (row-count + column names + values) so
-mismatches surface before a round's CORRECTNESS run.
+mismatches surface before a round's CORRECTNESS run. ``--vanilla``
+runs on a BARE SparkSession (no UTC pin, none of session.py's tuning)
+— the driver uses its own session, and r1's failures came exactly from
+conf the engine assumed but the driver didn't set. A non-UTC session
+timezone is forced to make tz dependence loud.
 """
 
 from __future__ import annotations
@@ -88,9 +92,25 @@ def type_drift(srows, scols, drows, dcols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            # hostile-but-plausible driver conf: non-UTC tz
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
