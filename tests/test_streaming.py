@@ -307,3 +307,50 @@ def test_streaming_cdc_apply(spark, tmp_path):
     snap2 = {r.k: (r.name, r.v) for r in current_snapshot(spark, root).collect()}
     assert snap2[1] == ("a1", 11.0) and snap2[2] == ("b3", 22.0)
     assert (tmp_path / "snap" / "_CURRENT").read_text() == "2"
+
+
+def test_streaming_incremental_topk(spark, tmp_path):
+    """Streamed corpus batches fold into an exact running top-k: after
+    the stream drains, the committed result equals the batch brute-force
+    answer over the full corpus (top-k mergeability)."""
+    import math
+
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+    from hadoop_app_spark.streaming.similarity import current_topk, streaming_topk
+
+    def vec(i):
+        a = (i % 12) * 0.5
+        return [math.cos(a), math.sin(a), 0.1 * (i % 5), 0.2]
+
+    corpus = [(i, vec(i)) for i in range(60)]
+    # two parquet files -> availableNow processes them as separate batches
+    cdir = tmp_path / "stream_corpus"
+    half1 = spark.createDataFrame(corpus[:30], "vec_id long, embedding array<double>")
+    half2 = spark.createDataFrame(corpus[30:], "vec_id long, embedding array<double>")
+    half1.coalesce(1).write.parquet(str(cdir / "p1"))
+    half2.coalesce(1).write.parquet(str(cdir / "p2"))
+
+    queries = spark.createDataFrame(
+        [(901, vec(3)), (902, vec(7))], "query_id long, query_vec array<double>"
+    )
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(cdir) + "/*")
+    root = str(tmp_path / "topk")
+    q = streaming_topk(
+        stream, queries, root, k=5, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+        for r in current_topk(spark, root).collect()
+    }
+    full = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    exp = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 9))
+        for r in brute_force_topk(full, queries, k=5).collect()
+    }
+    assert got == exp
+    # more than one committed version proves it ran incrementally
+    assert int((tmp_path / "topk" / "_CURRENT").read_text()) >= 1
