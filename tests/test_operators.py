@@ -1018,3 +1018,21 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
 
     assert bucket_count_for(10 * 256 * 1024 * 1024) == 10
     assert bucket_count_for(1) == 1
+
+
+def test_register_views_sql_surface(spark):
+    """SURVEY §7: every table is reachable from spark.sql after
+    register_views — the full engine surface is SQL-addressable."""
+    from hadoop_app_spark.catalog import TABLES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    for t in TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n > 0
+    joined = spark.sql(
+        """
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC LIMIT 3
+        """
+    ).collect()
+    assert len(joined) == 3 and joined[0].n >= joined[-1].n
