@@ -269,6 +269,81 @@ def lsh_topk_vectorized(
     return _rank_topk(cand, id_col, k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the deterministic first-k seed —
+    the trained-index upgrade for ``ivf_topk``'s ``centroid_source``.
+
+    Scale shape per iteration: cell assignment is a per-row argmax over
+    the centroid matrix inlined as ONE literal (no shuffle, one corpus
+    scan); the update is posexplode to (cell, dim, value) feeding a
+    partial-combine hash aggregation, and only k x dim mean rows ever
+    reach the driver. Empty cells keep their previous centroid. Seeding
+    (first k by id) is deterministic; the float means inherit Spark's
+    aggregation order, so trained centroids are bit-stable only
+    per-plan — keep trained IVF out of value-hash oracles (rank-set
+    checks in pytest instead, like the other engine-seeded structures).
+
+    Seeding is farthest-point (greedy k-center): k-1 rounds, each a
+    per-row min-distance-to-chosen projection followed by a 1-row
+    TakeOrdered — deterministic (ties by ascending id) and bounded,
+    unlike first-k-by-id which can drop every seed into one cluster
+    and strand Lloyd's in a degenerate partition.
+
+    Returns DataFrame[id_col, vec_col(array<double>)] for
+    ``centroid_source``.
+    """
+    spark = corpus.sparkSession
+    first = corpus.orderBy(id_col).select(id_col, vec_col).head(1)
+    if not first:
+        raise ValueError("empty corpus")
+    cents = [[float(x) for x in first[0][1]]]
+    while len(cents) < n_centroids:
+        matrix = F.lit(cents)
+        # squared L2 distance to the nearest chosen seed
+        d2 = F.array_min(
+            F.transform(
+                matrix,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        far = (
+            corpus.select(F.col(id_col), F.col(vec_col), d2.alias("_d2"))
+            .orderBy(F.col("_d2").desc(), F.col(id_col).asc())
+            .head(1)
+        )
+        cents.append([float(x) for x in far[0][1]])
+    for _ in range(iters):
+        matrix = F.lit(cents)
+        dots = F.transform(matrix, lambda c: dot(F.col(vec_col), c))
+        cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        means = (
+            corpus.select(cell.alias("cell"), F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["m"])
+        cents = [
+            [by_cell[i][d] for d in range(len(cents[i]))] if i in by_cell else cents[i]
+            for i in range(len(cents))
+        ]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], f"{id_col} long, {vec_col} array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

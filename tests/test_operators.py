@@ -1036,3 +1036,46 @@ def test_register_views_sql_surface(spark):
         """
     ).collect()
     assert len(joined) == 3 and joined[0].n >= joined[-1].n
+
+
+def test_ivf_trained_centroids_improve_recall(spark):
+    """Lloyd's-trained centroids recover well-separated cluster means,
+    and trained IVF at n_probe=1 gets perfect recall where the
+    untrained first-k seeding (all seeds inside one cluster) cannot."""
+    import math
+
+    from hadoop_app_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    # 4 tight, well-separated clusters on orthogonal axes
+    def vec(cluster, j):
+        base = [0.0] * 4
+        base[cluster] = 10.0
+        base[(cluster + 1) % 4] += 0.01 * j  # tiny within-cluster spread
+        return base
+
+    rows = [(cluster * 100 + j, vec(cluster, j)) for cluster in range(4) for j in range(25)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    trained = train_ivf_centroids(corpus, n_centroids=4, iters=3)
+    cents = {r.vec_id: r.embedding for r in trained.collect()}
+    assert len(cents) == 4
+    # each trained centroid points dominantly along one cluster axis,
+    # and all 4 axes are covered (first-k seeding covers only cluster 0)
+    axes = sorted(max(range(4), key=lambda d: c[d]) for c in cents.values())
+    assert axes == [0, 1, 2, 3]
+
+    queries = spark.createDataFrame(
+        [(900 + cl, vec(cl, 12)) for cl in range(4)], "query_id long, query_vec array<double>"
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(corpus, queries, k=3).collect()}
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            corpus, queries, k=3, n_centroids=4, n_probe=1, centroid_source=trained
+        ).collect()
+    }
+    assert got == exact  # perfect recall with 1 probe on trained cells
