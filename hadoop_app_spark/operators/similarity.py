@@ -295,6 +295,12 @@ def train_ivf_centroids(
     unlike first-k-by-id which can drop every seed into one cluster
     and strand Lloyd's in a degenerate partition.
 
+    When to train (measured, BASELINE.md r3): on clustered corpora
+    (real embedding data) trained cells are decisive — the pytest
+    fixture reaches recall 1.0 at n_probe=1 where first-k seeding
+    cannot; on near-uniform data training does NOT improve recall at a
+    matched scan budget, so the cheap deterministic seeds are fine.
+
     Returns DataFrame[id_col, vec_col(array<double>)] for
     ``centroid_source``.
     """
@@ -335,8 +341,17 @@ def train_ivf_centroids(
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
             by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["m"])
+
+        def spherical(mean_vec: list[float]) -> list[float]:
+            # cell membership and probe order are max-DOT comparisons, so
+            # this is spherical k-means: a raw mean shrinks in norm and
+            # biases every dot comparison toward longer centroids —
+            # project each update back to the unit sphere
+            norm = math.sqrt(sum(x * x for x in mean_vec))
+            return [x / norm for x in mean_vec] if norm > 0 else mean_vec
+
         cents = [
-            [by_cell[i][d] for d in range(len(cents[i]))] if i in by_cell else cents[i]
+            spherical([by_cell[i][d] for d in range(len(cents[i]))]) if i in by_cell else cents[i]
             for i in range(len(cents))
         ]
     return spark.createDataFrame(
