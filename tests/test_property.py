@@ -73,3 +73,48 @@ def test_token_count_matches_python_split(spark, texts):
     got = {r.i: r.n for r in df.select("i", token_count("t").alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(t.split()), (i, repr(t))
+
+
+@_settings
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    k=st.integers(min_value=2, max_value=7),
+    dup_range=st.integers(min_value=1, max_value=8),
+)
+def test_global_ntile_property(spark, n, k, dup_range):
+    """Homegrown order statistics vs built-in ntile for arbitrary sizes,
+    bucket counts, and tie densities."""
+    from pyspark.sql import Window
+
+    from hadoop_app_spark.operators.windows import global_ntile
+
+    rows = [(i % dup_range, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "v int, id int") if rows else spark.createDataFrame([], "v int, id int")
+    got = {(r.v, r.id): r.b for r in global_ntile(df, k, ["v", "id"], "b").collect()}
+    exp = {
+        (r.v, r.id): r.b
+        for r in df.withColumn("b", F.ntile(k).over(Window.orderBy("v", "id"))).collect()
+    }
+    assert got == exp
+
+
+@_settings
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4),
+    p=st.floats(min_value=0.01, max_value=1.0),
+)
+def test_grouped_percentile_disc_property(spark, sizes, p):
+    from hadoop_app_spark.operators.windows import grouped_percentile_disc
+
+    rows = []
+    for gi, size in enumerate(sizes):
+        rows += [(f"g{gi}", float((j * 7) % 13)) for j in range(size)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = grouped_percentile_disc(df, ["g"], "v", [p])
+    exp = {
+        (r.g,): r.pv
+        for r in df.groupBy("g").agg(
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)").alias("pv")
+        ).collect()
+    }
+    assert {g: d[p] for g, d in got.items()} == {g: v for g, v in exp.items()}
