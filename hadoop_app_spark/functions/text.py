@@ -97,6 +97,20 @@ def language_id(col: Column | str) -> Column:
     return best
 
 
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of *lang* (0.0 for empty
+    docs). High-quality prose sits in a mid band; near-zero flags
+    keyword-stuffed/boilerplate text, near-one flags degenerate filler
+    — the classic quality-gate signal alongside ``quality_score``.
+    Same LANG_STOPWORDS profiles as ``language_id``; pure Catalyst."""
+    toks = tokenize(col)
+    words = list(LANG_STOPWORDS[lang])
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
 def quality_score(text_col: Column | str) -> Column:
     """Heuristic document quality in [0,1]: mixes length, alpha ratio,
     terminal punctuation, and mean word length sanity. Deterministic

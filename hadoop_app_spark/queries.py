@@ -936,6 +936,17 @@ _QUALITY_SQL = f"""0.3 * least(length(text) / 500.0, 1.0)
                            THEN 1.0 ELSE 0.5 END)"""
 
 
+def _en_stops_sql() -> str:
+    """DuckDB list literal of the English stopword profile (the same
+    list stopword_ratio uses engine-side)."""
+    from hadoop_app_spark.functions.text import LANG_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+
+_EN_STOPS_SQL = _en_stops_sql()
+
+
 def _lang_cascade_sql() -> str:
     """DuckDB twin of functions.text.language_id over a ``toks`` column:
     same stopword profiles, same reversed-priority tie-break cascade."""
@@ -973,15 +984,19 @@ def _language_id_oracle() -> str:
                     + len(list_filter(string_split_regex(lower(text), '[^0-9]+'), x -> x <> ''))
                     + length(regexp_replace(lower(text), '[^.,;:!?]', '', 'g')) AS INTEGER) AS bpe_tokens,
                {_QUALITY_SQL} AS quality,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, t -> list_contains({_EN_STOPS_SQL}, t))) AS DOUBLE)
+                         / len(toks)
+                    ELSE 0.0 END AS stop_ratio,
                {_lang_cascade_sql()} AS lang_guess,
                {_FP_SQL} AS fingerprint
         FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     """,
     doc="text-analysis scalar family in one scan (north star: text analysis): "
-    "whitespace + BPE-ish token counts, quality heuristic, stopword-profile "
-    "language ID (oracle regenerates the same tie-break cascade in SQL), and the "
-    "engine-agnostic polynomial rolling-hash fingerprint — all pure Catalyst "
-    "expressions, one pass over the corpus",
+    "whitespace + BPE-ish token counts, quality heuristic, English stopword "
+    "ratio, stopword-profile language ID (oracle regenerates the same tie-break "
+    "cascade in SQL), and the engine-agnostic polynomial rolling-hash "
+    "fingerprint — all pure Catalyst expressions, one pass over the corpus",
 )
 def q_text_metrics(spark, sf_dir):
     # CPU-bound expression chain over a (locally) single-file scan:
@@ -990,11 +1005,14 @@ def q_text_metrics(spark, sf_dir):
     # cheap round-robin of the narrow (id, text) projection
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism)
+    from hadoop_app_spark.functions.text import stopword_ratio
+
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").cast("int").alias("bpe_tokens"),
         quality_score("text").alias("quality"),
+        stopword_ratio("text").alias("stop_ratio"),
         language_id("text").alias("lang_guess"),
         doc_fingerprint("text").alias("fingerprint"),
     )

@@ -1079,3 +1079,20 @@ def test_ivf_trained_centroids_improve_recall(spark):
         ).collect()
     }
     assert got == exact  # perfect recall with 1 probe on trained cells
+
+
+def test_stopword_ratio(spark):
+    from hadoop_app_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),  # the/and/the/in = 4 of 8
+            (2, "quantum chromodynamics lattice simulation"),  # none
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.sr for r in df.select("doc_id", stopword_ratio("text").alias("sr")).collect()}
+    assert got[1] == pytest.approx(4.0 / 8.0)
+    assert got[2] == 0.0
+    assert got[3] == 0.0  # empty doc guarded
