@@ -163,6 +163,83 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),  # P6 PPM re-encode
+    ]
+)
+
+
+def _encode_ppm(img) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def _resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize for the library-free formats (P6 PPM /
+    uncompressed BMP in, P6 PPM out) — pure numpy index selection.
+    Bilinear/Lanczos would need PIL/cv2; nearest is the standard cheap
+    path for thumbnail/feature pipelines and is exactly reproducible."""
+    import numpy as np
+
+    if payload.startswith(b"P6"):
+        _, _, img = _decode_ppm(payload)
+    elif payload.startswith(b"BM"):
+        _, _, img = _decode_bmp(payload)
+    else:
+        raise NotImplementedError("resize supports P6 PPM / uncompressed BMP only")
+    src_h, src_w = img.shape[0], img.shape[1]
+    ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return _encode_ppm(img[np.ix_(ys, xs)])
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    fake: bool = False,
+    on_error: str = "raise",
+) -> DataFrame:
+    """mapInPandas image resize (the brief's decode/extract/RESIZE/
+    frame-sample quartet): Arrow batches in, (asset_id, w, h, resized
+    PPM payload) out. ``fake=True`` emits a deterministic solid-color
+    image derived from the payload hash so non-decodable corpora still
+    exercise the full plumbing; ``on_error='skip'`` drops undecodable
+    payloads instead of failing the pass."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if fake:
+                        h = 0
+                        for b in bytes(payload)[:64]:
+                            h = (h * 31 + b) % 1_000_000_007
+                        img = np.full((height, width, 3), (h % 256, (h >> 8) % 256, (h >> 16) % 256), dtype=np.uint8)
+                        out = _encode_ppm(img)
+                    else:
+                        out = _resize_kernel(bytes(payload), width, height)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append((int(asset_id), width, height, bytearray(out)))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

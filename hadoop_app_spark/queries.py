@@ -2871,6 +2871,57 @@ def q_domain_filter_caps(spark, sf_dir):
     return capped.select("doc_id", extract_domain("url").alias("domain"))
 
 
+@query(
+    "image_resize",
+    # fake-mode resize emits a solid (h%256, h>>8%256, h>>16%256) image;
+    # the oracle refolds the payload bytes (hex-pair fold, as
+    # image_features) and reconstructs the first pixel's 3 bytes + the
+    # exact P6 payload size, so the re-encode is value-checked too
+    oracle="""
+        WITH hx AS (
+            SELECT doc_id, substr(hex(encode(text)), 1, 128) AS h FROM documents),
+        folded AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST((strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+                                 + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS BIGINT)
+                            for i in range(1, length(h) // 2 + 1)]),
+                       (acc, b) -> (acc * 31 + b) % 1000000007) AS hv
+            FROM hx)
+        SELECT doc_id AS asset_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(6 AS INTEGER) AS height,
+               CAST(155 AS INTEGER) AS n_bytes,
+               lpad(upper(to_hex(hv % 256)), 2, '0')
+                 || lpad(upper(to_hex((hv // 256) % 256)), 2, '0')
+                 || lpad(upper(to_hex((hv // 65536) % 256)), 2, '0') AS first_pixel
+        FROM folded
+    """,
+    doc="mapInPandas image resize to 8x6 PPM (north star multimodal: the "
+    "decode/extract/resize/frame-sample quartet); fake solid-color kernel "
+    "(deterministic byte-fold), REAL re-encode — the oracle reconstructs the "
+    "payload size and first-pixel bytes (operators/multimodal.resize_images; "
+    "real nearest-neighbor decode path pytest-covered on PPM/BMP fixtures)",
+)
+def q_image_resize(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import resize_images
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = resize_images(d, "doc_id", "payload", 8, 6, fake=True)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+        F.hex(F.expr("substring(payload, 12, 3)")).alias("first_pixel"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -2973,6 +3024,7 @@ _PRIORITY = [
     "minhash_signatures_fast",
     "minhash_dedup_fast",
     "image_features",
+    "image_resize",
     "frame_sample",
     "audio_chunks",
     "audio_features",

@@ -1096,3 +1096,41 @@ def test_stopword_ratio(spark):
     assert got[1] == pytest.approx(4.0 / 8.0)
     assert got[2] == 0.0
     assert got[3] == 0.0  # empty doc guarded
+
+
+def test_resize_images(spark):
+    """Nearest-neighbor resize round-trips through the library-free
+    decode/encode: pixels are exact index selections of the source."""
+    import numpy as np
+
+    from hadoop_app_spark.operators.multimodal import _decode_ppm, resize_images
+
+    # 4x6 gradient: pixel value encodes its (y, x)
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(6):
+            img[y, x] = (y * 40, x * 40, 7)
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(img))), (2, bytearray(_bmp_bytes(img)))],
+        "asset_id long, payload binary",
+    )
+    out = {r.asset_id: r for r in resize_images(df, "asset_id", "payload", 3, 2).collect()}
+    for aid in (1, 2):
+        w, h, small = _decode_ppm(bytes(out[aid].payload))
+        assert (w, h) == (3, 2) and (out[aid].width, out[aid].height) == (3, 2)
+        # nearest-neighbor: out[y,x] == src[y*4//2? -> y*2, x*2]
+        for y in range(2):
+            for x in range(3):
+                assert tuple(small[y, x]) == tuple(img[y * 2, x * 2].astype(float))
+    # upscale works too (index replication)
+    up = resize_images(df.where(F.col("asset_id") == 1), "asset_id", "payload", 12, 8).collect()[0]
+    w, h, big = _decode_ppm(bytes(up.payload))
+    assert (w, h) == (12, 8)
+    assert tuple(big[0, 0]) == tuple(img[0, 0].astype(float))
+    # fake mode emits a valid solid PPM of the requested size
+    fake = resize_images(df, "asset_id", "payload", 5, 5, fake=True).collect()[0]
+    w, h, solid = _decode_ppm(bytes(fake.payload))
+    assert (w, h) == (5, 5) and len(set(map(tuple, solid.reshape(-1, 3)))) == 1
+    # skip mode drops garbage payloads
+    bad = spark.createDataFrame([(9, bytearray(b"junk"))], "asset_id long, payload binary")
+    assert resize_images(bad, "asset_id", "payload", 2, 2, on_error="skip").count() == 0
