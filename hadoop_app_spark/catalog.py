@@ -25,6 +25,8 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet`` with
+    the events-timestamp normalization applied."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     try:
@@ -74,6 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All catalog tables keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 

@@ -17,10 +17,13 @@ from pyspark.sql import functions as F
 
 
 def safe_cast(col: Column, dtype: str, default) -> Column:
+    """P5/F4 lenient cast: try_cast with a default instead of null/raise."""
     return F.coalesce(col.try_cast(dtype), F.lit(default).cast(dtype))
 
 
 def min_max_score(x: Column, mn: Column, mx: Column, nan_compat: bool = True) -> Column:
+    """T3 inverted min-max score; nan_compat reproduces the reference's
+    NaN on degenerate (mn == mx) groups."""
     # degenerate branch handled explicitly: ANSI mode would raise on
     # 0/0, while the reference's float math yields (and emits) NaN
     degenerate = F.lit(float("nan")) if nan_compat else F.lit(1.0)

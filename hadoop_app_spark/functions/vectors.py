@@ -20,6 +20,7 @@ def _d(col: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (zip_with + aggregate HOFs, JVM-side)."""
     return F.aggregate(
         F.zip_with(_d(a), _d(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -28,10 +29,12 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm of an array column."""
     return F.sqrt(dot(a, a))
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array columns (0.0 when either norm is 0)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 

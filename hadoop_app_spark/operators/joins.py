@@ -39,6 +39,7 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
 
 
 def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` with no key match in ``right``."""
     return left.join(right, on, "left_anti")
 
 

@@ -28,9 +28,12 @@ def top_k_per_group(
     k: int,
     rank_col: str = "rank",
 ) -> DataFrame:
+    """T1/T2 deterministic per-group top-k via a keyed row_number window."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
 
 
 def global_top_k(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFrame:
+    """Global top-k: orderBy+limit -> TakeOrderedAndProject (per-partition
+    heaps + driver merge of k*partitions rows, never a full sort)."""
     return df.orderBy(*order_cols).limit(k)

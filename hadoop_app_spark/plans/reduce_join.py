@@ -47,6 +47,7 @@ def run_reduce_join(
     out_path: str | None = None,
     how: str = "inner",
 ) -> DataFrame:
+    """End-to-end ReduceJoinJob: TSV sources -> equi-join -> tab-text sink."""
     employee = read_tsv(spark, employee_path, EMPLOYEE_COLS)
     dept = read_tsv(spark, dept_path, DEPT_COLS)
     result = reduce_join(employee, dept, how)

@@ -38,6 +38,7 @@ _NON_SPLITTABLE_WARN_BYTES = 256 * 1024 * 1024
 
 
 def is_splittable(path: str) -> bool:
+    """False when the extension marks a non-splittable codec (one file = one task)."""
     return not path.endswith(NON_SPLITTABLE)
 
 

@@ -61,10 +61,12 @@ def write_text(spark: SparkSession, path: str, content: str, overwrite: bool = T
 
 
 def exists(spark: SparkSession, path: str) -> bool:
+    """True when *path* exists on the Hadoop filesystem (S12)."""
     fs, hpath, _ = _fs(spark, path)
     return fs.exists(hpath)
 
 
 def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    """Delete *path* via the Hadoop FS API; returns success (S12)."""
     fs, hpath, _ = _fs(spark, path)
     return fs.delete(hpath, recursive)

@@ -61,6 +61,7 @@ def parse_fixed_width(df: DataFrame, fields: tuple[FixedWidthField, ...], line_c
 def read_fixed_width(
     spark: SparkSession, path: str | list[str], fields: tuple[FixedWidthField, ...]
 ) -> DataFrame:
+    """Line scan + fixed-width projection in one call (S1+S3)."""
     return parse_fixed_width(spark.read.text(path), fields)
 
 
