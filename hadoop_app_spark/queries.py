@@ -2922,6 +2922,37 @@ def q_image_resize(spark, sf_dir):
     )
 
 
+@query(
+    "bucketed_join",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc="co-located bucketed join (the repeated fact-fact join scale strategy): "
+    "both sides written bucketBy+sortBy(custkey) via saveAsTable, then joined "
+    "exchange-free — SortMergeJoin consumes the bucket layout directly; the "
+    "exchange-free plan property is pinned in pytest, this query gates the "
+    "VALUES produced through the bucketed read path "
+    "(operators/bucketing.write_bucketed/bucketed_join)",
+)
+def q_bucketed_join(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    write_bucketed(_t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"), lt, ["o_custkey"], 8)
+    write_bucketed(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"), rt, ["c_custkey"], 8)
+    joined = bucketed_join(spark, lt, rt, F.expr("o_custkey = c_custkey"))
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("total_price")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -3015,6 +3046,7 @@ _PRIORITY = [
     "repetition_ngrams",
     "decontamination",
     "domain_filter_caps",
+    "bucketed_join",
     "sliding_window",
     "event_dedup",
     "cosine_topk_vectorized",
