@@ -2939,12 +2939,10 @@ def q_image_resize(spark, sf_dir):
     "(operators/bucketing.write_bucketed/bucketed_join)",
 )
 def q_bucketed_join(spark, sf_dir):
-    import uuid
-
     from hadoop_app_spark.operators.bucketing import bucketed_join, write_bucketed
 
-    tag = uuid.uuid4().hex[:8]
-    lt, rt = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    # fixed names + overwrite: idempotent across runs, no warehouse growth
+    lt, rt = "bkt_orders_gate", "bkt_customer_gate"
     write_bucketed(_t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"), lt, ["o_custkey"], 8)
     write_bucketed(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"), rt, ["c_custkey"], 8)
     joined = bucketed_join(spark, lt, rt, F.expr("o_custkey = c_custkey"))
