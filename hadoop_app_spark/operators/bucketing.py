@@ -44,6 +44,18 @@ def write_bucketed(
     later SortMergeJoin needs no per-task Sort — do it at write time,
     the scan is then merge-ready forever.
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a FRESH session has an empty in-memory catalog, but the managed
+        # location under the warehouse survives from earlier sessions and
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS — remove the
+        # orphan directory explicitly
+        from hadoop_app_spark.sources.fs import delete, exists
+
+        loc = spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table.lower()
+        if exists(spark, loc):
+            delete(spark, loc, recursive=True)
     writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
