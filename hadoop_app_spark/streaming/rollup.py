@@ -1,0 +1,113 @@
+"""Continuous time-bucket rollup — the "hypertable continuous
+aggregate" analogue (TimescaleDB's caggs, Druid's rollup ingestion):
+an event stream incrementally maintains a materialized per-bucket
+aggregate table instead of re-scanning raw events per query.
+
+Exactness by mergeability: each micro-batch reduces to PARTIAL
+(bucket, keys) -> (count, decimal sum) aggregates, and merging
+partials with the stored rollup is itself a sum — so after any batch
+the committed table equals the batch aggregation over all events seen.
+Decimal accumulation keeps the merge order-insensitive bit-for-bit
+(the same discipline the query oracles use).
+
+State is rollup-table-sized (buckets x key cardinality), far below
+the raw stream, but potentially beyond streaming state-store budgets —
+hence the ``foreachBatch`` + versioned-parquet pattern shared with
+``streaming/cdc.py`` rather than a stateful operator.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+
+
+def _read_pointer(root: str) -> int:
+    try:
+        with open(os.path.join(root, _POINTER)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return -1
+
+
+def _write_pointer(root: str, version: int) -> None:
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def current_rollup(spark, root: str) -> DataFrame | None:
+    """Latest committed rollup, or None before the first batch."""
+    v = _read_pointer(root)
+    if v < 0:
+        return None
+    return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+def _partial(batch: DataFrame, ts_col: str, bucket: str, keys: Sequence[str], value_col: str) -> DataFrame:
+    return (
+        batch.groupBy(F.window(ts_col, bucket).alias("_w"), *keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum_dec"),
+        )
+        .select(
+            F.date_format(F.col("_w.start"), "yyyy-MM-dd HH:mm").alias("bucket_start"),
+            *keys,
+            "n",
+            "_sum_dec",
+        )
+    )
+
+
+def incremental_rollup(
+    event_stream: DataFrame,
+    rollup_root: str,
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    checkpoint_dir: str | None = None,
+):
+    """Fold an event stream into a materialized per-bucket aggregate at
+    *rollup_root* (columns: bucket_start, *keys, n, sum_value). Each
+    micro-batch merges its partial aggregates into the stored rollup
+    and commits the next version behind an atomic pointer. Returns the
+    StreamingQuery."""
+    keys = list(keys)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        part = _partial(batch, ts_col, bucket, keys, value_col)
+        prev = current_rollup(spark, rollup_root)
+        if prev is not None:
+            # merge on the STORED decimal accumulator — round-tripping
+            # through the derived double would re-round every version
+            part = prev.select("bucket_start", *keys, "n", "_sum_dec").unionByName(part)
+        merged = (
+            part.groupBy("bucket_start", *keys)
+            .agg(F.sum("n").alias("n"), F.sum("_sum_dec").alias("_sum_dec"))
+            .select(
+                "bucket_start",
+                *keys,
+                "n",
+                F.col("_sum_dec").cast("decimal(18,6)").alias("_sum_dec"),
+                F.col("_sum_dec").cast("double").alias("sum_value"),
+            )
+        )
+        version = _read_pointer(rollup_root) + 1
+        merged.write.mode("overwrite").parquet(os.path.join(rollup_root, f"v{version}"))
+        _write_pointer(rollup_root, version)
+
+    writer = event_stream.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -354,3 +354,48 @@ def test_streaming_incremental_topk(spark, tmp_path):
     assert got == exp
     # more than one committed version proves it ran incrementally
     assert int((tmp_path / "topk" / "_CURRENT").read_text()) >= 1
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """Continuous time-bucket rollup: after the stream drains (two
+    micro-batches), the materialized table equals the one-shot batch
+    tumbling aggregation — count/sum mergeability makes refresh exact."""
+    import datetime as dt
+
+    from hadoop_app_spark.streaming.rollup import current_rollup, incremental_rollup
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), "click" if i % 2 else "view", float(i) + 0.25)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    cdir = tmp_path / "ev"
+    df.where("event_id < 20").coalesce(1).write.parquet(str(cdir / "p1"))
+    df.where("event_id >= 20").coalesce(1).write.parquet(str(cdir / "p2"))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(cdir) + "/*")
+    root = str(tmp_path / "rollup")
+    q = incremental_rollup(stream, root, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in current_rollup(spark, root).collect()
+    }
+    exp_rows = (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("b"),
+            "event_type",
+            "n",
+            F.col("s").cast("double").alias("s"),
+        )
+        .collect()
+    )
+    exp = {(r.b, r.event_type): (r.n, round(r.s, 6)) for r in exp_rows}
+    assert got == exp
+    assert int((tmp_path / "rollup" / "_CURRENT").read_text()) >= 1  # incremental versions
