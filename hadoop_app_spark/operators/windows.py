@@ -139,7 +139,9 @@ def grouped_percentile_disc(
 
     percentile_disc semantics: the value at 1-based sorted position
     ceil(p * n_g) (the smallest value whose cumulative distribution
-    >= p). Returns {group_tuple: {p: value}}.
+    >= p). Returns {group_tuple: {p: value}}. Group values and the
+    value column must be non-null (the boundary-row filter compares
+    with ==, which never matches NULL groups).
     """
     spark = df.sparkSession
     p_n = num_partitions or spark.sparkContext.defaultParallelism
@@ -214,7 +216,10 @@ def global_ntile(
 ) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY order_cols)`` without a global window.
 
-    *order_cols* must form a strict total order (include a unique key).
+    *order_cols* must form a strict total order (include a unique key)
+    and contain NO NULLs — the broadcast CASE chain compares with <,
+    which is null-poisoned (built-in ntile orders NULLS FIRST instead;
+    pre-filter or coalesce nullable keys before calling).
     The returned DataFrame's plan adds only a projection to *df* — the
     boundary side-job runs eagerly at build time (bounded collects, as
     with IVF centroids).
