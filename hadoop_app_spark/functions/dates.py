@@ -48,13 +48,24 @@ def date_str(col: Column | str) -> Column:
 
 
 def epoch_millis(col: Column | str) -> Column:
-    """Epoch milliseconds at UTC midnight of the DATE
-    (DateHelper.java:93-94 is a day-granularity helper).
+    """Naive-UTC epoch milliseconds (DateHelper.java:93-94): the wall
+    clock is read AS IF it were UTC, independent of the session
+    timezone.
 
-    ``unix_date`` counts days timezone-free; the previous
-    ``unix_millis(cast('timestamp'))`` interpreted midnight in the
-    SESSION timezone, so the same date produced different epochs on
-    differently-configured sessions (caught by the vanilla-session
-    oracle run under America/New_York).
+    Timezone-free by construction: days via ``unix_date`` plus tz-free
+    field extraction of the time of day. DATE inputs give midnight;
+    TIMESTAMP_NTZ keeps full millisecond precision. (The previous
+    ``unix_millis(cast('timestamp'))`` interpreted the wall clock in
+    the SESSION timezone — caught by the vanilla-session oracle run
+    under America/New_York.) A with-timezone TIMESTAMP input is first
+    converted to its session-tz wall clock by the NTZ cast — pass NTZ
+    or DATE for fully session-independent results.
     """
-    return F.unix_date(_c(col).cast("date")).cast("long") * 86400000
+    t = _c(col).cast("timestamp_ntz")
+    return (
+        F.unix_date(t.cast("date")).cast("long") * 86400000
+        + F.hour(t).cast("long") * 3600000
+        + F.minute(t).cast("long") * 60000
+        + F.second(t).cast("long") * 1000
+        + F.date_format(t, "SSS").cast("long")
+    )

@@ -62,19 +62,27 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return (words + digits + punct).alias("bpe_tokens")
 
 
-def ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles -> array<string> (for Jaccard/MinHash).
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-gram shingles from an EXISTING token-array column.
 
     Guarded for short texts: Spark's sequence(1, 0) counts DOWN, so
-    fewer-than-n tokens must short-circuit to an empty array.
+    fewer-than-n tokens must short-circuit to an empty array. Callers
+    that need several n values should tokenize once and slice this
+    shared array per n — HOF lambdas are exempt from subexpression
+    elimination, so per-n ``ngrams()`` calls re-run the whitespace
+    regex over the full text (measured 3x slower at sf0.1).
     """
-    toks = tokenize(col)
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) >= n, F.filter(shingles, lambda g: g != "")).otherwise(empty)
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (for Jaccard/MinHash)."""
+    return ngrams_from_tokens(tokenize(col), n)
 
 
 def language_id(col: Column | str) -> Column:

@@ -50,10 +50,16 @@ def write_bucketed(
         # a FRESH session has an empty in-memory catalog, but the managed
         # location under the warehouse survives from earlier sessions and
         # saveAsTable then fails with LOCATION_ALREADY_EXISTS — remove the
-        # orphan directory explicitly
+        # orphan directory explicitly. Managed layout: {wh}/{t} for the
+        # default database, {wh}/{db}.db/{t} otherwise.
         from hadoop_app_spark.sources.fs import delete, exists
 
-        loc = spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table.lower()
+        if "." in table:
+            db, t = table.lower().rsplit(".", 1)
+        else:
+            db, t = spark.catalog.currentDatabase().lower(), table.lower()
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        loc = f"{wh}/{t}" if db == "default" else f"{wh}/{db}.db/{t}"
         if exists(spark, loc):
             delete(spark, loc, recursive=True)
     writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *keys)

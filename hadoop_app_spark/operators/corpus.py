@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from hadoop_app_spark.functions.text import (
     doc_fingerprint,
     doc_fingerprint_fast,
+    ngrams,
+    ngrams_from_tokens,
     quality_score,
     token_count,
     tokenize,
@@ -86,26 +88,16 @@ def ngram_repetition_stats(
     combine on (id, n, gram), final on (id, n)) — no window over the
     gram key, no per-doc quadratic HOF.
     """
-    from hadoop_app_spark.functions.text import tokenize
-
-    # tokenize ONCE and slice the shared array per n — calling
-    # ngrams(text, n) per n would re-run the whitespace regex split
-    # over the full text for every n (measured 3x slower at sf0.1)
+    # tokenize ONCE and slice the shared array per n (ngrams_from_tokens
+    # rationale); factories, not default-arg lambdas — F.transform treats
+    # a two-parameter lambda as (element, index) and would silently pass
+    # the array index into n
     toks = F.col("_toks")
 
     def tagged(n: int):
-        # NB: factories, not default-arg lambdas — F.transform treats a
-        # two-parameter lambda as (element, index) and would silently
-        # pass the array index into n
-        shingles = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-        guarded = F.when(F.size(toks) >= n, shingles).otherwise(
-            F.array().cast("array<string>")
-        )
         return F.transform(
-            guarded, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+            ngrams_from_tokens(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
         )
 
     per_n = [tagged(n) for n in ns]
@@ -157,8 +149,6 @@ def contamination_stats(
     is itself corpus-sized, which turns the overlap into a shuffle
     equi-join).
     """
-    from hadoop_app_spark.functions.text import ngrams, tokenize
-
     bench_grams = (
         benchmark.select(F.explode(ngrams(text_col, n)).alias("gram"))
         .distinct()
@@ -171,15 +161,10 @@ def contamination_stats(
     # with a broadcast left join, and aggregate per doc — no second
     # tokenize/shingle scan for the totals
     toks = F.col("_toks")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    guarded = F.when(F.size(toks) >= n, shingles).otherwise(F.array().cast("array<string>"))
     exploded = docs.select(F.col(id_col), tokenize(text_col).alias("_toks")).select(
         F.col(id_col),
         F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long").alias("n_ngrams"),
-        F.explode_outer(guarded).alias("gram"),
+        F.explode_outer(ngrams_from_tokens(toks, n)).alias("gram"),
     )
     out = (
         exploded.join(bench_grams, "gram", "left")

@@ -65,6 +65,8 @@ def global_ntile_boundaries(
 
     Bounded driver state: P partition counts + (k-1) boundary rows.
     """
+    if k <= 1:
+        return []  # ntile(1) is bucket 1 for every row — no boundaries
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     # Persist: repartitionByRange samples range bounds per action; without
@@ -175,6 +177,8 @@ def grouped_percentile_disc(
                         want_keys[(g, p)] = (pid, loc)
                         break
                     acc += c
+        if not wanted:
+            return {}  # empty input or empty probs — nothing to extract
         w = Window.partitionBy(_PID, *group_cols).orderBy(value_col)
         pid_set = {pid for pid, _ in wanted}
         cond = reduce(
@@ -224,6 +228,9 @@ def global_ntile(
     boundary side-job runs eagerly at build time (bounded collects, as
     with IVF centroids).
     """
+    if k <= 1:
+        # matches F.ntile(1): every row lands in bucket 1
+        return df.withColumn(out_col, F.lit(1).cast("int"))
     bounds = global_ntile_boundaries(df, k, order_cols, num_partitions)
     if not bounds:
         return df.withColumn(out_col, F.lit(None).cast("int"))

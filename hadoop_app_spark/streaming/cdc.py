@@ -35,19 +35,25 @@ from hadoop_app_spark.operators.upsert import apply_changes
 _POINTER = "_CURRENT"
 
 
-def _read_pointer(root: str) -> int:
+def _read_state(root: str) -> tuple[int, int]:
+    """(committed version, last applied batch_id); (0, -1) before any."""
     try:
         with open(os.path.join(root, _POINTER)) as f:
-            return int(f.read().strip())
+            parts = f.read().split()
     except FileNotFoundError:
-        return 0
+        return 0, -1
+    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
 
 
-def _write_pointer(root: str, version: int) -> None:
+def _write_state(root: str, version: int, batch_id: int) -> None:
     tmp = os.path.join(root, _POINTER + ".tmp")
     with open(tmp, "w") as f:
-        f.write(str(version))
+        f.write(f"{version} {batch_id}")
     os.replace(tmp, os.path.join(root, _POINTER))  # atomic on POSIX
+
+
+def _read_pointer(root: str) -> int:
+    return _read_state(root)[0]
 
 
 def current_snapshot(spark, root: str) -> DataFrame:
@@ -88,13 +94,18 @@ def apply_changes_stream(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        version, last_batch = _read_state(snapshot_root)
+        if batch_id <= last_batch:
+            # at-least-once replay guard (apply_changes is idempotent,
+            # but skipping avoids a spurious snapshot version; batch_id
+            # is stable across retries)
+            return
         if seq_col is not None:
             batch = last_writer_wins(batch, keys, seq_col)
         snap = current_snapshot(spark, snapshot_root)
         nxt = apply_changes(snap, batch, keys, op_col=op_col)
-        version = _read_pointer(snapshot_root) + 1
-        nxt.write.mode("overwrite").parquet(os.path.join(snapshot_root, f"v{version}"))
-        _write_pointer(snapshot_root, version)
+        nxt.write.mode("overwrite").parquet(os.path.join(snapshot_root, f"v{version + 1}"))
+        _write_state(snapshot_root, version + 1, batch_id)
 
     writer = change_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

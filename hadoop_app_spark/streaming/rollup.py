@@ -27,19 +27,25 @@ from pyspark.sql import functions as F
 _POINTER = "_CURRENT"
 
 
-def _read_pointer(root: str) -> int:
+def _read_state(root: str) -> tuple[int, int]:
+    """(committed version, last applied batch_id); (-1, -1) before any."""
     try:
         with open(os.path.join(root, _POINTER)) as f:
-            return int(f.read().strip())
+            parts = f.read().split()
     except FileNotFoundError:
-        return -1
+        return -1, -1
+    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
 
 
-def _write_pointer(root: str, version: int) -> None:
+def _write_state(root: str, version: int, batch_id: int) -> None:
     tmp = os.path.join(root, _POINTER + ".tmp")
     with open(tmp, "w") as f:
-        f.write(str(version))
+        f.write(f"{version} {batch_id}")
     os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def _read_pointer(root: str) -> int:
+    return _read_state(root)[0]
 
 
 def current_rollup(spark, root: str) -> DataFrame | None:
@@ -84,6 +90,13 @@ def incremental_rollup(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        version, last_batch = _read_state(rollup_root)
+        if batch_id <= last_batch:
+            # foreachBatch is at-least-once; batch_id is stable across
+            # retries, so a replay of an already-merged batch (crash
+            # between our pointer commit and the streaming commit log)
+            # must be a no-op — otherwise its counts merge TWICE
+            return
         if not batch.head(1):
             return
         part = _partial(batch, ts_col, bucket, keys, value_col)
@@ -103,9 +116,8 @@ def incremental_rollup(
                 F.col("_sum_dec").cast("double").alias("sum_value"),
             )
         )
-        version = _read_pointer(rollup_root) + 1
-        merged.write.mode("overwrite").parquet(os.path.join(rollup_root, f"v{version}"))
-        _write_pointer(rollup_root, version)
+        merged.write.mode("overwrite").parquet(os.path.join(rollup_root, f"v{version + 1}"))
+        _write_state(rollup_root, version + 1, batch_id)
 
     writer = event_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

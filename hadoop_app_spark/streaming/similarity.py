@@ -30,19 +30,25 @@ from hadoop_app_spark.operators.similarity import brute_force_topk
 _POINTER = "_CURRENT"
 
 
-def _read_pointer(root: str) -> int:
+def _read_state(root: str) -> tuple[int, int]:
+    """(committed version, last applied batch_id); (-1, -1) before any."""
     try:
         with open(os.path.join(root, _POINTER)) as f:
-            return int(f.read().strip())
+            parts = f.read().split()
     except FileNotFoundError:
-        return -1
+        return -1, -1
+    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
 
 
-def _write_pointer(root: str, version: int) -> None:
+def _write_state(root: str, version: int, batch_id: int) -> None:
     tmp = os.path.join(root, _POINTER + ".tmp")
     with open(tmp, "w") as f:
-        f.write(str(version))
+        f.write(f"{version} {batch_id}")
     os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def _read_pointer(root: str) -> int:
+    return _read_state(root)[0]
 
 
 def current_topk(spark, root: str) -> DataFrame | None:
@@ -60,6 +66,10 @@ def merge_topk(
     mergeability property that makes streaming top-k exact. Keyed
     window on query_id; both inputs are <= q*k rows."""
     merged = batch_topk if previous is None else previous.unionByName(batch_topk)
+    # defense-in-depth vs replays/overlapping inputs: the same corpus
+    # vector appearing twice must occupy ONE slot, not evict the true
+    # k-th distinct neighbor
+    merged = merged.dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         merged.withColumn("_r", F.row_number().over(w))
@@ -90,13 +100,18 @@ def streaming_topk(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        version, last_batch = _read_state(result_root)
+        if batch_id <= last_batch:
+            # at-least-once replay of an already-merged batch (crash
+            # between our pointer commit and the streaming commit log)
+            # must be a no-op; batch_id is stable across retries
+            return
         if not batch.head(1):
             return
         batch_topk = brute_force_topk(batch, queries, id_col=id_col, vec_col=vec_col, k=k)
         nxt = merge_topk(current_topk(spark, result_root), batch_topk, k)
-        version = _read_pointer(result_root) + 1
-        nxt.write.mode("overwrite").parquet(os.path.join(result_root, f"v{version}"))
-        _write_pointer(result_root, version)
+        nxt.write.mode("overwrite").parquet(os.path.join(result_root, f"v{version + 1}"))
+        _write_state(result_root, version + 1, batch_id)
 
     writer = corpus_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

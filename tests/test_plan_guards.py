@@ -1,8 +1,11 @@
 """Plan-level scale guards over the whole query inventory.
 
-Walks every registry query's physical plan (planning only — no
-execution) and rejects the scale-killer classes found in earlier
-rounds, so they cannot silently reappear:
+Walks every registry query's physical plan and rejects the scale-killer
+classes found in earlier rounds, so they cannot silently reappear.
+NOTE: building a registry DataFrame is not always free — some builders
+run bounded side-jobs (ntile/percentile boundary extraction, IVF
+centroid fetch) and q_bucketed_join writes its bucketed gate tables —
+but no query's MAIN plan executes here:
 
 - a Window/WindowGroupLimit with an EMPTY partitionSpec funnels every
   row through ONE task (r2's global ntile);
@@ -21,7 +24,7 @@ from hadoop_app_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
-# queries whose builders EXECUTE (streams run to completion in fn())
+# queries whose builders execute a FULL streaming run in fn()
 EXECUTING = {n for n in REGISTRY if n.startswith("stream_")}
 
 # deliberate cross joins: J3 per-key cartesian showcase; 1-row count

@@ -306,7 +306,8 @@ def test_streaming_cdc_apply(spark, tmp_path):
     q2.awaitTermination()
     snap2 = {r.k: (r.name, r.v) for r in current_snapshot(spark, root).collect()}
     assert snap2[1] == ("a1", 11.0) and snap2[2] == ("b3", 22.0)
-    assert (tmp_path / "snap" / "_CURRENT").read_text() == "2"
+    # pointer records "version batch_id" for the at-least-once replay guard
+    assert (tmp_path / "snap" / "_CURRENT").read_text().split()[0] == "2"
 
 
 def test_streaming_incremental_topk(spark, tmp_path):
@@ -353,7 +354,7 @@ def test_streaming_incremental_topk(spark, tmp_path):
     }
     assert got == exp
     # more than one committed version proves it ran incrementally
-    assert int((tmp_path / "topk" / "_CURRENT").read_text()) >= 1
+    assert int((tmp_path / "topk" / "_CURRENT").read_text().split()[0]) >= 1
 
 
 def test_incremental_rollup_matches_batch(spark, tmp_path):
@@ -398,4 +399,25 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     )
     exp = {(r.b, r.event_type): (r.n, round(r.s, 6)) for r in exp_rows}
     assert got == exp
-    assert int((tmp_path / "rollup" / "_CURRENT").read_text()) >= 1  # incremental versions
+    assert int((tmp_path / "rollup" / "_CURRENT").read_text().split()[0]) >= 1  # incremental versions
+
+
+def test_pointer_state_replay_guard_format():
+    """Pointer files record 'version batch_id' (at-least-once replay
+    guard) and still parse the pre-guard bare-version format."""
+    import os
+    import tempfile
+
+    from hadoop_app_spark.streaming import cdc, rollup
+    from hadoop_app_spark.streaming import similarity as ssim
+
+    for mod, empty in ((cdc, (0, -1)), (rollup, (-1, -1)), (ssim, (-1, -1))):
+        with tempfile.TemporaryDirectory() as d:
+            assert mod._read_state(d) == empty
+            mod._write_state(d, 3, 7)
+            assert mod._read_state(d) == (3, 7)
+            assert mod._read_pointer(d) == 3
+            # legacy single-int pointer (pre-replay-guard) still reads
+            with open(os.path.join(d, "_CURRENT"), "w") as f:
+                f.write("5")
+            assert mod._read_state(d) == (5, -1)
