@@ -34,8 +34,14 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two array columns (0.0 when either norm is 0)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array columns (0.0 when either norm is 0).
+
+    The zero-norm guard is load-bearing under Spark 4's ANSI default:
+    a bare division aborts the whole job with DIVIDE_BY_ZERO on the
+    first all-zeros embedding (missing/padded vector) — and matches the
+    vectorized numpy twins, which clamp norms and return 0.0."""
+    np_ = l2_norm(a) * l2_norm(b)
+    return F.when(np_ != 0.0, dot(a, b) / np_).otherwise(F.lit(0.0))
 
 
 def max_abs(a: Column | str) -> Column:

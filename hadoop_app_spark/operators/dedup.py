@@ -38,18 +38,28 @@ _MINHASH_B = (12582917, 25165843, 50331653, 100663319, 201326611, 402653189, 805
 
 
 def _poly_hash(col: Column) -> Column:
-    """Engine-agnostic string hash: fold((acc*31 + ascii(ch)) % M)."""
-    return F.aggregate(
-        F.split(col, "", -1),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(_MOD).cast("long"),
-    )
+    """Engine-agnostic string hash — THE definition lives in
+    functions.text.doc_fingerprint (same fold, same modulus); a second
+    copy here would silently drift from the DuckDB oracles."""
+    from hadoop_app_spark.functions.text import doc_fingerprint
+
+    return doc_fingerprint(col)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep the min-id row per duplicate key group (deterministic)."""
+    """Keep the min-id row per duplicate key group (deterministic).
+
+    NULL keys group together (one survivor per null-key group, matching
+    groupBy semantics) — the semi join uses null-safe equality; plain
+    ``join(on=cols)`` would drop EVERY null-keyed row silently."""
+    from functools import reduce as _reduce
+
     keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, key_cols + [id_col], "left_semi")
+    cond = _reduce(
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(keep[c]) for c in key_cols] + [df[id_col] == keep[id_col]],
+    )
+    return df.join(keep, cond, "left_semi")
 
 
 def minhash_signatures(
@@ -201,16 +211,35 @@ def minhash_lsh_pairs(
 
     from hadoop_app_spark.functions.metrics import observe_counts
 
-    sig_len_frac = F.size("signature") / bands
+    # distribute the signature across bands with NO empty band: base
+    # width = k div bands, the first k mod bands bands get one extra.
+    # (The previous uniform ceil(k/bands) width ran the last band's
+    # slice past the array whenever bands didn't divide k — every doc
+    # then shared the empty band's bucket and the whole corpus became
+    # one candidate clique.)
+    size = F.size("signature")
+    base = F.floor(size / bands).cast("int")
+    rem = (size % bands).cast("int")
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(F.col("signature"), b * F.ceil(sig_len_frac).cast("int") + 1, F.ceil(sig_len_frac).cast("int")),
+                lambda b: F.slice(
+                    F.col("signature"),
+                    (b * base + F.least(b, rem) + 1).cast("int"),
+                    (base + (b < rem).cast("int")).cast("int"),
+                ),
             )
         ).alias("band", "band_sig"),
-    ).select(id_col, F.concat_ws("_", F.col("band"), F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"))
+    ).select(
+        id_col,
+        F.size("band_sig").alias("_bw"),
+        F.concat_ws("_", F.col("band"), F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"),
+    )
+    # bands > k would still yield zero-width bands (no signal, universal
+    # collision) — drop them rather than bucket on emptiness
+    banded = banded.where(F.col("_bw") > 0).drop("_bw")
     # one shuffle on bucket: per-row bucket size + min id via window,
     # no per-bucket array yet
     wb = Window.partitionBy("bucket")

@@ -115,7 +115,10 @@ def asof_join_merge(
 
     ``how='inner'`` (default) drops left rows with no qualifying right
     row, matching asof_join; ``how='left'`` keeps them with null
-    matched columns. ``right_tiebreak`` columns break equal-ts
+    matched columns — including rows whose nearest right row falls
+    OUTSIDE ``tolerance`` (out-of-tolerance = no match, not a drop).
+    Matched right columns colliding with left names come back suffixed
+    ``_right``. ``right_tiebreak`` columns break equal-ts
     right rows deterministically: ascending window order, last() wins,
     so the LAST value in tiebreak order is kept (e.g. pass
     ['event_id'] to keep the highest event id — the same result as
@@ -152,8 +155,6 @@ def asof_join_merge(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     out = carried.where(F.col("_side") == 1)
-    if how == "inner":
-        out = out.where(F.col(f"_m_{right_ts}").isNotNull())
     if tolerance is not None:
         gap = (
             F.col("_ts") - F.col(f"_m_{right_ts}")
@@ -161,12 +162,28 @@ def asof_join_merge(
             else F.col(f"_m_{right_ts}") - F.col("_ts")
         )
         in_tol = gap <= tolerance
-        out = out.where(in_tol | F.col(f"_m_{right_ts}").isNull() if how == "left" else in_tol)
+        if how == "left":
+            # out-of-tolerance = NO match: null the matched columns and
+            # KEEP the left row (pandas merge_asof semantics) — a where()
+            # here would silently drop it
+            for c in [right_ts, *vals]:
+                out = out.withColumn(f"_m_{c}", F.when(in_tol, F.col(f"_m_{c}")))
+        else:
+            out = out.where(in_tol)
+    if how == "inner":
+        out = out.where(F.col(f"_m_{right_ts}").isNotNull())
+
+    def out_name(c: str) -> str:
+        # right_ts (or a right value col) may share the left's column
+        # name — suffix instead of emitting a duplicate, unusable column
+        taken = set(lcols)
+        return f"{c}_right" if c in taken else c
+
     return out.select(
         F.col(on),
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in lcols if c not in (on, left_ts)],
-        *[F.col(f"_m_{c}").alias(c) for c in [right_ts, *vals]],
+        *[F.col(f"_m_{c}").alias(out_name(c)) for c in [right_ts, *vals]],
     )
 
 
@@ -188,7 +205,15 @@ def asof_join(
     left row — all shuffle-partitioned by the join key; no driver state.
     Pass ``left_key`` (a unique left row id) so the dedup window
     partitions by one narrow column instead of the whole left row.
+    Without it, a synthetic unique row id is added so IDENTICAL left
+    rows each keep their own match (an all-columns partition would
+    collapse genuine duplicates into one output row). Right columns
+    colliding with left names come back suffixed ``_right``.
     """
+    synth_key = left_key is None
+    if synth_key:
+        left_key = "_asof_lid"
+        left = left.withColumn(left_key, F.monotonically_increasing_id())
     lk, rk = left.alias("l"), right.alias("r")
     if direction == "backward":
         ineq = F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
@@ -205,11 +230,16 @@ def asof_join(
     cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & ineq
     joined = lk.join(rk, cond, "inner")
     # rank-1 per left row; tiebreak fully deterministic
-    part = [F.col(f"l.{left_key}")] if left_key else [F.col(f"l.{c}") for c in left.columns]
-    w = Window.partitionBy(*part).orderBy(order)
-    right_cols = [F.col(f"r.{c}").alias(c) for c in right.columns if c != on]
+    w = Window.partitionBy(F.col(f"l.{left_key}")).orderBy(order)
+    out_left = [c for c in left.columns if not (synth_key and c == left_key)]
+    taken = set(out_left)
+    right_cols = [
+        F.col(f"r.{c}").alias(f"{c}_right" if c in taken else c)
+        for c in right.columns
+        if c != on
+    ]
     return (
         joined.withColumn("_asof_rn", F.row_number().over(w))
         .where(F.col("_asof_rn") == 1)
-        .select(*[F.col(f"l.{c}").alias(c) for c in left.columns], *right_cols)
+        .select(*[F.col(f"l.{c}").alias(c) for c in out_left], *right_cols)
     )

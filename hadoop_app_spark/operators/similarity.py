@@ -53,8 +53,7 @@ def brute_force_topk(
         id_col,
         cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(scored, id_col, k)
 
 
 def brute_force_topk_vectorized(
@@ -88,7 +87,7 @@ def brute_force_topk_vectorized(
         raise ValueError("empty queries")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    Qn = _np_normalize(Q)
     bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
     out_schema = f"query_id long, {id_col} long, cosine double"
 
@@ -98,7 +97,7 @@ def brute_force_topk_vectorized(
             if pdf.empty:
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            Xn = _np_normalize(X)
             C = Xn @ bQn.T  # (batch, m)
             ids = pdf[id_col].to_numpy()
             parts = []
@@ -108,17 +107,12 @@ def brute_force_topk_vectorized(
                 cids, cval = ids[mask], col[mask]
                 if cids.size == 0:
                     continue
-                # stable partial top-k with the final (cosine desc, id asc) tiebreak
-                order = np.lexsort((cids, -cval))[:k]
-                parts.append(
-                    pd.DataFrame({"query_id": qid, id_col: cids[order], "cosine": cval[order]})
-                )
+                parts.append(_partial_topk_frame(qid, cids, cval, k, id_col))
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
     cand = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(cand, id_col, k)
 
 
 def _np_normalize(X):
@@ -211,8 +205,7 @@ def lsh_topk(
         id_col,
         cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(scored, id_col, k)
 
 
 def lsh_topk_vectorized(
@@ -431,8 +424,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id", id_col, cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(scored, id_col, k)
 
 
 def ivf_topk_vectorized(

@@ -58,8 +58,15 @@ def _make_update_profile(evict: bool):
             n, s, anom = state.get
         else:
             n, s, anom = 0, 0.0, 0
-        for pdf in pdfs:
-            # deterministic order inside the batch
+        # A group larger than arrow.maxRecordsPerBatch arrives as SEVERAL
+        # chunks in arbitrary post-shuffle order — concatenate first, then
+        # sort, so the running profile sees one deterministic (ts,
+        # event_id) order per micro-batch (per-chunk sorting alone is
+        # order-dependent across the chunk boundary). Memory is bounded
+        # by one user's events per micro-batch.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             v = pdf["value"].to_numpy(dtype=np.float64)
             if v.size:

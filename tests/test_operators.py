@@ -1134,3 +1134,84 @@ def test_resize_images(spark):
     # skip mode drops garbage payloads
     bad = spark.createDataFrame([(9, bytearray(b"junk"))], "asset_id long, payload binary")
     assert resize_images(bad, "asset_id", "payload", 2, 2, on_error="skip").count() == 0
+
+
+# --- review-found regressions (r3) -----------------------------------------
+
+
+def test_lsh_banding_indivisible_signature_width(spark):
+    """bands not dividing k must NOT create an empty band that collides
+    the whole corpus into one bucket (r3 review finding)."""
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6]), (2, [7, 8, 9, 10, 11, 12]), (3, [13, 14, 15, 16, 17, 18])],
+        "doc_id long, signature array<long>",
+    )
+    pairs = minhash_lsh_pairs(sigs, "doc_id", bands=4).collect()
+    assert pairs == []  # fully disjoint signatures -> no candidates
+    # identical signatures still pair under the same banding
+    dup = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6]), (2, [1, 2, 3, 4, 5, 6])],
+        "doc_id long, signature array<long>",
+    )
+    assert [(r.id_a, r.id_b) for r in minhash_lsh_pairs(dup, "doc_id", bands=4).collect()] == [(1, 2)]
+
+
+def test_cosine_zero_norm_vector_no_crash(spark):
+    """An all-zeros embedding must score 0.0, not abort the job with
+    ANSI DIVIDE_BY_ZERO (r3 review finding)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame([(9, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    got = {r.vec_id: r.cosine for r in brute_force_topk(corpus, queries, k=3).collect()}
+    assert got[1] == 1.0 and got[2] == 0.0 and got[3] == 0.0
+
+
+def test_exact_dedup_null_keys_keep_survivor(spark):
+    """NULL keys form ONE group with a min-id survivor — the null-unsafe
+    semi join silently deleted every null-keyed row (r3 review finding)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)], "doc_id long, text string"
+    )
+    assert sorted(r.doc_id for r in exact_dedup(df, ["text"], "doc_id").collect()) == [1, 3]
+
+
+def test_asof_merge_left_tolerance_keeps_row(spark):
+    """how='left' + tolerance: an out-of-tolerance left row is KEPT with
+    null matched columns, not dropped (r3 review finding)."""
+    from hadoop_app_spark.operators.joins import asof_join_merge
+
+    left = spark.createDataFrame([("A", 100.0, "x"), ("A", 200.0, "y")], "k string, ts double, lv string")
+    right = spark.createDataFrame([("A", 95.0, 1.0)], "k string, rts double, rv double")
+    out = asof_join_merge(
+        left, right, "k", "ts", "rts", ["rv"], how="left", tolerance=F.lit(10.0)
+    ).collect()
+    got = {r.ts: (r.rts, r.rv) for r in out}
+    assert got[100.0] == (95.0, 1.0)
+    assert got[200.0] == (None, None)  # out of tolerance -> null match, row kept
+
+
+def test_asof_shared_ts_name_suffixed(spark):
+    """left_ts == right_ts must not emit a duplicate output column
+    (r3 review finding)."""
+    from hadoop_app_spark.operators.joins import asof_join_merge
+
+    left = spark.createDataFrame([("A", 100.0)], "k string, ts double")
+    right = spark.createDataFrame([("A", 95.0, 1.0)], "k string, ts double, rv double")
+    out = asof_join_merge(left, right, "k", "ts", "ts", ["rv"])
+    assert out.columns == ["k", "ts", "ts_right", "rv"]
+    r = out.collect()[0]
+    assert (r.ts, r.ts_right, r.rv) == (100.0, 95.0, 1.0)
+    # join+rank form gets the same suffixing
+    out2 = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    assert sorted(out2.columns) == ["k", "rv", "ts", "ts_right"]
+
+
+def test_asof_duplicate_left_rows_both_kept(spark):
+    """Two IDENTICAL left rows each keep their match without left_key
+    (r3 review finding: the all-columns window collapsed them)."""
+    left = spark.createDataFrame([("A", 100.0), ("A", 100.0)], "k string, ts double")
+    right = spark.createDataFrame([("A", 95.0, 1.0)], "k string, rts double, rv double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    assert len(out) == 2 and all(r.rv == 1.0 for r in out)
