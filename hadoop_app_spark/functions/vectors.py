@@ -54,9 +54,15 @@ def max_abs(a: Column | str) -> Column:
 def quantize_int8(a: Column | str, scale: Column) -> Column:
     """Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5)
     (half-up via floor — identical in every engine, unlike round()'s
-    per-engine half-even/half-up split). Range [-127, 127]."""
+    per-engine half-even/half-up split), CLAMPED to [-127, 127] so the
+    documented int8 envelope holds even for a caller-supplied shared
+    scale smaller than max_abs/127 (with a per-vector max_abs scale the
+    clamp is a no-op)."""
     return F.transform(
-        _d(a), lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        _d(a),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int"))
+        ),
     )
 
 

@@ -368,7 +368,11 @@ def redact_pii(
     red = c
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
-    return df.select(id_col, *counts, red.alias(out_col))
+    # carry every non-text column through the projection — the scrub is
+    # a narrow map, and forcing callers to join the result back to the
+    # source to recover their meta columns would re-scan the corpus
+    passthrough = [col for col in df.columns if col not in (text_col, out_col)]
+    return df.select(*passthrough, *counts, red.alias(out_col))
 
 
 def line_dedup(
@@ -409,7 +413,9 @@ def line_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(lines).alias("line_no", "line")
     )
-    packed = F.col(id_col) * F.lit(1 << 20) + F.col("line_no")
+    # cast to long BEFORE multiplying: an IntegerType id would overflow
+    # int32 at doc_id >= 2048 (ANSI abort, or silent wrap with ANSI off)
+    packed = F.col(id_col).cast("long") * F.lit(1 << 20).cast("long") + F.col("line_no").cast("long")
     firsts = exploded.groupBy("line").agg(F.min(packed).alias("first_packed"))
     kept = (
         exploded.join(firsts, "line")

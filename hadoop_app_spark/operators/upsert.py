@@ -45,7 +45,11 @@ def apply_changes(
         live = changes.select(*data_cols)
         touched = changes.select(*keys)
     else:
-        live = changes.where(F.col(op_col) != delete_value).select(*data_cols)
+        # null-safe: a change row with op=NULL (insert events that only
+        # stamp op on deletes) is an upsert — a bare != would drop it
+        # from live while its key still anti-joins the snapshot away,
+        # silently deleting the key
+        live = changes.where(~F.col(op_col).eqNullSafe(delete_value)).select(*data_cols)
         touched = changes.select(*keys)
     touched = touched.distinct()
     if broadcast_changes:

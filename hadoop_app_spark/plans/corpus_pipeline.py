@@ -64,9 +64,10 @@ def curate(
     meta_cols = [c for c in docs.columns if c != "text"]
 
     # 1. PII scrub — redacted text replaces the original; rows with any
-    # hit are counted, not dropped (the scrub IS the remediation)
-    red = redact_pii(docs, "text", "doc_id", out_col="text")
-    scrubbed = red.join(docs.select(*meta_cols), "doc_id").select(
+    # hit are counted, not dropped (the scrub IS the remediation).
+    # redact_pii carries the meta columns through its projection, so the
+    # stage stays a narrow map — no join back to the corpus
+    scrubbed = redact_pii(docs, "text", "doc_id", out_col="text").select(
         *meta_cols, "text", "n_email", "n_ipv4", "n_phone"
     )
     scrubbed, obs["scrubbed"] = observe_counts(

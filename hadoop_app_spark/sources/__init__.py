@@ -14,4 +14,6 @@ __all__ = [
     "read_city_cars",
     "write_kv_text",
     "write_text_lines",
+    "dispatch_by_path",
+    "read_tagged_parquet",
 ]

@@ -50,12 +50,9 @@ def read_text(spark: SparkSession, path: str | list[str], wholetext: bool = Fals
     large enough to pin one core for the whole scan.
     """
     for p in [path] if isinstance(path, str) else path:
-        if not is_splittable(p) and os.path.isfile(p):
-            try:
-                size = os.path.getsize(p)
-            except OSError:
-                continue
-            if size > _NON_SPLITTABLE_WARN_BYTES:
+        if not is_splittable(p):
+            size = _file_size(spark, p)
+            if size is not None and size > _NON_SPLITTABLE_WARN_BYTES:
                 warnings.warn(
                     f"{p} is {size >> 20} MiB of non-splittable "
                     f"{os.path.splitext(p)[1]} — it will scan as ONE task; "
@@ -63,3 +60,22 @@ def read_text(spark: SparkSession, path: str | list[str], wholetext: bool = Fals
                     stacklevel=2,
                 )
     return spark.read.text(path, wholetext=wholetext)
+
+
+def _file_size(spark: SparkSession, p: str) -> int | None:
+    """Size in bytes for local AND remote (hdfs://, s3a://) paths — the
+    single-task warning is pointless if it only fires on the driver's
+    local disk, which is exactly where 500 GiB gzips don't live."""
+    if os.path.isfile(p):
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return None
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        status = fs.getFileStatus(jpath)
+        return None if status.isDirectory() else int(status.getLen())
+    except Exception:
+        return None  # missing path etc. — let spark.read.text report it

@@ -79,7 +79,10 @@ def decode_at_pairs(col: F.Column, list_sep: str) -> F.Column:
     """Decode an ``"a@b<sep>a@b..."`` encoded list into
     array<struct<id: string, val: string>> — the engine's reusable codec
     for the reference's two micro-formats."""
-    sep = {"$": "\\$", ",": ","}.get(list_sep, list_sep)
+    from hadoop_app_spark.sources.tsv import _escape_regex
+
+    sep = _escape_regex(list_sep)  # split() takes a REGEX — '|' or '.'
+    # unescaped would split between every character
     return F.transform(
         F.split(col, sep, -1),
         lambda p: F.struct(

@@ -64,18 +64,30 @@ def read_jsonl(
     """
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    # the corrupt column must be IN the read schema — without it,
-    # PERMISSIVE mode surfaces a malformed line as an all-null row with
-    # nothing to filter on
-    if CORRUPT_COL not in [f.name for f in schema.fields]:
-        schema = schema.add(CORRUPT_COL, T.StringType())
-    reader = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    # COPY before adding the corrupt column — StructType.add mutates in
+    # place, and permanently injecting _corrupt_record into a caller's
+    # module-level schema constant breaks their later from_json/
+    # createDataFrame calls
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        if CORRUPT_COL not in [f.name for f in schema.fields]
+        else list(schema.fields)
     )
+    # text-scan + from_json instead of the raw JSON source: the JSON
+    # source refuses any query whose pruned schema is ONLY the corrupt
+    # column (so even read_jsonl(...).count() crashed with
+    # UNSUPPORTED_FEATURE); a text scan always has its value column and
+    # from_json applies the identical PERMISSIVE semantics
     paths = path if isinstance(path, list) else [path]
-    df = reader.json(*paths)
+    lines = spark.read.text(paths)
+    parsed = lines.select(
+        F.from_json(
+            F.col("value"),
+            read_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r")
+    )
+    df = parsed.select("r.*")
     if not keep_corrupt:
         df = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return df

@@ -68,3 +68,24 @@ def test_recommend_counters(spark, tmp_path):
     assert observations["user_count"].get["rows"] == 3
     # only city 2 has cars: (u1,2) and (u2,2) x 2 cars each
     assert observations["rec_count"].get["rows"] == n_recs == 4
+
+
+def test_read_jsonl_schema_not_mutated_and_countable(spark, tmp_path):
+    """r3 review: StructType.add mutated the caller's schema object, and
+    counting a fresh read crashed on corrupt-record-only pruning."""
+    from pyspark.sql import types as T
+
+    from hadoop_app_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2, "text": "x"}\n')
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    n_fields = len(schema.fields)
+    df = read_jsonl(spark, str(p), schema)
+    assert df.count() == 2  # previously raised UNSUPPORTED_FEATURE
+    assert len(schema.fields) == n_fields  # caller's schema untouched
+    assert sorted(r.doc_id for r in df.collect()) == [1, 2]
+    kept = read_jsonl(spark, str(p), schema, keep_corrupt=True)
+    assert kept.where(F.col("_corrupt_record").isNotNull()).count() == 1

@@ -1215,3 +1215,32 @@ def test_asof_duplicate_left_rows_both_kept(spark):
     right = spark.createDataFrame([("A", 95.0, 1.0)], "k string, rts double, rv double")
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
     assert len(out) == 2 and all(r.rv == 1.0 for r in out)
+
+
+def test_apply_changes_null_op_is_upsert(spark):
+    """op=NULL change rows are upserts, not silent deletions (r3 review:
+    the != filter dropped them from live while their keys still
+    anti-joined the snapshot away)."""
+    from hadoop_app_spark.operators.upsert import apply_changes
+
+    snap = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(2, 21.0, None), (3, 30.0, "I"), (1, 0.0, "D")], "k long, v double, op string"
+    )
+    got = {r.k: r.v for r in apply_changes(snap, changes, ["k"], op_col="op").collect()}
+    assert got == {2: 21.0, 3: 30.0}  # 2 upserted via NULL op, 1 deleted
+
+
+def test_line_dedup_integer_ids_no_overflow(spark):
+    """IntegerType doc ids must not overflow the bit-packed first-
+    occurrence key under ANSI (r3 review finding)."""
+    from hadoop_app_spark.operators.corpus import line_dedup
+
+    df = spark.createDataFrame(
+        [(5000, "alpha beta gamma delta epsilon zeta eta theta"),
+         (6000, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.n_kept_lines for r in line_dedup(df, "text", "doc_id", line_tokens=8).collect()}
+    assert out[5000] == 1  # first occurrence keeps the line
+    assert 6000 not in out or out.get(6000, 0) == 0  # dup doc loses all lines
