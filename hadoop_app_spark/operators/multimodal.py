@@ -123,8 +123,6 @@ def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, list[flo
     height, 4-dim feature) from the bytes so distributed plumbing stays
     testable with arbitrary payloads."""
     if not fake:
-        import numpy as np
-
         if payload.startswith(b"P6"):
             w, h, img = _decode_ppm(payload)
         elif payload.startswith(b"BM"):
@@ -147,16 +145,25 @@ def _decode_image_kernel(payload: bytes, fake: bool) -> tuple[int, int, list[flo
 
 
 def extract_image_features(
-    df: DataFrame, id_col: str, payload_col: str, fake: bool = True
+    df: DataFrame, id_col: str, payload_col: str, fake: bool = True, on_error: str = "raise"
 ) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, feature rows
-    out. One Python fn call per batch (not per row)."""
+    out. One Python fn call per batch (not per row). ``on_error='skip'``
+    drops undecodable payloads instead of failing the pass (same
+    corpus-scale escape hatch as the audio/resize kernels)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for asset_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, feat = _decode_image_kernel(bytes(payload), fake)
+                try:
+                    w, h, feat = _decode_image_kernel(bytes(payload), fake)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 rows.append((int(asset_id), "image", len(payload), w, h, feat))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
@@ -291,10 +298,11 @@ def _audio_rms_kernel(payload: bytes, sample_width: int, samples_per_chunk: int)
     — same batch shape as the real WAV kernel below."""
     import numpy as np
 
+    dtypes = {1: "<i1", 2: "<i2", 4: "<i4"}
+    if sample_width not in dtypes:
+        raise NotImplementedError(f"unsupported PCM sample width {sample_width}")
     usable = len(payload) - (len(payload) % sample_width)
-    samples = np.frombuffer(payload[:usable], dtype="<i2" if sample_width == 2 else "<i1").astype(
-        np.float64
-    )
+    samples = np.frombuffer(payload[:usable], dtype=dtypes[sample_width]).astype(np.float64)
     if samples.size == 0:
         return [(0, 0, 0.0)]
     chunks = []

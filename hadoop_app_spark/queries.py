@@ -40,9 +40,8 @@ from hadoop_app_spark.functions.text import (
     token_count,
     tokenize,
 )
-from hadoop_app_spark.functions.vectors import cosine_similarity
 from hadoop_app_spark.operators.dedup import minhash_signatures, simhash
-from hadoop_app_spark.operators.joins import anti_join, asof_join, range_join, semi_join
+from hadoop_app_spark.operators.joins import anti_join, semi_join
 from hadoop_app_spark.operators.similarity import brute_force_topk, lsh_topk
 from hadoop_app_spark.operators.topk import global_top_k, top_k_per_group
 
@@ -1338,7 +1337,7 @@ def q_sliding_window(spark, sf_dir):
         WITH marked AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                        WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                        WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
                         ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1362,9 +1361,12 @@ def q_sessionize(spark, sf_dir):
         "ts",
         "event_id",
         # interval comparison instead of unix_millis: valid for both
-        # TIMESTAMP and TIMESTAMP_NTZ (the events ts is NTZ — catalog.py)
+        # TIMESTAMP and TIMESTAMP_NTZ (the events ts is NTZ — catalog.py).
+        # >= : a gap of EXACTLY 30min starts a new session, matching
+        # F.session_window (window end exclusive) so the batch and
+        # streaming sessionizations agree on the boundary
         F.when(F.lag("ts").over(w).isNull(), 1)
-        .when(F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), 1)
+        .when(F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), 1)
         .otherwise(0)
         .alias("new_session"),
     )
@@ -1813,8 +1815,18 @@ def _event_stream(spark, sf_dir: str):
     import os
     import tempfile
 
+    import atexit
+    import shutil
+
     d = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    # abspath: a RELATIVE sf_dir (tools/oracle_check.py takes it from the
+    # CLI) would otherwise be stored relative to the tmpdir — a dangling
+    # symlink that fails only the stream queries
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(d, "events.parquet"),
+    )
     return spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     ).parquet(d)
@@ -2348,24 +2360,9 @@ REGISTRY["corpus_curation"] = QueryDef(
 )
 
 
-# polynomial content-fingerprint fold — the SQL twin of doc_fingerprint
-_FP_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(acc, c) -> (acc * 31 + c) % 1000000007)"
-)
-
-# quality_score's SQL twin (same fragment corpus_curation's oracle uses)
-_QUALITY_SQL = """
-        0.3 * least(length(text) / 500.0, 1.0)
-      + 0.3 * (CASE WHEN length(text) > 0
-                    THEN CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) / length(text)
-                    ELSE 0.0 END)
-      + 0.2 * least(CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE) / 3.0, 1.0)
-      + 0.2 * (CASE WHEN ({ntok}) > 0
-                    AND length(text) / CAST(greatest({ntok}, 1) AS DOUBLE) BETWEEN 3 AND 12
-                    THEN 1.0 ELSE 0.5 END)
-""".format(ntok=_NTOK)
+# _FP_SQL / _QUALITY_SQL (defined once, above the text-analysis section)
+# feed every fingerprint/quality oracle — a second local copy here once
+# let the two oracle families drift independently
 
 
 @query(
