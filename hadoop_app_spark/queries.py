@@ -2965,20 +2965,18 @@ _PRIORITY = [
     "max_per_group",
     "inner_equi_join",
     "broadcast_dim_join",
-    "fanout_explode",
     "topk_per_group",
-    "minmax_normalize",
     "recommend_flagship",
     "pricing_summary",
     # aggregation completions (count_distinct carries the approx/HLL band check)
     "count_distinct",
     "grouping_analytics",
-    "pivot_wide",
-    # join completions
+    # join completions (bucketed_join gates the write-time co-located layout)
     "semi_anti_join",
     "outer_joins",
     "cross_range_joins",
     "asof_join_latest_click",
+    "bucketed_join",
     # windows / set ops / sort-limit
     "window_analytics",
     "set_operations",
@@ -3003,7 +3001,6 @@ _PRIORITY = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
-    "embedding_avg_by_label",
     "embedding_quantize",
     # corpus pipeline stages (north star)
     "corpus_curation",
@@ -3011,6 +3008,9 @@ _PRIORITY = [
     "source_stats",
     "pii_redaction",
     "line_dedup",
+    "repetition_ngrams",
+    "decontamination",
+    "domain_filter_caps",
     # event-time streaming execution (batch twins past the gate: their
     # output is bit-identical to / derivable from these stream rows)
     "stream_tumbling_exec",
@@ -3032,16 +3032,23 @@ _PRIORITY = [
     #   twins whose content is inside stream_{tumbling,session,sliding,
     #   dedup}_exec's gated rows;
     # stratified_sample: the fp-mod sampling mechanism is gated via
-    #   corpus_curation.in_sample and source_stats.n_unique_docs.
+    #   corpus_curation.in_sample and source_stats.n_unique_docs;
+    # fanout_explode / minmax_normalize (r4 swap-out): both live inside
+    #   recommend_flagship's gated oracle-exact pipeline (explode of the
+    #   candidate ladder; min-max inverted scoring);
+    # pivot_wide (r4 swap-out): 3 rows of reshaping over the same grouped
+    #   sums that pricing_summary/grouping_analytics gate;
+    # embedding_avg_by_label (r4 swap-out): plain keyed count/sum — the
+    #   groupBy-agg mechanics are gated many times over.
     # All remain oracle-checked locally by tools/oracle_check.py.
+    "fanout_explode",
+    "minmax_normalize",
+    "pivot_wide",
+    "embedding_avg_by_label",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",
     "stratified_sample",
-    "repetition_ngrams",
-    "decontamination",
-    "domain_filter_caps",
-    "bucketed_join",
     "sliding_window",
     "event_dedup",
     "cosine_topk_vectorized",
