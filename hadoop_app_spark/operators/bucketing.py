@@ -29,6 +29,39 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _strip_scheme(loc: str) -> str:
+    for prefix in ("file:", "hdfs:"):
+        if loc.startswith(prefix):
+            loc = loc[len(prefix):]
+    return loc.rstrip("/")
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """The catalog's actual location for *table*, or None."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if r.col_name == "Location":
+            return r.data_type
+    return None
+
+
+def _location_claimed(spark: SparkSession, loc: str) -> bool:
+    """True when any catalog table resolves to *loc* — deleting it
+    would destroy that table's data, not an orphan."""
+    want = _strip_scheme(loc)
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if t.isTemporary:  # temp views have no storage location
+                continue
+            got = _table_location(spark, f"{db.name}.{t.name}")
+            if got is not None and _strip_scheme(got) == want:
+                return True
+    return False
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -44,14 +77,34 @@ def write_bucketed(
     later SortMergeJoin needs no per-task Sort — do it at write time,
     the scan is then merge-ready forever.
     """
+    spark = df.sparkSession
     if mode == "overwrite":
-        spark = df.sparkSession
+        from hadoop_app_spark.sources.fs import delete, exists
+
+        # resolve the ACTUAL location from the catalog (custom-LOCATION
+        # tables live anywhere — deriving {wh}/{db}.db/{t} here could
+        # point at a directory that belongs to a different table) and
+        # clear it: that directory IS the table being overwritten, and
+        # DROP alone leaves external/custom-LOCATION data behind
+        loc = _table_location(spark, table) if spark.catalog.tableExists(table) else None
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        # a FRESH session has an empty in-memory catalog, but the managed
-        # location under the warehouse survives from earlier sessions and
-        # saveAsTable then fails with LOCATION_ALREADY_EXISTS — remove the
-        # orphan directory explicitly. Managed layout: {wh}/{t} for the
-        # default database, {wh}/{db}.db/{t} otherwise.
+        if loc is not None and exists(spark, loc):
+            delete(spark, loc, recursive=True)
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    try:
+        writer.saveAsTable(table)
+    except Exception as e:
+        # a FRESH session has an empty in-memory catalog, but a managed
+        # location under the warehouse can survive from earlier sessions;
+        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Delete the
+        # colliding directory ONLY for a true orphan — when the failure
+        # names that cause, overwrite was requested, and no catalog
+        # entity claims the path (r3 ADVICE: a blind derived-path delete
+        # could destroy a custom-LOCATION table stored there).
+        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
         from hadoop_app_spark.sources.fs import delete, exists
 
         if "." in table:
@@ -59,13 +112,11 @@ def write_bucketed(
         else:
             db, t = spark.catalog.currentDatabase().lower(), table.lower()
         wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        loc = f"{wh}/{t}" if db == "default" else f"{wh}/{db}.db/{t}"
-        if exists(spark, loc):
-            delete(spark, loc, recursive=True)
-    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *keys)
-    if sort:
-        writer = writer.sortBy(*keys)
-    writer.saveAsTable(table)
+        orphan = f"{wh}/{t}" if db == "default" else f"{wh}/{db}.db/{t}"
+        if not exists(spark, orphan) or _location_claimed(spark, orphan):
+            raise
+        delete(spark, orphan, recursive=True)
+        writer.saveAsTable(table)
 
 
 def bucketed_join(

@@ -54,10 +54,19 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     ``join(on=cols)`` would drop EVERY null-keyed row silently."""
     from functools import reduce as _reduce
 
+    # rename the aggregated side's columns BEFORE building the join
+    # condition: `keep`'s groupBy keys retain df's expression IDs, so
+    # df[c].eqNullSafe(keep[c]) compares an attribute with itself and
+    # only resolves via Spark's "trivially true equals predicate"
+    # self-join disambiguation heuristic — correct today, but one
+    # analyzer behavior change away from a wrong join. Renamed columns
+    # take the heuristic out of the loop entirely.
     keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    keep = keep.select([F.col(c).alias(f"_keep_{c}") for c in [*key_cols, id_col]])
     cond = _reduce(
         lambda a, b: a & b,
-        [df[c].eqNullSafe(keep[c]) for c in key_cols] + [df[id_col] == keep[id_col]],
+        [df[c].eqNullSafe(keep[f"_keep_{c}"]) for c in key_cols]
+        + [df[id_col] == keep[f"_keep_{id_col}"]],
     )
     return df.join(keep, cond, "left_semi")
 
@@ -207,8 +216,6 @@ def minhash_lsh_pairs(
     the pair count. Pass ``observations`` to record how many
     (doc, band) rows took the overflow path (no silent caps).
     """
-    from pyspark.sql import Window
-
     from hadoop_app_spark.functions.metrics import observe_counts
 
     # distribute the signature across bands with NO empty band: base
@@ -240,12 +247,20 @@ def minhash_lsh_pairs(
     # bands > k would still yield zero-width bands (no signal, universal
     # collision) — drop them rather than bucket on emptiness
     banded = banded.where(F.col("_bw") > 0).drop("_bw")
-    # one shuffle on bucket: per-row bucket size + min id via window,
-    # no per-bucket array yet
-    wb = Window.partitionBy("bucket")
-    sized = banded.select(
-        id_col, "bucket", F.count("*").over(wb).alias("_n"), F.min(id_col).over(wb).alias("_min_id")
-    ).where(F.col("_n") > 1)
+    # bucket size + min id via groupBy-agg joined back on the bucket key
+    # — NOT a Window.partitionBy("bucket"): the degenerate bucket this
+    # function's max_bucket_size guard exists for (boilerplate docs
+    # sharing a band signature, potentially a corpus-scale fraction of
+    # rows) would land in ONE window task that buffers and streams the
+    # whole partition serially. The aggregate's map-side partial combine
+    # collapses the hot key to one row per input partition before the
+    # exchange, and AQE's skew-join split handles the join back.
+    stats = (
+        banded.groupBy("bucket")
+        .agg(F.count("*").alias("_n"), F.min(id_col).alias("_min_id"))
+        .where(F.col("_n") > 1)  # singleton buckets can't produce pairs
+    )
+    sized = banded.join(stats, "bucket")
     small = sized.where(F.col("_n") <= max_bucket_size)
     big = sized.where(F.col("_n") > max_bucket_size)
     if observations is not None:

@@ -80,6 +80,11 @@ def read_jsonl(
     # from_json applies the identical PERMISSIVE semantics
     paths = path if isinstance(path, list) else [path]
     lines = spark.read.text(paths)
+    # the native JSON source skips whitespace-only lines entirely; the
+    # text-scan path must do the same or from_json('') yields a null
+    # struct whose null _corrupt_record survives the keep_corrupt=False
+    # filter as a phantom all-null row (common trailing-newline input)
+    lines = lines.where(F.trim(F.col("value")) != "")
     parsed = lines.select(
         F.from_json(
             F.col("value"),

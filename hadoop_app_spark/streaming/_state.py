@@ -1,0 +1,66 @@
+"""Versioned-snapshot pointer state shared by the foreachBatch sinks
+(``streaming/cdc.py``, ``rollup.py``, ``similarity.py``).
+
+The ``_CURRENT`` pointer file names the committed snapshot version and
+the last applied micro-batch id (the at-least-once replay guard). All
+pointer I/O goes through the Hadoop FileSystem API bound to the
+session's configuration (``sources/fs.py``), so the same code works
+when the snapshot root is ``file://``, ``hdfs://``, or any other
+Hadoop-supported filesystem — a driver-local ``open()`` would silently
+read "no state" for a perfectly healthy remote root.
+
+Atomicity: the pointer is written to a ``.tmp`` sibling and swapped in
+with ``FileContext.rename(OVERWRITE)``, which is atomic on HDFS and
+POSIX — readers see the old or the new pointer, never a partial write.
+Object stores without atomic rename (s3a) need a real table format's
+transaction log (Delta/Iceberg) — the same caveat the snapshot
+directories themselves carry.
+
+Failure semantics: only a genuinely ABSENT pointer reads as fresh
+state; any other read failure (permissions, transient remote error)
+propagates — treating an unreadable pointer as "no state yet" would
+silently restart a stream's fold from scratch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from hadoop_app_spark.sources import fs as hfs
+
+POINTER = "_CURRENT"
+
+
+def read_state(
+    spark: SparkSession, root: str, fresh_version: int = -1
+) -> tuple[int, int]:
+    """(committed version, last applied batch_id); (*fresh_version*, -1)
+    when no pointer has ever been committed under *root*."""
+    pointer = f"{root}/{POINTER}"
+    if not hfs.exists(spark, pointer):
+        return fresh_version, -1
+    parts = hfs.read_text(spark, pointer).split()
+    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
+
+
+def write_state(spark: SparkSession, root: str, version: int, batch_id: int) -> None:
+    """Atomically commit (version, batch_id) as *root*'s pointer."""
+    tmp = f"{root}/{POINTER}.tmp"
+    hfs.write_text(spark, tmp, f"{version} {batch_id}")
+    _rename_overwrite(spark, tmp, f"{root}/{POINTER}")
+
+
+def _rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
+    # FileSystem.rename refuses an existing destination on HDFS, and a
+    # delete-then-rename pair opens a no-pointer window; FileContext's
+    # three-arg rename overwrites atomically where the FS supports it
+    jvm = spark._jvm
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        src_p.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(rename_cls, 1)
+    opts[0] = rename_cls.OVERWRITE
+    ctx.rename(src_p, dst_p, opts)

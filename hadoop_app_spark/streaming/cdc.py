@@ -31,34 +31,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_app_spark.operators.upsert import apply_changes
-
-_POINTER = "_CURRENT"
-
-
-def _read_state(root: str) -> tuple[int, int]:
-    """(committed version, last applied batch_id); (0, -1) before any."""
-    try:
-        with open(os.path.join(root, _POINTER)) as f:
-            parts = f.read().split()
-    except FileNotFoundError:
-        return 0, -1
-    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
-
-
-def _write_state(root: str, version: int, batch_id: int) -> None:
-    tmp = os.path.join(root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"{version} {batch_id}")
-    os.replace(tmp, os.path.join(root, _POINTER))  # atomic on POSIX
-
-
-def _read_pointer(root: str) -> int:
-    return _read_state(root)[0]
+from hadoop_app_spark.streaming import _state
 
 
 def current_snapshot(spark, root: str) -> DataFrame:
     """The latest committed snapshot version under *root*."""
-    return spark.read.parquet(os.path.join(root, f"v{_read_pointer(root)}"))
+    version, _ = _state.read_state(spark, root, fresh_version=0)
+    return spark.read.parquet(os.path.join(root, f"v{version}"))
 
 
 def last_writer_wins(
@@ -94,7 +73,7 @@ def apply_changes_stream(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        version, last_batch = _read_state(snapshot_root)
+        version, last_batch = _state.read_state(spark, snapshot_root, fresh_version=0)
         if batch_id <= last_batch:
             # at-least-once replay guard (apply_changes is idempotent,
             # but skipping avoids a spurious snapshot version; batch_id
@@ -105,7 +84,7 @@ def apply_changes_stream(
         snap = current_snapshot(spark, snapshot_root)
         nxt = apply_changes(snap, batch, keys, op_col=op_col)
         nxt.write.mode("overwrite").parquet(os.path.join(snapshot_root, f"v{version + 1}"))
-        _write_state(snapshot_root, version + 1, batch_id)
+        _state.write_state(spark, snapshot_root, version + 1, batch_id)
 
     writer = change_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

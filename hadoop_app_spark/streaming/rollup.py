@@ -24,33 +24,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_POINTER = "_CURRENT"
-
-
-def _read_state(root: str) -> tuple[int, int]:
-    """(committed version, last applied batch_id); (-1, -1) before any."""
-    try:
-        with open(os.path.join(root, _POINTER)) as f:
-            parts = f.read().split()
-    except FileNotFoundError:
-        return -1, -1
-    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
-
-
-def _write_state(root: str, version: int, batch_id: int) -> None:
-    tmp = os.path.join(root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"{version} {batch_id}")
-    os.replace(tmp, os.path.join(root, _POINTER))
-
-
-def _read_pointer(root: str) -> int:
-    return _read_state(root)[0]
+from hadoop_app_spark.streaming import _state
 
 
 def current_rollup(spark, root: str) -> DataFrame | None:
     """Latest committed rollup, or None before the first batch."""
-    v = _read_pointer(root)
+    v, _ = _state.read_state(spark, root)
     if v < 0:
         return None
     return spark.read.parquet(os.path.join(root, f"v{v}"))
@@ -64,7 +43,13 @@ def _partial(batch: DataFrame, ts_col: str, bucket: str, keys: Sequence[str], va
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum_dec"),
         )
         .select(
-            F.date_format(F.col("_w.start"), "yyyy-MM-dd HH:mm").alias("bucket_start"),
+            # bucket_start is the MERGE KEY for every future batch: format
+            # the instant via an explicit UTC reinterpretation so a stream
+            # resumed (or the stored rollup read) under a different session
+            # timezone cannot split/duplicate buckets (r3 ADVICE)
+            F.date_format(
+                F.expr("convert_timezone('UTC', _w.start)"), "yyyy-MM-dd HH:mm"
+            ).alias("bucket_start"),
             *keys,
             "n",
             "_sum_dec",
@@ -90,7 +75,7 @@ def incremental_rollup(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        version, last_batch = _read_state(rollup_root)
+        version, last_batch = _state.read_state(spark, rollup_root)
         if batch_id <= last_batch:
             # foreachBatch is at-least-once; batch_id is stable across
             # retries, so a replay of an already-merged batch (crash
@@ -117,7 +102,7 @@ def incremental_rollup(
             )
         )
         merged.write.mode("overwrite").parquet(os.path.join(rollup_root, f"v{version + 1}"))
-        _write_state(rollup_root, version + 1, batch_id)
+        _state.write_state(spark, rollup_root, version + 1, batch_id)
 
     writer = event_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

@@ -26,34 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_app_spark.operators.similarity import brute_force_topk
-
-_POINTER = "_CURRENT"
-
-
-def _read_state(root: str) -> tuple[int, int]:
-    """(committed version, last applied batch_id); (-1, -1) before any."""
-    try:
-        with open(os.path.join(root, _POINTER)) as f:
-            parts = f.read().split()
-    except FileNotFoundError:
-        return -1, -1
-    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
-
-
-def _write_state(root: str, version: int, batch_id: int) -> None:
-    tmp = os.path.join(root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"{version} {batch_id}")
-    os.replace(tmp, os.path.join(root, _POINTER))
-
-
-def _read_pointer(root: str) -> int:
-    return _read_state(root)[0]
+from hadoop_app_spark.streaming import _state
 
 
 def current_topk(spark, root: str) -> DataFrame | None:
     """Latest committed top-k result, or None before the first batch."""
-    v = _read_pointer(root)
+    v, _ = _state.read_state(spark, root)
     if v < 0:
         return None
     return spark.read.parquet(os.path.join(root, f"v{v}"))
@@ -100,7 +78,7 @@ def streaming_topk(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        version, last_batch = _read_state(result_root)
+        version, last_batch = _state.read_state(spark, result_root)
         if batch_id <= last_batch:
             # at-least-once replay of an already-merged batch (crash
             # between our pointer commit and the streaming commit log)
@@ -111,7 +89,7 @@ def streaming_topk(
         batch_topk = brute_force_topk(batch, queries, id_col=id_col, vec_col=vec_col, k=k)
         nxt = merge_topk(current_topk(spark, result_root), batch_topk, k)
         nxt.write.mode("overwrite").parquet(os.path.join(result_root, f"v{version + 1}"))
-        _write_state(result_root, version + 1, batch_id)
+        _state.write_state(spark, result_root, version + 1, batch_id)
 
     writer = corpus_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

@@ -89,3 +89,19 @@ def test_read_jsonl_schema_not_mutated_and_countable(spark, tmp_path):
     assert sorted(r.doc_id for r in df.collect()) == [1, 2]
     kept = read_jsonl(spark, str(p), schema, keep_corrupt=True)
     assert kept.where(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_read_jsonl_skips_blank_lines(spark, tmp_path):
+    """r3 ADVICE: a blank/whitespace-only line made from_json('') emit a
+    null struct whose null _corrupt_record survived the corrupt filter
+    as a phantom all-null row; the native JSON source skips such lines."""
+    from hadoop_app_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "blank.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a"}\n\n   \n{"doc_id": 2, "text": "b"}\n\n')
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    assert df.count() == 2  # previously 5: three phantom all-null rows
+    assert sorted(r.doc_id for r in df.collect()) == [1, 2]
+    # keep_corrupt must not resurrect blank lines as corrupt rows either
+    kept = read_jsonl(spark, str(p), "doc_id long, text string", keep_corrupt=True)
+    assert kept.count() == 2

@@ -1020,6 +1020,56 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
     assert bucket_count_for(1) == 1
 
 
+def test_write_bucketed_overwrite_safety(spark, tmp_path):
+    """r3 ADVICE: overwrite must (a) clear a custom-LOCATION table's OWN
+    directory via the catalog-resolved path, (b) reclaim a true orphan
+    managed dir, and (c) never delete a directory claimed by a DIFFERENT
+    table that happens to sit at the derived managed path."""
+    from hadoop_app_spark.operators.bucketing import write_bucketed
+    from hadoop_app_spark.sources.fs import delete, exists
+
+    df1 = spark.range(0, 10).selectExpr("id AS k", "id AS v")
+    df2 = spark.range(0, 20).selectExpr("id AS k", "id AS v")
+
+    # (a) custom LOCATION: overwrite resolves the real path, not {wh}/{t}
+    ext_loc = str(tmp_path / "ext_tbl")
+    df1.write.option("path", ext_loc).saveAsTable("bkt_ext")
+    try:
+        write_bucketed(df2, "bkt_ext", ["k"], 2)
+        assert spark.table("bkt_ext").count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_ext")
+
+    # (b) orphan managed dir (fresh-session catalog): still reclaimed
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    spark.sql("DROP TABLE IF EXISTS bkt_orphan")
+    delete(spark, f"{wh}/bkt_orphan", recursive=True)
+    from hadoop_app_spark.sources.fs import write_text
+
+    write_text(spark, f"{wh}/bkt_orphan/stale.txt", "leftover")
+    try:
+        write_bucketed(df1, "bkt_orphan", ["k"], 2)
+        assert spark.table("bkt_orphan").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orphan")
+
+    # (c) another table registered AT the derived managed path survives:
+    # the overwrite of bkt_victim_name must fail, not delete other_tbl
+    victim_loc = f"{wh}/bkt_victim_name"
+    delete(spark, victim_loc, recursive=True)
+    df1.write.option("path", victim_loc).saveAsTable("other_tbl")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            write_bucketed(df2, "bkt_victim_name", ["k"], 2)
+        assert exists(spark, victim_loc)  # other_tbl's data intact
+        assert spark.table("other_tbl").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS other_tbl")
+        delete(spark, victim_loc, recursive=True)
+
+
 def test_register_views_sql_surface(spark):
     """SURVEY §7: every table is reachable from spark.sql after
     register_views — the full engine surface is SQL-addressable."""

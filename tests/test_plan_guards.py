@@ -68,6 +68,28 @@ def test_no_unpartitioned_window_anywhere(plans):
     assert not bad, f"single-partition window stages: {bad}"
 
 
+def test_no_bucket_keyed_window(plans):
+    """r3 VERDICT: bucket-keyed stats (LSH bands, ANN cells) must come
+    from groupBy-agg + join-back, never a Window partitioned by the
+    bucket key — one degenerate bucket (boilerplate docs sharing a band
+    signature) funnels the whole partition through a single window task,
+    where the aggregate's map-side partial combine collapses it."""
+    lsh_family = [
+        n
+        for n in plans
+        if any(tag in n for tag in ("minhash", "dedup", "near_dup", "ann_topk"))
+    ]
+    bad = []
+    for name in lsh_family:
+        for n in plans[name]:
+            if n.getClass().getSimpleName() == "WindowExec":
+                spec = n.partitionSpec().toString()
+                if "bucket" in spec:
+                    bad.append((name, spec))
+    assert lsh_family, "LSH/dedup family missing from registry"
+    assert not bad, f"bucket-keyed window stages: {bad}"
+
+
 def test_no_unintended_cartesian(plans):
     bad = []
     for name, nodes in plans.items():

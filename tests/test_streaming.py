@@ -402,22 +402,56 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     assert int((tmp_path / "rollup" / "_CURRENT").read_text().split()[0]) >= 1  # incremental versions
 
 
-def test_pointer_state_replay_guard_format():
+def test_rollup_bucket_key_session_tz_independent(spark):
+    """r3 ADVICE: bucket_start is the rollup MERGE key — a stream resumed
+    under a different session timezone must format the same epoch bucket
+    to the same key or merges split/duplicate buckets."""
+    import datetime as dt
+
+    from hadoop_app_spark.streaming.rollup import _partial
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, 10, 30, 0), "click", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        keys = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = _partial(df, "ts", "1 hour", ["event_type"], "value").collect()
+            keys[tz] = rows[0].bucket_start
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert keys["UTC"] == keys["America/New_York"] == "2024-03-01 10:00"
+
+
+def test_pointer_state_replay_guard_format(spark):
     """Pointer files record 'version batch_id' (at-least-once replay
-    guard) and still parse the pre-guard bare-version format."""
+    guard), parse the pre-guard bare-version format, and — since r4 —
+    go through the Hadoop FS API so non-local snapshot roots work."""
     import os
     import tempfile
 
-    from hadoop_app_spark.streaming import cdc, rollup
-    from hadoop_app_spark.streaming import similarity as ssim
+    from hadoop_app_spark.streaming import _state
 
-    for mod, empty in ((cdc, (0, -1)), (rollup, (-1, -1)), (ssim, (-1, -1))):
+    for fresh, empty in ((0, (0, -1)), (-1, (-1, -1))):
         with tempfile.TemporaryDirectory() as d:
-            assert mod._read_state(d) == empty
-            mod._write_state(d, 3, 7)
-            assert mod._read_state(d) == (3, 7)
-            assert mod._read_pointer(d) == 3
-            # legacy single-int pointer (pre-replay-guard) still reads
+            assert _state.read_state(spark, d, fresh_version=fresh) == empty
+            _state.write_state(spark, d, 3, 7)
+            assert _state.read_state(spark, d, fresh_version=fresh) == (3, 7)
+            # overwrite commit (the every-batch path) must swap atomically
+            _state.write_state(spark, d, 4, 8)
+            assert _state.read_state(spark, d, fresh_version=fresh) == (4, 8)
+            # legacy single-int pointer (pre-replay-guard, written by
+            # plain open() with no Hadoop .crc sidecar) still reads;
+            # drop the sidecar of the Hadoop-written pointer first or
+            # LocalFileSystem reports a checksum mismatch on the
+            # hand-overwritten file
+            for crc in ("._CURRENT.crc", "._CURRENT.tmp.crc"):
+                p = os.path.join(d, crc)
+                if os.path.exists(p):
+                    os.remove(p)
             with open(os.path.join(d, "_CURRENT"), "w") as f:
                 f.write("5")
-            assert mod._read_state(d) == (5, -1)
+            assert _state.read_state(spark, d, fresh_version=fresh) == (5, -1)
