@@ -36,17 +36,54 @@ def read_state(
 ) -> tuple[int, int]:
     """(committed version, last applied batch_id); (*fresh_version*, -1)
     when no pointer has ever been committed under *root*."""
-    pointer = f"{root}/{POINTER}"
-    if not hfs.exists(spark, pointer):
-        return fresh_version, -1
-    parts = hfs.read_text(spark, pointer).split()
-    return int(parts[0]), int(parts[1]) if len(parts) > 1 else -1
+    version, batch_id, _ = read_manifest(spark, root, fresh_version)
+    return version, batch_id
 
 
 def write_state(spark: SparkSession, root: str, version: int, batch_id: int) -> None:
     """Atomically commit (version, batch_id) as *root*'s pointer."""
+    _commit(spark, root, f"{version} {batch_id}")
+
+
+def read_manifest(
+    spark: SparkSession, root: str, fresh_version: int = -1
+) -> tuple[int, int, list[int] | None]:
+    """(version, last applied batch_id, per-partition versions).
+
+    The partition list is the partitioned-snapshot commit manifest:
+    entry i names the version whose ``v{n}/p={i}`` directory holds
+    partition i's current data (-1 = never written). None for legacy
+    single-directory states — including a fresh root and the
+    unpartitioned ``v0`` seed — which read as one whole-version dir.
+
+    Format 2 pointer ("2 batch_id n_partitions version" + a second line
+    of per-partition versions) is distinguished from the legacy
+    "version batch_id" line by its 4-token header; a legacy pointer
+    whose version happens to be 2 has only 1-2 tokens.
+    """
+    pointer = f"{root}/{POINTER}"
+    if not hfs.exists(spark, pointer):
+        return fresh_version, -1, None
+    lines = hfs.read_text(spark, pointer).splitlines()
+    head = lines[0].split()
+    if head[0] == "2" and len(head) == 4:
+        pvers = [int(x) for x in lines[1].split()]
+        assert len(pvers) == int(head[2])
+        return int(head[3]), int(head[1]), pvers
+    return int(head[0]), int(head[1]) if len(head) > 1 else -1, None
+
+
+def write_manifest(
+    spark: SparkSession, root: str, version: int, batch_id: int, pvers: list[int]
+) -> None:
+    """Atomically commit a format-2 partitioned-snapshot manifest."""
+    body = f"2 {batch_id} {len(pvers)} {version}\n" + " ".join(str(v) for v in pvers)
+    _commit(spark, root, body)
+
+
+def _commit(spark: SparkSession, root: str, text: str) -> None:
     tmp = f"{root}/{POINTER}.tmp"
-    hfs.write_text(spark, tmp, f"{version} {batch_id}")
+    hfs.write_text(spark, tmp, text)
     _rename_overwrite(spark, tmp, f"{root}/{POINTER}")
 
 

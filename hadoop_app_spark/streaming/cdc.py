@@ -15,7 +15,11 @@ as the batch operator (snapshot never shuffles, change batch
 broadcasts). Versioned directories + an atomic pointer file stand in
 for a table format's transaction log — a real deployment would write
 Delta/Iceberg and MERGE INTO; the version dance below is the same
-idea with plain parquet.
+idea with plain parquet. The snapshot is key-hash partitioned and a
+batch rewrites only the partitions its keys touch (the commit manifest
+carries forward untouched partitions by reference), so per-batch I/O
+is O(changed partitions) — at a 100 TB dimension the previous
+full-snapshot rewrite per micro-batch would have been the bottleneck.
 
 Within-batch ordering: micro-batches arrive in stream order, but rows
 WITHIN one batch are unordered — ``seq_col`` (e.g. a CDC log offset)
@@ -31,13 +35,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_app_spark.operators.upsert import apply_changes
+from hadoop_app_spark.sources import fs as hfs
 from hadoop_app_spark.streaming import _state
+
+
+def _partition_col(keys: Sequence[str], n_partitions: int):
+    """Deterministic snapshot partition for a key tuple. xxhash64 is a
+    fixed algorithm (stable across sessions/restarts), so the same key
+    always lands in the same partition dir."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_partitions)).cast("int")
+
+
+def _partition_paths(
+    spark, root: str, pvers: list[int], only: Sequence[int] | None = None
+) -> list[str]:
+    """Existing data dirs for the requested partitions. A manifest entry
+    whose dir is absent is an empty partition (partitionBy writes no dir
+    for a partition all of whose rows were deleted) — skipped."""
+    idxs = range(len(pvers)) if only is None else only
+    paths = []
+    for i in idxs:
+        if pvers[i] < 0:
+            continue
+        p = os.path.join(root, f"v{pvers[i]}", f"p={i}")
+        if hfs.exists(spark, p):
+            paths.append(p)
+    return paths
 
 
 def current_snapshot(spark, root: str) -> DataFrame:
     """The latest committed snapshot version under *root*."""
-    version, _ = _state.read_state(spark, root, fresh_version=0)
-    return spark.read.parquet(os.path.join(root, f"v{version}"))
+    version, _, pvers = _state.read_manifest(spark, root, fresh_version=0)
+    if pvers is None:
+        # legacy / seed layout: one whole-snapshot dir
+        return spark.read.parquet(os.path.join(root, f"v{version}"))
+    paths = _partition_paths(spark, root, pvers)
+    if not paths:
+        # every key deleted: schema from the (required) v0 seed
+        return spark.read.parquet(os.path.join(root, "v0")).limit(0)
+    return spark.read.parquet(*paths)
 
 
 def last_writer_wins(
@@ -61,19 +97,32 @@ def apply_changes_stream(
     op_col: str = "op",
     seq_col: str | None = None,
     checkpoint_dir: str | None = None,
+    n_partitions: int = 16,
 ):
     """Fold a change stream into the snapshot at *snapshot_root*.
 
     The snapshot must be seeded as ``{root}/v0`` (pointer optional —
-    absent reads as 0). Each micro-batch writes ``v{n+1}`` and then
-    atomically advances the pointer, so readers never see a partial
-    snapshot and a crashed batch leaves the current version intact.
-    Returns the StreamingQuery (caller awaits termination).
+    absent reads as 0). The first batch repartitions the seed into
+    ``n_partitions`` key-hash dirs (one full rewrite — the migration);
+    every later batch reads ONLY the partitions its change keys hash
+    into, merges, and writes those partitions under ``v{n+1}`` — an
+    untouched partition's files are never rewritten, so per-batch I/O
+    is O(changed partitions), not O(snapshot). The commit manifest
+    (format-2 pointer) maps each partition to the version holding its
+    current data and advances atomically, so readers never see a
+    partial snapshot and a crashed batch leaves every partition intact.
+    ``n_partitions`` is a first-write layout decision (size so one
+    partition ≈ a comfortable executor read); later runs follow the
+    manifest's count. Returns the StreamingQuery (caller awaits
+    termination).
     """
+    keys = list(keys)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        version, last_batch = _state.read_state(spark, snapshot_root, fresh_version=0)
+        version, last_batch, pvers = _state.read_manifest(
+            spark, snapshot_root, fresh_version=0
+        )
         if batch_id <= last_batch:
             # at-least-once replay guard (apply_changes is idempotent,
             # but skipping avoids a spurious snapshot version; batch_id
@@ -81,10 +130,40 @@ def apply_changes_stream(
             return
         if seq_col is not None:
             batch = last_writer_wins(batch, keys, seq_col)
-        snap = current_snapshot(spark, snapshot_root)
-        nxt = apply_changes(snap, batch, keys, op_col=op_col)
-        nxt.write.mode("overwrite").parquet(os.path.join(snapshot_root, f"v{version + 1}"))
-        _state.write_state(spark, snapshot_root, version + 1, batch_id)
+        nv = version + 1
+        vdir = os.path.join(snapshot_root, f"v{nv}")
+        if pvers is None:
+            # one-time migration from the unpartitioned seed/legacy dir
+            p = n_partitions
+            snap = current_snapshot(spark, snapshot_root)
+            nxt = apply_changes(snap, batch, keys, op_col=op_col)
+            touched = list(range(p))
+        else:
+            p = len(pvers)  # layout is fixed by the first write
+            # bounded collect: at most p distinct partition ids
+            touched = sorted(
+                r.p
+                for r in batch.select(
+                    _partition_col(keys, p).alias("p")
+                ).distinct().collect()
+            )
+            paths = _partition_paths(spark, snapshot_root, pvers, only=touched)
+            snap = (
+                spark.read.parquet(*paths)
+                if paths
+                else current_snapshot(spark, snapshot_root).limit(0)
+            )
+            nxt = apply_changes(snap, batch, keys, op_col=op_col)
+        # every merged row hashes back into a touched partition (the
+        # snapshot side came FROM them, the change side DEFINED them),
+        # so one partitionBy write materializes exactly those dirs
+        nxt.withColumn("p", _partition_col(keys, p)).write.partitionBy("p").mode(
+            "overwrite"
+        ).parquet(vdir)
+        new_pvers = [nv] * p if pvers is None else list(pvers)
+        for i in touched:
+            new_pvers[i] = nv
+        _state.write_manifest(spark, snapshot_root, nv, batch_id, new_pvers)
 
     writer = change_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

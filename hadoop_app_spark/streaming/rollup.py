@@ -29,10 +29,18 @@ from hadoop_app_spark.streaming import _state
 
 def current_rollup(spark, root: str) -> DataFrame | None:
     """Latest committed rollup, or None before the first batch."""
-    v, _ = _state.read_state(spark, root)
+    from hadoop_app_spark.streaming.cdc import _partition_paths
+
+    v, _, pvers = _state.read_manifest(spark, root)
     if v < 0:
         return None
-    return spark.read.parquet(os.path.join(root, f"v{v}"))
+    if pvers is None:
+        # legacy layout: one whole-rollup dir per version
+        return spark.read.parquet(os.path.join(root, f"v{v}"))
+    paths = _partition_paths(spark, root, pvers)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
 
 
 def _partial(batch: DataFrame, ts_col: str, bucket: str, keys: Sequence[str], value_col: str) -> DataFrame:
@@ -65,17 +73,27 @@ def incremental_rollup(
     keys: Sequence[str] = ("event_type",),
     value_col: str = "value",
     checkpoint_dir: str | None = None,
+    n_partitions: int = 16,
 ):
     """Fold an event stream into a materialized per-bucket aggregate at
     *rollup_root* (columns: bucket_start, *keys, n, sum_value). Each
     micro-batch merges its partial aggregates into the stored rollup
-    and commits the next version behind an atomic pointer. Returns the
-    StreamingQuery."""
+    and commits the next version behind an atomic pointer.
+
+    The stored rollup is hash-partitioned on the merge key
+    (bucket_start, *keys): a batch reads and rewrites ONLY the
+    partitions its buckets hash into — the commit manifest carries
+    untouched partitions forward by reference, so per-batch I/O scales
+    with the batch's bucket spread, not the full rollup (which grows
+    without bound as buckets accumulate). Returns the StreamingQuery."""
+    from hadoop_app_spark.streaming.cdc import _partition_col, _partition_paths
+
     keys = list(keys)
+    merge_keys = ["bucket_start", *keys]
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        version, last_batch = _state.read_state(spark, rollup_root)
+        version, last_batch, pvers = _state.read_manifest(spark, rollup_root)
         if batch_id <= last_batch:
             # foreachBatch is at-least-once; batch_id is stable across
             # retries, so a replay of an already-merged batch (crash
@@ -85,7 +103,24 @@ def incremental_rollup(
         if not batch.head(1):
             return
         part = _partial(batch, ts_col, bucket, keys, value_col)
-        prev = current_rollup(spark, rollup_root)
+        p = n_partitions if pvers is None else len(pvers)
+        if pvers is None and version >= 0:
+            # one-time migration of a legacy unpartitioned rollup
+            prev = spark.read.parquet(os.path.join(rollup_root, f"v{version}"))
+            touched = list(range(p))
+        elif pvers is None:
+            prev = None
+            touched = list(range(p))
+        else:
+            # bounded collect: at most p distinct partition ids
+            touched = sorted(
+                r.p
+                for r in part.select(
+                    _partition_col(merge_keys, p).alias("p")
+                ).distinct().collect()
+            )
+            paths = _partition_paths(spark, rollup_root, pvers, only=touched)
+            prev = spark.read.parquet(*paths) if paths else None
         if prev is not None:
             # merge on the STORED decimal accumulator — round-tripping
             # through the derived double would re-round every version
@@ -101,8 +136,14 @@ def incremental_rollup(
                 F.col("_sum_dec").cast("double").alias("sum_value"),
             )
         )
-        merged.write.mode("overwrite").parquet(os.path.join(rollup_root, f"v{version + 1}"))
-        _state.write_state(spark, rollup_root, version + 1, batch_id)
+        nv = version + 1
+        merged.withColumn("p", _partition_col(merge_keys, p)).write.partitionBy(
+            "p"
+        ).mode("overwrite").parquet(os.path.join(rollup_root, f"v{nv}"))
+        new_pvers = [nv] * p if pvers is None else list(pvers)
+        for i in touched:
+            new_pvers[i] = nv
+        _state.write_manifest(spark, rollup_root, nv, batch_id, new_pvers)
 
     writer = event_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

@@ -306,8 +306,83 @@ def test_streaming_cdc_apply(spark, tmp_path):
     q2.awaitTermination()
     snap2 = {r.k: (r.name, r.v) for r in current_snapshot(spark, root).collect()}
     assert snap2[1] == ("a1", 11.0) and snap2[2] == ("b3", 22.0)
-    # pointer records "version batch_id" for the at-least-once replay guard
-    assert (tmp_path / "snap" / "_CURRENT").read_text().split()[0] == "2"
+    # the manifest records version + batch_id (at-least-once replay
+    # guard) + per-partition versions (partitioned snapshot layout)
+    from hadoop_app_spark.streaming import _state
+
+    v, b, pvers = _state.read_manifest(spark, root, fresh_version=0)
+    assert v == 2 and pvers is not None
+
+
+def test_cdc_partitioned_snapshot_incremental_io(spark, tmp_path):
+    """r3 VERDICT item 4: a batch rewrites ONLY the partitions its keys
+    hash into — an untouched partition's manifest entry still names the
+    prior version and its files are byte-identical across the batch."""
+    import glob
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from hadoop_app_spark.streaming import _state
+    from hadoop_app_spark.streaming.cdc import apply_changes_stream, current_snapshot
+
+    P = 8
+    root = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)], "k long, name string, v double"
+    )
+    seed.write.parquet(root + "/v0")
+    cdir = tmp_path / "changes"
+    cdir.mkdir()
+    (cdir / "b1.jsonl").write_text(
+        _json.dumps({"k": 7, "name": "x", "v": 7.5, "op": "U", "seq": 1})
+    )
+    schema = "k long, name string, v double, op string, seq long"
+    stream = spark.readStream.schema(schema).json(str(cdir))
+    apply_changes_stream(
+        stream, root, ["k"], seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"), n_partitions=P,
+    ).awaitTermination()
+    v1, _, pv1 = _state.read_manifest(spark, root, fresh_version=0)
+    assert v1 == 1 and pv1 == [1] * P  # migration partitioned the seed
+
+    def file_stats(version, part):
+        d = f"{root}/v{version}/p={part}"
+        return {
+            _os.path.basename(f): (
+                _os.path.getsize(f),
+                hashlib.md5(open(f, "rb").read()).hexdigest(),
+            )
+            for f in sorted(glob.glob(d + "/*.parquet"))
+        }
+
+    # which partition does k=3 hash into? (same expression as the fold)
+    pk = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(3).cast("long")), F.lit(P)).cast("int").alias("p"))
+        .collect()[0]
+        .p
+    )
+    untouched = [i for i in range(P) if i != pk]
+    before = {i: file_stats(1, i) for i in untouched}
+
+    (cdir / "b2.jsonl").write_text(
+        _json.dumps({"k": 3, "name": "z", "v": 99.0, "op": "U", "seq": 2})
+    )
+    apply_changes_stream(
+        stream, root, ["k"], seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"), n_partitions=P,
+    ).awaitTermination()
+
+    v2, _, pv2 = _state.read_manifest(spark, root, fresh_version=0)
+    assert v2 == 2
+    assert pv2[pk] == 2  # only k=3's partition advanced
+    assert all(pv2[i] == 1 for i in untouched)
+    after = {i: file_stats(pv2[i], i) for i in untouched}
+    assert after == before  # untouched partitions: same files, same bytes
+    snap = {r.k: (r.name, r.v) for r in current_snapshot(spark, root).collect()}
+    assert len(snap) == 50
+    assert snap[3] == ("z", 99.0) and snap[7] == ("x", 7.5) and snap[5] == ("n5", 5.0)
 
 
 def test_streaming_incremental_topk(spark, tmp_path):
@@ -399,7 +474,10 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     )
     exp = {(r.b, r.event_type): (r.n, round(r.s, 6)) for r in exp_rows}
     assert got == exp
-    assert int((tmp_path / "rollup" / "_CURRENT").read_text().split()[0]) >= 1  # incremental versions
+    from hadoop_app_spark.streaming import _state
+
+    v, _, _pv = _state.read_manifest(spark, str(tmp_path / "rollup"))
+    assert v >= 1  # incremental versions
 
 
 def test_rollup_bucket_key_session_tz_independent(spark):
