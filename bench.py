@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "sessionize",
     # r3 curation additions
     "repetition_ngrams",
+    "repetition_ngrams_fast",
     "decontamination",
     "domain_filter_caps",
 ]

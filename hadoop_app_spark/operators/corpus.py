@@ -124,6 +124,83 @@ def ngram_repetition_stats(
     )
 
 
+def ngram_repetition_stats_vectorized(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Vectorized twin of ngram_repetition_stats — the minhash_fast
+    playbook (dedup.py): one mapInPandas pass computes every doc's full
+    repetition profile in the kernel, so the operator is a PURE MAP —
+    no explode, no gram-keyed aggregation, zero shuffle (the Catalyst
+    form pays one exchange on (id, n, gram) partials).
+
+    Kernel: tokens via ``text.lower().split()`` (the engine's tokenize
+    contract), token hash via zlib.crc32, shingles as a numpy rolling
+    polynomial combine, multiplicities via np.unique(return_counts).
+    Gram identity is BY HASH (mod 1e9+7): two distinct grams colliding
+    would merge their counts — vanishingly unlikely per doc and pinned
+    equal to the exact Catalyst form on the test corpora
+    (tests/test_operators.py); the Catalyst form stays the oracle
+    surface.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = 1_000_003
+    MOD = 1_000_000_007
+    ns = tuple(ns)
+
+    def run(batches):
+        from zlib import crc32
+
+        for pdf in batches:
+            out = {c: [] for c in (id_col, "n", "n_ngrams", "n_distinct", "top_count")}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.lower().split()
+                if not toks:
+                    continue
+                th = np.fromiter(
+                    (crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                ) % MOD
+                for n in ns:
+                    m = len(toks) - n + 1
+                    if m <= 0:
+                        continue
+                    sh = th[:m].copy()
+                    for j in range(1, n):
+                        sh = (sh * P + th[j : m + j]) % MOD
+                    _, counts = np.unique(sh, return_counts=True)
+                    out[id_col].append(doc_id)
+                    out["n"].append(n)
+                    out["n_ngrams"].append(m)
+                    out["n_distinct"].append(len(counts))
+                    out["top_count"].append(int(counts.max()))
+            if out[id_col]:
+                yield pd.DataFrame(out)
+
+    base = df.select(id_col, text_col)
+    if repartition_to:
+        base = base.repartition(repartition_to)
+    stats = base.mapInPandas(
+        run, f"{id_col} long, n int, n_ngrams long, n_distinct long, top_count long"
+    )
+    return stats.select(
+        id_col,
+        "n",
+        "n_ngrams",
+        "n_distinct",
+        ((F.col("n_ngrams") - F.col("n_distinct")).cast("double") / F.col("n_ngrams")).alias(
+            "dup_frac"
+        ),
+        (F.col("top_count").cast("double") / F.col("n_ngrams")).alias("top_frac"),
+    )
+
+
 def contamination_stats(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -169,9 +169,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = _SEED) -> list[list[float]
     return planes
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = _SEED):
-    """Add a sign-LSH bucket column: bit i = sign(v . plane_i)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
     bucket = sum(
         (
             F.when(dot(F.col(vec_col), F.lit([float(x) for x in p])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -179,7 +177,12 @@ def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: i
         ),
         F.lit(0),
     )
-    return df.withColumn("bucket", bucket.cast("int"))
+    return bucket.cast("int")
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = _SEED):
+    """Add a sign-LSH bucket column: bit i = sign(v . plane_i)."""
+    return df.withColumn("bucket", _bucket_expr(vec_col, _hyperplanes(dim, n_planes, seed)))
 
 
 def lsh_topk(
@@ -190,16 +193,41 @@ def lsh_topk(
     dim: int = 64,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only within the query's LSH bucket.
 
     The corpus is bucketed once (narrow int key) and the join is an
     equi-join on bucket — at scale this is the difference between
     scanning 100 TB per query and scanning 1/2^n_planes of it.
+
+    ``n_tables`` > 1 is OR-amplification: each table hashes with an
+    independent hyperplane set (seed _SEED+t), a pair is a candidate
+    when ANY table buckets it together. Recall rises steeply (a true
+    neighbor only needs to agree on one table's n_planes signs) at
+    candidate-set cost ~x n_tables — the standard LSH recall knob.
+    All tables' memberships come from ONE corpus scan (a posexplode
+    of the per-table bucket array), and duplicate candidate pairs are
+    collapsed before ranking.
     """
-    cb = lsh_bucket(corpus, vec_col, dim, n_planes)
-    qb = lsh_bucket(queries, "query_vec", dim, n_planes)
-    joined = cb.join(F.broadcast(qb), "bucket").where(F.col(id_col) != F.col("query_id"))
+    if n_tables == 1:
+        cb = lsh_bucket(corpus, vec_col, dim, n_planes)
+        qb = lsh_bucket(queries, "query_vec", dim, n_planes)
+        joined = cb.join(F.broadcast(qb), "bucket").where(F.col(id_col) != F.col("query_id"))
+    else:
+        tables = [_hyperplanes(dim, n_planes, _SEED + t) for t in range(n_tables)]
+        carr = F.array(*[_bucket_expr(vec_col, p) for p in tables])
+        qarr = F.array(*[_bucket_expr("query_vec", p) for p in tables])
+        cb = corpus.select(id_col, vec_col, F.posexplode(carr).alias("_tbl", "bucket"))
+        qb = queries.select(
+            "query_id", "query_vec", F.posexplode(qarr).alias("_tbl", "bucket")
+        )
+        joined = (
+            cb.join(F.broadcast(qb), ["_tbl", "bucket"])
+            .where(F.col(id_col) != F.col("query_id"))
+            # a pair that collides in several tables must score once
+            .dropDuplicates(["query_id", id_col])
+        )
     scored = joined.select(
         "query_id",
         id_col,
@@ -216,6 +244,7 @@ def lsh_topk_vectorized(
     dim: int = 64,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Vectorized twin of lsh_topk — same hyperplanes, same buckets,
     same (cosine desc, id asc) ranking, numpy kernel.
@@ -228,32 +257,44 @@ def lsh_topk_vectorized(
     partitions x m x k rows. Cosines come from BLAS accumulation, so
     last-ulp values can differ from the HOF fold — rank parity is the
     pytest contract, oracle surface stays on the HOF form.
+
+    ``n_tables`` OR-amplifies exactly like lsh_topk: a corpus vector is
+    a candidate for query j when any table's buckets agree. Here it is
+    just an any() over per-table equality masks — no explode, no dedup,
+    still zero corpus shuffle.
     """
     import numpy as np
 
-    P = np.array(_hyperplanes(dim, n_planes), dtype=np.float64)
+    Ps = [
+        np.array(_hyperplanes(dim, n_planes, _SEED + t), dtype=np.float64)
+        for t in range(n_tables)
+    ]
     qrows = queries.select("query_id", "query_vec").collect()
     if not qrows:
         raise ValueError("empty queries")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qbuckets = _np_buckets(Q, P)
+    qbuckets = [_np_buckets(Q, P) for P in Ps]
     Qn = _np_normalize(Q)
-    bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn, qbuckets, P))
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn, qbuckets, Ps))
     out_schema = f"query_id long, {id_col} long, cosine double"
 
     def score(batches):
-        bqids, bQn, bqbuckets, bP = bq.value
+        bqids, bQn, bqbuckets, bPs = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
-            buckets = _np_buckets(X, bP)
+            buckets = [_np_buckets(X, P) for P in bPs]
             Xn = _np_normalize(X)
             C = Xn @ bQn.T  # (batch, m)
             for j, qid in enumerate(bqids):
-                mask = (buckets == bqbuckets[j]) & (ids != qid)
+                mask = ids != qid
+                any_table = buckets[0] == bqbuckets[0][j]
+                for t in range(1, len(bPs)):
+                    any_table |= buckets[t] == bqbuckets[t][j]
+                mask &= any_table
                 if not mask.any():
                     continue
                 yield _partial_topk_frame(qid, ids[mask], C[mask, j], k, id_col)

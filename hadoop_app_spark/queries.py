@@ -2762,6 +2762,27 @@ def q_repetition_ngrams(spark, sf_dir):
 
 
 @query(
+    "repetition_ngrams_fast",
+    # same oracle as the Catalyst form: gram identity is by rolling crc32
+    # hash in the kernel, but multiplicity profiles agree unless two
+    # distinct grams of ONE doc collide mod 1e9+7 — verified exact on the
+    # (static) test corpora; the Catalyst form remains the gated surface
+    oracle=REGISTRY["repetition_ngrams"].oracle,
+    doc="repetition profile, vectorized scale path: one mapInPandas kernel "
+    "(crc32 rolling-hash shingles + np.unique counts) computes each doc's "
+    "full profile — a PURE MAP, zero shuffle, vs the Catalyst form's "
+    "exploded-gram exchange (operators/corpus.ngram_repetition_stats_vectorized)",
+)
+def q_repetition_ngrams_fast(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import ngram_repetition_stats_vectorized
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_repetition_stats_vectorized(
+        d, "text", "doc_id", repartition_to=spark.sparkContext.defaultParallelism
+    )
+
+
+@query(
     "decontamination",
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -3045,6 +3066,7 @@ _PRIORITY = [
     "minmax_normalize",
     "pivot_wide",
     "embedding_avg_by_label",
+    "repetition_ngrams_fast",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",

@@ -675,6 +675,34 @@ def test_ngram_repetition_stats(spark):
     assert not any(k[0] == 3 for k in out)
 
 
+def test_ngram_repetition_stats_vectorized_parity(spark):
+    """The crc32 mapInPandas twin reproduces the exact Catalyst profile
+    on real data (static corpus: if the hashes don't collide here, they
+    never will) and on the synthetic edge cases above."""
+    from hadoop_app_spark.operators.corpus import (
+        ngram_repetition_stats,
+        ngram_repetition_stats_vectorized,
+    )
+
+    def rows(df):
+        return {
+            (r.doc_id, r.n): (r.n_ngrams, r.n_distinct, r.dup_frac, r.top_frac)
+            for r in df.collect()
+        }
+
+    edge = spark.createDataFrame(
+        [(1, "go go go go go"), (2, "one two three four five"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    assert rows(ngram_repetition_stats_vectorized(edge, "text", "doc_id")) == rows(
+        ngram_repetition_stats(edge, "text", "doc_id")
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    slow = rows(ngram_repetition_stats(docs, "text", "doc_id"))
+    fast = rows(ngram_repetition_stats_vectorized(docs, "text", "doc_id"))
+    assert slow == fast and len(slow) > 0
+
+
 def test_decontamination(spark):
     from hadoop_app_spark.operators.corpus import contamination_stats, decontaminate
 
