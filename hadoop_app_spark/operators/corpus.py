@@ -452,6 +452,95 @@ def redact_pii(
     return df.select(*passthrough, *counts, red.alias(out_col))
 
 
+def duplicate_passage_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """Cross-document duplicated-passage detection (substring-level
+    dedup a la Lee et al. 2022, word-granular): find every maximal
+    token span of a document that is covered by word *n*-grams
+    occurring in MORE THAN ONE document, -> one row per merged span
+    [id, span_start, span_end, span_tokens] (1-based inclusive token
+    positions; overlapping/adjacent duplicated grams coalesce).
+
+    This is the passage-granular complement to the doc-granular
+    minhash/simhash dedup and the line-granular line_dedup: it locates
+    boilerplate runs (licenses, navigation chrome, quoted passages)
+    INSIDE otherwise-unique documents so callers can excise the span
+    rather than drop the doc.
+
+    Scale shape (100 TB): positions come from ONE tokenize +
+    posexplode; "duplicated" is decided by ``GROUP BY gram`` keeping
+    min/max doc id — distinct-doc-count >= 2 iff min != max, a
+    partial-combine HASH aggregate, never a countDistinct and never a
+    gram-keyed window (billion-copy boilerplate grams collapse
+    map-side exactly as in line_dedup). Flagged grams join back on the
+    gram key (AQE skew-split applies); span merging is a per-document
+    window — bounded by document length, safely partitioned.
+    """
+    toks = tokenize(text_col)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(toks, n)).alias("_p0", "gram"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).cast("long").alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
+    islands = hits.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + (n - 1)).alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """Per-document rollup of duplicate_passage_spans: [id, n_tokens,
+    n_spans, dup_tokens, dup_frac] — every input doc reports a row
+    (0 spans / 0.0 fraction when nothing is duplicated), the gating
+    signal for "excise or drop" curation policies."""
+    spans = duplicate_passage_spans(df, text_col, id_col, n)
+    agg = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"), F.sum("span_tokens").alias("dup_tokens")
+    )
+    totals = df.select(F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
+    out = totals.join(agg, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

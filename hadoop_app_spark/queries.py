@@ -2890,6 +2890,48 @@ def q_domain_filter_caps(spark, sf_dir):
 
 
 @query(
+    "duplicate_passages",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1, greatest(len(toks) - 5, 0) + 1)) AS BIGINT) AS pos,
+                   toks
+            FROM t),
+        g2 AS (SELECT doc_id, pos,
+                      array_to_string(toks[pos:pos+5], ' ') AS gram
+               FROM g),
+        dup AS (SELECT gram FROM g2 GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        h AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + 6
+                        THEN 1 ELSE 0 END AS brk
+            FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl)
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + 5 AS span_end,
+               max(pos) + 5 - min(pos) + 1 AS span_tokens
+        FROM isl2 GROUP BY doc_id, island
+    """,
+    doc="cross-document duplicated-passage spans (north star: substring-level "
+    "dedup, Lee et al. 2022 style at word granularity, n=6): maximal token "
+    "runs covered by grams occurring in >1 document, merged "
+    "gaps-and-islands per doc. Dup grams via GROUP-BY min/max-doc partial "
+    "aggregate (never a gram window); span merge is a per-doc window "
+    "(operators/corpus.duplicate_passage_spans)",
+)
+def q_duplicate_passages(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import duplicate_passage_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_passage_spans(d, "text", "doc_id", n=6)
+
+
+@query(
     "image_resize",
     # fake-mode resize emits a solid (h%256, h>>8%256, h>>16%256) image;
     # the oracle refolds the payload bytes (hex-pair fold, as
@@ -3067,6 +3109,7 @@ _PRIORITY = [
     "pivot_wide",
     "embedding_avg_by_label",
     "repetition_ngrams_fast",
+    "duplicate_passages",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",

@@ -918,6 +918,66 @@ def test_line_dedup_first_occurrence_wins(spark):
     assert out[2].dedup_text == "e f" and out[2].n_lines == 2 and out[2].n_kept_lines == 1
 
 
+def test_duplicate_passage_spans_merge_and_cross_doc(spark):
+    from hadoop_app_spark.operators.corpus import (
+        duplicate_passage_spans,
+        duplicate_passage_stats,
+    )
+
+    # docs 1 and 2 share the run "p q r s" (two overlapping 3-grams:
+    # pos 2 and 3 in doc 1 -> ONE merged span); doc 3 repeats a gram
+    # only within itself (intra-doc repeat is NOT a cross-doc dup);
+    # doc 4 shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "a p q r s b"),
+            (2, "x y p q r s"),
+            (3, "m n o m n o"),
+            (4, "u v w z u1 v1"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: r
+        for r in duplicate_passage_spans(df, "text", "doc_id", n=3).collect()
+    }
+    assert set(spans) == {1, 2}
+    # doc 1: grams at pos 2 ("p q r") and 3 ("q r s") merge -> [2, 5]
+    assert (spans[1].span_start, spans[1].span_end, spans[1].span_tokens) == (2, 5, 4)
+    assert (spans[2].span_start, spans[2].span_end) == (3, 6)
+
+    stats = {
+        r.doc_id: r
+        for r in duplicate_passage_stats(df, "text", "doc_id", n=3).collect()
+    }
+    assert set(stats) == {1, 2, 3, 4}
+    assert stats[1].n_spans == 1 and stats[1].dup_tokens == 4
+    assert stats[1].dup_frac == 4 / 6
+    assert stats[3].n_spans == 0 and stats[3].dup_frac == 0.0
+    assert stats[4].dup_tokens == 0
+
+
+def test_duplicate_passage_spans_disjoint_spans_per_doc(spark):
+    from hadoop_app_spark.operators.corpus import duplicate_passage_spans
+
+    # doc 1 shares two SEPARATED runs with doc 2 -> two disjoint spans
+    # (gap "g1 g2 g3" is unique to doc 1, so the islands must not merge)
+    df = spark.createDataFrame(
+        [
+            (1, "p q r g1 g2 g3 s t u"),
+            (2, "p q r x1 x2 x3 s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        duplicate_passage_spans(df, "text", "doc_id", n=3)
+        .where(F.col("doc_id") == 1)
+        .collect(),
+        key=lambda r: r.span_start,
+    )
+    assert [(r.span_start, r.span_end) for r in out] == [(1, 3), (7, 9)]
+
+
 def test_quantize_roundtrip_bounds(spark):
     import math
 
