@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "repetition_ngrams_fast",
     "decontamination",
     "domain_filter_caps",
+    # r4 curation additions
+    "duplicate_passages",
+    "url_canonical_dedup",
 ]
 
 

@@ -373,6 +373,65 @@ def extract_domain(url_col) -> F.Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+# query params that never identify content — crawler-visible tracking
+# noise whose presence splits one logical page into many raw URLs
+TRACKING_PARAMS_RE = r"^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid|igshid)="
+
+
+def canonicalize_url(url_col) -> F.Column:
+    """Canonical page identity for crawl dedup: lowercase host with
+    scheme / userinfo / port / fragment / ``www.`` / trailing slashes
+    stripped, tracking query params (``utm_*``/gclid/fbclid/...)
+    dropped, and the surviving params SORTED — so every raw spelling of
+    one logical page (http vs https, param order, campaign tags) folds
+    to one string. Path and param case are preserved (paths are
+    case-sensitive); pure regexp + array HOFs, codegen'd, and every
+    pattern parses identically in Java regex and RE2 for the oracle.
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.regexp_replace(
+        F.regexp_extract(
+            F.lower(c), r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1
+        ),
+        r"^www\.",
+        "",
+    )
+    # strip scheme+userinfo, then take the path (up to ? or #), minus
+    # trailing slashes; query is everything between ? and #
+    rest = F.regexp_replace(
+        F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""), r"^[^/@?#]*@", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)?", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_RE),
+        )
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(host, path, qs)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse raw URL variants to one row per canonical page:
+    [canonical_url, keeper_id, n_dups] where the keeper is the minimum
+    id (deterministic). One partial-combine hash aggregation keyed by
+    the canonical string — boilerplate pages with millions of raw
+    spellings collapse map-side, never through a window."""
+    return (
+        df.select(canonicalize_url(url_col).alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
 def domain_filter(
     docs: DataFrame,
     url_col: str,

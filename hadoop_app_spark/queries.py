@@ -2890,6 +2890,76 @@ def q_domain_filter_caps(spark, sf_dir):
 
 
 @query(
+    "url_canonical_dedup",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'https://www.example.com/page/' || CAST(doc_id % 97 AS VARCHAR)
+                        WHEN 1 THEN 'http://u@example.com:8080/page/' || CAST(doc_id % 97 AS VARCHAR) || '/?utm_source=x&b=2&a=1#top'
+                        WHEN 2 THEN 'example.com/page/' || CAST(doc_id % 97 AS VARCHAR) || '?b=2&a=1'
+                        ELSE 'HTTPS://User@Example.COM/page/' || CAST(doc_id % 97 AS VARCHAR) || '/#frag'
+                   END AS url
+            FROM documents),
+        parts AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_extract(lower(url),
+                           '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1),
+                       '^www\\.', '') AS host,
+                   regexp_replace(
+                       regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                       '^[^/@?#]*@', '') AS rest
+            FROM u),
+        pq AS (
+            SELECT doc_id, host,
+                   regexp_replace(
+                       regexp_extract(rest, '^[^/?#]*(/[^?#]*)?', 1), '/+$', '') AS path,
+                   list_sort(list_filter(
+                       string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                           '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid|igshid)='))) AS params
+            FROM parts),
+        canon AS (
+            SELECT doc_id,
+                   host || path ||
+                   CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+            FROM pq)
+        SELECT canonical_url, min(doc_id) AS keeper_id,
+               count(*) AS n_dups
+        FROM canon GROUP BY canonical_url
+    """,
+    doc="canonical-URL crawl dedup (north star: one logical page, many raw "
+    "spellings): scheme/userinfo/port/fragment/www/trailing-slash stripped, "
+    "tracking params dropped, surviving params sorted; variants fold via ONE "
+    "partial-combine hash agg on the canonical string — hot pages collapse "
+    "map-side, no window. URL variants synthesized deterministically from "
+    "documents so both engines build and fold identical strings "
+    "(operators/corpus.canonicalize_url / url_dedup)",
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") % 97).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://www.example.com/page/"), pid))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://u@example.com:8080/page/"), pid, F.lit("/?utm_source=x&b=2&a=1#top")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("example.com/page/"), pid, F.lit("?b=2&a=1")),
+        )
+        .otherwise(F.concat(F.lit("HTTPS://User@Example.COM/page/"), pid, F.lit("/#frag")))
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    return url_dedup(docs, "url", "doc_id")
+
+
+@query(
     "duplicate_passages",
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -3110,6 +3180,7 @@ _PRIORITY = [
     "embedding_avg_by_label",
     "repetition_ngrams_fast",
     "duplicate_passages",
+    "url_canonical_dedup",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",

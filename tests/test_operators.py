@@ -978,6 +978,41 @@ def test_duplicate_passage_spans_disjoint_spans_per_doc(spark):
     assert [(r.span_start, r.span_end) for r in out] == [(1, 3), (7, 9)]
 
 
+def test_canonicalize_url_variants_fold(spark):
+    from hadoop_app_spark.operators.corpus import canonicalize_url, url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.Example.com/Page/1"),
+            (2, "http://user:pw@example.com:8080/Page/1/?utm_source=a&utm_medium=b"),
+            (3, "example.com/Page/1#section"),
+            (4, "https://example.com/Page/1?b=2&a=1"),
+            (5, "example.com/Page/1?a=1&fbclid=XYZ&b=2"),
+            (6, "https://example.com/"),
+            (7, "example.com"),
+            (8, "https://other.org/Page/1"),
+        ],
+        "doc_id long, url string",
+    )
+    canon = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", canonicalize_url("url").alias("c")).collect()
+    }
+    # scheme/www/userinfo/port/fragment/trailing-slash all fold
+    assert canon[1] == canon[2] == canon[3] == "example.com/Page/1"
+    # param order + tracking params fold; params distinguish from no-param
+    assert canon[4] == canon[5] == "example.com/Page/1?a=1&b=2"
+    assert canon[4] != canon[1]
+    # root with and without slash fold; different host does not
+    assert canon[6] == canon[7] == "example.com"
+    assert canon[8] == "other.org/Page/1"
+
+    out = {r.canonical_url: r for r in url_dedup(df, "url", "doc_id").collect()}
+    assert out["example.com/Page/1"].keeper_id == 1
+    assert out["example.com/Page/1"].n_dups == 3
+    assert out["example.com/Page/1?a=1&b=2"].n_dups == 2
+
+
 def test_quantize_roundtrip_bounds(spark):
     import math
 
