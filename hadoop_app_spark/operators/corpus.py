@@ -511,6 +511,67 @@ def redact_pii(
     return df.select(*passthrough, *counts, red.alias(out_col))
 
 
+def quantile_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4), (9, 10)),
+) -> DataFrame:
+    """Exact per-group quantiles of an integer-valued column -> one row
+    per group [group, n, p25, p50, p75, p90] (default ps; column name =
+    ``p{round(100*num/den)}``).
+
+    Type-1 (discrete) quantiles: the smallest value whose cumulative
+    count reaches rank ceil(p*n), with the rank computed in PURE
+    INTEGER arithmetic (``(num*n + den - 1) div den`` from rational p)
+    — no IEEE rounding anywhere, so any engine agrees bit-for-bit
+    (interpolated quantiles differ across engines in last-ulp ways).
+
+    Scale shape (100 TB): the corpus-sized work is ONE partial-combine
+    hash aggregation on (group, value) — token-count-style columns
+    have bounded distinct values, so the cumulative-sum window that
+    follows runs over #distinct rows per group, thousands not
+    billions. Never a per-row rank window over the raw data.
+    """
+    counts = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = counts.withColumn(
+        "_cum",
+        F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    j = cum.join(totals, group_col)
+    aggs = [F.max("_n").alias("n")]
+    for num, den in ps:
+        # integer div == ceil(num*n/den); no float in the rank
+        rank = F.expr(f"({num} * _n + {den - 1}) div {den}")
+        label = f"p{round(100 * num / den)}"
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col(value_col))).alias(label)
+        )
+    return j.groupBy(group_col).agg(*aggs)
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of an integer-valued column ->
+    [bucket_lo, n] (plus the group column when given); bucket_lo =
+    floor(v / width) * width, pure integer arithmetic. One
+    partial-combine hash aggregation — the corpus-profiling dashboard
+    histogram at any scale."""
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    # integer div (truncating) — exact for the non-negative counts this
+    # profiles; no float division anywhere
+    bucket = (F.expr(f"`{value_col}` div {width}") * width).alias("bucket_lo")
+    keys = ([F.col(group_col)] if group_col else []) + [bucket]
+    return df.groupBy(*keys).agg(F.count("*").alias("n"))
+
+
 def duplicate_passage_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -2890,6 +2890,59 @@ def q_domain_filter_caps(spark, sf_dir):
 
 
 @query(
+    "quantile_profile",
+    oracle=f"""
+        WITH v AS (SELECT source, {_NTOK} AS n_tokens FROM documents),
+        c AS (SELECT source, n_tokens, count(*) AS c FROM v GROUP BY source, n_tokens),
+        cum AS (
+            SELECT source, n_tokens, c,
+                   sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum
+            FROM c),
+        tot AS (SELECT source, sum(c) AS n FROM c GROUP BY source),
+        j AS (SELECT cum.*, tot.n FROM cum JOIN tot USING (source))
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN cum >= (1*n + 3) // 4 THEN n_tokens END) AS p25,
+               min(CASE WHEN cum >= (1*n + 1) // 2 THEN n_tokens END) AS p50,
+               min(CASE WHEN cum >= (3*n + 3) // 4 THEN n_tokens END) AS p75,
+               min(CASE WHEN cum >= (9*n + 9) // 10 THEN n_tokens END) AS p90
+        FROM j GROUP BY source
+    """,
+    doc="per-source exact token-count quantiles (north star: the corpus "
+    "length-distribution dashboard): type-1 discrete quantiles with pure "
+    "integer rank arithmetic — the corpus-sized work is ONE (source, value) "
+    "partial-combine hash agg; the cumulative window runs over distinct "
+    "values only, never the raw rows (operators/corpus.quantile_profile)",
+)
+def q_quantile_profile(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import quantile_profile
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select("source", token_count("text").cast("long").alias("n_tokens"))
+    return quantile_profile(v, "n_tokens", "source")
+
+
+@query(
+    "token_histogram",
+    oracle=f"""
+        WITH v AS (SELECT source, {_NTOK} AS n_tokens FROM documents)
+        SELECT source, (n_tokens // 10) * 10 AS bucket_lo,
+               count(*) AS n
+        FROM v GROUP BY source, bucket_lo
+    """,
+    doc="fixed-width per-source token-count histogram (corpus profiling): "
+    "bucket_lo = (v div w)*w in integer arithmetic, one partial-combine hash "
+    "agg (operators/corpus.value_histogram)",
+)
+def q_token_histogram(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import value_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select("source", token_count("text").cast("long").alias("n_tokens"))
+    return value_histogram(v, "n_tokens", width=10, group_col="source")
+
+
+@query(
     "url_canonical_dedup",
     oracle="""
         WITH u AS (
@@ -3181,6 +3234,8 @@ _PRIORITY = [
     "repetition_ngrams_fast",
     "duplicate_passages",
     "url_canonical_dedup",
+    "quantile_profile",
+    "token_histogram",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",

@@ -978,6 +978,35 @@ def test_duplicate_passage_spans_disjoint_spans_per_doc(spark):
     assert [(r.span_start, r.span_end) for r in out] == [(1, 3), (7, 9)]
 
 
+def test_quantile_profile_type1_ranks(spark):
+    from hadoop_app_spark.operators.corpus import quantile_profile
+
+    # group a: values 10,20,30,40 (n=4): ranks ceil(1)=1, ceil(2)=2,
+    # ceil(3)=3, ceil(3.6)=4 -> p25=10 p50=20 p75=30 p90=40
+    # group b: single value -> every quantile is it
+    rows = [("a", v) for v in (40, 10, 30, 20)] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in quantile_profile(df, "v", "g").collect()}
+    assert (out["a"].n, out["a"].p25, out["a"].p50, out["a"].p75, out["a"].p90) == (
+        4, 10, 20, 30, 40,
+    )
+    assert (out["b"].n, out["b"].p50, out["b"].p90) == (1, 7, 7)
+
+
+def test_value_histogram_buckets(spark):
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.corpus import value_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (9,), (10,), (19,), (25,)], "v long"
+    )
+    out = {r.bucket_lo: r.n for r in value_histogram(df, "v", width=10).collect()}
+    assert out == {0: 2, 10: 2, 20: 1}
+    with _pytest.raises(ValueError):
+        value_histogram(df, "v", width=0)
+
+
 def test_canonicalize_url_variants_fold(spark):
     from hadoop_app_spark.operators.corpus import canonicalize_url, url_dedup
 
