@@ -79,6 +79,41 @@ def connected_components(
     )
 
 
+def canonical_per_component(
+    scores: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Pick the best document of every near-dup cluster: [id,
+    component, canonical_id] for each clustered node, where the
+    canonical is the component member with the HIGHEST score (ties
+    break to the smallest id) — the keep-the-best-copy dedup policy,
+    vs dedup_by_components' keep-the-min-id.
+
+    ``scores`` maps id -> quality; a clustered node missing from
+    ``scores`` still appears in the output but cannot be elected
+    canonical. Scale shape: the argmax is ``max_by(node, struct(score,
+    -node))`` — a partial-combine hash aggregation per component, NOT
+    a per-component row_number window — then one join back on the
+    component key.
+    """
+    comp = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
+    scored = comp.join(
+        scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")), "node"
+    )
+    canon = scored.groupBy("component").agg(
+        F.max_by(
+            "node",
+            F.struct(F.col("_s").alias("s"), (-F.col("node")).alias("tie")),
+        ).alias("canonical_id")
+    )
+    return comp.join(canon, "component").select(
+        F.col("node").alias(id_col), "component", "canonical_id"
+    )
+
+
 def dedup_by_components(
     df: DataFrame, pairs: DataFrame, id_col: str, pair_cols: tuple[str, str] = ("id_a", "id_b")
 ) -> DataFrame:

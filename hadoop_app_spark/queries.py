@@ -2538,6 +2538,48 @@ def q_near_dup_components(spark, sf_dir):
 
 
 @query(
+    "cluster_canonical",
+    oracle="""
+        WITH RECURSIVE e AS ({pairs}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM e
+                UNION SELECT id_b, id_a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach(a, b) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+        q AS (SELECT doc_id, {quality} AS s FROM documents),
+        scored AS (SELECT comp.node, comp.component, q.s
+                   FROM comp JOIN q ON comp.node = q.doc_id),
+        canon AS (
+            SELECT component, node AS canonical_id,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY s DESC, node ASC) AS rn
+            FROM scored)
+        SELECT comp.node AS doc_id, comp.component, canon.canonical_id
+        FROM comp JOIN canon
+          ON comp.component = canon.component AND canon.rn = 1
+    """.format(pairs=_lsh_near_dup_oracle().strip(), quality=_QUALITY_SQL),
+    doc="keep-the-best-copy dedup policy (north star): connected components "
+    "over embedding near-dup pairs, then elect each cluster's canonical doc "
+    "by max quality_score (tie: min id) via a max_by(node, struct(score, "
+    "-node)) partial-combine hash agg — never a per-component row_number "
+    "window (operators/graph.canonical_per_component)",
+)
+def q_cluster_canonical(spark, sf_dir):
+    from hadoop_app_spark.operators.graph import canonical_per_component
+    from hadoop_app_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+    pairs = embedding_near_dups(emb, threshold=0.3, n_planes=6).select("id_a", "id_b")
+    scores = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("score")
+    )
+    return canonical_per_component(scores, pairs, "doc_id", "score")
+
+
+@query(
     "pii_redaction",
     oracle="""
         WITH synth AS (
@@ -3236,6 +3278,7 @@ _PRIORITY = [
     "url_canonical_dedup",
     "quantile_profile",
     "token_histogram",
+    "cluster_canonical",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",

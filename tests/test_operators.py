@@ -978,6 +978,31 @@ def test_duplicate_passage_spans_disjoint_spans_per_doc(spark):
     assert [(r.span_start, r.span_end) for r in out] == [(1, 3), (7, 9)]
 
 
+def test_canonical_per_component_best_copy(spark):
+    from hadoop_app_spark.operators.graph import canonical_per_component
+
+    # component {1,2,3} (chained 1-2, 2-3): best score is doc 2;
+    # component {10, 11}: tied scores -> min id 10 wins;
+    # component {20, 21}: 21 has no score row -> 20 is canonical,
+    # but 21 still appears in the mapping
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7), (20, 0.1)],
+        "doc_id long, score double",
+    )
+    out = {
+        r.doc_id: r
+        for r in canonical_per_component(scores, pairs, "doc_id", "score").collect()
+    }
+    assert set(out) == {1, 2, 3, 10, 11, 20, 21}
+    assert out[1].canonical_id == out[2].canonical_id == out[3].canonical_id == 2
+    assert out[1].component == 1
+    assert out[10].canonical_id == out[11].canonical_id == 10
+    assert out[21].canonical_id == 20
+
+
 def test_quantile_profile_type1_ranks(spark):
     from hadoop_app_spark.operators.corpus import quantile_profile
 
