@@ -101,6 +101,15 @@ def main() -> None:
         times[name] = round(timed(name), 3)
         warm[name] = round(sorted(timed(name) for _ in range(3))[1], 3)
     total = round(sum(times.values()), 3)
+
+    # plan fingerprints: a changed hash names WHICH query's physical
+    # plan moved since the last round (see plans/fingerprint.py)
+    from hadoop_app_spark.plans.fingerprint import plan_fingerprint
+
+    plans = {
+        name: plan_fingerprint(REGISTRY[name].fn(spark, sf_dir))
+        for name in BENCH_QUERIES
+    }
     print(
         json.dumps(
             {
@@ -110,6 +119,7 @@ def main() -> None:
                 "queries": times,
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "plans": plans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

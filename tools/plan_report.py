@@ -103,8 +103,10 @@ SHOWCASE = {
 }
 
 
-def main() -> None:
-    spark = get_spark("plan_report")
+def render(spark) -> str:
+    """The full PLANS.md content — shared by main() and the CI drift
+    test (tests/test_plan_drift.py regenerates this and diffs it
+    against the committed file, so plan drift is reviewable)."""
     out = [
         "# PLANS — physical plans of showcase queries\n",
         f"Generated by `python tools/plan_report.py` at sf0.01 ({SF}).",
@@ -121,8 +123,14 @@ def main() -> None:
         out.append(f"**Look for:** {feature}.\n")
         out.append(f"**Why it matters at 100 TB:** {why}.\n")
         out.append("```\n" + tree.strip() + "\n```\n")
+    return "\n".join(out)
+
+
+def main() -> None:
+    spark = get_spark("plan_report")
+    content = render(spark)
     with open("PLANS.md", "w") as f:
-        f.write("\n".join(out))
+        f.write(content)
     print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
     spark.stop()
 

@@ -1,0 +1,266 @@
+"""10x scaling stress probe: does each operator family's wall time grow
+~linearly when the corpus grows 10x, with no single-partition funnel?
+
+Usage: python tools/stress_probe.py [base_sf_dir] [family ...]
+
+Builds a 1x and a 10x corpus from the base documents/embeddings tables
+(copy k shifts every id by k * (max_id + 1); embeddings additionally get
+a tiny deterministic per-copy perturbation so LSH/IVF buckets stay hot
+but not pathologically identical; document TEXT is copied verbatim —
+a duplication-heavy corpus is exactly the adversarial input for the
+dedup family), times each family at both scales, and prints a markdown
+table of seconds and the 10x/1x ratio. A ratio well above ~13 (10x data
+plus overhead) flags a superlinear shape worth a plan audit; results
+are recorded per-round in BASELINE.md.
+
+The corpora are written to a temp dir as parquet so every timing reads
+from disk exactly like the bench; timings are a single execution
+(cold-ish — comparing 1x vs 10x of the SAME plan cancels codegen cost,
+which is scale-independent).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from hadoop_app_spark import get_spark
+
+COPIES = 10
+
+
+def build_corpora(spark, base_dir: str, out: Path) -> dict[str, dict[int, str]]:
+    """Write {table: {1: path, 10: path}} parquet corpora."""
+    paths: dict[str, dict[int, str]] = {}
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    def shifted_union(df, id_col, n_ids, perturb_vec=False):
+        parts = []
+        for k in range(COPIES):
+            c = df.withColumn(id_col, F.col(id_col) + F.lit(k * n_ids))
+            if perturb_vec and k:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform("embedding", lambda x: x + F.lit(k * 1e-3)).cast(
+                        "array<float>"
+                    ),
+                )
+            parts.append(c)
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionByName(p)
+        return out_df
+
+    for name, df, id_col, n_ids, pv in (
+        ("documents", docs, "doc_id", n_doc, False),
+        ("embeddings", emb, "vec_id", n_vec, True),
+    ):
+        p1 = str(out / f"{name}_x1")
+        p10 = str(out / f"{name}_x10")
+        # both scales get the same 32-way layout: a single-file 1x scan
+        # would otherwise run narrow chains on one core and make the 10x
+        # (parallel) run look FASTER — scaling ratios need equal layouts
+        df.repartition(32).write.mode("overwrite").parquet(p1)
+        shifted_union(df, id_col, n_ids, pv).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(p10)
+        paths[name] = {1: p1, 10: p10}
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# families: name -> fn(spark, docs_path, emb_path, scratch) executing the
+# operator end-to-end (count/collect-bounded action)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, p):
+    return spark.read.parquet(p)
+
+
+def f_exact_dedup(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, dp), ["text"], "doc_id").count()
+
+
+def f_minhash_fast(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_vectorized,
+    )
+
+    d = _docs(spark, dp)
+    sigs = minhash_signatures_vectorized(d, "text", "doc_id", repartition_to=32)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", bands=4)
+    return pairs.count()
+
+
+def f_line_dedup(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.corpus import line_dedup
+
+    return line_dedup(_docs(spark, dp), "text", "doc_id").count()
+
+
+def f_repetition_fast(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.corpus import ngram_repetition_stats_vectorized
+
+    return ngram_repetition_stats_vectorized(
+        _docs(spark, dp), "text", "doc_id", repartition_to=32
+    ).count()
+
+
+def f_duplicate_passages(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.corpus import duplicate_passage_spans
+
+    return duplicate_passage_spans(_docs(spark, dp), "text", "doc_id", n=6).count()
+
+
+def _queries_from(spark, ep, n=100):
+    emb = spark.read.parquet(ep)
+    return (
+        emb.where(F.col("vec_id") % 101 == 0)
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+
+def f_cosine_bf(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(ep)
+    return brute_force_topk(emb, _queries_from(spark, ep), k=5).count()
+
+
+def f_lsh_ann(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(ep)
+    return lsh_topk(emb, _queries_from(spark, ep), k=5, n_planes=4, n_tables=8).count()
+
+
+def f_ivf_ann(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(ep)
+    return ivf_topk(emb, _queries_from(spark, ep), k=5).count()
+
+
+def f_embedding_near_dup(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(ep)
+    return embedding_near_dups(emb, threshold=0.3, n_planes=6).count()
+
+
+def f_cdc_apply(spark, dp, ep, scratch):
+    """Seed a keyed snapshot from documents, stream one change file
+    touching ~1% of keys, time the availableNow fold end-to-end."""
+    from hadoop_app_spark.streaming.cdc import apply_changes_stream, current_snapshot
+
+    root = str(scratch / "cdc_snap")
+    cdir = scratch / "cdc_changes"
+    ckpt = str(scratch / "cdc_ckpt")
+    for p in (root, str(cdir), ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    cdir.mkdir(parents=True)
+    d = _docs(spark, dp).select("doc_id", "text", "source")
+    d.write.parquet(root + "/v0")
+    changes = d.where(F.col("doc_id") % 100 == 0).select(
+        "doc_id",
+        F.concat(F.lit("updated "), F.col("text")).alias("text"),
+        "source",
+        F.lit("U").alias("op"),
+        F.col("doc_id").alias("seq"),
+    )
+    changes.coalesce(1).write.json(str(cdir / "batch1"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string, op string, seq long"
+    ).json(str(cdir / "batch1"))
+    q = apply_changes_stream(
+        stream, root, ["doc_id"], op_col="op", seq_col="seq", checkpoint_dir=ckpt
+    )
+    q.awaitTermination()
+    return current_snapshot(spark, root).count()
+
+
+FAMILIES = {
+    "exact_dedup": f_exact_dedup,
+    "minhash_fast_pipeline": f_minhash_fast,
+    "line_dedup": f_line_dedup,
+    "repetition_fast": f_repetition_fast,
+    "duplicate_passages": f_duplicate_passages,
+    "cosine_topk_bf": f_cosine_bf,
+    "lsh_ann_topk": f_lsh_ann,
+    "ivf_ann_topk": f_ivf_ann,
+    "embedding_near_dup": f_embedding_near_dup,
+    "cdc_apply": f_cdc_apply,
+}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    base = args[0] if args else "/root/testdata/sf0.1"
+    wanted = args[1:] or list(FAMILIES)
+    unknown = [w for w in wanted if w not in FAMILIES]
+    if unknown:
+        raise SystemExit(f"unknown families: {unknown}; choose from {list(FAMILIES)}")
+
+    spark = get_spark("stress-probe")
+    tmp = Path(tempfile.mkdtemp(prefix="stress_probe_"))
+    try:
+        paths = build_corpora(spark, base, tmp)
+        rows = []
+        for name in wanted:
+            fn = FAMILIES[name]
+            res = {}
+            for scale in (1, 10):
+                # run twice, keep the faster: the first execution pays
+                # whole-stage-codegen compile (scale-independent), which
+                # at probe sizes would swamp the data-scaling signal
+                best, n = None, None
+                for _ in range(2):
+                    scratch = tmp / f"scratch_{name}_x{scale}"
+                    shutil.rmtree(scratch, ignore_errors=True)
+                    scratch.mkdir(parents=True)
+                    t0 = time.monotonic()
+                    n = fn(spark, paths["documents"][scale], paths["embeddings"][scale], scratch)
+                    dt = time.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                res[scale] = (best, n)
+            ratio = res[10][0] / max(res[1][0], 1e-9)
+            rows.append((name, res[1][0], res[10][0], ratio, res[1][1], res[10][1]))
+            print(
+                f"| {name} | {res[1][0]:.2f}s | {res[10][0]:.2f}s | {ratio:.1f}x | "
+                f"{res[1][1]} -> {res[10][1]} rows |",
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {
+                    "probe": "stress10x",
+                    "base": base,
+                    "families": {
+                        r[0]: {"x1_sec": round(r[1], 2), "x10_sec": round(r[2], 2), "ratio": round(r[3], 1)}
+                        for r in rows
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
