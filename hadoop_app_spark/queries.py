@@ -1423,11 +1423,11 @@ def q_minhash_dedup(spark, sf_dir):
     return survivors.select("doc_id", "n_chars")
 
 
-def _minhash_dedup_oracle(n_bands: int = 4, band_w: int = 2) -> str:
-    """DuckDB twin of the full minhash_dedup pipeline under the poly
-    hash: 8 permutation minima -> 4 bands of width 2 -> docs sharing a
-    (band, band-signature) bucket pair up -> higher id of each pair
-    drops, everything else (incl. zero-shingle docs) survives."""
+def _minhash_banded_cte(n_bands: int = 4, band_w: int = 2) -> str:
+    """Shared CTE chain (``t`` .. ``banded``) reproducing the poly-hash
+    minhash pipeline in DuckDB: shingles -> 8 permutation minima ->
+    band signatures. Consumed by _minhash_dedup_oracle and the
+    minhash_cluster_canonical oracle."""
     from hadoop_app_spark.operators.dedup import _MINHASH_A, _MINHASH_B
 
     fp = (
@@ -1439,8 +1439,7 @@ def _minhash_dedup_oracle(n_bands: int = 4, band_w: int = 2) -> str:
         for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
     )
     sig = "[" + ", ".join(f"mh{i}" for i in range(8)) + "]"
-    return f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         sh AS (SELECT doc_id,
                       [array_to_string(toks[i:i+2], ' ')
                        for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS shingles
@@ -1452,7 +1451,16 @@ def _minhash_dedup_oracle(n_bands: int = 4, band_w: int = 2) -> str:
               FROM h),
         sig AS (SELECT doc_id, {sig} AS sig FROM m),
         banded AS (SELECT doc_id, b, sig[b*{band_w}+1 : b*{band_w}+{band_w}] AS bs
-                   FROM sig CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b)),
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b))"""
+
+
+def _minhash_dedup_oracle(n_bands: int = 4, band_w: int = 2) -> str:
+    """DuckDB twin of the full minhash_dedup pipeline under the poly
+    hash: 8 permutation minima -> 4 bands of width 2 -> docs sharing a
+    (band, band-signature) bucket pair up -> higher id of each pair
+    drops, everything else (incl. zero-shingle docs) survives."""
+    return f"""
+        WITH {_minhash_banded_cte(n_bands, band_w)},
         losers AS (SELECT DISTINCT x.doc_id AS id_b
                    FROM banded a JOIN banded x
                      ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id)
@@ -1464,6 +1472,55 @@ def _minhash_dedup_oracle(n_bands: int = 4, band_w: int = 2) -> str:
 REGISTRY["minhash_dedup"] = QueryDef(
     REGISTRY["minhash_dedup"].fn, _minhash_dedup_oracle(), REGISTRY["minhash_dedup"].doc
 )
+
+
+@query(
+    "minhash_cluster_canonical",
+    oracle="""
+        WITH RECURSIVE {banded},
+        e AS (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+              FROM banded a JOIN banded x
+                ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
+        sym AS (SELECT id_a AS a, id_b AS b FROM e
+                UNION SELECT id_b, id_a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach(a, b) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+        q AS (SELECT doc_id, {quality} AS s FROM documents),
+        scored AS (SELECT comp.node, comp.component, q.s
+                   FROM comp JOIN q ON comp.node = q.doc_id),
+        canon AS (
+            SELECT component, node AS canonical_id,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY s DESC, node ASC) AS rn
+            FROM scored)
+        SELECT comp.node AS doc_id, comp.component, canon.canonical_id
+        FROM comp JOIN canon
+          ON comp.component = canon.component AND canon.rn = 1
+    """.format(banded=_minhash_banded_cte(), quality=_QUALITY_SQL),
+    doc="text-minhash variant of the keep-the-best-copy policy: LSH band "
+    "pairs -> connected components -> per-cluster canonical by max quality "
+    "(tie: min id). Components are invariant under the pair generator's "
+    "audited star expansion for overflow buckets (a star keeps exactly the "
+    "bucket's connectivity), so the full-pairwise SQL oracle checks the "
+    "scale-safe plan (operators/dedup.minhash_lsh_pairs + "
+    "operators/graph.canonical_per_component)",
+)
+def q_minhash_cluster_canonical(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+    from hadoop_app_spark.operators.graph import canonical_per_component
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "text", "doc_id", hash_fn="poly",
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    pairs = minhash_lsh_pairs(sigs, "doc_id", bands=4).select("id_a", "id_b")
+    scores = d.select("doc_id", quality_score("text").alias("score"))
+    return canonical_per_component(scores, pairs, "doc_id", "score")
 
 
 @query(
@@ -3279,6 +3336,7 @@ _PRIORITY = [
     "quantile_profile",
     "token_histogram",
     "cluster_canonical",
+    "minhash_cluster_canonical",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",
