@@ -1918,6 +1918,76 @@ def _fmt_utc(col: str, fmt: str):
 
 
 @query(
+    "stream_static_join_exec",
+    oracle="""
+        SELECT c_mktsegment, event_type, count(*) AS n, {v} AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """.format(v=_DSUM.format(c="value")),
+    doc="REAL stream-static enrichment join under the gate: availableNow "
+    "event stream joins a BROADCAST static customer dim (stateless — no join "
+    "state store) then aggregates per (segment, event_type); oracle is the "
+    "equivalent batch join-aggregate (streaming/events.enriched_segment_counts)",
+)
+def q_stream_static_join_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import enriched_segment_counts
+
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir)
+        dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        q = (
+            enriched_segment_counts(stream, dim)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_stream_join_exec",
+    oracle="""
+        SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+    """,
+    doc="REAL stream-stream inner join under the gate: the view and click "
+    "branches of one availableNow event stream join on user within a 4h "
+    "event-time range; watermark + range condition bound both state stores "
+    "(the attribution-funnel shape); oracle is the equivalent batch "
+    "self-join (streaming/events.view_click_conversions)",
+)
+def q_stream_stream_join_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import view_click_conversions
+
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    with _utc_session(spark):
+        stream = _event_stream(spark, sf_dir)
+        views = stream.where(F.col("event_type") == "view")
+        clicks = stream.where(F.col("event_type") == "click")
+        q = (
+            view_click_conversions(views, clicks, max_gap="4 hours")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "stream_tumbling_exec",
     oracle="""
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
@@ -3280,13 +3350,19 @@ _PRIORITY = [
     "exact_dedup_simhash",
     "ngram_jaccard_adjacent",
     "minhash_dedup",
-    "near_dup_components",
+    # r4 swap-in: cluster_canonical's oracle contains near_dup_components'
+    # ENTIRE pipeline (same embedding near-dup pairs, same recursive-CTE
+    # transitive closure) plus the per-cluster quality election on top —
+    # a strict superset of the gated signal it replaces
+    "cluster_canonical",
+    # r4 swap-in: cross-document duplicated-passage spans — the
+    # substring-level member of the dedup family (Lee et al. 2022 class)
+    "duplicate_passages",
     # similarity / ANN (north star)
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
-    "embedding_quantize",
     # corpus pipeline stages (north star)
     "corpus_curation",
     "tfidf_top_terms",
@@ -3325,18 +3401,29 @@ _PRIORITY = [
     #   sums that pricing_summary/grouping_analytics gate;
     # embedding_avg_by_label (r4 swap-out): plain keyed count/sum — the
     #   groupBy-agg mechanics are gated many times over.
+    # near_dup_components (r4 swap-out): its oracle is a strict subset of
+    #   the now-gated cluster_canonical (same pairs, same recursive-CTE
+    #   components; only the election is new);
+    # embedding_quantize (r4 swap-out, was driver-green in r3): per-row
+    #   transform/clamp arithmetic whose HOF mechanics array_hof_functions
+    #   gates; round-trip error bounds are pytest-pinned
+    #   (test_quantize_roundtrip_bounds).
     # All remain oracle-checked locally by tools/oracle_check.py.
+    "near_dup_components",
+    "embedding_quantize",
     "fanout_explode",
     "minmax_normalize",
     "pivot_wide",
     "embedding_avg_by_label",
     "repetition_ngrams_fast",
-    "duplicate_passages",
     "url_canonical_dedup",
     "quantile_profile",
     "token_histogram",
-    "cluster_canonical",
     "minhash_cluster_canonical",
+    # r4 streaming-join executions (same availableNow gate pattern as the
+    # five gated stream_*_exec rows; past the budget, oracle-checked locally)
+    "stream_static_join_exec",
+    "stream_stream_join_exec",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",

@@ -111,6 +111,55 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enriched_segment_counts(events: DataFrame, dim: DataFrame, key: str = "user_id", dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: events join a STATIC dimension
+    (broadcast — stateless, no join state store) then aggregate per
+    (segment, event_type). The canonical streaming-enrichment shape: at
+    scale the dimension is a slowly-changing table the stream re-reads
+    per micro-batch, and only the aggregation holds state."""
+    joined = events.join(F.broadcast(dim), events[key] == dim[dim_key])
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def view_click_conversions(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "4 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner join: each view pairs with the same user's
+    clicks landing within ``max_gap`` AFTER it -> [view_id, click_id,
+    user_id] (append mode; the attribution/conversion-funnel shape).
+
+    Both sides carry event-time watermarks and the join condition
+    bounds the time range, so each side's state store retains only
+    ``watermark + max_gap`` of history — the requirement for unbounded
+    stream-stream joins. ``watermark`` is the lateness bound: events
+    later than it may silently miss their pair (standard streaming
+    semantics); the gated query replays a single file in one
+    availableNow batch, where nothing is late by construction.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("_click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (v["user_id"] == c["_click_user"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return v.join(c, cond).select("view_id", "click_id", "user_id")
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "append"):
     """Test/debug sink: materialize a streaming query into an in-memory
     table; caller awaits termination or processes availableNow."""

@@ -97,6 +97,58 @@ def test_stream_batch_parity(spark, tmp_path):
     assert stream_rows == batch_rows
 
 
+def test_stream_stream_join_gap_and_user_bounds(spark, tmp_path):
+    """view-click conversions: only same-user clicks within the gap
+    AFTER the view pair up; earlier clicks and other users don't."""
+    from hadoop_app_spark.streaming.events import view_click_conversions
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:30:00", 1, "click", 0.0),   # within 1h -> pairs
+        (3, "2024-01-01 12:00:00", 1, "click", 0.0),   # past the 1h gap
+        (4, "2024-01-01 09:30:00", 1, "click", 0.0),   # BEFORE the view
+        (5, "2024-01-01 10:15:00", 2, "click", 0.0),   # other user
+        (6, "2024-01-01 11:50:00", 2, "view", 0.0),
+        (7, "2024-01-01 11:55:00", 2, "click", 0.0),   # pairs for user 2
+    ]
+    path = write_events(tmp_path, rows, n_files=1)
+    stream = read_event_stream(spark, path)
+    conv = view_click_conversions(
+        stream.where(F.col("event_type") == "view"),
+        stream.where(F.col("event_type") == "click"),
+        max_gap="1 hour",
+    )
+    q = run_to_memory_sink(conv, "t_ssj", mode="append")
+    q.awaitTermination()
+    got = {(r.view_id, r.click_id) for r in spark.table("t_ssj").collect()}
+    assert got == {(1, 2), (6, 7)}
+
+
+def test_stream_static_enrichment_counts(spark, tmp_path):
+    from hadoop_app_spark.streaming.events import enriched_segment_counts
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.5),
+        (2, "2024-01-01 10:05:00", 1, "click", 2.5),
+        (3, "2024-01-01 10:10:00", 2, "view", 1.0),
+        (4, "2024-01-01 10:15:00", 99, "click", 9.0),  # no dim row -> drops
+    ]
+    path = write_events(tmp_path, rows, n_files=1)
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    )
+    stream = read_event_stream(spark, path)
+    q = run_to_memory_sink(
+        enriched_segment_counts(stream, dim), "t_enrich", mode="complete"
+    )
+    q.awaitTermination()
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("t_enrich").collect()
+    }
+    assert got == {("BUILDING", "click"): (2, 4.0), ("MACHINERY", "view"): (1, 1.0)}
+
+
 def test_stateful_user_profile(spark, tmp_path):
     """applyInPandasWithState: state accumulates across micro-batches."""
     from hadoop_app_spark.streaming.stateful import user_profile_stream
