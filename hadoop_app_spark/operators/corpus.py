@@ -424,9 +424,14 @@ def url_dedup(
     [canonical_url, keeper_id, n_dups] where the keeper is the minimum
     id (deterministic). One partial-combine hash aggregation keyed by
     the canonical string — boilerplate pages with millions of raw
-    spellings collapse map-side, never through a window."""
+    spellings collapse map-side, never through a window.
+
+    Rows with a NULL url are excluded: a missing URL is no evidence of
+    duplication, and grouping NULLs would merge every url-less doc
+    into one bogus "duplicate" cluster."""
     return (
-        df.select(canonicalize_url(url_col).alias("canonical_url"), F.col(id_col))
+        df.where(F.col(url_col).isNotNull())
+        .select(canonicalize_url(url_col).alias("canonical_url"), F.col(id_col))
         .groupBy("canonical_url")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
     )
@@ -511,6 +516,50 @@ def redact_pii(
     return df.select(*passthrough, *counts, red.alias(out_col))
 
 
+def compression_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Compressibility quality signal: [id, n_bytes, n_compressed,
+    ratio] with ratio = compressed/raw bytes (0.0 for empty docs).
+    Templated or looping text compresses far below natural prose, so
+    low ratios flag machine-generated/boilerplate docs — the
+    CCNet/Gopher-class filter the n-gram repetition profile
+    approximates; this is the exact information-theoretic version.
+
+    zlib at a fixed level is deterministic, but no SQL engine exposes
+    it — this is a legitimately Python-only operator, run as an
+    Arrow-batched mapInPandas PURE MAP (no shuffle, no state); the
+    driver records the weaker rows-only check for it.
+    """
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            enc = [(t or "").encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(e) for e in enc],
+                    "n_compressed": [len(zlib.compress(e, level)) for e in enc],
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_bytes long, n_compressed long"
+    )
+    return out.withColumn(
+        "ratio",
+        F.when(
+            F.col("n_bytes") > 0, F.col("n_compressed").cast("double") / F.col("n_bytes")
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 def quantile_profile(
     df: DataFrame,
     value_col: str,
@@ -532,7 +581,15 @@ def quantile_profile(
     have bounded distinct values, so the cumulative-sum window that
     follows runs over #distinct rows per group, thousands not
     billions. Never a per-row rank window over the raw data.
+
+    NULL values are excluded up front: engines order NULLs
+    differently (Spark first-asc, DuckDB last), so a null inside the
+    cumulative ranking would make the result engine-dependent.
     """
+    labels = [f"p{round(100 * num / den)}" for num, den in ps]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"percentile labels collide after rounding: {labels}")
+    df = df.where(F.col(value_col).isNotNull())
     counts = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
     w = Window.partitionBy(group_col).orderBy(value_col)
     cum = counts.withColumn(
@@ -542,10 +599,9 @@ def quantile_profile(
     totals = counts.groupBy(group_col).agg(F.sum("_c").alias("_n"))
     j = cum.join(totals, group_col)
     aggs = [F.max("_n").alias("n")]
-    for num, den in ps:
+    for (num, den), label in zip(ps, labels):
         # integer div == ceil(num*n/den); no float in the rank
         rank = F.expr(f"({num} * _n + {den - 1}) div {den}")
-        label = f"p{round(100 * num / den)}"
         aggs.append(
             F.min(F.when(F.col("_cum") >= rank, F.col(value_col))).alias(label)
         )

@@ -211,6 +211,74 @@ def grouped_percentile_disc(
         r.unpersist()
 
 
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: Sequence[str],
+    budget: int,
+    out_col: str = "shard_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack rows into fixed-budget shards in global order: row's shard =
+    (cumulative weight of all STRICTLY EARLIER rows) div budget — the
+    training-shard assignment every corpus export needs (documents
+    packed into ~N-token files, deterministic, resumable).
+
+    A naive ``sum() OVER (ORDER BY ...)`` is an unpartitioned window —
+    the whole corpus through one task. Here the global running sum is
+    the classic two-pass prefix scan:
+
+    1. range-repartition on the order columns and ``localCheckpoint``
+       (materialized, so the partitioning is IDENTICAL for both passes
+       — repartitionByRange re-samples range bounds per action);
+    2. per-partition weight totals -> driver (P rows, bounded), prefix
+       offsets computed driver-side;
+    3. local running sum via a window PARTITIONED by partition id
+       (never global), plus the broadcast offset of the partition.
+
+    *order_cols* must form a strict total order (include a unique key);
+    *weight_col* must be integral and non-negative — the div is exact
+    integer arithmetic, engine-portable. Unlike greedy first-fit
+    packing, a shard may exceed ``budget`` by at most one row's weight
+    (the standard streaming-packing contract: a row never splits).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order_cols = list(order_cols)
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    r = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        row[_PID]: row["w"]
+        for row in r.groupBy(_PID).agg(F.sum(weight_col).alias("w")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    offset = reduce(
+        lambda acc_c, kv: acc_c.when(F.col(_PID) == kv[0], F.lit(kv[1])),
+        offsets.items(),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+    before = (offset + local_before).alias("_before")
+    return (
+        r.withColumn("_before", before)
+        .withColumn(out_col, F.expr(f"_before div {budget}"))
+        .drop(_PID, "_before")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     k: int,

@@ -3112,6 +3112,51 @@ def q_token_histogram(spark, sf_dir):
 
 
 @query(
+    "compression_quality",
+    oracle=None,  # zlib has no SQL twin — legitimately rows-only
+    doc="compressibility quality signal (north star): per-doc zlib "
+    "compressed/raw byte ratio — the information-theoretic repetition "
+    "filter (templated text compresses far below prose); Arrow-batched "
+    "mapInPandas pure map, zero shuffle "
+    "(operators/corpus.compression_stats)",
+)
+def q_compression_quality(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import compression_stats
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return compression_stats(d, "text", "doc_id")
+
+
+@query(
+    "shard_packing",
+    oracle=f"""
+        WITH v AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 2000 AS BIGINT) AS shard_id
+        FROM v
+    """,
+    doc="training-shard packing (north star: corpus export): rows packed "
+    "into ~2000-token shards in doc_id order via the scale-safe two-pass "
+    "prefix scan — per-partition totals + broadcast offsets + a window "
+    "PARTITIONED by partition id; the oracle's global running-sum window "
+    "is exactly what the operator refuses to run as one task "
+    "(operators/windows.pack_shards)",
+)
+def q_shard_packing(spark, sf_dir):
+    from hadoop_app_spark.operators.windows import pack_shards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_shards(d, "n_tokens", ["doc_id"], budget=2000).select(
+        "doc_id", "n_tokens", "shard_id"
+    )
+
+
+@query(
     "url_canonical_dedup",
     oracle="""
         WITH u AS (
@@ -3417,6 +3462,8 @@ _PRIORITY = [
     "embedding_avg_by_label",
     "repetition_ngrams_fast",
     "url_canonical_dedup",
+    "shard_packing",
+    "compression_quality",
     "quantile_profile",
     "token_histogram",
     "minhash_cluster_canonical",

@@ -542,7 +542,12 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
        .option("path", str(tmp_path / "bli")).mode("overwrite").saveAsTable("b_li"))
     (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
        .option("path", str(tmp_path / "bord")).mode("overwrite").saveAsTable("b_ord"))
-    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    # no default arg: conf.get(key, None) returns None when the key was
+    # never explicitly set (it does NOT fall back to the SQLConf
+    # default), which made the finally skip the restore and leak
+    # threshold=-1 into every later test in the shared session —
+    # caught by test_plan_drift when showcase joins regenerated as SMJ
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = spark.table("b_li").join(
@@ -553,8 +558,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert "Exchange" not in plan, plan
         assert j.count() > 0
     finally:
-        if old_thr is not None:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_ord")
 
@@ -1016,6 +1020,16 @@ def test_quantile_profile_type1_ranks(spark):
         4, 10, 20, 30, 40,
     )
     assert (out["b"].n, out["b"].p50, out["b"].p90) == (1, 7, 7)
+    # nulls are excluded (engine-dependent ordering otherwise) and
+    # colliding rounded labels are rejected
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.corpus import quantile_profile as qp
+
+    withnull = spark.createDataFrame([("a", 1), ("a", None)], "g string, v long")
+    assert qp(withnull, "v", "g").collect()[0].n == 1
+    with _pytest.raises(ValueError):
+        qp(df, "v", "g", ps=((1, 3), (33, 100)))
 
 
 def test_value_histogram_buckets(spark):
@@ -1065,6 +1079,13 @@ def test_canonicalize_url_variants_fold(spark):
     assert out["example.com/Page/1"].keeper_id == 1
     assert out["example.com/Page/1"].n_dups == 3
     assert out["example.com/Page/1?a=1&b=2"].n_dups == 2
+
+    # NULL urls are no evidence of duplication: excluded, not grouped
+    withnull = spark.createDataFrame(
+        [(1, None), (2, None), (3, "example.com/x")], "doc_id long, url string"
+    )
+    nres = url_dedup(withnull, "url", "doc_id").collect()
+    assert len(nres) == 1 and nres[0].canonical_url == "example.com/x"
 
 
 def test_quantize_roundtrip_bounds(spark):
@@ -1471,3 +1492,23 @@ def test_line_dedup_integer_ids_no_overflow(spark):
     out = {r.doc_id: r.n_kept_lines for r in line_dedup(df, "text", "doc_id", line_tokens=8).collect()}
     assert out[5000] == 1  # first occurrence keeps the line
     assert 6000 not in out or out.get(6000, 0) == 0  # dup doc loses all lines
+
+
+def test_compression_stats_signal(spark):
+    from hadoop_app_spark.operators.corpus import compression_stats
+
+    rep = "spam ham " * 200            # highly repetitive
+    import random as _r
+    rng = _r.Random(7)
+    prose = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(300)
+    )                                   # high-entropy words
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in compression_stats(df).collect()}
+    assert out[1].n_bytes == len(rep.encode())
+    # repetitive text compresses far better than random prose
+    assert out[1].ratio < 0.1 < out[2].ratio
+    assert out[3].ratio == 0.0 and out[3].n_bytes == 0

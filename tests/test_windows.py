@@ -98,3 +98,40 @@ def test_grouped_percentile_disc_no_group_buffering(spark):
     out = grouped_percentile_disc(df, ["g"], "v", [0.5])
     # ceil(0.5 * 1000) = 500th smallest (1-based) of 0.0..999.0 = 499.0
     assert out[("m",)][0.5] == 499.0
+
+
+def test_pack_shards_budget_and_order(spark):
+    from hadoop_app_spark.operators.windows import pack_shards
+
+    # weights 60,50,40,30,20 in id order; budget 100:
+    # cum-before: 0,60,110,150,180 -> shards 0,0,1,1,1
+    df = spark.createDataFrame(
+        [(1, 60), (2, 50), (3, 40), (4, 30), (5, 20)], "doc_id long, w long"
+    )
+    got = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(df, "w", ["doc_id"], budget=100).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def test_pack_shards_partition_invariant(spark):
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.windows import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(200)], "doc_id long, w long"
+    )
+    base = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(df, "w", ["doc_id"], 50, num_partitions=1).collect()
+    }
+    for p in (3, 17, 64):
+        got = {
+            r.doc_id: r.shard_id
+            for r in pack_shards(df, "w", ["doc_id"], 50, num_partitions=p).collect()
+        }
+        assert got == base, f"shard assignment changed at num_partitions={p}"
+    with _pytest.raises(ValueError):
+        pack_shards(df, "w", ["doc_id"], 0)
