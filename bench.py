@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     # r4 curation additions
     "duplicate_passages",
     "url_canonical_dedup",
+    "quantile_profile",
+    "shard_packing",
+    "compression_quality",
+    "cluster_canonical",
 ]
 
 

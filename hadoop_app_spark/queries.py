@@ -3265,7 +3265,10 @@ def q_duplicate_passages(spark, sf_dir):
     from hadoop_app_spark.operators.corpus import duplicate_passage_spans
 
     d = _t(spark, sf_dir, "documents")
-    return duplicate_passage_spans(d, "text", "doc_id", n=6)
+    return duplicate_passage_spans(
+        d, "text", "doc_id", n=6,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query(
