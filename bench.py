@@ -94,10 +94,15 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    last_df: dict[str, object] = {}
+
     def timed(name: str) -> float:
         t0 = time.perf_counter()
-        run(REGISTRY[name].fn(spark, sf_dir))
-        return time.perf_counter() - t0
+        df = REGISTRY[name].fn(spark, sf_dir)
+        run(df)
+        dt = time.perf_counter() - t0
+        last_df[name] = df
+        return dt
 
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -107,13 +112,13 @@ def main() -> None:
     total = round(sum(times.values()), 3)
 
     # plan fingerprints: a changed hash names WHICH query's physical
-    # plan moved since the last round (see plans/fingerprint.py)
+    # plan moved since the last round (see plans/fingerprint.py).
+    # Reuse the last timed DataFrame — rebuilding via fn() would
+    # re-execute driver-side eager work (shard_packing's prefix pass,
+    # cluster_canonical's whole iteration) just to print a plan
     from hadoop_app_spark.plans.fingerprint import plan_fingerprint
 
-    plans = {
-        name: plan_fingerprint(REGISTRY[name].fn(spark, sf_dir))
-        for name in BENCH_QUERIES
-    }
+    plans = {name: plan_fingerprint(last_df[name]) for name in BENCH_QUERIES}
     print(
         json.dumps(
             {

@@ -30,10 +30,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _strip_scheme(loc: str) -> str:
-    for prefix in ("file:", "hdfs:"):
-        if loc.startswith(prefix):
-            loc = loc[len(prefix):]
-    return loc.rstrip("/")
+    """Filesystem path of a location URI with scheme AND authority
+    dropped, so 'file:///wh/t', 'file:/wh/t', 'hdfs://nn:8020/wh/t'
+    and '/wh/t' all compare equal ('/wh/t').
+
+    Prefix-stripping alone is not enough: DESCRIBE may return an
+    authority-qualified URI while the conf-derived path has none, and
+    a mismatch here fails the _location_claimed guard OPEN — deleting
+    a directory a table owns. Ignoring the authority errs the other
+    way (two clusters with the same path compare equal), which only
+    makes the guard refuse a delete it could have done — safe."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(loc)
+    path = parts.path if parts.scheme else loc
+    while path.startswith("//"):  # 'file:////wh' edge: urlsplit keeps extras
+        path = path[1:]
+    return path.rstrip("/") or "/"
 
 
 def _table_location(spark: SparkSession, table: str) -> str | None:

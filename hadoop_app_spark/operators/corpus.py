@@ -159,7 +159,9 @@ def ngram_repetition_stats_vectorized(
         for pdf in batches:
             out = {c: [] for c in (id_col, "n", "n_ngrams", "n_distinct", "top_count")}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = text.lower().split()
+                # null text == no tokens (the Catalyst twin emits no
+                # rows for it; an unguarded .lower() would kill the job)
+                toks = (text or "").lower().split()
                 if not toks:
                     continue
                 th = np.fromiter(
@@ -375,7 +377,7 @@ def extract_domain(url_col) -> F.Column:
 
 # query params that never identify content — crawler-visible tracking
 # noise whose presence splits one logical page into many raw URLs
-TRACKING_PARAMS_RE = r"^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid|igshid)="
+TRACKING_PARAMS_RE = r"^(utm_[^=]*|gclid|fbclid|mc_cid|mc_eid|igshid)="
 
 
 def canonicalize_url(url_col) -> F.Column:
@@ -614,16 +616,21 @@ def value_histogram(
     width: int,
     group_col: str | None = None,
 ) -> DataFrame:
-    """Fixed-width histogram of an integer-valued column ->
+    """Fixed-width histogram of a NON-NEGATIVE integer column ->
     [bucket_lo, n] (plus the group column when given); bucket_lo =
-    floor(v / width) * width, pure integer arithmetic. One
+    (v div width) * width, pure integer arithmetic. One
     partial-combine hash aggregation — the corpus-profiling dashboard
-    histogram at any scale."""
+    histogram at any scale.
+
+    ``div`` truncates toward zero (identically in Spark and DuckDB),
+    so a negative value would land in the bucket ABOVE its floor
+    (-5 -> bucket 0, not -10); counts/lengths are never negative, so
+    negative rows (and NULLs) are excluded rather than mis-bucketed."""
     if width <= 0:
         raise ValueError(f"width must be positive, got {width}")
-    # integer div (truncating) — exact for the non-negative counts this
-    # profiles; no float division anywhere
+    # truncating integer div — exact and engine-portable; no float
     bucket = (F.expr(f"`{value_col}` div {width}") * width).alias("bucket_lo")
+    df = df.where(F.col(value_col) >= 0)
     keys = ([F.col(group_col)] if group_col else []) + [bucket]
     return df.groupBy(*keys).agg(F.count("*").alias("n"))
 

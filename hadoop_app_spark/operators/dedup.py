@@ -163,7 +163,9 @@ def minhash_signatures_vectorized(
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = text.lower().split()
+                # null text == no shingles (the Catalyst twin drops the
+                # doc); an unguarded .lower() would kill the whole job
+                toks = (text or "").lower().split()
                 m = len(toks) - n + 1
                 if m <= 0:
                     continue

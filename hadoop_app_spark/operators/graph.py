@@ -94,9 +94,12 @@ def canonical_per_component(
 
     ``scores`` maps id -> quality; a clustered node missing from
     ``scores`` still appears in the output but cannot be elected
-    canonical. Scale shape: the argmax is ``max_by(node, struct(score,
-    -node))`` — a partial-combine hash aggregation per component, NOT
-    a per-component row_number window — then one join back on the
+    canonical — a component with NO scored member keeps every node
+    with a NULL canonical_id (the caller decides that policy edge;
+    silently dropping the cluster would hide data). Scale shape: the
+    argmax is ``max_by(node, struct(score, -node))`` — a
+    partial-combine hash aggregation per component, NOT a
+    per-component row_number window — then one join back on the
     component key.
     """
     comp = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
@@ -109,7 +112,7 @@ def canonical_per_component(
             F.struct(F.col("_s").alias("s"), (-F.col("node")).alias("tie")),
         ).alias("canonical_id")
     )
-    return comp.join(canon, "component").select(
+    return comp.join(canon, "component", "left").select(
         F.col("node").alias(id_col), "component", "canonical_id"
     )
 

@@ -3185,7 +3185,7 @@ def q_shard_packing(spark, sf_dir):
                    list_sort(list_filter(
                        string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
                        p -> p <> '' AND NOT regexp_matches(p,
-                           '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid|igshid)='))) AS params
+                           '^(utm_[^=]*|gclid|fbclid|mc_cid|mc_eid|igshid)='))) AS params
             FROM parts),
         canon AS (
             SELECT doc_id,

@@ -83,8 +83,10 @@ def read_jsonl(
     # the native JSON source skips whitespace-only lines entirely; the
     # text-scan path must do the same or from_json('') yields a null
     # struct whose null _corrupt_record survives the keep_corrupt=False
-    # filter as a phantom all-null row (common trailing-newline input)
-    lines = lines.where(F.trim(F.col("value")) != "")
+    # filter as a phantom all-null row (common trailing-newline input).
+    # rlike(\S), not trim() != '': trim strips only ASCII spaces, so a
+    # tab-only line would still slip through
+    lines = lines.where(F.col("value").rlike(r"\S"))
     parsed = lines.select(
         F.from_json(
             F.col("value"),

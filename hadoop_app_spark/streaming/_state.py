@@ -51,7 +51,7 @@ def read_manifest(
     """(version, last applied batch_id, per-partition versions).
 
     The partition list is the partitioned-snapshot commit manifest:
-    entry i names the version whose ``v{n}/p={i}`` directory holds
+    entry i names the version whose ``v{n}/__snap_p={i}`` directory holds
     partition i's current data (-1 = never written). None for legacy
     single-directory states — including a fresh root and the
     unpartitioned ``v0`` seed — which read as one whole-version dir.

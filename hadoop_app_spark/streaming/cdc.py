@@ -39,6 +39,12 @@ from hadoop_app_spark.sources import fs as hfs
 from hadoop_app_spark.streaming import _state
 
 
+# internal partition column / dir prefix. Collision-resistant name: a
+# bare "p" would silently clobber (and then lose) a user data column
+# of that name across the first micro-batch
+_PART = "__snap_p"
+
+
 def _partition_col(keys: Sequence[str], n_partitions: int):
     """Deterministic snapshot partition for a key tuple. xxhash64 is a
     fixed algorithm (stable across sessions/restarts), so the same key
@@ -57,7 +63,7 @@ def _partition_paths(
     for i in idxs:
         if pvers[i] < 0:
             continue
-        p = os.path.join(root, f"v{pvers[i]}", f"p={i}")
+        p = os.path.join(root, f"v{pvers[i]}", f"{_PART}={i}")
         if hfs.exists(spark, p):
             paths.append(p)
     return paths
@@ -130,6 +136,10 @@ def apply_changes_stream(
             return
         if seq_col is not None:
             batch = last_writer_wins(batch, keys, seq_col)
+        # persist: the (possibly last-writer-deduped) batch feeds both
+        # the touched-partition collect and the merge write — without
+        # pinning, the dedup window re-executes per action
+        batch = batch.persist()
         nv = version + 1
         vdir = os.path.join(snapshot_root, f"v{nv}")
         if pvers is None:
@@ -142,9 +152,9 @@ def apply_changes_stream(
             p = len(pvers)  # layout is fixed by the first write
             # bounded collect: at most p distinct partition ids
             touched = sorted(
-                r.p
+                r[_PART]
                 for r in batch.select(
-                    _partition_col(keys, p).alias("p")
+                    _partition_col(keys, p).alias(_PART)
                 ).distinct().collect()
             )
             paths = _partition_paths(spark, snapshot_root, pvers, only=touched)
@@ -157,9 +167,12 @@ def apply_changes_stream(
         # every merged row hashes back into a touched partition (the
         # snapshot side came FROM them, the change side DEFINED them),
         # so one partitionBy write materializes exactly those dirs
-        nxt.withColumn("p", _partition_col(keys, p)).write.partitionBy("p").mode(
-            "overwrite"
-        ).parquet(vdir)
+        try:
+            nxt.withColumn(_PART, _partition_col(keys, p)).write.partitionBy(_PART).mode(
+                "overwrite"
+            ).parquet(vdir)
+        finally:
+            batch.unpersist()
         new_pvers = [nv] * p if pvers is None else list(pvers)
         for i in touched:
             new_pvers[i] = nv

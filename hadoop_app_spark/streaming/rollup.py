@@ -86,7 +86,7 @@ def incremental_rollup(
     untouched partitions forward by reference, so per-batch I/O scales
     with the batch's bucket spread, not the full rollup (which grows
     without bound as buckets accumulate). Returns the StreamingQuery."""
-    from hadoop_app_spark.streaming.cdc import _partition_col, _partition_paths
+    from hadoop_app_spark.streaming.cdc import _PART, _partition_col, _partition_paths
 
     keys = list(keys)
     merge_keys = ["bucket_start", *keys]
@@ -102,7 +102,11 @@ def incremental_rollup(
             return
         if not batch.head(1):
             return
-        part = _partial(batch, ts_col, bucket, keys, value_col)
+        # persist: the partial agg feeds BOTH the touched-partition
+        # collect and the merge write — without pinning it the whole
+        # micro-batch aggregation executes twice per trigger
+        part0 = _partial(batch, ts_col, bucket, keys, value_col).persist()
+        part = part0
         p = n_partitions if pvers is None else len(pvers)
         if pvers is None and version >= 0:
             # one-time migration of a legacy unpartitioned rollup
@@ -114,9 +118,9 @@ def incremental_rollup(
         else:
             # bounded collect: at most p distinct partition ids
             touched = sorted(
-                r.p
+                r[_PART]
                 for r in part.select(
-                    _partition_col(merge_keys, p).alias("p")
+                    _partition_col(merge_keys, p).alias(_PART)
                 ).distinct().collect()
             )
             paths = _partition_paths(spark, rollup_root, pvers, only=touched)
@@ -137,9 +141,12 @@ def incremental_rollup(
             )
         )
         nv = version + 1
-        merged.withColumn("p", _partition_col(merge_keys, p)).write.partitionBy(
-            "p"
-        ).mode("overwrite").parquet(os.path.join(rollup_root, f"v{nv}"))
+        try:
+            merged.withColumn(_PART, _partition_col(merge_keys, p)).write.partitionBy(
+                _PART
+            ).mode("overwrite").parquet(os.path.join(rollup_root, f"v{nv}"))
+        finally:
+            part0.unpersist()
         new_pvers = [nv] * p if pvers is None else list(pvers)
         for i in touched:
             new_pvers[i] = nv

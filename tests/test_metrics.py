@@ -97,8 +97,10 @@ def test_read_jsonl_skips_blank_lines(spark, tmp_path):
     as a phantom all-null row; the native JSON source skips such lines."""
     from hadoop_app_spark.sources.jsonl import read_jsonl
 
+    # '\t' line: F.trim strips only ASCII spaces, so the filter must use
+    # a whitespace-class regex or tab-only lines still slip through
     p = tmp_path / "blank.jsonl"
-    p.write_text('{"doc_id": 1, "text": "a"}\n\n   \n{"doc_id": 2, "text": "b"}\n\n')
+    p.write_text('{"doc_id": 1, "text": "a"}\n\n   \n\t\n{"doc_id": 2, "text": "b"}\n\n')
     df = read_jsonl(spark, str(p), "doc_id long, text string")
     assert df.count() == 2  # previously 5: three phantom all-null rows
     assert sorted(r.doc_id for r in df.collect()) == [1, 2]

@@ -1006,6 +1006,17 @@ def test_canonical_per_component_best_copy(spark):
     assert out[10].canonical_id == out[11].canonical_id == 10
     assert out[21].canonical_id == 20
 
+    # a component with NO scored member keeps its nodes (null canonical)
+    # rather than silently vanishing from the mapping
+    out2 = {
+        r.doc_id: r
+        for r in canonical_per_component(
+            scores.where(F.col("doc_id") < 15), pairs, "doc_id", "score"
+        ).collect()
+    }
+    assert 20 in out2 and 21 in out2
+    assert out2[20].canonical_id is None and out2[21].canonical_id is None
+
 
 def test_quantile_profile_type1_ranks(spark):
     from hadoop_app_spark.operators.corpus import quantile_profile
@@ -1038,8 +1049,9 @@ def test_value_histogram_buckets(spark):
     from hadoop_app_spark.operators.corpus import value_histogram
 
     df = spark.createDataFrame(
-        [(0,), (9,), (10,), (19,), (25,)], "v long"
+        [(0,), (9,), (10,), (19,), (25,), (-5,), (None,)], "v long"
     )
+    # negatives and NULLs are excluded (div truncation would mis-bucket)
     out = {r.bucket_lo: r.n for r in value_histogram(df, "v", width=10).collect()}
     assert out == {0: 2, 10: 2, 20: 1}
     with _pytest.raises(ValueError):

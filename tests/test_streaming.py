@@ -398,8 +398,10 @@ def test_cdc_partitioned_snapshot_incremental_io(spark, tmp_path):
     v1, _, pv1 = _state.read_manifest(spark, root, fresh_version=0)
     assert v1 == 1 and pv1 == [1] * P  # migration partitioned the seed
 
+    from hadoop_app_spark.streaming.cdc import _PART
+
     def file_stats(version, part):
-        d = f"{root}/v{version}/p={part}"
+        d = f"{root}/v{version}/{_PART}={part}"
         return {
             _os.path.basename(f): (
                 _os.path.getsize(f),
@@ -417,6 +419,10 @@ def test_cdc_partitioned_snapshot_incremental_io(spark, tmp_path):
     )
     untouched = [i for i in range(P) if i != pk]
     before = {i: file_stats(1, i) for i in untouched}
+    # guard against a silent naming drift making every glob empty (and
+    # the byte-identity assertion below vacuous): 50 seeded keys across
+    # 8 partitions — every partition dir must hold real files
+    assert all(before[i] for i in untouched), "partition dirs empty — dir naming drifted?"
 
     (cdir / "b2.jsonl").write_text(
         _json.dumps({"k": 3, "name": "z", "v": 99.0, "op": "U", "seq": 2})
@@ -585,3 +591,31 @@ def test_pointer_state_replay_guard_format(spark):
             with open(os.path.join(d, "_CURRENT"), "w") as f:
                 f.write("5")
             assert _state.read_state(spark, d, fresh_version=fresh) == (5, -1)
+
+
+def test_cdc_user_column_named_p_survives(spark, tmp_path):
+    """The snapshot's internal partition column must not clobber user
+    data: a schema with a column literally named 'p' round-trips."""
+    import json as _json
+
+    from hadoop_app_spark.streaming.cdc import apply_changes_stream, current_snapshot
+
+    root = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, p string, v double"
+    )
+    seed.write.parquet(root + "/v0")
+    cdir = tmp_path / "changes"
+    cdir.mkdir()
+    (cdir / "b1.jsonl").write_text(
+        _json.dumps({"k": 2, "p": "b2", "v": 21.0, "op": "U", "seq": 1})
+    )
+    stream = spark.readStream.schema("k long, p string, v double, op string, seq long").json(
+        str(cdir)
+    )
+    apply_changes_stream(
+        stream, root, ["k"], seq_col="seq", checkpoint_dir=str(tmp_path / "ckpt"),
+        n_partitions=4,
+    ).awaitTermination()
+    snap = {r.k: (r.p, r.v) for r in current_snapshot(spark, root).collect()}
+    assert snap == {1: ("a", 10.0), 2: ("b2", 21.0)}

@@ -127,10 +127,16 @@ def f_duplicate_passages(spark, dp, ep, scratch):
     return duplicate_passage_spans(_docs(spark, dp), "text", "doc_id", n=6).count()
 
 
-def _queries_from(spark, ep, n=100):
+def _queries_from(spark, ep, n=20):
+    """The SAME query set at every scale: the n lowest ids matching the
+    stride, which by construction (copies shift ids upward) live in the
+    un-shifted base copy — so a 10x/1x ratio measures corpus growth,
+    not query fan-out. (A bare limit() without order let the 10x corpus
+    run 5x the queries and inflated ANN ratios.)"""
     emb = spark.read.parquet(ep)
     return (
         emb.where(F.col("vec_id") % 101 == 0)
+        .orderBy("vec_id")
         .limit(n)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
