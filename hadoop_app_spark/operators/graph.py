@@ -59,18 +59,20 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the previous label through the update so convergence is
+        # one count on the checkpointed frame — not an extra join of
+        # new-vs-old labels per round
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .select(
+                "node",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                F.col("label").alias("_old"),
+            )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
