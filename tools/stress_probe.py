@@ -170,6 +170,31 @@ def f_embedding_near_dup(spark, dp, ep, scratch):
     return embedding_near_dups(emb, threshold=0.3, n_planes=6).count()
 
 
+def f_url_dedup(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.corpus import url_dedup
+
+    d = _docs(spark, dp)
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/p/"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit("?utm_source=x&b=2&a=1"),
+        ).alias("url"),
+    )
+    return url_dedup(docs, "url", "doc_id").count()
+
+
+def f_shard_packing(spark, dp, ep, scratch):
+    from hadoop_app_spark.functions.text import token_count
+    from hadoop_app_spark.operators.windows import pack_shards
+
+    d = _docs(spark, dp).select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_shards(d, "n_tokens", ["doc_id"], budget=2000).count()
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -211,6 +236,8 @@ FAMILIES = {
     "lsh_ann_topk": f_lsh_ann,
     "ivf_ann_topk": f_ivf_ann,
     "embedding_near_dup": f_embedding_near_dup,
+    "url_dedup": f_url_dedup,
+    "shard_packing": f_shard_packing,
     "cdc_apply": f_cdc_apply,
 }
 
