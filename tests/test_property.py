@@ -118,3 +118,87 @@ def test_grouped_percentile_disc_property(spark, sizes, p):
         ).collect()
     }
     assert {g: d[p] for g, d in got.items()} == {g: v for g, v in exp.items()}
+
+
+# URL-ish strings: scheme/userinfo/host/path/query/fragment pieces mixed
+_url_piece = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters="._-"),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_settings
+@given(
+    host=_url_piece,
+    path=st.lists(_url_piece, max_size=3),
+    params=st.lists(st.tuples(_url_piece, _url_piece), max_size=3),
+    scheme=st.sampled_from(["", "http://", "https://", "HTTPS://"]),
+    www=st.booleans(),
+    frag=st.booleans(),
+    slash=st.booleans(),
+)
+def test_canonicalize_url_idempotent(spark, host, path, params, scheme, www, frag, slash):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point, or dedup keys depend on how many times
+    a pipeline normalized."""
+    from hadoop_app_spark.operators.corpus import canonicalize_url
+
+    url = scheme + ("www." if www else "") + host + ".example"
+    if path:
+        url += "/" + "/".join(path)
+    if slash:
+        url += "/"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag:
+        url += "#frag"
+    df = spark.createDataFrame([(url,)], "url string")
+    row = df.select(
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    ).collect()[0]
+    assert row.c1 == row.c2, url
+
+
+@_settings
+@given(
+    weights=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    budget=st.integers(1, 60),
+)
+def test_pack_shards_invariants(spark, weights, budget):
+    """Shard ids are nondecreasing in pack order; every shard except
+    possibly the last reaches the budget including its final row; no
+    shard's weight EXCLUDING its final row reaches the budget (rows
+    never split, one-row overshoot only)."""
+    from hadoop_app_spark.operators.windows import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    rows = sorted(
+        pack_shards(df, "w", ["doc_id"], budget, num_partitions=3).collect(),
+        key=lambda r: r.doc_id,
+    )
+    shards = [r.shard_id for r in rows]
+    assert shards == sorted(shards)
+    totals: dict[int, int] = {}
+    for r in rows:
+        # a row starts a new shard only when the previous one is full
+        assert totals.get(r.shard_id, 0) < budget
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.w
+
+
+@_settings
+@given(
+    vals=st.lists(st.integers(0, 100), min_size=1, max_size=30),
+)
+def test_quantile_profile_order_and_membership(spark, vals):
+    from hadoop_app_spark.operators.corpus import quantile_profile
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = quantile_profile(df, "v", "g").collect()[0]
+    assert r.n == len(vals)
+    qs = [r.p25, r.p50, r.p75, r.p90]
+    assert qs == sorted(qs)
+    assert all(q in vals for q in qs)
