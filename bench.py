@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "shard_packing",
     "compression_quality",
     "cluster_canonical",
+    # r4 retrieval + hamming-banding additions
+    "simhash_band_neardup",
+    "bm25_retrieval",
+    "inverted_index",
 ]
 
 

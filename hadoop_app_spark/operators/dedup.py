@@ -341,6 +341,155 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return agg.select(id_col, fingerprint.cast("long").alias("simhash"))
 
 
+def _poly_hash37(col: Column) -> Column:
+    """Second independent token hash: same rolling fold as
+    ``doc_fingerprint`` but multiplier 37 — the poly hashes are mod
+    1e9+7 (< 2^30), so ONE fold carries at most ~30 bits of signal;
+    a wide simhash needs two independent folds. Engine-agnostic like
+    the first (plain int64 arithmetic, DuckDB-reproducible)."""
+    chars = F.split(col, "", -1)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 37 + F.ascii(ch)) % F.lit(_MOD).cast("long"),
+    )
+
+
+def simhash_wide(df: DataFrame, text_col: str, id_col: str, half_bits: int = 28) -> DataFrame:
+    """2*half_bits-wide SimHash (default 56 bits) over whitespace
+    tokens, built from two independent polynomial token hashes (the
+    31- and 37-multiplier folds; each is mod 1e9+7 so only its low
+    ~30 bits carry signal — hence two folds, not one 56-bit shift).
+
+    Same single-pass shape as :func:`simhash`: explode tokens -> both
+    hashes per token -> ONE grouped aggregate computing all bit-sums
+    -> reassemble. 56 bits keeps band values wide enough (14 bits =
+    16384 buckets per band at bands=4) that banded candidate buckets
+    stay a small corpus fraction at scale, unlike 16-bit simhash whose
+    4-bit bands would put ~1/16 of the corpus in every bucket."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_tok"))
+    hashed = toks.select(
+        id_col,
+        _poly_hash(F.col("_tok")).alias("_h1"),
+        _poly_hash37(F.col("_tok")).alias("_h2"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j * half_bits + i}")
+        for j, h in enumerate(("_h1", "_h2"))
+        for i in range(half_bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fingerprint = sum(
+        (F.when(F.col(f"_b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(2 * half_bits)),
+        F.lit(0),
+    )
+    return agg.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    observations: dict | None = None,
+) -> DataFrame:
+    """Hamming-distance near-dup pairs via SimHash banding (Manku et
+    al., WWW'07 class): split the 56-bit :func:`simhash_wide`
+    fingerprint into ``bands`` contiguous 14-bit slices; docs sharing
+    ANY identical slice meet in a bucket equi-join, then candidates
+    verify with ``bit_count(xor) <= max_hamming``.
+
+    Recall is EXACT, not approximate, for ``max_hamming < bands``
+    (pigeonhole: a pair differing in <= bands-1 bits must agree on at
+    least one band) — the registry oracle exploits this by comparing
+    against a brute-force all-pairs scan. Returns
+    [id_a, id_b, hamming], id_a < id_b.
+
+    Scale shape mirrors :func:`minhash_lsh_pairs`: the fingerprint
+    pipeline runs ONCE (the simhash value rides along into the bucket
+    rows and pair structs — no second join back through the upstream
+    aggregate), bucket stats come from a groupBy-agg joined back on
+    the bucket key (map-side partial combine collapses hot buckets;
+    never a Window over the bucket), and buckets past
+    ``max_bucket_size`` take the audited linear star expansion, which
+    bounds every row/pair count at the cost of the exhaustive-recall
+    guarantee for those buckets only (pass ``observations`` to count
+    overflow memberships — no silent caps)."""
+    from hadoop_app_spark.functions.metrics import observe_counts
+
+    half_bits = 28
+    bits = 2 * half_bits
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide {bits}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} bands for exact recall"
+        )
+    w = bits // bands
+    mask = (1 << w) - 1
+    sh = simhash_wide(df, text_col, id_col, half_bits)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(b << w) + F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))).cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    stats = (
+        banded.groupBy("bucket")
+        .agg(F.count("*").alias("_n"), F.min(id_col).alias("_min_id"), F.min_by("simhash", id_col).alias("_min_sh"))
+        .where(F.col("_n") > 1)
+    )
+    sized = banded.join(stats, "bucket")
+    small = sized.where(F.col("_n") <= max_bucket_size)
+    big = sized.where(F.col("_n") > max_bucket_size)
+    if observations is not None:
+        big, observations["simhash_overflow"] = observe_counts(big)
+
+    grouped = small.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))).alias("ms")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ms") - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size("ms")),
+                lambda partner: F.struct(
+                    F.element_at(F.col("ms"), (i + 1).cast("int")).alias("a"),
+                    partner.alias("b"),
+                ),
+            ),
+        )
+    )
+    small_pairs = grouped.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.col("p.a.sh").alias("sh_a"),
+        F.col("p.b.sh").alias("sh_b"),
+    )
+    star_pairs = big.where(F.col(id_col) != F.col("_min_id")).select(
+        F.col("_min_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.col("_min_sh").alias("sh_a"),
+        F.col("simhash").alias("sh_b"),
+    )
+    pairs = small_pairs.union(star_pairs).distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Docs sharing an identical simhash -> near-dup groups (count>1)."""
     sh = simhash(df, text_col, id_col, bits)

@@ -1,0 +1,94 @@
+"""Keyword retrieval operators: inverted index + BM25 scoring.
+
+Beyond-reference surface (north star: the retrieval side of a corpus
+pipeline — decontamination lookups, doc search over a curated dump,
+keyword-based eval-set mining). Both operators are pure Catalyst and
+oracle-reproducible in DuckDB:
+
+- inverted_index: term -> capped, sorted posting list + FULL document
+  frequency. The cap is applied with a per-term row_number window that
+  Spark 3.5+ prunes map-side (WindowGroupLimit), so a stopword's
+  posting list never materializes corpus-sized anywhere — the
+  doc_freq aggregate (which must see every row) is a separate
+  partial-combine hash agg, not a collect.
+- bm25_topk: Robertson/Sparck-Jones BM25 over a SMALL literal query
+  term set. The term filter lands right after the token explode, so
+  only matching (doc, term) rows ever shuffle; document length comes
+  from a narrow token_count projection (no second explode); N/avgdl
+  are a one-row aggregate broadcast via crossJoin; per-term scores
+  accumulate in DECIMAL(18,6) so Spark's and DuckDB's different
+  summation orders cannot diverge (the ln() stays inside one per-row
+  expression where both engines see identical operands).
+
+At 100 TB: inverted_index shuffles once on term (explode output) with
+bounded output rows; bm25 shuffles only docs matching the query terms
+— for a q-term query that's at most q rows per matching doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.functions.text import token_count, tokenize
+
+
+def inverted_index(
+    df: DataFrame, text_col: str, id_col: str, max_postings: int = 32
+) -> DataFrame:
+    """Build [term, postings, doc_freq]: the first ``max_postings``
+    doc ids (ascending) containing each term, plus the exact total
+    document frequency.
+
+    postings is bounded per term (WindowGroupLimit prunes beyond the
+    cap map-side); doc_freq is exact over ALL docs via a separate
+    hash aggregate — the two must not share a plan node, or the cap
+    would silently truncate the frequency too."""
+    t = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term")
+    )
+    dfreq = t.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy("term").orderBy(id_col)
+    capped = t.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_postings)
+    postings = capped.groupBy("term").agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    return postings.join(dfreq, "term")
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Global top-``k`` docs for a keyword query under BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), the nonnegative form).
+
+    Returns [id, score, n_terms] ordered by (score desc, id) — the id
+    tiebreak makes the k-boundary deterministic. orderBy().limit(k)
+    compiles to TakeOrderedAndProject (per-partition partial top-k,
+    single driver merge of P*k rows), never a global sort."""
+    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("_dl"))
+    stats = dl.agg(F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl"))
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")).where(
+        F.col("term").isin(*query_terms)
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(F.broadcast(dfreq), "term").join(dl, id_col).crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / avgdl))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(term_score.cast("decimal(18,6)")).cast("double").alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -3351,6 +3351,126 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+@query(
+    "simhash_band_neardup",
+    # Brute-force all-pairs oracle: banding recall is EXACT for
+    # max_hamming < bands (pigeonhole — a pair within Hamming 3 of a
+    # 4-band fingerprint must agree on one band), so the O(n^2) DuckDB
+    # scan and the bucketed plan must produce the SAME pair set; the
+    # oracle thereby value-checks the recall guarantee itself.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM documents),
+        hashed AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS h1,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 37 + c) % 1000000007) AS h2
+            FROM toks WHERE tok <> ''),
+        bits AS (
+            SELECT doc_id,
+                   {sums}
+            FROM hashed GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS s FROM bits)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    """.format(
+        sums=",\n                   ".join(
+            f"sum(CASE WHEN (h{1 + i // 28} // {1 << (i % 28)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(56)
+        ),
+        fp=" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(56)),
+        toks="{toks}",
+    ).format(toks=_TOKS),
+    doc="SimHash Hamming-banded near-dup pairs (north star dedup family, Manku "
+    "et al. WWW'07 class): 56-bit fingerprint from two independent polynomial "
+    "token hashes, 4x14-bit band bucket join, bit_count(xor) verify; recall is "
+    "EXACT for hamming<=3 by pigeonhole and the oracle proves it against a "
+    "brute-force all-pairs scan. Fingerprint computed ONCE (rides into the "
+    "pair structs), bucket stats via groupBy-agg join-back (never a bucket "
+    "window), degenerate buckets star-expanded with observed counts "
+    "(operators/dedup.simhash_band_pairs)",
+)
+def q_simhash_band_neardup(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import simhash_band_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_band_pairs(d, "text", "doc_id", bands=4, max_hamming=3)
+
+
+@query(
+    "bm25_retrieval",
+    oracle=f"""
+        WITH dl AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS dl FROM documents),
+        st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+               WHERE term IN ('vector', 'stream', 'merge', 'filter') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + (st.n - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                        / (CAST(st.sumdl AS DOUBLE) / st.n))) AS s
+            FROM tf JOIN dfreq USING (term)
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN st),
+        agg AS (SELECT doc_id,
+                       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score,
+                       count(*) AS n_terms
+                FROM scored GROUP BY 1)
+        SELECT doc_id, score, n_terms FROM agg
+        ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 top-10 keyword retrieval (north star retrieval: decontamination "
+    "lookups / eval-set mining over a curated dump): term filter lands right "
+    "after the explode so only query-matching rows shuffle, df+N/avgdl are "
+    "broadcast-size side aggregates, per-term scores sum in DECIMAL(18,6) so "
+    "accumulation order cannot diverge across engines (the ln stays inside one "
+    "per-row expression with identical operands), final stage is the same "
+    "TakeOrderedAndProject partial top-k that global_topn gated — with id "
+    "tiebreak for a deterministic k-boundary "
+    "(operators/retrieval.bm25_topk)",
+)
+def q_bm25_retrieval(spark, sf_dir):
+    from hadoop_app_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "text", "doc_id", ["vector", "stream", "merge", "filter"], k=10)
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents),
+        d AS (SELECT term, count(*) AS doc_freq FROM t GROUP BY 1),
+        r AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+              FROM t),
+        p AS (SELECT term, list_sort(list(doc_id)) AS postings
+              FROM r WHERE rn <= 32 GROUP BY term)
+        SELECT p.term, p.postings, d.doc_freq FROM p JOIN d USING (term)
+    """,
+    doc="inverted index build (north star retrieval): term -> first-32 sorted "
+    "posting list + EXACT total doc_freq; the cap is a per-term row_number "
+    "window pruned map-side (WindowGroupLimit) so a stopword's postings never "
+    "materialize corpus-sized, while doc_freq comes from a separate "
+    "partial-combine hash agg that sees every row "
+    "(operators/retrieval.inverted_index)",
+)
+def q_inverted_index(spark, sf_dir):
+    from hadoop_app_spark.operators.retrieval import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d, "text", "doc_id", max_postings=32)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -3383,7 +3503,11 @@ _PRIORITY = [
     # windows / set ops / sort-limit
     "window_analytics",
     "set_operations",
-    "global_topn",
+    # r4 swap-in: bm25_retrieval's final stage IS global_topn's
+    # TakeOrderedAndProject partial top-k (with an id tiebreak), plus the
+    # tf/df/idf scoring pipeline on top — a strict superset of the gated
+    # signal it replaces
+    "bm25_retrieval",
     # scalar-function surface
     "date_functions",
     "json_functions",
@@ -3420,9 +3544,15 @@ _PRIORITY = [
     "repetition_ngrams",
     "decontamination",
     "domain_filter_caps",
+    # r4 swap-in: the Hamming-banded member of the dedup family; its
+    # brute-force oracle value-checks the banding recall guarantee itself
+    "simhash_band_neardup",
     # event-time streaming execution (batch twins past the gate: their
-    # output is bit-identical to / derivable from these stream rows)
-    "stream_tumbling_exec",
+    # output is bit-identical to / derivable from these stream rows).
+    # r4 swap-out stream_tumbling_exec: a tumbling window is definitionally
+    # a sliding window with slide == size, so the gated stream_sliding_exec
+    # row exercises a strict superset of the window-assignment mechanics;
+    # the tumbling execution stays oracle-checked locally.
     "stream_sliding_exec",
     "stream_dedup_exec",
     "stream_session_exec",
@@ -3470,6 +3600,14 @@ _PRIORITY = [
     "quantile_profile",
     "token_histogram",
     "minhash_cluster_canonical",
+    # inverted_index: the posting-cap is the same WindowGroupLimit-pruned
+    # per-key window tfidf_top_terms gates; doc_freq is a plain keyed count
+    # — oracle-checked locally, lowest marginal driver signal of the r4 ops
+    "inverted_index",
+    # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
+    # inside the now-gated bm25_retrieval's final stage
+    "global_topn",
+    "stream_tumbling_exec",
     # r4 streaming-join executions (same availableNow gate pattern as the
     # five gated stream_*_exec rows; past the budget, oracle-checked locally)
     "stream_static_join_exec",

@@ -1,0 +1,120 @@
+"""Unit tests for the retrieval operators (inverted index, BM25) and
+the SimHash Hamming-banding pair generator.
+
+Value-exactness vs DuckDB is covered by the registry oracles
+(tools/oracle_check.py / the driver gate); these tests pin the
+STRUCTURAL contracts the oracles can't see: the banding recall
+guarantee against an engine-side brute force, the overflow star
+expansion, the posting-list cap, and the top-k boundary determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.catalog import load_table
+from hadoop_app_spark.operators.dedup import simhash_band_pairs, simhash_wide
+from hadoop_app_spark.operators.retrieval import bm25_topk, inverted_index
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_simhash_banding_recall_is_exact(spark):
+    """Pigeonhole guarantee: for max_hamming < bands the banded plan
+    finds EVERY pair within the Hamming radius — compare against an
+    engine-side brute-force self-join on the same fingerprints."""
+    d = _docs(spark)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_band_pairs(d, "text", "doc_id", bands=4, max_hamming=3).collect()
+    }
+    sh = simhash_wide(d, "text", "doc_id")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert all(h <= 3 for *_ids, h in banded)
+
+
+def test_simhash_banding_overflow_star_expansion(spark):
+    """Buckets past max_bucket_size fall back to linear star expansion:
+    pair count stays bounded, every overflow membership is observed,
+    and surviving pairs still verify the Hamming radius."""
+    d = _docs(spark)
+    obs: dict = {}
+    pairs = simhash_band_pairs(
+        d, "text", "doc_id", bands=4, max_hamming=3, max_bucket_size=2, observations=obs
+    )
+    rows = pairs.collect()
+    assert all(r.hamming <= 3 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+    # with a cap of 2 on this corpus some bucket must overflow
+    assert obs["simhash_overflow"].get["rows"] > 0
+    # star expansion only SHRINKS the candidate set vs exhaustive
+    full = simhash_band_pairs(d, "text", "doc_id", bands=4, max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in rows} <= {(r.id_a, r.id_b) for r in full}
+
+
+def test_simhash_band_pairs_rejects_bad_config(spark):
+    d = _docs(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_band_pairs(d, "text", "doc_id", bands=3)  # 3 does not divide 56
+    with pytest.raises(ValueError):
+        simhash_band_pairs(d, "text", "doc_id", bands=4, max_hamming=4)  # recall gap
+
+
+def test_inverted_index_cap_and_doc_freq(spark):
+    d = _docs(spark)
+    idx = inverted_index(d, "text", "doc_id", max_postings=5).collect()
+    assert idx
+    n_docs = d.count()
+    for r in idx:
+        assert 1 <= len(r.postings) <= 5
+        assert r.postings == sorted(r.postings)
+        # doc_freq is the FULL frequency, not the capped list length
+        assert r.doc_freq >= len(r.postings)
+        assert r.doc_freq <= n_docs
+    # common terms must hit the cap while keeping exact doc_freq
+    assert any(len(r.postings) == 5 and r.doc_freq > 5 for r in idx)
+    # postings are the SMALLEST doc ids containing the term (window
+    # ordered by id), so each capped list must be a prefix of the full one
+    full = {r.term: r.postings for r in inverted_index(d, "text", "doc_id", max_postings=10**6).collect()}
+    for r in idx:
+        assert r.postings == full[r.term][: len(r.postings)]
+
+
+def test_bm25_topk_contract(spark):
+    d = _docs(spark)
+    terms = ["vector", "stream"]
+    out = bm25_topk(d, "text", "doc_id", terms, k=7).collect()
+    assert 0 < len(out) <= 7
+    # descending score, id tiebreak -> deterministic ordering
+    keys = [(-r.score, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+    # every returned doc matches at least one query term
+    assert all(1 <= r.n_terms <= len(terms) for r in out)
+    # a doc stuffed with one query term must outrank a doc with none
+    ids = {r.doc_id for r in out}
+    matching = {
+        r.doc_id
+        for r in d.select("doc_id")
+        .where(F.col("text").rlike(r"(^|\s)(vector|stream)(\s|$)"))
+        .collect()
+    }
+    assert ids <= matching
