@@ -22,6 +22,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Resolve components of an ALREADY-BOUNDED symmetric edge frame on
+    the driver: union-find with path compression + union-by-min-root,
+    whose result is the same unique min-reachable-id fixpoint the
+    distributed loop converges to. Only called under
+    ``small_graph_threshold`` — the caller has proven the collect is a
+    broadcast-sized handful of MB, not a corpus."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in sym.collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    node_type = sym.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("component", node_type)]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return sym.sparkSession.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -29,6 +63,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """[node, component] for every node appearing in ``edges``;
     component = the smallest node id reachable from the node.
@@ -37,22 +72,44 @@ def connected_components(
     given edge set regardless of partitioning or iteration count (the
     fixpoint is unique).
 
-    Runs until the min-label fixpoint (changed == 0). ``max_iter`` is a
-    safety valve, not a result cap: exhausting it RAISES rather than
-    returning unconverged (i.e. wrong) labels — a chain component with
-    more hops than rounds would otherwise silently mislabel. Label
-    propagation needs O(longest min-path) rounds; dedup similarity
-    graphs are dense clusters with tiny diameters, so the bound exists
-    only to stop a runaway driver loop on pathological inputs.
+    Size-adaptive execution (the AQE broadcast-threshold idea applied
+    to iteration): the symmetrized edge count is known for free after
+    the eager checkpoint, and when it is at most
+    ``small_graph_threshold`` rows (default 1M ~ tens of MB — i.e.
+    the same order a broadcast join would ship anyway) the component
+    fixpoint is resolved in one driver union-find pass instead of
+    O(diameter) full shuffle rounds, each of which costs a fixed
+    multi-job overhead that dwarfs the data at this size. Near-dup
+    pair sets are tiny relative to their corpus (pairs ~ duplicates,
+    pre-bounded by the LSH bucket caps), so this is the common case
+    even at 100 TB corpus scale; a genuinely large edge set (web
+    graphs, citation graphs) exceeds the threshold and takes the
+    distributed min-label loop below, unchanged. Both paths reach the
+    SAME unique fixpoint; pass ``small_graph_threshold=0`` to force
+    the distributed loop (the property tests do).
+
+    The distributed path runs until the min-label fixpoint
+    (changed == 0). ``max_iter`` is a safety valve, not a result cap:
+    exhausting it RAISES rather than returning unconverged (i.e.
+    wrong) labels — a chain component with more hops than rounds
+    would otherwise silently mislabel. Label propagation needs
+    O(longest min-path) rounds; dedup similarity graphs are dense
+    clusters with tiny diameters, so the bound exists only to stop a
+    runaway driver loop on pathological inputs.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    # checkpoint the RAW edge projection before symmetrizing: the union
+    # puts the (possibly expensive) upstream pair-generation plan in
+    # BOTH branches and Spark does not reuse the exchange across them —
+    # without this the whole candidate pipeline executes twice
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    if e.count() <= small_graph_threshold:
+        # union-find treats each edge as undirected — no need to
+        # symmetrize or dedup before a driver-side pass
+        return _driver_union_find(e)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)

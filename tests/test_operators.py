@@ -602,8 +602,16 @@ def test_connected_components_chain_and_star(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (21, 20)],
         "src long, dst long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    # default threshold -> driver union-find fast path
     comp = {r.node: r.component for r in connected_components(edges).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    assert comp == expected
+    # threshold=0 -> the distributed min-label loop; SAME unique fixpoint
+    loop = {
+        r.node: r.component
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert loop == expected
 
     docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long, t string")
     pairs = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
