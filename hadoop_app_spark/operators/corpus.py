@@ -341,6 +341,38 @@ def stratified_sample(
     return df.withColumn("_fp", fp(text_col)).where(F.col("_fp") % 1000 < rate).drop("_fp")
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "poly",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically: rank
+    rows inside each group by (content fingerprint, id) and keep the
+    first ``k`` — the fixed-size counterpart of
+    :func:`stratified_sample`'s rate-based membership ("give me 10
+    docs per domain for eval/spot-check", not "0.3% of each").
+
+    The fingerprint is a uniform content hash, so the kept rows are a
+    pseudo-random but RE-RUN-STABLE sample (same corpus -> same rows,
+    regardless of partitioning); the id tiebreak pins exact-duplicate
+    content. Per-group rank is a keyed row_number window that Spark
+    prunes map-side past k (WindowGroupLimit) — a hot group never
+    buffers beyond the cap, unlike collect_list-then-slice.
+    ``fingerprint='fast'`` swaps the oracle-reproducible poly fold for
+    one xxhash64 JVM call per row (the production choice)."""
+    fp = doc_fingerprint_fast if fingerprint == "fast" else doc_fingerprint
+    w = Window.partitionBy(group_col).orderBy(F.col("_fp"), F.col(id_col))
+    return (
+        df.withColumn("_fp", fp(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_fp", "_rn")
+    )
+
+
 def source_stats(df: DataFrame, text_col: str = "text", fingerprint: str = "poly") -> DataFrame:
     """Per-source corpus accounting: docs, chars, tokens, exact-distinct
     content count, and quality mass — one hash aggregation keyed by

@@ -3446,6 +3446,30 @@ def q_bm25_retrieval(spark, sf_dir):
 
 
 @query(
+    "sample_per_group",
+    oracle=f"""
+        SELECT doc_id, source, n_chars
+        FROM (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY fp, doc_id) AS rn
+              FROM (SELECT doc_id, source, n_chars, {_FP_SQL} AS fp
+                    FROM documents))
+        WHERE rn <= 10
+    """,
+    doc="fixed-size per-group sample (north star: 'k docs per source for "
+    "eval/spot-check'): exactly min(k, |group|) rows, ranked by (content "
+    "fingerprint, id) so membership is pseudo-random yet re-run-stable; the "
+    "keyed row_number window is WindowGroupLimit-pruned past k map-side "
+    "(operators/corpus.sample_k_per_group)",
+)
+def q_sample_per_group(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import sample_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(d, "source", 10).select("doc_id", "source", "n_chars")
+
+
+@query(
     "inverted_index",
     oracle=f"""
         WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents),
@@ -3604,6 +3628,10 @@ _PRIORITY = [
     # per-key window tfidf_top_terms gates; doc_freq is a plain keyed count
     # — oracle-checked locally, lowest marginal driver signal of the r4 ops
     "inverted_index",
+    # sample_per_group: fixed-k twin of the gated-via-corpus_curation
+    # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
+    # tfidf_top_terms — oracle-checked locally
+    "sample_per_group",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

@@ -1,0 +1,92 @@
+"""Scan-pruning parquet layouts: range-clustered files + sorted row
+groups.
+
+Beyond the hive-style ``dt=`` partition pruning of sources/delim001
+(SURVEY S7) there is a second, orthogonal 100 TB scan lever: lay the
+FILES out so parquet footer min/max statistics line up with the query
+predicates. ``repartitionByRange`` on the filter columns gives each
+output file a narrow, disjoint key range; ``sortWithinPartitions``
+additionally makes every ROW GROUP inside a file narrow. A selective
+predicate then skips whole files/row groups inside the parquet reader
+(filter pushdown), so the scan's output-row count — and the bytes
+actually decoded — collapse to the selectivity of the query instead
+of the size of the table.
+
+This matters where hive partitioning can't go: partition dirs work
+for low-cardinality columns (date, source), while range clustering
+handles high-cardinality keys (id ranges, timestamps at ms grain)
+without creating a million directories. The two compose: partition by
+date, range-cluster by key within each date.
+
+The pruning payoff is MEASURED, not assumed: tests/test_layout.py
+writes the same table range-clustered and shuffled-random, runs the
+same selective predicate on both, and asserts the clustered scan's
+scan-node output rows are a small fraction of the random layout's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    sort_cols: list[str] | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered for predicate skipping on
+    ``range_cols``: range-repartition (disjoint per-file key ranges ->
+    file-level footer min/max skipping) then sort within partitions
+    (narrow row groups -> row-group-level skipping). ``sort_cols``
+    defaults to ``range_cols``; pass more columns to get secondary
+    clustering inside each file.
+
+    At cluster scale pick ``n_files`` so files land near the HDFS/S3
+    sweet spot (128-1024 MB); the range exchange samples the key
+    distribution, so skew in the cluster key yields balanced files
+    anyway (contrast hash layouts, where one hot key = one hot file).
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartitionByRange(n, *[F.col(c) for c in range_cols])
+    out = out.sortWithinPartitions(*(sort_cols or range_cols))
+    out.write.mode("overwrite").parquet(path)
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Rows the parquet scan(s) of an EXECUTED DataFrame actually
+    produced after pushed-filter evaluation — the observable the
+    layout exists to minimize. Call after ``df.collect()`` /
+    ``df.write``: those execute THIS DataFrame's query execution.
+    (``df.count()`` builds a separate aggregate plan whose metrics do
+    not attach here — a never-executed frame reports 0.) Walks the
+    executed plan for FileSourceScanExec/BatchScanExec metrics."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        cls = node.getClass().getSimpleName()
+        if cls in ("FileSourceScanExec", "BatchScanExec"):
+            m = node.metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+        # AQE wraps stages; descend into materialized subqueries/stages
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec"):
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def read_range_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Plain parquet read of a range layout — the clustering needs no
+    reader-side declaration; footer statistics do the skipping as long
+    as filter pushdown stays on (Spark default)."""
+    return spark.read.parquet(path)
