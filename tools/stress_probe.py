@@ -195,6 +195,30 @@ def f_shard_packing(spark, dp, ep, scratch):
     return pack_shards(d, "n_tokens", ["doc_id"], budget=2000).count()
 
 
+def f_simhash_band(spark, dp, ep, scratch):
+    """Verbatim 10x copies are adversarial here too: every doc gains 9
+    hamming-0 twins and every 1x pair appears in up to 100 copy
+    combinations — output grows ~100x while input grows 10x, so the
+    ratio is output-bound, not plan-shape."""
+    from hadoop_app_spark.operators.dedup import simhash_band_pairs
+
+    return simhash_band_pairs(_docs(spark, dp), "text", "doc_id").count()
+
+
+def f_bm25(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, dp), "text", "doc_id", ["vector", "stream", "merge", "filter"], k=10
+    ).count()
+
+
+def f_inverted_index(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.retrieval import inverted_index
+
+    return inverted_index(_docs(spark, dp), "text", "doc_id", max_postings=32).count()
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -239,6 +263,9 @@ FAMILIES = {
     "url_dedup": f_url_dedup,
     "shard_packing": f_shard_packing,
     "cdc_apply": f_cdc_apply,
+    "simhash_band": f_simhash_band,
+    "bm25": f_bm25,
+    "inverted_index": f_inverted_index,
 }
 
 
