@@ -373,6 +373,57 @@ def sample_k_per_group(
     )
 
 
+def mixture_rebalance(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "poly",
+    rate_grain: int = 1_000_000,
+) -> DataFrame:
+    """Downsample groups so kept TOKEN totals approach target mixture
+    ``weights`` (the "30% code, 50% web, 20% books" rebalance every
+    multi-source corpus build ends with) while dropping nothing from
+    the scarcest source: the binding group — the one whose target
+    share is largest relative to its current tokens — keeps rate 1.0,
+    and every other group downsamples to match. Groups absent from
+    ``weights`` (or weighted 0) are dropped.
+
+    Math: with per-group tokens t_g and weights w_g, the largest
+    feasible kept total is K = min_g t_g / w_g; group g keeps rate
+    r_g = w_g * K / t_g. Rates are applied as per-``rate_grain``
+    content-fingerprint thresholds (keep iff fp % grain <
+    floor(r_g * grain)) — membership is deterministic under re-runs
+    and re-partitioning, and realized shares converge to the target
+    by fingerprint uniformity.
+
+    Scale shape: ONE aggregate for the token totals (bounded collect —
+    one row per group, the same side-channel class as partition counts
+    or IVF centroids), then a single-scan CASE-threshold filter; no
+    join, no shuffle of the corpus. ``fingerprint='fast'`` swaps the
+    oracle-reproducible poly fold for xxhash64 (production)."""
+    import math
+
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.sum(token_count(F.col(text_col)).cast("long")).alias("_t"))
+        .collect()
+    )
+    totals = {r[0]: r[1] for r in counts if weights.get(r[0], 0.0) > 0 and r[1]}
+    if not totals:
+        return df.where(F.lit(False))
+    cap = min(t / weights[g] for g, t in totals.items())
+    thr = {
+        g: int(math.floor(weights[g] * cap / t * rate_grain)) for g, t in totals.items()
+    }
+    fp = doc_fingerprint_fast if fingerprint == "fast" else doc_fingerprint
+    rate = F.lit(0).cast("long")
+    for g, th in sorted(thr.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(th)).otherwise(rate)
+    return df.withColumn("_fp", fp(text_col)).where(F.col("_fp") % rate_grain < rate).drop("_fp")
+
+
 def source_stats(df: DataFrame, text_col: str = "text", fingerprint: str = "poly") -> DataFrame:
     """Per-source corpus accounting: docs, chars, tokens, exact-distinct
     content count, and quality mass — one hash aggregation keyed by

@@ -3470,6 +3470,44 @@ def q_sample_per_group(spark, sf_dir):
 
 
 @query(
+    "mixture_rebalance",
+    # the oracle RECOMPUTES the rate derivation (totals -> binding
+    # group -> per-group thresholds) in SQL with the identical operand
+    # order, so the driver gate checks the math, not just the filter
+    oracle=f"""
+        WITH nt AS (SELECT doc_id, source, {_NTOK} AS ntok, {_FP_SQL} AS fp
+                    FROM documents),
+        tt AS (SELECT source, sum(ntok) AS t FROM nt GROUP BY source),
+        wt AS (SELECT source, t,
+                      CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.3
+                                  WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.2
+                                  ELSE 0.0 END AS w
+               FROM tt),
+        kk AS (SELECT min(t / w) AS k FROM wt WHERE w > 0 AND t > 0),
+        thr AS (SELECT source, CAST(floor(w * k / t * 1000000) AS BIGINT) AS th
+                FROM wt CROSS JOIN kk WHERE w > 0 AND t > 0)
+        SELECT nt.doc_id, nt.source, CAST(nt.ntok AS INTEGER) AS n_tokens
+        FROM nt JOIN thr USING (source)
+        WHERE fp % 1000000 < th
+    """,
+    doc="target-mixture token rebalance (north star: the '30% code, 50% web' "
+    "final corpus composition pass): per-source token totals -> binding "
+    "source keeps rate 1.0, others downsample via content-fingerprint "
+    "per-million thresholds (re-run/partitioning-stable); one bounded-collect "
+    "aggregate + a single-scan CASE filter, corpus never shuffles "
+    "(operators/corpus.mixture_rebalance)",
+)
+def q_mixture_rebalance(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import mixture_rebalance
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_rebalance(
+        d, "source", {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+    )
+    return out.select("doc_id", "source", token_count("text").alias("n_tokens"))
+
+
+@query(
     "inverted_index",
     oracle=f"""
         WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents),
@@ -3632,6 +3670,10 @@ _PRIORITY = [
     # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
     # tfidf_top_terms — oracle-checked locally
     "sample_per_group",
+    # mixture_rebalance: same fp-threshold mechanism with rates DERIVED
+    # from token totals; the oracle recomputes the derivation in SQL —
+    # oracle-checked locally
+    "mixture_rebalance",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

@@ -799,6 +799,45 @@ def test_stratified_sample_deterministic(spark):
     assert n_en > n_zz
 
 
+def test_mixture_rebalance_shares_and_determinism(spark):
+    from hadoop_app_spark.functions.text import token_count
+    from hadoop_app_spark.operators.corpus import mixture_rebalance
+
+    # big: 600 docs x 5 tokens; small: 100 docs x 5 tokens; noise: unlisted.
+    # vary the text EARLY and widely — a shared long prefix would make the
+    # rolling-hash fingerprints consecutive and defeat %-threshold sampling
+    # (real corpora vary throughout; this is a synthetic-corpus artifact)
+    rows = [(i, f"{i * 2654435761 % 10**9} doc body alpha {i % 97}", "big") for i in range(600)]
+    rows += [
+        (1000 + i, f"{i * 40503 % 10**6} doc body beta {i % 89}", "small")
+        for i in range(100)
+    ]
+    rows += [(2000 + i, "tok x y z w", "unlisted") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # target 50/50 -> 'small' binds (its share must RISE), keeps everything;
+    # 'big' downsamples to ~small's token total
+    out = mixture_rebalance(df, "source", {"big": 0.5, "small": 0.5})
+    kept = out.withColumn("_n", token_count("text"))
+    tok = {
+        r.source: r.t
+        for r in kept.groupBy("source").agg(F.sum("_n").alias("t")).collect()
+    }
+    assert "unlisted" not in tok  # zero-weight groups drop
+    assert tok["small"] == 100 * 5  # binding group keeps rate 1.0
+    # realized share within sampling noise of the 1:1 target
+    assert abs(tok["big"] - tok["small"]) / tok["small"] < 0.35
+    # content-keyed: stable under repartition
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_rebalance(
+            df.repartition(7), "source", {"big": 0.5, "small": 0.5}
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_source_stats(spark):
     from hadoop_app_spark.operators.corpus import source_stats
 
