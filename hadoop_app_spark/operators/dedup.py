@@ -355,11 +355,28 @@ def _poly_hash37(col: Column) -> Column:
     )
 
 
+# post-fold mixing constants: a bare poly fold of a SHORT token ("a" ->
+# 97) leaves every bit above ~7 zero, which would make the upper
+# fingerprint bits unanimously 0 across the corpus and collapse the
+# effective Hamming space (measured: 13x the true near-pair count).
+# One multiply-add mod p spreads any fold output across the full ~30-bit
+# range and is plain int64 arithmetic the DuckDB oracle reproduces
+# (fold < 2^30, so fold * _MIX_A < 2^62 — no overflow in either engine).
+_MIX_A = 2654435761
+_MIX_C = 968665207
+
+
+def _mix(col: Column) -> Column:
+    return (col * F.lit(_MIX_A) + F.lit(_MIX_C)) % F.lit(_MOD).cast("long")
+
+
 def simhash_wide(df: DataFrame, text_col: str, id_col: str, half_bits: int = 28) -> DataFrame:
     """2*half_bits-wide SimHash (default 56 bits) over whitespace
     tokens, built from two independent polynomial token hashes (the
     31- and 37-multiplier folds; each is mod 1e9+7 so only its low
-    ~30 bits carry signal — hence two folds, not one 56-bit shift).
+    ~30 bits carry signal — hence two folds, not one 56-bit shift),
+    each spread by the :func:`_mix` multiply-add so short tokens fill
+    the bit range.
 
     Same single-pass shape as :func:`simhash`: explode tokens -> both
     hashes per token -> ONE grouped aggregate computing all bit-sums
@@ -370,8 +387,8 @@ def simhash_wide(df: DataFrame, text_col: str, id_col: str, half_bits: int = 28)
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_tok"))
     hashed = toks.select(
         id_col,
-        _poly_hash(F.col("_tok")).alias("_h1"),
-        _poly_hash37(F.col("_tok")).alias("_h2"),
+        _mix(_poly_hash(F.col("_tok"))).alias("_h1"),
+        _mix(_poly_hash37(F.col("_tok"))).alias("_h2"),
     )
     bit_sums = [
         F.sum(
@@ -386,6 +403,62 @@ def simhash_wide(df: DataFrame, text_col: str, id_col: str, half_bits: int = 28)
         F.lit(0),
     )
     return agg.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_wide_vectorized(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    half_bits: int = 28,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Vectorized twin of :func:`simhash_wide` — one mapInPandas pass
+    computes each doc's 2*half_bits fingerprint directly: tokens via
+    Python ``lower().split()`` (the engine's tokenize contract), two
+    independent token hashes via salted zlib.crc32 (C speed), bit-sums
+    as one numpy matrix reduction per doc. No explode, no 56-column
+    aggregate, no shuffle at all. Hash family differs from the
+    poly-fold form (crc32 vs 31/37 folds) — same SimHash semantics,
+    different fingerprints, so use it where no DuckDB oracle must
+    recompute the values (the production path); properties are pinned
+    in pytest (exact recall of its own banding, hamming-0 for exact
+    dups). Token-less docs drop, matching the aggregate form."""
+    import numpy as np
+    import pandas as pd
+
+    mask = np.int64((1 << half_bits) - 1)
+    shifts = np.arange(half_bits, dtype=np.int64)
+    powers1 = (np.int64(1) << shifts)
+    powers2 = powers1 << np.int64(half_bits)
+
+    def run(batches):
+        from zlib import crc32
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                m = len(toks)
+                if m == 0:
+                    continue
+                enc = [t.encode("utf-8") for t in toks]
+                th1 = np.fromiter((crc32(b) for b in enc), dtype=np.int64, count=m) & mask
+                th2 = (
+                    np.fromiter((crc32(b"\x01" + b) for b in enc), dtype=np.int64, count=m)
+                    & mask
+                )
+                ones1 = ((th1[:, None] >> shifts) & 1).sum(axis=0)
+                ones2 = ((th2[:, None] >> shifts) & 1).sum(axis=0)
+                fp = int(powers1[2 * ones1 > m].sum() + powers2[2 * ones2 > m].sum())
+                ids.append(doc_id)
+                fps.append(fp)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "simhash": fps})
+
+    base = df.select(id_col, text_col)
+    if repartition_to:
+        base = base.repartition(repartition_to)
+    return base.mapInPandas(run, f"{id_col} long, simhash long")
 
 
 def simhash_band_pairs(
@@ -419,10 +492,46 @@ def simhash_band_pairs(
     bounds every row/pair count at the cost of the exhaustive-recall
     guarantee for those buckets only (pass ``observations`` to count
     overflow memberships — no silent caps)."""
+    sh = simhash_wide(df, text_col, id_col, 28)
+    return _simhash_band_pairs_from(
+        sh, id_col, 56, bands, max_hamming, max_bucket_size, observations
+    )
+
+
+def simhash_band_pairs_fast(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    observations: dict | None = None,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Production twin of :func:`simhash_band_pairs`: fingerprints
+    from the zero-shuffle :func:`simhash_wide_vectorized` kernel, same
+    banding join and Hamming verify (and the same exact-recall
+    pigeonhole guarantee over ITS fingerprints). Different hash family
+    -> different pair set than the oracle-reproducible form; rows-only
+    at the gate, properties pinned in pytest."""
+    sh = simhash_wide_vectorized(df, text_col, id_col, 28, repartition_to)
+    return _simhash_band_pairs_from(
+        sh, id_col, 56, bands, max_hamming, max_bucket_size, observations
+    )
+
+
+def _simhash_band_pairs_from(
+    sh: DataFrame,
+    id_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket_size: int,
+    observations: dict | None,
+) -> DataFrame:
+    """Shared banding/verify stage over a [id, simhash] frame."""
     from hadoop_app_spark.functions.metrics import observe_counts
 
-    half_bits = 28
-    bits = 2 * half_bits
     if bits % bands:
         raise ValueError(f"bands={bands} must divide {bits}")
     if max_hamming >= bands:
@@ -431,7 +540,6 @@ def simhash_band_pairs(
         )
     w = bits // bands
     mask = (1 << w) - 1
-    sh = simhash_wide(df, text_col, id_col, half_bits)
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),

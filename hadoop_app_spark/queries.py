@@ -3361,15 +3361,22 @@ def q_bucketed_join(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id, unnest({toks}) AS tok FROM documents),
-        hashed AS (
+        folded AS (
             SELECT doc_id,
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
                                list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-                               (acc, c) -> (acc * 31 + c) % 1000000007) AS h1,
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS f1,
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
                                list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-                               (acc, c) -> (acc * 37 + c) % 1000000007) AS h2
+                               (acc, c) -> (acc * 37 + c) % 1000000007) AS f2
             FROM toks WHERE tok <> ''),
+        hashed AS (
+            -- same post-fold mix as operators/dedup._mix: spreads
+            -- short-token folds across the full bit range
+            SELECT doc_id,
+                   (f1 * 2654435761 + 968665207) % 1000000007 AS h1,
+                   (f2 * 2654435761 + 968665207) % 1000000007 AS h2
+            FROM folded),
         bits AS (
             SELECT doc_id,
                    {sums}
@@ -3401,6 +3408,26 @@ def q_simhash_band_neardup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return simhash_band_pairs(d, "text", "doc_id", bands=4, max_hamming=3)
+
+
+@query(
+    "simhash_band_neardup_fast",
+    oracle=None,  # crc32 fingerprints have no SQL twin — rows-only;
+    # exact-recall/hamming-0 properties pinned in tests/test_retrieval.py
+    doc="production twin of simhash_band_neardup: fingerprints from a "
+    "zero-shuffle mapInPandas kernel (salted crc32 x2, numpy bit-sums), "
+    "identical banding join + Hamming verify and the same pigeonhole "
+    "exact-recall guarantee over its own fingerprints "
+    "(operators/dedup.simhash_band_pairs_fast)",
+)
+def q_simhash_band_neardup_fast(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import simhash_band_pairs_fast
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_band_pairs_fast(
+        d, "text", "doc_id", bands=4, max_hamming=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query(
@@ -3694,6 +3721,7 @@ _PRIORITY = [
     "embedding_near_dup_vectorized",
     "minhash_signatures_fast",
     "minhash_dedup_fast",
+    "simhash_band_neardup_fast",
     "image_features",
     "image_resize",
     "frame_sample",

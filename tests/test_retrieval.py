@@ -69,6 +69,48 @@ def test_simhash_banding_overflow_star_expansion(spark):
     assert {(r.id_a, r.id_b) for r in rows} <= {(r.id_a, r.id_b) for r in full}
 
 
+def test_simhash_fast_twin_recall_and_exact_dups(spark):
+    """The vectorized twin keeps the pigeonhole guarantee over ITS OWN
+    fingerprints, and exact-duplicate docs land at hamming 0."""
+    from pyspark.sql import functions as F2
+
+    from hadoop_app_spark.operators.dedup import (
+        simhash_band_pairs_fast,
+        simhash_wide_vectorized,
+    )
+
+    d = _docs(spark)
+    # engine-side brute force on the crc32 fingerprints
+    sh = simhash_wide_vectorized(d, "text", "doc_id")
+    a = sh.select(F2.col("doc_id").alias("id_a"), F2.col("simhash").alias("sa"))
+    b = sh.select(F2.col("doc_id").alias("id_b"), F2.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F2.col("id_a") < F2.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F2.bit_count(F2.col("sa").bitwiseXOR(F2.col("sb"))).cast("int").alias("hamming"),
+        )
+        .where(F2.col("hamming") <= 3)
+        .collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_band_pairs_fast(d, "text", "doc_id").collect()
+    }
+    assert banded == brute
+    # exact duplicates -> identical fingerprints -> hamming-0 pair
+    dup = d.limit(1).select(F2.lit(990001).alias("doc_id"), "text")
+    dd = d.select("doc_id", "text").unionByName(dup)
+    orig = d.limit(1).collect()[0].doc_id
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_pairs_fast(dd, "text", "doc_id").collect()
+    }
+    assert pairs.get((orig, 990001)) == 0
+
+
 def test_simhash_band_pairs_rejects_bad_config(spark):
     d = _docs(spark)
     import pytest
