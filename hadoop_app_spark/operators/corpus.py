@@ -373,6 +373,66 @@ def sample_k_per_group(
     )
 
 
+def bigram_lm_crossentropy(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram language-model cross-entropy — the
+    CCNet-class "perplexity filter": train add-one-smoothed bigram
+    probabilities on ``train`` (a trusted reference slice), score
+    every ``score`` doc by the mean negative log-probability of its
+    token transitions. Low = looks like the reference corpus; high =
+    gibberish/boilerplate/wrong-language. Returns
+    [id, n_transitions, cross_entropy] (nats; docs with < 2 tokens
+    have no transitions and drop).
+
+    P(cur|prev) = (c(prev,cur) + 1.0) / (c(prev) + V), with c(prev)
+    summed over observed bigram starts and V the train vocabulary
+    size. Scale shape: bigram/context counts are partial-combine hash
+    aggregations (the model lives as DataFrames — vocabulary never
+    broadcasts, unlike an in-memory KenLM); scoring is two equi-joins
+    on the gram/context keys; V is a one-row broadcast. Per-transition
+    log-probs accumulate in DECIMAL(18,6) so Spark's and DuckDB's
+    different summation orders cannot diverge."""
+    t_grams = train.select(
+        F.explode(ngrams_from_tokens(tokenize(F.col(text_col)), 2)).alias("g")
+    )
+    big = t_grams.groupBy("g").agg(F.count("*").alias("_cpc"))
+    ctx = (
+        t_grams.select(F.element_at(F.split("g", " "), 1).alias("_prev"))
+        .groupBy("_prev")
+        .agg(F.count("*").alias("_cp"))
+    )
+    vocab = train.select(F.explode(tokenize(F.col(text_col))).alias("t")).agg(
+        F.count_distinct("t").alias("_v")
+    )
+    sb = score.select(
+        F.col(id_col),
+        F.explode(ngrams_from_tokens(tokenize(F.col(text_col)), 2)).alias("g"),
+    ).withColumn("_prev", F.element_at(F.split("g", " "), 1))
+    joined = (
+        sb.join(big, "g", "left")
+        .join(ctx, "_prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce("_cpc", F.lit(0)) + F.lit(1.0))
+                / (F.coalesce("_cp", F.lit(0)) + F.col("_v"))
+            ).alias("_logp"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_transitions"),
+        (
+            F.sum((-F.col("_logp")).cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("cross_entropy"),
+    )
+
+
 def mixture_rebalance(
     df: DataFrame,
     group_col: str,

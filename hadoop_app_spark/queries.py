@@ -3497,6 +3497,50 @@ def q_sample_per_group(spark, sf_dir):
 
 
 @query(
+    "lm_perplexity",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        tg AS (SELECT doc_id, source,
+                      unnest([array_to_string(toks[i:i+1], ' ')
+                              for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS g
+               FROM t WHERE len(toks) >= 2),
+        big AS (SELECT g, count(*) AS cpc FROM tg WHERE source = 'src0' GROUP BY g),
+        ctx AS (SELECT string_split(g, ' ')[1] AS prev, count(*) AS cp
+                FROM tg WHERE source = 'src0' GROUP BY 1),
+        voc AS (SELECT count(DISTINCT tok) AS v
+                FROM (SELECT unnest(toks) AS tok FROM t WHERE source = 'src0')),
+        scored AS (
+            SELECT tg.doc_id,
+                   ln((coalesce(big.cpc, 0) + 1.0)
+                      / (coalesce(ctx.cp, 0) + voc.v)) AS logp
+            FROM tg LEFT JOIN big USING (g)
+                    LEFT JOIN ctx ON string_split(tg.g, ' ')[1] = ctx.prev
+                    CROSS JOIN voc)
+        SELECT doc_id,
+               count(*) AS n_transitions,
+               CAST(SUM(CAST(-logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   AS cross_entropy
+        FROM scored GROUP BY doc_id
+    """,
+    doc="bigram LM cross-entropy scoring (north star: the CCNet-class "
+    "perplexity quality filter): add-one-smoothed bigram model trained on the "
+    "src0 reference slice as DataFrame count tables (vocabulary never "
+    "broadcasts, unlike an in-memory LM), every doc scored by mean -ln "
+    "P(cur|prev) via two keyed equi-joins + a one-row vocab broadcast; "
+    "per-transition log-probs sum in DECIMAL(18,6) so accumulation order "
+    "cannot diverge across engines (operators/corpus.bigram_lm_crossentropy)",
+)
+def q_lm_perplexity(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import bigram_lm_crossentropy
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("source") == "src0")
+    return bigram_lm_crossentropy(train, d).select(
+        "doc_id", "n_transitions", "cross_entropy"
+    )
+
+
+@query(
     "mixture_rebalance",
     # the oracle RECOMPUTES the rate derivation (totals -> binding
     # group -> per-group thresholds) in SQL with the identical operand
@@ -3701,6 +3745,9 @@ _PRIORITY = [
     # from token totals; the oracle recomputes the derivation in SQL —
     # oracle-checked locally
     "mixture_rebalance",
+    # lm_perplexity: keyed-count model + equi-join scoring, the join/agg
+    # mechanics gated many times over — oracle-checked locally
+    "lm_perplexity",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

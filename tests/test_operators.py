@@ -799,6 +799,28 @@ def test_stratified_sample_deterministic(spark):
     assert n_en > n_zz
 
 
+def test_bigram_lm_crossentropy_separates_gibberish(spark):
+    from hadoop_app_spark.operators.corpus import bigram_lm_crossentropy
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(20)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),   # in-distribution
+            (101, "zxq vvk jjw qqp mmz aal"),     # gibberish: all-unseen bigrams
+            (102, "single"),                       # <2 tokens: no transitions
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_crossentropy(train, score).collect()}
+    assert 102 not in out  # no transitions -> drops
+    assert out[100].n_transitions == 4 and out[101].n_transitions == 5
+    assert out[101].cross_entropy > out[100].cross_entropy  # the filter signal
+    assert out[100].cross_entropy > 0
+
+
 def test_mixture_rebalance_shares_and_determinism(spark):
     from hadoop_app_spark.functions.text import token_count
     from hadoop_app_spark.operators.corpus import mixture_rebalance

@@ -33,10 +33,15 @@ EXECUTING = {n for n in REGISTRY if n.startswith("stream_")}
 # query x corpus pair scored, bounded query set broadcast, corpus
 # never shuffles — the exact-scoring baseline the ANN paths beat)
 CROSS_ALLOWED = {"cross_range_joins", "tfidf_top_terms", "corpus_curation"}
-# bm25: the N/avgdl corpus stats are a ONE-ROW aggregate crossJoin-
-# broadcast to the scored rows — nested-loop by design, same class as
-# tfidf's n_docs broadcast
-NLJ_ALLOWED = CROSS_ALLOWED | {"source_codecs", "cosine_topk", "bm25_retrieval"}
+# bm25 / lm_perplexity: the corpus-stats side (N/avgdl, vocab size) is
+# a ONE-ROW aggregate crossJoin-broadcast to the scored rows —
+# nested-loop by design, same class as tfidf's n_docs broadcast
+NLJ_ALLOWED = CROSS_ALLOWED | {
+    "source_codecs",
+    "cosine_topk",
+    "bm25_retrieval",
+    "lm_perplexity",
+}
 
 
 def _iter_nodes(jnode):
