@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "simhash_band_neardup_fast",
     "bm25_retrieval",
     "inverted_index",
+    "lm_perplexity",
+    "mixture_rebalance",
 ]
 
 

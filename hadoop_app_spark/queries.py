@@ -3535,9 +3535,9 @@ def q_lm_perplexity(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     train = d.where(F.col("source") == "src0")
-    return bigram_lm_crossentropy(train, d).select(
-        "doc_id", "n_transitions", "cross_entropy"
-    )
+    return bigram_lm_crossentropy(
+        train, d, repartition_to=spark.sparkContext.defaultParallelism
+    ).select("doc_id", "n_transitions", "cross_entropy")
 
 
 @query(

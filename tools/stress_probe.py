@@ -219,6 +219,23 @@ def f_inverted_index(spark, dp, ep, scratch):
     return inverted_index(_docs(spark, dp), "text", "doc_id", max_postings=32).count()
 
 
+def f_lm_perplexity(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.corpus import bigram_lm_crossentropy
+
+    d = _docs(spark, dp)
+    train = d.where(F.col("source") == "src0")
+    return bigram_lm_crossentropy(train, d, repartition_to=32).count()
+
+
+def f_mixture_rebalance(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.corpus import mixture_rebalance
+
+    d = _docs(spark, dp)
+    return mixture_rebalance(
+        d, "source", {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+    ).count()
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -266,6 +283,8 @@ FAMILIES = {
     "simhash_band": f_simhash_band,
     "bm25": f_bm25,
     "inverted_index": f_inverted_index,
+    "lm_perplexity": f_lm_perplexity,
+    "mixture_rebalance": f_mixture_rebalance,
 }
 
 
