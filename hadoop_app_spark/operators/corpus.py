@@ -408,10 +408,13 @@ def bigram_lm_crossentropy(
         F.explode(ngrams_from_tokens(tokenize(F.col(text_col)), 2)).alias("g")
     )
     big = t_grams.groupBy("g").agg(F.count("*").alias("_cpc"))
+    # c(prev) == sum over cur of c(prev,cur): aggregate the already-tiny
+    # bigram table instead of re-running the interpreted tokenize/gram
+    # chain (the dominant per-row cost) over train a second time
     ctx = (
-        t_grams.select(F.element_at(F.split("g", " "), 1).alias("_prev"))
+        big.select(F.element_at(F.split("g", " "), 1).alias("_prev"), "_cpc")
         .groupBy("_prev")
-        .agg(F.count("*").alias("_cp"))
+        .agg(F.sum("_cpc").alias("_cp"))
     )
     vocab = train.select(F.explode(tokenize(F.col(text_col))).alias("t")).agg(
         F.count_distinct("t").alias("_v")

@@ -184,7 +184,8 @@ def minhash_signatures_vectorized(
     base = df.select(id_col, text_col)
     if repartition_to:
         base = base.repartition(repartition_to)
-    return base.mapInPandas(run, f"{id_col} long, signature array<long>")
+    id_type = df.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(run, f"{id_col} {id_type}, signature array<long>")
 
 
 def minhash_lsh_pairs(
@@ -326,9 +327,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     explode tokens -> token hash -> per-doc bit-sums (one hash
     aggregate, all ``bits`` sums computed in the same pass) ->
     reassemble the fingerprint. SQL-expressible for the oracle.
+    The token hash gets the same post-fold :func:`_mix` as
+    :func:`simhash_wide`: a bare fold of a short token ("a" -> 97)
+    would leave bits 7..15 unanimously biased across the corpus and
+    inflate identical-fingerprint collisions.
     """
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_tok"))
-    hashed = toks.select(id_col, _poly_hash(F.col("_tok")).alias("_h"))
+    hashed = toks.select(id_col, _mix(_poly_hash(F.col("_tok"))).alias("_h"))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(bits)
@@ -458,7 +463,8 @@ def simhash_wide_vectorized(
     base = df.select(id_col, text_col)
     if repartition_to:
         base = base.repartition(repartition_to)
-    return base.mapInPandas(run, f"{id_col} long, simhash long")
+    id_type = df.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(run, f"{id_col} {id_type}, simhash long")
 
 
 def simhash_band_pairs(

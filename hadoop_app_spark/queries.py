@@ -1027,10 +1027,12 @@ def q_text_metrics(spark, sf_dir):
             SELECT doc_id, unnest({toks}) AS tok
             FROM documents),
         hashed AS (
+            -- fold then the same post-fold mix as operators/dedup._mix
             SELECT doc_id,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   (list_reduce(list_prepend(CAST(0 AS BIGINT),
                                list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-                               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                               (acc, c) -> (acc * 31 + c) % 1000000007)
+                    * 2654435761 + 968665207) % 1000000007 AS h
             FROM toks WHERE tok <> ''),
         bits AS (
             SELECT doc_id,

@@ -16,8 +16,12 @@ way a 100 TB corpus actually ships to a trainer:
 
 The packing contract is inherited from pack_shards: deterministic in
 (order_cols) order, a shard may exceed the budget by at most one
-row's weight (rows never split). The manifest lets the consumer
-verify both properties without rescanning data/.
+row's weight (rows never split). Shard ids are NOT necessarily
+contiguous — a single row heavier than 2x the budget makes the
+prefix sum jump past whole budget intervals — so consumers must
+iterate the manifest's shard_id column, never ``range(max_id + 1)``.
+The manifest lets the consumer verify all of this without rescanning
+data/.
 """
 
 from __future__ import annotations
@@ -47,9 +51,21 @@ def write_packed_shards(
     DataFrame. The manifest is written AFTER the data so a crashed
     export is detectable: data/ without manifest/ = incomplete."""
     shards = pack_shards(df, weight_col, list(order_cols), budget, num_partitions=num_partitions)
-    shards.write.partitionBy("shard_id").mode("overwrite").parquet(f"{path}/{_DATA}")
     spark = df.sparkSession
-    written = spark.read.parquet(f"{path}/{_DATA}")
+    # drop any PREVIOUS export's manifest before touching data/: if this
+    # re-export crashes mid-write, a stale manifest would otherwise make
+    # partial new data look complete — the exact corruption the marker
+    # exists to detect. Routed through the Hadoop FS API so non-local
+    # roots (hdfs://, s3a://) behave the same as local paths.
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_MANIFEST}")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    shards.write.partitionBy("shard_id").mode("overwrite").parquet(f"{path}/{_DATA}")
+    # read-back with the writer's schema (audits what actually landed on
+    # disk; the explicit schema also keeps an empty export readable —
+    # schema inference would raise on a directory of zero parquet files)
+    written = spark.read.schema(shards.schema).parquet(f"{path}/{_DATA}")
     manifest = (
         written.groupBy("shard_id")
         .agg(

@@ -111,6 +111,24 @@ def test_simhash_fast_twin_recall_and_exact_dups(spark):
     assert pairs.get((orig, 990001)) == 0
 
 
+def test_vectorized_kernels_accept_non_long_ids(spark):
+    """The _fast twins declare their mapInPandas schema from the input
+    id column's type — string ids must round-trip like longs do."""
+    from hadoop_app_spark.operators.dedup import (
+        minhash_signatures_vectorized,
+        simhash_wide_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "alpha beta gamma delta"), ("u2", "alpha beta gamma delta epsilon")],
+        "url string, text string",
+    )
+    sh = {r.url: r.simhash for r in simhash_wide_vectorized(df, "text", "url").collect()}
+    assert set(sh) == {"u1", "u2"}
+    sig = {r.url: r.signature for r in minhash_signatures_vectorized(df, "text", "url").collect()}
+    assert set(sig) == {"u1", "u2"} and all(len(s) == 8 for s in sig.values())
+
+
 def test_simhash_band_pairs_rejects_bad_config(spark):
     d = _docs(spark)
     import pytest

@@ -44,9 +44,13 @@ def test_manifest_accounts_for_everything(spark, exported):
 
 def test_shard_read_prunes_to_one_directory(spark, exported):
     path, docs, manifest = exported
-    one = read_shard(spark, path, 1)
+    # shard ids need not be contiguous (a >2x-budget row skips whole
+    # intervals), so pick an id FROM the manifest rather than a literal
+    by_id = {r.shard_id: r for r in manifest.collect()}
+    sid = sorted(by_id)[1]
+    one = read_shard(spark, path, sid)
     rows = one.collect()
-    row = {r.shard_id: r for r in manifest.collect()}[1]
+    row = by_id[sid]
     assert len(rows) == row.n_rows
     assert sum(r.n_tokens for r in rows) == row.total_weight
     # partition pruning proof: the EXECUTED scan decoded only this
@@ -60,3 +64,25 @@ def test_shard_read_prunes_to_one_directory(spark, exported):
 def test_manifest_is_the_completion_marker(spark, tmp_path):
     with pytest.raises(Exception):
         read_manifest(spark, str(tmp_path / "never_exported"))
+
+
+def test_empty_corpus_exports_empty_manifest(spark, tmp_path):
+    path = str(tmp_path / "empty_export")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", token_count("text").cast("long").alias("n_tokens")
+    ).where(F.lit(False))
+    manifest = write_packed_shards(docs, path, "n_tokens", ["doc_id"], budget=500)
+    assert manifest.count() == 0  # completed, zero shards — not a crash
+    assert read_manifest(spark, path).count() == 0
+
+
+def test_reexport_replaces_manifest(spark, tmp_path):
+    path = str(tmp_path / "re_export")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", token_count("text").cast("long").alias("n_tokens")
+    )
+    m1 = write_packed_shards(docs, path, "n_tokens", ["doc_id"], budget=500).collect()
+    m2 = write_packed_shards(docs, path, "n_tokens", ["doc_id"], budget=2000).collect()
+    assert {r.budget for r in m2} == {2000}  # no v1 leftovers
+    assert len(m2) < len(m1)
+    assert sum(r.n_rows for r in m2) == docs.count()
