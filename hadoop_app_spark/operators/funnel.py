@@ -1,0 +1,99 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+Batch event analytics over the [event_id, ts, user_id, event_type,
+value] stream (the same table the sessionization / window operators
+consume). Both operators are pure keyed joins + hash aggregations —
+no per-user window over the full event history, no event-time sort:
+
+- funnel_stages: the ordered view -> click -> purchase progression.
+  Each stage is "first qualifying event strictly AFTER the previous
+  stage's first event", computed as a per-user min-aggregate joined to
+  the previous stage — three aggs + three user-keyed joins, each
+  partial-combined. A per-user ordered window would also work but
+  buffers a user's whole history per task; the min-agg form ships one
+  row per user per stage.
+- cohort_retention: users bucketed by first-seen week, activity
+  counted per (cohort_week, week_offset). Weeks are integer Monday-
+  based indexes since 1970-01-05 computed with pure DATE arithmetic —
+  no session-timezone dependence (the events ts is NTZ), identical in
+  the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[user, stage]: how far each user progressed through the ordered
+    funnel — 0 = active but never did stage 1, 1..len(stages) = last
+    stage completed IN ORDER (a purchase before any view does not
+    count; each stage must be strictly after the previous stage's
+    first occurrence, the standard ordered-funnel semantics)."""
+    s1, s2, s3 = stages
+    ev = events.select(F.col(user_col), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_et"))
+    v = ev.where(F.col("_et") == s1).groupBy(user_col).agg(F.min("_ts").alias("_t1"))
+    c = (
+        ev.where(F.col("_et") == s2)
+        .join(v, user_col)
+        .where(F.col("_ts") > F.col("_t1"))
+        .groupBy(user_col)
+        .agg(F.min("_ts").alias("_t2"))
+    )
+    p = (
+        ev.where(F.col("_et") == s3)
+        .join(c, user_col)
+        .where(F.col("_ts") > F.col("_t2"))
+        .groupBy(user_col)
+        .agg(F.min("_ts").alias("_t3"))
+    )
+    users = ev.select(user_col).distinct()
+    return (
+        users.join(v, user_col, "left")
+        .join(c, user_col, "left")
+        .join(p, user_col, "left")
+        .select(
+            user_col,
+            F.when(F.col("_t3").isNotNull(), 3)
+            .when(F.col("_t2").isNotNull(), 2)
+            .when(F.col("_t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+def _week_index(col: Column) -> Column:
+    """Monday-based weeks since 1970-01-05 — integer DATE arithmetic,
+    no timezone in the path (valid for NTZ and instant timestamps
+    alike at day granularity)."""
+    days = F.datediff(F.to_date(col), F.to_date(F.lit("1970-01-05")))
+    return F.floor(days / 7).cast("int")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[cohort_week, week_offset, n_users]: of the users first seen in
+    cohort_week, how many were active again week_offset weeks later
+    (offset 0 = the cohort's own week; retention curves read along
+    ascending offsets). One agg for first-seen, one distinct over
+    (user, week), one user-keyed join — no per-user window."""
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("_f"))
+    cohort = first.select(F.col(user_col), _week_index(F.col("_f")).alias("cohort_week"))
+    active = events.select(F.col(user_col), _week_index(F.col(ts_col)).alias("_week")).distinct()
+    return (
+        active.join(cohort, user_col)
+        .groupBy("cohort_week", (F.col("_week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

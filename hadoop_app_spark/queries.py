@@ -1334,6 +1334,71 @@ def q_sliding_window(spark, sf_dir):
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+        WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN v.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS stage
+        FROM u LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+    """,
+    doc="ordered funnel conversion view->click->purchase (event analytics): "
+    "each stage = first qualifying event strictly after the previous stage's "
+    "first — per-user min-aggregates joined stage-to-stage (one row per user "
+    "per stage ships between stages; never a per-user full-history window) "
+    "(operators/funnel.funnel_stages)",
+)
+def q_funnel_conversion(spark, sf_dir):
+    from hadoop_app_spark.operators.funnel import funnel_stages
+
+    return funnel_stages(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+        WITH first_seen AS (SELECT user_id, min(ts) AS f FROM events GROUP BY 1),
+        cohort AS (SELECT user_id,
+                          CAST(date_diff('day', DATE '1970-01-05', CAST(f AS DATE)) // 7
+                               AS INTEGER) AS cohort_week
+                   FROM first_seen),
+        active AS (SELECT DISTINCT user_id,
+                          CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+                               AS INTEGER) AS week
+                   FROM events)
+        SELECT cohort.cohort_week,
+               active.week - cohort.cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM active JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+    """,
+    doc="weekly cohort retention (event analytics): users bucketed by "
+    "first-seen week, activity counted per (cohort_week, week_offset); weeks "
+    "are integer Monday-based indexes since 1970-01-05 via pure DATE "
+    "arithmetic — session-timezone-independent in both engines "
+    "(operators/funnel.cohort_retention)",
+)
+def q_cohort_retention(spark, sf_dir):
+    from hadoop_app_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events")).select(
+        "cohort_week", F.col("week_offset").cast("int").alias("week_offset"), "n_users"
+    )
+
+
+@query(
     "sessionize",
     oracle="""
         WITH marked AS (
@@ -3750,6 +3815,10 @@ _PRIORITY = [
     # lm_perplexity: keyed-count model + equi-join scoring, the join/agg
     # mechanics gated many times over — oracle-checked locally
     "lm_perplexity",
+    # funnel/cohort: event analytics over keyed aggs + joins (mechanics
+    # gated via the join/agg families) — oracle-checked locally
+    "funnel_conversion",
+    "cohort_retention",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",
