@@ -3608,6 +3608,29 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 @query(
+    "bpe_merges",
+    oracle=None,  # per-round argmax loop has no SQL twin — rows-only;
+    # exact merge-sequence equality vs a pure-Python reference BPE is
+    # pinned in tests/test_bpe.py on both synthetic and real corpora
+    doc="BPE merge induction (north star: tokenizer training on the corpus, "
+    "Sennrich et al. 2016): one corpus pass builds the word-frequency table, "
+    "then every round runs on the VOCABULARY-sized state — pair explode + "
+    "partial-combine agg + TakeOrdered(1) argmax (deterministic tie-break) + "
+    "a Catalyst fold rewriting symbol arrays; localCheckpoint per round, no "
+    "Python in the row path (operators/bpe.learn_bpe_merges)",
+)
+def q_bpe_merges(spark, sf_dir):
+    from hadoop_app_spark.operators.bpe import learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = learn_bpe_merges(d, "text", n_merges=12)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+@query(
     "mixture_rebalance",
     # the oracle RECOMPUTES the rate derivation (totals -> binding
     # group -> per-group thresholds) in SQL with the identical operand
@@ -3819,6 +3842,9 @@ _PRIORITY = [
     # gated via the join/agg families) — oracle-checked locally
     "funnel_conversion",
     "cohort_retention",
+    # bpe_merges: iterative argmax loop, rows-only by design; exact
+    # equality vs a pure-Python reference is pytest-pinned
+    "bpe_merges",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

@@ -24,8 +24,10 @@ from hadoop_app_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
-# queries whose builders execute a FULL streaming run in fn()
-EXECUTING = {n for n in REGISTRY if n.startswith("stream_")}
+# queries whose builders execute a FULL run in fn(): streaming execs,
+# plus the BPE loop (driver-controlled per-round argmax; its returned
+# frame is a LocalTableScan of the learned merges, nothing to guard)
+EXECUTING = {n for n in REGISTRY if n.startswith("stream_")} | {"bpe_merges"}
 
 # deliberate cross joins: J3 per-key cartesian showcase; 1-row count
 # broadcasts in tfidf/corpus accounting are nested-loop by design;
