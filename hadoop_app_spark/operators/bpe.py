@@ -90,6 +90,70 @@ def word_frequency_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """[id, n_words, bpe_tokens]: tokens per document under a LEARNED
+    merge table — the encode/inference half of :func:`learn_bpe_merges`
+    (the real answer to "how many tokens is this corpus", vs the
+    regex estimate in functions.text.bpe_ish_token_count).
+
+    Applies the merges in learned order to each word (all occurrences
+    left-to-right per merge — exactly how training rewrote the vocab,
+    so training-corpus words reproduce their trained segmentation).
+    mapInPandas kernel with a per-batch word cache: corpora repeat
+    words heavily (Zipf), so each distinct word is encoded once per
+    batch, not once per occurrence. The merge table is a driver-side
+    list (n_merges entries, broadcast with the closure) — bounded by
+    construction."""
+    import pandas as pd
+
+    def run(batches):
+        cache: dict[str, int] = {}
+
+        def encode_len(word: str) -> int:
+            n = cache.get(word)
+            if n is not None:
+                return n
+            syms = list(word) + [EOW]
+            for a, b in merges:
+                if len(syms) < 2:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = len(syms)
+            return cache[word]
+
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                ids.append(doc_id)
+                n_words.append(len(toks))
+                n_tokens.append(sum(encode_len(w) for w in toks))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "n_words": n_words, "bpe_tokens": n_tokens}
+                )
+
+    base = df.select(id_col, text_col)
+    if repartition_to:
+        base = base.repartition(repartition_to)
+    id_type = df.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(run, f"{id_col} {id_type}, n_words long, bpe_tokens long")
+
+
 def learn_bpe_merges(
     df: DataFrame, text_col: str = "text", n_merges: int = 20
 ) -> tuple[list[tuple[str, str]], DataFrame]:

@@ -3631,6 +3631,27 @@ def q_bpe_merges(spark, sf_dir):
 
 
 @query(
+    "bpe_token_count",
+    oracle=None,  # depends on the learned merge table — rows-only;
+    # train-consistency (counts == trained segmentation lengths) is
+    # pinned in tests/test_bpe.py
+    doc="BPE token counting under the corpus-learned merge table (the encode "
+    "half of bpe_merges — the real 'how many tokens is this corpus' number): "
+    "mapInPandas kernel with a per-batch word cache (Zipf repetition means "
+    "each distinct word encodes once), merge table is a bounded driver-side "
+    "list (operators/bpe.bpe_token_counts)",
+)
+def q_bpe_token_count(spark, sf_dir):
+    from hadoop_app_spark.operators.bpe import bpe_token_counts, learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = learn_bpe_merges(d, "text", n_merges=12)
+    return bpe_token_counts(
+        d, merges, repartition_to=spark.sparkContext.defaultParallelism
+    )
+
+
+@query(
     "mixture_rebalance",
     # the oracle RECOMPUTES the rate derivation (totals -> binding
     # group -> per-group thresholds) in SQL with the identical operand
@@ -3845,6 +3866,7 @@ _PRIORITY = [
     # bpe_merges: iterative argmax loop, rows-only by design; exact
     # equality vs a pure-Python reference is pytest-pinned
     "bpe_merges",
+    "bpe_token_count",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

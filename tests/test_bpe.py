@@ -69,6 +69,20 @@ def test_bpe_matches_python_reference_on_corpus(spark):
     assert merges == ref_merges
 
 
+def test_bpe_token_counts_match_trained_segmentation(spark):
+    from hadoop_app_spark.operators.bpe import bpe_token_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges, vocab = learn_bpe_merges(docs, "text", n_merges=10)
+    seg_len = {r.w: len(r.symbols) for r in vocab.collect()}
+    wc_per_doc = {
+        r.doc_id: (r.text or "").lower().split() for r in docs.select("doc_id", "text").collect()
+    }
+    got = {r.doc_id: (r.n_words, r.bpe_tokens) for r in bpe_token_counts(docs, merges).collect()}
+    for doc_id, words in wc_per_doc.items():
+        assert got[doc_id] == (len(words), sum(seg_len[w] for w in words))
+
+
 def test_bpe_stops_when_fully_merged(spark):
     df = spark.createDataFrame([(0, "ab ab ab")], "id long, text string")
     # "ab</w>" needs 2 merges; beyond that no pairs remain

@@ -27,7 +27,10 @@ SF = "/root/testdata/sf0.001"
 # queries whose builders execute a FULL run in fn(): streaming execs,
 # plus the BPE loop (driver-controlled per-round argmax; its returned
 # frame is a LocalTableScan of the learned merges, nothing to guard)
-EXECUTING = {n for n in REGISTRY if n.startswith("stream_")} | {"bpe_merges"}
+EXECUTING = {n for n in REGISTRY if n.startswith("stream_")} | {
+    "bpe_merges",
+    "bpe_token_count",
+}
 
 # deliberate cross joins: J3 per-key cartesian showcase; 1-row count
 # broadcasts in tfidf/corpus accounting are nested-loop by design;
