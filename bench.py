@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "inverted_index",
     "lm_perplexity",
     "mixture_rebalance",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

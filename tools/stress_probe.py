@@ -62,9 +62,15 @@ def build_corpora(spark, base_dir: str, out: Path) -> dict[str, dict[int, str]]:
             out_df = out_df.unionByName(p)
         return out_df
 
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    n_user = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    # events scale by USER (event_id just uniquified): 10x the users,
+    # same per-user history shape — the right axis for funnel/cohort
+    ev_shift = ev.withColumn("user_id", F.col("user_id"))
     for name, df, id_col, n_ids, pv in (
         ("documents", docs, "doc_id", n_doc, False),
         ("embeddings", emb, "vec_id", n_vec, True),
+        ("events", ev_shift, "user_id", n_user, False),
     ):
         p1 = str(out / f"{name}_x1")
         p10 = str(out / f"{name}_x10")
@@ -236,6 +242,29 @@ def f_mixture_rebalance(spark, dp, ep, scratch):
     ).count()
 
 
+# filled by main() from build_corpora's events paths; family fns infer
+# their scale from the documents path suffix (the fn signature predates
+# the events corpus and every other family ignores it)
+EVENT_PATHS: dict[int, str] = {}
+
+
+def _events(spark, dp):
+    scale = 10 if dp.endswith("_x10") else 1
+    return spark.read.parquet(EVENT_PATHS[scale])
+
+
+def f_funnel(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.funnel import funnel_stages
+
+    return funnel_stages(_events(spark, dp)).count()
+
+
+def f_cohort(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, dp)).count()
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -285,6 +314,8 @@ FAMILIES = {
     "inverted_index": f_inverted_index,
     "lm_perplexity": f_lm_perplexity,
     "mixture_rebalance": f_mixture_rebalance,
+    "funnel": f_funnel,
+    "cohort": f_cohort,
 }
 
 
@@ -300,6 +331,7 @@ def main() -> None:
     tmp = Path(tempfile.mkdtemp(prefix="stress_probe_"))
     try:
         paths = build_corpora(spark, base, tmp)
+        EVENT_PATHS.update({s: p for s, p in paths["events"].items()})
         rows = []
         for name in wanted:
             fn = FAMILIES[name]
