@@ -3715,6 +3715,91 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(d, "text", "doc_id", max_postings=32)
 
 
+def _html_extract_oracle() -> str:
+    """Oracle for html_extract, GENERATED from the same pattern tables
+    that drive the Spark chain (operators/extraction.*_sql helpers) so
+    implementation and oracle cannot drift."""
+    from hadoop_app_spark.operators.extraction import (
+        content_lines_sql,
+        html_strip_sql,
+        text_lines_sql,
+    )
+
+    esc = (
+        "replace(replace(replace({c}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>.nav .m</style>"
+        "<script type=\"text/javascript\">if(a<b&&c>d)alert(\"x\");</script>"
+        "</head><body><h1>' || " + esc.format(c="source") + " || '</h1><p>' || "
+        + esc.format(c="text")
+        + " || '</p><ul><li>Home</li><li>About us</li></ul><!-- nav -->"
+        "<div class=\"footer\">Copyright 2026 - All rights reserved.</div>"
+        "</body></html>'"
+    )
+    lines = text_lines_sql(html_strip_sql("html"))
+    kept = content_lines_sql(lines, 3)
+    return f"""
+        WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+        ext AS (SELECT doc_id, {lines} AS lines, {kept} AS kept FROM h)
+        SELECT doc_id,
+               coalesce(array_to_string(lines, chr(10)), '') AS text,
+               CAST(len(lines) AS INTEGER) AS n_lines,
+               CAST(len(kept) AS INTEGER) AS n_content_lines,
+               coalesce(array_to_string(kept, chr(10)), '') AS content
+        FROM ext
+    """
+
+
+@query(
+    "html_extract",
+    oracle=_html_extract_oracle(),
+    doc="HTML -> text extraction + C4-style boilerplate line filter (north "
+    "star: the WARC-to-clean-text stage ahead of every quality gate): drop "
+    "script/style/comments, block tags -> newlines, strip tags, decode "
+    "entities, then keep lines with >=3 words ending in terminal punctuation "
+    "and free of javascript/cookie/rights-reserved cues. HTML is synthesized "
+    "deterministically from documents (entity-escaped text embedded in a "
+    "full page with nav/footer/script boilerplate) so both engines parse "
+    "identical strings; the oracle expression is GENERATED from the same "
+    "pattern tables as the Spark chain. Pure narrow map — zero shuffle "
+    "(operators/extraction.extract_text)",
+)
+def q_html_extract(spark, sf_dir):
+    from hadoop_app_spark.operators.extraction import extract_text
+
+    d = _t(spark, sf_dir, "documents")
+
+    def esc(c):
+        return F.replace(
+            F.replace(
+                F.replace(c, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        )
+
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>.nav .m</style>"
+            '<script type="text/javascript">if(a<b&&c>d)alert("x");</script>'
+            "</head><body><h1>"
+        ),
+        esc(F.col("source")),
+        F.lit("</h1><p>"),
+        esc(F.col("text")),
+        F.lit(
+            "</p><ul><li>Home</li><li>About us</li></ul><!-- nav -->"
+            '<div class="footer">Copyright 2026 - All rights reserved.</div>'
+            "</body></html>"
+        ),
+    )
+    return extract_text(d.select("doc_id", html.alias("html")), "html", "doc_id")
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -3848,6 +3933,11 @@ _PRIORITY = [
     # per-key window tfidf_top_terms gates; doc_freq is a plain keyed count
     # — oracle-checked locally, lowest marginal driver signal of the r4 ops
     "inverted_index",
+    # html_extract: narrow-map regexp/HOF chain (the mechanics the gated
+    # regex_case_functions/string_functions/text_metrics rows exercise);
+    # oracle GENERATED from the implementation's own pattern tables and
+    # checked exact locally
+    "html_extract",
     # sample_per_group: fixed-k twin of the gated-via-corpus_curation
     # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
     # tfidf_top_terms — oracle-checked locally
