@@ -1,0 +1,159 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003).
+
+Beyond-reference surface (north star dedup family): the MOSS local
+fingerprinting algorithm — the substring-robust member between
+whole-doc hashing (exact dedup) and bag-of-shingles MinHash. Selected
+fingerprints are guaranteed to catch any shared run of at least
+w + k - 1 normalized characters (the winnowing guarantee), so it
+finds copied PASSAGES between documents that differ everywhere else,
+with a selection density of ~2/(w+1) instead of every k-gram.
+
+Algorithm per document (pure Catalyst HOFs, zero Python, zero
+shuffle until the candidate join):
+1. normalize: lowercase, drop every non-[a-z0-9] char (MOSS-style —
+   whitespace/punctuation/case edits don't move fingerprints);
+2. hash all k-grams with the same 31-poly mod-1e9+7 rolling fold the
+   rest of the dedup family uses (engine-agnostic, oracle-exact);
+3. slide a w-window over the hash sequence; in each window select
+   the minimum, ties broken by RIGHTMOST occurrence (the "robust
+   winnowing" rule — consecutive windows mostly re-select the same
+   hash, which is what gives the density bound);
+4. fingerprint set = distinct selected (position, hash) pairs.
+
+Cross-doc overlap then joins fingerprint sets on the hash value with
+a document-frequency cap first (boilerplate fingerprints shared by
+more than max_df docs are dropped BEFORE the self-join — same
+bounded-fanout discipline as the LSH bucket cap in dedup.py), so the
+candidate join is bucketed and skew-safe at 100 TB.
+
+Scale shape: fingerprinting is a narrow map (O(len) codes + O(H·k)
+fold work). The df-cap is a groupBy partial-combine agg (NOT a
+window — the minhash_lsh_pairs lesson), and the pair agg is keyed by
+(id_a, id_b). No corpus-sized collect/broadcast anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 1_000_000_007
+
+
+def _gram_hashes(norm: Column, k: int) -> Column:
+    """Array of poly hashes of every k-gram of *norm* (codes computed
+    once; each gram folds a k-slice — O(len·k) int64 ops)."""
+    codes = F.transform(F.split(norm, "", -1), lambda ch: F.ascii(ch).cast("long"))
+    n_grams = F.length(norm) - F.lit(k - 1)
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.slice(codes, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % F.lit(_MOD).cast("long"),
+        ),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """-> (id, pos, fp): robust-winnowing fingerprint selection.
+
+    ``pos`` is the 1-based k-gram start offset in the NORMALIZED text
+    (usable to locate the matched span). Documents with fewer than k
+    normalized chars produce no fingerprints. Density ~= 2/(w+1).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = (
+        df.select(F.col(id_col), norm.alias("_s"))
+        .withColumn("_h", F.greatest(F.length("_s") - F.lit(k - 1), F.lit(0)))
+        .where(F.col("_h") >= 1)
+        .select(id_col, _gram_hashes(F.col("_s"), k).alias("_hashes"), "_h")
+    )
+
+    def sel_pos(j: Column) -> Column:
+        sl = F.slice(F.col("_hashes"), j, w)
+        return (
+            j + F.size(sl) - F.array_position(F.reverse(sl), F.array_min(sl))
+        ).cast("int")
+
+    n_windows = F.greatest(F.col("_h") - F.lit(w - 1), F.lit(1))
+    poss = F.array_distinct(F.transform(F.sequence(F.lit(1), n_windows), sel_pos))
+    return (
+        base.select(id_col, "_hashes", F.explode(poss).alias("pos"))
+        .select(id_col, "pos", F.element_at("_hashes", F.col("pos")).alias("fp"))
+    )
+
+
+def winnow_overlap(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int = 16,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs from winnowing fingerprint sets.
+
+    -> (id_a, id_b, n_shared, jaccard) for pairs sharing at least
+    ``min_shared`` distinct fingerprint values, with jaccard over the
+    capped fingerprint SETS. Fingerprints held by more than ``max_df``
+    documents (site boilerplate, license headers) are dropped before
+    the self-join — the fanout bound that keeps the join skew-safe.
+    """
+    distinct_fps = fps.select(id_col, "fp").distinct()
+    rare = (
+        distinct_fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    kept = distinct_fps.join(rare, "fp", "left_semi")
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("_nf"))
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_nf").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_nf").alias("_nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 16,
+    min_shared: int = 2,
+) -> DataFrame:
+    """End-to-end: fingerprint then overlap (see the two stages)."""
+    return winnow_overlap(
+        winnow_fingerprints(df, text_col, id_col, k, w),
+        id_col,
+        max_df=max_df,
+        min_shared=min_shared,
+    )

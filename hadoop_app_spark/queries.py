@@ -3800,6 +3800,65 @@ def q_html_extract(spark, sf_dir):
     return extract_text(d.select("doc_id", html.alias("html")), "html", "doc_id")
 
 
+def _winnow_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
+    """Winnowing oracle: the same normalize -> k-gram poly-hash ->
+    robust (rightmost-min) window selection -> df-capped set join,
+    in DuckDB list comprehensions. range() is end-exclusive and list
+    slices are 1-based inclusive, hence the +1 / k-1 offsets."""
+    return f"""
+        WITH nm AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+                    FROM documents),
+        cs AS (SELECT doc_id,
+                      list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes,
+                      greatest(length(s) - {k - 1}, 0) AS h
+               FROM nm),
+        hs AS (SELECT doc_id, h,
+                      list_transform(range(1, h + 1), i ->
+                          list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+{k - 1}]),
+                                      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hashes
+               FROM cs WHERE h >= 1),
+        ps AS (SELECT doc_id, hashes,
+                      list_distinct(list_transform(range(1, greatest(h - {w - 1}, 1) + 1), j ->
+                          j + len(hashes[j:j+{w - 1}])
+                            - list_position(list_reverse(hashes[j:j+{w - 1}]),
+                                            list_min(hashes[j:j+{w - 1}])))) AS poss
+               FROM hs),
+        fps AS (SELECT DISTINCT doc_id, hashes[p] AS fp
+                FROM (SELECT doc_id, hashes, unnest(poss) AS p FROM ps)),
+        rare AS (SELECT fp FROM (SELECT fp, count(*) AS dfr FROM fps GROUP BY fp)
+                 WHERE dfr <= {max_df}),
+        kept AS (SELECT doc_id, fps.fp FROM fps JOIN rare USING (fp)),
+        sizes AS (SELECT doc_id, count(*) AS nf FROM kept GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+               FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_shared AS DOUBLE) / (sa.nf + sb.nf - n_shared) AS jaccard
+        FROM pr JOIN sizes sa ON pr.id_a = sa.doc_id
+                JOIN sizes sb ON pr.id_b = sb.doc_id
+        WHERE n_shared >= {min_shared}
+    """
+
+
+@query(
+    "winnow_neardup",
+    oracle=_winnow_oracle(k=8, w=4, max_df=16, min_shared=2),
+    doc="winnowing fingerprint near-dup pairs (Schleimer et al. 2003, the "
+    "MOSS algorithm — north star dedup family's substring-robust member): "
+    "normalize -> all 8-gram poly hashes -> rightmost-min selection per "
+    "4-window (guaranteed to catch any shared run of >= 11 normalized chars "
+    "at ~2/(w+1) density) -> document-frequency-capped fingerprint set join. "
+    "Fingerprinting is a pure narrow map; the df cap is a groupBy agg (not a "
+    "window) that bounds self-join fanout before the pair stage "
+    "(operators/winnow.winnow_neardup_pairs)",
+)
+def q_winnow_neardup(spark, sf_dir):
+    from hadoop_app_spark.operators.winnow import winnow_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_neardup_pairs(d, "text", "doc_id", k=8, w=4, max_df=16, min_shared=2)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -3938,6 +3997,12 @@ _PRIORITY = [
     # oracle GENERATED from the implementation's own pattern tables and
     # checked exact locally
     "html_extract",
+    # winnow_neardup: the substring-robust dedup member (MOSS winnowing);
+    # pair-join mechanics are the df-capped bucket join the gated
+    # minhash_dedup/simhash_band_neardup rows exercise; selection rule
+    # pinned against a pure-Python reference in tests/test_winnow.py and
+    # oracle-checked exact locally
+    "winnow_neardup",
     # sample_per_group: fixed-k twin of the gated-via-corpus_curation
     # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
     # tfidf_top_terms — oracle-checked locally
