@@ -106,7 +106,12 @@ def winnow_overlap(
     documents (site boilerplate, license headers) are dropped before
     the self-join — the fanout bound that keeps the join skew-safe.
     """
-    distinct_fps = fps.select(id_col, "fp").distinct()
+    # the fingerprint pipeline (scan -> explode -> O(len*k) HOF hashing)
+    # feeds FOUR consumers (df-cap agg, both join sides, sizes); without
+    # materialization Catalyst re-derives it per consumer — six corpus
+    # passes in the physical plan. localCheckpoint computes it once.
+    # (Real deployment: write fingerprints to a table; same idea.)
+    distinct_fps = fps.select(id_col, "fp").distinct().localCheckpoint(eager=False)
     rare = (
         distinct_fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))

@@ -100,6 +100,20 @@ SHOWCASE = {
         "boundaries now come from a bounded 2-pass side-job (range shuffle of 2 "
         "columns + P-row collect) and bucket assignment is shuffle-free",
     ),
+    "html_extract": (
+        "one Project over the scan: the whole strip/entity/line-filter chain is a "
+        "single codegen'd expression tree — no Exchange, no UDF",
+        "WARC-to-text at 100 TB is embarrassingly parallel only if it stays a "
+        "narrow map; any shuffle or Python round-trip here taxes every byte of "
+        "the crawl",
+    ),
+    "winnow_neardup": (
+        "narrow-map fingerprint selection (HOF chain), then groupBy aggs for the "
+        "df cap and the pair counts — no Window over the fingerprint key, no "
+        "cartesian",
+        "the df cap bounds self-join fanout exactly like the LSH bucket cap; "
+        "boilerplate fingerprints die in a partial-combine agg before the join",
+    ),
 }
 
 
