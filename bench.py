@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "mixture_rebalance",
     "funnel_conversion",
     "cohort_retention",
+    # r4 extraction + winnowing additions
+    "html_extract",
+    "winnow_neardup",
 ]
 
 
