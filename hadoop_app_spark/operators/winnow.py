@@ -92,6 +92,72 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_vectorized(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """BIT-IDENTICAL vectorized twin of :func:`winnow_fingerprints`
+    (unlike the minhash twins, which use a different hash family, the
+    poly fold here is exact int64 arithmetic — numpy computes the very
+    same values, so this path shares the HOF form's oracle and the
+    equality is pinned in tests/test_winnow.py).
+
+    Kernel per doc: normalized ASCII codes -> all k-gram hashes via k
+    vectorized fused multiply-adds mod p (no per-gram Python loop) ->
+    rightmost-min window selection via a (H-w+1, w) sliding view and a
+    reversed argmin -> np.unique over selected positions. One
+    mapInPandas pass, zero shuffle — replaces the HOF form's ~8·len
+    interpreted lambda evaluations per row (43s -> ~3s at sf0.1).
+    """
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+
+    def run(batches):
+        strip = _re.compile(r"[^a-z0-9]")
+        for pdf in batches:
+            out_ids, out_pos, out_fp = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = strip.sub("", (text or "").lower())
+                h_n = len(s) - k + 1
+                if h_n < 1:
+                    continue
+                codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
+                hs = np.zeros(h_n, dtype=np.int64)
+                for j in range(k):
+                    hs = (hs * 31 + codes[j : j + h_n]) % _MOD
+                if h_n <= w:
+                    sl = hs[None, :]
+                    starts = np.array([0])
+                else:
+                    sl = np.lib.stride_tricks.sliding_window_view(hs, w)
+                    starts = np.arange(h_n - w + 1)
+                # rightmost min per window: argmin of the REVERSED row
+                # is the first (= rightmost original) occurrence
+                rev_arg = np.argmin(sl[:, ::-1], axis=1)
+                pos = starts + (sl.shape[1] - 1 - rev_arg)
+                pos = np.unique(pos)
+                out_ids.extend([doc_id] * len(pos))
+                out_pos.extend((pos + 1).tolist())  # 1-based like the HOF form
+                out_fp.extend(hs[pos].tolist())
+            if out_ids:
+                yield pd.DataFrame({id_col: out_ids, "pos": out_pos, "fp": out_fp})
+
+    base = df.select(id_col, text_col)
+    if repartition_to:
+        base = base.repartition(repartition_to)
+    id_type = df.schema[id_col].dataType.simpleString()
+    return base.mapInPandas(run, f"{id_col} {id_type}, pos int, fp long")
+
+
 def winnow_overlap(
     fps: DataFrame,
     id_col: str = "doc_id",
@@ -154,11 +220,18 @@ def winnow_neardup_pairs(
     w: int = 4,
     max_df: int = 16,
     min_shared: int = 2,
+    impl: str = "vectorized",
 ) -> DataFrame:
-    """End-to-end: fingerprint then overlap (see the two stages)."""
-    return winnow_overlap(
-        winnow_fingerprints(df, text_col, id_col, k, w),
-        id_col,
-        max_df=max_df,
-        min_shared=min_shared,
-    )
+    """End-to-end: fingerprint then overlap (see the two stages).
+
+    ``impl='vectorized'`` (default — the production path) and
+    ``impl='hof'`` (pure-Catalyst, the expression-level reference)
+    produce IDENTICAL rows; both are checked against the same oracle.
+    """
+    if impl == "vectorized":
+        fps = winnow_fingerprints_vectorized(df, text_col, id_col, k, w)
+    elif impl == "hof":
+        fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    else:
+        raise ValueError(f"impl must be 'vectorized' or 'hof', got {impl!r}")
+    return winnow_overlap(fps, id_col, max_df=max_df, min_shared=min_shared)

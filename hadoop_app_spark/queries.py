@@ -3855,8 +3855,39 @@ def _winnow_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
 def q_winnow_neardup(spark, sf_dir):
     from hadoop_app_spark.operators.winnow import winnow_neardup_pairs
 
+    from hadoop_app_spark.operators.winnow import winnow_fingerprints_vectorized, winnow_overlap
+
     d = _t(spark, sf_dir, "documents")
-    return winnow_neardup_pairs(d, "text", "doc_id", k=8, w=4, max_df=16, min_shared=2)
+    # spread the kernel off the single-file scan (the minhash_fast /
+    # repetition_fast playbook: one parquet file would otherwise pin
+    # the whole per-doc fingerprint pass to a handful of cores)
+    fps = winnow_fingerprints_vectorized(
+        d, "text", "doc_id", k=8, w=4,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    return winnow_overlap(fps, "doc_id", max_df=16, min_shared=2)
+
+
+@query(
+    "winnow_neardup_hof",
+    # SAME oracle as winnow_neardup: unlike the minhash twins, the poly
+    # fold is exact int64 arithmetic in both paths, so the vectorized
+    # kernel and the HOF chain produce identical rows (equality pinned
+    # in tests/test_winnow.py)
+    oracle=REGISTRY["winnow_neardup"].oracle,
+    doc="winnowing near-dup pairs, pure-Catalyst reference path: the same "
+    "selection as winnow_neardup via HOF lambdas (aggregate/slice/reverse) — "
+    "the expression-level form the oracle mirrors term-for-term; ~8·len "
+    "interpreted lambda steps per row make the vectorized kernel the "
+    "production path (operators/winnow.winnow_neardup_pairs impl='hof')",
+)
+def q_winnow_neardup_hof(spark, sf_dir):
+    from hadoop_app_spark.operators.winnow import winnow_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_neardup_pairs(
+        d, "text", "doc_id", k=8, w=4, max_df=16, min_shared=2, impl="hof"
+    )
 
 
 def names() -> list[str]:
@@ -4001,8 +4032,10 @@ _PRIORITY = [
     # pair-join mechanics are the df-capped bucket join the gated
     # minhash_dedup/simhash_band_neardup rows exercise; selection rule
     # pinned against a pure-Python reference in tests/test_winnow.py and
-    # oracle-checked exact locally
+    # oracle-checked exact locally; the _hof twin is the pure-Catalyst
+    # reference path, bit-identical and sharing the oracle
     "winnow_neardup",
+    "winnow_neardup_hof",
     # sample_per_group: fixed-k twin of the gated-via-corpus_curation
     # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
     # tfidf_top_terms — oracle-checked locally

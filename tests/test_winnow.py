@@ -110,6 +110,22 @@ def test_df_cap_drops_boilerplate(spark):
     assert all(p.n_shared <= 2 for p in capped)
 
 
+def test_vectorized_twin_bit_identical(spark):
+    # the numpy kernel computes the SAME int64 poly fold — (id, pos, fp)
+    # sets must be exactly equal, not statistically similar
+    from hadoop_app_spark.operators.winnow import winnow_fingerprints_vectorized
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    hof = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints(df).collect()}
+    vec = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints_vectorized(df).collect()}
+    assert hof == vec
+    # and for a k/w combo where windows degenerate (h <= w)
+    small = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    hof2 = {(r.pos, r.fp) for r in winnow_fingerprints(small, k=3, w=20).collect()}
+    vec2 = {(r.pos, r.fp) for r in winnow_fingerprints_vectorized(small, k=3, w=20).collect()}
+    assert hof2 == vec2 and len(hof2) == 1
+
+
 def test_short_and_empty_docs_silent(spark):
     df = spark.createDataFrame([(1, "ab"), (2, ""), (3, None)], ["doc_id", "text"])
     assert winnow_fingerprints(df, k=8, w=4).collect() == []

@@ -108,9 +108,10 @@ SHOWCASE = {
         "the crawl",
     ),
     "winnow_neardup": (
-        "narrow-map fingerprint selection (HOF chain), then groupBy aggs for the "
-        "df cap and the pair counts — no Window over the fingerprint key, no "
-        "cartesian",
+        "one ArrowEvalPython/MapInPandas fingerprint pass (bit-identical numpy "
+        "twin of the HOF chain), materialized once (Scan ExistingRDD) for its "
+        "four consumers; groupBy aggs for the df cap and pair counts — no "
+        "Window over the fingerprint key, no cartesian",
         "the df cap bounds self-join fanout exactly like the LSH bucket cap; "
         "boilerplate fingerprints die in a partial-combine agg before the join",
     ),

@@ -265,6 +265,34 @@ def f_cohort(spark, dp, ep, scratch):
     return cohort_retention(_events(spark, dp)).count()
 
 
+def f_html_extract(spark, dp, ep, scratch):
+    """Pure narrow map — the ratio should be the purest ~10x of any
+    family (no shuffle, no join, no output growth beyond row count)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.extraction import extract_text
+
+    d = _docs(spark, dp)
+    html = F.concat(
+        F.lit("<html><body><h1>"), F.col("source"),
+        F.lit('</h1><script>var a=1;</script><p>'), F.col("text"),
+        F.lit('</p><div class="f">Copyright 2026 - All rights reserved.</div></body></html>'),
+    )
+    return extract_text(d.select("doc_id", html.alias("html"))).count()
+
+
+def f_winnow(spark, dp, ep, scratch):
+    """Verbatim 10x copies: every 1x-unique fingerprint (df=1) becomes
+    df=10 — still under the cap — so each dup group contributes C(10,2)
+    pairs; output grows ~45x while input grows 10x (output-bound, like
+    simhash_band). Boilerplate fingerprints cross the cap and die."""
+    from hadoop_app_spark.operators.winnow import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(
+        _docs(spark, dp), "text", "doc_id", k=8, w=4, max_df=16, min_shared=2
+    ).count()
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -316,6 +344,8 @@ FAMILIES = {
     "mixture_rebalance": f_mixture_rebalance,
     "funnel": f_funnel,
     "cohort": f_cohort,
+    "html_extract": f_html_extract,
+    "winnow": f_winnow,
 }
 
 
