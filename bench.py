@@ -10,6 +10,7 @@ measure the plan, not the JIT.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -106,14 +107,21 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    last_df: dict[str, object] = {}
+    # plan fingerprints: a changed hash names WHICH query's physical
+    # plan moved since the last round (see plans/fingerprint.py).
+    # Fingerprint the timed DataFrame immediately — rebuilding via fn()
+    # would re-execute driver-side eager work (shard_packing's prefix
+    # pass, cluster_canonical's whole iteration) just to print a plan.
+    from hadoop_app_spark.plans.fingerprint import plan_fingerprint
+
+    plans: dict[str, str] = {}
 
     def timed(name: str) -> float:
         t0 = time.perf_counter()
         df = REGISTRY[name].fn(spark, sf_dir)
         run(df)
         dt = time.perf_counter() - t0
-        last_df[name] = df
+        plans[name] = plan_fingerprint(df)
         return dt
 
     times: dict[str, float] = {}
@@ -121,16 +129,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         times[name] = round(timed(name), 3)
         warm[name] = round(sorted(timed(name) for _ in range(3))[1], 3)
+        # drop DataFrame/RDD references each query: holding them (the
+        # old last_df dict) pinned every localCheckpoint block in the
+        # executor store, so late queries ran under accumulated memory
+        # pressure — cluster_canonical measured 10s here vs 3.6s in a
+        # fresh session. ContextCleaner unpersists once Python lets go.
+        gc.collect()
     total = round(sum(times.values()), 3)
-
-    # plan fingerprints: a changed hash names WHICH query's physical
-    # plan moved since the last round (see plans/fingerprint.py).
-    # Reuse the last timed DataFrame — rebuilding via fn() would
-    # re-execute driver-side eager work (shard_packing's prefix pass,
-    # cluster_canonical's whole iteration) just to print a plan
-    from hadoop_app_spark.plans.fingerprint import plan_fingerprint
-
-    plans = {name: plan_fingerprint(last_df[name]) for name in BENCH_QUERIES}
     print(
         json.dumps(
             {
