@@ -3890,6 +3890,71 @@ def q_winnow_neardup_hof(spark, sf_dir):
     )
 
 
+def _semdedup_oracle(n_clusters: int = 16, threshold: float = 0.85) -> str:
+    """SemDeDup oracle: centroids are recomputable in SQL (lowest-id
+    rows), so DuckDB re-derives assignment, within-cluster pairs, and
+    the keep-hardest rule with no literal inlining. The cosine chain
+    matches functions/vectors.cosine_similarity term-for-term,
+    including the zero-norm guard."""
+    dot = (
+        "list_reduce(list_prepend(0.0, [{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]),"
+        " (acc, x) -> acc + x)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        np_ = f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)}))"
+        return f"(CASE WHEN {np_} <> 0.0 THEN {dot.format(a=a, b=b)} / {np_} ELSE 0.0 END)"
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_clusters}),
+        sims AS (SELECT e.vec_id, cents.cid, {cos("e.v", "cents.cv")} AS s
+                 FROM e CROSS JOIN cents),
+        assign AS (SELECT vec_id, cid AS cluster, s AS csim FROM (
+                       SELECT vec_id, cid, s,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY s DESC, cid) AS rn
+                       FROM sims) WHERE rn = 1),
+        m AS (SELECT a.vec_id, a.cluster, a.csim, e.v
+              FROM assign a JOIN e USING (vec_id)),
+        dropped AS (SELECT DISTINCT x.vec_id
+                    FROM m x JOIN m y ON x.cluster = y.cluster
+                         AND x.vec_id <> y.vec_id
+                         AND (y.csim < x.csim
+                              OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+                         AND {cos("x.v", "y.v")} >= {threshold})
+        SELECT vec_id, cluster FROM m
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query(
+    "semdedup",
+    oracle=_semdedup_oracle(n_clusters=16, threshold=0.35),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023 — north star "
+    "dedup family, the embedding-cluster-scoped member): nearest-centroid "
+    "cosine assignment (narrow map over an inlined centroid matrix), "
+    "pairwise cosine WITHIN clusters only, keep the lowest-centroid-"
+    "similarity member of every duplicate group (retain hard examples). "
+    "threshold=0.35 because the synthetic corpus tops out at cosine ~0.51 — "
+    "the published ~0.9 settings are vacuous here; the knob is data-dependent. "
+    "Centroids here are the n lowest-id vectors so the oracle recomputes "
+    "them in SQL; at deployment scale pass trained IVF centroids — same "
+    "plan. The only exchange is the int cluster key; the assigned frame "
+    "is materialized once for its three consumers "
+    "(operators/semdedup.semdedup_survivors)",
+)
+def q_semdedup(spark, sf_dir):
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return semdedup_survivors(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.35
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -4036,6 +4101,11 @@ _PRIORITY = [
     # reference path, bit-identical and sharing the oracle
     "winnow_neardup",
     "winnow_neardup_hof",
+    # semdedup: embedding-cluster-scoped semantic dedup; the cluster
+    # self-join mechanics are the bucketed-pair pattern the gated
+    # embedding_near_dup row exercises; oracle recomputes centroids/
+    # assignment/keep-rule in SQL and is checked exact locally
+    "semdedup",
     # sample_per_group: fixed-k twin of the gated-via-corpus_curation
     # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
     # tfidf_top_terms — oracle-checked locally

@@ -1,0 +1,86 @@
+"""SemDeDup (operators/semdedup): assignment, keep-hardest policy,
+cluster scoping, and centroid-source override on constructed vectors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hadoop_app_spark.operators.semdedup import assign_clusters, semdedup_survivors
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_assignment_and_csim(spark):
+    # centroids = two lowest-id vectors: e0=(1,0), e1=(0,1)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),   # nearer e0
+        (3, [0.1, 0.9]),   # nearer e1
+        (4, [0.0, 0.0]),   # zero vector: cos 0 everywhere -> first centroid
+    ]
+    out = {r.vec_id: r for r in assign_clusters(_mk(spark, rows), n_clusters=2).collect()}
+    assert out[2].cluster == 0 and out[3].cluster == 1
+    assert out[0].cluster == 0 and out[1].cluster == 1
+    assert out[4].cluster == 0 and out[4].csim == 0.0
+    # embeddings are stored float32 — compare at float32 precision
+    assert math.isclose(out[2].csim, 0.9 / math.hypot(0.9, 0.1), rel_tol=1e-6)
+
+
+def test_keep_hardest_member(spark):
+    # cluster of three near-identical vectors around e0=(1,0); vec 3 is
+    # tilted farthest from the centroid (lowest csim) -> it survives,
+    # the two more-prototypical members drop
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),        # second centroid, isolates cluster 1
+        (2, [1.0, 0.05]),
+        (3, [1.0, 0.30]),       # hardest (farthest from centroid)
+        (4, [1.0, 0.01]),
+    ]
+    surv = sorted(
+        r.vec_id
+        for r in semdedup_survivors(
+            _mk(spark, rows), n_clusters=2, threshold=0.95
+        ).collect()
+    )
+    # 0,2,4 are mutually ~identical; among {0,2,3,4} all pairs with cos
+    # >= .95; survivor of the dup group = lowest csim = 3; centroid 1
+    # untouched in its own cluster
+    assert 3 in surv and 1 in surv
+    assert 0 not in surv and 2 not in surv and 4 not in surv
+
+
+def test_cross_cluster_dups_not_dropped(spark):
+    # two near-identical vectors placed at the two CENTROIDS' positions:
+    # each is its own cluster's seed, pairwise cos ~1 but different
+    # clusters -> SemDeDup (faithfully) keeps both
+    rows = [
+        (0, [1.0, 0.001]),
+        (1, [1.0, -0.001]),
+    ]
+    surv = sorted(
+        r.vec_id
+        for r in semdedup_survivors(_mk(spark, rows), n_clusters=2, threshold=0.99).collect()
+    )
+    assert surv == [0, 1]
+
+
+def test_centroid_source_override(spark):
+    # trained/external centroids: pass a different frame; assignment
+    # must use IT, not the corpus head
+    corpus = _mk(spark, [(10, [1.0, 0.0]), (11, [0.0, 1.0])])
+    cents = _mk(spark, [(0, [0.0, 1.0]), (1, [1.0, 0.0])])
+    out = {r.vec_id: r.cluster for r in assign_clusters(corpus, centroid_source=cents, n_clusters=2).collect()}
+    assert out == {10: 1, 11: 0}
+
+
+def test_empty_centroids_raise(spark):
+    empty = _mk(spark, []).where("vec_id > 0")
+    with pytest.raises(ValueError):
+        assign_clusters(_mk(spark, [(0, [1.0, 0.0])]), centroid_source=empty)
