@@ -3955,6 +3955,42 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+@query(
+    "quality_classifier",
+    # no SQL oracle BY DESIGN (iterative training loop); exactness is
+    # pinned harder than an oracle could: tests/test_quality_model.py
+    # asserts the trained weights EQUAL a pure-Python decimal-exact
+    # reference implementation bit-for-bit, and that they are invariant
+    # under repartitioning (decimal gradient accumulation)
+    oracle=None,
+    doc="trained quality classifier (north star: the CCNet/fastText-class "
+    "LEARNED quality gate): distributed logistic regression over cheap text "
+    "features — per iteration one scan, d map-side-combined DECIMAL gradient "
+    "sums, a d-element collect, weights re-broadcast as literals. Decimal "
+    "accumulation makes training deterministic to the bit under any "
+    "partitioning; the algebraic sigmoid avoids Math.exp's last-ulp "
+    "platform variance. Labels here: long-document proxy (len >= 300) so "
+    "the fit is verifiable; scoring is a pure narrow map "
+    "(operators/quality_model.train_quality_lr/score_quality_lr)",
+)
+def q_quality_classifier(spark, sf_dir):
+    from hadoop_app_spark.operators.quality_model import (
+        score_quality_lr,
+        train_quality_lr,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.length("text") >= 300).cast("int")
+    )
+    w = train_quality_lr(d, "text", "y", n_iter=10, lr=1.0)
+    scored = score_quality_lr(d, "text", w, out_col="p")
+    return scored.select(
+        "doc_id",
+        "y",
+        (F.col("p") >= 0.5).cast("int").alias("pred"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -4125,6 +4161,10 @@ _PRIORITY = [
     # equality vs a pure-Python reference is pytest-pinned
     "bpe_merges",
     "bpe_token_count",
+    # quality_classifier: iterative training loop, rows-only by design
+    # (the bpe_merges convention); weights pinned bit-exact vs a pure-
+    # Python decimal reference and repartition-invariant in pytest
+    "quality_classifier",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

@@ -1,0 +1,75 @@
+"""Trained quality classifier (operators/quality_model): bit-exact
+parity with the pure-Python decimal reference, partitioning
+invariance, feature parity, and fit sanity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.operators.quality_model import (
+    py_quality_features,
+    py_train_quality_lr,
+    quality_features,
+    score_quality_lr,
+    train_quality_lr,
+)
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog. It was a bright day!",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "NO punctuation here just words and words and words and words",
+    "Short.",
+    "",
+    "Symbols @@@ ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~!",
+    "A proper paragraph, with several sentences. Each one ends well. "
+    "Punctuation density is reasonable. Words are of natural length.",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+]
+
+
+def _df(spark):
+    rows = [(i, t, 1 if len(t) > 60 else 0) for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string, y int"), rows
+
+
+def test_feature_parity(spark):
+    df, rows = _df(spark)
+    got = {r.doc_id: list(r.x) for r in df.select("doc_id", quality_features("text").alias("x")).collect()}
+    for i, t, _ in rows:
+        assert got[i] == py_quality_features(t), t
+
+
+def test_training_bit_exact_vs_python(spark):
+    df, rows = _df(spark)
+    w_spark = train_quality_lr(df, "text", "y", n_iter=12, lr=1.0)
+    w_py = py_train_quality_lr(
+        [(py_quality_features(t), float(y)) for _, t, y in rows], n_iter=12, lr=1.0
+    )
+    assert w_spark == w_py  # exact float equality, not approx
+
+
+def test_training_invariant_under_partitioning(spark):
+    df, _ = _df(spark)
+    w1 = train_quality_lr(df.coalesce(1), "text", "y", n_iter=8)
+    w2 = train_quality_lr(df.repartition(7), "text", "y", n_iter=8)
+    assert w1 == w2
+
+
+def test_fit_learns_label(spark):
+    # the long-document label is linearly expressible in len_norm;
+    # training must reach perfect separation on this tiny set
+    df, rows = _df(spark)
+    w = train_quality_lr(df, "text", "y", n_iter=50, lr=2.0)
+    scored = score_quality_lr(df, "text", w, out_col="p")
+    got = {r.doc_id: int(r.p >= 0.5) for r in scored.collect()}
+    labels = {i: y for i, _, y in rows}
+    acc = sum(got[i] == labels[i] for i in labels) / len(labels)
+    assert acc >= 0.85
+
+
+def test_empty_frame_raises(spark):
+    df, _ = _df(spark)
+    with pytest.raises(ValueError):
+        train_quality_lr(df.where(F.lit(False)), "text", "y")
