@@ -75,9 +75,11 @@ BENCH_QUERIES = [
     "mixture_rebalance",
     "funnel_conversion",
     "cohort_retention",
-    # r4 extraction + winnowing additions
+    # r4 extraction + winnowing + semantic-dedup + trained-gate additions
     "html_extract",
     "winnow_neardup",
+    "semdedup",
+    "quality_classifier",
 ]
 
 

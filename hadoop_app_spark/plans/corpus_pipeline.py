@@ -53,14 +53,41 @@ def curate(
     sample: bool = False,
     benchmark: DataFrame | None = None,
     observations: dict[str, Observation] | None = None,
+    html_col: str | None = None,
+    learned_gate: tuple[list[float], float] | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the curated corpus with
     the original columns plus ``n_tokens`` (text already PII-scrubbed).
 
     Pass ``observations={}`` to receive stage counters; read them after
     an action, e.g. ``observations['scrubbed'].get['pii_rows']``.
+
+    ``html_col``: treat that column as raw HTML and FRONT the pipeline
+    with extraction + C4-style boilerplate line filtering (the
+    WARC-crawl entry point); the filtered content becomes ``text``.
+    ``learned_gate``: (weights, floor) from
+    operators/quality_model.train_quality_lr — adds the trained
+    quality classifier AFTER the heuristic gates (the CCNet shape:
+    cheap heuristics first, model on what remains).
     """
     obs = observations if observations is not None else {}
+
+    # 0. optional HTML -> text front stage: a pure narrow map; rows
+    # whose boilerplate-filtered content is empty are dropped here so
+    # downstream gates never see nav/footer-only pages
+    if html_col is not None:
+        from hadoop_app_spark.operators.extraction import content_lines, html_strip, text_lines
+
+        kept_lines = content_lines(text_lines(html_strip(F.col(html_col))))
+        docs = (
+            docs.withColumn("text", F.array_join(kept_lines, "\n"))
+            .drop(*([html_col] if html_col != "text" else []))
+        )
+        docs, obs["extracted"] = observe_counts(
+            docs, empty_after_extraction=F.length("text") == 0
+        )
+        docs = docs.where(F.length("text") > 0)
+
     meta_cols = [c for c in docs.columns if c != "text"]
 
     # 1. PII scrub — redacted text replaces the original; rows with any
@@ -97,6 +124,21 @@ def curate(
         .drop("_nu", "_dup_ratio")
     )
     gated, obs["gated"] = observe_counts(gated)
+
+    # 2b. optional trained quality gate — scoring is a narrow map over
+    # pre-trained weights (train on a sample OUTSIDE the pipeline; the
+    # pipeline itself must stay one lazy plan, and training is a
+    # multi-scan loop)
+    if learned_gate is not None:
+        from hadoop_app_spark.operators.quality_model import score_quality_lr
+
+        weights, floor = learned_gate
+        gated = (
+            score_quality_lr(gated, "text", weights, out_col="_qp")
+            .where(F.col("_qp") >= floor)
+            .drop("_qp")
+        )
+        gated, obs["model_gated"] = observe_counts(gated)
 
     # 3. exact dedup — content hash-agg, min-id survivor
     deduped = exact_dedup(gated, ["text"], "doc_id")

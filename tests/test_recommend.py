@@ -195,3 +195,48 @@ def test_corpus_pipeline_stages_and_counters(spark):
     out2 = curate(docs, benchmark=bench, observations=obs2)
     assert {r.doc_id for r in out2.collect()} == {4}
     assert obs2["decontaminated"].get["rows"] == 1
+
+
+def test_corpus_pipeline_html_front_and_learned_gate(spark):
+    """The WARC-shaped entry: raw HTML pages front the pipeline via
+    extraction + boilerplate filtering; a trained quality gate runs
+    after the heuristic gates."""
+    from hadoop_app_spark.operators.quality_model import train_quality_lr
+    from hadoop_app_spark.plans.corpus_pipeline import curate
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and then the dog naps "
+        "in the warm sun. it is a calm day and the fox rests too."
+    )
+    page = (
+        "<html><head><style>.m .x</style><script>var a=1;</script></head>"
+        f"<body><ul><li>Home</li><li>About</li></ul><p>{body}</p>"
+        '<div class="footer">Copyright 2026 - All rights reserved.</div></body></html>'
+    )
+    nav_only = "<html><body><ul><li>Home</li><li>About</li></ul></body></html>"
+    docs = spark.createDataFrame(
+        [(1, page, "en", "srcA"), (2, nav_only, "en", "srcA")],
+        "doc_id long, html string, lang string, source string",
+    )
+    obs: dict = {}
+    out = curate(docs, html_col="html", observations=obs)
+    rows = {r.doc_id: r for r in out.collect()}
+    # nav-only page dies at extraction; the real page survives with the
+    # boilerplate (nav items, footer) stripped from its text
+    assert set(rows) == {1}
+    assert body in rows[1].text
+    assert "Home" not in rows[1].text and "rights reserved" not in rows[1].text
+    assert obs["extracted"].get["empty_after_extraction"] == 1
+    assert obs["gated"].get["rows"] == 1
+
+    # learned gate: train on text-shaped labels, then a floor that the
+    # surviving doc clears (weights trained to accept long docs)
+    train = spark.createDataFrame(
+        [(i, body + " extra filler words here." * i, 1 if i > 1 else 0) for i in range(6)],
+        "doc_id long, text string, y int",
+    )
+    w = train_quality_lr(train, "text", "y", n_iter=30, lr=2.0)
+    obs2: dict = {}
+    out2 = curate(docs, html_col="html", learned_gate=(w, 0.5), observations=obs2)
+    assert "model_gated" in obs2
+    assert {r.doc_id for r in out2.collect()} <= {1}
