@@ -244,6 +244,24 @@ def pack_shards(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    return (
+        global_prefix_sum(df, weight_col, order_cols, "_before", num_partitions)
+        .withColumn(out_col, F.expr(f"_before div {budget}"))
+        .drop("_before")
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: Sequence[str],
+    out_col: str = "_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = cumulative *weight_col* of all STRICTLY
+    EARLIER rows in the total order — the scale-safe two-pass prefix
+    scan factored out of :func:`pack_shards` (see its docstring for
+    the range-repartition / per-partition-offset mechanics)."""
     order_cols = list(order_cols)
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -271,11 +289,53 @@ def pack_shards(
         offsets.items(),
         F.when(F.lit(False), F.lit(0)),
     ).otherwise(F.lit(0))
-    before = (offset + local_before).alias("_before")
+    return r.withColumn(out_col, offset + local_before).drop(_PID)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_cols: Sequence[str],
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sample packing: concatenate documents in global order
+    and cut fixed ``seq_len``-token training sequences, docs SPANNING
+    sequence boundaries (no padding, the pretraining-default layout).
+
+    -> one row per (document, sequence) span: the original columns plus
+      seq_id          which training sequence the span lands in
+      seq_pos         token offset of the span inside that sequence
+      doc_tok_offset  token offset of the span inside the document
+      n_in_seq        span length in tokens
+    Every sequence except the last holds exactly seq_len tokens
+    (sum(n_in_seq) over a seq_id == seq_len); zero-token docs vanish.
+
+    Scale shape: the global offset is the same bounded two-pass prefix
+    scan as :func:`pack_shards` (never an unpartitioned window); span
+    expansion is an explode of (last_seq - first_seq + 1) rows — for
+    seq_len >> doc length that is 1-2 rows per doc.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n = F.col(token_col).cast("long")
+    b = F.col("_before")
+    pref = global_prefix_sum(df, token_col, order_cols, "_before", num_partitions).where(
+        n > 0
+    )
+    # integer div throughout: float division + floor would wobble past
+    # 2^53 cumulative tokens, i.e. precisely at the scale that matters
+    first = F.expr(f"_before div {seq_len}")
+    last = F.expr(f"(_before + cast({token_col} as bigint) - 1) div {seq_len}")
+    out = pref.withColumn("seq_id", F.explode(F.sequence(first, last)))
+    s = F.col("seq_id")
+    start_in_doc = F.greatest(s * seq_len - b, F.lit(0).cast("long"))
+    end_in_doc = F.least(n, (s + 1) * seq_len - b)
     return (
-        r.withColumn("_before", before)
-        .withColumn(out_col, F.expr(f"_before div {budget}"))
-        .drop(_PID, "_before")
+        out.withColumn("seq_pos", F.greatest(b - s * seq_len, F.lit(0).cast("long")))
+        .withColumn("doc_tok_offset", start_in_doc)
+        .withColumn("n_in_seq", end_in_doc - start_in_doc)
+        .drop("_before")
     )
 
 

@@ -3991,6 +3991,45 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+@query(
+    "sequence_packing",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS ntok FROM documents),
+        o AS (SELECT doc_id, ntok,
+                     CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS b
+              FROM t),
+        s AS (SELECT doc_id, ntok, b,
+                     unnest(range(b // 512, (b + ntok - 1) // 512 + 1)) AS seq_id
+              FROM o WHERE ntok > 0)
+        SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(greatest(b - seq_id * 512, 0) AS BIGINT) AS seq_pos,
+               CAST(greatest(seq_id * 512 - b, 0) AS BIGINT) AS doc_tok_offset,
+               CAST(least(ntok, (seq_id + 1) * 512 - b)
+                    - greatest(seq_id * 512 - b, 0) AS BIGINT) AS n_in_seq
+        FROM s
+    """,
+    doc="GPT-style sample packing (north star: the final pretraining layout "
+    "step): concatenate documents in global order, cut fixed 512-token "
+    "training sequences, docs spanning boundaries with no padding. The "
+    "global token offset is the bounded two-pass prefix scan (range "
+    "repartition + P-row collect + per-partition window — never an "
+    "unpartitioned ORDER BY window); span expansion is a 1-2 row explode "
+    "per doc. The oracle's plain windowed prefix sum verifies the two-pass "
+    "scan end-to-end (operators/windows.pack_sequences)",
+)
+def q_sequence_packing(spark, sf_dir):
+    from hadoop_app_spark.operators.windows import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("ntok")
+    )
+    return pack_sequences(d, "ntok", ["doc_id"], seq_len=512).select(
+        "doc_id", "seq_id", "seq_pos", "doc_tok_offset", "n_in_seq"
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -4165,6 +4204,10 @@ _PRIORITY = [
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest
     "quality_classifier",
+    # sequence_packing: sample-packing layout over the same two-pass
+    # prefix scan the gated-adjacent shard_packing exercises; oracle
+    # (a plain windowed prefix sum) checked exact locally
+    "sequence_packing",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

@@ -135,3 +135,61 @@ def test_pack_shards_partition_invariant(spark):
         assert got == base, f"shard assignment changed at num_partitions={p}"
     with _pytest.raises(ValueError):
         pack_shards(df, "w", ["doc_id"], 0)
+
+
+def test_pack_sequences_invariants(spark):
+    from hadoop_app_spark.operators.windows import pack_sequences
+
+    rows = [(i, [3, 0, 7, 12, 5, 25, 1, 9][i % 8] + (i % 5)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, ntok long")
+    out = pack_sequences(df, "ntok", ["doc_id"], seq_len=32).collect()
+    ntok = dict(rows)
+    total = sum(n for n in ntok.values())
+    # zero-token docs vanish; every span positive
+    assert all(r.n_in_seq >= 1 for r in out)
+    assert {r.doc_id for r in out} == {i for i, n in ntok.items() if n > 0}
+    # spans tile each doc exactly: offsets 0..n contiguous
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, spans in by_doc.items():
+        spans.sort(key=lambda r: r.doc_tok_offset)
+        pos = 0
+        for s in spans:
+            assert s.doc_tok_offset == pos
+            pos += s.n_in_seq
+        assert pos == ntok[i]
+    # every sequence but the last is exactly full; ids contiguous from 0
+    by_seq = {}
+    for r in out:
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_in_seq
+    n_seqs = max(by_seq) + 1
+    assert set(by_seq) == set(range(n_seqs))
+    for sid, filled in by_seq.items():
+        assert filled == 32 or (sid == n_seqs - 1 and filled == total % 32 or filled == 32)
+    # seq_pos consistency: within a sequence, spans tile 0..fill
+    in_seq = {}
+    for r in out:
+        in_seq.setdefault(r.seq_id, []).append(r)
+    for sid, spans in in_seq.items():
+        spans.sort(key=lambda r: r.seq_pos)
+        pos = 0
+        for s in spans:
+            assert s.seq_pos == pos
+            pos += s.n_in_seq
+
+
+def test_pack_sequences_partition_invariant(spark):
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.windows import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, (i * 11) % 29 + 1) for i in range(150)], "doc_id long, ntok long"
+    )
+    key = lambda rows: sorted((r.doc_id, r.seq_id, r.seq_pos, r.doc_tok_offset, r.n_in_seq) for r in rows)
+    base = key(pack_sequences(df, "ntok", ["doc_id"], 64, num_partitions=1).collect())
+    for p in (4, 19):
+        assert key(pack_sequences(df, "ntok", ["doc_id"], 64, num_partitions=p).collect()) == base
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "ntok", ["doc_id"], 0)
