@@ -85,6 +85,78 @@ def scan_output_rows(df: DataFrame) -> int:
     return total
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) curve key over 2+ non-negative integer
+    columns: bit i of column j lands at interleaved position
+    i * n_cols + j, so sorting by the key clusters rows that are close
+    in EVERY dimension at once — footer min/max statistics then prune
+    a predicate on ANY of the columns, where a plain lexicographic
+    sort only ever prunes its leading column.
+
+    Columns must fit ``bits`` bits (values are masked; pre-bucket
+    wider domains — e.g. epoch-day instead of epoch-millis). n_cols *
+    bits must stay <= 63. Pure Catalyst bit arithmetic: the key costs
+    one codegen'd expression at write time and nothing at read time.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    terms = [
+        F.shiftleft(
+            F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)), i * n + j
+        )
+        for j, c in enumerate(cs)
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet Z-order-clustered on ``zorder_cols``:
+    range-repartition + sort on the Morton key, then drop it — the
+    layout IS the index. Use where queries filter on several
+    high-cardinality columns independently (the Delta/Iceberg OPTIMIZE
+    ZORDER use-case); single-predicate workloads should prefer
+    :func:`write_range_layout` on that column, which packs strictly
+    tighter per-file ranges for it.
+
+    Each column is first scaled to FILL the ``bits`` budget
+    ((v << bits) div (max+1), a monotonic integer map from one bounded
+    2-row aggregate) — without this, a narrow-domain column's high
+    bits are constant zeros and the interleave degenerates to a plain
+    sort on the wide column (measured: pruning on the narrow column
+    collapsed from ~4x to none on the test corpus)."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    maxes = df.agg(*[F.max(c).alias(c) for c in zorder_cols]).head()
+    # double division then truncate: exact while value_bits + bits <=
+    # 53 (IEEE mantissa); pre-bucket full-width longs (epoch-day, not
+    # epoch-millis) — which the bits budget forces anyway
+    scaled = [
+        (F.shiftleft(F.col(c).cast("long"), bits) / F.lit(int(maxes[c]) + 1)).cast("long")
+        for c in zorder_cols
+    ]
+    key = zorder_key(scaled, bits)
+    out = (
+        df.withColumn("_zk", key)
+        .repartitionByRange(n, F.col("_zk"))
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
 def read_range_layout(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet read of a range layout — the clustering needs no
     reader-side declaration; footer statistics do the skipping as long
