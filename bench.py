@@ -123,7 +123,8 @@ def main() -> None:
         df = REGISTRY[name].fn(spark, sf_dir)
         run(df)
         dt = time.perf_counter() - t0
-        plans[name] = plan_fingerprint(df)
+        if name not in plans:  # cold run only: warm reruns are identical plans
+            plans[name] = plan_fingerprint(df)
         return dt
 
     times: dict[str, float] = {}

@@ -221,15 +221,21 @@ def winnow_neardup_pairs(
     max_df: int = 16,
     min_shared: int = 2,
     impl: str = "vectorized",
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """End-to-end: fingerprint then overlap (see the two stages).
 
     ``impl='vectorized'`` (default — the production path) and
     ``impl='hof'`` (pure-Catalyst, the expression-level reference)
     produce IDENTICAL rows; both are checked against the same oracle.
+    ``repartition_to`` spreads the vectorized kernel off a small
+    single-file scan (ignored by the hof path, whose cost is in the
+    codegen'd expressions that parallelize with the scan anyway).
     """
     if impl == "vectorized":
-        fps = winnow_fingerprints_vectorized(df, text_col, id_col, k, w)
+        fps = winnow_fingerprints_vectorized(
+            df, text_col, id_col, k, w, repartition_to=repartition_to
+        )
     elif impl == "hof":
         fps = winnow_fingerprints(df, text_col, id_col, k, w)
     else:

@@ -83,8 +83,12 @@ def curate(
             docs.withColumn("text", F.array_join(kept_lines, "\n"))
             .drop(*([html_col] if html_col != "text" else []))
         )
+        # null html propagates to null text and IS dropped below — the
+        # counter must treat null like empty or stage accounting
+        # (rows_in - empty == rows_out) stops balancing
         docs, obs["extracted"] = observe_counts(
-            docs, empty_after_extraction=F.length("text") == 0
+            docs,
+            empty_after_extraction=F.col("text").isNull() | (F.length("text") == 0),
         )
         docs = docs.where(F.length("text") > 0)
 

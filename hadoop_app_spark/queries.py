@@ -3855,17 +3855,14 @@ def _winnow_oracle(k: int, w: int, max_df: int, min_shared: int) -> str:
 def q_winnow_neardup(spark, sf_dir):
     from hadoop_app_spark.operators.winnow import winnow_neardup_pairs
 
-    from hadoop_app_spark.operators.winnow import winnow_fingerprints_vectorized, winnow_overlap
-
     d = _t(spark, sf_dir, "documents")
-    # spread the kernel off the single-file scan (the minhash_fast /
-    # repetition_fast playbook: one parquet file would otherwise pin
-    # the whole per-doc fingerprint pass to a handful of cores)
-    fps = winnow_fingerprints_vectorized(
-        d, "text", "doc_id", k=8, w=4,
-        repartition_to=spark.sparkContext.defaultParallelism,
+    # repartition spreads the kernel off the single-file scan (the
+    # minhash_fast / repetition_fast playbook: one parquet file would
+    # otherwise pin the whole per-doc fingerprint pass to a few cores)
+    return winnow_neardup_pairs(
+        d, "text", "doc_id", k=8, w=4, max_df=16, min_shared=2,
+        impl="vectorized", repartition_to=spark.sparkContext.defaultParallelism,
     )
-    return winnow_overlap(fps, "doc_id", max_df=16, min_shared=2)
 
 
 @query(

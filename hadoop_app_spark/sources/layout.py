@@ -140,6 +140,11 @@ def write_zorder_layout(
     collapsed from ~4x to none on the test corpus)."""
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
     maxes = df.agg(*[F.max(c).alias(c) for c in zorder_cols]).head()
+    bad = [c for c in zorder_cols if maxes[c] is None]
+    if bad:
+        # empty frame or all-NULL cluster column: no layout to derive —
+        # fail with the reason, not int(None)'s opaque TypeError
+        raise ValueError(f"cannot z-order {path!r}: no values in columns {bad}")
     # double division then truncate: exact while value_bits + bits <=
     # 53 (IEEE mantissa); pre-bucket full-width longs (epoch-day, not
     # epoch-millis) — which the bits budget forces anyway

@@ -215,7 +215,7 @@ def test_corpus_pipeline_html_front_and_learned_gate(spark):
     )
     nav_only = "<html><body><ul><li>Home</li><li>About</li></ul></body></html>"
     docs = spark.createDataFrame(
-        [(1, page, "en", "srcA"), (2, nav_only, "en", "srcA")],
+        [(1, page, "en", "srcA"), (2, nav_only, "en", "srcA"), (3, None, "en", "srcA")],
         "doc_id long, html string, lang string, source string",
     )
     obs: dict = {}
@@ -226,7 +226,9 @@ def test_corpus_pipeline_html_front_and_learned_gate(spark):
     assert set(rows) == {1}
     assert body in rows[1].text
     assert "Home" not in rows[1].text and "rights reserved" not in rows[1].text
-    assert obs["extracted"].get["empty_after_extraction"] == 1
+    # null html counts as empty too — stage accounting must balance
+    # (rows_in - empty == rows_out of the extraction stage)
+    assert obs["extracted"].get["empty_after_extraction"] == 2
     assert obs["gated"].get["rows"] == 1
 
     # learned gate: train on text-shaped labels, then a floor that the
