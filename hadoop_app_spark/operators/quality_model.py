@@ -41,22 +41,34 @@ from hadoop_app_spark.functions.text import token_count
 _DEC = "decimal(38,18)"
 
 
-def quality_features(col: Column | str) -> Column:
-    """-> array<double> [bias, len_norm, alpha_ratio, punct_norm,
-    tokens_per_100_chars-capped] — cheap, SQL/Python-reproducible
-    document features (subset of the quality_score inputs)."""
+def quality_feature_cols(col: Column | str) -> list[Column]:
+    """The d feature Columns [bias, len_norm, alpha_ratio, punct_norm,
+    token_density] — cheap, SQL/Python-reproducible document features
+    (subset of the quality_score inputs). Exposed as a LIST so scoring
+    can build w·x without element_at-over-CreateArray, a composition
+    that trips a Janino "not an rvalue" codegen bug and silently drops
+    the projection to interpreted mode."""
     c = F.col(col) if isinstance(col, str) else col
     length = F.length(c).cast("double")
     len_norm = F.least(length / F.lit(500.0), F.lit(1.0))
     alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z ]", "")).cast("double")
-    alpha_ratio = F.when(length > 0, alpha / length).otherwise(F.lit(0.0))
+    # greatest() instead of when(): identical value (alpha is 0 when
+    # length is 0) and conditional-free — part of the same codegen-bug
+    # avoidance as above
+    alpha_ratio = alpha / F.greatest(length, F.lit(1.0))
     punct = F.length(F.regexp_replace(c, "[^.!?]", "")).cast("double")
     punct_norm = F.least(punct / F.lit(3.0), F.lit(1.0))
     tok = token_count(c).cast("double")
     # *5: ~0.8 at the English ~6-chars-per-token mean, saturating only
     # for degenerate ultra-short-token text — keeps the feature varying
     tok_density = F.least(tok * F.lit(5.0) / F.greatest(length, F.lit(1.0)), F.lit(1.0))
-    return F.array(F.lit(1.0), len_norm, alpha_ratio, punct_norm, tok_density)
+    return [F.lit(1.0), len_norm, alpha_ratio, punct_norm, tok_density]
+
+
+def quality_features(col: Column | str) -> Column:
+    """-> array<double> of :func:`quality_feature_cols` (the training
+    frame's layout; per-feature aggregation reads it by index)."""
+    return F.array(*quality_feature_cols(col))
 
 
 def py_quality_features(text: str) -> list[float]:
@@ -66,7 +78,7 @@ def py_quality_features(text: str) -> list[float]:
     length = float(len(text))
     len_norm = min(length / 500.0, 1.0)
     alpha = float(len(re.sub(r"[^a-z ]", "", text.lower())))
-    alpha_ratio = alpha / length if length > 0 else 0.0
+    alpha_ratio = alpha / max(length, 1.0)
     punct = float(len(re.sub(r"[^.!?]", "", text)))
     punct_norm = min(punct / 3.0, 1.0)
     toks = float(len(text.split()))
@@ -157,9 +169,11 @@ def score_quality_lr(
 ) -> DataFrame:
     """Score documents under trained weights: adds ``out_col`` (the
     algebraic-sigmoid probability) — a pure narrow map."""
-    x = quality_features(text_col)
+    xs = quality_feature_cols(text_col)
+    if len(xs) != len(weights):
+        raise ValueError(f"expected {len(xs)} weights, got {len(weights)}")
     z = sum(
-        (F.element_at(x, j + 1) * F.lit(weights[j]) for j in range(1, len(weights))),
-        F.element_at(x, 1) * F.lit(weights[0]),
+        (x * F.lit(w) for x, w in zip(xs[1:], weights[1:])),
+        xs[0] * F.lit(weights[0]),
     )
     return df.withColumn(out_col, _sigmoid_expr(z))
