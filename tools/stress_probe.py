@@ -281,6 +281,46 @@ def f_html_extract(spark, dp, ep, scratch):
     return extract_text(d.select("doc_id", html.alias("html"))).count()
 
 
+def f_semdedup(spark, dp, ep, scratch):
+    """Embedding copies carry a per-copy perturbation, so the 10x
+    corpus densifies every cluster ~10x; with n_clusters FIXED the
+    within-cluster pair stage is quadratic in density — the probe
+    therefore scales n_clusters with the corpus (the documented knob),
+    holding cluster population flat."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors
+
+    emb = spark.read.parquet(ep)
+    n = emb.count()
+    return semdedup_survivors(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        "vec_id", "embedding",
+        n_clusters=max(16, n // 312), threshold=0.35,
+    ).count()
+
+
+def f_seq_pack(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.windows import pack_sequences
+    from hadoop_app_spark.functions.text import token_count
+
+    d = _docs(spark, dp).select("doc_id", token_count("text").alias("ntok"))
+    return pack_sequences(d, "ntok", ["doc_id"], seq_len=512).count()
+
+
+def f_quality_lr(spark, dp, ep, scratch):
+    """Ten full-scan iterations + a scoring pass — the probe measures
+    that per-iteration cost is scan-bound (linear), the property that
+    makes the loop viable at all."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.quality_model import score_quality_lr, train_quality_lr
+
+    d = _docs(spark, dp).withColumn("y", (F.length("text") >= 300).cast("int"))
+    w = train_quality_lr(d, "text", "y", n_iter=10)
+    return score_quality_lr(d, "text", w).count()
+
+
 def f_winnow(spark, dp, ep, scratch):
     """Verbatim 10x copies: every 1x-unique fingerprint (df=1) becomes
     df=10 — still under the cap — so each dup group contributes C(10,2)
@@ -346,6 +386,9 @@ FAMILIES = {
     "cohort": f_cohort,
     "html_extract": f_html_extract,
     "winnow": f_winnow,
+    "semdedup": f_semdedup,
+    "seq_pack": f_seq_pack,
+    "quality_lr": f_quality_lr,
 }
 
 
