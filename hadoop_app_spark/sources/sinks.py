@@ -30,3 +30,53 @@ def write_text_lines(df: DataFrame, path: str, line_col: str = "value") -> None:
         .option("compression", "none")
         .text(path)
     )
+
+
+# columnar/row format matrix the engine can round-trip natively.
+# avro is deliberately ABSENT: Spark ships it as an external module
+# (spark-avro jar) not present in this environment — callers get a
+# clear error here instead of Spark's "Failed to find data source".
+TABLE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    compression: str | None = None,
+    header: bool = True,
+) -> None:
+    """Format-generic table sink (overwrite). parquet/orc carry the
+    schema in-file; json/csv are interchange sinks — csv writes a
+    header so :func:`read_table` can rebuild column names, and both
+    lose exact types (read back with an explicit schema when it
+    matters; see read_table).
+
+    Scale note: identical plan shape for every format — one narrow
+    write per partition, no exchange added; format choice is an I/O
+    and ecosystem decision (parquet/orc: footer-stats pruning +
+    column pruning; json/csv: none — never pick them for the 100 TB
+    fact tables, they exist for export/ingest edges)."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"format {fmt!r} not supported; choose from {TABLE_FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if compression is not None:
+        w = w.option("compression", compression)
+    if fmt == "csv":
+        w = w.option("header", str(header).lower())
+    w.save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", schema=None):
+    """Format-generic table source. For json/csv pass ``schema``
+    (DDL string or StructType) to pin exact types — otherwise Spark
+    infers, which costs an extra pass AND can widen types (csv
+    integers -> int vs long depends on the data seen)."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"format {fmt!r} not supported; choose from {TABLE_FORMATS}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)

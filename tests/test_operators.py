@@ -1593,3 +1593,26 @@ def test_compression_stats_signal(spark):
     # repetitive text compresses far better than random prose
     assert out[1].ratio < 0.1 < out[2].ratio
     assert out[3].ratio == 0.0 and out[3].n_bytes == 0
+
+
+def test_table_format_matrix_roundtrip(spark, tmp_path):
+    """S-family breadth: the engine round-trips every native table
+    format bit-for-bit (parquet/orc schema-carrying; json/csv with an
+    explicit read schema), and refuses unsupported formats clearly."""
+    import pytest as _pytest
+
+    from hadoop_app_spark.sources.sinks import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a b", 1.5, True), (2, "c,d", -0.25, False), (3, None, 0.0, None)],
+        "id long, s string, x double, b boolean",
+    )
+    want = sorted(tuple(r) for r in df.collect())
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        write_table(df, p, fmt)
+        got = read_table(spark, p, fmt, schema="id long, s string, x double, b boolean")
+        assert sorted(tuple(r) for r in got.collect()) == want, fmt
+        assert got.schema == df.schema, fmt
+    with _pytest.raises(ValueError):
+        write_table(df, str(tmp_path / "x"), "avro")

@@ -107,6 +107,21 @@ SHOWCASE = {
         "narrow map; any shuffle or Python round-trip here taxes every byte of "
         "the crawl",
     ),
+    "semdedup": (
+        "centroid matrix inlined as ONE literal (bounded collect), assignment a "
+        "narrow Project; the within-cluster self-join exchanges only on the int "
+        "cluster key, assigned frame materialized once (Scan ExistingRDD)",
+        "SemDeDup's whole point is that pairwise cosine is quadratic per CLUSTER, "
+        "never corpus-wide — n_clusters is the knob that holds cluster population "
+        "flat as the corpus grows",
+    ),
+    "sequence_packing": (
+        "no unpartitioned ORDER BY window anywhere: the global token offset is a "
+        "range repartition + per-partition window + broadcast per-partition "
+        "offsets (two-pass prefix scan); span expansion is a tiny Generate",
+        "a naive running sum over 100 TB of docs funnels everything through one "
+        "task; the two-pass scan keeps the cumulative offset exact AND parallel",
+    ),
     "winnow_neardup": (
         "one ArrowEvalPython/MapInPandas fingerprint pass (bit-identical numpy "
         "twin of the HOF chain), materialized once (Scan ExistingRDD) for its "
