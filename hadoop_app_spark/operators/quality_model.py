@@ -47,8 +47,14 @@ def quality_feature_cols(col: Column | str) -> list[Column]:
     (subset of the quality_score inputs). Exposed as a LIST so scoring
     can build w·x without element_at-over-CreateArray, a composition
     that trips a Janino "not an rvalue" codegen bug and silently drops
-    the projection to interpreted mode."""
+    the projection to interpreted mode.
+
+    NULL text is treated as the empty document (coalesce at the top),
+    so every feature stays non-null — without this a null row would
+    poison its gradient terms to NULL and silently vanish from the
+    sums while still counting in n."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     length = F.length(c).cast("double")
     len_norm = F.least(length / F.lit(500.0), F.lit(1.0))
     alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z ]", "")).cast("double")
@@ -71,10 +77,12 @@ def quality_features(col: Column | str) -> Column:
     return F.array(*quality_feature_cols(col))
 
 
-def py_quality_features(text: str) -> list[float]:
-    """Bit-exact Python twin of :func:`quality_features`."""
+def py_quality_features(text: str | None) -> list[float]:
+    """Bit-exact Python twin of :func:`quality_features` (None ==
+    empty document, matching the Spark-side coalesce)."""
     import re
 
+    text = text or ""
     length = float(len(text))
     len_norm = min(length / 500.0, 1.0)
     alpha = float(len(re.sub(r"[^a-z ]", "", text.lower())))

@@ -318,17 +318,18 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    # a negative token count (upstream bug) would silently corrupt the
-    # prefix offsets of every later row — fail loudly instead; one
-    # bounded aggregate, cheap next to the prefix scan's checkpoint
-    min_w = df.agg(F.min(F.col(token_col).cast("long"))).head()[0]
-    if min_w is not None and min_w < 0:
-        raise ValueError(f"negative token count in {token_col!r}: {min_w}")
     n = F.col(token_col).cast("long")
     b = F.col("_before")
-    pref = global_prefix_sum(df, token_col, order_cols, "_before", num_partitions).where(
-        n > 0
-    )
+    pref = global_prefix_sum(df, token_col, order_cols, "_before", num_partitions)
+    # a negative token count (upstream bug) would silently corrupt the
+    # prefix offsets of every later row — fail loudly instead. The min
+    # runs on global_prefix_sum's CHECKPOINTED frame (one cheap scan of
+    # materialized blocks), not the raw input, whose possibly-expensive
+    # upstream plan would otherwise execute a second time
+    min_w = pref.agg(F.min(n)).head()[0]
+    if min_w is not None and min_w < 0:
+        raise ValueError(f"negative token count in {token_col!r}: {min_w}")
+    pref = pref.where(n > 0)
     # integer div throughout: float division + floor would wobble past
     # 2^53 cumulative tokens, i.e. precisely at the scale that matters.
     # token_col is backtick-quoted: a space/reserved-word column name

@@ -67,16 +67,19 @@ def write_table(
     w.save(path)
 
 
-def read_table(spark, path: str, fmt: str = "parquet", schema=None):
+def read_table(spark, path: str, fmt: str = "parquet", schema=None, header: bool = True):
     """Format-generic table source. For json/csv pass ``schema``
     (DDL string or StructType) to pin exact types — otherwise Spark
     infers, which costs an extra pass AND can widen types (csv
-    integers -> int vs long depends on the data seen)."""
+    integers -> int vs long depends on the data seen). ``header``
+    must mirror what write_table was given for csv — reading a
+    header-less file with header=True silently eats the first data
+    row of every file."""
     if fmt not in TABLE_FORMATS:
         raise ValueError(f"format {fmt!r} not supported; choose from {TABLE_FORMATS}")
     r = spark.read.format(fmt)
     if schema is not None:
         r = r.schema(schema)
     if fmt == "csv":
-        r = r.option("header", "true")
+        r = r.option("header", str(header).lower())
     return r.load(path)

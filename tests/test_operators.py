@@ -1599,8 +1599,6 @@ def test_table_format_matrix_roundtrip(spark, tmp_path):
     """S-family breadth: the engine round-trips every native table
     format bit-for-bit (parquet/orc schema-carrying; json/csv with an
     explicit read schema), and refuses unsupported formats clearly."""
-    import pytest as _pytest
-
     from hadoop_app_spark.sources.sinks import read_table, write_table
 
     df = spark.createDataFrame(
@@ -1608,11 +1606,18 @@ def test_table_format_matrix_roundtrip(spark, tmp_path):
         "id long, s string, x double, b boolean",
     )
     want = sorted(tuple(r) for r in df.collect())
+    ddl = "id long, s string, x double, b boolean"
     for fmt in ("parquet", "orc", "json", "csv"):
         p = str(tmp_path / fmt)
         write_table(df, p, fmt)
-        got = read_table(spark, p, fmt, schema="id long, s string, x double, b boolean")
+        got = read_table(spark, p, fmt, schema=ddl)
         assert sorted(tuple(r) for r in got.collect()) == want, fmt
         assert got.schema == df.schema, fmt
-    with _pytest.raises(ValueError):
+    # header-less csv: read side must mirror the write-side flag or the
+    # first data row of every file would be eaten as a header
+    p = str(tmp_path / "csv_nohdr")
+    write_table(df.coalesce(1), p, "csv", header=False)
+    got = read_table(spark, p, "csv", schema=ddl, header=False)
+    assert sorted(tuple(r) for r in got.collect()) == want
+    with pytest.raises(ValueError):
         write_table(df, str(tmp_path / "x"), "avro")

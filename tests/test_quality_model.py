@@ -69,6 +69,27 @@ def test_fit_learns_label(spark):
     assert acc >= 0.85
 
 
+def test_null_text_is_empty_document(spark):
+    # NULL text == empty doc: features non-null, the row participates
+    # in every gradient sum (not silently dropped while counted in n),
+    # and the Python twin agrees bit-for-bit
+    df = spark.createDataFrame(
+        [(0, None, 0), (1, "a proper document of real length here.", 1)],
+        "doc_id long, text string, y int",
+    )
+    feats = {r.doc_id: list(r.x) for r in df.select("doc_id", quality_features("text").alias("x")).collect()}
+    assert feats[0] == py_quality_features(None)
+    assert all(v is not None for v in feats[0])
+    w_spark = train_quality_lr(df, "text", "y", n_iter=5)
+    w_py = py_train_quality_lr(
+        [(py_quality_features(None), 0.0), (py_quality_features("a proper document of real length here."), 1.0)],
+        n_iter=5,
+    )
+    assert w_spark == w_py
+    scored = score_quality_lr(df, "text", w_spark).collect()
+    assert all(r.quality_prob is not None for r in scored)
+
+
 def test_empty_frame_raises(spark):
     df, _ = _df(spark)
     with pytest.raises(ValueError):

@@ -55,6 +55,12 @@ spark.stop()
     print(f"ran={ran} errors={len(errs)} codegen_fallbacks={fallbacks}")
     for e in errs:
         print(e)
+    # a child that died before the loop (broken env, bad sf_dir) must
+    # not read as a green guard: nonzero exit or zero queries = failure
+    if proc.returncode != 0 or ran == 0:
+        print(f"sweep child failed (rc={proc.returncode}, ran={ran})")
+        print("\n".join(out.splitlines()[-15:]))
+        return 1
     if errs or fallbacks:
         return 1
     return 0
