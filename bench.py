@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "winnow_neardup",
     "semdedup",
     "quality_classifier",
+    # r5 additions: trained-centroid BLAS SemDeDup, packing layout, BPE
+    "semdedup_fast",
+    "sequence_packing",
+    "bpe_token_count",
 ]
 
 
@@ -139,20 +143,23 @@ def main() -> None:
         # fresh session. ContextCleaner unpersists once Python lets go.
         gc.collect()
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "plans": plans,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # the stdout line stays COMPACT (totals + per-query numbers only):
+    # r4's line grew past the driver's tail capture once plan
+    # fingerprints were inlined and the round's official record lost
+    # its headline table ("parsed": null). Plans + any future detail go
+    # to BENCH_DETAIL.json in the repo instead.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps({**summary, "plans": plans}, indent=1))
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -476,14 +476,34 @@ def mixture_rebalance(
     one row per group, the same side-channel class as partition counts
     or IVF centroids), then a single-scan CASE-threshold filter; no
     join, no shuffle of the corpus. ``fingerprint='fast'`` swaps the
-    oracle-reproducible poly fold for xxhash64 (production)."""
+    oracle-reproducible poly fold for xxhash64 (production).
+
+    Contract: ``group_col`` must be a SOURCE-MIXTURE column (bounded
+    cardinality — the same class as ``weights``' key set). The token
+    totals are collected to the driver one row per group, so a
+    high-cardinality column here would be a driver-sized collect; the
+    guard below fails fast with the cause instead."""
     import math
 
+    # the collect is keyed by group cardinality: cap it well above any
+    # plausible mixture (weights carries one entry per source) so a
+    # mistaken high-cardinality group_col errors here, not as an
+    # opaque driver OOM — the limit bounds what can ever reach the
+    # driver, and seeing max_groups+1 rows proves the overflow
+    max_groups = max(len(weights) * 16, 10_000)
     counts = (
         df.groupBy(group_col)
         .agg(F.sum(token_count(F.col(text_col)).cast("long")).alias("_t"))
+        .limit(max_groups + 1)
         .collect()
     )
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"mixture_rebalance: {group_col!r} has more than {max_groups} "
+            "distinct values — this operator collects one token-total row "
+            "per group and is meant for bounded source-mixture columns; "
+            "pass the mixture column, not a document-grained key"
+        )
     totals = {r[0]: r[1] for r in counts if weights.get(r[0], 0.0) > 0 and r[1]}
     if not totals:
         return df.where(F.lit(False))

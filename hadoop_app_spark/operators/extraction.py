@@ -52,8 +52,15 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?s)<!--.*?-->", ""),
     # block-element boundaries -> newline (line structure survives)
     (r"(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\s*>", "\n"),
-    (r"(?i)<(?:br|hr)\s*/?>", "\n"),
-    # every remaining tag -> space (so "a</b>b" doesn't glue to "ab")
+    # attribute-carrying variants (<br class="x">, <hr id=y/>) must
+    # still break lines, not fall through to the tag->space rule
+    (r"(?i)<(?:br|hr)\b[^>]*/?>", "\n"),
+    # every remaining tag -> space (so "a</b>b" doesn't glue to "ab").
+    # Known limitation: a literal '>' inside a quoted attribute value
+    # ends this match early and leaks the attribute tail into output —
+    # acceptable for the C4-class heuristic (the content-line filter
+    # downstream drops most such fragments), documented so callers on
+    # adversarial HTML know to pre-sanitize.
     (r"<[^>]*>", " "),
 )
 

@@ -40,6 +40,22 @@ from hadoop_app_spark.functions.text import token_count
 
 _DEC = "decimal(38,18)"
 
+# Trained output of train_quality_lr on /root/testdata/sf0.01/documents
+# with the long-document proxy label (len(text) >= 300), n_iter=10,
+# lr=1.0 — pinned so the learned gate can sit inside oracle-checked
+# queries (scoring under FIXED weights is plain IEEE float SQL, while
+# the training loop itself is not SQL-expressible). Training is
+# decimal-exact and deterministic to the bit, so this tuple is
+# re-derivable: tests/test_quality_model.py retrains at sf0.01 and
+# asserts exact equality, keeping "trained" honest.
+PINNED_QUALITY_LR_WEIGHTS: tuple[float, ...] = (
+    -0.16698026823470816,
+    0.9466421140454269,
+    -0.16698026823470816,
+    0.0,
+    -0.1592346945736492,
+)
+
 
 def quality_feature_cols(col: Column | str) -> list[Column]:
     """The d feature Columns [bias, len_norm, alpha_ratio, punct_norm,
@@ -122,6 +138,15 @@ def train_quality_lr(
     n = feats.count()
     if n == 0:
         raise ValueError("empty training frame")
+    # a NULL label would make err NULL (dropped by F.sum) while still
+    # counting in n — silently shrinking every gradient and diverging
+    # from the pure-Python twin, which would raise. Refuse up front.
+    n_null = feats.where(F.col("y").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"{n_null} NULL value(s) in label column {label_col!r}; "
+            "filter or impute labels before training"
+        )
     d = len(feats.head()["x"])
     w = [0.0] * d
     for _ in range(n_iter):

@@ -40,6 +40,13 @@ from pyspark.sql import functions as F
 
 from hadoop_app_spark.functions.vectors import cosine_similarity
 
+# Past this, the inlined-literal assignment path is the wrong tool:
+# the plan carries n_clusters x dim doubles as ONE literal and every
+# row pays an O(n_clusters) interpreted lambda — use the numpy twin
+# (assign_clusters_fast), whose cost per row is one BLAS matmul slice
+# and whose centroids travel as a broadcast variable, not plan text.
+MAX_INLINE_CLUSTERS = 2048
+
 
 def assign_clusters(
     df: DataFrame,
@@ -52,6 +59,12 @@ def assign_clusters(
     cosine. ``cluster`` is the centroid's OWN id (stable across runs
     and engines, unlike a positional index); ``csim`` the cosine to
     it. Centroids default to the n_clusters lowest-id rows of *df*."""
+    if n_clusters > MAX_INLINE_CLUSTERS:
+        raise ValueError(
+            f"n_clusters={n_clusters} exceeds the inlined-literal ceiling "
+            f"({MAX_INLINE_CLUSTERS}); use assign_clusters_fast (broadcast "
+            "ndarray + blocked matmul) for production cluster counts"
+        )
     src = centroid_source if centroid_source is not None else df
     cents = [
         (r[0], [float(x) for x in r[1]])
@@ -118,3 +131,116 @@ def semdedup_survivors(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
+def assign_clusters_fast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
+    """Vectorized twin of :func:`assign_clusters` — the production
+    assignment path past MAX_INLINE_CLUSTERS (VERDICT r4 "What's
+    wrong #2"): centroids travel as ONE broadcast (k, d) float64
+    ndarray instead of a plan literal, and each Arrow batch pays a
+    single BLAS matmul + argmax instead of n_clusters interpreted
+    lambdas per row. argmax takes the FIRST maximum, and the centroid
+    rows are collected in ascending id order, so ties resolve to the
+    lowest centroid id exactly like the HOF form. Cosine accumulation
+    order differs (SIMD pairwise vs left fold), so sub-ulp near-ties
+    can assign differently — survivor-set equality vs the HOF form is
+    pinned in pytest on the real corpus; the HOF form stays the oracle
+    surface.
+
+    Scale shape: no shuffle — one corpus scan, k*d*8 bytes broadcast
+    once per executor, O(batch x k x d) BLAS per batch. Growing
+    n_clusters with the corpus (the knob that bounds the per-cluster
+    quadratic) now grows only the broadcast, never the plan."""
+    import numpy as np
+    import pandas as pd
+
+    src = centroid_source if centroid_source is not None else df
+    cents = src.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    if not cents:
+        raise ValueError("empty centroid source")
+    cid = np.array([int(r[0]) for r in cents], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in cents], dtype=np.float64)
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+    bc = df.sparkSession.sparkContext.broadcast((cid, cnorm))
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} long, {vec_col} {vec_t}, cluster long, csim double"
+
+    def assign(batches):
+        bcid, bcn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = xn @ bcn.T  # (batch, k)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cluster": bcid[best],
+                    "csim": sims[np.arange(len(best)), best],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def semdedup_survivors_fast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.85,
+    centroid_source: DataFrame | None = None,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Vectorized twin of :func:`semdedup_survivors`: fast assignment
+    (broadcast centroids, BLAS argmax), then the within-cluster
+    duplicate test as ONE applyInPandas kernel per cluster — members
+    sorted by (csim asc, id asc), pairwise cosine via blocked matmul,
+    x dropped iff any strictly-earlier y has cos >= threshold. Same
+    keep rule, same tie order, same single exchange on the int cluster
+    key as the Catalyst self-join — but each cluster's quadratic runs
+    as numpy blocks instead of a joined row explosion with an
+    interpreted HOF cosine per pair.
+
+    ``block_rows`` bounds kernel memory at block_rows x cluster_size
+    doubles; cluster population itself is bounded by growing
+    n_clusters with the corpus (the SemDeDup contract). Survivor-set
+    equality with the HOF form is pinned in pytest; this twin is
+    bench/pipeline surface, not oracle surface."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = assign_clusters_fast(df, id_col, vec_col, n_clusters, centroid_source)
+    out_schema = f"{id_col} long, cluster long"
+
+    def keep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m == 0:
+            return pd.DataFrame({id_col: [], "cluster": []})
+        order = np.lexsort((pdf[id_col].to_numpy(), pdf["csim"].to_numpy()))
+        ids = pdf[id_col].to_numpy()[order]
+        clus = pdf["cluster"].to_numpy()[order]
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        dropped = np.zeros(m, dtype=bool)
+        for s in range(0, m, block_rows):
+            e = min(s + block_rows, m)
+            sims = xn[s:e] @ xn[:e].T  # rows s..e vs every member up to e
+            rows = np.arange(s, e)[:, None]
+            cols = np.arange(e)[None, :]
+            # y must rank STRICTLY before x; dropped y still drop x
+            # (matches the published rule and the Catalyst form)
+            dropped[s:e] = ((sims >= threshold) & (cols < rows)).any(axis=1)
+        keep_mask = ~dropped
+        return pd.DataFrame({id_col: ids[keep_mask], "cluster": clus[keep_mask]})
+
+    return assigned.groupBy("cluster").applyInPandas(keep, out_schema)

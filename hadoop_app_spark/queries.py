@@ -2479,13 +2479,25 @@ def q_math_functions(spark, sf_dir):
     doc="the canonical pretraining corpus curation pass in ONE scan (north star: "
     "the filter stage every training-data pipeline runs first): language "
     "allowlist + quality floor + token-count bounds + Gopher-style intra-doc "
-    "repetition gate (duplicate-word-fraction <= 0.5), and each surviving doc "
-    "flagged with a deterministic content-hash 20% audit-sample membership "
-    "(doc_fingerprint mod 100 — reproducible under re-runs/re-partitioning, "
-    "unlike rand()/sampleBy) — all JVM expressions, no shuffle",
+    "repetition gate (duplicate-word-fraction <= 0.5), THEN the TRAINED "
+    "quality gate (CCNet shape: cheap heuristics first, model on what "
+    "remains) — logistic scoring under pinned decimal-exact-trained weights "
+    "(operators/quality_model.PINNED_QUALITY_LR_WEIGHTS; the oracle "
+    "recomputes the algebraic-sigmoid score in IEEE-exact SQL) — and each "
+    "surviving doc flagged with a deterministic content-hash 20% audit-"
+    "sample membership (doc_fingerprint mod 100 — reproducible under "
+    "re-runs/re-partitioning, unlike rand()/sampleBy) — all JVM "
+    "expressions, no shuffle; the composable pipeline form is "
+    "plans/corpus_pipeline.curate(learned_gate=...)",
 )
 def q_corpus_curation(spark, sf_dir):
+    from hadoop_app_spark.operators.quality_model import (
+        PINNED_QUALITY_LR_WEIGHTS,
+        score_quality_lr,
+    )
+
     d = _t(spark, sf_dir, "documents")
+    d = score_quality_lr(d, "text", list(PINNED_QUALITY_LR_WEIGHTS), out_col="model_p")
     scored = d.select(
         "doc_id",
         "n_chars",
@@ -2494,6 +2506,7 @@ def q_corpus_curation(spark, sf_dir):
         token_count("text").alias("n_tokens"),
         F.size(F.array_distinct(tokenize("text"))).alias("n_unique"),
         doc_fingerprint("text").alias("fp"),
+        "model_p",
     )
     dup_ratio = (
         F.when(
@@ -2508,48 +2521,91 @@ def q_corpus_curation(spark, sf_dir):
             & (F.col("quality") >= 0.5)
             & (F.col("n_tokens").between(10, 5000))
             & (F.col("dup_ratio") <= 0.5)
+            & (F.col("model_p") >= 0.5)
         )
         .select(
             "doc_id",
             "n_chars",
             "n_tokens",
             "dup_ratio",
+            "model_p",
             (F.col("fp") % 100 < 20).cast("int").alias("in_sample"),
         )
     )
 
 
+def _quality_lr_z_sql(weights) -> str:
+    """DuckDB twin of operators/quality_model.score_quality_lr's w.x
+    margin under FIXED weights: same feature expressions, same
+    left-associative accumulation order — every op is IEEE-exact
+    (mul/add/div/least/greatest), so the value hashes identically.
+    Generated from the pinned weight constants, so oracle and
+    implementation cannot drift. Apply the algebraic sigmoid
+    ``0.5 + 0.5 * z / (1.0 + abs(z))`` to the result."""
+    ln = "CAST(length(text) AS DOUBLE)"
+    feats = [
+        "CAST(1.0 AS DOUBLE)",
+        f"least({ln} / 500.0, 1.0)",
+        "(CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)"
+        f" / greatest({ln}, 1.0))",
+        "least(CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE)"
+        " / 3.0, 1.0)",
+        f"least(CAST({_NTOK} AS DOUBLE) * 5.0 / greatest({ln}, 1.0), 1.0)",
+    ]
+    # weights go in as CAST('<repr>' AS DOUBLE) STRING literals: DuckDB
+    # parses a bare 17-significant-digit numeric literal as DECIMAL
+    # first, and the decimal->double conversion can land one ulp off
+    # the nearest double that repr/Spark/Java all round-trip to
+    # (measured: CAST(0.9466421140454269 AS DOUBLE) ends ...268) —
+    # the string cast parses directly to the exact double
+    return " + ".join(
+        f"({f}) * CAST('{w!r}' AS DOUBLE)" for f, w in zip(feats, weights)
+    )
+
+
 # the language/quality/token oracles already exist on text_metrics; reuse the
 # same SQL fragments so the curation oracle stays in lockstep with them.
-REGISTRY["corpus_curation"] = QueryDef(
-    REGISTRY["corpus_curation"].fn,
-    oracle="""
+def _corpus_curation_oracle() -> str:
+    from hadoop_app_spark.operators.quality_model import PINNED_QUALITY_LR_WEIGHTS
+
+    return """
         WITH lang AS ({lang_sql}),
         m AS (
             SELECT doc_id, n_chars,
                    ({ntok}) AS n_tokens,
                    len(list_distinct({toks})) AS n_unique,
                    {quality} AS quality,
-                   {fp} AS fp
+                   {fp} AS fp,
+                   ({z}) AS _z
             FROM documents),
         s AS (
             SELECT m.doc_id, m.n_chars, m.n_tokens, m.fp, m.quality, lang.lang_guess,
                    CASE WHEN m.n_tokens > 0
                         THEN CAST(m.n_tokens - m.n_unique AS DOUBLE) / m.n_tokens
-                        ELSE 0.0 END AS dup_ratio
+                        ELSE 0.0 END AS dup_ratio,
+                   CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * m._z
+                       / (CAST(1.0 AS DOUBLE) + abs(m._z)) AS model_p
             FROM m JOIN lang ON m.doc_id = lang.doc_id)
         SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens, dup_ratio,
+               model_p,
                CAST(fp % 100 < 20 AS INTEGER) AS in_sample
         FROM s
         WHERE lang_guess = 'en' AND quality >= 0.5
           AND n_tokens BETWEEN 10 AND 5000 AND dup_ratio <= 0.5
+          AND model_p >= 0.5
     """.format(
         lang_sql=_language_id_oracle().strip(),
         ntok=_NTOK,
         toks=_TOKS,
         quality=_QUALITY_SQL,
         fp=_FP_SQL,
-    ),
+        z=_quality_lr_z_sql(PINNED_QUALITY_LR_WEIGHTS),
+    )
+
+
+REGISTRY["corpus_curation"] = QueryDef(
+    REGISTRY["corpus_curation"].fn,
+    oracle=_corpus_curation_oracle(),
     doc=REGISTRY["corpus_curation"].doc,
 )
 
@@ -3613,17 +3669,20 @@ def q_lm_perplexity(spark, sf_dir):
     # exact merge-sequence equality vs a pure-Python reference BPE is
     # pinned in tests/test_bpe.py on both synthetic and real corpora
     doc="BPE merge induction (north star: tokenizer training on the corpus, "
-    "Sennrich et al. 2016): one corpus pass builds the word-frequency table, "
-    "then every round runs on the VOCABULARY-sized state — pair explode + "
-    "partial-combine agg + TakeOrdered(1) argmax (deterministic tie-break) + "
-    "a Catalyst fold rewriting symbol arrays; localCheckpoint per round, no "
-    "Python in the row path (operators/bpe.learn_bpe_merges)",
+    "Sennrich et al. 2016), vocabulary-scale form (VERDICT r4 item 3): ONE "
+    "corpus pass builds the word-frequency table, the table is collected "
+    "once (vocabulary-sized, guarded bounded side channel), and merge "
+    "induction runs driver-side with incremental pair counts + a lazy-"
+    "deletion heap — a 32k-merge production vocabulary is seconds of driver "
+    "CPU instead of one Spark job per merge; exact merge-sequence equality "
+    "vs the naive reference AND the distributed per-round-argmax form is "
+    "pinned in tests/test_bpe.py (operators/bpe.learn_bpe_merges_fast)",
 )
 def q_bpe_merges(spark, sf_dir):
-    from hadoop_app_spark.operators.bpe import learn_bpe_merges
+    from hadoop_app_spark.operators.bpe import learn_bpe_merges_fast
 
     d = _t(spark, sf_dir, "documents")
-    merges, _ = learn_bpe_merges(d, "text", n_merges=12)
+    merges, _ = learn_bpe_merges_fast(d, "text", n_merges=64)
     return spark.createDataFrame(
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string",
@@ -3953,6 +4012,39 @@ def q_semdedup(spark, sf_dir):
 
 
 @query(
+    "semdedup_fast",
+    # no SQL oracle BY DESIGN: centroids are TRAINED (spherical k-means,
+    # engine-seeded float means — the same rows-only convention as the
+    # other trained/engine-seeded structures); with the HOF path's
+    # deterministic centroids the survivor set is pinned EQUAL to the
+    # oracled semdedup row in tests/test_semdedup.py
+    oracle=None,
+    doc="production SemDeDup path (VERDICT r4 item 2): TRAINED spherical "
+    "k-means centroids (operators/similarity.train_ivf_centroids) feed the "
+    "vectorized assignment — centroids broadcast as ONE (k, d) float64 "
+    "ndarray, per-batch BLAS matmul argmax, so growing n_clusters with the "
+    "corpus (the knob that bounds the per-cluster quadratic) grows only the "
+    "broadcast, never the plan literal — then the within-cluster duplicate "
+    "test runs as a blocked-matmul applyInPandas kernel per cluster (same "
+    "keep rule, same (csim asc, id asc) tie order, same single exchange on "
+    "the int cluster key as the Catalyst self-join) "
+    "(operators/semdedup.semdedup_survivors_fast)",
+)
+def q_semdedup_fast(spark, sf_dir):
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+    from hadoop_app_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", n_centroids=16, iters=2)
+    return semdedup_survivors_fast(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.35,
+        centroid_source=cents,
+    )
+
+
+@query(
     "quality_classifier",
     # no SQL oracle BY DESIGN (iterative training loop); exactness is
     # pinned harder than an oracle could: tests/test_quality_model.py
@@ -4050,33 +4142,41 @@ _PRIORITY = [
     # aggregation completions (count_distinct carries the approx/HLL band check)
     "count_distinct",
     "grouping_analytics",
-    # join completions (bucketed_join gates the write-time co-located layout)
+    # join completions (bucketed_join gates the write-time co-located
+    # layout). r5 swap-out outer_joins: left/right/full mechanics are the
+    # same SortMergeJoin family the gated inner/semi/anti/asof rows
+    # exercise and its null-extension semantics were driver-green in
+    # r2-r4; stays oracle-checked locally.
     "semi_anti_join",
-    "outer_joins",
     "cross_range_joins",
     "asof_join_latest_click",
     "bucketed_join",
-    # windows / set ops / sort-limit
+    # windows (set_operations rotated out r5: three set-op scans over
+    # gated-everywhere groupBy mechanics, driver-green r2-r4)
     "window_analytics",
-    "set_operations",
     # r4 swap-in: bm25_retrieval's final stage IS global_topn's
     # TakeOrderedAndProject partial top-k (with an id tiebreak), plus the
     # tf/df/idf scoring pipeline on top — a strict superset of the gated
     # signal it replaces
     "bm25_retrieval",
-    # scalar-function surface
+    # scalar-function surface. r5 swap-outs (all driver-green r2-r4, all
+    # with mechanics inside rows that STAY gated): array_hof_functions
+    # (HOF transform/filter/aggregate folds run inside the gated
+    # simhash_band_neardup poly fold and the incoming sequence_packing/
+    # semdedup oracles); regex_case_functions (regexp mechanics inside
+    # the gated pii_redaction and incoming html_extract); math_functions
+    # (scalar arithmetic inside pricing_summary/text_metrics);
+    # metric_profile (observe counters are pytest-gated in
+    # tests/test_metrics.py). All remain oracle-checked locally.
     "date_functions",
     "json_functions",
     "string_functions",
     "safe_cast_defaults",
-    "array_hof_functions",
-    "regex_case_functions",
-    "math_functions",
-    "metric_profile",
-    # text analysis / dedup (north star)
+    # text analysis / dedup (north star). r5 swap-out
+    # ngram_jaccard_adjacent: pair-bounded inside minhash_dedup's gated
+    # oracle (which recomputes shingle Jaccard for every candidate pair).
     "text_metrics",
     "exact_dedup_simhash",
-    "ngram_jaccard_adjacent",
     "minhash_dedup",
     # r4 swap-in: cluster_canonical's oracle contains near_dup_components'
     # ENTIRE pipeline (same embedding near-dup pairs, same recursive-CTE
@@ -4086,20 +4186,25 @@ _PRIORITY = [
     # r4 swap-in: cross-document duplicated-passage spans — the
     # substring-level member of the dedup family (Lee et al. 2022 class)
     "duplicate_passages",
-    # similarity / ANN (north star)
+    # similarity / ANN (north star). r5 swap-out lsh_ann_topk: the
+    # sign-LSH bucket mechanics live inside the gated embedding_near_dup
+    # (same hyperplanes, same bucketed candidate join); brute-force
+    # cosine_topk (exact baseline) and ivf_ann_topk (cell-probed scale
+    # path) stay gated as the family's two poles.
     "cosine_topk",
-    "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
-    # corpus pipeline stages (north star)
+    # corpus pipeline stages (north star). r5 swap-outs: source_stats
+    # (plain keyed counts + the fp-mod distinct the gated corpus_curation
+    # row carries); decontamination (keyed gram-join mechanics now gated
+    # via duplicate_passages); domain_filter_caps (per-key cap is the
+    # WindowGroupLimit the gated tfidf_top_terms row exercises). All
+    # remain oracle-checked locally.
     "corpus_curation",
     "tfidf_top_terms",
-    "source_stats",
     "pii_redaction",
     "line_dedup",
     "repetition_ngrams",
-    "decontamination",
-    "domain_filter_caps",
     # r4 swap-in: the Hamming-banded member of the dedup family; its
     # brute-force oracle value-checks the banding recall guarantee itself
     "simhash_band_neardup",
@@ -4117,6 +4222,22 @@ _PRIORITY = [
     "source_codecs",
     "multimodal_meta",
     "upsert_snapshot",
+    # --- r5 swap-ins (VERDICT r4 item 1): the round-4 centerpiece
+    # operators rotate INTO the 50-row driver gate so their oracles get
+    # driver CORRECTNESS rows (local green != driver green — the r1
+    # lesson). Every entry below was re-verified with
+    # tools/oracle_check.py --vanilla before the rotation.
+    "winnow_neardup",
+    "semdedup",
+    "sequence_packing",
+    "lm_perplexity",
+    "mixture_rebalance",
+    "html_extract",
+    "funnel_conversion",
+    "url_canonical_dedup",
+    "quantile_profile",
+    "stream_static_join_exec",
+    "stream_stream_join_exec",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --
@@ -4150,48 +4271,37 @@ _PRIORITY = [
     "pivot_wide",
     "embedding_avg_by_label",
     "repetition_ngrams_fast",
-    "url_canonical_dedup",
     "shard_packing",
     "compression_quality",
-    "quantile_profile",
     "token_histogram",
     "minhash_cluster_canonical",
+    # r5 swap-outs (rationales at their old gate slots above): each was
+    # driver-green in r2-r4 and its mechanics live inside a row that
+    # stays gated; all remain oracle-checked locally every round.
+    "outer_joins",
+    "set_operations",
+    "metric_profile",
+    "array_hof_functions",
+    "regex_case_functions",
+    "math_functions",
+    "ngram_jaccard_adjacent",
+    "lsh_ann_topk",
+    "source_stats",
+    "decontamination",
+    "domain_filter_caps",
     # inverted_index: the posting-cap is the same WindowGroupLimit-pruned
     # per-key window tfidf_top_terms gates; doc_freq is a plain keyed count
     # — oracle-checked locally, lowest marginal driver signal of the r4 ops
     "inverted_index",
-    # html_extract: narrow-map regexp/HOF chain (the mechanics the gated
-    # regex_case_functions/string_functions/text_metrics rows exercise);
-    # oracle GENERATED from the implementation's own pattern tables and
-    # checked exact locally
-    "html_extract",
-    # winnow_neardup: the substring-robust dedup member (MOSS winnowing);
-    # pair-join mechanics are the df-capped bucket join the gated
-    # minhash_dedup/simhash_band_neardup rows exercise; selection rule
-    # pinned against a pure-Python reference in tests/test_winnow.py and
-    # oracle-checked exact locally; the _hof twin is the pure-Catalyst
-    # reference path, bit-identical and sharing the oracle
-    "winnow_neardup",
+    # winnow_neardup_hof: pure-Catalyst reference path, bit-identical to
+    # the now-gated winnow_neardup and sharing its oracle
     "winnow_neardup_hof",
-    # semdedup: embedding-cluster-scoped semantic dedup; the cluster
-    # self-join mechanics are the bucketed-pair pattern the gated
-    # embedding_near_dup row exercises; oracle recomputes centroids/
-    # assignment/keep-rule in SQL and is checked exact locally
-    "semdedup",
     # sample_per_group: fixed-k twin of the gated-via-corpus_curation
     # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
     # tfidf_top_terms — oracle-checked locally
     "sample_per_group",
-    # mixture_rebalance: same fp-threshold mechanism with rates DERIVED
-    # from token totals; the oracle recomputes the derivation in SQL —
-    # oracle-checked locally
-    "mixture_rebalance",
-    # lm_perplexity: keyed-count model + equi-join scoring, the join/agg
-    # mechanics gated many times over — oracle-checked locally
-    "lm_perplexity",
-    # funnel/cohort: event analytics over keyed aggs + joins (mechanics
-    # gated via the join/agg families) — oracle-checked locally
-    "funnel_conversion",
+    # cohort_retention: keyed aggs + joins, mechanics gated via the
+    # join/agg families and the now-gated funnel_conversion
     "cohort_retention",
     # bpe_merges: iterative argmax loop, rows-only by design; exact
     # equality vs a pure-Python reference is pytest-pinned
@@ -4201,18 +4311,10 @@ _PRIORITY = [
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest
     "quality_classifier",
-    # sequence_packing: sample-packing layout over the same two-pass
-    # prefix scan the gated-adjacent shard_packing exercises; oracle
-    # (a plain windowed prefix sum) checked exact locally
-    "sequence_packing",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",
     "stream_tumbling_exec",
-    # r4 streaming-join executions (same availableNow gate pattern as the
-    # five gated stream_*_exec rows; past the budget, oracle-checked locally)
-    "stream_static_join_exec",
-    "stream_stream_join_exec",
     "minhash_signatures",
     "tumbling_window",
     "sessionize",
@@ -4226,6 +4328,10 @@ _PRIORITY = [
     "minhash_signatures_fast",
     "minhash_dedup_fast",
     "simhash_band_neardup_fast",
+    # semdedup_fast (r5): trained-centroid + BLAS-kernel production path;
+    # rows-only by design (engine-seeded k-means), survivor-set equality
+    # with the gated semdedup row pinned in tests/test_semdedup.py
+    "semdedup_fast",
     "image_features",
     "image_resize",
     "frame_sample",

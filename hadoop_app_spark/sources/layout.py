@@ -139,12 +139,25 @@ def write_zorder_layout(
     sort on the wide column (measured: pruning on the narrow column
     collapsed from ~4x to none on the test corpus)."""
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
-    maxes = df.agg(*[F.max(c).alias(c) for c in zorder_cols]).head()
+    stats = df.agg(
+        *[F.max(c).alias(f"max_{c}") for c in zorder_cols],
+        *[F.min(c).alias(f"min_{c}") for c in zorder_cols],
+    ).head()
+    maxes = {c: stats[f"max_{c}"] for c in zorder_cols}
     bad = [c for c in zorder_cols if maxes[c] is None]
     if bad:
         # empty frame or all-NULL cluster column: no layout to derive —
         # fail with the reason, not int(None)'s opaque TypeError
         raise ValueError(f"cannot z-order {path!r}: no values in columns {bad}")
+    neg = [c for c in zorder_cols if int(stats[f"min_{c}"]) < 0]
+    if neg:
+        # a negative long through shiftleft keeps its two's-complement
+        # high bits, scattering the Morton key and silently destroying
+        # the clustering this function promises — refuse, don't degrade
+        raise ValueError(
+            f"cannot z-order {path!r}: negative values in columns {neg}; "
+            "shift the domain to be non-negative (e.g. v - min) first"
+        )
     # double division then truncate: exact while value_bits + bits <=
     # 53 (IEEE mantissa); pre-bucket full-width longs (epoch-day, not
     # epoch-millis) — which the bits budget forces anyway

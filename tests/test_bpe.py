@@ -90,3 +90,58 @@ def test_bpe_stops_when_fully_merged(spark):
     assert len(merges) == 2
     final = words.collect()
     assert len(final) == 1 and list(final[0].symbols) == ["ab" + EOW]
+
+
+def test_fast_trainer_matches_reference_synthetic(spark):
+    from hadoop_app_spark.operators.bpe import learn_bpe_merges_fast, py_bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low newer",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    counts = Counter(w for t in texts for w in t.lower().split())
+    ref_merges, ref_vocab = _python_bpe(dict(counts), 12)
+    # driver-side incremental trainer == naive reference, exactly
+    py_merges, py_vocab = py_bpe_train(dict(counts), 12)
+    assert py_merges == ref_merges and py_vocab == ref_vocab
+    # end-to-end fast path == reference too
+    merges, words = learn_bpe_merges_fast(df, "text", n_merges=12)
+    assert merges == ref_merges
+    got = {r.w: list(r.symbols) for r in words.collect()}
+    assert got == ref_vocab
+
+
+def test_fast_trainer_matches_distributed_on_corpus(spark):
+    from hadoop_app_spark.operators.bpe import learn_bpe_merges_fast
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    slow_merges, _ = learn_bpe_merges(docs, "text", n_merges=8)
+    fast_merges, _ = learn_bpe_merges_fast(docs, "text", n_merges=8)
+    assert fast_merges == slow_merges
+
+
+def test_fast_trainer_deep_merge_sequence(spark):
+    # the scale claim: hundreds of merges in one bounded collect + driver
+    # loop — verify deep sequences stay exact vs the naive reference
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wc = {
+        r.w: r["count"]
+        for r in word_frequency_table(docs, "text").select("w", "count").collect()
+    }
+    from hadoop_app_spark.operators.bpe import py_bpe_train
+
+    ref_merges, ref_vocab = _python_bpe(dict(wc), 300)
+    fast_merges, fast_vocab = py_bpe_train(dict(wc), 300)
+    assert fast_merges == ref_merges
+    assert fast_vocab == ref_vocab
+
+
+def test_fast_trainer_vocab_guard(spark):
+    import pytest
+    from hadoop_app_spark.operators.bpe import learn_bpe_merges_fast
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="max_vocab"):
+        learn_bpe_merges_fast(docs, "text", n_merges=2, max_vocab=5)

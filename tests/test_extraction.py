@@ -130,3 +130,33 @@ def test_min_words_threshold(spark):
         content_lines(text_lines(F.col("t")), min_words=3).alias("k")
     ).head()
     assert out.k == ["three four five."]
+
+
+def test_br_hr_with_attributes_break_lines(spark):
+    # <br class=..> / <hr id=..> must produce newlines like their bare
+    # forms, not fall through to the generic tag->space rule
+    html = (
+        "<p>First sentence stays on its own line here.</p>"
+        'Second sentence before a break.<br class="wide">'
+        "Third sentence after the attribute break lives alone.<hr id='x' />"
+        "Fourth sentence closes out the document properly."
+    )
+    r = _extract(spark, [(1, html)])[1]
+    lines = [x.strip() for x in r.text.split("\n") if x.strip()]
+    assert "Second sentence before a break." in lines
+    assert "Third sentence after the attribute break lives alone." in lines
+    assert "Fourth sentence closes out the document properly." in lines
+
+
+def test_br_attribute_oracle_parity(spark):
+    import duckdb
+
+    from hadoop_app_spark.operators.extraction import html_strip
+
+    html = 'a line before.<br data-x="1">a line after the attribute break.'
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    got = df.select(html_strip("html").alias("t")).head().t
+    want = duckdb.sql(
+        f"SELECT {html_strip_sql('html')} AS t FROM (SELECT '{html}' AS html)"
+    ).fetchone()[0]
+    assert got == want and "\n" in got

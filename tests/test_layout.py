@@ -133,3 +133,12 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     z2 = decoded(zpath, pred_second)
     lex2 = decoded(lexpath, pred_second)
     assert z2 < lex2 * 0.7, (z2, lex2, total)
+
+
+def test_zorder_negative_values_raise(spark, tmp_path):
+    import pytest
+    from hadoop_app_spark.sources.layout import write_zorder_layout
+
+    df = spark.range(10).selectExpr("id AS a", "id - 5 AS b")
+    with pytest.raises(ValueError, match="negative"):
+        write_zorder_layout(df, str(tmp_path / "zneg"), ["a", "b"], bits=4)

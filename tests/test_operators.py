@@ -1621,3 +1621,15 @@ def test_table_format_matrix_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == want
     with pytest.raises(ValueError):
         write_table(df, str(tmp_path / "x"), "avro")
+
+
+def test_mixture_rebalance_group_cardinality_guard(spark):
+    # a document-grained group_col must fail fast with the cause, not
+    # attempt a driver-sized collect (ADVICE r4 / VERDICT item 5)
+    import pytest
+    from hadoop_app_spark.operators.corpus import mixture_rebalance
+
+    n = 11_000  # past the 10k floor of max(len(weights) * 16, 10_000)
+    df = spark.range(n).selectExpr("CAST(id AS STRING) AS source", "'word' AS text")
+    with pytest.raises(ValueError, match="distinct"):
+        mixture_rebalance(df, "source", {"a": 1.0})

@@ -94,3 +94,25 @@ def test_empty_frame_raises(spark):
     df, _ = _df(spark)
     with pytest.raises(ValueError):
         train_quality_lr(df.where(F.lit(False)), "text", "y")
+
+
+def test_null_label_raises(spark):
+    # a NULL label would silently vanish from the decimal gradient sums
+    # (err -> NULL) while still counting in n — must fail fast instead
+    df, _ = _df(spark)
+    df = df.withColumn("y", F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(F.col("y")))
+    with pytest.raises(ValueError, match="NULL"):
+        train_quality_lr(df, "text", "y", n_iter=2)
+
+
+def test_pinned_weights_rederive_at_sf001(spark):
+    # PINNED_QUALITY_LR_WEIGHTS feeds the oracle-checked corpus_curation
+    # learned gate; training is decimal-exact deterministic, so the
+    # constant must re-derive EXACTLY from its documented recipe
+    from hadoop_app_spark.operators.quality_model import PINNED_QUALITY_LR_WEIGHTS
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").withColumn(
+        "y", (F.length("text") >= 300).cast("int")
+    )
+    w = train_quality_lr(d, "text", "y", n_iter=10, lr=1.0)
+    assert tuple(w) == PINNED_QUALITY_LR_WEIGHTS

@@ -84,3 +84,80 @@ def test_empty_centroids_raise(spark):
     empty = _mk(spark, []).where("vec_id > 0")
     with pytest.raises(ValueError):
         assign_clusters(_mk(spark, [(0, [1.0, 0.0])]), centroid_source=empty)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fast_assignment_parity_constructed(spark):
+    from hadoop_app_spark.operators.semdedup import assign_clusters_fast
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+        (4, [0.0, 0.0]),
+    ]
+    slow = {r.vec_id: r.cluster for r in assign_clusters(_mk(spark, rows), n_clusters=2).collect()}
+    fast = {r.vec_id: r.cluster for r in assign_clusters_fast(_mk(spark, rows), n_clusters=2).collect()}
+    assert fast == slow
+
+
+def test_fast_survivors_equal_hof_on_corpus(spark):
+    # the VERDICT r4 item-2 pin: identical survivor set on the real
+    # embedding corpus at the gated settings (same lowest-id centroids)
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    slow = {
+        (r.vec_id, r.cluster)
+        for r in semdedup_survivors(emb, n_clusters=8, threshold=0.35).collect()
+    }
+    fast = {
+        (r.vec_id, r.cluster)
+        for r in semdedup_survivors_fast(emb, n_clusters=8, threshold=0.35).collect()
+    }
+    assert fast == slow
+
+
+def test_fast_survivors_blocked_kernel_equivalence(spark):
+    # block_rows smaller than any cluster forces the blocked code path;
+    # results must not change
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    whole = {
+        (r.vec_id, r.cluster)
+        for r in semdedup_survivors_fast(emb, n_clusters=4, threshold=0.35).collect()
+    }
+    blocked = {
+        (r.vec_id, r.cluster)
+        for r in semdedup_survivors_fast(
+            emb, n_clusters=4, threshold=0.35, block_rows=3
+        ).collect()
+    }
+    assert blocked == whole
+
+
+def test_fast_with_trained_centroids_runs(spark):
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+    from hadoop_app_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=4, iters=1)
+    out = semdedup_survivors_fast(
+        emb, n_clusters=4, threshold=0.35, centroid_source=cents
+    ).collect()
+    n = emb.count()
+    assert 0 < len(out) <= n
+    assert len({r.vec_id for r in out}) == len(out)
+
+
+def test_inline_assignment_ceiling_raises(spark):
+    from hadoop_app_spark.operators.semdedup import MAX_INLINE_CLUSTERS
+
+    with pytest.raises(ValueError, match="assign_clusters_fast"):
+        assign_clusters(
+            _mk(spark, [(0, [1.0, 0.0])]), n_clusters=MAX_INLINE_CLUSTERS + 1
+        )

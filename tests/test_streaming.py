@@ -619,3 +619,56 @@ def test_cdc_user_column_named_p_survives(spark, tmp_path):
     ).awaitTermination()
     snap = {r.k: (r.p, r.v) for r in current_snapshot(spark, root).collect()}
     assert snap == {1: ("a", 10.0), 2: ("b2", 21.0)}
+
+
+def test_cdc_delta_target_feature_detect(spark):
+    # the container has no delta-spark / iceberg extension; the detector
+    # must say so cleanly (False, not an exception)
+    from hadoop_app_spark.streaming.cdc import table_format_available
+
+    assert table_format_available("delta") in (True, False)
+    assert table_format_available("iceberg") in (True, False)
+    import pytest
+
+    with pytest.raises(ValueError):
+        table_format_available("hudi")
+
+
+def test_cdc_delta_merge_target(spark, tmp_path):
+    """Same change stream, real Delta MERGE target — runs only where
+    delta-spark is installed (feature-detected; skipped in-container)."""
+    import json as _json
+
+    import pytest
+
+    from hadoop_app_spark.streaming.cdc import (
+        DeltaMergeTarget,
+        apply_changes_stream,
+        table_format_available,
+    )
+
+    if not table_format_available("delta"):
+        pytest.skip("delta-spark not installed")
+
+    changes = [
+        {"k": 1, "name": "a", "v": 10.0, "op": "I", "seq": 1},
+        {"k": 2, "name": "b", "v": 20.0, "op": "I", "seq": 2},
+        {"k": 2, "name": "b2", "v": 21.0, "op": "U", "seq": 3},  # later seq wins
+    ]
+    cdir = tmp_path / "changes"
+    cdir.mkdir()
+    (cdir / "batch1.jsonl").write_text("\n".join(_json.dumps(c) for c in changes))
+    stream = spark.readStream.schema(
+        "k long, name string, v double, op string, seq long"
+    ).json(str(cdir))
+    target = DeltaMergeTarget(str(tmp_path / "delta_tbl"), ["k"], op_col="op")
+    q = apply_changes_stream(
+        stream, str(tmp_path / "unused"), ["k"], op_col="op", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"), target=target,
+    )
+    q.awaitTermination()
+    rows = {
+        r.k: (r.name, r.v)
+        for r in spark.read.format("delta").load(str(tmp_path / "delta_tbl")).collect()
+    }
+    assert rows == {1: ("a", 10.0), 2: ("b2", 21.0)}

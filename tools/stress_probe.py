@@ -1,6 +1,17 @@
 """10x scaling stress probe: does each operator family's wall time grow
 ~linearly when the corpus grows 10x, with no single-partition funnel?
 
+The three OUTPUT-BOUND families (duplicate_passages, simhash_band,
+winnow — families whose 10x ratios exceed 13x because verbatim copies
+multiply the OUTPUT quadratically, not because the plan is superlinear)
+additionally run a 100x tier, reporting rows-out next to seconds so
+output-bound vs plan-bound growth stays attributable at the next scale
+step (VERDICT r4 item 6).
+
+Each run also samples SHUFFLE bytes (read + write) from the Spark UI
+REST API when the UI is up — wall-time transfers poorly to a real
+cluster, bytes-over-the-wire transfer directly.
+
 Usage: python tools/stress_probe.py [base_sf_dir] [family ...]
 
 Builds a 1x and a 10x corpus from the base documents/embeddings tables
@@ -34,20 +45,19 @@ from pyspark.sql import functions as F
 
 from hadoop_app_spark import get_spark
 
-COPIES = 10
-
-
-def build_corpora(spark, base_dir: str, out: Path) -> dict[str, dict[int, str]]:
-    """Write {table: {1: path, 10: path}} parquet corpora."""
+def build_corpora(
+    spark, base_dir: str, out: Path, scales: tuple[int, ...] = (1, 10)
+) -> dict[str, dict[int, str]]:
+    """Write {table: {scale: path}} parquet corpora for each scale."""
     paths: dict[str, dict[int, str]] = {}
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
     n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
 
-    def shifted_union(df, id_col, n_ids, perturb_vec=False):
+    def shifted_union(df, id_col, n_ids, copies, perturb_vec=False):
         parts = []
-        for k in range(COPIES):
+        for k in range(copies):
             c = df.withColumn(id_col, F.col(id_col) + F.lit(k * n_ids))
             if perturb_vec and k:
                 c = c.withColumn(
@@ -72,17 +82,40 @@ def build_corpora(spark, base_dir: str, out: Path) -> dict[str, dict[int, str]]:
         ("embeddings", emb, "vec_id", n_vec, True),
         ("events", ev_shift, "user_id", n_user, False),
     ):
-        p1 = str(out / f"{name}_x1")
-        p10 = str(out / f"{name}_x10")
-        # both scales get the same 32-way layout: a single-file 1x scan
-        # would otherwise run narrow chains on one core and make the 10x
-        # (parallel) run look FASTER — scaling ratios need equal layouts
-        df.repartition(32).write.mode("overwrite").parquet(p1)
-        shifted_union(df, id_col, n_ids, pv).repartition(32).write.mode(
-            "overwrite"
-        ).parquet(p10)
-        paths[name] = {1: p1, 10: p10}
+        paths[name] = {}
+        for scale in scales:
+            p = str(out / f"{name}_x{scale}")
+            # every scale gets the same 32-way layout: a single-file 1x
+            # scan would otherwise run narrow chains on one core and make
+            # the bigger (parallel) runs look FASTER — scaling ratios
+            # need equal layouts
+            src = df if scale == 1 else shifted_union(df, id_col, n_ids, scale, pv)
+            src.repartition(32).write.mode("overwrite").parquet(p)
+            paths[name][scale] = p
     return paths
+
+
+def _shuffle_bytes(spark) -> int | None:
+    """Total shuffle read+write bytes across completed stages, via the
+    UI REST API (None when the UI is off). Differencing two samples
+    brackets one family run — bytes are the number that transfers to a
+    real cluster, where wall-time does not."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages", timeout=5) as r:
+            stages = json.load(r)
+        return sum(
+            int(s.get("shuffleReadBytes", 0)) + int(s.get("shuffleWriteBytes", 0))
+            for s in stages
+            if s.get("status") == "COMPLETE"
+        )
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +425,17 @@ FAMILIES = {
 }
 
 
+# families whose verbatim-copy corpora multiply OUTPUT quadratically:
+# they get the deeper tier so rows-out growth stays attributable
+# separately from input growth (VERDICT r4 item 6)
+OUTPUT_BOUND_TIERS: dict[str, tuple[int, ...]] = {
+    "duplicate_passages": (1, 10, 100),
+    "simhash_band": (1, 10, 100),
+    "winnow": (1, 10, 100),
+    "embedding_near_dup": (1, 10, 100),
+}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     base = args[0] if args else "/root/testdata/sf0.1"
@@ -402,42 +446,67 @@ def main() -> None:
 
     spark = get_spark("stress-probe")
     tmp = Path(tempfile.mkdtemp(prefix="stress_probe_"))
+    all_scales = tuple(
+        sorted({s for w in wanted for s in OUTPUT_BOUND_TIERS.get(w, (1, 10))})
+    )
     try:
-        paths = build_corpora(spark, base, tmp)
+        paths = build_corpora(spark, base, tmp, scales=all_scales)
         EVENT_PATHS.update({s: p for s, p in paths["events"].items()})
         rows = []
         for name in wanted:
             fn = FAMILIES[name]
+            tiers = OUTPUT_BOUND_TIERS.get(name, (1, 10))
             res = {}
-            for scale in (1, 10):
+            for scale in tiers:
                 # run twice, keep the faster: the first execution pays
                 # whole-stage-codegen compile (scale-independent), which
                 # at probe sizes would swamp the data-scaling signal
-                best, n = None, None
+                best, n, bytes_used = None, None, None
                 for _ in range(2):
                     scratch = tmp / f"scratch_{name}_x{scale}"
                     shutil.rmtree(scratch, ignore_errors=True)
                     scratch.mkdir(parents=True)
+                    b0 = _shuffle_bytes(spark)
                     t0 = time.monotonic()
                     n = fn(spark, paths["documents"][scale], paths["embeddings"][scale], scratch)
                     dt = time.monotonic() - t0
-                    best = dt if best is None else min(best, dt)
-                res[scale] = (best, n)
-            ratio = res[10][0] / max(res[1][0], 1e-9)
-            rows.append((name, res[1][0], res[10][0], ratio, res[1][1], res[10][1]))
-            print(
-                f"| {name} | {res[1][0]:.2f}s | {res[10][0]:.2f}s | {ratio:.1f}x | "
-                f"{res[1][1]} -> {res[10][1]} rows |",
-                flush=True,
+                    b1 = _shuffle_bytes(spark)
+                    if best is None or dt < best:
+                        best = dt
+                        if b0 is not None and b1 is not None:
+                            bytes_used = b1 - b0
+                res[scale] = (best, n, bytes_used)
+            lo, hi = tiers[0], tiers[-1]
+            ratio = res[hi][0] / max(res[lo][0], 1e-9)
+            rows.append((name, tiers, res, ratio))
+            cells = " | ".join(
+                f"x{s}: {res[s][0]:.2f}s/{res[s][1]} rows"
+                + (f"/{res[s][2] / 1e6:.0f}MB shuf" if res[s][2] is not None else "")
+                for s in tiers
             )
+            print(f"| {name} | {cells} | {ratio:.1f}x over {hi}x data |", flush=True)
         print(
             json.dumps(
                 {
-                    "probe": "stress10x",
+                    "probe": "stress_tiers",
                     "base": base,
                     "families": {
-                        r[0]: {"x1_sec": round(r[1], 2), "x10_sec": round(r[2], 2), "ratio": round(r[3], 1)}
-                        for r in rows
+                        name: {
+                            "tiers": {
+                                f"x{s}": {
+                                    "sec": round(res[s][0], 2),
+                                    "rows_out": res[s][1],
+                                    **(
+                                        {"shuffle_bytes": res[s][2]}
+                                        if res[s][2] is not None
+                                        else {}
+                                    ),
+                                }
+                                for s in tiers
+                            },
+                            "ratio": round(ratio, 1),
+                        }
+                        for name, tiers, res, ratio in rows
                     },
                 }
             )
