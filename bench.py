@@ -80,10 +80,15 @@ BENCH_QUERIES = [
     "winnow_neardup",
     "semdedup",
     "quality_classifier",
-    # r5 additions: trained-centroid BLAS SemDeDup, packing layout, BPE
+    # r5 additions: trained-centroid BLAS SemDeDup, packing layout, BPE,
+    # chunking/FIM training layouts, normalized dedup, source overlap
     "semdedup_fast",
     "sequence_packing",
     "bpe_token_count",
+    "doc_chunking",
+    "fim_splits",
+    "normalized_dedup",
+    "source_overlap",
 ]
 
 

@@ -174,3 +174,25 @@ def strip_markup(col: Column | str) -> Column:
     s = F.regexp_replace(_c(col), "<[^>]*>", " ")
     s = F.regexp_replace(s, "&[A-Za-z]{2,8};|&#[0-9]{1,6};", " ")
     return F.trim(F.regexp_replace(s, WS_REGEX, " "))
+
+
+# accent fold table for normalize_for_dedup — explicit character pairs
+# (not ICU NFD: neither Spark SQL nor DuckDB exposes a shared Unicode
+# normalizer, and an explicit table is oracle-reproducible)
+DEDUP_ACCENTS = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
+DEDUP_ACCENTS_PLAIN = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def normalize_for_dedup(col: Column | str) -> Column:
+    """CCNet-style aggressive normalization for duplicate detection:
+    lowercase, fold common accents, map every digit to 0, strip all
+    remaining non-[a-z0 whitespace] characters, collapse whitespace.
+    Two near-identical crawls of the same page ("Price: $1,299!" vs
+    "price $1299") normalize to the same key, so exact dedup over this
+    form catches the formatting-variant duplicates MinHash spends
+    shingles on. Pure codegen'd scalar chain; the SQL oracle applies
+    the identical steps (queries._NORM_SQL)."""
+    s = F.translate(F.lower(_c(col)), DEDUP_ACCENTS, DEDUP_ACCENTS_PLAIN)
+    s = F.regexp_replace(s, "[0-9]", "0")
+    s = F.regexp_replace(s, "[^a-z0 \\t\\n\\r\\f]", "")
+    return F.trim(F.regexp_replace(s, "[ \\t\\n\\r\\f]+", " "))

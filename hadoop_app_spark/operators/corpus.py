@@ -975,3 +975,37 @@ def line_dedup(
     return reassembled.join(total, id_col).select(
         id_col, "dedup_text", "n_lines", "n_kept_lines"
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    fingerprint: str = "poly",
+) -> DataFrame:
+    """-> [source_a, source_b, n_shared]: for every source pair
+    (a < b), how many distinct content fingerprints appear in BOTH —
+    the cross-source contamination dashboard every multi-crawl corpus
+    build needs before setting mixture weights (double-counting a
+    shared crawl inflates its effective epoch count).
+
+    Scale shape: ONE distinct hash-agg on (source, fp) collapses the
+    corpus to its per-source content sets BEFORE any pairing; the
+    self-join then matches on the fp hash key and the output is at
+    most |sources|^2 rows. The join input is duplicate-free by
+    construction, so a fingerprint shared k ways contributes exactly
+    C(k,2) ordered pairs — never a row explosion over raw copies.
+    ``fingerprint='fast'`` uses xxhash64 (production; no SQL oracle).
+    """
+    fp = (lambda c: F.xxhash64(F.col(c))) if fingerprint == "fast" else doc_fingerprint
+    keyed = df.select(
+        F.col(source_col).alias("_src"), fp(text_col).alias("_fp")
+    ).distinct()
+    a = keyed.select(F.col("_src").alias("source_a"), "_fp")
+    b = keyed.select(F.col("_src").alias("source_b"), "_fp")
+    return (
+        a.join(b, "_fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -4037,7 +4037,10 @@ def q_semdedup_fast(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cents = train_ivf_centroids(emb, "vec_id", "embedding", n_centroids=16, iters=2)
+    # sampled farthest-point seeding: one job, not k-1 sequential scans
+    cents = train_ivf_centroids(
+        emb, "vec_id", "embedding", n_centroids=16, iters=2, seed_on_sample=4096
+    )
     return semdedup_survivors_fast(
         emb, "vec_id", "embedding", n_clusters=16, threshold=0.35,
         centroid_source=cents,
@@ -4117,6 +4120,147 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(d, "ntok", ["doc_id"], seq_len=512).select(
         "doc_id", "seq_id", "seq_pos", "doc_tok_offset", "n_in_seq"
     )
+
+
+# raw-text whitespace tokens (no lower) — the doc_chunks contract
+_RAW_TOKS = f"list_filter(string_split_regex(text, '{_WS}'), x -> x <> '')"
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+        b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        g AS (SELECT doc_id, toks,
+                     unnest(range(0, CAST(floor((n - 1) / 24.0) AS BIGINT) + 1)) AS i
+              FROM b)
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_id,
+               CAST(i * 24 AS BIGINT) AS start_tok,
+               CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS BIGINT) AS n_tok,
+               array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+                   AS chunk_text
+        FROM g
+    """,
+    doc="sliding-window token chunking (north star: the RAG / long-context "
+    "ingestion splitter that runs after curation): chunk i covers tokens "
+    "[i*stride, i*stride+size) on a fixed stride grid (size=32, overlap=8), "
+    "every token in at least one chunk, final chunks may run short — one "
+    "explode, zero shuffles, all Catalyst, so chunk-metadata filters push "
+    "to the scan (operators/chunking.doc_chunks)",
+)
+def q_doc_chunking(spark, sf_dir):
+    from hadoop_app_spark.operators.chunking import doc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_chunks(d, "text", "doc_id", chunk_size=32, overlap=8)
+
+
+@query(
+    "fim_splits",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, text, length(text) AS L, {_FP_SQL} AS fp,
+                   CAST(floor(length(text) / 6) AS BIGINT) AS j
+            FROM documents WHERE length(text) >= 90),
+        s AS (
+            SELECT doc_id, text, L, fp,
+                   CAST(floor(L / 3) AS BIGINT) + fp % (j + 1) AS m1,
+                   CAST(floor(L * 2 / 3) AS BIGINT)
+                       + CAST(floor(fp / 31) AS BIGINT) % (j + 1) AS m2
+            FROM m)
+        SELECT doc_id,
+               substr(text, 1, CAST(m1 AS INTEGER)) AS prefix,
+               substr(text, CAST(m1 AS INTEGER) + 1, CAST(m2 - m1 AS INTEGER)) AS middle,
+               substr(text, CAST(m2 AS INTEGER) + 1, CAST(L - m2 AS INTEGER)) AS suffix,
+               CAST(fp % 2 AS INTEGER) AS spm
+        FROM s
+    """,
+    doc="deterministic fill-in-the-middle splits (north star: the FIM "
+    "transform, Bavarian et al. 2022, applied to a fraction of pretraining "
+    "docs): split points derive from the content fingerprint — jittered "
+    "around the thirds, reproducible under re-runs/repartitioning and "
+    "recomputable by the oracle, where a rand() split never could be; spm "
+    "flags the PSM/SPM serialization half. Pure narrow map "
+    "(operators/chunking.fim_splits)",
+)
+def q_fim_splits(spark, sf_dir):
+    from hadoop_app_spark.operators.chunking import fim_splits
+
+    d = _t(spark, sf_dir, "documents")
+    return fim_splits(d, "text", "doc_id", min_len=90)
+
+
+# DuckDB twin of functions/text.normalize_for_dedup; the non-printing
+# whitespace class members go in via chr() because SQL string literals
+# do not process backslash escapes
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace("
+    "translate(lower(text), 'áàâäãåçéèêëíìîïñóòôöõúùûüýÿ',"
+    " 'aaaaaaceeeeiiiinooooouuuuyy'),"
+    " '[0-9]', '0', 'g'),"
+    " '[^a-z0 ' || chr(9) || chr(10) || chr(13) || chr(12) || ']', '', 'g'),"
+    " '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+', ' ', 'g'))"
+)
+
+
+@query(
+    "normalized_dedup",
+    oracle=f"""
+        WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+        SELECT min(doc_id) AS doc_id, count(*) AS n_variants
+        FROM n GROUP BY norm
+    """,
+    doc="CCNet-style normalized exact dedup (north star dedup family — the "
+    "formatting-variant member): lowercase + accent fold + digit->0 + "
+    "punctuation strip + whitespace collapse, then ONE hash aggregation on "
+    "the normalized form (min-id survivor, variant count). Catches the "
+    "'Price: $1,299!' vs 'price $1299' duplicates exact dedup misses and "
+    "MinHash spends shingles on; the normalization chain is a codegen'd "
+    "scalar map, so the whole operator is scan -> hash-agg "
+    "(functions/text.normalize_for_dedup)",
+)
+def q_normalized_dedup(spark, sf_dir):
+    from hadoop_app_spark.functions.text import normalize_for_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", normalize_for_dedup(F.col("text")).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_variants"))
+        .select("doc_id", "n_variants")
+    )
+
+
+@query(
+    "source_overlap",
+    oracle=f"""
+        WITH p AS (SELECT source,
+                          array_to_string(list_slice({_RAW_TOKS}, 1, 8), ' ') AS text
+                   FROM documents),
+        k AS (SELECT DISTINCT source, {_FP_SQL} AS fp FROM p)
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM k a JOIN k b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+    doc="cross-source contamination matrix (north star: the shared-content "
+    "dashboard a multi-crawl corpus build consults before setting mixture "
+    "weights — double-counted crawls inflate effective epochs): distinct "
+    "(source, content-fingerprint) pairs FIRST (one hash agg collapses all "
+    "copies), then a fingerprint-keyed self-join whose output is at most "
+    "|sources|^2 rows. Keyed here at the 8-token-prefix grain so shared "
+    "boilerplate openings across sources surface "
+    "(operators/corpus.source_overlap_matrix)",
+)
+def q_source_overlap(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import source_overlap_matrix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.array_join(F.slice(tokenize("text"), 1, 8), " ").alias("key"),
+    )
+    return source_overlap_matrix(d, "key", "source")
 
 
 def names() -> list[str]:
@@ -4332,6 +4476,13 @@ _PRIORITY = [
     # rows-only by design (engine-seeded k-means), survivor-set equality
     # with the gated semdedup row pinned in tests/test_semdedup.py
     "semdedup_fast",
+    # r5 additions (oracle-checked locally; gate rotation candidates for
+    # r6): sliding-window chunking, FIM splits, CCNet normalized dedup,
+    # cross-source contamination matrix
+    "doc_chunking",
+    "fim_splits",
+    "normalized_dedup",
+    "source_overlap",
     "image_features",
     "image_resize",
     "frame_sample",

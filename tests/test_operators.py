@@ -1633,3 +1633,17 @@ def test_mixture_rebalance_group_cardinality_guard(spark):
     df = spark.range(n).selectExpr("CAST(id AS STRING) AS source", "'word' AS text")
     with pytest.raises(ValueError, match="distinct"):
         mixture_rebalance(df, "source", {"a": 1.0})
+
+
+def test_ivf_sampled_seeding_matches_full_when_sample_covers_corpus(spark):
+    # seed_on_sample with a sample larger than the corpus must reproduce
+    # the full-corpus farthest-point seeds exactly (same first vector,
+    # same max-d2 argmax, same lowest-id tie-break)
+    from hadoop_app_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = train_ivf_centroids(emb, n_centroids=6, iters=0)
+    sampled = train_ivf_centroids(emb, n_centroids=6, iters=0, seed_on_sample=10**6)
+    a = sorted(tuple(r[1]) for r in full.collect())
+    b = sorted(tuple(r[1]) for r in sampled.collect())
+    assert a == b

@@ -203,10 +203,21 @@ def f_ivf_ann(spark, dp, ep, scratch):
 
 
 def f_embedding_near_dup(spark, dp, ep, scratch):
+    """n_planes scales with the corpus (the documented knob, exactly
+    like semdedup's n_clusters): +1 plane halves expected bucket
+    population, so ceil(log2(scale)) extra planes hold the per-bucket
+    quadratic flat while the corpus grows. With planes FIXED the x100
+    tier is 100x density in 64 buckets = 10,000x pair work — the
+    paper-caveat shape, not a plan defect."""
+    import math
+
     from hadoop_app_spark.operators.similarity import embedding_near_dups
 
     emb = spark.read.parquet(ep)
-    return embedding_near_dups(emb, threshold=0.3, n_planes=6).count()
+    n = emb.count()
+    base = 5000  # sf0.1 corpus size the x1 tier was tuned on
+    extra = max(0, math.ceil(math.log2(max(n / base, 1))))
+    return embedding_near_dups(emb, threshold=0.3, n_planes=6 + extra).count()
 
 
 def f_url_dedup(spark, dp, ep, scratch):
@@ -333,6 +344,25 @@ def f_semdedup(spark, dp, ep, scratch):
     ).count()
 
 
+def f_semdedup_fast(spark, dp, ep, scratch):
+    """Production SemDeDup path: trained-free lowest-id centroids but
+    VECTORIZED assignment (broadcast ndarray + BLAS argmax) and the
+    blocked-matmul per-cluster kernel. Same n_clusters scaling rule as
+    f_semdedup — the point of the twin is that growing n_clusters 10x
+    grows only the broadcast, never the plan literal."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+
+    emb = spark.read.parquet(ep)
+    n = emb.count()
+    return semdedup_survivors_fast(
+        emb.repartition(spark.sparkContext.defaultParallelism),
+        "vec_id", "embedding",
+        n_clusters=max(16, n // 312), threshold=0.35,
+    ).count()
+
+
 def f_seq_pack(spark, dp, ep, scratch):
     from hadoop_app_spark.operators.windows import pack_sequences
     from hadoop_app_spark.functions.text import token_count
@@ -420,6 +450,7 @@ FAMILIES = {
     "html_extract": f_html_extract,
     "winnow": f_winnow,
     "semdedup": f_semdedup,
+    "semdedup_fast": f_semdedup_fast,
     "seq_pack": f_seq_pack,
     "quality_lr": f_quality_lr,
 }
