@@ -46,6 +46,15 @@ def tokenize(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(_c(col)), WS_REGEX, -1), lambda x: x != "")
 
 
+def tokenize_raw(col: Column | str) -> Column:
+    """Case-PRESERVING whitespace tokenization -> array<string>
+    (empties dropped), matching Python ``text.split()``. Use where the
+    tokens are re-emitted as text (chunking) rather than matched
+    (dedup/stats) — :func:`tokenize` lowercases and would silently
+    destroy case."""
+    return F.filter(F.split(_c(col), WS_REGEX, -1), lambda x: x != "")
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count == ``len(text.split())`` (Unicode ws)."""
     return F.size(F.filter(F.split(_c(col), WS_REGEX, -1), lambda x: x != ""))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_app_spark.functions.text import doc_fingerprint, tokenize
+from hadoop_app_spark.functions.text import doc_fingerprint, tokenize_raw
 
 
 def doc_chunks(
@@ -44,7 +44,9 @@ def doc_chunks(
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
-    toks = tokenize(F.col(text_col))
+    # case-preserving: chunks are re-emitted as text, and the oracle
+    # keys on raw tokens — tokenize() would lowercase silently
+    toks = tokenize_raw(F.col(text_col))
     base = df.select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
     ).where(F.col("_n") > 0)

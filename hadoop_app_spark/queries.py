@@ -4254,11 +4254,15 @@ def q_normalized_dedup(spark, sf_dir):
     "(operators/corpus.source_overlap_matrix)",
 )
 def q_source_overlap(spark, sf_dir):
+    from hadoop_app_spark.functions.text import tokenize_raw
     from hadoop_app_spark.operators.corpus import source_overlap_matrix
 
+    # raw (case-preserving) prefix tokens — must match the oracle's
+    # _RAW_TOKS key; tokenize() lowercases and would diverge on any
+    # mixed-case corpus
     d = _t(spark, sf_dir, "documents").select(
         "source",
-        F.array_join(F.slice(tokenize("text"), 1, 8), " ").alias("key"),
+        F.array_join(F.slice(tokenize_raw("text"), 1, 8), " ").alias("key"),
     )
     return source_overlap_matrix(d, "key", "source")
 

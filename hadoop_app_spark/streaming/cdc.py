@@ -198,10 +198,24 @@ def apply_changes_stream(
     keys = list(keys)
 
     if target is not None:
+        # MERGE semantics require at most one source row per key per
+        # batch (Delta raises "multiple source rows matched" at
+        # runtime, killing the stream) — unlike the parquet fold,
+        # whose apply_changes tolerates duplicates. Demand the
+        # compaction key up front instead of failing mid-stream.
+        if seq_col is None:
+            raise ValueError(
+                "apply_changes_stream with a table-format target requires "
+                "seq_col: MERGE needs one row per key per batch, and "
+                "without a sequence column there is no deterministic "
+                "last writer to compact to"
+            )
 
         def fold_target(batch: DataFrame, batch_id: int) -> None:
-            if seq_col is not None:
-                batch = last_writer_wins(batch, keys, seq_col)
+            # drop the transport-only sequence column after compaction
+            # so the table schema matches the parquet twin's (snapshot
+            # columns + op handling, never the CDC plumbing)
+            batch = last_writer_wins(batch, keys, seq_col).drop(seq_col)
             target.apply(batch, batch_id)
 
         writer = change_stream.writeStream.foreachBatch(fold_target).outputMode("update")

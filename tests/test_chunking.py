@@ -93,3 +93,45 @@ def test_source_overlap_counts_distinct_content_once(spark):
     }
     # the duplicate copy inside source a must NOT double-count
     assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_chunks_preserve_case(spark):
+    # review finding r5: tokenize() lowercases; chunking must emit RAW
+    # tokens (and match its oracle, which keys on raw text)
+    df = spark.createDataFrame([(1, "Hello World This Is Mixed")], "doc_id long, text string")
+    rows = doc_chunks(df, chunk_size=4, overlap=1).collect()
+    assert rows[0].chunk_text == "Hello World This Is"
+
+
+def test_source_overlap_query_oracle_parity_mixed_case(spark):
+    # the gated-surface contract on a corpus the testdata never covers:
+    # mixed-case text must produce identical Spark and oracle results
+    import duckdb
+
+    from hadoop_app_spark.queries import REGISTRY
+
+    rows = [
+        (1, "The Quick Brown Fox jumps high today", "a"),
+        (2, "The Quick Brown Fox jumps high today", "b"),
+        (3, "the quick brown fox jumps high today", "c"),  # case differs: NOT shared
+        (4, "something else entirely different here now", "a"),
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in REGISTRY["source_overlap"].fn(spark, d).collect()
+    }
+    assert got == {("a", "b"): 1}
+    con = duckdb.connect()
+    # Spark writes a part-file directory; DuckDB needs the glob
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (a, b): n for a, b, n in con.execute(REGISTRY["source_overlap"].oracle).fetchall()
+    }
+    assert got == want

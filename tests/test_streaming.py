@@ -672,3 +672,22 @@ def test_cdc_delta_merge_target(spark, tmp_path):
         for r in spark.read.format("delta").load(str(tmp_path / "delta_tbl")).collect()
     }
     assert rows == {1: ("a", 10.0), 2: ("b2", 21.0)}
+
+
+def test_cdc_target_requires_seq_col(spark, tmp_path):
+    # review finding r5: MERGE needs one source row per key — without a
+    # sequence column there is no deterministic compaction, so the
+    # target path must refuse up front instead of dying mid-stream
+    import pytest
+
+    from hadoop_app_spark.streaming.cdc import DeltaMergeTarget, apply_changes_stream
+
+    cdir = tmp_path / "nochanges"
+    cdir.mkdir()
+    (cdir / "b.jsonl").write_text('{"k": 1, "v": 1.0, "op": "I"}')
+    stream = spark.readStream.schema("k long, v double, op string").json(str(cdir))
+    with pytest.raises(ValueError, match="seq_col"):
+        apply_changes_stream(
+            stream, str(tmp_path / "s"), ["k"], op_col="op", seq_col=None,
+            target=DeltaMergeTarget(str(tmp_path / "t"), ["k"]),
+        )

@@ -46,9 +46,16 @@ from pyspark.sql import functions as F
 from hadoop_app_spark import get_spark
 
 def build_corpora(
-    spark, base_dir: str, out: Path, scales: tuple[int, ...] = (1, 10)
+    spark,
+    base_dir: str,
+    out: Path,
+    scales: tuple[int, ...] = (1, 10),
+    scales_by_table: dict[str, tuple[int, ...]] | None = None,
 ) -> dict[str, dict[int, str]]:
-    """Write {table: {scale: path}} parquet corpora for each scale."""
+    """Write {table: {scale: path}} parquet corpora. ``scales_by_table``
+    overrides the scale list per table so a 100x tier requested for a
+    documents-only family does not pay a never-read 100x embeddings +
+    events build (a 100-way union + 32-partition write per table)."""
     paths: dict[str, dict[int, str]] = {}
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
@@ -83,7 +90,7 @@ def build_corpora(
         ("events", ev_shift, "user_id", n_user, False),
     ):
         paths[name] = {}
-        for scale in scales:
+        for scale in (scales_by_table or {}).get(name, scales):
             p = str(out / f"{name}_x{scale}")
             # every scale gets the same 32-way layout: a single-file 1x
             # scan would otherwise run narrow chains on one core and make
@@ -95,11 +102,13 @@ def build_corpora(
     return paths
 
 
-def _shuffle_bytes(spark) -> int | None:
-    """Total shuffle read+write bytes across completed stages, via the
-    UI REST API (None when the UI is off). Differencing two samples
-    brackets one family run — bytes are the number that transfers to a
-    real cluster, where wall-time does not."""
+def _stage_bytes(spark) -> dict[tuple[int, int], int] | None:
+    """{(stageId, attemptId): shuffle read+write bytes} for completed
+    stages, via the UI REST API (None when the UI is off). Callers
+    diff by STAGE ID — a cumulative-sum diff would undercount or go
+    negative once the UI's retained-stages cap (default 1000) starts
+    evicting old stages between the two samples; keying by id makes
+    eviction drop history, never corrupt the delta."""
     import urllib.request
 
     try:
@@ -109,13 +118,22 @@ def _shuffle_bytes(spark) -> int | None:
         app_id = spark.sparkContext.applicationId
         with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages", timeout=5) as r:
             stages = json.load(r)
-        return sum(
-            int(s.get("shuffleReadBytes", 0)) + int(s.get("shuffleWriteBytes", 0))
+        return {
+            (int(s["stageId"]), int(s.get("attemptId", 0))): int(s.get("shuffleReadBytes", 0))
+            + int(s.get("shuffleWriteBytes", 0))
             for s in stages
             if s.get("status") == "COMPLETE"
-        )
+        }
     except Exception:
         return None
+
+
+def _bytes_delta(b0, b1) -> int | None:
+    """Shuffle bytes of the stages that completed between two samples
+    (stages present in b1 but not b0)."""
+    if b0 is None or b1 is None:
+        return None
+    return sum(v for k, v in b1.items() if k not in b0)
 
 
 # ---------------------------------------------------------------------------
@@ -286,15 +304,16 @@ def f_mixture_rebalance(spark, dp, ep, scratch):
     ).count()
 
 
-# filled by main() from build_corpora's events paths; family fns infer
-# their scale from the documents path suffix (the fn signature predates
-# the events corpus and every other family ignores it)
+# filled by main() from build_corpora's events paths; main() also sets
+# CURRENT_SCALE before each run (the fn signature predates the events
+# corpus — inferring scale from the documents path broke once the
+# per-table build stopped materializing unread table x scale combos)
 EVENT_PATHS: dict[int, str] = {}
+CURRENT_SCALE = 1
 
 
 def _events(spark, dp):
-    scale = 10 if dp.endswith("_x10") else 1
-    return spark.read.parquet(EVENT_PATHS[scale])
+    return spark.read.parquet(EVENT_PATHS[CURRENT_SCALE])
 
 
 def f_funnel(spark, dp, ep, scratch):
@@ -468,6 +487,7 @@ OUTPUT_BOUND_TIERS: dict[str, tuple[int, ...]] = {
 
 
 def main() -> None:
+    global CURRENT_SCALE
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     base = args[0] if args else "/root/testdata/sf0.1"
     wanted = args[1:] or list(FAMILIES)
@@ -475,13 +495,38 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown families: {unknown}; choose from {list(FAMILIES)}")
 
-    spark = get_spark("stress-probe")
-    tmp = Path(tempfile.mkdtemp(prefix="stress_probe_"))
-    all_scales = tuple(
-        sorted({s for w in wanted for s in OUTPUT_BOUND_TIERS.get(w, (1, 10))})
+    # UI on (engine default is off): the REST stages endpoint is where
+    # per-family shuffle bytes come from; retainedStages raised so one
+    # family's stages don't evict mid-diff
+    spark = get_spark(
+        "stress-probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
     )
+    tmp = Path(tempfile.mkdtemp(prefix="stress_probe_"))
+    # build only the table x scale combinations the wanted families
+    # actually READ — a 100x tier on a documents family must not pay a
+    # never-read 100x embeddings/events union+write
+    emb_families = {
+        "cosine_topk_bf", "lsh_ann_topk", "ivf_ann_topk",
+        "embedding_near_dup", "semdedup", "semdedup_fast",
+    }
+    ev_families = {"funnel", "cohort"}
+
+    def _scales_for(names):
+        return tuple(sorted({s for w in names for s in OUTPUT_BOUND_TIERS.get(w, (1, 10))}))
+
+    by_table = {
+        "documents": _scales_for([w for w in wanted if w not in emb_families | ev_families])
+        or (1,),
+        "embeddings": _scales_for([w for w in wanted if w in emb_families]) or (1,),
+        "events": _scales_for([w for w in wanted if w in ev_families]) or (1,),
+    }
+    all_scales = tuple(sorted({s for ss in by_table.values() for s in ss}))
     try:
-        paths = build_corpora(spark, base, tmp, scales=all_scales)
+        paths = build_corpora(spark, base, tmp, scales=all_scales, scales_by_table=by_table)
         EVENT_PATHS.update({s: p for s, p in paths["events"].items()})
         rows = []
         for name in wanted:
@@ -489,6 +534,7 @@ def main() -> None:
             tiers = OUTPUT_BOUND_TIERS.get(name, (1, 10))
             res = {}
             for scale in tiers:
+                CURRENT_SCALE = scale
                 # run twice, keep the faster: the first execution pays
                 # whole-stage-codegen compile (scale-independent), which
                 # at probe sizes would swamp the data-scaling signal
@@ -497,15 +543,24 @@ def main() -> None:
                     scratch = tmp / f"scratch_{name}_x{scale}"
                     shutil.rmtree(scratch, ignore_errors=True)
                     scratch.mkdir(parents=True)
-                    b0 = _shuffle_bytes(spark)
+                    b0 = _stage_bytes(spark)
                     t0 = time.monotonic()
-                    n = fn(spark, paths["documents"][scale], paths["embeddings"][scale], scratch)
+                    # .get: a family only reads its own table; the other
+                    # table may deliberately lack this scale's build
+                    n = fn(
+                        spark,
+                        paths["documents"].get(scale, ""),
+                        paths["embeddings"].get(scale, ""),
+                        scratch,
+                    )
                     dt = time.monotonic() - t0
-                    b1 = _shuffle_bytes(spark)
+                    b1 = _stage_bytes(spark)
                     if best is None or dt < best:
                         best = dt
-                        if b0 is not None and b1 is not None:
-                            bytes_used = b1 - b0
+                        # bytes always re-pair with the kept run — a
+                        # failed sample on the faster run must clear
+                        # the slower run's bytes, never keep them
+                        bytes_used = _bytes_delta(b0, b1)
                 res[scale] = (best, n, bytes_used)
             lo, hi = tiers[0], tiers[-1]
             ratio = res[hi][0] / max(res[lo][0], 1e-9)
