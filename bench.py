@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "fim_splits",
     "normalized_dedup",
     "source_overlap",
+    "corpus_diff",
+    "embedding_pca",
+    "quality_calibration",
 ]
 
 

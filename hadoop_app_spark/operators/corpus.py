@@ -1009,3 +1009,38 @@ def source_overlap_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "poly",
+) -> DataFrame:
+    """-> [id, change] over two corpus snapshots: 'added' (id only in
+    new), 'removed' (id only in old), 'changed' (id in both, content
+    fingerprint differs) — the snapshot-release diff every continuously
+    refreshed corpus publishes alongside a new crawl.
+
+    Scale shape: each side collapses to (id, fp) in one narrow
+    projection; ONE full outer join on the id hash key classifies every
+    row; no window, no collect. Unchanged docs drop out (the usual
+    ~99% at 100 TB), so output is proportional to churn, not corpus.
+    ``fingerprint='fast'`` swaps the oracle-reproducible poly fold for
+    xxhash64 (production).
+    """
+    fp = (lambda c: F.xxhash64(F.col(c))) if fingerprint == "fast" else doc_fingerprint
+    o = old.select(F.col(id_col), fp(text_col).alias("_ofp"))
+    n = new.select(F.col(id_col), fp(text_col).alias("_nfp"))
+    j = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(id_col, "change")
+    )

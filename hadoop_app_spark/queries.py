@@ -4267,6 +4267,123 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap_matrix(d, "key", "source")
 
 
+@query(
+    "corpus_diff",
+    oracle=f"""
+        WITH o AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents
+                   WHERE doc_id % 11 <> 0),
+        n AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(text || ' updated', ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+                            (acc, c) -> (acc * 31 + c) % 1000000007)
+                     ELSE {_FP_SQL} END AS fp
+              FROM documents WHERE doc_id % 13 <> 0)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed' END AS change
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp)
+    """,
+    doc="corpus snapshot diff (north star: the release delta a continuously "
+    "refreshed corpus publishes with every crawl): each snapshot collapses "
+    "to (id, content-fingerprint) in one narrow projection, ONE full outer "
+    "join on the id classifies added/removed/changed, unchanged docs (the "
+    "~99% at 100 TB) drop out so output is proportional to CHURN. The two "
+    "snapshots here are deterministic views of the documents table (drop "
+    "id%11==0 from old, drop id%13==0 from new, append ' updated' to "
+    "id%7==0 in new) so the oracle rebuilds both sides exactly "
+    "(operators/corpus.corpus_diff)",
+)
+def q_corpus_diff(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 11 != 0)
+    new = d.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new, "text", "doc_id")
+
+
+@query(
+    "embedding_pca",
+    # no SQL oracle BY DESIGN: eigenvectors are engine-seeded state
+    # (sign/rotation ambiguity + aggregation-order float means — the
+    # trained-structure convention); the invariants that matter are
+    # pytest-pinned in tests/test_pca.py: orthonormal components,
+    # descending explained variance, whitened covariance == identity,
+    # reconstruction error bounded by the trailing eigenmass
+    oracle=None,
+    doc="distributed PCA + whitening over the embedding column (north star "
+    "similarity family: the rotation/decorrelation pass ahead of IVF/PQ "
+    "indexes and SemDeDup): mean and the d x d covariance via TWO bounded "
+    "aggregations (a posexplode mean and a d*(d+1)/2 upper-triangle "
+    "product hash-agg, map-side combined — only O(d^2) numbers reach the "
+    "driver), eigendecomposition driver-side on the d x d matrix, "
+    "projection a single narrow map with the rotation as plan literals "
+    "(operators/pca.train_pca/project_pca)",
+)
+def q_embedding_pca(spark, sf_dir):
+    from hadoop_app_spark.operators.pca import project_pca, train_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, eigs = train_pca(emb, "embedding", k=8)
+    return project_pca(
+        emb, mean, comps, eigs, "embedding", out_col="pca", whiten=True
+    ).select("vec_id", "pca")
+
+
+def _quality_calibration_oracle() -> str:
+    from hadoop_app_spark.operators.quality_model import PINNED_QUALITY_LR_WEIGHTS
+
+    z = _quality_lr_z_sql(PINNED_QUALITY_LR_WEIGHTS)
+    return f"""
+        WITH s AS (SELECT length(text) >= 300 AS y, ({z}) AS _z FROM documents),
+        p AS (SELECT y, CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * _z
+                            / (CAST(1.0 AS DOUBLE) + abs(_z)) AS p
+              FROM s)
+        SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+               count(*) AS n,
+               CAST(sum(CAST(y AS INTEGER)) AS BIGINT) AS n_pos
+        FROM p GROUP BY 1
+    """
+
+
+@query(
+    "quality_calibration",
+    oracle=_quality_calibration_oracle(),
+    doc="calibration table for the trained quality classifier (the "
+    "reliability diagram every learned gate ships with — is p=0.7 actually "
+    "70% positive?): score under the pinned decimal-exact-trained weights, "
+    "decile-bin the probability, count positives per bin. Output is "
+    "INTEGER-only (bin, n, n_pos) so the driver hash cannot trip on "
+    "float-mean aggregation order; one scan, one 10-key hash agg "
+    "(operators/quality_model.score_quality_lr)",
+)
+def q_quality_calibration(spark, sf_dir):
+    from hadoop_app_spark.operators.quality_model import (
+        PINNED_QUALITY_LR_WEIGHTS,
+        score_quality_lr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = score_quality_lr(d, "text", list(PINNED_QUALITY_LR_WEIGHTS), out_col="p")
+    return (
+        scored.select(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+            (F.length("text") >= 300).cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").cast("long").alias("n_pos"))
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -4487,6 +4604,11 @@ _PRIORITY = [
     "fim_splits",
     "normalized_dedup",
     "source_overlap",
+    "corpus_diff",
+    "quality_calibration",
+    # embedding_pca: rows-only by design (engine-seeded eigenvectors;
+    # invariants pytest-pinned in tests/test_pca.py)
+    "embedding_pca",
     "image_features",
     "image_resize",
     "frame_sample",

@@ -135,3 +135,21 @@ def test_source_overlap_query_oracle_parity_mixed_case(spark):
         (a, b): n for a, b, n in con.execute(REGISTRY["source_overlap"].oracle).fetchall()
     }
     assert got == want
+
+
+def test_corpus_diff_classifies_churn(spark):
+    from hadoop_app_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    # fast fingerprint path classifies identically
+    got_fast = {
+        r.doc_id: r.change for r in corpus_diff(old, new, fingerprint="fast").collect()
+    }
+    assert got_fast == got

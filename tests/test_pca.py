@@ -1,0 +1,86 @@
+"""PCA / whitening (operators/pca): moment correctness vs numpy,
+component invariants, whitening, and reconstruction bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hadoop_app_spark.operators.pca import embedding_moments, project_pca, train_pca
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_corpus(spark, with_ids=False):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if with_ids:
+        return emb, X, [r[0] for r in rows]
+    return emb, X
+
+
+def test_moments_match_numpy(spark):
+    emb, X = _np_corpus(spark)
+    mean, cov, n = embedding_moments(emb)
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    # population covariance (divide by n, matching E[xx] - mm)
+    ref = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(np.array(cov), ref, atol=1e-9)
+
+
+def test_components_orthonormal_descending(spark):
+    emb, X = _np_corpus(spark)
+    mean, comps, eigs = train_pca(emb, k=8)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-8)
+    assert all(a >= b - 1e-12 for a, b in zip(eigs, eigs[1:]))
+    # eigenvalues = variance along each component
+    proj = (X - np.array(mean)) @ C.T
+    assert np.allclose(proj.var(axis=0), eigs, rtol=1e-6, atol=1e-9)
+
+
+def test_whitened_covariance_is_identity(spark):
+    emb, X = _np_corpus(spark)
+    mean, comps, eigs = train_pca(emb, k=6)
+    out = project_pca(emb, mean, comps, eigs, whiten=True).select("pca").collect()
+    P = np.array([list(r[0]) for r in out])
+    cov = np.cov(P, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(6), atol=1e-3)
+
+
+def test_reconstruction_error_bounded_by_trailing_eigenmass(spark):
+    emb, X = _np_corpus(spark)
+    d = X.shape[1]
+    mean, comps, eigs = train_pca(emb, k=d)  # full basis
+    total_var = float(((X - X.mean(axis=0)) ** 2).sum(axis=1).mean())
+    assert np.isclose(sum(eigs), total_var, rtol=1e-6)
+    k = 8
+    mean, comps, eigs_k = train_pca(emb, k=k)
+    out = project_pca(emb, mean, comps, None, whiten=False).select("pca").collect()
+    P = np.array([list(r[0]) for r in out])
+    C = np.array(comps)
+    recon = P @ C + np.array(mean)
+    err = float(((X - recon) ** 2).sum(axis=1).mean())
+    trailing = total_var - sum(eigs_k)
+    assert err <= trailing * (1 + 1e-6) + 1e-9
+
+
+def test_projection_matches_numpy(spark):
+    emb, X, ids = _np_corpus(spark, with_ids=True)
+    mean, comps, eigs = train_pca(emb, k=4)
+    out = {
+        r.vec_id: list(r.pca)
+        for r in project_pca(emb, mean, comps, eigs, whiten=False).select("vec_id", "pca").collect()
+    }
+    ref = (X - np.array(mean)) @ np.array(comps).T
+    got = np.array([out[i] for i in ids])
+    assert np.allclose(got, ref, atol=1e-9)
+
+
+def test_whiten_requires_eigenvalues(spark):
+    emb, _ = _np_corpus(spark)
+    mean, comps, eigs = train_pca(emb, k=2)
+    with pytest.raises(ValueError):
+        project_pca(emb, mean, comps, None, whiten=True)
