@@ -130,6 +130,38 @@ SHOWCASE = {
         "the df cap bounds self-join fanout exactly like the LSH bucket cap; "
         "boilerplate fingerprints die in a partial-combine agg before the join",
     ),
+    "semdedup_fast": (
+        "MapInPandas assignment (centroids travel as a broadcast variable, NOT "
+        "a plan literal) feeding the hash Exchange on the int cluster key into "
+        "a FlatMapGroupsInPandas per-cluster kernel — no self-join row "
+        "explosion, no interpreted per-pair cosine (the lower Exchange is the "
+        "query's explicit input-leveling repartition, not operator cost)",
+        "growing n_clusters with the corpus (the knob that bounds the "
+        "per-cluster quadratic) now grows only the broadcast; the 10x probe "
+        "measures this path FLAT (1.1x) where the literal/HOF form pays 4.1x",
+    ),
+    "doc_chunking": (
+        "scan -> Project -> ONE Generate (the stride-grid explode) -> Project; "
+        "no Exchange anywhere",
+        "chunking 100 TB is scan-bound only if it stays a narrow map; the "
+        "chunk fan-out is the intended output growth, not a shuffle",
+    ),
+    "normalized_dedup": (
+        "the whole normalization chain (lower/translate/regexp x3) folded into "
+        "the partial HashAggregate's child Project — one scan, one exchange on "
+        "the normalized key",
+        "formatting-variant dedup costs exactly one hash aggregation; a "
+        "billion-copy normalized form collapses map-side in the partial "
+        "min/count",
+    ),
+    "corpus_diff": (
+        "two narrow (id, fingerprint) Projects feeding ONE SortMergeJoin "
+        "FullOuter on the id; the change classification is a Filter+Project "
+        "above it",
+        "the diff of two 100 TB snapshots moves only (id, fp) pairs through "
+        "the exchange — output is proportional to churn, unchanged docs drop "
+        "in the post-join filter",
+    ),
 }
 
 
