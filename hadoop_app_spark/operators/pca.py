@@ -85,18 +85,75 @@ def embedding_moments(
     return mean, cov, n
 
 
+def embedding_moments_fast(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[list[float]], int]:
+    """Vectorized twin of :func:`embedding_moments` — the production
+    moments pass: each Arrow batch emits ONE tiny partial row
+    (count, d-element sum, d*(d+1)/2 upper-triangle Gram via a single
+    BLAS X^T X) instead of d*(d+1)/2 exploded structs PER CORPUS ROW;
+    partials combine driver-side (bounded: one row per batch).
+    Float accumulation order differs from the Catalyst form (SIMD
+    pairwise vs hash-agg order), so moments agree to ~1e-12 relative,
+    not bit-exact — equality at that tolerance is pytest-pinned, and
+    PCA components are engine-seeded state either way."""
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(vec_col).head()
+    if first is None:
+        raise ValueError("empty corpus")
+    d = len(first[0])
+    iu0, iu1 = [], []
+    for i in range(d):
+        for j in range(i, d):
+            iu0.append(i)
+            iu1.append(j)
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [g[iu0, iu1].tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        part, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("empty corpus")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    gtri = np.sum([r["g"] for r in rows], axis=0)
+    mean = s / n
+    G = np.zeros((d, d))
+    G[iu0, iu1] = gtri
+    G[(iu1, iu0)] = gtri
+    cov = G / n - np.outer(mean, mean)
+    return [float(m) for m in mean], [[float(x) for x in row] for row in cov], int(n)
+
+
 def train_pca(
-    df: DataFrame, vec_col: str = "embedding", k: int = 8
+    df: DataFrame, vec_col: str = "embedding", k: int = 8, vectorized: bool = True
 ) -> tuple[list[float], list[list[float]], list[float]]:
     """(mean, components [k x d], eigenvalues [k]) — covariance from
-    :func:`embedding_moments`, eigendecomposition driver-side (numpy,
-    d x d). Components are unit-norm rows, eigenvalues descending;
-    signs normalized so each component's largest-|coord| entry is
-    positive (removes the eigenvector sign ambiguity, making trained
-    state reproducible for a fixed plan)."""
+    :func:`embedding_moments_fast` (default; pass ``vectorized=False``
+    for the pure-Catalyst moments), eigendecomposition driver-side
+    (numpy, d x d). Components are unit-norm rows, eigenvalues
+    descending; signs normalized so each component's largest-|coord|
+    entry is positive (removes the eigenvector sign ambiguity, making
+    trained state reproducible for a fixed plan)."""
     import numpy as np
 
-    mean, cov, _ = embedding_moments(df, vec_col)
+    moments = embedding_moments_fast if vectorized else embedding_moments
+    mean, cov, _ = moments(df, vec_col)
     w, v = np.linalg.eigh(np.array(cov))  # ascending
     order = np.argsort(w)[::-1][:k]
     comps = []

@@ -84,3 +84,14 @@ def test_whiten_requires_eigenvalues(spark):
     mean, comps, eigs = train_pca(emb, k=2)
     with pytest.raises(ValueError):
         project_pca(emb, mean, comps, None, whiten=True)
+
+
+def test_fast_moments_match_exact(spark):
+    from hadoop_app_spark.operators.pca import embedding_moments_fast
+
+    emb, X = _np_corpus(spark)
+    m1, c1, n1 = embedding_moments(emb)
+    m2, c2, n2 = embedding_moments_fast(emb)
+    assert n1 == n2
+    assert np.allclose(m1, m2, atol=1e-12)
+    assert np.allclose(np.array(c1), np.array(c2), atol=1e-10)
