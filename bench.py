@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "corpus_diff",
     "embedding_pca",
     "quality_calibration",
+    "oov_rate",
 ]
 
 

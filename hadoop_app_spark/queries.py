@@ -4384,6 +4384,53 @@ def q_quality_calibration(spark, sf_dir):
     )
 
 
+@query(
+    "oov_rate",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        freq AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok LIMIT 500),
+        oov AS (SELECT doc_id, count(*) AS n_oov
+                FROM t WHERE tok NOT IN (SELECT tok FROM vocab)
+                GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_tokens,
+               CAST(coalesce(oov.n_oov, 0) AS BIGINT) AS n_oov
+        FROM tot LEFT JOIN oov ON tot.doc_id = oov.doc_id
+    """,
+    doc="out-of-vocabulary rate against the corpus' own top-500 token "
+    "vocabulary (the tokenizer-budget diagnostic: how much of the corpus a "
+    "fixed vocab covers, the first number checked before sizing BPE merges): "
+    "one explode feeds BOTH the frequency aggregation and the per-doc "
+    "totals; the top-N vocab is a TakeOrderedAndProject (deterministic "
+    "count-desc, token-asc tie-break) BROADCAST to a left-anti membership "
+    "join — the corpus never shuffles on the token key for the OOV test. "
+    "Integer-only output (doc, n_tokens, n_oov) so the value hash cannot "
+    "trip on float aggregation order",
+)
+def q_oov_rate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(500)
+        .select("tok")
+    )
+    tot = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    return tot.join(oov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 
@@ -4606,6 +4653,7 @@ _PRIORITY = [
     "source_overlap",
     "corpus_diff",
     "quality_calibration",
+    "oov_rate",
     # embedding_pca: rows-only by design (engine-seeded eigenvectors;
     # invariants pytest-pinned in tests/test_pca.py)
     "embedding_pca",
