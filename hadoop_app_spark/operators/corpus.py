@@ -1031,13 +1031,18 @@ def corpus_diff(
     xxhash64 (production).
     """
     fp = (lambda c: F.xxhash64(F.col(c))) if fingerprint == "fast" else doc_fingerprint
-    o = old.select(F.col(id_col), fp(text_col).alias("_ofp"))
-    n = new.select(F.col(id_col), fp(text_col).alias("_nfp"))
+    # explicit presence markers: a NULL-text doc has a NULL poly
+    # fingerprint, so fp nullability CANNOT stand in for row absence
+    # (it would classify a removed NULL-text doc as 'added')
+    o = old.select(F.col(id_col), fp(text_col).alias("_ofp"), F.lit(1).alias("_o"))
+    n = new.select(F.col(id_col), fp(text_col).alias("_nfp"), F.lit(1).alias("_n"))
     j = o.join(n, id_col, "full_outer")
     change = (
-        F.when(F.col("_ofp").isNull(), F.lit("added"))
-        .when(F.col("_nfp").isNull(), F.lit("removed"))
-        .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed"))
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        # null-safe: NULL fp == NULL fp is unchanged; NULL vs value is
+        # a change — matching what a content diff means
+        .when(~F.col("_ofp").eqNullSafe(F.col("_nfp")), F.lit("changed"))
     )
     return (
         j.withColumn("change", change)

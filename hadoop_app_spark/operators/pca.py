@@ -29,6 +29,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _require_clean_vectors(df: DataFrame, vec_col: str, d: int) -> None:
+    """Moment aggregation silently mixes denominators (or the numpy
+    kernel crashes on a ragged batch) if any vector is NULL or the
+    wrong length — refuse with the cause instead."""
+    n_bad = df.where(
+        F.col(vec_col).isNull() | (F.size(vec_col) != F.lit(d))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} row(s) have NULL or non-{d}-dim {vec_col!r}; "
+            "drop or repair them before computing moments"
+        )
+
+
 def embedding_moments(
     df: DataFrame, vec_col: str = "embedding"
 ) -> tuple[list[float], list[list[float]], int]:
@@ -39,8 +53,11 @@ def embedding_moments(
     n = df.count()
     if n == 0:
         raise ValueError("empty corpus")
-    first = df.select(vec_col).head()
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if first is None:
+        raise ValueError(f"all values of {vec_col!r} are NULL")
     d = len(first[0])
+    _require_clean_vectors(df, vec_col, d)
     # float32 storage would lose mass in the products — accumulate in
     # double from the first multiply
     vec = F.col(vec_col).cast("array<double>")
@@ -100,15 +117,12 @@ def embedding_moments_fast(
     import numpy as np
     import pandas as pd
 
-    first = df.select(vec_col).head()
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).head()
     if first is None:
-        raise ValueError("empty corpus")
+        raise ValueError("empty corpus (or all vectors NULL)")
     d = len(first[0])
-    iu0, iu1 = [], []
-    for i in range(d):
-        for j in range(i, d):
-            iu0.append(i)
-            iu1.append(j)
+    _require_clean_vectors(df, vec_col, d)
+    iu0, iu1 = (idx.tolist() for idx in np.triu_indices(d))
 
     def part(batches):
         for pdf in batches:
@@ -189,14 +203,20 @@ def project_pca(
         F.lit([float(m) for m in mean]),
         lambda x, m: x - m,
     )
+    # hoist the centering into ONE materialized column: inlining it in
+    # every component's product would re-run the d-element subtraction
+    # k times per row (HOFs are interpreted — measured as 2k zip_with
+    # nodes in the plan instead of k+1)
+    tmp = f"_{out_col}_centered"
+    staged = df.withColumn(tmp, centered)
     cols = []
     for j, comp in enumerate(components):
         p = F.aggregate(
-            F.zip_with(centered, F.lit([float(c) for c in comp]), lambda a, b: a * b),
+            F.zip_with(F.col(tmp), F.lit([float(c) for c in comp]), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         if whiten:
             p = p / F.lit(float((eigenvalues[j] + eps) ** 0.5))
         cols.append(p)
-    return df.withColumn(out_col, F.array(*cols))
+    return staged.withColumn(out_col, F.array(*cols)).drop(tmp)

@@ -2542,15 +2542,21 @@ def _quality_lr_z_sql(weights) -> str:
     Generated from the pinned weight constants, so oracle and
     implementation cannot drift. Apply the algebraic sigmoid
     ``0.5 + 0.5 * z / (1.0 + abs(z))`` to the result."""
-    ln = "CAST(length(text) AS DOUBLE)"
+    # coalesce like quality_feature_cols does: NULL text is the empty
+    # document Spark-side, so the oracle must never let NULL propagate
+    # into z (a NULL-text row would otherwise produce p=NULL and break
+    # row counts on any corpus with missing text)
+    t = "coalesce(text, '')"
+    ntok = f"len(list_filter(string_split_regex({t}, '{_WS}'), x -> x <> ''))"
+    ln = f"CAST(length({t}) AS DOUBLE)"
     feats = [
         "CAST(1.0 AS DOUBLE)",
         f"least({ln} / 500.0, 1.0)",
-        "(CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)"
+        f"(CAST(length(regexp_replace(lower({t}), '[^a-z ]', '', 'g')) AS DOUBLE)"
         f" / greatest({ln}, 1.0))",
-        "least(CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE)"
+        f"least(CAST(length(regexp_replace({t}, '[^.!?]', '', 'g')) AS DOUBLE)"
         " / 3.0, 1.0)",
-        f"least(CAST({_NTOK} AS DOUBLE) * 5.0 / greatest({ln}, 1.0), 1.0)",
+        f"least(CAST({ntok} AS DOUBLE) * 5.0 / greatest({ln}, 1.0), 1.0)",
     ]
     # weights go in as CAST('<repr>' AS DOUBLE) STRING literals: DuckDB
     # parses a bare 17-significant-digit numeric literal as DECIMAL
@@ -4400,13 +4406,15 @@ def q_quality_calibration(spark, sf_dir):
     """,
     doc="out-of-vocabulary rate against the corpus' own top-500 token "
     "vocabulary (the tokenizer-budget diagnostic: how much of the corpus a "
-    "fixed vocab covers, the first number checked before sizing BPE merges): "
-    "one explode feeds BOTH the frequency aggregation and the per-doc "
-    "totals; the top-N vocab is a TakeOrderedAndProject (deterministic "
-    "count-desc, token-asc tie-break) BROADCAST to a left-anti membership "
-    "join — the corpus never shuffles on the token key for the OOV test. "
-    "Integer-only output (doc, n_tokens, n_oov) so the value hash cannot "
-    "trip on float aggregation order",
+    "fixed vocab covers, the first number checked before sizing BPE merges). "
+    "TWO corpus passes total: one explode -> frequency aggregation derives "
+    "the vocabulary (TakeOrderedAndProject with a deterministic count-desc, "
+    "token-asc tie-break), then ONE scoring pass — a broadcast LEFT "
+    "membership join whose per-doc aggregate emits n_tokens and n_oov "
+    "together, so the corpus is never tokenized twice for the two counts "
+    "and never shuffles on the token key. Integer-only output (doc, "
+    "n_tokens, n_oov) so the value hash cannot trip on float aggregation "
+    "order",
 )
 def q_oov_rate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -4416,18 +4424,12 @@ def q_oov_rate(spark, sf_dir):
         .agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(500)
-        .select("tok")
+        .select("tok", F.lit(1).alias("_v"))
     )
-    tot = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    oov = (
-        toks.join(F.broadcast(vocab), "tok", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_oov"))
-    )
-    return tot.join(oov, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
     )
 
 

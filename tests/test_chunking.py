@@ -153,3 +153,21 @@ def test_corpus_diff_classifies_churn(spark):
         r.doc_id: r.change for r in corpus_diff(old, new, fingerprint="fast").collect()
     }
     assert got_fast == got
+
+
+def test_corpus_diff_null_text_presence(spark):
+    # review finding r5b: fp nullability must not stand in for row
+    # absence — NULL-text docs classify by PRESENCE, and NULL==NULL
+    # content is unchanged
+    from hadoop_app_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "has text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (3, None), (4, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    # 1: NULL->NULL unchanged (absent); 2: removed; 3: text->NULL changed;
+    # 4: added
+    assert got == {2: "removed", 3: "changed", 4: "added"}

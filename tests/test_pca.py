@@ -95,3 +95,23 @@ def test_fast_moments_match_exact(spark):
     assert n1 == n2
     assert np.allclose(m1, m2, atol=1e-12)
     assert np.allclose(np.array(c1), np.array(c2), atol=1e-10)
+
+
+def test_moments_reject_null_and_ragged_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.pca import embedding_moments, embedding_moments_fast
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        embedding_moments(df)
+    with pytest.raises(ValueError, match="NULL"):
+        embedding_moments_fast(df)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        embedding_moments_fast(ragged)
