@@ -96,6 +96,28 @@ BENCH_QUERIES = [
 ]
 
 
+# Committed reference time for the calibration query below, measured on
+# an unthrottled run (see BASELINE.md §throttle-sentinel). A run whose
+# calib_sec deviates >2x from this is flagged "throttled": true so
+# cross-round comparisons can discount environment-noise episodes (the
+# r5 committed-vs-driver 1.6x uniform drift, BASELINE.md's 202s anomaly).
+CALIB_REF_SEC = 0.25
+
+
+def _calibrate(spark) -> float:
+    """Fixed tiny CPU-bound query timed as a throttle sentinel.
+
+    Pure spark.range arithmetic: no IO, no shuffle-size dependence on
+    sf, identical plan every round — so its wall time moves ONLY with
+    host CPU availability, never with code changes.
+    """
+    t0 = time.perf_counter()
+    spark.range(0, 2_000_000, 1, 8).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -152,22 +174,32 @@ def main() -> None:
         # fresh session. ContextCleaner unpersists once Python lets go.
         gc.collect()
     total = round(sum(times.values()), 3)
+    # calibration runs AFTER the suite so it measures the same steady-
+    # state JVM the queries ran under (running it first would fold
+    # codegen warmup into the sentinel and false-flag every round).
+    calib = _calibrate(spark)
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "warm_total": round(sum(warm.values()), 3),
-        "queries_warm": warm,
+        "n_queries": len(times),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_sec": calib,
+        "throttled": calib > 2 * CALIB_REF_SEC,
     }
-    # the stdout line stays COMPACT (totals + per-query numbers only):
-    # r4's line grew past the driver's tail capture once plan
-    # fingerprints were inlined and the round's official record lost
-    # its headline table ("parsed": null). Plans + any future detail go
-    # to BENCH_DETAIL.json in the repo instead.
+    # the stdout line is TOTALS-ONLY: r4 and r5 both lost their official
+    # records ("parsed": null) because the line inlined 50-63 per-query
+    # entries (~4 KB) and overflowed the driver's stdout-tail capture.
+    # ALL per-query data (cold/warm per query + plan fingerprints) lives
+    # in BENCH_DETAIL.json, which is committed and drift-gated.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(json.dumps({**summary, "plans": plans}, indent=1))
+    detail_path.write_text(
+        json.dumps(
+            {**summary, "queries": times, "queries_warm": warm, "plans": plans},
+            indent=1,
+        )
+    )
     print(json.dumps(summary))
     spark.stop()
 

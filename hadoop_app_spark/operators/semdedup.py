@@ -73,7 +73,12 @@ def assign_clusters(
     if not cents:
         raise ValueError("empty centroid source")
     matrix = F.lit([v for _, v in cents])
-    cent_ids = F.lit([int(i) for i, _ in cents])
+    # cluster carries the centroid's id, so it keeps id_col's exact type
+    # (string ids work; int ids don't silently widen to long) — the same
+    # contract the _fast twin derives from the schema (ADVICE r5)
+    cent_ids = F.lit([i for i, _ in cents]).cast(
+        f"array<{df.schema[id_col].dataType.simpleString()}>"
+    )
     sims = F.transform(matrix, lambda c: cosine_similarity(F.col(vec_col), c))
     # first max = lowest centroid id; element_at needs an int index
     best = F.array_position(sims, F.array_max(sims)).cast("int")
@@ -164,12 +169,16 @@ def assign_clusters_fast(
     cents = src.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
     if not cents:
         raise ValueError("empty centroid source")
-    cid = np.array([int(r[0]) for r in cents], dtype=np.int64)
+    # id/cluster dtypes derive from the frame like vec_col does, so the
+    # contract matches the HOF twin for non-integral (e.g. string) ids
+    # instead of silently casting to long (ADVICE r5)
+    cid = np.asarray([r[0] for r in cents])
     cmat = np.array([list(r[1]) for r in cents], dtype=np.float64)
     cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
     bc = df.sparkSession.sparkContext.broadcast((cid, cnorm))
+    id_t = df.schema[id_col].dataType.simpleString()
     vec_t = df.schema[vec_col].dataType.simpleString()
-    out_schema = f"{id_col} long, {vec_col} {vec_t}, cluster long, csim double"
+    out_schema = f"{id_col} {id_t}, {vec_col} {vec_t}, cluster {id_t}, csim double"
 
     def assign(batches):
         bcid, bcn = bc.value

@@ -4021,9 +4021,12 @@ def q_semdedup(spark, sf_dir):
     "semdedup_fast",
     # no SQL oracle BY DESIGN: centroids are TRAINED (spherical k-means,
     # engine-seeded float means — the same rows-only convention as the
-    # other trained/engine-seeded structures); with the HOF path's
-    # deterministic centroids the survivor set is pinned EQUAL to the
-    # oracled semdedup row in tests/test_semdedup.py
+    # other trained/engine-seeded structures). Survivor-set equality vs
+    # the HOF path is pytest-pinned TWICE in tests/test_semdedup.py:
+    # once at the shared lowest-id-centroid configuration (vs the
+    # oracled semdedup row's exact settings) and once with BOTH paths
+    # fed the SAME trained centroids (this query's configuration) —
+    # so the trained arm itself is pinned, not just the default.
     oracle=None,
     doc="production SemDeDup path (VERDICT r4 item 2): TRAINED spherical "
     "k-means centroids (operators/similarity.train_ivf_centroids) feed the "
@@ -4482,14 +4485,20 @@ _PRIORITY = [
     # (scalar arithmetic inside pricing_summary/text_metrics);
     # metric_profile (observe counters are pytest-gated in
     # tests/test_metrics.py). All remain oracle-checked locally.
-    "date_functions",
+    # r6 swap-outs date_functions/string_functions: pure built-in scalar
+    # suites, driver-green r2-r5, zero custom code between them and
+    # Catalyst; safe_cast_defaults (casts) and json_functions (parse/
+    # serialize) stay gated as the scalar-surface representatives.
     "json_functions",
-    "string_functions",
     "safe_cast_defaults",
     # text analysis / dedup (north star). r5 swap-out
     # ngram_jaccard_adjacent: pair-bounded inside minhash_dedup's gated
     # oracle (which recomputes shingle Jaccard for every candidate pair).
-    "text_metrics",
+    # r6 swap-outs: text_metrics (subsumed by the gated corpus_curation
+    # feature chain — r5 verdict's own displacement pick); line_dedup
+    # (hash-groupBy dedup mechanics gated via exact_dedup_simhash and
+    # the incoming normalized_dedup, which is the same shape plus CCNet
+    # normalization).
     "exact_dedup_simhash",
     "minhash_dedup",
     # r4 swap-in: cluster_canonical's oracle contains near_dup_components'
@@ -4502,23 +4511,24 @@ _PRIORITY = [
     "duplicate_passages",
     # similarity / ANN (north star). r5 swap-out lsh_ann_topk: the
     # sign-LSH bucket mechanics live inside the gated embedding_near_dup
-    # (same hyperplanes, same bucketed candidate join); brute-force
-    # cosine_topk (exact baseline) and ivf_ann_topk (cell-probed scale
-    # path) stay gated as the family's two poles.
-    "cosine_topk",
+    # (same hyperplanes, same bucketed candidate join). r6 swap-outs
+    # cosine_topk/embedding_near_dup: the verdict's "drop to one ANN
+    # representative" — ivf_ann_topk stays as the family's gated row
+    # (its oracle recomputes exact per-cell cosine, so the kernel the
+    # whole family shares is still value-checked by the driver); all
+    # twins were judge-verified exact in the r5 vanilla differential.
     "ivf_ann_topk",
-    "embedding_near_dup",
     # corpus pipeline stages (north star). r5 swap-outs: source_stats
     # (plain keyed counts + the fp-mod distinct the gated corpus_curation
     # row carries); decontamination (keyed gram-join mechanics now gated
     # via duplicate_passages); domain_filter_caps (per-key cap is the
     # WindowGroupLimit the gated tfidf_top_terms row exercises). All
-    # remain oracle-checked locally.
+    # remain oracle-checked locally. r6 swap-outs: tfidf_top_terms and
+    # pii_redaction (the verdict's named low-risk three-round-green
+    # built-in chains); repetition_ngrams (quality-filter family stays
+    # gated via lm_perplexity + corpus_curation + the incoming
+    # quality_calibration; its _fast twin remains benched + pinned).
     "corpus_curation",
-    "tfidf_top_terms",
-    "pii_redaction",
-    "line_dedup",
-    "repetition_ngrams",
     # r4 swap-in: the Hamming-banded member of the dedup family; its
     # brute-force oracle value-checks the banding recall guarantee itself
     "simhash_band_neardup",
@@ -4552,6 +4562,21 @@ _PRIORITY = [
     "quantile_profile",
     "stream_static_join_exec",
     "stream_stream_join_exec",
+    # --- r6 swap-ins (VERDICT r5 item 1, the standing rotation process):
+    # the round-5 additions rotate INTO the 50-row driver gate so their
+    # oracles get driver CORRECTNESS rows, plus the two never-gated r4
+    # stragglers the verdict named. Every entry below re-verified exact
+    # with tools/oracle_check.py --vanilla at sf0.01 before this edit
+    # (9 exact / 0 fail).
+    "doc_chunking",
+    "fim_splits",
+    "normalized_dedup",
+    "source_overlap",
+    "corpus_diff",
+    "quality_calibration",
+    "oov_rate",
+    "inverted_index",
+    "cohort_retention",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --
@@ -4603,20 +4628,25 @@ _PRIORITY = [
     "source_stats",
     "decontamination",
     "domain_filter_caps",
-    # inverted_index: the posting-cap is the same WindowGroupLimit-pruned
-    # per-key window tfidf_top_terms gates; doc_freq is a plain keyed count
-    # — oracle-checked locally, lowest marginal driver signal of the r4 ops
-    "inverted_index",
     # winnow_neardup_hof: pure-Catalyst reference path, bit-identical to
     # the now-gated winnow_neardup and sharing its oracle
     "winnow_neardup_hof",
     # sample_per_group: fixed-k twin of the gated-via-corpus_curation
-    # fp-mod sampling mechanism; the WindowGroupLimit cap is gated by
-    # tfidf_top_terms — oracle-checked locally
+    # fp-mod sampling mechanism; the WindowGroupLimit cap is gated via
+    # topk_per_group — oracle-checked locally
     "sample_per_group",
-    # cohort_retention: keyed aggs + joins, mechanics gated via the
-    # join/agg families and the now-gated funnel_conversion
-    "cohort_retention",
+    # r6 swap-outs (rationales at their old gate slots above): each was
+    # driver-green r2-r5 and its mechanics live inside a row that stays
+    # gated; all remain oracle-checked locally every round.
+    "date_functions",
+    "string_functions",
+    "text_metrics",
+    "line_dedup",
+    "repetition_ngrams",
+    "cosine_topk",
+    "embedding_near_dup",
+    "tfidf_top_terms",
+    "pii_redaction",
     # bpe_merges: iterative argmax loop, rows-only by design; exact
     # equality vs a pure-Python reference is pytest-pinned
     "bpe_merges",
@@ -4646,16 +4676,6 @@ _PRIORITY = [
     # rows-only by design (engine-seeded k-means), survivor-set equality
     # with the gated semdedup row pinned in tests/test_semdedup.py
     "semdedup_fast",
-    # r5 additions (oracle-checked locally; gate rotation candidates for
-    # r6): sliding-window chunking, FIM splits, CCNet normalized dedup,
-    # cross-source contamination matrix
-    "doc_chunking",
-    "fim_splits",
-    "normalized_dedup",
-    "source_overlap",
-    "corpus_diff",
-    "quality_calibration",
-    "oov_rate",
     # embedding_pca: rows-only by design (engine-seeded eigenvectors;
     # invariants pytest-pinned in tests/test_pca.py)
     "embedding_pca",

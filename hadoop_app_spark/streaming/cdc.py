@@ -98,14 +98,37 @@ def last_writer_wins(
 
 def table_format_available(name: str) -> bool:
     """Feature-detect a lakehouse table-format integration. 'delta'
-    checks for the delta-spark Python package; 'iceberg' for a Spark
-    session with an Iceberg catalog extension on the classpath. Both
+    checks BOTH sides of the integration: the delta-spark Python
+    package AND a JVM that can actually run Delta (the active session
+    carries DeltaSparkSessionExtension, or the DeltaTable class
+    resolves on the driver JVM) — the Python package alone does not
+    mean the jars are on the classpath, and the 'construct
+    DeltaMergeTarget when True' contract must not fail mid-stream
+    (ADVICE r5). 'iceberg' checks the session's extension conf. Both
     are absent in the test container — callers (and tests) must treat
     False as 'use the parquet snapshot stand-in', not an error."""
     if name == "delta":
         import importlib.util
 
-        return importlib.util.find_spec("delta") is not None
+        if importlib.util.find_spec("delta") is None:
+            return False
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return False
+            ext = spark.conf.get("spark.sql.extensions", "") or ""
+            if "DeltaSparkSessionExtension" in ext:
+                return True
+            # extension not declared — probe the JVM classpath directly
+            # (covers sessions built by delta's configure_spark_with_...
+            # helper where conf inspection can miss cloned sessions)
+            jvm = spark.sparkContext._jvm
+            jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+            return True
+        except Exception:
+            return False
     if name == "iceberg":
         try:
             from pyspark.sql import SparkSession
@@ -159,6 +182,60 @@ class DeltaMergeTarget:
             .whenNotMatchedInsert(condition=f"s.{self.op_col} <> 'D'", values=sets)
             .execute()
         )
+
+
+class IcebergMergeTarget:
+    """SnapshotTarget that folds each compacted change batch into an
+    Iceberg table with MERGE INTO — the Iceberg twin of
+    :class:`DeltaMergeTarget`, same ``apply(batch, batch_id)``
+    contract: the batch arrives already last-writer-wins compacted;
+    ``op_col`` 'D' rows delete, everything else upserts. Iceberg's
+    snapshot metadata replaces the manifest/pointer and MERGE INTO's
+    file-level pruning replaces the key-hash partition selection —
+    O(changed files) I/O per batch, identical stream wiring.
+
+    ``table`` is a catalog-qualified Iceberg table identifier (e.g.
+    ``iceberg_cat.db.events``), not a path: Iceberg MERGE goes through
+    a catalog, unlike Delta's path-addressed forPath. Construct only
+    when ``table_format_available('iceberg')``; everything here is
+    plain Spark SQL so the module loads without the runtime jar."""
+
+    def __init__(self, table: str, keys: Sequence[str], op_col: str = "op"):
+        self.table = table
+        self.keys = list(keys)
+        self.op_col = op_col
+
+    def apply(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        data_cols = [c for c in batch.columns if c != self.op_col]
+        if not spark.catalog.tableExists(self.table):
+            # seed commit: inserts only (tombstones for absent keys no-op)
+            batch.where(F.col(self.op_col) != "D").select(*data_cols).writeTo(
+                self.table
+            ).using("iceberg").create()
+            return
+        # MERGE INTO is SQL-only; register the batch as a temp view with
+        # a batch-scoped name so concurrent streams can't collide
+        src = f"_cdc_merge_src_{batch_id}"
+        batch.createOrReplaceTempView(src)
+        try:
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+            sets = ", ".join(f"t.{c} = s.{c}" for c in data_cols)
+            cols = ", ".join(data_cols)
+            vals = ", ".join(f"s.{c}" for c in data_cols)
+            spark.sql(
+                f"""
+                MERGE INTO {self.table} t
+                USING {src} s
+                ON {cond}
+                WHEN MATCHED AND s.{self.op_col} = 'D' THEN DELETE
+                WHEN MATCHED AND s.{self.op_col} <> 'D' THEN UPDATE SET {sets}
+                WHEN NOT MATCHED AND s.{self.op_col} <> 'D'
+                  THEN INSERT ({cols}) VALUES ({vals})
+                """
+            )
+        finally:
+            spark.catalog.dropTempView(src)
 
 
 def apply_changes_stream(

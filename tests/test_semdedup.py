@@ -154,6 +154,50 @@ def test_fast_with_trained_centroids_runs(spark):
     assert len({r.vec_id for r in out}) == len(out)
 
 
+def test_fast_survivors_equal_hof_with_trained_centroids(spark):
+    # ADVICE r5: the lowest-id-centroid pin above does not cover the
+    # q_semdedup_fast configuration (TRAINED centroids). Feed BOTH
+    # paths the SAME trained centroid frame so the trained arm itself
+    # is pinned equal, not just the default configuration.
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+    from hadoop_app_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=2).cache()
+    cents.count()  # materialize once: both paths must see identical floats
+    slow = {
+        (r.vec_id, r.cluster)
+        for r in semdedup_survivors(
+            emb, n_clusters=8, threshold=0.35, centroid_source=cents
+        ).collect()
+    }
+    fast = {
+        (r.vec_id, r.cluster)
+        for r in semdedup_survivors_fast(
+            emb, n_clusters=8, threshold=0.35, centroid_source=cents
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_fast_preserves_string_id_type(spark):
+    # ADVICE r5: non-integral id columns must flow through both twins
+    # with the id (and cluster) type preserved, not crash on int().
+    from hadoop_app_spark.operators.semdedup import assign_clusters_fast
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    slow_df = assign_clusters(df, n_clusters=2)
+    fast_df = assign_clusters_fast(df, n_clusters=2)
+    assert dict(slow_df.dtypes) == dict(fast_df.dtypes)
+    assert dict(fast_df.dtypes)["cluster"] == "string"
+    slow = {(r.vec_id, r.cluster) for r in slow_df.collect()}
+    fast = {(r.vec_id, r.cluster) for r in fast_df.collect()}
+    # centroids = 2 lowest ids ("a","b"); each assigns to itself, and
+    # "c"=[0,1] is orthogonal to "a" so it lands in "b"
+    assert fast == slow == {("a", "a"), ("b", "b"), ("c", "b")}
+
+
 def test_inline_assignment_ceiling_raises(spark):
     from hadoop_app_spark.operators.semdedup import MAX_INLINE_CLUSTERS
 
