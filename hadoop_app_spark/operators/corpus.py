@@ -787,6 +787,56 @@ def quantile_profile(
     return j.groupBy(group_col).agg(*aggs)
 
 
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4), (9, 10)),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Mergeable approximate-quantile twin of :func:`quantile_profile`
+    (VERDICT r5 item 3) -> same shape: one row per group
+    [group, n, p25, p50, p75, p90] (column name = ``p{...}`` from the
+    rational ps, like the exact form).
+
+    Spark-first: ``percentile_approx`` IS the one-pass mergeable
+    sketch the 100 TB profile wants — a Greenwald-Khanna-class summary
+    built per partition map-side, merged in the partial-aggregate
+    tree, with rank error bounded by n/accuracy. Nothing to hand-roll:
+    the JVM aggregate already implements partial/merge/finish, so the
+    sketch state never touches Python and AQE/whole-stage-codegen
+    apply as usual.
+
+    When to use which twin (the scale trade this pair documents):
+    the exact form shuffles one (group, value, count) row per DISTINCT
+    value — right for bounded-cardinality columns (token counts) and
+    for oracle-checked profiling runs. A 100 TB multi-column profile
+    over high-cardinality values (float scores, byte lengths) would
+    shuffle billions of distinct rows; the sketch shuffles one
+    ~O(accuracy)-sized summary per partition per group regardless of
+    cardinality — flat bytes where exact grows linearly (probe table
+    in BASELINE.md). Accuracy is the knob: rank error <= n/accuracy,
+    pytest-pinned against the exact form.
+
+    No SQL oracle BY DESIGN (the bpe/PCA rows-only convention): the
+    sketch's exact output depends on GK compaction internals no other
+    engine reproduces; the pinned guarantee is the rank-error bound,
+    not bit equality. NULLs are excluded up front like the exact twin.
+    """
+    labels = [f"p{round(100 * num / den)}" for num, den in ps]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"percentile labels collide after rounding: {labels}")
+    df = df.where(F.col(value_col).isNotNull())
+    aggs = [F.count("*").alias("n")]
+    for (num, den), label in zip(ps, labels):
+        aggs.append(
+            F.percentile_approx(value_col, F.lit(num / den), F.lit(accuracy)).alias(
+                label
+            )
+        )
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def value_histogram(
     df: DataFrame,
     value_col: str,

@@ -3221,6 +3221,32 @@ def q_quantile_profile(spark, sf_dir):
 
 
 @query(
+    "quantile_sketch",
+    # no SQL oracle BY DESIGN (the bpe/PCA rows-only convention): the
+    # GK sketch's outputs depend on compaction internals no other
+    # engine reproduces. The pinned guarantee is the rank-error bound
+    # vs the oracled quantile_profile row — tests/test_operators.py::
+    # test_quantile_sketch_rank_error_bound — plus exact agreement at
+    # accuracy >= n where the sketch degenerates to the full data.
+    oracle=None,
+    doc="mergeable approximate-quantile twin of quantile_profile (VERDICT "
+    "r5 item 3): percentile_approx's GK-class summary built map-side per "
+    "partition and merged in the partial-aggregate tree — one "
+    "~O(accuracy)-sized sketch per partition per group crosses the wire "
+    "regardless of value cardinality, where the exact form shuffles one row "
+    "per distinct value (flat-vs-linear probe in BASELINE.md). The 100 TB "
+    "multi-column profile path; rank error <= n/accuracy, pytest-pinned "
+    "(operators/corpus.quantile_sketch)",
+)
+def q_quantile_sketch(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import quantile_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    v = d.select("source", token_count("text").cast("long").alias("n_tokens"))
+    return quantile_sketch(v, "n_tokens", "source")
+
+
+@query(
     "token_histogram",
     oracle=f"""
         WITH v AS (SELECT source, {_NTOK} AS n_tokens FROM documents)
@@ -4679,6 +4705,9 @@ _PRIORITY = [
     # embedding_pca: rows-only by design (engine-seeded eigenvectors;
     # invariants pytest-pinned in tests/test_pca.py)
     "embedding_pca",
+    # quantile_sketch (r6): rows-only by design (GK sketch internals);
+    # rank-error bound vs the gated quantile_profile row pytest-pinned
+    "quantile_sketch",
     "image_features",
     "image_resize",
     "frame_sample",

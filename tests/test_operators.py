@@ -1112,6 +1112,58 @@ def test_quantile_profile_type1_ranks(spark):
         qp(df, "v", "g", ps=((1, 3), (33, 100)))
 
 
+def test_quantile_sketch_rank_error_bound(spark):
+    # VERDICT r5 item 3: the sketch twin's pinned guarantee — for each
+    # group and percentile p, the returned value's rank in the exact
+    # sorted data is within n/accuracy of the target rank ceil(p*n).
+    from hadoop_app_spark.operators.corpus import quantile_profile, quantile_sketch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = docs.selectExpr(
+        "source", "CAST(size(split(text, ' ')) AS LONG) AS n_tokens"
+    ).where("n_tokens IS NOT NULL")
+    acc = 100
+    sk = {r.source: r for r in quantile_sketch(v, "n_tokens", "source", accuracy=acc).collect()}
+    vals = {}
+    for row in v.collect():
+        vals.setdefault(row.source, []).append(row.n_tokens)
+    ps = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p90": (9, 10)}
+    for src, data in vals.items():
+        data.sort()
+        n = len(data)
+        assert sk[src].n == n
+        for label, (num, den) in ps.items():
+            got = getattr(sk[src], label)
+            assert got in data  # GK returns an observed value, never interpolated
+            target = -(-num * n // den)  # ceil(num*n/den)
+            # rank range the value occupies in the sorted data (1-based)
+            lo = data.index(got) + 1
+            hi = n - data[::-1].index(got)
+            err_bound = n / acc + 1
+            assert lo - err_bound <= target <= hi + err_bound, (
+                src, label, got, lo, hi, target, n,
+            )
+
+
+def test_quantile_sketch_exact_when_accuracy_dominates(spark):
+    # accuracy >= n: the GK summary keeps every observation, so the
+    # sketch must agree with the exact type-1 form on every percentile
+    from hadoop_app_spark.operators.corpus import quantile_profile, quantile_sketch
+
+    rows = [("a", v) for v in (40, 10, 30, 20)] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    exact = {r.g: r for r in quantile_profile(df, "v", "g").collect()}
+    sk = {r.g: r for r in quantile_sketch(df, "v", "g", accuracy=10_000).collect()}
+    for g in exact:
+        for c in ("n", "p25", "p50", "p75", "p90"):
+            assert getattr(sk[g], c) == getattr(exact[g], c), (g, c)
+    # shape contract: same columns as the exact twin, nulls excluded
+    withnull = spark.createDataFrame([("a", 1), ("a", None)], "g string, v long")
+    assert quantile_sketch(withnull, "v", "g").collect()[0].n == 1
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", "g", ps=((1, 3), (33, 100)))
+
+
 def test_value_histogram_buckets(spark):
     import pytest as _pytest
 
