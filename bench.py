@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "semdedup_fast",
     "sequence_packing",
     "bpe_token_count",
+    # r6 additions: mergeable quantile sketch, unigram tokenizer
+    # trainer + encode, RRF hybrid retrieval
+    "quantile_sketch",
+    "unigram_token_count",
     "doc_chunking",
     "fim_splits",
     "normalized_dedup",

@@ -3696,6 +3696,55 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 @query(
+    "unigram_vocab",
+    oracle=None,  # lattice EM has no SQL twin — rows-only; the trainer
+    # is pinned EXACTLY (keys + bit-identical float scores) against an
+    # independently written naive reference in tests/test_unigram.py
+    doc="unigram-LM (SentencePiece-class, Kudo 2018) tokenizer training "
+    "(VERDICT r5 item 4): ONE corpus scan -> word-frequency table -> "
+    "top_words frequency-floored collect -> driver-side forward-backward EM "
+    "with expected-count pruning, exactly the learn_bpe_merges_fast shape — "
+    "trainer cost is O(top_words), independent of corpus scale; returns the "
+    "[piece, score] vocabulary (operators/unigram.learn_unigram_fast)",
+)
+def q_unigram_vocab(spark, sf_dir):
+    from hadoop_app_spark.operators.unigram import learn_unigram_fast
+
+    d = _t(spark, sf_dir, "documents")
+    _, table = learn_unigram_fast(
+        d, vocab_size=300, seed_size=1_500, top_words=2_500
+    )
+    return table
+
+
+@query(
+    "unigram_token_count",
+    oracle=None,  # depends on the learned piece table — rows-only;
+    # encode-vs-trainer consistency (counts == driver Viterbi lengths)
+    # is pinned in tests/test_unigram.py
+    doc="unigram-LM token counting under the corpus-learned piece table (the "
+    "distributed encode half of unigram_vocab): mapInPandas Viterbi kernel "
+    "with a per-batch word cache (Zipf: each distinct word segments once), "
+    "piece table bounded by vocab_size riding the closure — the "
+    "bpe_token_count shape for the second tokenizer family "
+    "(operators/unigram.unigram_token_counts)",
+)
+def q_unigram_token_count(spark, sf_dir):
+    from hadoop_app_spark.operators.unigram import (
+        learn_unigram_fast,
+        unigram_token_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pieces, _ = learn_unigram_fast(
+        d, vocab_size=300, seed_size=1_500, top_words=2_500
+    )
+    return unigram_token_counts(
+        d, pieces, repartition_to=spark.sparkContext.defaultParallelism
+    )
+
+
+@query(
     "bpe_merges",
     oracle=None,  # per-round argmax loop has no SQL twin — rows-only;
     # exact merge-sequence equality vs a pure-Python reference BPE is
@@ -4677,6 +4726,11 @@ _PRIORITY = [
     # equality vs a pure-Python reference is pytest-pinned
     "bpe_merges",
     "bpe_token_count",
+    # unigram trainer + encode (r6): lattice-EM loop, rows-only by
+    # design (the bpe_merges convention); trainer pinned EXACT vs a
+    # naive pure-Python reference in tests/test_unigram.py
+    "unigram_vocab",
+    "unigram_token_count",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest

@@ -1,0 +1,176 @@
+"""Unigram-LM tokenizer training vs a pure-Python naive reference.
+
+The reference below re-implements the full deterministic spec
+independently (seed -> EM forward-backward -> expected-count pruning
+-> final EM) with plain dict/loop code and NO shared helpers beyond
+math.* — the production trainer must reproduce the piece table
+EXACTLY (keys and float scores), the py_bpe_train pin convention."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from hadoop_app_spark.operators.unigram import (
+    learn_unigram_fast,
+    py_unigram_train,
+    unigram_token_counts,
+    viterbi_segment,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_logadd(a, b):
+    if a == float("-inf"):
+        return b
+    if b == float("-inf"):
+        return a
+    hi, lo = (a, b) if a >= b else (b, a)
+    return hi + math.log1p(math.exp(lo - hi))
+
+
+def _ref_train(word_counts, vocab_size, max_piece_len=8, seed_size=1000,
+               n_em_iters=2, prune_frac=0.25):
+    # --- seed: chars + top multi-char substrings, occurrence-weighted
+    counts = Counter()
+    for w in sorted(word_counts):
+        c = word_counts[w]
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                counts[w[i:j]] += c
+    seed = {p: n for p, n in counts.items() if len(p) == 1}
+    for p, n in sorted(
+        ((p, n) for p, n in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]:
+        seed[p] = n
+    total = sum(seed.values())
+    pieces = {p: math.log(n / total) for p, n in sorted(seed.items())}
+
+    def em(pieces):
+        e = {}
+        for w in sorted(word_counts):
+            wc = word_counts[w]
+            L = len(w)
+            alpha = [float("-inf")] * (L + 1)
+            alpha[0] = 0.0
+            for end in range(1, L + 1):
+                for start in range(max(0, end - max_piece_len), end):
+                    s = pieces.get(w[start:end])
+                    if s is not None and alpha[start] != float("-inf"):
+                        alpha[end] = _ref_logadd(alpha[end], alpha[start] + s)
+            beta = [float("-inf")] * (L + 1)
+            beta[L] = 0.0
+            for start in range(L - 1, -1, -1):
+                for end in range(start + 1, min(start + max_piece_len, L) + 1):
+                    s = pieces.get(w[start:end])
+                    if s is not None and beta[end] != float("-inf"):
+                        beta[start] = _ref_logadd(beta[start], s + beta[end])
+            z = alpha[L]
+            if z == float("-inf"):
+                continue
+            for end in range(1, L + 1):
+                for start in range(max(0, end - max_piece_len), end):
+                    p = w[start:end]
+                    s = pieces.get(p)
+                    if s is not None and alpha[start] != float("-inf") and beta[end] != float("-inf"):
+                        e[p] = e.get(p, 0.0) + wc * math.exp(
+                            alpha[start] + s + beta[end] - z
+                        )
+        tot = sum(e[p] for p in sorted(e))
+        out = {}
+        for p in sorted(pieces):
+            ratio = e.get(p, 0.0) / tot
+            if ratio > 0.0:
+                out[p] = math.log(ratio)
+            elif len(p) == 1:
+                out[p] = math.log(1e-12)
+        return out
+
+    n_chars = sum(1 for p in pieces if len(p) == 1)
+    target_multi = max(vocab_size - n_chars, 0)
+    while True:
+        for _ in range(n_em_iters):
+            pieces = em(pieces)
+        multi = [(p, s) for p, s in pieces.items() if len(p) > 1]
+        if len(multi) <= target_multi:
+            break
+        n_drop = min(max(int(len(multi) * prune_frac), 1), len(multi) - target_multi)
+        for p, _ in sorted(multi, key=lambda kv: (kv[1], kv[0]))[:n_drop]:
+            del pieces[p]
+    return em(pieces)
+
+
+def test_unigram_matches_naive_reference_synthetic():
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low newer",
+    ]
+    wc = dict(Counter(w for t in texts for w in t.lower().split()))
+    ref = _ref_train(wc, vocab_size=40, seed_size=60)
+    got = py_unigram_train(wc, vocab_size=40, seed_size=60)
+    assert got == ref  # EXACT: same keys, bit-identical float scores
+
+
+def test_unigram_matches_naive_reference_on_corpus(spark):
+    from hadoop_app_spark.operators.bpe import word_frequency_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    wc = {
+        r.w: r["count"]
+        for r in word_frequency_table(docs, "text").select("w", "count").collect()
+    }
+    ref = _ref_train(wc, vocab_size=150, seed_size=300)
+    got = py_unigram_train(wc, vocab_size=150, seed_size=300)
+    assert got == ref
+
+
+def test_unigram_vocab_size_and_char_floor():
+    wc = {"abab": 10, "abc": 5, "cab": 3}
+    pieces = py_unigram_train(wc, vocab_size=5, seed_size=50)
+    assert len(pieces) <= 5
+    # every single character survives (segmentation totality)
+    assert {"a", "b", "c"} <= set(pieces)
+    # probabilities form a (sub-)distribution
+    assert sum(math.exp(s) for s in pieces.values()) <= 1.0 + 1e-9
+
+
+def test_viterbi_segment_reconstructs_and_prefers_longer():
+    pieces = {"a": math.log(0.3), "b": math.log(0.3), "ab": math.log(0.09)}
+    # p(ab) == p(a)p(b) exactly -> tie -> longer piece wins
+    assert viterbi_segment("ab", pieces) == ["ab"]
+    assert "".join(viterbi_segment("abba", pieces)) == "abba"
+    # unknown chars fall back to themselves
+    assert viterbi_segment("axb", pieces) == ["a", "x", "b"]
+
+
+def test_learn_unigram_fast_and_distributed_encode(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pieces, table = learn_unigram_fast(docs, vocab_size=200, seed_size=400)
+    trows = {r.piece: r.score for r in table.collect()}
+    assert trows == pieces
+    out = unigram_token_counts(docs, pieces)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    # encode agrees with a driver-side recount on a sample
+    sample = docs.select("doc_id", "text").limit(10).collect()
+    for r in sample:
+        toks = (r.text or "").lower().split()
+        want = sum(len(viterbi_segment(w, pieces)) for w in toks)
+        assert rows[r.doc_id].n_words == len(toks)
+        assert rows[r.doc_id].unigram_tokens == want
+    # a learned subword vocab always beats characters, never words
+    for r in sample:
+        toks = (r.text or "").lower().split()
+        n_chars = sum(len(w) for w in toks)
+        assert len(toks) <= rows[r.doc_id].unigram_tokens <= max(n_chars, len(toks))
+
+
+def test_learn_unigram_fast_vocab_guard(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="max_vocab"):
+        learn_unigram_fast(docs, vocab_size=50, max_vocab=10)
