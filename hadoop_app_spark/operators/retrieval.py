@@ -92,3 +92,71 @@ def bm25_topk(
         F.count("*").alias("n_terms"),
     )
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bounded_rank(
+    df: DataFrame, score_col: str, id_col: str, rank_col: str = "rank"
+) -> DataFrame:
+    """1-based dense global rank by (score desc, id asc) WITHOUT a
+    window: rank(a) = 1 + |{b : b.score > a.score OR (equal AND
+    b.id < a.id)}| via a broadcast non-equi self-join + count.
+
+    ONLY for frames already bounded by an upstream top-k (tens to
+    thousands of rows): the join is O(n²) on the bounded frame, which
+    at that size is cheaper and safer than the alternatives — a
+    global row_number window is a single-partition stage the plan
+    guards rightly ban registry-wide, and exempting 'small' windows
+    would leave nothing machine-checking the corpus-sized ones. The
+    broadcast side is the same (score, id) projection, so the plan is
+    scan -> BroadcastNestedLoopJoin -> hash agg, no shuffle."""
+    b_side = F.broadcast(
+        df.select(F.col(score_col).alias("_bs"), F.col(id_col).alias("_bi"))
+    )
+    beats = (F.col("_bs") > F.col(score_col)) | (
+        (F.col("_bs") == F.col(score_col)) & (F.col("_bi") < F.col(id_col))
+    )
+    return (
+        df.join(b_side, beats, "left")
+        .groupBy(*df.columns)
+        .agg((F.count("_bi") + 1).cast("int").alias(rank_col))
+    )
+
+
+def rrf_fuse(
+    keyword: DataFrame,
+    vector: DataFrame,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two bounded
+    ranked lists -> [id, kw_rank, vec_rank, fused_rank], the top-``k``
+    by fused score — the standard hybrid-retrieval join (BM25 keyword
+    arm + embedding ANN arm) this engine is one operator away from.
+
+    Inputs: ``keyword`` = [id, kw_rank], ``vector`` = [id, vec_rank],
+    both already top-k-bounded with INTEGER 1-based ranks. Fused
+    score = Σ 1/(k_rrf + rank) over the arms that returned the doc —
+    derived from integer ranks only, and every emitted column is an
+    integer, so the SQL oracle is bit-exact: the doubles exist only
+    inside the ORDER BY, where both engines compute the identical
+    IEEE quotients from identical integers (exact ties fall to the id
+    tiebreak in both). Scale shape: both arms are top-k-bounded
+    before fusion, so the full-outer join and the bounded_rank
+    self-join touch O(k) rows regardless of corpus size — all the
+    corpus-sized work already happened inside the arms."""
+    j = keyword.join(vector, id_col, "full_outer")
+    arm = lambda c: F.when(
+        F.col(c).isNotNull(),
+        F.lit(1.0) / (F.lit(k_rrf) + F.col(c)),
+    ).otherwise(F.lit(0.0))
+    fused = j.select(
+        id_col,
+        "kw_rank",
+        "vec_rank",
+        (arm("kw_rank") + arm("vec_rank")).alias("_score"),
+    )
+    ranked = bounded_rank(fused, "_score", id_col, rank_col="fused_rank")
+    return ranked.where(F.col("fused_rank") <= k).select(
+        id_col, "kw_rank", "vec_rank", "fused_rank"
+    )

@@ -3628,6 +3628,92 @@ def q_bm25_retrieval(spark, sf_dir):
 
 
 @query(
+    "hybrid_retrieval",
+    # integer-rank-only output: the RRF doubles exist only inside the
+    # ORDER BY, computed from identical integers in both engines, so
+    # the oracle is bit-exact (VERDICT r5 item 5)
+    oracle=f"""
+        WITH dl AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS dl FROM documents),
+        st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+               WHERE term IN ('vector', 'stream', 'merge', 'filter') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + (st.n - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                        / (CAST(st.sumdl AS DOUBLE) / st.n))) AS s
+            FROM tf JOIN dfreq USING (term)
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN st),
+        agg AS (SELECT doc_id,
+                       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
+                FROM scored GROUP BY 1),
+        kw AS (SELECT doc_id, kw_rank FROM (
+                 SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS INTEGER) AS kw_rank
+                 FROM agg) WHERE kw_rank <= 20),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        vscored AS (
+            SELECT c.vec_id,
+                   list_reduce(list_prepend(0.0, [cv[i] * qv[i] for i in range(1, len(cv) + 1)]),
+                               (a, x) -> a + x)
+                   / (sqrt(list_reduce(list_prepend(0.0, [cv[i] * cv[i] for i in range(1, len(cv) + 1)]), (a, x) -> a + x))
+                      * sqrt(list_reduce(list_prepend(0.0, [qv[i] * qv[i] for i in range(1, len(qv) + 1)]), (a, x) -> a + x)))
+                   AS cosine
+            FROM c CROSS JOIN qv WHERE c.vec_id <> 0),
+        vec AS (SELECT doc_id, vec_rank FROM (
+                  SELECT vec_id AS doc_id,
+                         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                              AS INTEGER) AS vec_rank
+                  FROM vscored) WHERE vec_rank <= 20),
+        fused AS (
+            SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+                   COALESCE(CAST(1 AS DOUBLE) / (60 + kw_rank), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0) AS s
+            FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+        SELECT doc_id, kw_rank, vec_rank, fused_rank FROM (
+            SELECT doc_id, kw_rank, vec_rank,
+                   CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER)
+                        AS fused_rank
+            FROM fused) WHERE fused_rank <= 10
+    """,
+    doc="hybrid retrieval via reciprocal-rank fusion (VERDICT r5 item 5): "
+    "the BM25 keyword arm (top-20, the gated bm25_retrieval pipeline) and "
+    "the embedding cosine arm (top-20 for the vec_id=0 query, the gated ANN "
+    "kernel) full-outer-join on doc id and fuse as sum(1/(60+rank)) — the "
+    "standard RAG retrieval stack in one query. All corpus-sized work "
+    "happens inside the arms; fusion + the rank-by-count self-join touch "
+    "O(k) rows (operators/retrieval.rrf_fuse / bounded_rank)",
+)
+def q_hybrid_retrieval(spark, sf_dir):
+    from hadoop_app_spark.operators.retrieval import bm25_topk, bounded_rank, rrf_fuse
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw20 = bm25_topk(
+        docs, "text", "doc_id", ["vector", "stream", "merge", "filter"], k=20
+    ).select("doc_id", "score")
+    kw = bounded_rank(kw20, "score", "doc_id", rank_col="kw_rank").select(
+        "doc_id", "kw_rank"
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    vec = (
+        brute_force_topk(corpus, queries, k=20)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+    return rrf_fuse(kw, vec, id_col="doc_id", k_rrf=60, k=10)
+
+
+@query(
     "sample_per_group",
     oracle=f"""
         SELECT doc_id, source, n_chars
@@ -4726,6 +4812,9 @@ _PRIORITY = [
     # equality vs a pure-Python reference is pytest-pinned
     "bpe_merges",
     "bpe_token_count",
+    # hybrid_retrieval (r6): RRF fusion of the gated bm25 + ANN arms;
+    # oracle-exact (integer-rank-only output) — gate candidate for r7
+    "hybrid_retrieval",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
     # naive pure-Python reference in tests/test_unigram.py

@@ -46,6 +46,12 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     "cosine_topk",
     "bm25_retrieval",
     "lm_perplexity",
+    # hybrid_retrieval: contains the bm25 one-row stats broadcast AND
+    # bounded_rank's rank-by-count non-equi self-join over the fused
+    # top-k frame (<= 40 rows by construction) — the documented
+    # alternative to a global row_number window, which the guard
+    # above rightly bans registry-wide
+    "hybrid_retrieval",
 }
 
 

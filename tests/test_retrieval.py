@@ -178,3 +178,48 @@ def test_bm25_topk_contract(spark):
         .collect()
     }
     assert ids <= matching
+
+
+def test_bounded_rank_matches_window_semantics(spark):
+    from hadoop_app_spark.operators.retrieval import bounded_rank
+
+    rows = [(1, 5.0), (2, 7.0), (3, 5.0), (4, 1.0), (5, 7.0)]
+    df = spark.createDataFrame(rows, "id long, s double")
+    out = {r.id: r.rank for r in bounded_rank(df, "s", "id").collect()}
+    # (score desc, id asc): 2 and 5 share 7.0 -> id breaks the tie
+    assert out == {2: 1, 5: 2, 1: 3, 3: 4, 4: 5}
+
+
+def test_rrf_fuse_contract(spark):
+    from hadoop_app_spark.operators.retrieval import rrf_fuse
+
+    kw = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, kw_rank int"
+    )
+    vec = spark.createDataFrame(
+        [(11, 1), (13, 2), (10, 3)], "doc_id long, vec_rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(kw, vec, k=10).collect()}
+    # both-arm docs beat single-arm docs; 11 (1+2) beats 10 (1+3)
+    assert [out[i].fused_rank for i in (11, 10)] == [1, 2]
+    # single-arm docs keep a NULL rank for the missing arm
+    assert out[12].vec_rank is None and out[13].kw_rank is None
+    # identical single-arm scores (rank 2 vs rank 2) tie -> doc_id order
+    kw2 = spark.createDataFrame([(20, 2)], "doc_id long, kw_rank int")
+    vec2 = spark.createDataFrame([(19, 2)], "doc_id long, vec_rank int")
+    out2 = {r.doc_id: r.fused_rank for r in rrf_fuse(kw2, vec2).collect()}
+    assert out2 == {19: 1, 20: 2}
+
+
+def test_rrf_fuse_k_caps_output(spark):
+    from hadoop_app_spark.operators.retrieval import rrf_fuse
+
+    kw = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_id long, kw_rank int"
+    )
+    vec = spark.createDataFrame(
+        [(i + 100, i + 1) for i in range(8)], "doc_id long, vec_rank int"
+    )
+    got = rrf_fuse(kw, vec, k=5).collect()
+    assert len(got) == 5
+    assert sorted(r.fused_rank for r in got) == [1, 2, 3, 4, 5]
