@@ -55,6 +55,10 @@ def curate(
     observations: dict[str, Observation] | None = None,
     html_col: str | None = None,
     learned_gate: tuple[list[float], float] | None = None,
+    normalized_dedup: bool = False,
+    embeddings: DataFrame | None = None,
+    semdedup_threshold: float = 0.85,
+    semdedup_clusters: int = 16,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the curated corpus with
     the original columns plus ``n_tokens`` (text already PII-scrubbed).
@@ -69,6 +73,14 @@ def curate(
     operators/quality_model.train_quality_lr — adds the trained
     quality classifier AFTER the heuristic gates (the CCNet shape:
     cheap heuristics first, model on what remains).
+    ``normalized_dedup``: add the CCNet-class NORMALIZED exact-dedup
+    rung between exact dedup and MinHash (lower/accent-fold/digit-fold
+    /punct-strip — catches trivially-reformatted copies the byte hash
+    misses at a fraction of MinHash's cost).
+    ``embeddings``: [doc_id, embedding] frame — adds the SemDeDup rung
+    (vectorized production path, operators/semdedup) AFTER MinHash:
+    the full r4+r5 dedup ladder in one plan, exact -> normalized ->
+    lexical near-dup -> semantic near-dup, each stage counted.
     """
     obs = observations if observations is not None else {}
 
@@ -148,6 +160,23 @@ def curate(
     deduped = exact_dedup(gated, ["text"], "doc_id")
     deduped, obs["exact_deduped"] = observe_counts(deduped)
 
+    # 3b. optional normalized dedup (CCNet rung): min-id survivor per
+    # normalized key via one hash-agg + a null-safe semi join — same
+    # shape as exact_dedup, keyed on the folded text. The survivor
+    # election keys on doc_id, so the join back is id-equi (never the
+    # normalized text, which could be long)
+    if normalized_dedup:
+        from hadoop_app_spark.functions.text import normalize_for_dedup
+
+        survivors = (
+            deduped.select("doc_id", normalize_for_dedup(F.col("text")).alias("_norm"))
+            .groupBy("_norm")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        deduped = deduped.join(survivors, "doc_id", "left_semi")
+        deduped, obs["normalized_deduped"] = observe_counts(deduped)
+
     # 4. near-dup removal — MinHash signatures into capped LSH banding;
     # the min-id side of each candidate pair survives
     sigs = minhash_signatures_vectorized(deduped, "text", "doc_id")
@@ -160,6 +189,30 @@ def curate(
     # near-corpus-sized in a boilerplate-heavy crawl — let AQE pick
     near_deduped = deduped.join(losers, "doc_id", "left_anti")
     near_deduped, obs["near_deduped"] = observe_counts(near_deduped)
+
+    # 4b. optional semantic dedup (SemDeDup rung, the vectorized
+    # production path): embeddings are first restricted to the current
+    # survivor set (semi join on id — SemDeDup must not resurrect or
+    # re-judge docs earlier rungs removed), then clustered + pruned;
+    # the surviving vec_ids semi-join back. Centroid collection inside
+    # assign_clusters_fast is the documented bounded side-channel.
+    if embeddings is not None:
+        from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+
+        emb_alive = embeddings.join(
+            near_deduped.select(F.col("doc_id")),
+            embeddings["vec_id"] == F.col("doc_id"),
+            "left_semi",
+        )
+        sem_keep = semdedup_survivors_fast(
+            emb_alive,
+            "vec_id",
+            "embedding",
+            n_clusters=semdedup_clusters,
+            threshold=semdedup_threshold,
+        ).select(F.col("vec_id").alias("doc_id"))
+        near_deduped = near_deduped.join(sem_keep, "doc_id", "left_semi")
+        near_deduped, obs["sem_deduped"] = observe_counts(near_deduped)
 
     # 5. optional benchmark decontamination — the eval-suite shingle set
     # broadcasts; the corpus never shuffles on the gram key

@@ -197,6 +197,62 @@ def test_corpus_pipeline_stages_and_counters(spark):
     assert obs2["decontaminated"].get["rows"] == 1
 
 
+def test_corpus_pipeline_full_dedup_ladder(spark):
+    """r6 (VERDICT r5 item 9): exact -> normalized -> lexical near-dup
+    -> semantic near-dup as selectable stages of ONE plan, each stage
+    counted, all counters driven by a single action."""
+    from hadoop_app_spark.plans.corpus_pipeline import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog naps "
+        "in the warm sun. it is a calm day and the fox rests too."
+    )
+    other = (
+        "a long train rolls past the old station at noon and the crowd "
+        "waits on the platform while the bell rings out over the town."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "srcA", len(good)),
+            # normalized dup of 1: different bytes (case + punctuation),
+            # same CCNet-normalized key — exact dedup must MISS it, the
+            # normalized rung must catch it
+            (2, good.upper() + "!!!", "en", "srcA", len(good)),
+            (7, other, "en", "srcB", len(other)),  # semantic dup of 1 (vectors)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),  # removed before the semantic rung
+            (7, [0.999, 0.01, 0.0, 0.0]),  # cosine ~1 with doc 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    obs: dict = {}
+    out = curate(
+        docs,
+        observations=obs,
+        normalized_dedup=True,
+        embeddings=emb,
+        semdedup_threshold=0.35,
+        semdedup_clusters=1,  # one cluster: 1 and 7 must be co-clustered
+    )
+    survivors = {r.doc_id for r in out.collect()}
+    c = {k: o.get["rows"] for k, o in obs.items()}
+    assert c["exact_deduped"] == 3          # byte hashes all distinct
+    assert c["normalized_deduped"] == 2     # 2 collapses onto 1
+    assert c["near_deduped"] == 2           # no lexical near-dups remain
+    assert c["sem_deduped"] == 1            # one of the (1, 7) pair pruned
+    assert c["final"] == 1
+    assert len(survivors) == 1 and survivors <= {1, 7}
+    # stage counters are monotone non-increasing through the ladder
+    ladder = [c["exact_deduped"], c["normalized_deduped"], c["near_deduped"],
+              c["sem_deduped"], c["final"]]
+    assert ladder == sorted(ladder, reverse=True)
+
+
 def test_corpus_pipeline_html_front_and_learned_gate(spark):
     """The WARC-shaped entry: raw HTML pages front the pipeline via
     extraction + boilerplate filtering; a trained quality gate runs

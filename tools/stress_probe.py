@@ -415,6 +415,142 @@ def f_winnow(spark, dp, ep, scratch):
     ).count()
 
 
+def f_doc_chunking(spark, dp, ep, scratch):
+    """Pure narrow map (one explode on a stride grid, zero exchanges)
+    — expect the html_extract class of ratio: ~linear wall, rows-out
+    ~10x, zero shuffle bytes."""
+    from hadoop_app_spark.operators.chunking import doc_chunks
+
+    return doc_chunks(_docs(spark, dp), "text", "doc_id").count()
+
+
+def f_normalized_dedup(spark, dp, ep, scratch):
+    """CCNet-class normalization folded into one hash-agg scan. The
+    verbatim 10x copies all collapse onto the 1x normalized keys, so
+    rows-out stays FLAT while input grows — the exact-dedup shape."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.functions.text import normalize_for_dedup
+
+    d = _docs(spark, dp)
+    return (
+        d.select("doc_id", normalize_for_dedup(F.col("text")).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_variants"))
+        .count()
+    )
+
+
+def f_source_overlap(spark, dp, ep, scratch):
+    """Distinct (source, fp) BEFORE pairing: output <= |sources|^2
+    regardless of scale — rows-out must be FLAT at 10x."""
+    from hadoop_app_spark.operators.corpus import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, dp), "text", "source").count()
+
+
+def f_corpus_diff(spark, dp, ep, scratch):
+    """Two deterministic views of the same scaled corpus (1-in-11
+    removed, 1-in-13 added, 1-in-7 changed — the q_corpus_diff churn
+    recipe): output is proportional to CHURN, so rows-out grows ~10x
+    with the corpus but the join input is only (id, fp) projections."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import corpus_diff
+
+    d = _docs(spark, dp)
+    old = d.where(F.col("doc_id") % 11 != 0)
+    new = d.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new, "text", "doc_id").count()
+
+
+def f_embedding_pca(spark, dp, ep, scratch):
+    """Moment pass (one partial Gram row per Arrow batch) + eigh on
+    the driver + narrow projection map: wall should be ~linear and
+    shuffle ~flat (only d x d moment rows ever move)."""
+    from hadoop_app_spark.operators.pca import project_pca, train_pca
+
+    emb = spark.read.parquet(ep).repartition(32)
+    mean, comps, eigs = train_pca(emb, "embedding", k=8)
+    return project_pca(emb, mean, comps, eigs, "embedding").count()
+
+
+def f_quantile_exact(spark, dp, ep, scratch):
+    """Exact per-group quantiles over a HIGH-CARDINALITY value (a
+    hash-derived surrogate for float scores — verbatim text copies
+    would otherwise collapse to the 1x distinct set and hide the
+    scaling difference): shuffles one (group, value) row per DISTINCT
+    value, so shuffle bytes grow ~linearly with the corpus."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import quantile_profile
+
+    d = _docs(spark, dp).select(
+        "source", F.abs(F.xxhash64("doc_id")).alias("v")
+    )
+    return quantile_profile(d, "v", "source").count()
+
+
+def f_quantile_sketch(spark, dp, ep, scratch):
+    """The mergeable twin on the IDENTICAL high-cardinality input:
+    one ~O(accuracy)-sized GK summary per partition per group crosses
+    the wire regardless of cardinality — shuffle bytes must stay FLAT
+    where f_quantile_exact grows (VERDICT r5 item 3's probe)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import quantile_sketch
+
+    d = _docs(spark, dp).select(
+        "source", F.abs(F.xxhash64("doc_id")).alias("v")
+    )
+    return quantile_sketch(d, "v", "source").count()
+
+
+def f_unigram_encode(spark, dp, ep, scratch):
+    """Frequency-floored training (top_words bounds driver EM work
+    INDEPENDENT of scale — verbatim copies leave the head identical)
+    + the distributed Viterbi encode: wall ~linear in the corpus."""
+    from hadoop_app_spark.operators.unigram import (
+        learn_unigram_fast,
+        unigram_token_counts,
+    )
+
+    d = _docs(spark, dp)
+    pieces, _ = learn_unigram_fast(
+        d, vocab_size=300, seed_size=1_500, top_words=2_500
+    )
+    return unigram_token_counts(d, pieces, repartition_to=32).count()
+
+
+def f_hybrid_retrieval(spark, dp, ep, scratch):
+    """Both arms are corpus-sized scans with top-k-bounded outputs;
+    fusion touches O(k) rows — wall ~linear, rows-out FLAT (k)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.retrieval import bm25_topk, bounded_rank, rrf_fuse
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    d = _docs(spark, dp)
+    emb = spark.read.parquet(ep)
+    kw = bounded_rank(
+        bm25_topk(d, "text", "doc_id", ["vector", "stream", "merge", "filter"], k=20)
+        .select("doc_id", "score"),
+        "score", "doc_id", rank_col="kw_rank",
+    ).select("doc_id", "kw_rank")
+    queries = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = brute_force_topk(emb, queries, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    return rrf_fuse(kw, vec).count()
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -472,6 +608,16 @@ FAMILIES = {
     "semdedup_fast": f_semdedup_fast,
     "seq_pack": f_seq_pack,
     "quality_lr": f_quality_lr,
+    # r6 additions (VERDICT r5 items 3 + 7)
+    "doc_chunking": f_doc_chunking,
+    "normalized_dedup": f_normalized_dedup,
+    "source_overlap": f_source_overlap,
+    "corpus_diff": f_corpus_diff,
+    "embedding_pca": f_embedding_pca,
+    "quantile_exact": f_quantile_exact,
+    "quantile_sketch": f_quantile_sketch,
+    "unigram_encode": f_unigram_encode,
+    "hybrid_retrieval": f_hybrid_retrieval,
 }
 
 
@@ -483,6 +629,10 @@ OUTPUT_BOUND_TIERS: dict[str, tuple[int, ...]] = {
     "simhash_band": (1, 10, 100),
     "winnow": (1, 10, 100),
     "embedding_near_dup": (1, 10, 100),
+    # r6: bounded-output families — rows-out must stay FLAT at 100x
+    # (normalized keys collapse verbatim copies; |sources|^2 cap)
+    "normalized_dedup": (1, 10, 100),
+    "source_overlap": (1, 10, 100),
 }
 
 
@@ -512,16 +662,24 @@ def main() -> None:
     emb_families = {
         "cosine_topk_bf", "lsh_ann_topk", "ivf_ann_topk",
         "embedding_near_dup", "semdedup", "semdedup_fast",
+        "embedding_pca",
     }
     ev_families = {"funnel", "cohort"}
+    # families reading BOTH documents and embeddings at scale
+    both_families = {"hybrid_retrieval"}
 
     def _scales_for(names):
         return tuple(sorted({s for w in names for s in OUTPUT_BOUND_TIERS.get(w, (1, 10))}))
 
     by_table = {
-        "documents": _scales_for([w for w in wanted if w not in emb_families | ev_families])
+        "documents": _scales_for(
+            [w for w in wanted if w not in (emb_families | ev_families) - both_families]
+        )
         or (1,),
-        "embeddings": _scales_for([w for w in wanted if w in emb_families]) or (1,),
+        "embeddings": _scales_for(
+            [w for w in wanted if w in emb_families | both_families]
+        )
+        or (1,),
         "events": _scales_for([w for w in wanted if w in ev_families]) or (1,),
     }
     all_scales = tuple(sorted({s for ss in by_table.values() for s in ss}))
