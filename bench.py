@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # trainer + encode, RRF hybrid retrieval
     "quantile_sketch",
     "unigram_token_count",
+    "wordpiece_token_count",
     "hybrid_retrieval",
     "doc_chunking",
     "fim_splits",

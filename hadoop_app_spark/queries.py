@@ -2055,6 +2055,60 @@ def q_stream_stream_join_exec(spark, sf_dir):
 
 
 @query(
+    "stream_quantile_exec",
+    oracle="""
+        WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+                          CAST(floor(value) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+        c AS (SELECT wstart, event_type, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        cum AS (SELECT wstart, event_type, v, c,
+                       sum(c) OVER (PARTITION BY wstart, event_type ORDER BY v) AS cum
+                FROM c),
+        tot AS (SELECT wstart, event_type, sum(c) AS n FROM c GROUP BY 1, 2),
+        j AS (SELECT cum.*, tot.n FROM cum JOIN tot USING (wstart, event_type))
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start, event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN cum >= (1*n + 1) // 2 THEN v END) AS p50,
+               min(CASE WHEN cum >= (9*n + 9) // 10 THEN v END) AS p90
+        FROM j GROUP BY wstart, event_type
+    """,
+    doc="REAL streaming execution of the mergeable quantile sketch: "
+    "availableNow parquet stream -> watermarked tumbling window -> "
+    "percentile_approx (GK summary: the partial/merge/finish contract IS "
+    "what the streaming state store needs, so per-window state is one "
+    "O(accuracy) summary, never the raw values). With per-window counts "
+    "below the accuracy knob the sketch retains every observation and "
+    "equals the exact type-1 integer-rank quantile, so THIS streaming "
+    "entry is oracle-exact; production drops accuracy for bounded state, "
+    "same plan (streaming/events.windowed_value_quantiles)",
+)
+def q_stream_quantile_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import windowed_value_quantiles
+
+    name = "stream_quant_" + uuid.uuid4().hex[:8]
+    with _utc_session(spark):
+        ev = _event_stream(spark, sf_dir).where(F.col("value").isNotNull())
+        q = (
+            windowed_value_quantiles(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        _fmt_utc("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+        "p50",
+        "p90",
+    )
+
+
+@query(
     "stream_tumbling_exec",
     oracle="""
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
@@ -3782,6 +3836,58 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 @query(
+    "wordpiece_merges",
+    oracle=None,  # per-round argmax loop has no SQL twin — rows-only;
+    # exact merge-sequence + segmentation equality vs an independently
+    # written Fraction-scored reference is pinned in
+    # tests/test_wordpiece.py (a DIFFERENT exactness mechanism than the
+    # production integer cross-multiplication, so a scoring bug in
+    # either cannot hide)
+    doc="WordPiece merge induction (Schuster & Nakajima 2012 — the third "
+    "tokenizer family member): merges the adjacent pair maximizing "
+    "count(ab)/(count(a)*count(b)) — cohesion, not raw frequency — with "
+    "word-internal symbols carrying the ## continuation prefix. Scores are "
+    "exact rationals compared by integer cross-multiplication, argmax fully "
+    "deterministic; one corpus scan -> guarded vocabulary collect -> "
+    "driver-side induction, the learn_bpe_merges_fast shape "
+    "(operators/wordpiece.learn_wordpiece)",
+)
+def q_wordpiece_merges(spark, sf_dir):
+    from hadoop_app_spark.operators.wordpiece import learn_wordpiece
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _, _ = learn_wordpiece(d, "text", n_merges=64, top_words=2_500)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+@query(
+    "wordpiece_token_count",
+    oracle=None,  # depends on the learned piece set — rows-only;
+    # encode-vs-driver consistency is pinned in tests/test_wordpiece.py
+    doc="WordPiece token counting under the corpus-learned piece set: greedy "
+    "longest-match-first segmentation (the standard inference rule, with "
+    "per-character OOV fallback so counts stay total) as a distributed "
+    "mapInPandas kernel with a per-batch word cache — the bpe_token_count / "
+    "unigram_token_count shape completing the tokenizer-family encode "
+    "surface (operators/wordpiece.wordpiece_token_counts)",
+)
+def q_wordpiece_token_count(spark, sf_dir):
+    from hadoop_app_spark.operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_token_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    _, pieces, _ = learn_wordpiece(d, "text", n_merges=64, top_words=2_500)
+    return wordpiece_token_counts(
+        d, pieces, repartition_to=spark.sparkContext.defaultParallelism
+    )
+
+
+@query(
     "unigram_vocab",
     oracle=None,  # lattice EM has no SQL twin — rows-only; the trainer
     # is pinned EXACTLY (keys + bit-identical float scores) against an
@@ -4820,6 +4926,10 @@ _PRIORITY = [
     # naive pure-Python reference in tests/test_unigram.py
     "unigram_vocab",
     "unigram_token_count",
+    # wordpiece trainer + encode (r6): likelihood-scored merge loop,
+    # rows-only by design; pinned vs a Fraction-scored reference
+    "wordpiece_merges",
+    "wordpiece_token_count",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest
@@ -4827,6 +4937,10 @@ _PRIORITY = [
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",
+    # stream_quantile_exec (r6): the sketch's streaming twin —
+    # oracle-exact in the accuracy>=per-window-n regime it runs in;
+    # gate candidate for r7 alongside hybrid_retrieval
+    "stream_quantile_exec",
     "stream_tumbling_exec",
     "minhash_signatures",
     "tumbling_window",

@@ -72,6 +72,49 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def windowed_value_quantiles(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Tumbling-window per-type value quantiles via the MERGEABLE GK
+    sketch aggregate (percentile_approx) — the streaming face of
+    operators/corpus.quantile_sketch: the sketch's partial/merge/
+    finish contract is exactly what a streaming state store needs, so
+    per-window state is one O(accuracy)-sized summary per (window,
+    type), never the raw values.
+
+    Values quantize to integers via floor() (IEEE-exact in every
+    engine; a bare double->long CAST truncates in Spark but ROUNDS in
+    DuckDB, so floor is the cross-engine form). With per-window row
+    counts below ``accuracy`` the GK summary retains every
+    observation and the output equals the exact integer-rank type-1
+    quantile (property-pinned against quantile_profile in
+    tests/test_operators.py) — which is what makes the STREAMING
+    entry oracle-exact: the oracle recomputes the exact quantile per
+    window, valid precisely in the regime the accuracy knob
+    guarantees. At production volume you lower accuracy and trade
+    exactness for bounded state — same code, same plan."""
+    v = F.floor(F.col("value")).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.percentile_approx(v, F.lit(0.5), F.lit(accuracy)).alias("p50"),
+            F.percentile_approx(v, F.lit(0.9), F.lit(accuracy)).alias("p90"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "p50",
+            "p90",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

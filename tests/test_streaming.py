@@ -67,6 +67,37 @@ def test_session_windows(spark, tmp_path):
     assert str(big.session_start) == "2024-01-01 10:05:00"
 
 
+def test_windowed_value_quantiles_stream(spark, tmp_path):
+    """Streaming GK-sketch quantiles: at accuracy >= per-window n the
+    summary retains every value, so p50/p90 equal the exact type-1
+    integer-rank quantiles (rank ceil(p*n) over floor(value))."""
+    from hadoop_app_spark.streaming.events import windowed_value_quantiles
+
+    rows = [
+        # one 10:00 click window with values 1.9, 2.1, 7.5, 9.0 ->
+        # floors [1, 2, 7, 9]; n=4: p50 rank 2 -> 2, p90 rank 4 -> 9
+        (1, "2024-01-01 10:05:00", 1, "click", 1.9),
+        (2, "2024-01-01 10:20:00", 1, "click", 2.1),
+        (3, "2024-01-01 10:40:00", 2, "click", 7.5),
+        (4, "2024-01-01 10:50:00", 2, "click", 9.0),
+        # singleton view window: every quantile is the one value
+        (5, "2024-01-01 10:30:00", 2, "view", 4.2),
+    ]
+    path = write_events(tmp_path, rows)
+    q = run_to_memory_sink(
+        windowed_value_quantiles(read_event_stream(spark, path), "1 hour"),
+        "quant_t",
+        mode="complete",
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.p50, r.p90)
+        for r in spark.sql("SELECT * FROM quant_t").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == (4, 2, 9)
+    assert got[("2024-01-01 10:00:00", "view")] == (1, 4, 4)
+
+
 def test_stream_dedup(spark, tmp_path):
     dup_rows = EVENTS + [(1, "2024-01-01 10:06:00", 1, "click", 1.0)]  # dup event_id 1
     path = write_events(tmp_path, dup_rows, n_files=1)
