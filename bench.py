@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "unigram_token_count",
     "wordpiece_token_count",
     "hybrid_retrieval",
+    "dsir_select",
+    "stream_quantile_exec",
     "doc_chunking",
     "fim_splits",
     "normalized_dedup",

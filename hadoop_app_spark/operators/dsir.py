@@ -1,0 +1,135 @@
+"""DSIR-class data selection: hashed n-gram importance ranking
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") — pick raw-corpus documents that look like a target
+domain, using bag-of-hashed-ngrams unigram models.
+
+Method, re-expressed Spark-first and oracle-exactly:
+1. Features: unigrams + bigrams of the lowercased whitespace tokens,
+   hashed into ``n_buckets`` buckets. The hash is the engine-agnostic
+   polynomial fold (functions/text.doc_fingerprint) so DuckDB
+   recomputes identical buckets; pass ``fingerprint='fast'`` for the
+   xxhash64 production path (same plan, no SQL twin — the established
+   poly/fast twin convention).
+2. Bucket models: one partial-combine hash aggregation per corpus
+   gives target counts ct[b] (total T) and raw counts cr[b] (total
+   R) — two B-row tables, broadcast-joined back to the features.
+3. Importance weight of a doc = Σ over its feature occurrences of
+   log( ((2*ct+1)/(2*T+B)) / ((2*cr+1)/(2*R+B)) )   (add-half
+   smoothing). Every ln sees identical exact-integer-derived operands
+   in both engines, and the per-doc sum accumulates in DECIMAL(18,6)
+   (the bm25 trick) so aggregation order cannot diverge — which is
+   what makes the top-k selection hash-exact cross-engine.
+4. Selection: the paper resamples with probability ∝ exp(weight);
+   the deterministic engine form is top-k by (weight desc, id) —
+   TakeOrderedAndProject, no global sort — which is the zero-
+   temperature limit and keeps the oracle exact. (For sampled
+   selection, threshold the weight against a fingerprint-derived
+   uniform exactly like corpus.mixture_rebalance does.)
+
+Scale shape (100 TB): the corpus-sized work is two token explodes
+feeding partial-combine aggregations; the bucket model is B rows
+(bounded by the knob, not the data), broadcast; the final top-k is a
+per-partition partial top-k. No Python in the row path, no window,
+no collect beyond the k result rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.functions.text import _FP_MOD, tokenize
+
+
+def _gram_bucket(gram: Column, n_buckets: int, fingerprint: str) -> Column:
+    if fingerprint == "poly":
+        chars = F.split(gram, "", -1)
+        fp = F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(_FP_MOD).cast("long"),
+        )
+    elif fingerprint == "fast":
+        fp = F.pmod(F.xxhash64(gram), F.lit(_FP_MOD).cast("long"))
+    else:
+        raise ValueError(f"unknown fingerprint {fingerprint!r}")
+    return fp % F.lit(n_buckets).cast("long")
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    fingerprint: str = "poly",
+) -> DataFrame:
+    """-> [id, bucket]: one row per unigram and bigram OCCURRENCE
+    (counts matter — a doc repeating a target-y phrase should weigh
+    more), bucket = poly-hash(gram) % n_buckets. Bigrams join their
+    two tokens with a single space so the oracle concatenates the
+    identical string."""
+    toks = tokenize(F.col(text_col))
+    # guard: Spark's sequence(1, 0) counts DOWN — single-token docs
+    # must yield an empty bigram array, not a reversed bogus one
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("_gram")
+    ).select(
+        id_col, _gram_bucket(F.col("_gram"), n_buckets, fingerprint).alias("bucket")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    n_buckets: int = 4096,
+    fingerprint: str = "poly",
+) -> DataFrame:
+    """Top-``k`` raw docs by hashed-ngram importance weight toward
+    *target* -> [id, n_features, weight] ordered (weight desc, id).
+    weight is the DECIMAL-accumulated log-ratio sum cast to double
+    (exactly the bm25 score convention, so the oracle hash-matches)."""
+    feats = hashed_ngram_features(raw, text_col, id_col, n_buckets, fingerprint)
+    tfeats = hashed_ngram_features(target, text_col, id_col, n_buckets, fingerprint)
+
+    ct = tfeats.groupBy("bucket").agg(F.count("*").alias("ct"))
+    cr = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tot_t = tfeats.agg(F.count("*").alias("T"))
+    tot_r = feats.agg(F.count("*").alias("R"))
+    # every bucket present in raw has cr >= 1; target-absent buckets
+    # smooth to ct = 0. (Buckets absent from raw never appear in any
+    # raw doc, so the left join from features needs no further guard.)
+    model = (
+        cr.join(ct, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            F.log(
+                ((2 * F.col("ct") + 1).cast("double") * (2 * F.col("R") + F.lit(n_buckets)).cast("double"))
+                / ((2 * F.col("cr") + 1).cast("double") * (2 * F.col("T") + F.lit(n_buckets)).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.col("lr").cast("decimal(18,6)")).cast("double").alias("weight"),
+        )
+    )
+    return scored.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)

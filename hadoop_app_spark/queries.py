@@ -3768,6 +3768,65 @@ def q_hybrid_retrieval(spark, sf_dir):
 
 
 @query(
+    "dsir_select",
+    # the oracle rebuilds the ENTIRE method — hashed features, smoothed
+    # bucket models, decimal-accumulated log-ratio weights, top-k — so
+    # the driver value-checks the selection math, not just the shape.
+    # Every ln sees identical exact-integer-derived double operands in
+    # both engines; the per-doc sum uses the bm25 DECIMAL(18,6) trick.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, source, unnest(t) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, source,
+                   unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+            FROM toks WHERE len(t) >= 2),
+        feats AS (
+            SELECT doc_id, source,
+                   (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(g, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007)) % 4096 AS bucket
+            FROM grams),
+        cr AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+        ct AS (SELECT bucket, count(*) AS ct FROM feats
+               WHERE source = 'src0' GROUP BY 1),
+        tr AS (SELECT count(*) AS R FROM feats),
+        tt AS (SELECT count(*) AS T FROM feats WHERE source = 'src0'),
+        model AS (
+            SELECT cr.bucket,
+                   ln((CAST(2 * coalesce(ct.ct, 0) + 1 AS DOUBLE)
+                       * CAST(2 * tr.R + 4096 AS DOUBLE))
+                      / (CAST(2 * cr.cr + 1 AS DOUBLE)
+                         * CAST(2 * tt.T + 4096 AS DOUBLE))) AS lr
+            FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tt),
+        scored AS (
+            SELECT f.doc_id, count(*) AS n_features,
+                   CAST(SUM(CAST(m.lr AS DECIMAL(18,6))) AS DOUBLE) AS weight
+            FROM feats f JOIN model m USING (bucket) GROUP BY 1)
+        SELECT doc_id, n_features, weight FROM scored
+        ORDER BY weight DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR-class data selection (Xie et al. 2023): hashed unigram+bigram "
+    "bucket models for the target domain (source='src0') vs the raw corpus, "
+    "add-half-smoothed log-ratio importance weights accumulated per doc in "
+    "DECIMAL(18,6), deterministic top-k selection (the zero-temperature "
+    "resampling limit) via TakeOrderedAndProject. Corpus-sized work = two "
+    "explode->partial-agg passes; the bucket model is B=4096 rows broadcast "
+    "(operators/dsir.dsir_select)",
+)
+def q_dsir_select(spark, sf_dir):
+    from hadoop_app_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d, d.where(F.col("source") == "src0"), "text", "doc_id",
+        k=100, n_buckets=4096,
+    )
+
+
+@query(
     "sample_per_group",
     oracle=f"""
         SELECT doc_id, source, n_chars
@@ -4921,6 +4980,9 @@ _PRIORITY = [
     # hybrid_retrieval (r6): RRF fusion of the gated bm25 + ANN arms;
     # oracle-exact (integer-rank-only output) — gate candidate for r7
     "hybrid_retrieval",
+    # dsir_select (r6): hashed-ngram importance-ranked data selection,
+    # oracle-exact (full method recomputed in SQL) — gate candidate r7
+    "dsir_select",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
     # naive pure-Python reference in tests/test_unigram.py

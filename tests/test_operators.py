@@ -1699,3 +1699,63 @@ def test_ivf_sampled_seeding_matches_full_when_sample_covers_corpus(spark):
     a = sorted(tuple(r[1]) for r in full.collect())
     b = sorted(tuple(r[1]) for r in sampled.collect())
     assert a == b
+
+
+def test_dsir_importance_ranks_target_like_docs_first(spark):
+    from hadoop_app_spark.operators.dsir import dsir_select, hashed_ngram_features
+
+    target_phrase = "solve the differential equation boundary value problem"
+    web_phrase = "click here to buy cheap shoes online free shipping deals"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{target_phrase} with spectral methods today", "raw"),
+            (2, f"{web_phrase} now and save big money", "raw"),
+            (3, f"we solve the equation problem with boundary value tricks", "raw"),
+            (4, f"{web_phrase} {web_phrase}", "raw"),
+            (100, f"{target_phrase} and prove the solution is unique", "tgt"),
+            (101, "boundary value problem solve differential equation basics", "tgt"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    raw = docs.where("source = 'raw'")
+    tgt = docs.where("source = 'tgt'")
+    out = dsir_select(raw, tgt, k=4)
+    ranked = [r.doc_id for r in out.collect()]
+    assert set(ranked) == {1, 2, 3, 4}
+    # math-like docs (1, 3) must outrank the shopping-spam docs (2, 4)
+    assert set(ranked[:2]) == {1, 3}
+    weights = {r.doc_id: r.weight for r in out.collect()}
+    assert min(weights[1], weights[3]) > max(weights[2], weights[4])
+
+
+def test_dsir_features_occurrence_weighted_and_bigram_guard(spark):
+    from hadoop_app_spark.operators.dsir import hashed_ngram_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "solo")], "doc_id long, text string"
+    )
+    feats = hashed_ngram_features(docs, n_buckets=1 << 20)
+    n = {r[0]: r[1] for r in feats.groupBy("doc_id").count().collect()}
+    # doc 1: 3 unigram occurrences + 2 bigrams; doc 2: 1 unigram, NO
+    # bogus bigram from Spark's descending sequence(1, 0)
+    assert n == {1: 5, 2: 1}
+    # occurrences, not distinct: 'a' appears twice in doc 1's buckets
+    from collections import Counter
+
+    b1 = Counter(r.bucket for r in feats.where("doc_id = 1").collect())
+    assert max(b1.values()) == 2
+
+
+def test_dsir_fast_fingerprint_same_shape(spark):
+    from hadoop_app_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    tgt = docs.where("source = 'src0'")
+    slow = dsir_select(docs, tgt, k=10)
+    fast = dsir_select(docs, tgt, k=10, fingerprint="fast")
+    assert slow.columns == fast.columns
+    assert fast.count() == 10 and slow.count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fingerprint"):
+        dsir_select(docs, tgt, fingerprint="nope").collect()
