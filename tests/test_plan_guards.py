@@ -52,6 +52,10 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # alternative to a global row_number window, which the guard
     # above rightly bans registry-wide
     "hybrid_retrieval",
+    # dsir_select: the T/R totals are ONE-ROW aggregates crossJoin-
+    # broadcast onto the B-row bucket model — the bm25/lm_perplexity
+    # one-row-stats class
+    "dsir_select",
 }
 
 

@@ -165,6 +165,24 @@ SHOWCASE = {
 }
 
 
+SHOWCASE["quantile_sketch"] = (
+    "partial ObjectHashAggregate (the per-partition GK summary build) -> ONE "
+    "Exchange on the group key -> final ObjectHashAggregate merge; scan reads "
+    "only (text, source)",
+    "the sketch state is what shuffles — one O(accuracy) summary per partition "
+    "per group, byte-identical at 1x and 10x in the probe where the exact "
+    "twin's (group, value) rows grow linearly",
+)
+SHOWCASE["dsir_select"] = (
+    "two Generate (explode) -> partial-combine HashAggregate passes building "
+    "the bucket models; the B-row model comes back as a BroadcastHashJoin onto "
+    "the feature stream; TakeOrderedAndProject caps the selection",
+    "the corpus never shuffles on anything except the bounded bucket key "
+    "aggregations; the model is knob-sized (B rows) regardless of data, and "
+    "the top-k is a per-partition partial",
+)
+
+
 def render(spark) -> str:
     """The full PLANS.md content — shared by main() and the CI drift
     test (tests/test_plan_drift.py regenerates this and diffs it
