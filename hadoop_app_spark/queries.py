@@ -1849,6 +1849,56 @@ def q_image_features(spark, sf_dir):
 
 
 @query(
+    "image_near_dup",
+    # fake-hash arm: the 56-bit poly fold is reproduced in SQL via the
+    # image_features hex-fold convention, then the SAME 7x8-bit banding
+    # + exact bit_count(xor) verify — so the driver value-checks the
+    # entire candidate-generation + verify pipeline; only the pixel
+    # decode is stubbed (the real aHash kernel is pytest-pinned on
+    # hand-built PPM/BMP images)
+    oracle="""
+        WITH hx AS (
+            SELECT doc_id, substr(hex(encode(text)), 1, 128) AS h FROM documents),
+        ph AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST((strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+                                 + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS BIGINT)
+                            for i in range(1, length(h) // 2 + 1)]),
+                       (acc, b) -> (acc * 31 + b) % 72057594037927936) AS phash
+            FROM hx),
+        bands AS (
+            SELECT doc_id, phash, band, (phash >> (8 * CAST(band AS INTEGER))) & 255 AS key
+            FROM ph, unnest(range(0, 7)) AS t(band)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.phash AS ph_a, b.phash AS ph_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+    """,
+    doc="perceptual-hash image near-dup (north star multimodal dedup): "
+    "Arrow-batched 56-bit aHash kernel (REAL for P6 PPM / uncompressed BMP "
+    "— grayscale, 8x7 nearest-neighbor grid, mean threshold; byte-fold fake "
+    "for stubbed formats), then pure-Catalyst 7x8-bit Hamming banding with "
+    "pigeonhole-guaranteed recall to distance 6 and an exact bit_count(xor) "
+    "verify — the text SimHash machinery applied to images "
+    "(operators/multimodal.image_near_dup_pairs)",
+)
+def q_image_near_dup(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import image_near_dup_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return image_near_dup_pairs(d, "doc_id", "payload", max_hamming=6, fake=True)
+
+
+@query(
     "frame_sample",
     oracle="""
         SELECT asset_id, CAST(frame_index AS INTEGER) AS frame_index
@@ -5028,6 +5078,9 @@ _PRIORITY = [
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",
     "image_features",
+    # image_near_dup (r6): perceptual-hash banding dedup, oracle-exact
+    # on the fake-hash arm (full banding+verify pipeline value-checked)
+    "image_near_dup",
     "image_resize",
     "frame_sample",
     "audio_chunks",

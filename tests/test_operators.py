@@ -1759,3 +1759,60 @@ def test_dsir_fast_fingerprint_same_shape(spark):
 
     with _pytest.raises(ValueError, match="fingerprint"):
         dsir_select(docs, tgt, fingerprint="nope").collect()
+
+
+def _ppm(w, h, pixel_fn):
+    header = f"P6\n{w} {h}\n255\n".encode()
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pixel_fn(x, y)
+            body += bytes((r, g, b))
+    return header + bytes(body)
+
+
+def test_image_phash_real_kernel_properties():
+    from hadoop_app_spark.operators.multimodal import _image_phash_kernel
+
+    # left half black / right half white -> bits set exactly on the
+    # white half of the 8x7 grid (columns 4..7 of each row)
+    half = _ppm(16, 14, lambda x, y: (255, 255, 255) if x >= 8 else (0, 0, 0))
+    hv = _image_phash_kernel(half, fake=False)
+    bits = [(hv >> i) & 1 for i in range(56)]
+    grid = [bits[r * 8 : (r + 1) * 8] for r in range(7)]
+    assert all(row == [0, 0, 0, 0, 1, 1, 1, 1] for row in grid)
+    # uniform brightness shift leaves the hash IDENTICAL (mean moves too)
+    dim = _ppm(16, 14, lambda x, y: (200, 200, 200) if x >= 8 else (40, 40, 40))
+    assert _image_phash_kernel(dim, fake=False) == hv
+    # flipping one grid cell's worth of pixels flips few bits
+    import random
+
+    def noisy(x, y):
+        if x < 2 and y < 2:  # one 8x7-grid cell region
+            return (255, 255, 255)
+        return (255, 255, 255) if x >= 8 else (0, 0, 0)
+
+    hv2 = _image_phash_kernel(_ppm(16, 14, noisy), fake=False)
+    assert 1 <= bin(hv ^ hv2).count("1") <= 6
+
+
+def test_image_near_dup_pairs_real_images(spark):
+    from hadoop_app_spark.operators.multimodal import image_near_dup_pairs
+
+    base = _ppm(16, 14, lambda x, y: (255, 255, 255) if x >= 8 else (0, 0, 0))
+    same = _ppm(16, 14, lambda x, y: (250, 250, 250) if x >= 8 else (10, 10, 10))
+    gradient = _ppm(16, 14, lambda x, y: (x * 15, y * 18, 128))
+    rows = [(1, bytearray(base)), (2, bytearray(same)), (3, bytearray(gradient))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(
+            df, "asset_id", "payload", max_hamming=6, fake=False
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert not any(3 in p for p in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Hamming 6"):
+        image_near_dup_pairs(df, "asset_id", "payload", max_hamming=10)
