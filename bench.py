@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "hybrid_retrieval",
     "dsir_select",
     "stream_quantile_exec",
+    "image_near_dup",
     "doc_chunking",
     "fim_splits",
     "normalized_dedup",

@@ -3834,16 +3834,14 @@ def q_hybrid_retrieval(spark, sf_dir):
             FROM toks WHERE len(t) >= 2),
         feats AS (
             SELECT doc_id, source,
-                   (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                        list_transform(string_split(g, ''),
-                                       c -> CAST(ascii(c) AS BIGINT))),
-                        (acc, c) -> (acc * 31 + c) % 1000000007)) % 4096 AS bucket
+                   CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
             FROM grams),
-        cr AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+        fcnt AS (SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY 1, 2),
+        cr AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cr FROM fcnt GROUP BY 1),
         ct AS (SELECT bucket, count(*) AS ct FROM feats
                WHERE source = 'src0' GROUP BY 1),
-        tr AS (SELECT count(*) AS R FROM feats),
-        tt AS (SELECT count(*) AS T FROM feats WHERE source = 'src0'),
+        tr AS (SELECT CAST(sum(cr) AS BIGINT) AS R FROM cr),
+        tt AS (SELECT CAST(sum(ct) AS BIGINT) AS T FROM ct),
         model AS (
             SELECT cr.bucket,
                    ln((CAST(2 * coalesce(ct.ct, 0) + 1 AS DOUBLE)
@@ -3852,14 +3850,14 @@ def q_hybrid_retrieval(spark, sf_dir):
                          * CAST(2 * tt.T + 4096 AS DOUBLE))) AS lr
             FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tt),
         scored AS (
-            SELECT f.doc_id, count(*) AS n_features,
-                   CAST(SUM(CAST(m.lr AS DECIMAL(18,6))) AS DOUBLE) AS weight
-            FROM feats f JOIN model m USING (bucket) GROUP BY 1)
+            SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_features,
+                   CAST(SUM(CAST(f.n * m.lr AS DECIMAL(18,6))) AS DOUBLE) AS weight
+            FROM fcnt f JOIN model m USING (bucket) GROUP BY 1)
         SELECT doc_id, n_features, weight FROM scored
         ORDER BY weight DESC, doc_id LIMIT 100
     """,
-    doc="DSIR-class data selection (Xie et al. 2023): hashed unigram+bigram "
-    "bucket models for the target domain (source='src0') vs the raw corpus, "
+    doc="DSIR-class data selection (Xie et al. 2023): md5-hashed unigram+"
+    "bigram bucket models for the target domain (source='src0') vs the raw "
     "add-half-smoothed log-ratio importance weights accumulated per doc in "
     "DECIMAL(18,6), deterministic top-k selection (the zero-temperature "
     "resampling limit) via TakeOrderedAndProject. Corpus-sized work = two "
