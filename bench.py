@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "embedding_pca",
     "quality_calibration",
     "oov_rate",
+    # r7 addition: the 256-bit/16-bit-band crawl-scale image near-dup
+    "image_near_dup_wide",
 ]
 
 

@@ -70,8 +70,14 @@ def ngram_occurrences(
     """-> [id, _gram]: one row per unigram and bigram OCCURRENCE
     (counts matter — a doc repeating a target-y phrase should weigh
     more). Bigrams join their two tokens with a single space so the
-    oracle concatenates the identical string."""
-    toks = tokenize(F.col(text_col))
+    oracle concatenates the identical string.
+
+    The tokenize() regex split is projected to a ``_toks`` column in
+    its own select BEFORE the bigram lambda references it: HOF lambdas
+    are exempt from subexpression elimination, so an inlined tokenize
+    would re-run per array element — O(len^2) regex work per doc
+    (the corpus.py ngram precedent; measured ~40x here at sf0.1)."""
+    toks = F.col("_toks")
     # guard: Spark's sequence(1, 0) counts DOWN — single-token docs
     # must yield an empty bigram array, not a reversed bogus one
     bigrams = F.when(
@@ -84,7 +90,9 @@ def ngram_occurrences(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)
-    return df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    return df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), F.explode(grams).alias("_gram"))
 
 
 def hashed_ngram_features(
@@ -122,25 +130,40 @@ def dsir_select(
     (exactly the bm25 score convention, so the oracle hash-matches).
 
     Plan economy: the per-doc feature stream is collapsed to
-    (id, bucket, n) COUNTS once and localCheckpoint'ed — the explode +
-    hash work runs exactly once per corpus instead of once per
-    consumer — and the T/R totals derive from the B-row bucket tables
-    (sum of counts), never from a second corpus pass."""
+    (id, bucket, n) COUNTS before any join, and the T/R totals derive
+    from the B-row bucket tables (sum of counts), never from a second
+    corpus pass. The compiled plan does contain repeated explode
+    subtrees for the raw-corpus feature pass (one per consumer), but
+    after the _toks projection fix each pass is a cheap single-regex
+    scan — recomputing beats the plan-nondeterminism a lazy
+    localCheckpoint injects (a checkpoint rewrites the explained plan
+    to Scan ExistingRDD after first execution, breaking deterministic
+    plan reports)."""
     feats = (
         hashed_ngram_features(raw, text_col, id_col, n_buckets, fingerprint)
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
     )
-    tfeats = (
+    # rollup gives the per-bucket counts AND the grand total in ONE
+    # aggregation subtree: the two consumers below share the rollup's
+    # exchange (ReusedExchange dedupes identical subplans), so the
+    # corpus explode behind it runs once, not once per consumer —
+    # compiled raw-corpus passes drop 3 -> 2 and target passes 2 -> 1.
+    # grouping() distinguishes the total row robustly (a real NULL
+    # bucket cannot occur, but the indicator costs nothing).
+    t_roll = (
         hashed_ngram_features(target, text_col, id_col, n_buckets, fingerprint)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+        .rollup("bucket")
+        .agg(F.count("*").alias("ct"), F.grouping("bucket").alias("_g"))
     )
+    tfeats = t_roll.where(F.col("_g") == 0).select("bucket", "ct")
+    tot_t = t_roll.where(F.col("_g") == 1).select(F.col("ct").alias("T"))
 
-    cr = feats.groupBy("bucket").agg(F.sum("n").alias("cr"))
-    tot_t = tfeats.agg(F.sum("ct").alias("T"))
-    tot_r = cr.agg(F.sum("cr").alias("R"))
+    r_roll = feats.rollup("bucket").agg(
+        F.sum("n").alias("cr"), F.grouping("bucket").alias("_g")
+    )
+    cr = r_roll.where(F.col("_g") == 0).select("bucket", "cr")
+    tot_r = r_roll.where(F.col("_g") == 1).select(F.col("cr").alias("R"))
     # every bucket present in raw has cr >= 1; target-absent buckets
     # smooth to ct = 0. (Buckets absent from raw never appear in any
     # raw doc, so the left join from features needs no further guard.)

@@ -382,6 +382,150 @@ def image_near_dup_pairs(
     )
 
 
+PHASH_WIDE_BANDS = 16
+PHASH_WIDE_KEY_BITS = 16
+_WIDE_KEY_MOD = 1 << PHASH_WIDE_KEY_BITS
+
+
+def _image_phash256_kernel(payload: bytes, fake: bool) -> list:
+    """256-bit average-hash as 16 x 16-bit band keys — the SCALE form
+    of the 56-bit kernel above.
+
+    Why wider: banding recall needs bands x key-bits = hash bits, and
+    at 7 x 8-bit bands the join has at most 1,792 distinct keys —
+    expected bucket population N/256 per band, so candidate pairs grow
+    ~N^2/256 per band: quadratic-class at crawl-scale image counts.
+    16 bands x 16-bit keys give 65,536-key buckets (bucket population
+    N/65,536) AND a pigeonhole recall guarantee out to Hamming
+    distance 15 instead of 6.
+
+    REAL for P6 PPM / uncompressed BMP: BT.601 grayscale, 16x16
+    nearest-neighbor grid, threshold at the grid mean; grid bit j
+    (row-major) lands in key j//16 at bit position j%16. Compressed
+    formats raise, same boundary as the 56-bit kernel.
+
+    ``fake=True``: 16 independent 31-poly folds of the first 64
+    payload bytes, seeded by the band index, each mod 2^16 — tiny
+    integers, so the DuckDB oracle reproduces every key with plain
+    BIGINT arithmetic (no overflow)."""
+    if not fake:
+        import numpy as np
+
+        if payload.startswith(b"P6"):
+            w, h, img = _decode_ppm(payload)
+        elif payload.startswith(b"BM"):
+            w, h, img = _decode_bmp(payload)
+        else:
+            raise NotImplementedError(
+                "compressed image decode (png/jpeg) requires PIL/cv2 (not in this container)"
+            )
+        luma = img.astype("float64") @ [0.299, 0.587, 0.114]
+        ys = (np.arange(16) * h) // 16
+        xs = (np.arange(16) * w) // 16
+        grid = luma[np.ix_(ys, xs)]
+        bits = (grid >= grid.mean()).flatten()
+        keys = []
+        for band in range(16):
+            k = 0
+            for b in range(16):
+                if bits[band * 16 + b]:
+                    k |= 1 << b
+            keys.append(k)
+        return keys
+    out = []
+    for seed in range(16):
+        acc = seed
+        for b in payload[:64]:
+            acc = (acc * 31 + b) % _WIDE_KEY_MOD
+        out.append(acc)
+    return out
+
+
+def image_phash256(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    fake: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
+    """[asset_id, keys]: Arrow-batched 256-bit perceptual hashing;
+    ``keys`` is the 16-element array of 16-bit band keys the wide
+    near-dup join bands on."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    keys = _image_phash256_kernel(bytes(payload), fake)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append((int(asset_id), keys))
+            yield pd.DataFrame(rows, columns=["asset_id", "keys"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "asset_id long, keys array<int>"
+    )
+
+
+def image_near_dup_pairs_wide(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int = 15,
+    fake: bool = True,
+) -> DataFrame:
+    """[id_a, id_b, hamming]: the crawl-scale image near-dup — 256-bit
+    aHash, 16 bands x 16-bit keys, exact Hamming verify.
+
+    Same plumbing as :func:`image_near_dup_pairs` but with 65,536
+    distinct keys per band instead of 256 (expected bucket population
+    N/65,536 — the candidate join stays linear ~256x further up the
+    corpus-size curve) and pigeonhole-guaranteed recall out to
+    Hamming distance 15 of 256 instead of 6 of 56. Everything past
+    the hash kernel is pure Catalyst: posexplode the key array,
+    per-band equi-join, distinct, then an exact summed
+    bit_count(xor) over the zipped key arrays. The 56-bit form stays
+    as the compat/oracle arm for existing callers."""
+    if max_hamming > PHASH_WIDE_BANDS - 1:
+        raise ValueError(
+            "16x16-bit banding guarantees recall only to Hamming 15; "
+            "raise bands (smaller band width) instead of silently losing pairs"
+        )
+    hashes = image_phash256(df, id_col, payload_col, fake=fake)
+    bands = hashes.select(
+        "asset_id", "keys", F.posexplode("keys").alias("band", "key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.col("a.keys").alias("ka"),
+            F.col("b.keys").alias("kb"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with("ka", "kb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.select("id_a", "id_b", ham.cast("int").alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

@@ -1899,6 +1899,64 @@ def q_image_near_dup(spark, sf_dir):
 
 
 @query(
+    "image_near_dup_wide",
+    # fake-hash arm: 16 seeded 31-poly folds mod 2^16 — every key is a
+    # small integer, so DuckDB reproduces the whole 256-bit fingerprint
+    # with plain BIGINT arithmetic, then the SAME 16x16-bit banding +
+    # exact summed bit_count(xor) verify. The wide form is the SCALE
+    # path (65,536-key buckets vs the 56-bit arm's 256); the real
+    # 16x16-grid aHash kernel is pytest-pinned on hand-built PPMs.
+    oracle="""
+        WITH hx AS (
+            SELECT doc_id, substr(hex(encode(text)), 1, 128) AS h FROM documents),
+        by AS (
+            SELECT doc_id,
+                   [CAST((strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+                         + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS BIGINT)
+                    for i in range(1, length(h) // 2 + 1)] AS bs
+            FROM hx),
+        ph AS (
+            SELECT doc_id,
+                   [list_reduce(list_prepend(CAST(s AS BIGINT), bs),
+                                (acc, b) -> (acc * 31 + b) % 65536)
+                    for s in range(0, 16)] AS keys
+            FROM by),
+        bands AS (
+            SELECT doc_id, keys, band, keys[CAST(band AS INTEGER) + 1] AS key
+            FROM ph, unnest(range(0, 16)) AS t(band)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.keys AS ka, b.keys AS kb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        ham AS (
+            SELECT id_a, id_b,
+                   CAST(list_sum([bit_count(xor(ka[i], kb[i]))
+                                  for i in range(1, 17)]) AS INTEGER) AS hamming
+            FROM cand)
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 15
+    """,
+    doc="crawl-scale perceptual-hash image near-dup: 256-bit aHash (16x16 "
+    "grid, REAL for PPM/BMP; seeded byte-fold fake for stubbed formats) "
+    "banded 16 x 16-bit — 65,536-key buckets keep the candidate join "
+    "linear ~256x further up the corpus-size curve than the 56-bit/8-bit "
+    "compat arm, with pigeonhole recall guaranteed to Hamming 15 "
+    "(operators/multimodal.image_near_dup_pairs_wide)",
+)
+def q_image_near_dup_wide(spark, sf_dir):
+    from hadoop_app_spark.operators.multimodal import image_near_dup_pairs_wide
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return image_near_dup_pairs_wide(
+        d, "doc_id", "payload", max_hamming=15, fake=True
+    )
+
+
+@query(
     "frame_sample",
     oracle="""
         SELECT asset_id, CAST(frame_index AS INTEGER) AS frame_index
@@ -4136,7 +4194,7 @@ def q_mixture_rebalance(spark, sf_dir):
         r AS (SELECT term, doc_id,
                      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
               FROM t),
-        p AS (SELECT term, list_sort(list(doc_id)) AS postings
+        p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
               FROM r WHERE rn <= 32 GROUP BY term)
         SELECT p.term, p.postings, d.doc_freq FROM p JOIN d USING (term)
     """,
@@ -4144,14 +4202,20 @@ def q_mixture_rebalance(spark, sf_dir):
     "posting list + EXACT total doc_freq; the cap is a per-term row_number "
     "window pruned map-side (WindowGroupLimit) so a stopword's postings never "
     "materialize corpus-sized, while doc_freq comes from a separate "
-    "partial-combine hash agg that sees every row "
-    "(operators/retrieval.inverted_index)",
+    "partial-combine hash agg that sees every row. The gated row emits "
+    "postings as a comma-joined STRING: the driver's canonicalizer hashes "
+    "str-formatted scalar cells and cannot sort array columns (the r6 ERR), "
+    "so no gated query may emit a complex type — the array-returning "
+    "operator stays for library use (operators/retrieval.inverted_index)",
 )
 def q_inverted_index(spark, sf_dir):
     from hadoop_app_spark.operators.retrieval import inverted_index
 
     d = _t(spark, sf_dir, "documents")
-    return inverted_index(d, "text", "doc_id", max_postings=32)
+    out = inverted_index(d, "text", "doc_id", max_postings=32)
+    return out.select(
+        "term", F.array_join("postings", ",").alias("postings"), "doc_freq"
+    )
 
 
 def _html_extract_oracle() -> str:
@@ -4822,6 +4886,14 @@ def names() -> list[str]:
 # batch/stream duplicates) whose absence from the gate loses least signal.
 # ---------------------------------------------------------------------------
 
+# The driver's correctness gate compares the FIRST this-many registry
+# queries against their oracles; its canonicalizer hashes str-formatted
+# scalar cells and pandas-sorts rows, so a gated query's schema must be
+# scalar-only (an array/map/struct column crashes it — the r6
+# inverted_index ERR). tools/oracle_check.py and
+# tests/test_registry.py enforce this for every gated entry.
+DRIVER_GATE_SIZE = 50
+
 _PRIORITY = [
     # reference core (SURVEY §2.1-2.5)
     "max_per_group",
@@ -4840,8 +4912,11 @@ _PRIORITY = [
     # r2-r4; stays oracle-checked locally.
     "semi_anti_join",
     "cross_range_joins",
-    "asof_join_latest_click",
-    "bucketed_join",
+    # r7 swap-outs asof_join_latest_click/bucketed_join: four-round-green
+    # join mechanics (the verdict's named displacement picks) — as-of is
+    # the same ranked-window family the gated window_analytics row
+    # exercises and bucketed_join's SortMergeJoin is gated via
+    # inner_equi_join; both stay oracle-checked locally.
     # windows (set_operations rotated out r5: three set-op scans over
     # gated-everywhere groupBy mechanics, driver-green r2-r4)
     "window_analytics",
@@ -4931,11 +5006,28 @@ _PRIORITY = [
     "lm_perplexity",
     "mixture_rebalance",
     "html_extract",
-    "funnel_conversion",
-    "url_canonical_dedup",
+    # r7 swap-outs funnel_conversion/url_canonical_dedup: two-round-green
+    # simple shapes (the verdict's named displacement picks) — funnel is
+    # the min-ts-per-stage window family gated via window_analytics and
+    # the streaming session rows; url canonicalization is regexp_replace
+    # chains over the gated exact-dedup groupBy. Both stay oracle-checked
+    # locally.
     "quantile_profile",
     "stream_static_join_exec",
     "stream_stream_join_exec",
+    # --- r7 swap-ins (VERDICT r6 items 1/4): the round-6 centerpiece
+    # operators rotate INTO the gate AFTER their named defects were
+    # fixed this round — inverted_index re-gated with a scalar-ized
+    # postings column (the r6 driver-ERR fix; complex types are now
+    # machine-rejected from the gate by oracle_check + pytest),
+    # dsir_select re-gated after the tokenize-in-lambda fix (22.2s ->
+    # ~2.5s warm at sf0.1). Every entry below re-verified exact with
+    # tools/oracle_check.py --vanilla at sf0.01 before this edit
+    # (6 exact / 0 fail, including the two fixed rows).
+    "dsir_select",
+    "hybrid_retrieval",
+    "stream_quantile_exec",
+    "image_near_dup",
     # --- r6 swap-ins (VERDICT r5 item 1, the standing rotation process):
     # the round-5 additions rotate INTO the 50-row driver gate so their
     # oracles get driver CORRECTNESS rows, plus the two never-gated r4
@@ -5025,12 +5117,13 @@ _PRIORITY = [
     # equality vs a pure-Python reference is pytest-pinned
     "bpe_merges",
     "bpe_token_count",
-    # hybrid_retrieval (r6): RRF fusion of the gated bm25 + ANN arms;
-    # oracle-exact (integer-rank-only output) — gate candidate for r7
-    "hybrid_retrieval",
-    # dsir_select (r6): hashed-ngram importance-ranked data selection,
-    # oracle-exact (full method recomputed in SQL) — gate candidate r7
-    "dsir_select",
+    # r7 swap-outs (rationales at their old gate slots above): each was
+    # driver-green and its mechanics live inside rows that stay gated;
+    # all remain oracle-checked locally every round.
+    "asof_join_latest_click",
+    "bucketed_join",
+    "funnel_conversion",
+    "url_canonical_dedup",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
     # naive pure-Python reference in tests/test_unigram.py
@@ -5047,10 +5140,6 @@ _PRIORITY = [
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",
-    # stream_quantile_exec (r6): the sketch's streaming twin —
-    # oracle-exact in the accuracy>=per-window-n regime it runs in;
-    # gate candidate for r7 alongside hybrid_retrieval
-    "stream_quantile_exec",
     "stream_tumbling_exec",
     "minhash_signatures",
     "tumbling_window",
@@ -5079,6 +5168,9 @@ _PRIORITY = [
     # image_near_dup (r6): perceptual-hash banding dedup, oracle-exact
     # on the fake-hash arm (full banding+verify pipeline value-checked)
     "image_near_dup",
+    # r7: the 256-bit/16-bit-band scale form (r6 verdict item 5) —
+    # same plumbing, 65,536-key buckets, recall to Hamming 15
+    "image_near_dup_wide",
     "image_resize",
     "frame_sample",
     "audio_chunks",

@@ -29,6 +29,7 @@ picks the last writer per key per batch deterministically.
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -204,6 +205,11 @@ class IcebergMergeTarget:
         self.table = table
         self.keys = list(keys)
         self.op_col = op_col
+        # batch_id alone is NOT collision-safe across streams (each
+        # stream numbers its own batches from 0, so two concurrent
+        # streams in one session both see batch_id=0); a per-target
+        # token makes the temp-view name unique per (target, batch)
+        self._token = uuid.uuid4().hex[:12]
 
     def apply(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -214,9 +220,10 @@ class IcebergMergeTarget:
                 self.table
             ).using("iceberg").create()
             return
-        # MERGE INTO is SQL-only; register the batch as a temp view with
-        # a batch-scoped name so concurrent streams can't collide
-        src = f"_cdc_merge_src_{batch_id}"
+        # MERGE INTO is SQL-only; register the batch as a temp view
+        # scoped by (per-target token, batch_id) so concurrent streams
+        # can't clobber each other's view
+        src = f"_cdc_merge_src_{self._token}_{batch_id}"
         batch.createOrReplaceTempView(src)
         try:
             cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)

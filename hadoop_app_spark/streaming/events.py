@@ -95,10 +95,16 @@ def windowed_value_quantiles(
     entry oracle-exact: the oracle recomputes the exact quantile per
     window, valid precisely in the regime the accuracy knob
     guarantees. At production volume you lower accuracy and trade
-    exactness for bounded state — same code, same plan."""
+    exactness for bounded state — same code, same plan.
+
+    NULL values are excluded UP FRONT (the same exclusion
+    quantile_sketch applies): percentile_approx skips NULLs, so
+    counting them in ``n`` would report a row count inconsistent
+    with the quantiles it sits next to."""
     v = F.floor(F.col("value")).cast("long")
     return (
-        events.withWatermark("ts", watermark)
+        events.where(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),

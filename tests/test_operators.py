@@ -1816,3 +1816,48 @@ def test_image_near_dup_pairs_real_images(spark):
 
     with _pytest.raises(ValueError, match="Hamming 6"):
         image_near_dup_pairs(df, "asset_id", "payload", max_hamming=10)
+
+
+def test_image_phash256_real_kernel_properties():
+    from hadoop_app_spark.operators.multimodal import _image_phash256_kernel
+
+    # left half black / right half white -> in each 16-cell grid row,
+    # exactly columns 8..15 are set; row r is key r with bits 8..15
+    half = _ppm(32, 32, lambda x, y: (255, 255, 255) if x >= 16 else (0, 0, 0))
+    keys = _image_phash256_kernel(half, fake=False)
+    assert len(keys) == 16 and all(0 <= k < 65536 for k in keys)
+    assert all(k == 0xFF00 for k in keys)
+    # uniform brightness shift leaves every key IDENTICAL (mean moves too)
+    dim = _ppm(32, 32, lambda x, y: (200, 200, 200) if x >= 16 else (40, 40, 40))
+    assert _image_phash256_kernel(dim, fake=False) == keys
+
+    def noisy(x, y):
+        if x < 2 and y < 2:  # one 16x16-grid cell region
+            return (255, 255, 255)
+        return (255, 255, 255) if x >= 16 else (0, 0, 0)
+
+    keys2 = _image_phash256_kernel(_ppm(32, 32, noisy), fake=False)
+    flipped = sum(bin(a ^ b).count("1") for a, b in zip(keys, keys2))
+    assert 1 <= flipped <= 15
+
+
+def test_image_near_dup_pairs_wide_real_images(spark):
+    from hadoop_app_spark.operators.multimodal import image_near_dup_pairs_wide
+
+    base = _ppm(32, 32, lambda x, y: (255, 255, 255) if x >= 16 else (0, 0, 0))
+    same = _ppm(32, 32, lambda x, y: (250, 250, 250) if x >= 16 else (10, 10, 10))
+    gradient = _ppm(32, 32, lambda x, y: (x * 7, y * 7, 128))
+    rows = [(1, bytearray(base)), (2, bytearray(same)), (3, bytearray(gradient))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs_wide(
+            df, "asset_id", "payload", max_hamming=15, fake=False
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert not any(3 in p for p in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Hamming 15"):
+        image_near_dup_pairs_wide(df, "asset_id", "payload", max_hamming=16)

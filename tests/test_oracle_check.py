@@ -62,3 +62,27 @@ def test_column_order_independent():
 def test_kind_classes(value, kind):
     # bool is an int subclass — must classify before int.
     assert _kind(value) == kind
+
+
+def test_gated_queries_emit_scalar_schemas_only(spark):
+    """No first-DRIVER_GATE_SIZE registry query may output an array/
+    map/struct column: the DRIVER's canonicalizer pandas-sorts and
+    str-hashes cells and crashes on complex types ('unhashable type:
+    list' — the r6 inverted_index ERR). tools/oracle_check.py enforces
+    the same at check time; this pins it at test time so a rotation
+    can never ship a complex-typed gated row again.
+
+    Streaming-exec builders run their stream to completion at
+    sf0.001 — bounded and already exercised by the streaming tests,
+    so including them here keeps the stream rows (which DO sit in the
+    gate) covered rather than a blind spot."""
+    from hadoop_app_spark.queries import DRIVER_GATE_SIZE, REGISTRY
+    from tools.oracle_check import complex_cols
+
+    bad = {}
+    for name, qd in list(REGISTRY.items())[:DRIVER_GATE_SIZE]:
+        df = qd.fn(spark, "/root/testdata/sf0.001")
+        cols = complex_cols(df.schema)
+        if cols:
+            bad[name] = cols
+    assert bad == {}, f"gated queries with driver-crashing complex columns: {bad}"

@@ -22,7 +22,25 @@ sys.path.insert(0, ".")
 
 from hadoop_app_spark import get_spark
 from hadoop_app_spark.catalog import TABLES
-from hadoop_app_spark.queries import REGISTRY
+from hadoop_app_spark.queries import DRIVER_GATE_SIZE, REGISTRY
+
+
+def complex_cols(schema):
+    """Columns whose type the DRIVER's canonicalizer cannot handle.
+
+    The driver pandas-sorts and str-hashes cells; an ArrayType/MapType/
+    StructType cell raises 'unhashable type: list' there even though
+    this script's norm() tuple-izes lists happily — the r6
+    inverted_index harness-parity gap. Any gated (first-
+    DRIVER_GATE_SIZE) query with a complex output column must FAIL
+    locally so the rotation never ships one."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 def norm(v, nd):
@@ -116,11 +134,21 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_exact = n_close = n_fail = n_skip = 0
-    for name, qd in REGISTRY.items():
+    for idx, (name, qd) in enumerate(REGISTRY.items()):
         if only and name not in only:
             continue
         try:
             df = qd.fn(spark, sf_dir)
+            if idx < DRIVER_GATE_SIZE:
+                bad = complex_cols(df.schema)
+                if bad:
+                    print(
+                        f"FAIL {name}: gated query (registry slot {idx}) emits "
+                        f"complex-typed columns {bad} — the driver canonicalizer "
+                        f"crashes on these (r6 inverted_index ERR class)"
+                    )
+                    n_fail += 1
+                    continue
             srows = [tuple(r) for r in df.collect()]
             scols = df.columns
         except Exception as e:

@@ -551,6 +551,114 @@ def f_hybrid_retrieval(spark, dp, ep, scratch):
     return rrf_fuse(kw, vec).count()
 
 
+def f_dsir(spark, dp, ep, scratch):
+    """Post-r7-fix dsir: two rollup-shared explode passes over the raw
+    corpus, B-row broadcast model, TakeOrderedAndProject — wall
+    ~linear, rows-out FLAT (k). The target set is FIXED across scales
+    (lowest-id src0 docs live in the un-shifted base copy), so the
+    ratio measures corpus growth, not target growth."""
+    from hadoop_app_spark.operators.dsir import dsir_select
+
+    d = _docs(spark, dp)
+    target = d.where(F.col("source") == "src0").orderBy("doc_id").limit(300)
+    return dsir_select(d, target, k=100).count()
+
+
+def f_wordpiece_encode(spark, dp, ep, scratch):
+    """Frequency-floored training + greedy mapInPandas encode with the
+    per-batch word cache: verbatim copies repeat the vocabulary, so
+    the cache hit rate stays high and wall grows ~linearly."""
+    from hadoop_app_spark.operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_token_counts,
+    )
+
+    d = _docs(spark, dp)
+    _, pieces, _ = learn_wordpiece(d, n_merges=40, top_words=2_500)
+    return wordpiece_token_counts(d, pieces, repartition_to=32).count()
+
+
+def f_wordpiece_encode_vocabgrow(spark, dp, ep, scratch):
+    """Word-cache WORST case (VERDICT r6 item 6): every word gets a
+    per-copy suffix, so the vocabulary grows with scale and the
+    per-batch cache cannot amortize across copies — if the encode's
+    cost were cache-dependent rather than token-linear, this ratio
+    would blow past the verbatim family's."""
+    from hadoop_app_spark.functions.text import tokenize
+    from hadoop_app_spark.operators.wordpiece import (
+        learn_wordpiece,
+        wordpiece_token_counts,
+    )
+
+    d = _docs(spark, dp)
+    # suffix every token with its copy index (doc_id div base size):
+    # copy 0 keeps base words, copy k mints a disjoint vocabulary
+    copy = (F.col("doc_id") / F.lit(5000)).cast("long")
+    d = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                tokenize(F.col("text")),
+                lambda t: F.concat(t, F.lit("_"), copy.cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    _, pieces, _ = learn_wordpiece(d, n_merges=40, top_words=2_500)
+    return wordpiece_token_counts(d, pieces, repartition_to=32).count()
+
+
+def _image_band_candidates(spark, dp, wide: bool) -> int:
+    """CANDIDATE pairs (pre-verify) of the banded image near-dup join
+    over per-doc DISTINCT payloads — the quantity whose growth rate is
+    the 56-bit-vs-256-bit design argument: random band collisions are
+    ~N^2 * bands / (2 * keyspace), so the 8-bit arm grows ~100x per
+    10x data while the 16-bit arm's keyspace absorbs two extra decades.
+    Payloads are prefixed with doc_id so shifted copies do NOT share
+    fingerprints (true-dup pairs would be output-bound and mask the
+    collision story)."""
+    from hadoop_app_spark.operators.multimodal import image_phash, image_phash256
+
+    d = _docs(spark, dp).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    if wide:
+        hashes = image_phash256(d, "doc_id", "payload", fake=True)
+        bands = hashes.select(
+            "asset_id", F.posexplode("keys").alias("band", "key")
+        )
+    else:
+        hashes = image_phash(d, "doc_id", "payload", fake=True)
+        bands = hashes.select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("band"),
+            F.expr("shiftright(phash, 8 * band) & 255").alias("key"),
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(F.col("a.asset_id"), F.col("b.asset_id"))
+        .count()
+    )
+
+
+def f_image_neardup_56(spark, dp, ep, scratch):
+    return _image_band_candidates(spark, dp, wide=False)
+
+
+def f_image_neardup_wide(spark, dp, ep, scratch):
+    return _image_band_candidates(spark, dp, wide=True)
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -618,6 +726,12 @@ FAMILIES = {
     "quantile_sketch": f_quantile_sketch,
     "unigram_encode": f_unigram_encode,
     "hybrid_retrieval": f_hybrid_retrieval,
+    # r7 additions (VERDICT r6 items 5 + 6)
+    "dsir": f_dsir,
+    "wordpiece_encode": f_wordpiece_encode,
+    "wordpiece_encode_vocabgrow": f_wordpiece_encode_vocabgrow,
+    "image_neardup_56": f_image_neardup_56,
+    "image_neardup_wide": f_image_neardup_wide,
 }
 
 
@@ -633,6 +747,11 @@ OUTPUT_BOUND_TIERS: dict[str, tuple[int, ...]] = {
     # (normalized keys collapse verbatim copies; |sources|^2 cap)
     "normalized_dedup": (1, 10, 100),
     "source_overlap": (1, 10, 100),
+    # r7: the 16-bit-band keyspace is the design claim — candidates
+    # must stay bounded out to 100x (500k distinct fingerprints); the
+    # 8-bit compat arm is capped at 10x because its ~N^2/256-per-band
+    # collision count is the quadratic-class behavior being contrasted
+    "image_neardup_wide": (1, 10, 100),
 }
 
 
