@@ -59,6 +59,9 @@ def curate(
     embeddings: DataFrame | None = None,
     semdedup_threshold: float = 0.85,
     semdedup_clusters: int = 16,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int = 100,
+    dsir_buckets: int = 4096,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the curated corpus with
     the original columns plus ``n_tokens`` (text already PII-scrubbed).
@@ -81,6 +84,11 @@ def curate(
     (vectorized production path, operators/semdedup) AFTER MinHash:
     the full r4+r5 dedup ladder in one plan, exact -> normalized ->
     lexical near-dup -> semantic near-dup, each stage counted.
+    ``dsir_target``: a target-domain corpus — adds DSIR importance
+    selection (operators/dsir) as the LAST rung: keep the ``dsir_k``
+    cleaned docs whose hashed-ngram profile most resembles the target
+    (clean first, then select; Xie et al. 2023), counted like every
+    other stage.
     """
     obs = observations if observations is not None else {}
 
@@ -219,6 +227,28 @@ def curate(
     if benchmark is not None:
         near_deduped = decontaminate(near_deduped, benchmark, "text", "doc_id")
         near_deduped, obs["decontaminated"] = observe_counts(near_deduped)
+
+    # 5b. optional DSIR target-conditioned selection — the natural LAST
+    # rung of the ladder (clean first, then pick what looks like the
+    # target domain): top-k by hashed-ngram importance weight toward
+    # ``dsir_target``, survivors semi-joined back by id so the corpus
+    # columns ride through untouched. Fast fingerprint — inside the
+    # pipeline nothing recomputes buckets cross-engine, so the cheapest
+    # hash wins (the stratified_sample convention below).
+    if dsir_target is not None:
+        from hadoop_app_spark.operators.dsir import dsir_select
+
+        picked = dsir_select(
+            near_deduped,
+            dsir_target,
+            text_col="text",
+            id_col="doc_id",
+            k=dsir_k,
+            n_buckets=dsir_buckets,
+            fingerprint="fast",
+        ).select("doc_id")
+        near_deduped = near_deduped.join(picked, "doc_id", "left_semi")
+        near_deduped, obs["dsir_selected"] = observe_counts(near_deduped)
 
     # 6. optional deterministic per-language downsample — fast (xxhash64)
     # fingerprint: no oracle recomputes pipeline membership, and the poly

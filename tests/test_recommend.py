@@ -298,3 +298,58 @@ def test_corpus_pipeline_html_front_and_learned_gate(spark):
     out2 = curate(docs, html_col="html", learned_gate=(w, 0.5), observations=obs2)
     assert "model_gated" in obs2
     assert {r.doc_id for r in out2.collect()} <= {1}
+
+
+def test_corpus_pipeline_dsir_stage(spark):
+    """r7 (VERDICT r6 item 9): DSIR target-conditioned selection as the
+    selectable LAST rung of curate() — top-dsir_k cleaned docs by
+    importance toward the target, counted like every other stage and
+    driven by the same single action."""
+    from hadoop_app_spark.plans.corpus_pipeline import curate
+
+    # natural-English sentences (the gates must pass: stopword-based
+    # language id, quality floor, repetition cap), differing only in
+    # the distinctive content words dsir scores on
+    t1 = (
+        "the spark shuffle and the merge run in the stage and the plan "
+        "is fast when the join and the scan share the same exchange."
+    )
+    t2 = (
+        "a spark plan runs the shuffle before the merge and the stage "
+        "keeps the window and the scan on the same worker node."
+    )
+    o3 = (
+        "the garden roses bloom in the spring and the soil is wet "
+        "while the tulips grow near the fence and the birds sing."
+    )
+    o4 = (
+        "the violin and the cello open the sonata and the tempo rises "
+        "while the melody moves through the chord and the hall."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, t1, "en", "srcA", len(t1)),
+            (2, t2, "en", "srcA", len(t2)),
+            (3, o3, "en", "srcB", len(o3)),
+            (4, o4, "en", "srcB", len(o4)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    target = spark.createDataFrame(
+        [
+            (
+                100,
+                "the spark shuffle feeds the merge and the stage builds "
+                "the plan for the scan and the exchange.",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    obs: dict = {}
+    out = curate(docs, observations=obs, dsir_target=target, dsir_k=2)
+    survivors = {r.doc_id for r in out.collect()}
+    c = {k: o.get["rows"] for k, o in obs.items()}
+    assert survivors == {1, 2}            # the target-like pair wins
+    assert c["dsir_selected"] == 2        # the stage counter fires
+    assert c["final"] == 2
+    assert c["near_deduped"] >= c["dsir_selected"]  # monotone ladder
