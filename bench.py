@@ -102,8 +102,14 @@ BENCH_QUERIES = [
     "embedding_pca",
     "quality_calibration",
     "oov_rate",
-    # r7 addition: the 256-bit/16-bit-band crawl-scale image near-dup
+    # r7 additions: the 256-bit/16-bit-band crawl-scale image near-dup,
+    # Gopher rule battery, DSIR Gumbel-top-k resampling, Bloom-filter
+    # decontamination
     "image_near_dup_wide",
+    "gopher_gates",
+    "dsir_resample",
+    "bloom_decontamination",
+    "pq_ann_topk",
 ]
 
 
@@ -177,7 +183,15 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         times[name] = round(timed(name), 3)
-        warm[name] = round(sorted(timed(name) for _ in range(3))[1], 3)
+        samples = sorted(timed(name) for _ in range(3))
+        # sub-~1s entries flap round-over-round with identical plan
+        # fingerprints (r5-r7: recommend_flagship 1.13/1.81/1.36 on the
+        # same hash) — scheduling jitter is a fixed cost that dominates
+        # small denominators. Median-of-5 for them; the two extra runs
+        # cost little exactly because the entries are small.
+        if samples[1] < 1.0:
+            samples = sorted(samples + [timed(name) for _ in range(2)])
+        warm[name] = round(samples[len(samples) // 2], 3)
         # drop DataFrame/RDD references each query: holding them (the
         # old last_df dict) pinned every localCheckpoint block in the
         # executor store, so late queries ran under accumulated memory

@@ -1099,3 +1099,239 @@ def corpus_diff(
         .where(F.col("change").isNotNull())
         .select(id_col, "change")
     )
+
+
+def gopher_quality_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_bounds: tuple[int, int] = (50, 100_000),
+    word_len_bounds: tuple[float, float] = (3.0, 10.0),
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A) as one Catalyst scan -> [id, the seven per-rule
+    measurements, keep]: word-count bounds, mean-word-length band,
+    symbol-to-word ratio (# and ellipsis), bullet-started and
+    ellipsis-ended line ratios, fraction of words containing an
+    alphabetic character, and the required-stopword count ("the, be,
+    to, of, and, that, have, with" — at least 2 distinct). The
+    existing ``quality_score`` is a blended heuristic; this is the
+    published gate battery with every measurement emitted so a
+    curation run can report WHY a doc dropped, not just that it did.
+
+    Scale shape: a single narrow projection — token/line arrays are
+    built once per row, every ratio folds over them with HOFs, no
+    shuffle, no UDF. All arithmetic is integer-derived IEEE division,
+    SQL-expressible for the oracle."""
+    toks = tokenize(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    hashes = F.length(F.col(text_col)) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    dots = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (hashes + dots).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("-")
+            | F.ltrim(ln).startswith("*")
+            | F.ltrim(ln).startswith("•"),
+        )
+    ).cast("long")
+    ellipses = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+        )
+    ).cast("long")
+    bullet_ratio = F.when(n_lines > 0, bullets.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, ellipses.cast("double") / n_lines).otherwise(
+        F.lit(0.0)
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    alpha_ratio = F.when(n_words > 0, alpha_words.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    req = F.array(*[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")])
+    n_stops = F.size(F.array_intersect(F.array_distinct(toks), req)).cast("int")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stops.alias("n_required_stops"),
+    )
+    keep = (
+        F.col("n_words").between(*word_bounds)
+        & F.col("mean_word_len").between(*word_len_bounds)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") < max_bullet_ratio)
+        & (F.col("ellipsis_ratio") < max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("n_required_stops") >= min_required_stops)
+    )
+    return out.withColumn("keep", keep)
+
+
+def build_bloom_filter(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Distributed Bloom filter over the benchmark's word n-grams ->
+    [word, bits]: a constant-size mergeable membership sketch.
+
+    Why it exists next to the exact gram-set join
+    (:func:`contamination_stats`): the exact path broadcasts the
+    DISTINCT benchmark shingle STRINGS — fine while the eval suite is
+    eval-suite-sized, but a consortium contamination list (every eval
+    ever published, multi-language) can reach GBs of strings. The
+    Bloom is ``m_bits/32`` int words REGARDLESS of gram count, unions
+    by bitwise OR (mergeable across suites/partitions by
+    construction), and trades a quantified false-positive rate
+    (~(1 - e^(-k*n_grams/m_bits))^k, knob-controlled) for that
+    boundedness — false positives only ever over-flag, never leak a
+    real contamination.
+
+    Determinism & oracle: the k bit positions are the k consecutive
+    8-hex-char (32-bit) slices of ONE md5 of the gram (md5's 128 bits
+    cover k <= 4) — one native hash call per gram instead of k, and
+    the cross-engine convention means DuckDB rebuilds the IDENTICAL
+    filter bit-for-bit: the false positives themselves are reproduced,
+    which is what makes a bloom-based query hash-exact. 32-bit words
+    (not 64) keep every mask within BIGINT in both engines with no
+    signed-overflow edge at bit 63.
+
+    Scale shape: explode grams -> k (word, mask) rows each ->
+    bit_or hash-agg keyed by word: one pass over the benchmark, a
+    ``m_bits/32``-row result."""
+    if k > 4:
+        raise ValueError("k <= 4: positions are 32-bit slices of one 128-bit md5")
+    grams = benchmark.select(F.explode(ngrams(text_col, n)).alias("gram")).distinct()
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda j: F.conv(
+                F.substring(F.md5(F.col("gram")), (j - 1) * 8 + 1, 8), 16, 10
+            ).cast("long")
+            % F.lit(m_bits),
+        )
+    ).alias("pos")
+    positions = grams.select(pos)
+    return (
+        positions.select(
+            F.floor(F.col("pos") / F.lit(32)).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Per-doc benchmark-overlap scan through the Bloom filter ->
+    [id, n_ngrams, n_flagged, contamination]: same shape and
+    semantics as :func:`contamination_stats` but membership is the
+    k-position bit test against :func:`build_bloom_filter`'s sketch —
+    n_flagged >= the exact n_contaminated (false positives only
+    over-flag), with equality at low fill factors.
+
+    Scale shape: the corpus explodes each gram to k (word, mask)
+    probe rows, broadcast-joins the (m_bits/32)-row filter on word
+    (the corpus never shuffles on gram strings — probe keys are
+    ints), and a gram counts as flagged iff ALL k probes hit:
+    two keyed partial-combine aggregations, no string broadcast."""
+    bloom = F.broadcast(build_bloom_filter(benchmark, text_col, n, m_bits, k))
+    toks = F.col("_toks")
+    # posexplode: duplicate gram OCCURRENCES stay distinct rows so the
+    # flagged count matches contamination_stats' per-occurrence
+    # semantics (a doc repeating a leaked shingle is more contaminated)
+    exploded = docs.select(F.col(id_col), tokenize(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long").alias("n_ngrams"),
+        F.posexplode_outer(ngrams_from_tokens(toks, n)).alias("gpos", "gram"),
+    )
+    probes = exploded.select(
+        id_col,
+        "n_ngrams",
+        "gpos",
+        "gram",
+        F.explode_outer(
+            F.when(
+                F.col("gram").isNotNull(),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k)),
+                    lambda j: F.conv(
+                        F.substring(F.md5(F.col("gram")), (j - 1) * 8 + 1, 8), 16, 10
+                    ).cast("long")
+                    % F.lit(m_bits),
+                ),
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        "n_ngrams",
+        "gpos",
+        "gram",
+        "pos",
+        F.floor(F.col("pos") / F.lit(32)).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    hits = (
+        probes.join(bloom, "word", "left")
+        .withColumn(
+            "_hit",
+            (F.col("bits").isNotNull())
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        )
+        .groupBy(id_col, "n_ngrams", "gpos", "gram")
+        .agg(F.count(F.when(F.col("_hit"), 1)).alias("_k_hits"))
+        .withColumn(
+            "_flagged",
+            F.col("gram").isNotNull() & (F.col("_k_hits") == F.lit(k)),
+        )
+    )
+    out = hits.groupBy(id_col).agg(
+        F.max("n_ngrams").alias("n_ngrams"),
+        F.count(F.when(F.col("_flagged"), 1)).alias("n_flagged"),
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_flagged",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.col("n_flagged").cast("double") / F.col("n_ngrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+    )

@@ -115,17 +115,17 @@ def hashed_ngram_features(
     )
 
 
-def dsir_select(
+def dsir_scored(
     raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 100,
     n_buckets: int = 4096,
     fingerprint: str = "md5",
 ) -> DataFrame:
-    """Top-``k`` raw docs by hashed-ngram importance weight toward
-    *target* -> [id, n_features, weight] ordered (weight desc, id).
+    """Importance weight of every raw doc toward *target* ->
+    [id, n_features, weight] (unselected — the scoring core
+    :func:`dsir_select` and :func:`dsir_resample` both consume).
     weight is the DECIMAL-accumulated log-ratio sum cast to double
     (exactly the bm25 score convention, so the oracle hash-matches).
 
@@ -190,4 +190,76 @@ def dsir_select(
             .alias("weight"),
         )
     )
+    return scored
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    n_buckets: int = 4096,
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """Top-``k`` raw docs by importance weight -> [id, n_features,
+    weight] ordered (weight desc, id): the zero-temperature limit of
+    the paper's resampling, TakeOrderedAndProject (no global sort)."""
+    scored = dsir_scored(raw, target, text_col, id_col, n_buckets, fingerprint)
     return scored.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    n_buckets: int = 4096,
+    fingerprint: str = "md5",
+    temperature: float = 1.0,
+    grain: int = 1 << 20,
+) -> DataFrame:
+    """The paper's actual importance RESAMPLING, made deterministic:
+    sample ``k`` docs without replacement with probability
+    proportional to exp(weight / temperature) via the Gumbel-top-k
+    identity — top-k of weight/T + Gumbel noise IS such a sample —
+    with the noise derived from a content fingerprint instead of an
+    RNG (the mixture_rebalance convention): u = (fp(text) % grain
+    + 0.5) / grain is exact-dyadic in (0, 1), g = -ln(-ln(u)).
+    Membership is therefore re-run- and repartition-stable, and a SQL
+    oracle recomputes it exactly. -> [id, n_features, weight] (the
+    perturbed key is selection-internal: both engines derive it
+    identically, so emitting it would only add a float column to
+    hash).
+
+    temperature -> 0 recovers :func:`dsir_select`'s argmax; large T
+    approaches uniform sampling. Scale shape: one extra narrow
+    projection for the fingerprint + the same TakeOrderedAndProject
+    partial top-k — nothing beyond dsir_scored's passes."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0; use dsir_select for the argmax limit")
+    scored = dsir_scored(raw, target, text_col, id_col, n_buckets, fingerprint)
+    if fingerprint == "md5":
+        fp = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+    elif fingerprint == "poly":
+        chars = F.split(F.col(text_col), "", -1)
+        fp = F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(_FP_MOD).cast("long"),
+        )
+    elif fingerprint == "fast":
+        fp = F.xxhash64(F.col(text_col))
+    else:
+        raise ValueError(f"unknown fingerprint {fingerprint!r}")
+    u = (F.pmod(fp, F.lit(grain)) + F.lit(0.5)) / F.lit(float(grain))
+    uniforms = raw.select(F.col(id_col), (-F.log(-F.log(u))).alias("_gumbel"))
+    perturbed = scored.join(uniforms, id_col).withColumn(
+        "_key", F.col("weight") / F.lit(float(temperature)) + F.col("_gumbel")
+    )
+    return (
+        perturbed.orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "n_features", "weight")
+    )

@@ -1018,6 +1018,68 @@ def q_text_metrics(spark, sf_dir):
 
 
 @query(
+    "gopher_gates",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+                             / len(toks)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN len(toks) > 0
+                        THEN ((length(text) - length(replace(text, '#', '')))
+                              + (length(text) - length(replace(text, '...', ''))) / 3)
+                             / len(toks)
+                        ELSE 0.0 END AS symbol_ratio,
+                   CASE WHEN len(string_split(text, chr(10))) > 0
+                        THEN CAST(len(list_filter(string_split(text, chr(10)),
+                                 l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                                      OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+                             / len(string_split(text, chr(10)))
+                        ELSE 0.0 END AS bullet_ratio,
+                   CASE WHEN len(string_split(text, chr(10))) > 0
+                        THEN CAST(len(list_filter(string_split(text, chr(10)),
+                                 l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+                             / len(string_split(text, chr(10)))
+                        ELSE 0.0 END AS ellipsis_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                             / len(toks)
+                        ELSE 0.0 END AS alpha_word_ratio,
+                   CAST(len(list_intersect(list_distinct(toks),
+                        ['the','be','to','of','and','that','have','with'])) AS INTEGER)
+                       AS n_required_stops
+            FROM t)
+        SELECT *,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_ratio < 0.9
+                AND ellipsis_ratio < 0.3
+                AND alpha_word_ratio >= 0.8
+                AND n_required_stops >= 2) AS keep
+        FROM m
+    """,
+    doc="the full Gopher document-quality rule battery (Rae et al. 2021 "
+    "Appendix A) in one Catalyst scan: word-count bounds, mean-word-length "
+    "band, #/ellipsis symbol ratio, bullet-started and ellipsis-ended line "
+    "ratios, alphabetic-word fraction, required-stopword count — every "
+    "measurement emitted alongside the keep verdict so curation reports WHY "
+    "a doc dropped; all HOF folds over arrays built once per row, zero "
+    "shuffle (operators/corpus.gopher_quality_gates)",
+)
+def q_gopher_gates(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import gopher_quality_gates
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return gopher_quality_gates(d, "text", "doc_id")
+
+
+@query(
     "exact_dedup_simhash",
     oracle="""
         WITH surv AS (
@@ -1777,6 +1839,36 @@ def q_ivf_ann_topk(spark, sf_dir):
     return ivf_topk_vectorized(
         corpus, queries, k=5, n_centroids=16, n_probe=4, centroid_source=emb
     ).select("query_id", "vec_id", "rank")
+
+
+@query(
+    "pq_ann_topk",
+    oracle=None,  # float-mean codebooks are engine-seeded (the
+    # semdedup/pca rows-only convention); exactness is pinned in
+    # tests/test_pq.py instead — full-shortlist output EQUALS brute
+    # force, codebooks/encodes repartition-invariant, recall@5 >= 0.9
+    # on clustered data at a 64/400 shortlist
+    doc="product-quantization ANN (Jégou et al. 2011 — the MEMORY scale "
+    "path of the ANN family): per-subspace codebooks trained driver-side "
+    "on a hash-ordered sample, one mapInPandas encode to m small ints per "
+    "vector (384x smaller than 768-dim float32), asymmetric-distance "
+    "scoring via broadcast m x n_codes lookup tables with a map-side "
+    "partial shortlist, then an EXACT re-rank of the shortlist's true "
+    "vectors — the scoring scan reads the codes column only, ~1% of the "
+    "raw embedding bytes (operators/pq)",
+)
+def q_pq_ann_topk(spark, sf_dir):
+    from hadoop_app_spark.operators.pq import pq_adc_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, n_codes=16, sample=2048)
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return pq_adc_topk(corpus, queries, books, k=5, shortlist=64).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 REGISTRY["ivf_ann_topk_hof"] = QueryDef(
@@ -3282,6 +3374,70 @@ def q_decontamination(spark, sf_dir):
 
 
 @query(
+    "bloom_decontamination",
+    # the oracle REBUILDS the Bloom filter bit-for-bit (the k 32-bit
+    # slices of one md5 per gram, 32-bit words, bit_or) and replays the
+    # k-probe test per gram OCCURRENCE — so the driver value-checks the
+    # sketch itself, including its deterministic false positives
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g0 AS (
+            SELECT doc_id,
+                   unnest([struct_pack(i := i, g := array_to_string(toks[i:i+7], ' '))
+                           for i in range(1, greatest(len(toks) - 7, 0) + 1)]) AS u
+            FROM t),
+        g AS (SELECT doc_id, u.i AS gpos, u.g AS gram FROM g0),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        bpos AS (
+            SELECT CAST(concat('0x', substr(md5(gram), (j - 1) * 8 + 1, 8))
+                        AS BIGINT) % 1048576 AS pos
+            FROM bg, unnest(range(1, 5)) AS s(j)),
+        bloom AS (
+            SELECT pos // 32 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+            FROM bpos GROUP BY 1),
+        probe AS (
+            SELECT doc_id, gpos,
+                   CAST(concat('0x', substr(md5(gram), (j - 1) * 8 + 1, 8))
+                        AS BIGINT) % 1048576 AS pos
+            FROM g, unnest(range(1, 5)) AS s(j)),
+        kh AS (
+            SELECT p.doc_id, p.gpos,
+                   count(*) FILTER (WHERE b.bits IS NOT NULL
+                       AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER)))
+                           = (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) AS k_hits
+            FROM probe p LEFT JOIN bloom b ON (p.pos // 32) = b.word
+            GROUP BY 1, 2),
+        f AS (SELECT doc_id, count(*) FILTER (WHERE k_hits = 4) AS n_flagged
+              FROM kh GROUP BY 1),
+        tot AS (SELECT doc_id, CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_ngrams
+                FROM t)
+        SELECT tot.doc_id, n_ngrams,
+               CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+               CASE WHEN n_ngrams > 0
+                    THEN CAST(coalesce(f.n_flagged, 0) AS DOUBLE) / n_ngrams
+                    ELSE 0.0 END AS contamination
+        FROM tot LEFT JOIN f ON tot.doc_id = f.doc_id
+    """,
+    doc="Bloom-filter benchmark decontamination (the CONSTANT-SIZE scale "
+    "path next to the exact gram-set broadcast): the eval suite's 8-gram "
+    "shingles fold into an m_bits/32-word mergeable bitmask (md5 positions "
+    "— cross-engine, so false positives are deterministic and "
+    "oracle-reproduced), the corpus probes it with k=4 integer keys per "
+    "gram occurrence, and a gram counts as flagged iff all k bits hit; a "
+    "GB-scale contamination list becomes a 128 KB broadcast at the cost of "
+    "a quantified over-flag rate "
+    "(operators/corpus.bloom_contamination_stats)",
+)
+def q_bloom_decontamination(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import bloom_contamination_stats
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return bloom_contamination_stats(d, bench, "text", "doc_id", n=8)
+
+
+@query(
     "domain_filter_caps",
     oracle="""
         WITH u AS (
@@ -3927,6 +4083,70 @@ def q_dsir_select(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return dsir_select(
+        d, d.where(F.col("source") == "src0"), "text", "doc_id",
+        k=100, n_buckets=4096,
+    )
+
+
+@query(
+    "dsir_resample",
+    # the SAME scoring CTEs as dsir_select, then the paper's actual
+    # importance resampling via deterministic Gumbel-top-k: u is an
+    # exact dyadic in (0,1) from the md5 content fingerprint, so both
+    # engines feed ln identical doubles and the sampled MEMBERSHIP is
+    # reproduced exactly (the perturbed key stays selection-internal)
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id, source, unnest(t) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, source,
+                   unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+            FROM toks WHERE len(t) >= 2),
+        feats AS (
+            SELECT doc_id, source,
+                   CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
+            FROM grams),
+        fcnt AS (SELECT doc_id, bucket, count(*) AS n FROM feats GROUP BY 1, 2),
+        cr AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cr FROM fcnt GROUP BY 1),
+        ct AS (SELECT bucket, count(*) AS ct FROM feats
+               WHERE source = 'src0' GROUP BY 1),
+        tr AS (SELECT CAST(sum(cr) AS BIGINT) AS R FROM cr),
+        tt AS (SELECT CAST(sum(ct) AS BIGINT) AS T FROM ct),
+        model AS (
+            SELECT cr.bucket,
+                   ln((CAST(2 * coalesce(ct.ct, 0) + 1 AS DOUBLE)
+                       * CAST(2 * tr.R + 4096 AS DOUBLE))
+                      / (CAST(2 * cr.cr + 1 AS DOUBLE)
+                         * CAST(2 * tt.T + 4096 AS DOUBLE))) AS lr
+            FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tr CROSS JOIN tt),
+        scored AS (
+            SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_features,
+                   CAST(SUM(CAST(f.n * m.lr AS DECIMAL(18,6))) AS DOUBLE) AS weight
+            FROM fcnt f JOIN model m USING (bucket) GROUP BY 1),
+        gumb AS (
+            SELECT doc_id,
+                   -ln(-ln((CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)
+                            % 1048576 + 0.5) / 1048576.0)) AS g
+            FROM documents)
+        SELECT s.doc_id, s.n_features, s.weight
+        FROM scored s JOIN gumb USING (doc_id)
+        ORDER BY s.weight / 1.0 + gumb.g DESC, s.doc_id LIMIT 100
+    """,
+    doc="DSIR importance RESAMPLING (the Xie et al. 2023 paper's sampled "
+    "form, vs dsir_select's zero-temperature argmax): k docs without "
+    "replacement with probability proportional to exp(weight/T) via the "
+    "Gumbel-top-k identity, with the Gumbel noise derived from the md5 "
+    "content fingerprint instead of an RNG — membership is re-run- and "
+    "repartition-stable and the oracle recomputes it exactly. Same "
+    "corpus-sized passes as dsir_select plus one narrow fingerprint "
+    "projection (operators/dsir.dsir_resample)",
+)
+def q_dsir_resample(spark, sf_dir):
+    from hadoop_app_spark.operators.dsir import dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_resample(
         d, d.where(F.col("source") == "src0"), "text", "doc_id",
         k=100, n_buckets=4096,
     )
@@ -5137,6 +5357,17 @@ _PRIORITY = [
     "bucketed_join",
     "funnel_conversion",
     "url_canonical_dedup",
+    # dsir_resample (r7): the paper's sampled selection, deterministic
+    # Gumbel-top-k over the gated dsir_select's scoring — oracle-exact
+    "dsir_resample",
+    # gopher_gates (r7): the published Gopher rule battery with per-rule
+    # measurements — oracle-exact; quality-family driver signal stays
+    # gated via corpus_curation/quality_calibration
+    "gopher_gates",
+    # bloom_decontamination (r7): constant-size mergeable membership
+    # sketch for GB-scale contamination lists — oracle rebuilds the
+    # filter bit-for-bit including its deterministic false positives
+    "bloom_decontamination",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
     # naive pure-Python reference in tests/test_unigram.py
@@ -5174,6 +5405,11 @@ _PRIORITY = [
     # embedding_pca: rows-only by design (engine-seeded eigenvectors;
     # invariants pytest-pinned in tests/test_pca.py)
     "embedding_pca",
+    # pq_ann_topk (r7): product-quantization ADC + exact re-rank, the
+    # ANN family's memory scale path; rows-only by design (engine-
+    # seeded codebooks), full-shortlist == brute-force pinned in
+    # tests/test_pq.py
+    "pq_ann_topk",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",

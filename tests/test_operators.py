@@ -1861,3 +1861,107 @@ def test_image_near_dup_pairs_wide_real_images(spark):
 
     with _pytest.raises(ValueError, match="Hamming 15"):
         image_near_dup_pairs_wide(df, "asset_id", "payload", max_hamming=16)
+
+
+def test_dsir_resample_properties(spark):
+    from hadoop_app_spark.operators.dsir import dsir_resample, dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    tgt = docs.where("source = 'src0'")
+    # tiny temperature -> the Gumbel perturbation is negligible next to
+    # weight/T: selection collapses onto the argmax (dsir_select)
+    cold = {r.doc_id for r in dsir_resample(docs, tgt, k=15, temperature=1e-9).collect()}
+    argmax = {r.doc_id for r in dsir_select(docs, tgt, k=15).collect()}
+    assert cold == argmax
+    # large temperature -> the Gumbel noise dominates: the sample
+    # diversifies away from the argmax, yet stays DETERMINISTIC —
+    # identical membership under re-run and repartition
+    hot1 = {
+        r.doc_id for r in dsir_resample(docs, tgt, k=15, temperature=1e6).collect()
+    }
+    hot2 = {
+        r.doc_id
+        for r in dsir_resample(docs.repartition(7), tgt, k=15, temperature=1e6).collect()
+    }
+    assert hot1 == hot2
+    assert hot1 != argmax
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        dsir_resample(docs, tgt, temperature=0.0)
+
+
+def test_gopher_quality_gates_rules(spark):
+    from hadoop_app_spark.operators.corpus import gopher_quality_gates
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with great energy and"] * 5
+    )  # 60 words, all alphabetic, plenty of required stops
+    bullets = "\n".join(f"- {w}" for w in good.split())[:400]
+    dots = " ".join(["see the thing that we have to handle ..."] * 9)
+    symbols = good + " " + " ".join(["#tag"] * 20)
+    short = "the cat sat with that dog"
+    rows = [
+        (1, good), (2, bullets), (3, dots), (4, symbols), (5, short),
+        (6, " ".join(["zzzzzzzzzzzzzzzz"] * 60)),  # mean word len 16, no stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_gates(df).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].bullet_ratio >= 0.9
+    assert not out[3].keep and out[3].symbol_ratio > 0.1
+    assert not out[4].keep and out[4].symbol_ratio > 0.1
+    assert not out[5].keep and out[5].n_words < 50
+    assert not out[6].keep and out[6].mean_word_len > 10
+    assert out[6].n_required_stops == 0
+    # every measurement is emitted, not just the verdict
+    assert set(out[1].asDict()) == {
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_ratio",
+        "ellipsis_ratio", "alpha_word_ratio", "n_required_stops", "keep",
+    }
+
+
+def test_bloom_contamination_superset_and_low_fill_equality(spark):
+    from hadoop_app_spark.operators.corpus import (
+        bloom_contamination_stats,
+        contamination_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    bench = docs.where("doc_id % 50 = 0")
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in contamination_stats(docs, bench, "text", "doc_id", n=8).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged
+        for r in bloom_contamination_stats(docs, bench, "text", "doc_id", n=8).collect()
+    }
+    assert set(bloom) == set(exact)
+    # Bloom membership can only OVER-flag (no false negatives)...
+    assert all(bloom[d] >= exact[d] for d in exact)
+    # ...and at the default 2^20 bits with an eval-suite-sized gram set
+    # the fill factor is so low the counts coincide exactly
+    assert bloom == exact
+
+
+def test_bloom_filter_is_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import build_bloom_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    whole = {
+        r.word: r.bits for r in build_bloom_filter(docs, "text", n=8).collect()
+    }
+    merged = {
+        r.word: r.bits
+        for r in build_bloom_filter(a, "text", n=8)
+        .unionByName(build_bloom_filter(b, "text", n=8))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .collect()
+    }
+    assert merged == whole  # union of corpora == bitwise OR of filters

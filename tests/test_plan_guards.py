@@ -56,6 +56,9 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # broadcast onto the B-row bucket model — the bm25/lm_perplexity
     # one-row-stats class
     "dsir_select",
+    # dsir_resample: same scoring core (dsir_scored), same one-row
+    # T/R broadcasts
+    "dsir_resample",
 }
 
 
