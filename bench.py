@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "dsir_resample",
     "bloom_decontamination",
     "pq_ann_topk",
+    # r7 TPC-H-shaped classics
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "top_supplier",
 ]
 
 

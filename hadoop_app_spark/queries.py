@@ -362,6 +362,169 @@ def q_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "shipping_priority",
+    oracle="""
+        SELECT l_orderkey, {rev} AS revenue, o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """.format(rev=_DSUM.format(c="l_extendedprice * (1 - l_discount)")),
+    doc="TPC-H Q3-shaped shipping priority: the classic dim-filter -> "
+    "fact-join -> grouped-revenue -> top-N. Plan shape at 100 TB: the "
+    "segment-filtered customer side broadcasts into orders (dim vs fact), "
+    "the orders->lineitem join shuffles on orderkey only AFTER both date "
+    "filters push to the scans (PushedFilters prunes most of both facts), "
+    "revenue accumulates in DECIMAL(18,6) partial-combine, and the final "
+    "top-10 is TakeOrderedAndProject — no global sort ever materializes",
+)
+def q_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+        SELECT n_name, {rev} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """.format(rev=_DSUM.format(c="l_extendedprice * (1 - l_discount)")),
+    doc="TPC-H Q5-shaped local supplier volume: the six-way star join with "
+    "the c_nationkey = s_nationkey locality condition. Plan shape: region/"
+    "nation/supplier/customer all broadcast (dims), so the only shuffles "
+    "are the two fact-side joins (orders on custkey, lineitem on orderkey) "
+    "and the final |nations|-row aggregation; the locality equality rides "
+    "the supplier join as a second key rather than a post-filter",
+)
+def q_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+        SELECT 100.0 * {promo} / {total} AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """.format(
+        promo=_DSUM.format(
+            c="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        ),
+        total=_DSUM.format(c="l_extendedprice * (1 - l_discount)"),
+    ),
+    doc="TPC-H Q14-shaped promo revenue share: conditional aggregation over "
+    "a fact-dim join in one month. Plan shape: part broadcasts, the month "
+    "filter pushes to the lineitem scan, both sums accumulate in "
+    "DECIMAL(18,6) in the same partial-combine aggregate (one pass), and "
+    "the share is a single exact-double division — cross-engine "
+    "hash-exact because both operands derive from decimal sums",
+)
+def q_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_share")
+    )
+
+
+@query(
+    "top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey, {rev} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey),
+        m AS (SELECT max(total_revenue) AS mx FROM rev)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN m
+        WHERE total_revenue = m.mx
+    """.format(rev=_DSUM.format(c="l_extendedprice * (1 - l_discount)")),
+    doc="TPC-H Q15-shaped top supplier: per-supplier quarterly revenue, then "
+    "the supplier(s) attaining the maximum. Plan shape: one keyed "
+    "partial-combine aggregation over the date-pruned fact, a ONE-ROW max "
+    "aggregate crossJoin-broadcast back onto the |suppliers|-row revenue "
+    "table (the bm25/dsir one-row-stats class — no second fact scan, no "
+    "global sort), equality on exact decimal-derived doubles so ties "
+    "surface every argmax supplier",
+)
+def q_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
     "count_distinct",
     oracle="""
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
@@ -5368,6 +5531,14 @@ _PRIORITY = [
     # sketch for GB-scale contamination lists — oracle rebuilds the
     # filter bit-for-bit including its deterministic false positives
     "bloom_decontamination",
+    # r7 TPC-H-shaped classics: multi-join star-schema plans (Q3/Q5/
+    # Q14/Q15 shapes) — all oracle-exact; the join mechanics they
+    # exercise stay gated via inner_equi_join/broadcast_dim_join/
+    # pricing_summary
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "top_supplier",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
     # naive pure-Python reference in tests/test_unigram.py

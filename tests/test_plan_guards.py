@@ -59,6 +59,9 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # dsir_resample: same scoring core (dsir_scored), same one-row
     # T/R broadcasts
     "dsir_resample",
+    # top_supplier: the Q15 max-revenue threshold is a ONE-ROW aggregate
+    # crossJoin-broadcast onto the per-supplier revenue table
+    "top_supplier",
 }
 
 

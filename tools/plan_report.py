@@ -173,6 +173,22 @@ SHOWCASE["quantile_sketch"] = (
     "per group, byte-identical at 1x and 10x in the probe where the exact "
     "twin's (group, value) rows grow linearly",
 )
+SHOWCASE["shipping_priority"] = (
+    "BroadcastHashJoins end-to-end at this sf (orders fits the broadcast "
+    "threshold too); PushedFilters on BOTH fact scans; TakeOrderedAndProject",
+    "the Q3 shape at 100 TB: date predicates prune the scans, the customer "
+    "dim never shuffles the facts (the orders edge grows into a shuffle "
+    "join at real scale — AQE picks it by size), and the top-10 is a "
+    "map-side partial — no global sort materializes",
+)
+SHOWCASE["local_supplier_volume"] = (
+    "four BroadcastHashJoins (region/nation/supplier/customer) around two "
+    "fact shuffles (orders on custkey, lineitem on orderkey); the "
+    "c_nationkey = s_nationkey locality condition rides the supplier join "
+    "as a key, not a post-filter",
+    "the Q5 six-way star: only fact-fact edges exchange; dims broadcast; "
+    "the final aggregate is |nations| rows",
+)
 SHOWCASE["dsir_select"] = (
     "two Generate (explode) -> partial-combine HashAggregate passes building "
     "the bucket models; the B-row model comes back as a BroadcastHashJoin onto "
