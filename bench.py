@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "promo_revenue",
     "top_supplier",
+    "cms_heavy_hitters",
 ]
 
 

@@ -1335,3 +1335,99 @@ def bloom_contamination_stats(
         .otherwise(F.lit(0.0))
         .alias("contamination"),
     )
+
+
+def build_count_min(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1 << 14,
+) -> DataFrame:
+    """Count-Min sketch over the corpus' token OCCURRENCES ->
+    [row, col, c]: the frequency-estimation member of the sketch
+    family (Bloom = membership, GK = quantiles, HLL = distinct,
+    MinHash = similarity; Cormode & Muthukrishnan 2005).
+
+    depth x width counters (4 x 16,384 longs = 512 KB) REGARDLESS of
+    vocabulary size; est(token) = min over rows of the token's
+    counter, guaranteed >= the true count with the overestimate
+    bounded by eps = e/width of total mass per row. Counter cells sum
+    under union, so sketches merge across shards/days/streams by
+    adding frames — the property that matters when the vocabulary is
+    crawl-sized and a per-token exact count would shuffle every key.
+
+    Determinism & oracle: row j's column is the j-th 8-hex-char slice
+    of ONE md5 per token (the bloom-filter convention; md5's 128 bits
+    cover depth <= 4), so DuckDB rebuilds the identical sketch and the
+    ESTIMATES — including their deterministic collisions — reproduce
+    exactly. Scale shape: explode tokens -> depth (row, col) pairs ->
+    one partial-combine hash aggregation into at most depth*width
+    rows."""
+    if depth > 4:
+        raise ValueError("depth <= 4: rows are 32-bit slices of one 128-bit md5")
+    toks = df.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(depth)),
+                lambda j: F.struct(
+                    (j - 1).cast("int").alias("row"),
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.col("tok")), (j - 1) * 8 + 1, 8), 16, 10
+                        ).cast("long")
+                        % F.lit(width)
+                    ).cast("int").alias("col"),
+                ),
+            )
+        ).alias("cell")
+    )
+    return (
+        cells.select(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate_tokens(
+    df: DataFrame,
+    tokens: DataFrame,
+    text_col: str = "text",
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 1 << 14,
+) -> DataFrame:
+    """Estimate each token's corpus occurrence count through the
+    Count-Min sketch -> [tok, est_count]: depth probe rows per token
+    equi-join the broadcast sketch on (row, col) ints, est = min of
+    the depth counters (a missing cell reads 0). est_count >= the true
+    count always — collisions only ever inflate."""
+    cms = F.broadcast(build_count_min(df, text_col, depth, width))
+    # two-step select: aliasing token_col to "tok" AND hashing it in
+    # the same projection would make the md5 a lateral alias reference
+    # when token_col is already named "tok"
+    named = tokens.select(F.col(token_col).alias("tok"))
+    probes = named.select(
+        "tok",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(depth)),
+                lambda j: F.struct(
+                    (j - 1).cast("int").alias("row"),
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.col("tok")), (j - 1) * 8 + 1, 8),
+                            16,
+                            10,
+                        ).cast("long")
+                        % F.lit(width)
+                    ).cast("int").alias("col"),
+                ),
+            )
+        ).alias("cell"),
+    ).select("tok", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(cms, ["row", "col"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )

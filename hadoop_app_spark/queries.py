@@ -3601,6 +3601,54 @@ def q_bloom_decontamination(spark, sf_dir):
 
 
 @query(
+    "cms_heavy_hitters",
+    # the oracle REBUILDS the Count-Min sketch cell-for-cell and
+    # replays every probe, so the driver value-checks the estimates
+    # including their deterministic collisions; emitting exact_count
+    # alongside makes the overestimate guarantee (est >= exact)
+    # visible in the gated values themselves
+    oracle=f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+        cells AS (
+            SELECT tok, CAST(j - 1 AS INTEGER) AS row,
+                   CAST(CAST(concat('0x', substr(md5(tok), CAST((j - 1) * 8 + 1 AS INTEGER), 8))
+                        AS BIGINT) % 16384 AS INTEGER) AS col
+            FROM toks, unnest(range(1, 5)) AS s(j)),
+        cms AS (SELECT row, col, count(*) AS c FROM cells GROUP BY 1, 2),
+        exact AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY 1),
+        probe AS (SELECT DISTINCT tok, row, col FROM cells),
+        est AS (
+            SELECT p.tok, min(coalesce(c.c, 0)) AS est_count
+            FROM probe p LEFT JOIN cms c ON p.row = c.row AND p.col = c.col
+            GROUP BY 1)
+        SELECT e.tok, e.est_count, x.exact_count
+        FROM est e JOIN exact x ON e.tok = x.tok
+        WHERE e.est_count >= 200
+    """,
+    doc="Count-Min heavy hitters (the frequency member of the sketch "
+    "family — Cormode & Muthukrishnan 2005): depth x width counters "
+    "(4 x 16,384 = 512 KB regardless of vocabulary), est(token) = min of "
+    "its 4 md5-sliced counters, mergeable by cell addition across shards/"
+    "streams; tokens whose estimate clears the threshold emit est + exact "
+    "side by side, est >= exact always "
+    "(operators/corpus.build_count_min / cms_estimate_tokens)",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import cms_estimate_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("tok"))
+    distinct_toks = toks.distinct()
+    est = cms_estimate_tokens(d, distinct_toks, "text", "tok")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    return (
+        est.where(F.col("est_count") >= 200)
+        .join(exact, "tok")
+        .select("tok", "est_count", "exact_count")
+    )
+
+
+@query(
     "domain_filter_caps",
     oracle="""
         WITH u AS (
@@ -5539,6 +5587,9 @@ _PRIORITY = [
     "local_supplier_volume",
     "promo_revenue",
     "top_supplier",
+    # cms_heavy_hitters (r7): Count-Min frequency sketch, the sketch
+    # family's frequency member — oracle rebuilds it cell-for-cell
+    "cms_heavy_hitters",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
     # naive pure-Python reference in tests/test_unigram.py

@@ -1965,3 +1965,37 @@ def test_bloom_filter_is_mergeable(spark):
         .collect()
     }
     assert merged == whole  # union of corpora == bitwise OR of filters
+
+
+def test_count_min_overestimate_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import (
+        build_count_min,
+        cms_estimate_tokens,
+    )
+    from hadoop_app_spark.functions.text import tokenize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    toks = docs.select(F.explode(tokenize("text")).alias("tok"))
+    exact = {r.tok: r.c for r in toks.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+    est = {
+        r.tok: r.est_count
+        for r in cms_estimate_tokens(docs, toks.distinct(), "text", "tok").collect()
+    }
+    assert set(est) == set(exact)
+    # CMS guarantee: estimates NEVER undercount
+    assert all(est[t] >= exact[t] for t in exact)
+    # at 4 x 16k cells over a tiny vocabulary, collisions are rare:
+    # the vast majority of estimates are exact
+    exact_frac = sum(est[t] == exact[t] for t in exact) / len(exact)
+    assert exact_frac > 0.95
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B), cell-wise
+    a, b = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    whole = {(r.row, r.col): r.c for r in build_count_min(docs).collect()}
+    merged: dict = {}
+    for part in (a, b):
+        for r in build_count_min(part).collect():
+            merged[(r.row, r.col)] = merged.get((r.row, r.col), 0) + r.c
+    assert merged == whole
