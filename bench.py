@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "promo_revenue",
     "top_supplier",
     "cms_heavy_hitters",
+    "stream_cms_exec",
+    "typo_pairs",
 ]
 
 

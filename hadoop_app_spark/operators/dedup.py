@@ -632,3 +632,57 @@ def ngram_jaccard(
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
     return joined.select("id_a", "id_b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"))
+
+
+def edit1_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str | None = None,
+    min_len: int = 3,
+) -> DataFrame:
+    """Fuzzy self-join at edit distance exactly 1 -> [a, b] (a < b):
+    the SymSpell deletion-neighborhood blocking (Garbe's symmetric
+    delete), applied corpus-side for typo/variant mining.
+
+    Blocking: each string emits itself plus its |s| single-character
+    DELETION variants; two strings within edit distance 1 ALWAYS
+    share a variant (substitution: delete the differing position from
+    both; insert/delete: the longer's deletion set contains the
+    shorter) — so the candidate equi-join is recall-complete, the
+    same pigeonhole contract the Hamming banding families carry. The
+    exact ``levenshtein`` verify then drops the false candidates
+    (distance-2 pairs can collide on a variant).
+
+    Scale shape: variants explode |s|+1 rows per string; the join is
+    a plain equi-join on the variant key — candidate pairs are
+    bounded by variant-bucket populations (shared-variant strings),
+    not |V|^2. ``min_len`` drops ultra-short strings whose deletion
+    neighborhoods are dense enough to pair everything with
+    everything (the a/at/an cluster)."""
+    toks = df.select(F.col(str_col).alias("s")).where(
+        F.length("s") >= min_len
+    ).distinct()
+    variants = toks.select(
+        "s",
+        F.explode(
+            F.array_union(
+                F.array(F.col("s")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s")),
+                    # Column.substr accepts Column args (F.substring
+                    # needs int literals, useless inside a HOF lambda)
+                    lambda i: F.concat(
+                        F.col("s").substr(F.lit(1), i - 1),
+                        F.col("s").substr(i + 1, F.length("s")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+        .distinct()
+    )
+    return cand.where(F.levenshtein("a", "b") == 1)

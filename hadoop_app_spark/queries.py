@@ -2472,6 +2472,55 @@ def q_stream_quantile_exec(spark, sf_dir):
 
 
 @query(
+    "stream_cms_exec",
+    oracle="""
+        WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type
+                   FROM events WHERE event_type IS NOT NULL),
+        cells AS (
+            SELECT wstart, CAST(j - 1 AS INTEGER) AS row,
+                   CAST(CAST(concat('0x', substr(md5(event_type),
+                        CAST((j - 1) * 8 + 1 AS INTEGER), 8)) AS BIGINT)
+                        % 16384 AS INTEGER) AS col
+            FROM b, unnest(range(1, 5)) AS s(j))
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+               row, col, count(*) AS c
+        FROM cells GROUP BY 1, 2, 3
+    """,
+    doc="REAL streaming execution of the Count-Min sketch: availableNow "
+    "stream -> watermarked tumbling window -> per-window (row, col) "
+    "counter cells from the k md5 slices per key. Per-window state is "
+    "depth x width cells NO MATTER the key cardinality — the bounded-"
+    "state answer for crawl-scale token/URL streams where per-key exact "
+    "counts grow without bound — and the deterministic cells make THIS "
+    "streaming entry oracle-exact, collisions included "
+    "(streaming/events.windowed_cms)",
+)
+def q_stream_cms_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import windowed_cms
+
+    name = "stream_cms_" + uuid.uuid4().hex[:8]
+    with _utc_session(spark):
+        ev = _event_stream(spark, sf_dir)
+        q = (
+            windowed_cms(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        _fmt_utc("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "row",
+        "col",
+        "c",
+    )
+
+
+@query(
     "stream_tumbling_exec",
     oracle="""
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
@@ -3645,6 +3694,63 @@ def q_cms_heavy_hitters(spark, sf_dir):
         est.where(F.col("est_count") >= 200)
         .join(exact, "tok")
         .select("tok", "est_count", "exact_count")
+    )
+
+
+@query(
+    "typo_pairs",
+    # the synthetic vocabulary contains no natural edit-1 pairs, so
+    # docs with doc_id % 20 = 0 contribute a last-char-dropped variant
+    # of each long-enough token (the decontamination %50-standin
+    # convention) — overlap is guaranteed non-trivial and every pair
+    # still flows through blocking + verify
+    oracle=f"""
+        WITH raw AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        toks AS (
+            SELECT tok FROM raw
+            UNION ALL
+            SELECT tok[1:length(tok)-1] AS tok FROM raw
+            WHERE doc_id % 20 = 0 AND length(tok) >= 5),
+        tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        base AS (SELECT tok AS s FROM tc WHERE length(tok) >= 4),
+        vars0 AS (
+            SELECT s,
+                   unnest(list_distinct(list_append(
+                       [s[1:i-1] || s[i+1:length(s)] for i in range(1, length(s) + 1)],
+                       s))) AS v
+            FROM base),
+        cand AS (
+            SELECT DISTINCT a.s AS a, b.s AS b
+            FROM vars0 a JOIN vars0 b ON a.v = b.v AND a.s < b.s),
+        p AS (SELECT a, b FROM cand WHERE levenshtein(a, b) = 1)
+        SELECT p.a, p.b, ca.c AS count_a, cb.c AS count_b
+        FROM p JOIN tc ca ON p.a = ca.tok JOIN tc cb ON p.b = cb.tok
+    """,
+    doc="edit-distance-1 fuzzy self-join over the corpus vocabulary "
+    "(SymSpell deletion-neighborhood blocking): each token emits itself + "
+    "its single-deletion variants, candidates equi-join on the variant "
+    "key with pigeonhole-COMPLETE recall at distance 1, the built-in "
+    "levenshtein verifies — typo/variant mining with candidate pairs "
+    "bounded by variant-bucket populations, never |V|^2; both sides' "
+    "occurrence counts ride along so normalization can keep the majority "
+    "spelling (operators/dedup.edit1_pairs)",
+)
+def q_typo_pairs(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import edit1_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    typos = raw.where(
+        (F.col("doc_id") % 20 == 0) & (F.length("tok") >= 5)
+    ).select(F.expr("substring(tok, 1, length(tok) - 1)").alias("tok"))
+    toks = raw.select("tok").unionByName(typos)
+    tc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    pairs = edit1_pairs(toks, "tok", min_len=4)
+    ca, cb = tc.alias("ca"), tc.alias("cb")
+    return (
+        pairs.join(ca, pairs.a == F.col("ca.tok"))
+        .join(cb, pairs.b == F.col("cb.tok"))
+        .select("a", "b", F.col("ca.c").alias("count_a"), F.col("cb.c").alias("count_b"))
     )
 
 
@@ -5590,6 +5696,12 @@ _PRIORITY = [
     # cms_heavy_hitters (r7): Count-Min frequency sketch, the sketch
     # family's frequency member — oracle rebuilds it cell-for-cell
     "cms_heavy_hitters",
+    # stream_cms_exec (r7): the sketch's streaming twin (bounded state
+    # per window regardless of key cardinality) — oracle-exact
+    "stream_cms_exec",
+    # typo_pairs (r7): SymSpell deletion-neighborhood edit-1 fuzzy
+    # join over the vocabulary — oracle-exact
+    "typo_pairs",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
     # naive pure-Python reference in tests/test_unigram.py

@@ -219,3 +219,59 @@ def run_to_memory_sink(stream_df: DataFrame, query_name: str, mode: str = "appen
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_cms(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1 << 14,
+) -> DataFrame:
+    """Tumbling-window Count-Min sketch over ``key_col`` ->
+    [window_start, row, col, c]: the streaming face of
+    operators/corpus.build_count_min, exactly as windowed_value_
+    quantiles is the streaming face of quantile_sketch.
+
+    Why a sketch in the stream: per-window per-key exact counts keep
+    state proportional to the window's KEY CARDINALITY — unbounded
+    for crawl-scale token/URL streams; the CMS holds depth x width
+    counter cells per window (512 KB at the defaults) NO MATTER how
+    many distinct keys arrive, and windows merge by cell addition
+    (the sketch family's contract). Cells are deterministic (the k
+    32-bit md5 slices per key, the bloom/cms convention), so the
+    emitted sketch — including collisions — is oracle-reproducible.
+    NULL keys are excluded up front (the quantile twin's convention).
+
+    Plan: watermarked explode of depth (row, col) cells per event ->
+    one windowed partial-combine count aggregation; state per window
+    is bounded by depth*width, not by arrivals."""
+    if depth > 4:
+        raise ValueError("depth <= 4: rows are 32-bit slices of one 128-bit md5")
+    cells = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(depth)),
+            lambda j: F.struct(
+                (j - 1).cast("int").alias("row"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col(key_col)), (j - 1) * 8 + 1, 8), 16, 10
+                    ).cast("long")
+                    % F.lit(width)
+                ).cast("int").alias("col"),
+            ),
+        )
+    )
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .select("ts", cells.alias("cell"))
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("cell.row").alias("row"),
+            F.col("cell.col").alias("col"),
+        )
+        .agg(F.count("*").alias("c"))
+        .select(F.col("w.start").alias("window_start"), "row", "col", "c")
+    )

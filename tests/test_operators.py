@@ -1999,3 +1999,39 @@ def test_count_min_overestimate_and_mergeable(spark):
         for r in build_count_min(part).collect():
             merged[(r.row, r.col)] = merged.get((r.row, r.col), 0) + r.c
     assert merged == whole
+
+
+def test_edit1_pairs_blocking_complete_vs_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.dedup import edit1_pairs
+
+    words = [
+        "spark", "spark", "spork", "sprak", "shark", "sharks", "stark",
+        "quantize", "quantizes", "quantise", "merge", "marge", "margin",
+        "table", "cable", "fable", "tale",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {(r.a, r.b) for r in edit1_pairs(df, "tok", min_len=3).collect()}
+    # brute-force oracle over the distinct vocab
+    import itertools
+
+    def lev1(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, l = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1 :] == s:
+                return True
+        return False
+
+    vocab = sorted(set(w for w in words if len(w) >= 3))
+    want = {(a, b) for a, b in itertools.combinations(vocab, 2) if lev1(a, b)}
+    assert got == want  # blocking recall is COMPLETE at distance 1
+    assert ("shark", "stark") in got and ("spark", "spork") in got
+    assert ("table", "tale") in got  # deletion pair
+    assert ("quantise", "quantize") in got  # substitution pair
+    # distance-2 pairs blocked by a shared variant must be verified away
+    assert ("merge", "margin") not in got
