@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "stream_cms_exec",
     "typo_pairs",
+    "hll_distinct_shingles",
 ]
 
 

@@ -1431,3 +1431,86 @@ def cms_estimate_tokens(
         .groupBy("tok")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
+
+
+def build_hll(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """HyperLogLog register table over ``key_col`` ->
+    [*group_cols, register, max_rho]: the DISTINCT-COUNT member of
+    the sketch family (CMS = frequency, GK = quantiles, Bloom =
+    membership, MinHash = similarity; Flajolet et al. 2007) — the
+    same family Spark's own approx_count_distinct implements, here
+    in the repo's deterministic md5-slice form so the REGISTERS
+    themselves are oracle-reproducible cell-for-cell.
+
+    m = 2^p registers per group REGARDLESS of key cardinality (p=12
+    -> 4096 tiny rows where an exact count-distinct would shuffle
+    every key). h = the first 32 md5 bits of the key; register =
+    the top p bits, rho = 1 + leading zeros of the remaining
+    (32 - p) bits (computed as (32 - p + 1) - length(bin(w)), with
+    w = 0 mapping to the max rho (32 - p + 1) — bin() drops leading
+    zeros in Spark and DuckDB alike). Registers MERGE by max, so
+    sketches union across shards/days/groups by one max-aggregate —
+    at 100 TB each executor emits at most m partial rows and the
+    combine is associative; absent registers read as 0.
+
+    Estimates come from hll_estimate(); this function returns the
+    mergeable state, the part that must be exact."""
+    group_cols = group_cols or []
+    wbits = 32 - p
+    h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast("long")
+    w = h % F.lit(1 << wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            (h / F.lit(1 << wbits)).cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Distinct-count estimate from an HLL register table ->
+    [*group_cols, est_distinct]: the harmonic-mean finisher over
+    build_hll's state, with the standard small-range linear-counting
+    correction (Flajolet et al. 2007 fig. 3).
+
+    Float determinism note: every 2^-rho term is a dyadic rational
+    with exponent >= -(32-p+1) and the m-term sum stays under
+    ~2^p+1 significant bits of that granularity — comfortably inside
+    double's 53-bit mantissa for p <= 20 — so the harmonic sum is
+    EXACT in IEEE double regardless of aggregation order; only the
+    single final division (and ln() on the linear-counting branch)
+    involve rounding, both deterministic single operations. The
+    estimate is rounded to 3 decimals to absorb any cross-engine
+    libm-ulp drift on the ln branch."""
+    group_cols = group_cols or []
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_sum_present"),
+        F.count("*").alias("_n_present"),
+    )
+    # absent registers contribute 2^0 = 1 each to the harmonic sum
+    zeros = F.lit(m) - F.col("_n_present")
+    harm = F.col("_sum_present") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / harm
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 3).alias("est_distinct"))

@@ -36,6 +36,7 @@ from hadoop_app_spark.functions.text import (
     doc_fingerprint,
     language_id,
     ngrams,
+    ngrams_from_tokens,
     quality_score,
     token_count,
     tokenize,
@@ -3754,6 +3755,120 @@ def q_typo_pairs(spark, sf_dir):
     )
 
 
+# DuckDB twin of build_hll's register derivation over a string key
+# column named s: the same first-32-md5-bits hash, top-12-bit register,
+# 21 - length(bin(w)) leading-zero rank (bin drops leading zeros in
+# both engines; w = 0 takes the max rank 21)
+_HLL_REGS = """
+        SELECT h // 1048576 AS register,
+               max(CASE WHEN h % 1048576 = 0 THEN 21
+                        ELSE 21 - length(bin(h % 1048576)) END) AS max_rho
+        FROM (SELECT CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+              FROM keys)
+        GROUP BY 1
+"""
+
+# 3-gram word shingles per document -> one row per shingle, column s
+_SHINGLES = """
+        SELECT array_to_string(toks[i:i+2], ' ') AS s
+        FROM (SELECT {toks} AS toks FROM documents) t,
+             unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+"""
+
+
+@query(
+    "hll_shingle_registers",
+    # the oracle REBUILDS every HyperLogLog register from the same
+    # md5-slice hash, so the driver value-checks the sketch state
+    # itself — the part that must be exact for merges to be exact
+    oracle=f"""
+        WITH keys AS ({_SHINGLES.format(toks=_TOKS)}),
+        r AS ({_HLL_REGS})
+        SELECT CAST(register AS INT) AS register,
+               CAST(max_rho AS INT) AS max_rho
+        FROM r
+    """,
+    doc="HyperLogLog register table over the corpus' 3-gram shingles "
+    "(the distinct-count member of the sketch family — Flajolet et al. "
+    "2007, the algorithm behind Spark's own approx_count_distinct): "
+    "4096 max-mergeable registers REGARDLESS of shingle cardinality, "
+    "in the deterministic md5-slice form so every register is oracle-"
+    "reproducible; at crawl scale the raw-key shuffle an exact "
+    "count-distinct needs simply disappears — each executor emits at "
+    "most 4096 partial rows (operators/corpus.build_hll)",
+)
+def q_hll_shingle_registers(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import build_hll
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(F.explode(ngrams_from_tokens(tokenize("text"), 3)).alias("s"))
+    return build_hll(sh, "s")
+
+
+@query(
+    "hll_distinct_shingles",
+    # per-source estimate next to the exact distinct count: the oracle
+    # recomputes the harmonic-mean finisher (and the small-range
+    # linear-counting branch) from its own rebuilt registers, so the
+    # accuracy claim is checked in the values, not just asserted. The
+    # 2^-rho harmonic sum is EXACT in IEEE double (every term dyadic
+    # with exponent >= -21, total < 2^33 of that granularity), so the
+    # only rounding is the single final division / ln — round(3)
+    # absorbs any cross-engine libm ulp
+    oracle=f"""
+        WITH sh AS (
+            SELECT source, array_to_string(toks[i:i+2], ' ') AS s
+            FROM (SELECT source, {_TOKS} AS toks FROM documents) t,
+                 unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)),
+        r AS (
+            SELECT source, h // 1048576 AS register,
+                   max(CASE WHEN h % 1048576 = 0 THEN 21
+                            ELSE 21 - length(bin(h % 1048576)) END) AS max_rho
+            FROM (SELECT source,
+                         CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+                  FROM sh)
+            GROUP BY 1, 2),
+        agg AS (
+            SELECT source,
+                   sum(power(2.0, -max_rho)) + (4096 - count(*)) AS harm,
+                   4096 - count(*) AS zeros
+            FROM r GROUP BY 1),
+        est AS (
+            SELECT source,
+                   CASE WHEN 0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096 / harm
+                             <= 10240.0 AND zeros > 0
+                        THEN round(4096.0 * ln(4096.0 / zeros), 3)
+                        ELSE round(0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096
+                                   / harm, 3) END AS est_distinct
+            FROM agg),
+        exact AS (SELECT source, count(DISTINCT s) AS exact_distinct
+                  FROM sh GROUP BY 1)
+        SELECT e.source, e.est_distinct, x.exact_distinct
+        FROM est e JOIN exact x ON e.source = x.source
+    """,
+    doc="Per-source distinct-shingle estimate through the HyperLogLog "
+    "sketch, exact count alongside — the finisher over build_hll's "
+    "mergeable state (harmonic mean + Flajolet's small-range linear-"
+    "counting correction), with the float-determinism argument in the "
+    "operator docstring: the register sum is exactly representable, so "
+    "the estimate is reproducible bit-for-bit across engines "
+    "(operators/corpus.hll_estimate)",
+)
+def q_hll_distinct_shingles(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import build_hll, hll_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(ngrams_from_tokens(tokenize("text"), 3)).alias("s")
+    )
+    regs = build_hll(sh, "s", ["source"])
+    est = hll_estimate(regs, ["source"])
+    exact = sh.groupBy("source").agg(
+        F.countDistinct("s").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select("source", "est_distinct", "exact_distinct")
+
+
 @query(
     "domain_filter_caps",
     oracle="""
@@ -5699,6 +5814,12 @@ _PRIORITY = [
     # stream_cms_exec (r7): the sketch's streaming twin (bounded state
     # per window regardless of key cardinality) — oracle-exact
     "stream_cms_exec",
+    # hll (r7): the distinct-count sketch member — registers rebuilt
+    # cell-for-cell by the oracle; the estimate finisher's float
+    # determinism is argued in the operator docstring and checked in
+    # the per-source values
+    "hll_shingle_registers",
+    "hll_distinct_shingles",
     # typo_pairs (r7): SymSpell deletion-neighborhood edit-1 fuzzy
     # join over the vocabulary — oracle-exact
     "typo_pairs",

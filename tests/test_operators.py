@@ -2035,3 +2035,48 @@ def test_edit1_pairs_blocking_complete_vs_brute_force(spark):
     assert ("quantise", "quantize") in got  # substitution pair
     # distance-2 pairs blocked by a shared variant must be verified away
     assert ("merge", "margin") not in got
+
+
+def test_hll_registers_match_reference_and_merge(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import build_hll, hll_estimate
+
+    keys = [f"key-{i}" for i in range(5000)] + ["key-0", "key-1"]  # dups no-op
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {(r.register, r.max_rho) for r in build_hll(df, "k").collect()}
+
+    ref: dict = {}
+    for k in set(keys):
+        h = int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+        reg, w = h >> 20, h & ((1 << 20) - 1)
+        rho = 21 if w == 0 else 21 - w.bit_length()
+        ref[reg] = max(ref.get(reg, 0), rho)
+    assert got == set(ref.items())
+
+    # mergeability: max-merge of per-shard registers == whole-corpus registers
+    shard_a = spark.createDataFrame([(k,) for k in keys[:2600]], "k string")
+    shard_b = spark.createDataFrame([(k,) for k in keys[2600:]], "k string")
+    merged = (
+        build_hll(shard_a, "k")
+        .unionByName(build_hll(shard_b, "k"))
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert {(r.register, r.max_rho) for r in merged.collect()} == got
+
+    # estimate accuracy: HLL p=12 standard error is 1.04/sqrt(4096) ~ 1.6%;
+    # 4 sigma is a deterministic-safe bound for this fixed key set
+    est = hll_estimate(build_hll(df, "k")).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.065
+
+
+def test_hll_estimate_linear_counting_small_range(spark):
+    from hadoop_app_spark.operators.corpus import build_hll, hll_estimate
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(40)], "k string")
+    est = hll_estimate(build_hll(df, "k")).collect()[0].est_distinct
+    # with n << m the linear-counting branch is near-exact
+    assert abs(est - 40) < 2
