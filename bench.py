@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "stream_cms_exec",
     "typo_pairs",
     "hll_distinct_shingles",
+    "triangle_census",
+    "nation_pagerank",
 ]
 
 

@@ -186,3 +186,184 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def triangle_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph -> ONE row
+    [n_nodes, n_edges, n_wedges, n_triangles, global_clustering].
+
+    Degree-ordered triangle counting (the Schank & Wagner forward /
+    MapReduce "node-iterator++" scheme): canonicalize + dedup the edge
+    set, orient every edge from its lower-(degree, id) endpoint to the
+    higher, then count wedges a->b, a->c (b before c in the same
+    order) that close with an oriented edge b->c. Every triangle is
+    counted EXACTLY once, all arithmetic is integral, so the census is
+    deterministic and oracle-reproducible regardless of partitioning.
+
+    Why the orientation matters at 100 TB: wedge generation is the
+    quadratic hazard — sum over nodes of (out_degree choose 2). With
+    degree ordering the out-degree of every node is O(sqrt(m)) even on
+    power-law graphs (hubs receive, never emit), so the wedge shuffle
+    is bounded by O(m^1.5) instead of sum(d^2), which a celebrity node
+    would otherwise blow up. global_clustering = 3T / W, a single
+    division of two exact integers.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        e.join(da, e.a == F.col("da.node"))
+        .join(db, e.b == F.col("db.node"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (e.a < e.b)),
+                F.struct(
+                    e.a.alias("u"),
+                    e.b.alias("v"),
+                    F.col("da.deg").alias("du"),
+                    F.col("db.deg").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    e.b.alias("u"),
+                    e.a.alias("v"),
+                    F.col("db.deg").alias("du"),
+                    F.col("da.deg").alias("dv"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.u", "o.v", "o.du", "o.dv")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # wedge (u; v1, v2) with v1 before v2 in (deg, id) order
+    wedges = w1.join(w2, F.col("w1.u") == F.col("w2.u")).where(
+        (F.col("w1.dv") < F.col("w2.dv"))
+        | ((F.col("w1.dv") == F.col("w2.dv")) & (F.col("w1.v") < F.col("w2.v")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("w1.v") == F.col("cu")) & (F.col("w2.v") == F.col("cv")),
+        "left_semi",
+    )
+    # four actions share the edge/orientation lineage — persist the two
+    # frames everything derives from so the (possibly expensive) edge
+    # derivation runs once, not four times
+    e = e.persist()
+    oriented = oriented.persist()
+    try:
+        n_tri = tri.count()
+        n_wedges = wedges.count()
+        n_nodes = deg.count()
+        n_edges = e.count()
+    finally:
+        e.unpersist()
+        oriented.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                n_wedges,
+                n_tri,
+                (3.0 * n_tri / n_wedges) if n_wedges else 0.0,
+            )
+        ],
+        "n_nodes bigint, n_edges bigint, n_wedges bigint, n_triangles bigint, global_clustering double",
+    )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    cnt: str = "cnt",
+    node: str = "node",
+    scale: int = 10**12,
+    weight_scale: int = 10**6,
+) -> DataFrame:
+    """Weighted PageRank in FIXED-POINT integer arithmetic ->
+    [node, rank_scaled]: rank x 10^12 as BIGINT after ``iters``
+    power iterations with damping 85/100 and uniform dangling-mass
+    redistribution.
+
+    Why fixed point: float PageRank is order-dependent (double sums
+    don't associate), so a distributed run can differ between
+    partitionings, engines, even repeats — useless for a differential
+    gate. Here every step is integer multiply / floor-divide / sum:
+    transition weights are pre-quantized once to w = cnt * 10^6 //
+    out_total (bounded 10^6, so rank * w never exceeds 10^18 at ANY
+    data scale — the overflow headroom is designed in, not assumed),
+    contributions are rank * w // 10^6, and the damped update is
+    BASE + 85 * (contrib_sum + dangling_share) // 100. The result is
+    a deterministic, engine-independent fixpoint trajectory that
+    DuckDB replays bit-for-bit with the same `//` semantics.
+
+    Scale shape: ranks are one row per node; each iteration is one
+    broadcast-or-shuffle join of edges with ranks on src plus a
+    partial-combine sum by dst — the Pregel superstep expressed as
+    DataFrame ops. The edge-frame derivation (usually a multi-join
+    aggregation of a fact table) is where the 100 TB lives; the
+    iteration runs on the projected graph.
+    """
+    n_nodes = nodes.count()
+    base = (scale * 15 // 100) // n_nodes
+    w = (
+        edges.groupBy(src)
+        .agg(F.sum(cnt).alias("_tot"))
+        .join(edges, src)
+        .select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.expr(f"({cnt} * {weight_scale}) div _tot").alias("_w"),
+        )
+    )
+    out_nodes = w.select(F.col("_src").alias(node)).distinct()
+    ranks = nodes.select(F.col(node).alias(node)).withColumn(
+        "rank_scaled", F.lit(scale // n_nodes).cast("long")
+    )
+    for _ in range(iters):
+        dangling = (
+            ranks.join(out_nodes, node, "left_anti")
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("_d"))
+            .select(F.expr(f"_d div {n_nodes}").alias("_share"))
+        )
+        contrib = (
+            w.join(ranks, w._src == ranks[node])
+            .select("_dst", F.expr(f"(rank_scaled * _w) div {weight_scale}").alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.select(F.col(node).alias(node))
+            .join(contrib, F.col(node) == F.col("_dst"), "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                node,
+                (
+                    F.lit(base)
+                    + F.expr("(85 * (coalesce(_s, 0) + _share)) div 100")
+                ).cast("long").alias("rank_scaled"),
+            )
+        )
+    return ranks

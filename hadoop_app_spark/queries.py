@@ -3870,6 +3870,154 @@ def q_hll_distinct_shingles(spark, sf_dir):
 
 
 @query(
+    "triangle_census",
+    # the oracle replays the same degree-ordered orientation, wedge
+    # join, and closing-edge semi-join — every figure is an exact
+    # integer, so the census (and the single-division clustering
+    # coefficient) is deterministic in both engines
+    oracle="""
+        WITH li AS (
+            SELECT l.l_orderkey AS ok, l.l_partkey AS pk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'),
+        e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+              FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        deg AS (SELECT node, count(*) AS deg
+                FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+        o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                          THEN e.a ELSE e.b END AS u,
+                     CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                          THEN e.b ELSE e.a END AS v,
+                     CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                          THEN db.deg ELSE da.deg END AS dv
+              FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        wedges AS (SELECT w1.v AS b, w2.v AS c
+                   FROM o w1 JOIN o w2 ON w1.u = w2.u
+                   WHERE w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v)),
+        tri AS (SELECT count(*) AS t FROM wedges w
+                WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.b AND o.v = w.c))
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(*) FROM wedges) AS n_wedges,
+               t AS n_triangles,
+               CASE WHEN (SELECT count(*) FROM wedges) > 0
+                    THEN 3.0 * t / (SELECT count(*) FROM wedges)
+                    ELSE 0.0 END AS global_clustering
+        FROM tri
+    """,
+    doc="Global triangle census of the part co-purchase graph (parts "
+    "sharing an order in 1995Q1): degree-ordered wedge counting (Schank "
+    "& Wagner) where hubs receive and never emit, bounding the wedge "
+    "shuffle by O(m^1.5) on any degree distribution — the classic "
+    "distributed graph-analytics shape where the 100 TB lives in the "
+    "fact-table edge derivation, all-integer and oracle-exact including "
+    "the 3T/W clustering coefficient (operators/graph.triangle_census)",
+)
+def q_triangle_census(spark, sf_dir):
+    from hadoop_app_spark.operators.graph import triangle_census
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    a = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    )
+    b = a.alias("b")
+    edges = (
+        a.alias("a")
+        .join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    )
+    return triangle_census(edges)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """DuckDB twin of pagerank_fixedpoint over the nation trade graph:
+    the same integer fixed-point trajectory, iterations unrolled as
+    CTEs (// and Spark's div agree on nonnegative integers)."""
+    parts = [
+        """
+        WITH raw AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS cnt
+            FROM lineitem l
+            JOIN orders o    ON l.l_orderkey = o.o_orderkey
+            JOIN customer c  ON o.o_custkey = c.c_custkey
+            JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+            JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+            JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2),
+        nodes AS (SELECT n_name AS node FROM nation),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        w AS (SELECT r.src, r.dst, r.cnt * 1000000 // t.tot AS w
+              FROM raw r JOIN (SELECT src, sum(cnt) AS tot FROM raw GROUP BY 1) t
+              USING (src)),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_scaled
+               FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        d{k} AS (SELECT coalesce(sum(rank_scaled), 0) // (SELECT n FROM nn) AS share
+                 FROM r{k - 1}
+                 WHERE node NOT IN (SELECT DISTINCT src FROM w)),
+        c{k} AS (SELECT w.dst AS node, sum(r.rank_scaled * w.w // 1000000) AS s
+                 FROM w JOIN r{k - 1} r ON w.src = r.node GROUP BY 1),
+        r{k} AS (SELECT n.node,
+                        (150000000000 // (SELECT n FROM nn))
+                        + 85 * (coalesce(c.s, 0) + (SELECT share FROM d{k})) // 100
+                        AS rank_scaled
+                 FROM nodes n LEFT JOIN c{k} c USING (node))"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS nation, rank_scaled FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "nation_pagerank",
+    oracle=_pagerank_oracle(3),
+    doc="Weighted PageRank over the nation trade graph (customer nation "
+    "-> supplier nation, weighted by lineitem count) in FIXED-POINT "
+    "integer arithmetic: float PageRank is order-dependent and engine-"
+    "dependent, so ranks are 10^12-scaled BIGINTs, transition weights "
+    "pre-quantized to 10^6 (overflow headroom designed in at any data "
+    "scale), dangling mass redistributed uniformly — a bit-exact, "
+    "oracle-replayable power-iteration trajectory; the 100 TB lives in "
+    "the five-way fact-to-graph aggregation, the Pregel-style iteration "
+    "runs on the projected graph (operators/graph.pagerank_fixedpoint)",
+)
+def q_nation_pagerank(spark, sf_dir):
+    from hadoop_app_spark.operators.graph import pagerank_fixedpoint
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn, sn = n.alias("cn"), n.alias("sn")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .groupBy(
+            F.col("cn.n_name").alias("src"), F.col("sn.n_name").alias("dst")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    ranks = pagerank_fixedpoint(edges, nodes, iters=3)
+    return ranks.select(F.col("node").alias("nation"), "rank_scaled")
+
+
+@query(
     "domain_filter_caps",
     oracle="""
         WITH u AS (
@@ -5820,6 +5968,11 @@ _PRIORITY = [
     # the per-source values
     "hll_shingle_registers",
     "hll_distinct_shingles",
+    # graph analytics (r7): degree-ordered triangle counting and
+    # fixed-point integer PageRank — both all-integer trajectories the
+    # oracle replays bit-for-bit
+    "triangle_census",
+    "nation_pagerank",
     # typo_pairs (r7): SymSpell deletion-neighborhood edit-1 fuzzy
     # join over the vocabulary — oracle-exact
     "typo_pairs",

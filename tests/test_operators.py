@@ -2080,3 +2080,47 @@ def test_hll_estimate_linear_counting_small_range(spark):
     est = hll_estimate(build_hll(df, "k")).collect()[0].est_distinct
     # with n << m the linear-counting branch is near-exact
     assert abs(est - 40) < 2
+
+
+def test_triangle_census_known_graph(spark):
+    from hadoop_app_spark.operators.graph import triangle_census
+
+    # K4 on 1-4 (4 triangles) + pendant 5-1 + disconnected edge 6-7
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1), (6, 7),
+             (2, 1), (4, 3)]  # reversed dups must not double-count
+    df = spark.createDataFrame(edges, "src int, dst int")
+    r = triangle_census(df).collect()[0]
+    assert r.n_nodes == 7 and r.n_edges == 8
+    assert r.n_triangles == 4
+    # wedge count under degree ordering: every triangle closes exactly
+    # one wedge, so wedges >= triangles always
+    assert r.n_wedges >= r.n_triangles
+    assert r.global_clustering == 3.0 * 4 / r.n_wedges
+
+
+def test_pagerank_fixedpoint_matches_python_reference(spark):
+    from hadoop_app_spark.operators.graph import pagerank_fixedpoint
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5)]
+    nodes = ["a", "b", "c", "d"]  # d is dangling AND isolated
+    e = spark.createDataFrame(edges, "src string, dst string, cnt bigint")
+    n = spark.createDataFrame([(x,) for x in nodes], "node string")
+    got = {r.node: r.rank_scaled for r in pagerank_fixedpoint(e, n, iters=3).collect()}
+
+    # independent pure-integer reference
+    SCALE, WS, N = 10**12, 10**6, 4
+    tot = {"a": 4, "b": 2, "c": 5}
+    w = {(s, d): c * WS // tot[s] for s, d, c in edges}
+    rank = {x: SCALE // N for x in nodes}
+    base = (SCALE * 15 // 100) // N
+    for _ in range(3):
+        out_nodes = {s for s, _, _ in edges}
+        dang = sum(rank[x] for x in nodes if x not in out_nodes)
+        share = dang // N
+        contrib = {x: 0 for x in nodes}
+        for (s, d), ww in w.items():
+            contrib[d] += rank[s] * ww // WS
+        rank = {x: base + 85 * (contrib[x] + share) // 100 for x in nodes}
+    assert got == rank
+    # mass conservation up to deterministic floor losses
+    assert 0 < SCALE - sum(rank.values()) < 10 * N * 100
