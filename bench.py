@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "hll_distinct_shingles",
     "triangle_census",
     "nation_pagerank",
+    "order_priority_check",
+    "returned_item_report",
+    "large_volume_customer",
 ]
 
 

@@ -526,6 +526,136 @@ def q_top_supplier(spark, sf_dir):
 
 
 @query(
+    "order_priority_check",
+    # Q4's l_commitdate/l_receiptdate are absent from the synthetic
+    # lineitem, so "late" is l_shipdate more than 60 days after
+    # o_orderdate — the EXISTS decorrelation shape is what Q4 tests
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped order priority check: quarter-filtered orders "
+    "with at least one late lineitem (EXISTS -> left-semi join), counted "
+    "per priority. Plan shape at 100 TB: the date filter pushes to the "
+    "orders scan, the correlated EXISTS decorrelates into one semi-join "
+    "on orderkey (never a per-row subquery), and the tiny "
+    "priority-grouped count partial-combines",
+)
+def q_order_priority_check(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "returned_item_report",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, {rev} AS revenue, c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """.format(rev=_DSUM.format(c="l_extendedprice * (1 - l_discount)")),
+    doc="TPC-H Q10-shaped returned-item report: customers ranked by "
+    "revenue lost to returns in a quarter. Plan shape at 100 TB: "
+    "returnflag + date filters push to both fact scans, the "
+    "lineitem-orders join shuffles on orderkey, customer+nation "
+    "broadcast, revenue accumulates in DECIMAL partial-combine, and the "
+    "top-20 is TakeOrderedAndProject with a deterministic custkey "
+    "tiebreak — no global sort",
+)
+def q_returned_item_report(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "large_volume_customer",
+    # quantity threshold tuned to the synthetic distribution so the
+    # result is non-trivial at every SF (Q18's 300+ selects nothing)
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 120)
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, {q} AS sum_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """.format(q=_DSUM.format(c="l_quantity")),
+    doc="TPC-H Q18-shaped large-volume customers: orders whose total "
+    "quantity clears a threshold, re-joined to their lines and owners. "
+    "Plan shape at 100 TB: the HAVING pre-aggregation runs once over "
+    "lineitem (partial-combine on orderkey), its qualifying keyset "
+    "semi-joins the fact BEFORE the wide re-aggregation (classic "
+    "aggregate-then-semi-join — never aggregate the full fact twice), "
+    "customer broadcasts, top-100 is TakeOrderedAndProject",
+)
+def q_large_volume_customer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sq"))
+        .where(F.col("_sq") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_ok"), li.l_orderkey == F.col("_ok"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "count_distinct",
     oracle="""
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
@@ -5973,6 +6103,11 @@ _PRIORITY = [
     # oracle replays bit-for-bit
     "triangle_census",
     "nation_pagerank",
+    # more TPC-H-shaped classics (r7): EXISTS-decorrelation (Q4),
+    # returned-item top-N (Q10), aggregate-then-semi-join (Q18)
+    "order_priority_check",
+    "returned_item_report",
+    "large_volume_customer",
     # typo_pairs (r7): SymSpell deletion-neighborhood edit-1 fuzzy
     # join over the vocabulary — oracle-exact
     "typo_pairs",
