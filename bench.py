@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "order_priority_check",
     "returned_item_report",
     "large_volume_customer",
+    "stream_hll_exec",
 ]
 
 

@@ -2652,6 +2652,54 @@ def q_stream_cms_exec(spark, sf_dir):
 
 
 @query(
+    "stream_hll_exec",
+    oracle="""
+        WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, user_id
+                   FROM events WHERE user_id IS NOT NULL),
+        h AS (SELECT wstart,
+                     CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS h
+              FROM b)
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+               CAST(h // 1048576 AS INT) AS register,
+               CAST(max(CASE WHEN h % 1048576 = 0 THEN 21
+                             ELSE 21 - length(bin(h % 1048576)) END) AS INT) AS max_rho
+        FROM h GROUP BY 1, 2
+    """,
+    doc="REAL streaming execution of the HyperLogLog sketch: availableNow "
+    "stream -> watermarked tumbling window -> per-window max-merged "
+    "registers from the md5-slice hash per visitor. Completes the "
+    "streaming sketch triple (GK quantiles, Count-Min, HLL): per-window "
+    "state is at most 4096 register rows NO MATTER the visitor "
+    "cardinality — the bounded-state distinct-count for crawl-scale "
+    "traffic — and the deterministic cells make the streaming entry "
+    "oracle-exact (streaming/events.windowed_hll)",
+)
+def q_stream_hll_exec(spark, sf_dir):
+    import uuid
+
+    from hadoop_app_spark.streaming.events import windowed_hll
+
+    name = "stream_hll_" + uuid.uuid4().hex[:8]
+    with _utc_session(spark):
+        ev = _event_stream(spark, sf_dir)
+        q = (
+            windowed_hll(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        _fmt_utc("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "register",
+        "max_rho",
+    )
+
+
+@query(
     "stream_tumbling_exec",
     oracle="""
         SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
@@ -6095,9 +6143,11 @@ _PRIORITY = [
     # hll (r7): the distinct-count sketch member — registers rebuilt
     # cell-for-cell by the oracle; the estimate finisher's float
     # determinism is argued in the operator docstring and checked in
-    # the per-source values
+    # the per-source values; stream_hll_exec completes the streaming
+    # sketch triple (GK / CMS / HLL)
     "hll_shingle_registers",
     "hll_distinct_shingles",
+    "stream_hll_exec",
     # graph analytics (r7): degree-ordered triangle counting and
     # fixed-point integer PageRank — both all-integer trajectories the
     # oracle replays bit-for-bit

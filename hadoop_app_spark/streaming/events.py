@@ -275,3 +275,47 @@ def windowed_cms(
         .agg(F.count("*").alias("c"))
         .select(F.col("w.start").alias("window_start"), "row", "col", "c")
     )
+
+
+def windowed_hll(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    p: int = 12,
+) -> DataFrame:
+    """Tumbling-window HyperLogLog registers over ``key_col`` ->
+    [window_start, register, max_rho]: the streaming face of
+    operators/corpus.build_hll, completing the streaming sketch
+    triple (windowed_value_quantiles = GK, windowed_cms = Count-Min).
+
+    Why in the stream: per-window exact distinct counts hold state
+    proportional to the window's key cardinality — unbounded for
+    crawl-scale visitor/token streams; HLL holds at most 2^p register
+    rows per window (p=12 -> 4096) NO MATTER how many distinct keys
+    arrive, and max-merges across late micro-batches for free (max is
+    exactly the MERGE the state store performs). The register cells
+    are the deterministic md5-slice form, so the emitted sketch is
+    oracle-reproducible. NULL keys are excluded up front (the
+    quantile/cms twins' convention). Estimates come from
+    operators/corpus.hll_estimate over the emitted registers."""
+    wbits = 32 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = h % F.lit(1 << wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        events.where(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.floor(h / F.lit(1 << wbits)).cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(F.window("ts", window).alias("w"), "register")
+        .agg(F.max("rho").alias("max_rho"))
+        .select(F.col("w.start").alias("window_start"), "register", "max_rho")
+    )

@@ -784,3 +784,43 @@ def test_cdc_target_requires_seq_col(spark, tmp_path):
             stream, str(tmp_path / "s"), ["k"], op_col="op", seq_col=None,
             target=DeltaMergeTarget(str(tmp_path / "t"), ["k"]),
         )
+
+
+def test_windowed_hll_stream_matches_batch_registers(spark, tmp_path):
+    """Multi-micro-batch streaming HLL must equal the batch build_hll
+    per window — pins that the state-store max-merge IS the sketch
+    merge. Null keys excluded; 30 distinct users across two windows."""
+    from hadoop_app_spark.operators.corpus import build_hll
+    from hadoop_app_spark.streaming.events import read_event_stream, windowed_hll
+
+    rows = [
+        (i, f"2024-01-01 {10 + (i % 2)}:{i % 60:02d}:00", i % 30, "click", 1.0)
+        for i in range(120)
+    ]
+    path = write_events(tmp_path, rows, n_files=4)
+    q = run_to_memory_sink(
+        windowed_hll(read_event_stream(spark, path), "1 hour"),
+        "hll_t",
+        mode="complete",
+    )
+    q.awaitTermination(60)
+    got = {
+        (str(r.window_start), r.register, r.max_rho)
+        for r in spark.sql("SELECT * FROM hll_t").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.json(path)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        .select(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias("w"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+    )
+    want = {
+        (r.w, r.register, r.max_rho)
+        for r in build_hll(batch, "k", ["w"]).collect()
+    }
+    assert got == want and len(got) > 0

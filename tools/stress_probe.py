@@ -659,6 +659,74 @@ def f_image_neardup_wide(spark, dp, ep, scratch):
     return _image_band_candidates(spark, dp, wide=True)
 
 
+def f_hll_registers(spark, dp, ep, scratch):
+    """HLL distinct-shingle registers: rows-out is capped at 4096 and
+    shuffle bytes must stay ~FLAT at 10x — the sketch ships one
+    bounded register set per partition, never the raw keys (the
+    quantile_sketch/count_min claim applied to distinct-count)."""
+    from hadoop_app_spark.functions.text import ngrams_from_tokens, tokenize
+    from hadoop_app_spark.operators.corpus import build_hll
+
+    d = _docs(spark, dp).select(
+        F.explode(ngrams_from_tokens(tokenize("text"), 3)).alias("s")
+    )
+    return build_hll(d, "s").count()
+
+
+def f_count_min(spark, dp, ep, scratch):
+    """Count-Min cells: rows-out capped at depth*width; shuffle flat."""
+    from hadoop_app_spark.operators.corpus import build_count_min
+
+    return build_count_min(_docs(spark, dp)).count()
+
+
+def f_typo_pairs(spark, dp, ep, scratch):
+    """SymSpell edit-1 blocking over the corpus VOCABULARY (with the
+    registered query's last-char-dropped typo injection so pairs are
+    non-trivial): verbatim copies leave the distinct vocab unchanged,
+    so candidate pairs must stay FLAT while the tokenize/distinct
+    front grows linearly."""
+    from hadoop_app_spark.functions.text import tokenize
+    from hadoop_app_spark.operators.dedup import edit1_pairs
+
+    raw = _docs(spark, dp).select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    typos = raw.where((F.col("doc_id") % 20 == 0) & (F.length("tok") >= 5)).select(
+        F.expr("substring(tok, 1, length(tok) - 1)").alias("tok")
+    )
+    toks = raw.select("tok").unionByName(typos)
+    return edit1_pairs(toks, "tok", min_len=4).count()
+
+
+def _probe_graph(spark, dp):
+    """Deterministic ring+chord+hub graph over the scaled doc ids:
+    every consecutive id triple closes a triangle (linear triangle
+    mass), and four hub nodes receive an edge from every 97th doc —
+    hub degree GROWS with the corpus, the exact shape whose wedge
+    explosion the degree-ordered orientation exists to prevent."""
+    d = _docs(spark, dp).select("doc_id")
+    ring = d.select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    chord = d.select(F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst"))
+    hubs = d.where(F.col("doc_id") % 97 < 4).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 4).alias("dst")
+    )
+    return ring.unionByName(chord).unionByName(hubs)
+
+
+def f_triangle_census(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.graph import triangle_census
+
+    return triangle_census(_probe_graph(spark, dp)).collect()[0].n_triangles
+
+
+def f_pagerank(spark, dp, ep, scratch):
+    from hadoop_app_spark.operators.graph import pagerank_fixedpoint
+
+    d = _docs(spark, dp)
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = _probe_graph(spark, dp).withColumn("cnt", F.lit(1))
+    return pagerank_fixedpoint(edges, nodes, iters=3).count()
+
+
 def f_cdc_apply(spark, dp, ep, scratch):
     """Seed a keyed snapshot from documents, stream one change file
     touching ~1% of keys, time the availableNow fold end-to-end."""
@@ -732,6 +800,13 @@ FAMILIES = {
     "wordpiece_encode_vocabgrow": f_wordpiece_encode_vocabgrow,
     "image_neardup_56": f_image_neardup_56,
     "image_neardup_wide": f_image_neardup_wide,
+    # r7 additions: sketch-family flat-shuffle claims (HLL, CMS),
+    # vocab-bounded fuzzy join, graph analytics on a growing-hub graph
+    "hll_registers": f_hll_registers,
+    "count_min": f_count_min,
+    "typo_pairs": f_typo_pairs,
+    "triangle_census": f_triangle_census,
+    "pagerank": f_pagerank,
 }
 
 
