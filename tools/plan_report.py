@@ -199,6 +199,24 @@ SHOWCASE["dsir_select"] = (
 )
 
 
+SHOWCASE["hll_shingle_registers"] = (
+    "Generate (shingle explode) -> partial HashAggregate (per-partition "
+    "register maxima) -> ONE Exchange carrying at most 2^p rows per map "
+    "partition -> final max-merge",
+    "the distinct-count sketch: raw keys never shuffle (an exact distinct "
+    "would exchange every shingle); the probe shows rows-out capped at "
+    "4096 and shuffle bytes ~flat at 10x data",
+)
+SHOWCASE["order_priority_check"] = (
+    "the correlated EXISTS decorrelated into ONE LeftSemi "
+    "BroadcastHashJoin with the late-shipment inequality riding the join "
+    "condition; PushedFilters prune the orders scan to the quarter",
+    "the Q4 shape at 100 TB: no per-row subquery, no duplicate "
+    "elimination pass — the semi-join short-circuits on first match and "
+    "the priority count partial-combines map-side",
+)
+
+
 def render(spark) -> str:
     """The full PLANS.md content — shared by main() and the CI drift
     test (tests/test_plan_drift.py regenerates this and diffs it
