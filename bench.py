@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "returned_item_report",
     "large_volume_customer",
     "stream_hll_exec",
+    "linear_trend",
 ]
 
 

@@ -75,6 +75,14 @@ def _dsum(col):
     return F.sum(c.cast("decimal(18,6)")).cast("double")
 
 
+# NOTE (r7, found via linear_trend): DuckDB's decimal->double cast
+# DOUBLE-ROUNDS (scaled int128 -> double, then /10^scale) while
+# Spark's BigDecimal conversion rounds once — bit-divergence begins
+# when |sum| * 10^scale exceeds 2^53 (~9.0e15, i.e. sums beyond ~9e9
+# at scale 6). Every _DSUM use here stays orders of magnitude below
+# that at the tested SFs; oracles whose sums could cross it must
+# route the cast through VARCHAR (strtod is correctly rounded in both
+# engines — see linear_trend's oracle).
 _DSUM = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
 
 # SQL twins of functions.text.tokenize / token_count: same Unicode
@@ -653,6 +661,69 @@ def q_large_volume_customer(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "linear_trend",
+    # x = whole seconds since 2024-01-01 derived by INTEGER floor
+    # division of exact epoch micros (unix_micros div 1e6 == epoch_us
+    # // 1e6 — a double-epoch floor would round differently per
+    # engine); all five sufficient statistics accumulate in DECIMAL,
+    # so slope/intercept are one deterministic double expression over
+    # exact sums
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000 - 1704067200 AS x,
+                   value AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        agg AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                   sum(CAST(y AS DECIMAL(18,6))) AS sy,
+                   sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                   sum(CAST(x * y AS DECIMAL(27,6))) AS sxy
+            FROM b GROUP BY 1),
+        -- decimal -> double via VARCHAR: DuckDB's direct decimal cast
+        -- double-rounds through the scaled int128 (int -> double, then
+        -- /10^scale) while Spark's BigDecimal conversion rounds ONCE;
+        -- strtod is correctly rounded in both, restoring bit-equality
+        d AS (
+            SELECT event_type, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                   CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                   CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+                   CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+            FROM agg)
+        SELECT event_type, n,
+               CASE WHEN nd * sxxd - sxd * sxd <> 0
+                    THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                    END AS slope,
+               CASE WHEN nd * sxxd - sxd * sxd <> 0
+                    THEN (syd - (nd * sxyd - sxd * syd)
+                                / (nd * sxxd - sxd * sxd) * sxd) / nd
+                    END AS intercept
+        FROM d
+    """,
+    doc="Per-group closed-form OLS (value trend per event type): the "
+    "ML-lite analytics shape — five DECIMAL sufficient statistics in ONE "
+    "partial-combine aggregation (the max_per_group plan class, five "
+    "decimals per group per map partition over the wire no matter the "
+    "row count), then slope/intercept as a scalar double epilogue over "
+    "the exact sums, so the fitted model is bit-identical across "
+    "engines, partitionings, and repeats — where MLlib would run one "
+    "global job per model (operators/regression.linear_fit)",
+)
+def q_linear_trend(spark, sf_dir):
+    from hadoop_app_spark.operators.regression import linear_fit
+
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: timestampdiff on the naive value is
+    # session-tz-independent and floors like epoch_us // 1e6 for the
+    # all-positive offsets in this data
+    x = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+    return linear_fit(ev, x, F.col("value"), ["event_type"])
 
 
 @query(
@@ -6158,6 +6229,9 @@ _PRIORITY = [
     "order_priority_check",
     "returned_item_report",
     "large_volume_customer",
+    # linear_trend (r7): grouped closed-form OLS over exact decimal
+    # sufficient statistics — deterministic slope/intercept
+    "linear_trend",
     # typo_pairs (r7): SymSpell deletion-neighborhood edit-1 fuzzy
     # join over the vocabulary — oracle-exact
     "typo_pairs",

@@ -2124,3 +2124,34 @@ def test_pagerank_fixedpoint_matches_python_reference(spark):
     assert got == rank
     # mass conservation up to deterministic floor losses
     assert 0 < SCALE - sum(rank.values()) < 10 * N * 100
+
+
+def test_linear_fit_matches_closed_form_reference(spark):
+    from hadoop_app_spark.operators.regression import linear_fit
+
+    rows = [
+        ("a", 0, 1.0), ("a", 10, 3.5), ("a", 20, 5.0), ("a", 30, 8.5),
+        ("b", 5, 2.0), ("b", 5, 4.0),   # zero x-variance -> NULL fit
+        ("c", 0, 7.0), ("c", 100, 7.0),  # flat line, exact slope 0
+        ("a", None, 9.9), ("a", 40, None),  # excluded rows
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {r.g: (r.n, r.slope, r.intercept) for r in linear_fit(df, "x", "y", ["g"]).collect()}
+
+    # independent exact-fraction reference
+    from fractions import Fraction as Fr
+
+    pts = [(x, y) for g, x, y in rows if g == "a" and x is not None and y is not None]
+    n = len(pts)
+    sx = sum(Fr(x) for x, _ in pts)
+    sy = sum(Fr(y) for _, y in pts)
+    sxx = sum(Fr(x) * x for x, _ in pts)
+    sxy = sum(Fr(x) * Fr(y) for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    an, aslope, aintercept = got["a"]
+    assert an == 4
+    assert abs(aslope - float(slope)) < 1e-12
+    assert abs(aintercept - float(intercept)) < 1e-12
+    assert got["b"] == (2, None, None)
+    assert got["c"] == (2, 0.0, 7.0)
