@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "large_volume_customer",
     "stream_hll_exec",
     "linear_trend",
+    "bloom_prefilter_join",
 ]
 
 

@@ -243,3 +243,80 @@ def asof_join(
         .where(F.col("_asof_rn") == 1)
         .select(*[F.col(f"l.{c}").alias(c) for c in out_left], *right_cols)
     )
+
+
+def key_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Bloom filter over a key column -> [word, bits]: the generic-key
+    twin of corpus.build_bloom_filter (same md5-slice positions, same
+    32-bit words, same bit_or merge — see that docstring for the
+    determinism/mergeability contract). Keys are stringified so any
+    key type hashes identically across engines."""
+    if k > 4:
+        raise ValueError("k <= 4: positions are 32-bit slices of one 128-bit md5")
+    kk = keys.select(F.col(key_col).cast("string").alias("_k")).where(
+        F.col("_k").isNotNull()
+    ).distinct()
+    pos = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda j: F.conv(
+                F.substring(F.md5(F.col("_k")), (j - 1) * 8 + 1, 8), 16, 10
+            ).cast("long")
+            % F.lit(m_bits),
+        )
+    ).alias("pos")
+    return (
+        kk.select(pos)
+        .select(
+            F.floor(F.col("pos") / F.lit(32)).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Fact rows whose key PASSES the Bloom filter built from ``keys``
+    — a superset of the true semi-join (no false negatives, FP rate
+    ~(1 - e^(-k*n/m))^k) that the exact join then reduces.
+
+    This is Spark's own runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.*) made explicit and
+    engine-reproducible: at 100 TB the win is shipping m_bits/32
+    longs (~256 KB at defaults) instead of the key set, and dropping
+    most fact rows BEFORE the shuffle the exact join needs. The
+    filter probe is k BROADCAST hash joins against the bounded word
+    table with the bit test riding each join condition — the fact
+    side never shuffles and never aggregates; a row survives iff all
+    k probed bits are set, exactly the membership rule the oracle
+    replays bit-for-bit."""
+    bloom = key_bloom(keys, keys_key, m_bits, k)
+    out = fact
+    kstr = F.col(fact_key).cast("string")
+    drop_cols = []
+    for j in range(1, k + 1):
+        p = (
+            F.conv(F.substring(F.md5(kstr), (j - 1) * 8 + 1, 8), 16, 10).cast("long")
+            % F.lit(m_bits)
+        )
+        out = out.withColumn(f"_p{j}", p).withColumn(
+            f"_m{j}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{j} % 32 AS INT))"),
+        )
+        b = bloom.select(F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}"))
+        out = out.join(
+            F.broadcast(b),
+            (F.floor(F.col(f"_p{j}") / F.lit(32)).cast("long") == F.col(f"_w{j}"))
+            & (F.col(f"_b{j}").bitwiseAND(F.col(f"_m{j}")) == F.col(f"_m{j}")),
+            "inner",
+        )
+        drop_cols += [f"_p{j}", f"_m{j}", f"_w{j}", f"_b{j}"]
+    return out.drop(*drop_cols)

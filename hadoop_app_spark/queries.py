@@ -664,6 +664,71 @@ def q_large_volume_customer(spark, sf_dir):
 
 
 @query(
+    "bloom_prefilter_join",
+    # the oracle rebuilds the key Bloom filter bit-for-bit and replays
+    # the k-probe membership test per fact row, so n_bloom_pass checks
+    # the sketch (deterministic false positives included) while
+    # n_true_match checks the exact reduction
+    oracle="""
+        WITH keys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS kk
+                      FROM customer WHERE c_mktsegment = 'BUILDING'),
+        bpos AS (
+            SELECT CAST(concat('0x', substr(md5(kk), (j - 1) * 8 + 1, 8))
+                        AS BIGINT) % 4096 AS pos
+            FROM keys, unnest(range(1, 5)) AS s(j)),
+        bloom AS (
+            SELECT pos // 32 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+            FROM bpos GROUP BY 1),
+        probe AS (
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(concat('0x', substr(md5(CAST(o.o_custkey AS VARCHAR)),
+                        CAST((j - 1) * 8 + 1 AS INTEGER), 8))
+                        AS BIGINT) % 4096 AS pos
+            FROM orders o, unnest(range(1, 5)) AS s(j)),
+        hit AS (
+            SELECT o_orderkey, any_value(o_custkey) AS o_custkey
+            FROM probe p JOIN bloom b ON (p.pos // 32) = b.word
+            WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER)))
+                  = (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))
+            GROUP BY o_orderkey HAVING count(*) = 4)
+        SELECT (SELECT count(*) FROM orders) AS n_fact,
+               (SELECT count(*) FROM hit) AS n_bloom_pass,
+               (SELECT count(*) FROM hit
+                WHERE CAST(o_custkey AS VARCHAR) IN (SELECT kk FROM keys))
+                   AS n_true_match
+    """,
+    doc="Bloom-prefiltered semi-join (Spark's runtime bloomFilter join "
+    "pruning made explicit and engine-reproducible): a ~256 KB word "
+    "table built from the BUILDING-segment customer keys probes the "
+    "orders fact through k broadcast hash joins with the bit test on "
+    "each join condition — the fact side never shuffles, false "
+    "positives are quantified (~(1-e^(-kn/m))^k) and never false "
+    "negatives, and the exact semi-join then runs on the surviving "
+    "sliver; at 100 TB the bloom ships where the key set cannot "
+    "(operators/joins.key_bloom / bloom_prefilter_join)",
+)
+def q_bloom_prefilter_join(spark, sf_dir):
+    from hadoop_app_spark.operators.joins import bloom_prefilter_join, semi_join
+
+    o = _t(spark, sf_dir, "orders")
+    keys = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    # m_bits deliberately small for the gate (4096 bits vs ~300 keys)
+    # so deterministic FALSE POSITIVES exist and the oracle checks them
+    # (n_bloom_pass > n_true_match); production default is 2^20
+    passed = bloom_prefilter_join(o, keys, "o_custkey", "c_custkey", m_bits=4096)
+    true_match = semi_join(
+        passed.select("o_orderkey", F.col("o_custkey").alias("c_custkey")),
+        keys.select("c_custkey"),
+        "c_custkey",
+    )
+    a = o.agg(F.count("*").alias("n_fact"))
+    b = passed.agg(F.count("*").alias("n_bloom_pass"))
+    c = true_match.agg(F.count("*").alias("n_true_match"))
+    return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+
+
+@query(
     "linear_trend",
     # x = whole seconds since 2024-01-01 derived by INTEGER floor
     # division of exact epoch micros (unix_micros div 1e6 == epoch_us
@@ -6232,6 +6297,9 @@ _PRIORITY = [
     # linear_trend (r7): grouped closed-form OLS over exact decimal
     # sufficient statistics — deterministic slope/intercept
     "linear_trend",
+    # bloom_prefilter_join (r7): sketch-pruned semi-join, the runtime
+    # bloom-filter join made explicit — oracle rebuilds filter + probes
+    "bloom_prefilter_join",
     # typo_pairs (r7): SymSpell deletion-neighborhood edit-1 fuzzy
     # join over the vocabulary — oracle-exact
     "typo_pairs",

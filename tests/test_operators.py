@@ -2155,3 +2155,37 @@ def test_linear_fit_matches_closed_form_reference(spark):
     assert abs(aintercept - float(intercept)) < 1e-12
     assert got["b"] == (2, None, None)
     assert got["c"] == (2, 0.0, 7.0)
+
+
+def test_bloom_prefilter_join_superset_and_exact_reduction(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.joins import bloom_prefilter_join, semi_join
+
+    fact = spark.createDataFrame([(i, i % 500) for i in range(4000)], "row_id long, k long")
+    keys = spark.createDataFrame([(i,) for i in range(0, 500, 7)], "k long")
+    # tiny filter so false positives exist
+    passed = bloom_prefilter_join(fact, keys, "k", "k", m_bits=256, k=2)
+    true = semi_join(fact, keys, "k")
+    got_pass = {r.row_id for r in passed.collect()}
+    got_true = {r.row_id for r in true.collect()}
+    # NO false negatives: every true match passes the bloom
+    assert got_true <= got_pass
+    # the tiny filter must actually produce false positives here, and
+    # the exact reduction removes precisely them
+    assert len(got_pass) > len(got_true)
+    reduced = semi_join(passed, keys, "k")
+    assert {r.row_id for r in reduced.collect()} == got_true
+
+
+def test_bloom_prefilter_plan(spark):
+    """The probe must be broadcast HASH joins — never a nested loop of
+    the fact against the word table."""
+    from hadoop_app_spark.operators.joins import bloom_prefilter_join
+
+    fact = spark.createDataFrame([(i, i % 50) for i in range(100)], "row_id long, k long")
+    keys = spark.createDataFrame([(i,) for i in range(0, 50, 3)], "k long")
+    df = bloom_prefilter_join(fact, keys, "k", "k", m_bits=1024, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

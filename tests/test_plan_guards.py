@@ -66,6 +66,11 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # ONE-ROW dangling-mass share onto the |V|-row rank frame (one NLJ
     # per iteration) — the same one-row-stats class as bm25/dsir
     "nation_pagerank",
+    # bloom_prefilter_join: the gated entry assembles three ONE-ROW
+    # counts (fact / bloom-pass / true-match) via crossJoin — the
+    # one-row-stats class; the operator itself is k broadcast HASH
+    # joins, machine-checked by test_bloom_prefilter_plan
+    "bloom_prefilter_join",
 }
 
 
