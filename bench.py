@@ -127,6 +127,24 @@ BENCH_QUERIES = [
     "stream_hll_exec",
     "linear_trend",
     "bloom_prefilter_join",
+    # r7 batch 2: lossless prefix-filtered similarity join + the Q7/
+    # Q12/Q13/Q17/Q19/Q21/Q22 TPC-H shapes
+    "set_similarity_join",
+    "volume_shipping",
+    "late_line_priority",
+    "customer_order_distribution",
+    "small_qty_avg_yearly",
+    "disjunctive_bundle_revenue",
+    "suppliers_kept_waiting",
+    "global_sales_opportunity",
+    # r7 batch 3: the remaining TPC-H shapes — all 22 now covered
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_value",
+    "parts_supplier_count",
+    "dominant_part_suppliers",
 ]
 
 

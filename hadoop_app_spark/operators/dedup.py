@@ -686,3 +686,71 @@ def edit1_pairs(
         .distinct()
     )
     return cand.where(F.levenshtein("a", "b") == 1)
+
+
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join (AllPairs/SSJoin prefix
+    filtering — Bayardo et al. 2007) -> [id_a, id_b, jaccard] for every
+    pair of docs whose n-gram-shingle sets have Jaccard >= threshold.
+
+    Where MinHash/LSH trades recall for speed, prefix filtering is
+    LOSSLESS: order every doc's shingle set by a global canonical order
+    (document frequency ascending, then shingle — rarest first), keep
+    only the first |s| - floor(t*|s|) + 1 shingles as the doc's PREFIX,
+    and join docs sharing a prefix shingle. Two sets with J >= t must
+    overlap in >= t*|s| elements, more than can fit entirely behind
+    either prefix, so every qualifying pair collides on some prefix
+    shingle — recall is complete by the pigeonhole, the same contract
+    the Hamming/SymSpell banding families carry. The exact
+    intersect/union verify then drops false candidates; jaccard is one
+    double division of exact integers.
+
+    Scale shape: rarest-first ordering puts LOW-frequency shingles in
+    prefixes, so candidate buckets are the small tails of the df
+    distribution, never the stopword head — the candidate join is
+    bounded by sum over prefix shingles of bucket^2, with buckets
+    shrunk by exactly the ordering. One df aggregation, one sorted
+    collect per doc, explode of ~(1-t)|s| prefix rows per doc, an
+    equi-join, and an array verify on candidates only."""
+    shingles = (
+        df.select(F.col(id_col).alias("id"), ngrams(F.col(text_col), n).alias("sh"))
+        .select("id", F.array_distinct("sh").alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+    tok = shingles.select("id", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfreq, "s")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "s"))), lambda x: x["s"]
+            ).alias("ss")
+        )
+    )
+    plen = F.size("ss") - F.floor(F.lit(threshold) * F.size("ss")).cast("int") + 1
+    prefix = ordered.select(
+        "id", F.explode(F.slice("ss", 1, plen)).alias("p")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa"))
+    sb = shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

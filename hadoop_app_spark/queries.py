@@ -664,6 +664,815 @@ def q_large_volume_customer(spark, sf_dir):
 
 
 @query(
+    "volume_shipping",
+    oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {rev} AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """.format(rev=_DSUM.format(c="l_extendedprice * (1 - l_discount)")),
+    doc="TPC-H Q7-shaped volume shipping: revenue flowing between a "
+    "pair of nations, by supplier-nation x customer-nation x ship "
+    "year. Plan shape at 100 TB: the shipdate range pushes to the "
+    "lineitem scan; supplier and the two nation copies broadcast "
+    "(supplier is 10x smaller than customer, so it rides the small "
+    "side); the lineitem-orders and orders-customer joins shuffle on "
+    "their keys; the nation-pair disjunction prunes to two nation "
+    "codes BEFORE the fact join via the broadcast filter; the final "
+    "agg is 4 groups — pure partial-combine",
+)
+def q_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "late_line_priority",
+    # Q12's l_shipmode/l_receiptdate are absent from the synthetic
+    # lineitem: the categorical is l_returnflag, "late" is l_shipdate
+    # more than 60 days after o_orderdate — the CASE-pivot agg over a
+    # fact-fact join is what Q12 tests. COUNT(FILTER)/count(when)
+    # keeps both engines in BIGINT (DuckDB SUM(int) would widen to
+    # HUGEINT and trip the kind check).
+    oracle="""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12-shaped late-shipment priority pivot: lines shipped "
+    "late in a year, counted per return flag split by order priority "
+    "(CASE pivot). Plan shape at 100 TB: the shipdate year-range "
+    "pushes to the lineitem scan (the lateness predicate is join-level "
+    "— it needs o_orderdate); one orderkey shuffle join; the "
+    "conditional counts partial-combine into 3 groups",
+)
+def q_late_line_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    # Q13's o_comment NOT LIKE filter is absent from the synthetic
+    # orders — the join-side predicate is o_orderpriority <> URGENT;
+    # the LEFT-OUTER-with-ON-predicate + double aggregation is what
+    # Q13 tests (customers with zero qualifying orders MUST appear in
+    # the c_count=0 bucket, which an inner join would drop)
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13-shaped customer order-count distribution: histogram "
+    "of per-customer qualifying-order counts, zero bucket included via "
+    "left outer join with the predicate in the ON clause (WHERE would "
+    "silently turn it inner). Plan shape at 100 TB: the priority "
+    "filter pushes to the orders scan side of the outer join, one "
+    "custkey shuffle, count(o_orderkey) skips the null-extended rows, "
+    "and the second agg is over <=|distinct counts| rows — tiny",
+)
+def q_customer_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "small_qty_avg_yearly",
+    # Q17's correlated scalar subquery (l_quantity < 0.2*avg per part)
+    # is decorrelated into a per-part aggregate join; the avg threshold
+    # compares via EXACT integer/decimal cross-multiplication
+    # (qty*cnt*5 < sum) so both engines decide each row identically —
+    # a float avg would make the row SET itself nondeterministic
+    oracle="""
+        WITH pa AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS _s,
+                   count(*) AS _c
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#12'
+            GROUP BY l.l_partkey)
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pa    ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#12'
+          AND CAST(l.l_quantity AS DECIMAL(18,6)) * pa._c * 5 < pa._s
+    """,
+    doc="TPC-H Q17-shaped small-quantity revenue: average yearly "
+    "revenue lost if below-one-fifth-of-average-quantity orders for a "
+    "brand stopped. Plan shape at 100 TB: the correlated scalar "
+    "subquery decorrelates into ONE per-part aggregate — and because "
+    "p_partkey determines p_brand, the brand filter semi-joins "
+    "lineitem BEFORE that aggregate (broadcast of the filtered part "
+    "keys), so the avg pass scans the brand's ~1/|brands| slice, not "
+    "the whole fact; the threshold re-join is partkey-colocated with "
+    "the agg output; final agg is one row",
+)
+def q_small_qty_avg_yearly(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    li_b = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    pa = li_b.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_s"),
+        F.count("*").alias("_c"),
+    )
+    return (
+        li_b.join(pa, li_b.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity").cast("decimal(18,6)") * F.col("_c") * 5 < F.col("_s"))
+        .agg(
+            (_dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "disjunctive_bundle_revenue",
+    # Q19's l_shipmode/l_shipinstruct clauses are absent from the
+    # synthetic lineitem; the three (brand, size-range, qty-range)
+    # bundles OR'd across a join are what Q19 tests
+    oracle="""
+        SELECT {rev} AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """.format(rev=_DSUM.format(c="l_extendedprice * (1 - l_discount)")),
+    doc="TPC-H Q19-shaped disjunctive bundle revenue: three OR'd "
+    "(brand, size, quantity) predicate bundles across a part-lineitem "
+    "join. Plan shape at 100 TB: the disjunction does NOT block "
+    "pushdown — the part side pre-filters to the union of the three "
+    "(brand AND size) envelopes and broadcasts, the lineitem side "
+    "pre-filters to the overall quantity envelope [1,30] at the scan, "
+    "and only the residual mixed-table disjunction evaluates "
+    "post-join; one row out",
+)
+def q_disjunctive_bundle_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity").between(1, 30))
+    part_env = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    )
+    p = _t(spark, sf_dir, "part").where(part_env)
+    bundle = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(bundle)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "suppliers_kept_waiting",
+    # Q21's l_receiptdate/l_commitdate are absent: "late" is
+    # l_shipdate > o_orderdate + 60 days. The EXISTS(other supplier) +
+    # NOT EXISTS(other LATE supplier) double correlation is what Q21
+    # tests — it decorrelates into one semi- and one anti-join, both
+    # orderkey-equi with a suppkey<> residual
+    oracle="""
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN late l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+    doc="TPC-H Q21-shaped suppliers who kept orders waiting: late "
+    "lines of finalized multi-supplier orders where the supplier was "
+    "the ONLY late one — EXISTS another supplier's line, NOT EXISTS "
+    "another supplier's late line. Plan shape at 100 TB: the late-line "
+    "set is computed ONCE (status filter pushed to orders, one "
+    "orderkey join) and reused for both the probe side and the "
+    "anti-join build side; EXISTS -> left-semi and NOT EXISTS -> "
+    "left-anti, both orderkey-equi shuffles with the suppkey<> "
+    "residual evaluated in-join (never a per-row subquery); supplier "
+    "broadcasts; top-100 is TakeOrderedAndProject",
+)
+def q_suppliers_kept_waiting(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("_ok2")) & (l1.l_suppkey != F.col("_sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (l1.l_orderkey == F.col("_ok3")) & (l1.l_suppkey != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "global_sales_opportunity",
+    # Q22's phone-prefix country codes are absent: the group key is
+    # c_nationkey, and "no orders in 7 years" (vacuous here — the
+    # synthetic orders cover every customer) becomes "no URGENT
+    # orders". The global-avg scalar subquery + anti-join is what Q22
+    # tests; the avg threshold compares via exact cross-multiplication
+    # (bal*cnt > sum) so the row set is engine-independent
+    oracle="""
+        WITH st AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS _s,
+                           count(*) AS _c
+                    FROM customer WHERE c_acctbal > 0)
+        SELECT c.c_nationkey, count(*) AS numcust, {bal} AS totacctbal
+        FROM customer c, st
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * st._c > st._s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """.format(bal=_DSUM.format(c="c_acctbal")),
+    doc="TPC-H Q22-shaped sales opportunity: above-average-balance "
+    "customers with no urgent orders, counted per nation. Plan shape "
+    "at 100 TB: the positive-balance global avg is a ONE-ROW "
+    "aggregate crossJoin-broadcast (the bm25/dsir one-row-stats "
+    "class), the threshold compares in exact decimal arithmetic, the "
+    "NOT EXISTS decorrelates into one custkey left-anti shuffle "
+    "against the urgent-order keys (priority filter pushed to the "
+    "orders scan), and the per-nation rollup partial-combines",
+)
+def q_global_sales_opportunity(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    st = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("_s"),
+        F.count("*").alias("_c"),
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(st))
+        .where(F.col("c_acctbal").cast("decimal(18,6)") * F.col("_c") > F.col("_s"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), _dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "set_similarity_join",
+    # the oracle is BRUTE FORCE — every doc pair, exact Jaccard — so
+    # the driver check proves the prefix filter's recall is complete,
+    # not merely self-consistent (the result is prefix-independent)
+    oracle=f"""
+        WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in range(1, greatest(len(toks) - 2, 0) + 1)])
+                         AS sh
+              FROM t0),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)) AS jaccard
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.6
+    """,
+    doc="EXACT all-pairs set-similarity self-join via prefix filtering "
+    "(Bayardo et al. 2007): rarest-first canonical ordering, "
+    "|s|-floor(t|s|)+1 prefixes, pigeonhole-complete candidate recall, "
+    "exact intersect/union verify — the LOSSLESS counterpart to the "
+    "MinHash/SimHash approximate families, verified against a "
+    "brute-force every-pair oracle; candidate buckets are the small "
+    "df-distribution tails by construction, never the stopword head "
+    "(operators/dedup.set_similarity_join)",
+)
+def q_set_similarity_join(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import set_similarity_join
+
+    d = _t(spark, sf_dir, "documents")
+    return set_similarity_join(d, "text", "doc_id", threshold=0.6)
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+        SELECT {rev} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """.format(rev=_DSUM.format(c="l_extendedprice * l_discount")),
+    doc="TPC-H Q6-shaped forecast revenue change: the discount-lift sum "
+    "over one year of narrow-band-discount small-quantity lines. Plan "
+    "shape at 100 TB: ALL THREE predicates (shipdate range, discount "
+    "band, quantity cap) push to the parquet scan as min/max row-group "
+    "pruning + PushedFilters, the projection reads exactly two value "
+    "columns, and the single global sum partial-combines — the "
+    "canonical scan-bound query; if this one shuffles anything but "
+    "32 partial rows, the plan is wrong",
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+@query(
+    "min_cost_supplier",
+    # Q2's partsupp is absent from the synthetic schema: the
+    # part-supplier supply relation derives from lineitem (distinct
+    # (l_partkey, l_suppkey), supply cost = min extendedprice the
+    # supplier ever charged for the part). The correlated scalar-min
+    # subquery restricted to a region — Q2's tested shape — is intact
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(l_extendedprice AS DECIMAL(18,6))) AS cost
+            FROM lineitem GROUP BY 1, 2),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        j AS (
+            SELECT p.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name, ps.cost
+            FROM part p
+            JOIN ps ON p.p_partkey = ps.l_partkey
+            JOIN eu ON ps.l_suppkey = eu.s_suppkey
+            WHERE p.p_size = 15 AND p.p_type = 'ECONOMY')
+        SELECT s_acctbal, s_name, n_name, p_partkey,
+               CAST(cost AS DOUBLE) AS supply_cost
+        FROM j
+        WHERE cost = (SELECT min(cost) FROM j j2
+                      WHERE j2.p_partkey = j.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2-shaped min-cost supplier: for each ECONOMY size-15 "
+    "part, the EUROPE supplier(s) charging the minimum supply cost — "
+    "a correlated scalar-min subquery over a region-restricted join. "
+    "Plan shape at 100 TB: the correlation decorrelates into one "
+    "(partkey) min re-aggregation of the SAME joined relation joined "
+    "back on (partkey, cost=min) — never a per-row subquery; the "
+    "part filter broadcasts so the derived part-supplier aggregation "
+    "only shuffles matching parts; supplier x nation x region "
+    "broadcast as one small dim chain; exact decimal min so the "
+    "equality join back is engine-independent; top-100 is "
+    "TakeOrderedAndProject",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,6)")).alias("cost"))
+    )
+    j = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    mn = j.groupBy(F.col("p_partkey").alias("_pk")).agg(F.min("cost").alias("_mc"))
+    return (
+        j.join(F.broadcast(mn), (j.p_partkey == F.col("_pk")) & (j.cost == F.col("_mc")))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+        WITH allrev AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                       AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            JOIN part p     ON l.l_partkey = p.p_partkey
+            WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                             THEN volume ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM allrev GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8-shaped national market share: NATION_2 suppliers' "
+    "share of AMERICA-region STANDARD-part order revenue per order "
+    "year — the conditional-numerator/total-denominator ratio in ONE "
+    "aggregation pass. Plan shape at 100 TB: part-type and region "
+    "filters broadcast-prune the fact before the two keyed shuffles "
+    "(orderkey, custkey); supplier+nation+part+region all broadcast; "
+    "both sums accumulate decimal in the same partial-combine agg, so "
+    "the share division is exact-over-exact and engine-independent; "
+    "2 rows out",
+)
+def q_nation_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn"), F.col("n_regionkey").alias("_crk")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sn"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cn"))
+        .join(F.broadcast(r), F.col("_crk") == r.r_regionkey)
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+            F.lit(0).cast("decimal(18,6)")
+        )
+    ).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((num / F.sum(vol).cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "product_type_profit",
+    # Q9's ps_supplycost is absent: unit cost proxies as the part's
+    # p_retailprice (a dim attribute, exactly where ps_supplycost
+    # lives in real Q9) — profit = revenue - cost*qty, negative-able,
+    # accumulated in decimal so cross-engine hash-exact
+    oracle="""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               {amt} AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """.format(
+        amt=_DSUM.format(
+            c="l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity"
+        )
+    ),
+    doc="TPC-H Q9-shaped product-type profit: per supplier-nation per "
+    "order-year profit (revenue minus retail-cost-times-quantity) over "
+    "parts whose name matches a substring. Plan shape at 100 TB: the "
+    "LIKE prunes part BEFORE it broadcasts, so the fact scan only "
+    "keeps matching-part lines via the broadcast hash join; supplier "
+    "and nation ride the same broadcast chain; the single orderkey "
+    "shuffle joins orders for the year; profit accumulates in "
+    "DECIMAL(18,6) (sign-mixed sums, so float ordering would diverge "
+    "cross-engine) and partial-combines into |nations| x |years| rows",
+)
+def q_product_type_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "important_part_value",
+    # Q11's partsupp value (supplycost * availqty) is absent: a
+    # part's held value is the total extendedprice NATION_0's
+    # suppliers ever shipped of it. The tested shape — group-sum vs a
+    # same-relation global-sum scalar subquery in HAVING — is intact;
+    # the threshold compares by exact decimal cross-multiplication
+    # (value * 1000 > total) so the row set is engine-independent
+    oracle="""
+        WITH v AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS value_dec
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_0'
+            GROUP BY l_partkey),
+        t AS (SELECT SUM(value_dec) AS total FROM v)
+        SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM v, t
+        WHERE value_dec * 1000 > t.total
+        ORDER BY part_value DESC, p_partkey
+    """,
+    doc="TPC-H Q11-shaped important part value: parts whose "
+    "NATION_0-supplied value exceeds 1/1000 of the nation's total — "
+    "group-sum HAVING a global-scalar fraction of the SAME relation. "
+    "Plan shape at 100 TB: nation filter broadcast-prunes the fact "
+    "once; the per-part decimal sum is reused for the one-row total "
+    "(a ONE-ROW aggregate crossJoin-broadcast, the bm25/dsir "
+    "one-row-stats class — no second fact scan); the threshold is "
+    "exact decimal cross-multiplication, no float fraction",
+)
+def q_important_part_value(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("value_dec"))
+    )
+    t = v.agg(F.sum("value_dec").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.col("value_dec") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "parts_supplier_count",
+    # Q16's partsupp derives from lineitem's distinct (part, supplier)
+    # pairs; the excluded-supplier NOT IN subquery (complaints in real
+    # Q16) becomes negative-balance suppliers
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#12'
+          AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND l.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 100
+    """,
+    doc="TPC-H Q16-shaped supplier count per part attribute: distinct "
+    "suppliers per (brand, type, size) over the lineitem-derived "
+    "part-supplier relation, excluding one brand, a size list, and a "
+    "NOT-IN supplier subquery. Plan shape at 100 TB: brand/size "
+    "filters broadcast-prune via the part join before the distinct; "
+    "the NOT IN decorrelates into a left-anti broadcast (the excluded "
+    "set is tiny and provably null-free, so no null-aware cross "
+    "join); the (partkey, suppkey) distinct and the count-distinct "
+    "re-shuffle are the two unavoidable exchanges, both partial-agg'd",
+)
+def q_parts_supplier_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#12")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("_bad"))
+    )
+    return (
+        li.join(bad, li.l_suppkey == F.col("_bad"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    # Q20's ps_availqty is absent: the "excess stock" EXISTS becomes
+    # "shipped more than half a part's total 1996 volume" — supplier
+    # qty vs a per-part scalar threshold, the same nested-agg semi
+    # shape; qty sums compare by exact integer-valued decimal
+    # cross-multiplication (2*sup > total)
+    oracle="""
+        WITH sq AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sup_qty
+            FROM lineitem l
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+            GROUP BY 1, 2),
+        tq AS (SELECT l_partkey, SUM(sup_qty) AS tot_qty
+               FROM sq GROUP BY 1)
+        SELECT s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN
+              (SELECT sq.l_suppkey FROM sq
+               JOIN tq ON sq.l_partkey = tq.l_partkey
+               WHERE sq.sup_qty * 2 > tq.tot_qty)
+        ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20-shaped dominant part suppliers: suppliers who "
+    "shipped more than HALF of some bolt-part's total 1996 volume — "
+    "a per-(part,supplier) aggregate compared against a per-part "
+    "re-aggregate of ITSELF, semi-joined into supplier. Plan shape "
+    "at 100 TB: part-name filter broadcast-prunes the fact scan; the "
+    "(partkey,suppkey) sum partial-combines, its per-part rollup is "
+    "a second tiny agg on the already-shuffled relation (no new fact "
+    "scan); the IN decorrelates to a left-semi broadcast into the "
+    "100-row supplier dim; exact decimal cross-multiply, no float "
+    "halving",
+)
+def q_dominant_part_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sq = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sup_qty"))
+    )
+    tq = sq.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("sup_qty").alias("tot_qty")
+    )
+    dom = (
+        sq.join(F.broadcast(tq), sq.l_partkey == F.col("_pk"))
+        .where(F.col("sup_qty") * 2 > F.col("tot_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+@query(
     "bloom_prefilter_join",
     # the oracle rebuilds the key Bloom filter bit-for-bit and replays
     # the k-probe membership test per fact row, so n_bloom_pass checks
@@ -6300,6 +7109,32 @@ _PRIORITY = [
     # bloom_prefilter_join (r7): sketch-pruned semi-join, the runtime
     # bloom-filter join made explicit — oracle rebuilds filter + probes
     "bloom_prefilter_join",
+    # set_similarity_join (r7): LOSSLESS prefix-filtered all-pairs
+    # Jaccard join — brute-force oracle proves complete recall
+    "set_similarity_join",
+    # TPC-H-shaped r7 batch 2: Q7 nation-pair revenue, Q12 CASE pivot,
+    # Q13 outer-join histogram, Q17 decorrelated scalar subquery, Q19
+    # disjunctive pushdown, Q21 semi+anti double correlation, Q22
+    # global-avg threshold + anti-join — all oracle-exact
+    "volume_shipping",
+    "late_line_priority",
+    "customer_order_distribution",
+    "small_qty_avg_yearly",
+    "disjunctive_bundle_revenue",
+    "suppliers_kept_waiting",
+    "global_sales_opportunity",
+    # TPC-H-shaped r7 batch 3, completing all 22 shapes: Q6 scan-bound
+    # sum, Q2 correlated min over a region-restricted join, Q8
+    # conditional-share ratio, Q9 sign-mixed profit rollup, Q11
+    # global-fraction HAVING, Q16 distinct-count + NOT IN, Q20
+    # nested-agg dominance semi — all oracle-exact
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_value",
+    "parts_supplier_count",
+    "dominant_part_suppliers",
     # typo_pairs (r7): SymSpell deletion-neighborhood edit-1 fuzzy
     # join over the vocabulary — oracle-exact
     "typo_pairs",
@@ -6349,9 +7184,6 @@ _PRIORITY = [
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",
     "image_features",
-    # image_near_dup (r6): perceptual-hash banding dedup, oracle-exact
-    # on the fake-hash arm (full banding+verify pipeline value-checked)
-    "image_near_dup",
     # r7: the 256-bit/16-bit-band scale form (r6 verdict item 5) —
     # same plumbing, 65,536-key buckets, recall to Hamming 15
     "image_near_dup_wide",

@@ -71,6 +71,13 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # one-row-stats class; the operator itself is k broadcast HASH
     # joins, machine-checked by test_bloom_prefilter_plan
     "bloom_prefilter_join",
+    # global_sales_opportunity: Q22's positive-balance global average
+    # is a ONE-ROW aggregate crossJoin-broadcast threshold — the same
+    # one-row-stats class as bm25/dsir/top_supplier
+    "global_sales_opportunity",
+    # important_part_value: Q11's HAVING > fraction-of-global-total is
+    # the same ONE-ROW aggregate crossJoin-broadcast threshold
+    "important_part_value",
 }
 
 
