@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "important_part_value",
     "parts_supplier_count",
     "dominant_part_suppliers",
+    # r7 batch 4: oracled fixed-vocab tokenizer-encode twins
+    "wordpiece_encode_fixed",
+    "unigram_encode_fixed",
 ]
 
 

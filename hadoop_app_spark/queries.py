@@ -6037,6 +6037,205 @@ def q_unigram_token_count(spark, sf_dir):
     )
 
 
+# Fixed exemplar vocabularies for the ORACLED encode twins below: the
+# corpus-LEARNED piece sets above cannot ride a static SQL string
+# sf-independently (the r6 fallback: cross-implementation pytest pins),
+# but the ENCODE algorithms themselves are deterministic given any
+# piece table — so these twins run the identical kernels under
+# hard-coded, data-independent tables (the LSH-hyperplane convention)
+# and carry EXACT DuckDB oracles: greedy longest-match as a
+# precomputed-step recursive walk, Viterbi as a recursive-CTE DP with
+# a carried sliding window of the last max_piece_len best scores.
+# Scores are integer-valued doubles so every sum/compare is exact in
+# both engines; ties are engineered in (jo+in == join) to pin the
+# longest-piece tie rule cross-engine.
+_WP_FIXED_VOCAB = [
+    # heads
+    "jo", "join", "ha", "hash", "ro", "row", "ba", "bat", "sca", "scan",
+    "cus", "custom", "col", "fil", "filt", "mer", "or", "ord", "vec",
+    "li", "line", "da", "data", "tab", "table", "agg", "val", "key",
+    "str", "stream", "win", "wind", "spark", "gro", "par", "part",
+    "big", "sor", "sort", "que", "fas", "the", "dup", "sl", "sm",
+    "qu", "wi", "va", "ve", "ta", "st", "sc", "cu", "co", "fi", "me",
+    "du", "a", "b", "t", "s", "q", "k", "f",
+    # continuations
+    "##in", "##n", "##sh", "##w", "##tch", "##ch", "##an", "##tomer",
+    "##omer", "##er", "##r", "##umn", "##mn", "##ter", "##ge", "##der",
+    "##ctor", "##tor", "##or", "##ne", "##ta", "##ble", "##le", "##g",
+    "##ue", "##e", "##ey", "##y", "##eam", "##am", "##dow", "##ow",
+    "##oup", "##up", "##t", "##ig", "##rt", "##ry", "##st", "##ast",
+    "##he", "##p", "##l", "##o", "##a", "##s", "##m", "##d", "##u",
+    "##i", "##c", "##k", "##b", "##v", "##h",
+]
+
+_UNIGRAM_FIXED_TABLE = {
+    # singles (x, z intentionally absent -> unk fallback exercised)
+    **{c: -9.0 for c in "aeiourstnlcdghkmpwybfjqv"},
+    "jo": -4.0, "in": -4.0, "join": -8.0,  # engineered exact tie
+    "ha": -4.0, "sh": -5.0, "hash": -7.0,
+    "row": -5.0, "ba": -4.0, "tch": -6.0, "batch": -9.0,
+    "sca": -5.0, "an": -3.0, "scan": -7.0,
+    "cust": -6.0, "omer": -7.0, "custom": -9.0, "er": -3.0,
+    "col": -5.0, "umn": -7.0, "fil": -5.0, "ter": -4.0,
+    "sma": -5.0, "ll": -4.0, "slo": -5.0,
+    "mer": -4.0, "ge": -3.0, "or": -3.0, "der": -4.0, "order": -8.0,
+    "vec": -5.0, "tor": -4.0, "li": -3.0, "ne": -3.0, "line": -7.0,
+    "da": -3.0, "ta": -3.0, "data": -5.0, "ble": -4.0, "table": -8.0,
+    "agg": -5.0, "va": -3.0, "lue": -4.0, "key": -5.0,
+    "str": -4.0, "eam": -5.0, "stream": -8.0,
+    "win": -4.0, "dow": -4.0, "window": -9.0, "spark": -7.0,
+    "gro": -4.0, "up": -3.0, "par": -4.0, "part": -6.0,
+    "big": -5.0, "sort": -6.0, "que": -4.0, "ry": -3.0, "query": -8.0,
+    "fast": -6.0, "the": -4.0, "dup": -5.0,
+}
+
+
+def _wordpiece_fixed_oracle() -> str:
+    """Greedy longest-match-first segmentation in pure SQL: the greedy
+    rule has exactly ONE successor per (word, position), so the step
+    function precomputes as a positions x pieces prefix-match join
+    (coalesce 1 = per-character OOV fallback) and the walk is a linear
+    recursive CTE whose terminal row's depth IS the token count."""
+    vals = ", ".join(
+        "({}, '{}')".format(
+            "TRUE" if p.startswith("##") else "FALSE",
+            p[2:] if p.startswith("##") else p,
+        )
+        for p in _WP_FIXED_VOCAB
+    )
+    return f"""
+        WITH RECURSIVE
+        dw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+        words AS (SELECT DISTINCT word FROM dw),
+        pieces(cont, body) AS (VALUES {vals}),
+        pos AS (SELECT word, unnest(generate_series(1, length(word))) AS p
+                FROM words),
+        step AS (
+          SELECT pos.word, pos.p, coalesce(max(length(pc.body)), 1) AS s
+          FROM pos LEFT JOIN pieces pc
+            ON pc.cont = (pos.p > 1)
+           AND pc.body = substr(pos.word, pos.p, length(pc.body))
+          GROUP BY pos.word, pos.p
+        ),
+        walk(word, p, k) AS (
+          SELECT word, 1, 0 FROM words
+          UNION ALL
+          SELECT w.word, w.p + st.s, w.k + 1
+          FROM walk w JOIN step st ON st.word = w.word AND st.p = w.p
+          WHERE w.p <= length(w.word)
+        ),
+        wtok AS (SELECT word, k FROM walk WHERE p = length(word) + 1),
+        agg AS (
+          SELECT dw.doc_id, count(*) AS n_words, sum(wtok.k) AS wp_tokens
+          FROM dw JOIN wtok USING (word) GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.wp_tokens, 0) AS BIGINT) AS wp_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _unigram_fixed_oracle() -> str:
+    """Viterbi in pure SQL: a recursive-CTE DP over positions. Each
+    round advances every word one character; the state carries the
+    last-8 best scores/counts as lists (a sliding window — the only
+    lookback max_piece_len=8 permits), and the per-round argmax is
+    max() over a [score, piece_len, count] list, whose lexicographic
+    order encodes the kernel's exact tie rule (equal score -> longest
+    piece). -1e9 sentinels mark pre-origin indexes; integer-valued
+    scores keep every sum exact, so equality ties resolve identically
+    in both engines."""
+    unk = min(_UNIGRAM_FIXED_TABLE.values()) - 10.0
+    vals = ", ".join(
+        f"('{p}', {s!r})" for p, s in sorted(_UNIGRAM_FIXED_TABLE.items())
+    )
+    s7 = ", ".join(["-1e9"] * 7)
+    return f"""
+        WITH RECURSIVE
+        dw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+        words AS (SELECT DISTINCT word FROM dw),
+        pieces(piece, sc) AS (VALUES {vals}),
+        lens(l) AS (SELECT unnest(generate_series(1, 8))),
+        dp(word, e, bs, bc) AS (
+          SELECT word, 0, [{s7}, 0.0]::DOUBLE[], [{s7}, 0.0]::DOUBLE[]
+          FROM words
+          UNION ALL
+          SELECT word, ne, obs[2:8] || [best[1]], obc[2:8] || [best[3]]
+          FROM (
+            SELECT d.word AS word, d.e + 1 AS ne, d.bs AS obs,
+                   d.bc AS obc,
+                   max([d.bs[9 - l.l] + coalesce(p.sc, {unk!r}),
+                        l.l * 1.0,
+                        d.bc[9 - l.l] + 1.0]) AS best
+            FROM dp d
+            JOIN lens l ON l.l <= d.e + 1
+            LEFT JOIN pieces p
+              ON p.piece = substr(d.word, d.e + 2 - l.l, l.l)
+            WHERE d.e < length(d.word)
+              AND (p.piece IS NOT NULL OR l.l = 1)
+            GROUP BY d.word, d.e, d.bs, d.bc
+          )
+        ),
+        wtok AS (SELECT word, bc[8] AS k FROM dp WHERE e = length(word)),
+        agg AS (
+          SELECT dw.doc_id, count(*) AS n_words,
+                 sum(wtok.k) AS unigram_tokens
+          FROM dw JOIN wtok USING (word) GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.unigram_tokens, 0) AS BIGINT)
+                   AS unigram_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "wordpiece_encode_fixed",
+    oracle=_wordpiece_fixed_oracle(),
+    doc="the ORACLED twin of wordpiece_token_count: the identical greedy "
+    "longest-match mapInPandas kernel (operators/wordpiece."
+    "wordpiece_token_counts) under a hard-coded data-independent piece "
+    "vocabulary, so the full encode algorithm — continuation prefixes, "
+    "per-character OOV fallback, per-batch word cache — is checked "
+    "EXACTLY against a from-scratch SQL reimplementation (precomputed "
+    "greedy-step table + linear recursive walk) instead of rows-only "
+    "(VERDICT r6 item 7)",
+)
+def q_wordpiece_encode_fixed(spark, sf_dir):
+    from hadoop_app_spark.operators.wordpiece import wordpiece_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece_token_counts(
+        d, set(_WP_FIXED_VOCAB),
+        repartition_to=spark.sparkContext.defaultParallelism,
+    ).orderBy("doc_id")
+
+
+@query(
+    "unigram_encode_fixed",
+    oracle=_unigram_fixed_oracle(),
+    doc="the ORACLED twin of unigram_token_count: the identical Viterbi "
+    "mapInPandas kernel (operators/unigram.unigram_token_counts) under a "
+    "hard-coded integer-scored piece table, checked EXACTLY against a "
+    "from-scratch SQL Viterbi (recursive-CTE DP with a sliding last-8 "
+    "window and lexicographic-list argmax encoding the longest-piece tie "
+    "rule); the table engineers an exact tie (jo+in == join) so the tie "
+    "convention itself is cross-engine-pinned (VERDICT r6 item 7)",
+)
+def q_unigram_encode_fixed(spark, sf_dir):
+    from hadoop_app_spark.operators.unigram import unigram_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_token_counts(
+        d, dict(_UNIGRAM_FIXED_TABLE),
+        repartition_to=spark.sparkContext.defaultParallelism,
+    ).orderBy("doc_id")
+
+
 @query(
     "bpe_merges",
     oracle=None,  # per-round argmax loop has no SQL twin — rows-only;
@@ -7147,6 +7346,10 @@ _PRIORITY = [
     # rows-only by design; pinned vs a Fraction-scored reference
     "wordpiece_merges",
     "wordpiece_token_count",
+    # r7: ORACLED fixed-vocab twins of the two encodes (recursive-CTE
+    # greedy walk / Viterbi DP oracles — VERDICT r6 item 7)
+    "wordpiece_encode_fixed",
+    "unigram_encode_fixed",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest

@@ -273,6 +273,23 @@ def f_simhash_band(spark, dp, ep, scratch):
     return simhash_band_pairs(_docs(spark, dp), "text", "doc_id").count()
 
 
+def f_set_similarity(spark, dp, ep, scratch):
+    """AllPairs prefix-filtered exact similarity self-join. Verbatim
+    10x copies are the adversarial input: every shingle's df grows
+    10x uniformly (rarest-first prefix ORDER is invariant), each
+    prefix bucket gains the 10 copies of every 1x member, and every
+    1x-qualifying pair appears in up to 100 copy combinations — so
+    pairs-out grows ~100x while input grows 10x: OUTPUT-bound like
+    simhash_band, not plan-shape. The thing the probe pins is that
+    the candidate join stays bucket-bounded (prefixes are the df
+    distribution's TAIL) rather than exploding on the stopword head."""
+    from hadoop_app_spark.operators.dedup import set_similarity_join
+
+    return set_similarity_join(
+        _docs(spark, dp), "text", "doc_id", threshold=0.6, n=3
+    ).count()
+
+
 def f_bm25(spark, dp, ep, scratch):
     from hadoop_app_spark.operators.retrieval import bm25_topk
 
@@ -807,6 +824,8 @@ FAMILIES = {
     "typo_pairs": f_typo_pairs,
     "triangle_census": f_triangle_census,
     "pagerank": f_pagerank,
+    # r7 batch 2: lossless prefix-filtered similarity join
+    "set_similarity": f_set_similarity,
 }
 
 
