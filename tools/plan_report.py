@@ -215,6 +215,26 @@ SHOWCASE["order_priority_check"] = (
     "elimination pass — the semi-join short-circuits on first match and "
     "the priority count partial-combines map-side",
 )
+SHOWCASE["suppliers_kept_waiting"] = (
+    "the late-line subplan appears TWICE (probe + anti build) feeding one "
+    "LeftSemi and one LeftAnti join, both orderkey-equi with the "
+    "suppkey<> residual in the join condition; supplier broadcasts; "
+    "TakeOrderedAndProject caps the output",
+    "the Q21 double correlation at 100 TB: EXISTS/NOT-EXISTS never run "
+    "per row — both decorrelate to orderkey-keyed hash joins that "
+    "short-circuit on first match, and the <> residual is evaluated "
+    "in-join, so the only exchanges are the two orderkey shuffles",
+)
+SHOWCASE["set_similarity_join"] = (
+    "shingle explode -> df aggregate -> rarest-first sort_array inside a "
+    "per-doc aggregate -> prefix Slice+Generate -> ONE equi-join on the "
+    "prefix shingle -> array_intersect/union verify on candidates only",
+    "exact (lossless) near-dup at scale: the prefix keeps only the "
+    "~(1-t)|s| RAREST shingles per doc, so candidate buckets live on the "
+    "document-frequency tail — the 10x probe shows wall 10.7x while "
+    "true-pair output grows ~1000x; the expensive exact verify runs on "
+    "candidates, never the cross product",
+)
 
 
 def render(spark) -> str:
