@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     # r7 batch 4: oracled fixed-vocab tokenizer-encode twins
     "wordpiece_encode_fixed",
     "unigram_encode_fixed",
+    # r7 batch 5: custom Python DataSource scan (encode -> files ->
+    # pushdown scan round-trip; write cost is part of the measurement)
+    "pyds_ncdc_scan",
 ]
 
 

@@ -3945,6 +3945,64 @@ def q_source_codecs(spark, sf_dir):
 
 
 @query(
+    "pyds_ncdc_scan",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+               count(*) AS n,
+               max(CASE WHEN l_discount > 0.05
+                        THEN -CAST(l_quantity AS INTEGER)
+                        ELSE CAST(l_quantity AS INTEGER) END) AS max_temp,
+               min(CASE WHEN l_discount > 0.05
+                        THEN -CAST(l_quantity AS INTEGER)
+                        ELSE CAST(l_quantity AS INTEGER) END) AS min_temp
+        FROM lineitem
+        WHERE year(l_shipdate) >= 1996 AND (l_linenumber % 10) IN (1, 4, 7)
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="custom Python DataSource round-trip (Spark 4 SPARK-44076 API, the "
+    "idiomatic successor to the reference's InputFormat surface): lineitem "
+    "rows are encoded as 93-byte fixed-width NCDC records and written as "
+    "REAL text files, then scanned back through spark.read.format('ncdc') "
+    "(sources/pyds.py) — record-stride byte splits recreate TextInputFormat "
+    "block parallelism with no driver pre-scan, and the year/quality "
+    "predicates are PUSHED into the reader (skipping the parse, the Python "
+    "analogue of a row-group skip) rather than post-scan Filter nodes; the "
+    "oracle recomputes the aggregate from the source rows, so encode, "
+    "split placement, pushdown, and sign-aware parse must all compose "
+    "losslessly (MaxTemperatureMapper.java:17-22 offsets)",
+)
+def q_pyds_ncdc_scan(spark, sf_dir):
+    import tempfile
+
+    from hadoop_app_spark.sources.pyds import read_ncdc_py
+
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat(
+            F.lit("H" * 15),
+            F.year("l_shipdate").cast("string"),
+            F.rpad(F.lit("x"), 68, "x"),
+            F.when(F.col("l_discount") > 0.05, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad(F.col("l_quantity").cast("int").cast("string"), 4, "0"),
+            (F.col("l_linenumber") % 10).cast("string"),
+        ).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="pyds_ncdc_")
+    lines.write.mode("overwrite").text(out)
+    df = read_ncdc_py(spark, out, num_partitions=8)
+    return (
+        df.where((F.col("year") >= 1996) & F.col("quality").isin(1, 4, 7))
+        .groupBy("year")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("temp").alias("max_temp"),
+            F.min("temp").alias("min_temp"),
+        )
+        .orderBy("year")
+    )
+
+
+@query(
     "metric_profile",
     oracle="""
         SELECT 'l_quantity' AS metric, count(*) AS n, {q} AS total,
@@ -7350,6 +7408,9 @@ _PRIORITY = [
     # greedy walk / Viterbi DP oracles — VERDICT r6 item 7)
     "wordpiece_encode_fixed",
     "unigram_encode_fixed",
+    # r7: custom Python DataSource (Spark 4 API) — fixed-width NCDC
+    # with record-stride splits and year/quality filter pushdown
+    "pyds_ncdc_scan",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest

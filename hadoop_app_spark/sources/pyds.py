@@ -1,0 +1,228 @@
+"""Spark 4 Python DataSource for the NCDC fixed-width weather format.
+
+The reference ingests NCDC lines through Hadoop's TextInputFormat +
+a mapper that substrings fixed offsets (MaxTemperatureMapper.java:17-22:
+year at [15,19), sign-aware temperature at [87,92), quality at [92,93)).
+`sources/ncdc.py` re-expresses that as `spark.read.text` + substring
+projections; THIS module is the third face: a first-class custom source
+on the public Python DataSource API (Spark 4, SPARK-44076), so the
+format participates in Spark's scan planning like any built-in source —
+`spark.read.format("ncdc").load(path)` with its own splits and its own
+filter pushdown instead of a post-scan projection.
+
+Scale design (what TextInputFormat's HDFS block splits give the
+reference, recreated on the Python API):
+
+- **Record-stride byte splitting.** NCDC is a fixed-width format: every
+  record is the same byte length. `partitions()` stats each file,
+  validates the stride from the first line, and emits byte ranges
+  ALIGNED to whole records — a 100 GB file becomes N independent range
+  reads with no line-boundary scan-ahead and no driver pre-pass over
+  the data (the stride check reads ONE line per file). Files whose
+  first line disproves uniformity fall back to one partition per file:
+  correctness first, parallelism where the format contract holds.
+- **Filter pushdown that skips PARSING, not just rows.**
+  `pushFilters` accepts year/quality comparisons
+  (=, <, <=, >, >=, IN). Accepted filters are evaluated inside
+  `read()` on the raw fixed-offset slice BEFORE the temperature parse
+  and tuple construction — the Python-side analogue of a parquet
+  row-group skip. Everything else is declined (returned), so Spark
+  keeps evaluating it post-scan; declining is always safe, silently
+  "accepting" without applying never is.
+- **Arrow-batched returns.** `read()` yields one pyarrow RecordBatch
+  per partition instead of per-row tuples — the batch path the Python
+  worker hands to the JVM without per-row pickling.
+
+Short or garbled lines are dropped, matching `parse_fixed_width`'s
+null-drop decision (FIXTURES.md A1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from glob import glob
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+# field offsets, byte positions in the record (reference parity)
+YEAR_SLICE = slice(15, 19)
+TEMP_SLICE = slice(87, 92)
+QUALITY_SLICE = slice(92, 93)
+MIN_LINE = 93
+
+
+@dataclass(frozen=True)
+class ByteRange(InputPartition):
+    """One record-aligned byte range of one file (pickled to workers)."""
+
+    path: str
+    start: int
+    end: int
+
+
+def _predicate(f: Filter):
+    """Compile an accepted Filter into a plain int -> bool closure."""
+    v = f.value
+    if isinstance(f, EqualTo):
+        return lambda x: x == v
+    if isinstance(f, GreaterThan):
+        return lambda x: x > v
+    if isinstance(f, GreaterThanOrEqual):
+        return lambda x: x >= v
+    if isinstance(f, LessThan):
+        return lambda x: x < v
+    if isinstance(f, LessThanOrEqual):
+        return lambda x: x <= v
+    if isinstance(f, In):
+        vs = set(f.value)
+        return lambda x: x in vs
+    raise AssertionError(f"unaccepted filter reached compile: {f}")
+
+
+_PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
+_PUSH_COLS = {("year",): "year", ("quality",): "quality"}
+
+
+class NcdcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ncdc source requires a path")
+        self.path = path
+        self.num_partitions = int(options.get("numPartitions", 8))
+        # column -> [compiled predicates]; populated by pushFilters
+        self._pushed: dict[str, list] = {}
+
+    # -- pushdown -----------------------------------------------------
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = _PUSH_COLS.get(getattr(f, "attribute", None))
+            if col is not None and isinstance(f, _PUSHABLE):
+                self._pushed.setdefault(col, []).append(_predicate(f))
+            else:
+                yield f  # declined: Spark keeps evaluating it post-scan
+
+    # -- splits -------------------------------------------------------
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                p
+                for p in glob(os.path.join(self.path, "*"))
+                if os.path.isfile(p) and os.path.getsize(p) > 0
+                and not os.path.basename(p).startswith((".", "_"))
+            )
+        return sorted(p for p in glob(self.path) if os.path.isfile(p))
+
+    def partitions(self) -> Sequence[ByteRange]:
+        files = self._files()
+        sizes = {p: os.path.getsize(p) for p in files}
+        total = sum(sizes.values()) or 1
+        parts: list[ByteRange] = []
+        for p in files:
+            size = sizes[p]
+            if size == 0:
+                continue
+            with open(p, "rb") as fh:
+                first = fh.readline()
+            stride = len(first)
+            # uniform fixed-width file? (stride check is ONE line, not a
+            # pre-scan; a trailing unterminated line also disqualifies)
+            if stride == 0 or not first.endswith(b"\n") or size % stride:
+                parts.append(ByteRange(p, 0, size))
+                continue
+            n_rec = size // stride
+            want = max(1, round(self.num_partitions * size / total))
+            per = max(1, -(-n_rec // want))  # ceil
+            parts.extend(
+                ByteRange(p, i * stride, min((i + per) * stride, size))
+                for i in range(0, n_rec, per)
+            )
+        return parts or [ByteRange("", 0, 0)]
+
+    # -- execution ----------------------------------------------------
+    def read(self, partition: ByteRange):
+        import pyarrow as pa
+
+        years: list[int] = []
+        temps: list[int] = []
+        quals: list[int] = []
+        ypred = self._pushed.get("year", ())
+        qpred = self._pushed.get("quality", ())
+        if partition.path:
+            with open(partition.path, "rb") as fh:
+                fh.seek(partition.start)
+                blob = fh.read(partition.end - partition.start)
+            for raw in blob.splitlines():
+                if len(raw) < MIN_LINE:
+                    continue
+                line = raw.decode("ascii", errors="replace")
+                ys, qs = line[YEAR_SLICE], line[QUALITY_SLICE]
+                if not (ys.isdigit() and qs.isdigit()):
+                    continue
+                year, qual = int(ys), int(qs)
+                # pushed predicates run BEFORE the temperature parse
+                if any(not p(year) for p in ypred):
+                    continue
+                if any(not p(qual) for p in qpred):
+                    continue
+                ts = line[TEMP_SLICE]
+                try:
+                    temp = int(ts)  # int() accepts the '+'/'-' sign byte
+                except ValueError:
+                    continue
+                years.append(year)
+                temps.append(temp)
+                quals.append(qual)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(years, pa.int32()),
+                pa.array(temps, pa.int32()),
+                pa.array(quals, pa.int32()),
+            ],
+            names=["year", "temp", "quality"],
+        )
+
+
+class NcdcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ncdc"
+
+    def schema(self) -> str:
+        return "year int, temp int, quality int"
+
+    def reader(self, schema) -> NcdcReader:
+        return NcdcReader(self.options)
+
+
+def register_ncdc_source(spark) -> None:
+    """Idempotent registration + enable Python-source filter pushdown
+    (off by default; without it pushFilters is never called and every
+    filter stays a post-scan Filter node — still correct, just not
+    skipping the parse)."""
+    spark.dataSource.register(NcdcDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def read_ncdc_py(spark, path: str, num_partitions: int = 8):
+    """DataFrame[year int, temp int, quality int] over NCDC files via
+    the custom source: record-stride splits + year/quality pushdown."""
+    register_ncdc_source(spark)
+    return (
+        spark.read.format("ncdc")
+        .option("numPartitions", str(num_partitions))
+        .load(path)
+    )

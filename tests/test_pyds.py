@@ -1,0 +1,129 @@
+"""Custom Python DataSource (Spark 4 API): NCDC fixed-width source —
+record-stride splits, filter pushdown accept/decline, parse parity with
+the substring-projection path, and the reference micro-file golden."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    StringStartsWith,
+)
+
+from hadoop_app_spark.sources.ncdc import read_ncdc
+from hadoop_app_spark.sources.pyds import ByteRange, NcdcReader, read_ncdc_py
+
+TEMPLATE = (
+    "0043011990999991950051518004+68750+023550FM-12+038299999V0203201N0026"
+    "1220001CN9999999N9-00111+99999999999"
+)
+
+
+def _mkline(year: int, temp: int, quality: int) -> str:
+    t = f"{'-' if temp < 0 else '+'}{abs(temp):04d}"
+    return TEMPLATE[:15] + str(year) + TEMPLATE[19:87] + t + str(quality) + TEMPLATE[93:]
+
+
+@pytest.fixture(scope="module")
+def uniform_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pyds")
+    lines = [_mkline(1950 + i % 8, (i % 300) * (-1 if i % 3 else 1), i % 10) for i in range(600)]
+    (d / "u.txt").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_record_stride_splits(spark, uniform_dir):
+    df = read_ncdc_py(spark, uniform_dir, num_partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 600
+    # split placement cannot change the result
+    one = read_ncdc_py(spark, uniform_dir, num_partitions=1)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_parity_with_substring_path(spark, uniform_dir):
+    via_ds = read_ncdc_py(spark, uniform_dir).select(
+        F.col("year").cast("string"), "temp"
+    )
+    via_text = read_ncdc(spark, os.path.join(uniform_dir, "u.txt"))
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, via_text.collect())
+    )
+
+
+def test_reference_micro_golden(spark):
+    # the reference's own sample input: no trailing newline -> the
+    # stride check falls back to one partition; values match the
+    # MaxTemperature golden (year -> temp used by run_max_temperature)
+    df = read_ncdc_py(spark, "/root/reference/input/micro")
+    got = {r.year: r.temp for r in df.collect()}
+    assert got == {1950: -11, 1951: -12, 1952: -13, 1953: -14}
+
+
+def test_pushdown_accept_decline(uniform_dir):
+    r = NcdcReader({"path": uniform_dir})
+    declined = list(
+        r.pushFilters(
+            [
+                EqualTo(("year",), 1951),
+                In(("quality",), (1, 3)),
+                GreaterThan(("temp",), 5),  # temp is not pushable
+                StringStartsWith(("year",), "19"),  # type not pushable
+            ]
+        )
+    )
+    assert {type(f) for f in declined} == {GreaterThan, StringStartsWith}
+    assert sorted(r._pushed) == ["quality", "year"]
+    # accepted predicates are APPLIED in read() (Spark trusts them)
+    [(part,)] = [[p] for p in [r.partitions()[0]]]
+    rows = [
+        tuple(t)
+        for batch in (b for p in r.partitions() for b in r.read(p))
+        for t in zip(*[c.to_pylist() for c in batch.columns])
+        if batch.num_rows
+    ]
+    assert rows, "pushed read returned nothing"
+    assert all(y == 1951 and q in (1, 3) for y, _, q in rows)
+
+
+def test_pushdown_query_parity(spark, uniform_dir):
+    df = read_ncdc_py(spark, uniform_dir, num_partitions=4)
+    full = sorted(map(tuple, df.collect()))
+    got = sorted(
+        map(tuple, df.where("year >= 1955 AND quality IN (2, 7)").collect())
+    )
+    exp = sorted(t for t in full if t[0] >= 1955 and t[2] in (2, 7))
+    assert got == exp and got
+
+
+def test_non_uniform_file_single_partition(spark, tmp_path):
+    # ragged line lengths disprove the stride -> one partition, short
+    # lines dropped (parse_fixed_width's null-drop decision)
+    p = tmp_path / "ragged.txt"
+    p.write_text(_mkline(1960, 42, 5) + "\n" + "short\n" + _mkline(1961, -7, 3) + "\n")
+    df = read_ncdc_py(spark, str(p), num_partitions=4)
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted(map(tuple, df.collect())) == [(1960, 42, 5), (1961, -7, 3)]
+
+
+def test_empty_dir(spark, tmp_path):
+    assert read_ncdc_py(spark, str(tmp_path)).count() == 0
+
+
+def test_byte_ranges_align_to_records(uniform_dir):
+    r = NcdcReader({"path": uniform_dir, "numPartitions": "7"})
+    parts = r.partitions()
+    stride = len(_mkline(1950, 0, 0)) + 1
+    assert all(isinstance(p, ByteRange) for p in parts)
+    assert all(p.start % stride == 0 and p.end % stride == 0 for p in parts)
+    # ranges tile the file exactly: no gap, no overlap
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    assert spans[-1][1] == os.path.getsize(os.path.join(uniform_dir, "u.txt"))
