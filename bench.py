@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     # r7 batch 5: custom Python DataSource scan (encode -> files ->
     # pushdown scan round-trip; write cost is part of the measurement)
     "pyds_ncdc_scan",
+    "stream_pyds_exec",
 ]
 
 

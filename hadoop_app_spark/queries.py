@@ -4003,6 +4003,61 @@ def q_pyds_ncdc_scan(spark, sf_dir):
 
 
 @query(
+    "stream_pyds_exec",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+               count(*) AS n,
+               max(CASE WHEN l_discount > 0.05
+                        THEN -CAST(l_quantity AS INTEGER)
+                        ELSE CAST(l_quantity AS INTEGER) END) AS max_temp
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="the custom Python DataSource's STREAMING face executed end-to-end "
+    "(sources/pyds.NcdcStreamReader): the same lineitem-derived fixed-width "
+    "files as pyds_ncdc_scan become an append-only directory stream whose "
+    "offset is a filename high-watermark — the driver plans each microbatch "
+    "by LISTING names (never opening data files) and executors read the "
+    "same record-stride byte ranges as the batch reader; availableNow "
+    "drains the directory into a complete-mode memory sink and the oracle "
+    "is the batch aggregate over the source rows (stream-batch parity, the "
+    "stream_tumbling_exec contract applied to a custom source)",
+)
+def q_stream_pyds_exec(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from hadoop_app_spark.sources.pyds import read_ncdc_stream
+
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat(
+            F.lit("H" * 15),
+            F.year("l_shipdate").cast("string"),
+            F.rpad(F.lit("x"), 68, "x"),
+            F.when(F.col("l_discount") > 0.05, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad(F.col("l_quantity").cast("int").cast("string"), 4, "0"),
+            (F.col("l_linenumber") % 10).cast("string"),
+        ).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="pyds_stream_src_")
+    lines.write.mode("overwrite").text(out)
+    name = "stream_pyds_" + uuid.uuid4().hex[:8]
+    q = (
+        read_ncdc_stream(spark, out, num_partitions=8)
+        .groupBy("year")
+        .agg(F.count("*").alias("n"), F.max("temp").alias("max_temp"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("year")
+
+
+@query(
     "metric_profile",
     oracle="""
         SELECT 'l_quantity' AS metric, count(*) AS n, {q} AS total,
@@ -7409,8 +7464,10 @@ _PRIORITY = [
     "wordpiece_encode_fixed",
     "unigram_encode_fixed",
     # r7: custom Python DataSource (Spark 4 API) — fixed-width NCDC
-    # with record-stride splits and year/quality filter pushdown
+    # with record-stride splits and year/quality filter pushdown, plus
+    # its streaming face (filename-high-watermark offsets)
     "pyds_ncdc_scan",
+    "stream_pyds_exec",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest

@@ -47,6 +47,7 @@ from typing import Iterator, List, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -130,70 +131,141 @@ class NcdcReader(DataSourceReader):
         files = self._files()
         sizes = {p: os.path.getsize(p) for p in files}
         total = sum(sizes.values()) or 1
-        parts: list[ByteRange] = []
-        for p in files:
-            size = sizes[p]
-            if size == 0:
-                continue
-            with open(p, "rb") as fh:
-                first = fh.readline()
-            stride = len(first)
-            # uniform fixed-width file? (stride check is ONE line, not a
-            # pre-scan; a trailing unterminated line also disqualifies)
-            if stride == 0 or not first.endswith(b"\n") or size % stride:
-                parts.append(ByteRange(p, 0, size))
-                continue
-            n_rec = size // stride
-            want = max(1, round(self.num_partitions * size / total))
-            per = max(1, -(-n_rec // want))  # ceil
-            parts.extend(
-                ByteRange(p, i * stride, min((i + per) * stride, size))
-                for i in range(0, n_rec, per)
+        # per-file split budget proportional to its byte share; the
+        # stride check reads ONE line per file, never a pre-scan
+        parts: list[ByteRange] = [
+            r
+            for p in files
+            for r in _split_file(
+                p, max(1, round(self.num_partitions * sizes[p] / total))
             )
+        ]
         return parts or [ByteRange("", 0, 0)]
 
     # -- execution ----------------------------------------------------
     def read(self, partition: ByteRange):
-        import pyarrow as pa
-
-        years: list[int] = []
-        temps: list[int] = []
-        quals: list[int] = []
-        ypred = self._pushed.get("year", ())
-        qpred = self._pushed.get("quality", ())
-        if partition.path:
-            with open(partition.path, "rb") as fh:
-                fh.seek(partition.start)
-                blob = fh.read(partition.end - partition.start)
-            for raw in blob.splitlines():
-                if len(raw) < MIN_LINE:
-                    continue
-                line = raw.decode("ascii", errors="replace")
-                ys, qs = line[YEAR_SLICE], line[QUALITY_SLICE]
-                if not (ys.isdigit() and qs.isdigit()):
-                    continue
-                year, qual = int(ys), int(qs)
-                # pushed predicates run BEFORE the temperature parse
-                if any(not p(year) for p in ypred):
-                    continue
-                if any(not p(qual) for p in qpred):
-                    continue
-                ts = line[TEMP_SLICE]
-                try:
-                    temp = int(ts)  # int() accepts the '+'/'-' sign byte
-                except ValueError:
-                    continue
-                years.append(year)
-                temps.append(temp)
-                quals.append(qual)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(years, pa.int32()),
-                pa.array(temps, pa.int32()),
-                pa.array(quals, pa.int32()),
-            ],
-            names=["year", "temp", "quality"],
+        yield _read_range(
+            partition,
+            self._pushed.get("year", ()),
+            self._pushed.get("quality", ()),
         )
+
+
+def _read_range(partition: ByteRange, ypred=(), qpred=()):
+    """Parse one record-aligned byte range into a pyarrow RecordBatch
+    (shared by the batch and streaming readers; runs on executors)."""
+    import pyarrow as pa
+
+    years: list[int] = []
+    temps: list[int] = []
+    quals: list[int] = []
+    if partition.path:
+        with open(partition.path, "rb") as fh:
+            fh.seek(partition.start)
+            blob = fh.read(partition.end - partition.start)
+        for raw in blob.splitlines():
+            if len(raw) < MIN_LINE:
+                continue
+            line = raw.decode("ascii", errors="replace")
+            ys, qs = line[YEAR_SLICE], line[QUALITY_SLICE]
+            if not (ys.isdigit() and qs.isdigit()):
+                continue
+            year, qual = int(ys), int(qs)
+            # pushed predicates run BEFORE the temperature parse
+            if any(not p(year) for p in ypred):
+                continue
+            if any(not p(qual) for p in qpred):
+                continue
+            ts = line[TEMP_SLICE]
+            try:
+                temp = int(ts)  # int() accepts the '+'/'-' sign byte
+            except ValueError:
+                continue
+            years.append(year)
+            temps.append(temp)
+            quals.append(qual)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(years, pa.int32()),
+            pa.array(temps, pa.int32()),
+            pa.array(quals, pa.int32()),
+        ],
+        names=["year", "temp", "quality"],
+    )
+
+
+def _split_file(path: str, want: int) -> list[ByteRange]:
+    """Record-aligned byte ranges for one file (~``want`` of them), with
+    the one-partition fallback when the stride contract fails."""
+    size = os.path.getsize(path)
+    if size == 0:
+        return []
+    with open(path, "rb") as fh:
+        first = fh.readline()
+    stride = len(first)
+    if stride == 0 or not first.endswith(b"\n") or size % stride:
+        return [ByteRange(path, 0, size)]
+    n_rec = size // stride
+    per = max(1, -(-n_rec // max(1, want)))  # ceil
+    return [
+        ByteRange(path, i * stride, min((i + per) * stride, size))
+        for i in range(0, n_rec, per)
+    ]
+
+
+class NcdcStreamReader(DataSourceStreamReader):
+    """Streaming face of the NCDC source: an append-only DIRECTORY of
+    fixed-width files where new files arrive with lexicographically
+    increasing names (the part-file writer convention). The offset is
+    just the filename high-watermark — the driver never opens data
+    files to plan a microbatch (it stats them), and each batch's files
+    split into the same record-stride byte ranges as the batch reader,
+    read on executors. That is the FileStreamSource contract rebuilt on
+    the public Python API, minus the unbounded seen-file log: the
+    name-ordered arrival convention makes one string a complete,
+    checkpointable offset."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ncdc stream requires a directory path")
+        self.path = path
+        self.num_partitions = int(options.get("numPartitions", 8))
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            os.path.basename(p)
+            for p in glob(os.path.join(self.path, "*"))
+            if os.path.isfile(p) and os.path.getsize(p) > 0
+            and not os.path.basename(p).startswith((".", "_"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"watermark": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._files()
+        return {"watermark": names[-1] if names else ""}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[ByteRange]:
+        lo, hi = start["watermark"], end["watermark"]
+        batch = [n for n in self._files() if lo < n <= hi]
+        if not batch:
+            return []
+        want = max(1, self.num_partitions // len(batch))
+        return [
+            r
+            for n in batch
+            for r in _split_file(os.path.join(self.path, n), want)
+        ]
+
+    def read(self, partition: ByteRange):
+        yield _read_range(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: files are immutable once named
 
 
 class NcdcDataSource(DataSource):
@@ -206,6 +278,9 @@ class NcdcDataSource(DataSource):
 
     def reader(self, schema) -> NcdcReader:
         return NcdcReader(self.options)
+
+    def streamReader(self, schema) -> "NcdcStreamReader":
+        return NcdcStreamReader(self.options)
 
 
 def register_ncdc_source(spark) -> None:
@@ -223,6 +298,19 @@ def read_ncdc_py(spark, path: str, num_partitions: int = 8):
     register_ncdc_source(spark)
     return (
         spark.read.format("ncdc")
+        .option("numPartitions", str(num_partitions))
+        .load(path)
+    )
+
+
+def read_ncdc_stream(spark, path: str, num_partitions: int = 8):
+    """Streaming DataFrame over an append-only directory of NCDC files
+    (new files must arrive with increasing names; offset = filename
+    high-watermark). Pair with any sink/trigger — availableNow drains
+    the current directory and stops."""
+    register_ncdc_source(spark)
+    return (
+        spark.readStream.format("ncdc")
         .option("numPartitions", str(num_partitions))
         .load(path)
     )

@@ -116,6 +116,55 @@ def test_empty_dir(spark, tmp_path):
     assert read_ncdc_py(spark, str(tmp_path)).count() == 0
 
 
+def test_stream_reads_and_resumes_from_checkpoint(spark, tmp_path):
+    from hadoop_app_spark.sources.pyds import read_ncdc_stream
+
+    src, ck = tmp_path / "src", str(tmp_path / "ck")
+    src.mkdir()
+    (src / "f000.txt").write_text(
+        "\n".join(_mkline(1950 + i % 3, i, i % 10) for i in range(90)) + "\n"
+    )
+    (src / "f001.txt").write_text(
+        "\n".join(_mkline(1960, -i, 5) for i in range(30)) + "\n"
+    )
+
+    def drain(qname):
+        q = (
+            read_ncdc_stream(spark, str(src), num_partitions=4)
+            .groupBy("year")
+            .count()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.year: r["count"] for r in spark.table(qname).collect()}
+
+    assert drain("pyds_s1") == {1950: 30, 1951: 30, 1952: 30, 1960: 30}
+    # a new file arrives; resuming from the SAME checkpoint folds in
+    # ONLY the new rows (the watermark offset advanced past f001)
+    (src / "f002.txt").write_text(
+        "\n".join(_mkline(1970, i, 1) for i in range(12)) + "\n"
+    )
+    assert drain("pyds_s2") == {1950: 30, 1951: 30, 1952: 30, 1960: 30, 1970: 12}
+
+
+def test_stream_offsets_are_filename_watermarks(uniform_dir):
+    from hadoop_app_spark.sources.pyds import NcdcStreamReader
+
+    r = NcdcStreamReader({"path": uniform_dir, "numPartitions": "4"})
+    assert r.initialOffset() == {"watermark": ""}
+    hi = r.latestOffset()
+    assert hi == {"watermark": "u.txt"}
+    parts = r.partitions(r.initialOffset(), hi)
+    assert parts and all(p.path.endswith("u.txt") for p in parts)
+    # empty range -> no partitions (Spark calls this between batches)
+    assert r.partitions(hi, hi) == []
+
+
 def test_byte_ranges_align_to_records(uniform_dir):
     r = NcdcReader({"path": uniform_dir, "numPartitions": "7"})
     parts = r.partitions()
