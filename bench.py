@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     # pushdown scan round-trip; write cost is part of the measurement)
     "pyds_ncdc_scan",
     "stream_pyds_exec",
+    # r7 batch 6: SCD2 versioned-dimension maintenance
+    "scd2_dimension",
 ]
 
 

@@ -56,3 +56,76 @@ def apply_changes(
         touched = F.broadcast(touched)
     untouched = snapshot.join(touched, keys, "left_anti")
     return untouched.unionByName(live)
+
+
+def scd2_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+    op_col: str | None = None,
+    delete_value: str = "D",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 maintenance: apply a change
+    batch to a versioned snapshot, closing superseded versions instead
+    of overwriting them (the history-preserving sibling of
+    :func:`apply_changes`).
+
+    ``snapshot`` is the current SCD2 table: ``keys + attrs + [from_col,
+    to_col]`` with ``to_col IS NULL`` marking each key's OPEN version.
+    ``changes`` carries ``keys + attrs + [ts_col]`` (plus optional
+    ``seq_col`` tie-break and ``op_col`` tombstones). Contract: change
+    timestamps are >= the open version's ``from_col`` for their key
+    (late data behind a CLOSED version would rewrite history — reject
+    upstream, the standard SCD2 loader rule).
+
+    Shape: closed history passes through UNTOUCHED (in a lakehouse
+    layout it is partition-pruned by ``to_col IS NOT NULL`` and never
+    even read); each key's open version is unioned with its changes
+    and ONE window (partitioned by key, ordered by ts/seq) assigns
+    every version's close stamp via lead() — deletes contribute a
+    close boundary but emit no row. One shuffle on the key, work
+    proportional to |open| + |changes|, never |history|.
+    """
+    keys, attrs = list(keys), list(attrs)
+    cols = keys + attrs
+    hist = snapshot.where(F.col(to_col).isNotNull())
+    open_ = snapshot.where(F.col(to_col).isNull())
+
+    seq = F.col(seq_col) if seq_col else F.lit(0)
+    is_del = (
+        F.col(op_col).eqNullSafe(delete_value) if op_col else F.lit(False)
+    )
+    ev_open = open_.select(
+        *cols,
+        F.col(from_col).alias("_ts"),
+        # the open version sorts BEFORE any same-timestamp change
+        F.lit(None).cast("long").alias("_seq"),
+        F.lit(False).alias("_del"),
+    )
+    ev_chg = changes.select(
+        *cols,
+        F.col(ts_col).alias("_ts"),
+        seq.cast("long").alias("_seq"),
+        is_del.alias("_del"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_ts"), F.col("_seq").asc_nulls_first()
+    )
+    versions = (
+        ev_open.unionByName(ev_chg)
+        .withColumn("_next", F.lead("_ts").over(w))
+        .where(~F.col("_del"))
+        .select(
+            *cols,
+            F.col("_ts").alias(from_col),
+            F.col("_next").alias(to_col),
+        )
+    )
+    return hist.unionByName(versions)

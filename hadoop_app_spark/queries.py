@@ -4729,6 +4729,97 @@ def q_upsert_snapshot(spark, sf_dir):
 
 
 @query(
+    "scd2_dimension",
+    oracle="""
+        WITH snap AS (
+            -- open version per customer, plus deterministic CLOSED
+            -- history for every 5th key (pass-through coverage)
+            SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS bal,
+                   TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+                   TIMESTAMP '1992-01-01 00:00:00' AS valid_to
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   TIMESTAMP '1992-01-01 00:00:00', NULL
+            FROM customer),
+        chg AS (
+            SELECT o_custkey AS c_custkey, o_orderpriority AS segment,
+                   o_totalprice AS bal, o_orderdate AS _ts,
+                   o_orderkey AS _seq,
+                   (o_orderstatus = 'F' AND o_orderkey % 17 = 0) AS _del
+            FROM orders),
+        ev AS (
+            SELECT c_custkey, segment, bal, valid_from AS _ts,
+                   CAST(NULL AS BIGINT) AS _seq, FALSE AS _del
+            FROM snap WHERE valid_to IS NULL
+            UNION ALL
+            SELECT * FROM chg),
+        v AS (
+            SELECT c_custkey, segment, bal, _ts AS valid_from, _del,
+                   lead(_ts) OVER (PARTITION BY c_custkey
+                                   ORDER BY _ts, _seq ASC NULLS FIRST)
+                       AS valid_to
+            FROM ev)
+        SELECT c_custkey, segment, bal, valid_from, valid_to
+        FROM snap WHERE valid_to IS NOT NULL
+        UNION ALL
+        SELECT c_custkey, segment, bal, valid_from, valid_to
+        FROM v WHERE NOT _del
+        ORDER BY c_custkey, valid_from
+    """,
+    doc="slowly-changing-dimension TYPE 2 maintenance (the "
+    "history-preserving sibling of upsert_snapshot): the customer "
+    "dimension becomes a versioned snapshot (open rows + synthesized "
+    "closed history), orders replay as its change stream (priority/"
+    "totalprice as the tracked attributes, a deterministic subset as "
+    "tombstones), and scd2_apply closes superseded versions with ONE "
+    "key-partitioned lead() window over open+changes while closed "
+    "history passes through untouched — work scales with "
+    "|open|+|changes|, never |history| (operators/upsert.scd2_apply)",
+)
+def q_scd2_dimension(spark, sf_dir):
+    from hadoop_app_spark.operators.upsert import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    closed = c.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp_ntz").alias("valid_to"),
+    )
+    open_ = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    snapshot = closed.unionByName(open_)
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_totalprice").alias("bal"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 17 == 0),
+            F.lit("D"),
+        ).alias("op"),
+    )
+    return scd2_apply(
+        snapshot,
+        changes,
+        keys=["c_custkey"],
+        attrs=["segment", "bal"],
+        ts_col="ts",
+        seq_col="seq",
+        op_col="op",
+    ).orderBy("c_custkey", "valid_from")
+
+
+@query(
     "repetition_ngrams",
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -7468,6 +7559,9 @@ _PRIORITY = [
     # its streaming face (filename-high-watermark offsets)
     "pyds_ncdc_scan",
     "stream_pyds_exec",
+    # r7: SCD2 versioned-dimension maintenance (history-preserving
+    # sibling of upsert_snapshot; one lead() window over open+changes)
+    "scd2_dimension",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest

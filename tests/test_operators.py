@@ -2189,3 +2189,49 @@ def test_bloom_prefilter_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_apply_versions_close_and_history_passes_through(spark):
+    from hadoop_app_spark.operators.upsert import scd2_apply
+
+    snap = spark.createDataFrame(
+        [
+            # closed history: must pass through byte-identical
+            (1, "a", "2000-01-01 00:00:00", "2001-01-01 00:00:00"),
+            # open versions
+            (1, "b", "2001-01-01 00:00:00", None),
+            (2, "x", "2001-01-01 00:00:00", None),
+            (3, "z", "2001-01-01 00:00:00", None),
+        ],
+        "k int, attr string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "attr",
+        "cast(valid_from as timestamp_ntz) valid_from",
+        "cast(valid_to as timestamp_ntz) valid_to",
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "c", "2002-06-01 00:00:00", 1, None),   # update k=1
+            (1, "d", "2002-06-01 00:00:00", 2, None),   # same-ts: seq breaks tie
+            (2, None, "2003-01-01 00:00:00", 1, "D"),   # delete closes, emits nothing
+        ],
+        "k int, attr string, ts string, seq int, op string",
+    ).selectExpr("k", "attr", "cast(ts as timestamp_ntz) ts", "seq", "op")
+    out = scd2_apply(
+        snap, chg, keys=["k"], attrs=["attr"],
+        ts_col="ts", seq_col="seq", op_col="op",
+    )
+    got = sorted(
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to)) for r in out.collect()
+    )
+    assert got == [
+        (1, "a", "2000-01-01 00:00:00", "2001-01-01 00:00:00"),  # history
+        (1, "b", "2001-01-01 00:00:00", "2002-06-01 00:00:00"),  # closed by chg
+        (1, "c", "2002-06-01 00:00:00", "2002-06-01 00:00:00"),  # zero-width: seq 1 < 2
+        (1, "d", "2002-06-01 00:00:00", "None"),                 # new open version
+        (2, "x", "2001-01-01 00:00:00", "2003-01-01 00:00:00"),  # closed by DELETE
+        (3, "z", "2001-01-01 00:00:00", "None"),                 # untouched open
+    ]
+    # exactly one open version per surviving key
+    opens = [g for g in got if g[3] == "None"]
+    assert {g[0] for g in opens} == {1, 3}
