@@ -152,8 +152,9 @@ BENCH_QUERIES = [
     # pushdown scan round-trip; write cost is part of the measurement)
     "pyds_ncdc_scan",
     "stream_pyds_exec",
-    # r7 batch 6: SCD2 versioned-dimension maintenance
+    # r7 batch 6: SCD2 versioned-dimension maintenance + alpha sampling
     "scd2_dimension",
+    "alpha_mixture_sample",
 ]
 
 

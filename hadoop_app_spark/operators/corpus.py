@@ -518,6 +518,78 @@ def mixture_rebalance(
     return df.withColumn("_fp", fp(text_col)).where(F.col("_fp") % rate_grain < rate).drop("_fp")
 
 
+def alpha_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    rate_grain: int = 1_000_000,
+    fingerprint: str = "poly",
+) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual
+    alpha-sampling recipe — Lample & Conneau 2019 §3.1, XLM-R): sample
+    source g with probability q_g proportional to n_g^alpha, flattening
+    the head and up-weighting the tail as alpha -> 0. Materialized as a
+    same-total sampling pass: per-source keep rate
+    r_g = min(1, q_g * N / n_g), applied as a content-fingerprint
+    per-``rate_grain`` threshold exactly like :func:`mixture_rebalance`
+    (deterministic under re-runs and re-partitioning; realized shares
+    converge by fingerprint uniformity).
+
+    Determinism device: at the default alpha = 0.5 every threshold is
+    computed in EXACT integer arithmetic — n_g^0.5 is taken as the
+    integer square root (floor(sqrt), which IEEE-correctly-rounded
+    sqrt reproduces exactly for any count below 2^52), so
+    thr_g = (isqrt(n_g) * N * grain) // (n_g * sum_j isqrt(n_j)) is a
+    pure integer expression with no float summation order anywhere —
+    an oracle recomputes the identical integers in SQL. Other alphas
+    take the float pow path (documented best-effort cross-engine).
+
+    Scale shape: ONE bounded count aggregate (rows = source
+    cardinality, same guard as mixture_rebalance), then a single-scan
+    CASE-threshold filter — no join, no corpus shuffle."""
+    import math
+
+    max_groups = 10_000
+    counts = df.groupBy(group_col).count().limit(max_groups + 1).collect()
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"alpha_mixture_sample: {group_col!r} has more than "
+            f"{max_groups} distinct values — pass the source-mixture "
+            "column, not a document-grained key"
+        )
+    totals = {r[0]: r[1] for r in counts if r[1]}
+    if not totals:
+        return df.where(F.lit(False))
+    big_n = sum(totals.values())
+    if alpha == 0.5:
+        s = {g: math.isqrt(n) for g, n in totals.items()}
+        ssum = sum(s.values())
+        thr = {
+            g: min(rate_grain, (s[g] * big_n * rate_grain) // (n * ssum))
+            for g, n in totals.items()
+        }
+    else:
+        p = {g: n**alpha for g, n in totals.items()}
+        psum = math.fsum(p[g] for g in sorted(p))
+        thr = {
+            g: min(
+                rate_grain,
+                int(math.floor(p[g] / psum * big_n / n * rate_grain)),
+            )
+            for g, n in totals.items()
+        }
+    fp = doc_fingerprint_fast if fingerprint == "fast" else doc_fingerprint
+    rate = F.lit(0).cast("long")
+    for g, th in sorted(thr.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(th)).otherwise(rate)
+    return (
+        df.withColumn("_fp", fp(text_col))
+        .where(F.col("_fp") % rate_grain < rate)
+        .drop("_fp")
+    )
+
+
 def source_stats(df: DataFrame, text_col: str = "text", fingerprint: str = "poly") -> DataFrame:
     """Per-source corpus accounting: docs, chars, tokens, exact-distinct
     content count, and quality mass — one hash aggregation keyed by

@@ -6526,6 +6526,47 @@ def q_mixture_rebalance(spark, sf_dir):
 
 
 @query(
+    "alpha_mixture_sample",
+    # the oracle RECOMPUTES the whole derivation — counts -> integer
+    # sqrt -> integer-division thresholds -> fingerprint membership —
+    # in EXACT integer arithmetic (the alpha=0.5 determinism device:
+    # floor(sqrt(n)) == isqrt(n) for every count below 2^52 under
+    # IEEE-correctly-rounded sqrt, and everything after is // )
+    oracle=f"""
+        WITH nt AS (SELECT doc_id, lang, {_FP_SQL} AS fp FROM documents),
+        cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM nt GROUP BY 1),
+        sq AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS s FROM cnt),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(s) AS BIGINT) AS ss FROM sq),
+        thr AS (SELECT lang,
+                       least(1000000, (s * nn * 1000000) // (n * ss)) AS th
+                FROM sq CROSS JOIN tot)
+        SELECT nt.doc_id, nt.lang
+        FROM nt JOIN thr USING (lang)
+        WHERE fp % 1000000 < th
+        ORDER BY doc_id
+    """,
+    doc="temperature-based (alpha=0.5) source re-balancing — the "
+    "multilingual alpha-sampling recipe (Lample & Conneau 2019, XLM-R): "
+    "keep rate per source = min(1, n^alpha-normalized share * N / n), "
+    "flattening the size head (en) and keeping the tail languages whole; "
+    "applied "
+    "as integer-exact per-million content-fingerprint thresholds (isqrt "
+    "makes every threshold a pure integer expression, so the oracle is "
+    "bit-exact), one bounded count aggregate + a single-scan CASE "
+    "filter — the corpus never shuffles "
+    "(operators/corpus.alpha_mixture_sample)",
+)
+def q_alpha_mixture_sample(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import alpha_mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return alpha_mixture_sample(d, "lang").select("doc_id", "lang").orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "inverted_index",
     oracle=f"""
         WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents),
@@ -7562,6 +7603,8 @@ _PRIORITY = [
     # r7: SCD2 versioned-dimension maintenance (history-preserving
     # sibling of upsert_snapshot; one lead() window over open+changes)
     "scd2_dimension",
+    # r7: temperature (alpha=0.5) source sampling, integer-exact
+    "alpha_mixture_sample",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest

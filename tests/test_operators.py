@@ -2235,3 +2235,29 @@ def test_scd2_apply_versions_close_and_history_passes_through(spark):
     # exactly one open version per surviving key
     opens = [g for g in got if g[3] == "None"]
     assert {g[0] for g in opens} == {1, 3}
+
+
+def test_alpha_mixture_sample_flattens_head_keeps_tail(spark):
+    import math
+
+    from hadoop_app_spark.catalog import load_table
+    from hadoop_app_spark.operators.corpus import alpha_mixture_sample
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    before = {r[0]: r[1] for r in d.groupBy("lang").count().collect()}
+    out = alpha_mixture_sample(d, "lang")
+    after = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    head = max(before, key=before.get)
+    # exact integer thresholds: r_g = min(1, isqrt(n)*N*grain // (n*S))
+    n_tot = sum(before.values())
+    s_sum = sum(math.isqrt(n) for n in before.values())
+    for g, n in before.items():
+        thr = min(1_000_000, (math.isqrt(n) * n_tot * 1_000_000) // (n * s_sum))
+        if thr == 1_000_000:
+            assert after.get(g, 0) == n, f"uncapped tail lang {g} must keep all"
+    # the head is strictly downsampled, and its kept share shrinks
+    assert after[head] < before[head]
+    assert after[head] / sum(after.values()) < before[head] / n_tot
+    # deterministic: re-running yields the identical membership
+    again = {r[0]: r[1] for r in alpha_mixture_sample(d, "lang").groupBy("lang").count().collect()}
+    assert again == after
