@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     # r7 batch 6: SCD2 versioned-dimension maintenance + alpha sampling
     "scd2_dimension",
     "alpha_mixture_sample",
+    "bloom_skip_lookup",
 ]
 
 

@@ -6526,6 +6526,44 @@ def q_mixture_rebalance(spark, sf_dir):
 
 
 @query(
+    "bloom_skip_lookup",
+    oracle="""
+        SELECT l_partkey, count(*) AS n, {q} AS sum_qty
+        FROM lineitem
+        WHERE l_partkey IN (1, 500, 999)
+        GROUP BY 1 ORDER BY 1
+    """.format(q=_DSUM.format(c="l_quantity")),
+    doc="file-level Bloom-index data skipping (the lakehouse point-lookup "
+    "primitive next to layout.py's min/max range pruning): lineitem is "
+    "range-clustered on l_partkey into real parquet files with a per-file "
+    "md5-slice Bloom sidecar (sources/skipping.py), and the probe reads "
+    "ONLY Bloom-passing files before the exact IN filter — false "
+    "positives cost I/O, false negatives are impossible, so the result "
+    "must equal the direct scan the oracle computes; pruning itself is "
+    "pinned in tests/test_skipping.py (files_read < files_total)",
+)
+def q_bloom_skip_lookup(spark, sf_dir):
+    import tempfile
+
+    from hadoop_app_spark.sources.skipping import (
+        read_bloom_skip,
+        write_bloom_indexed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="bloom_skip_") + "/lineitem"
+    write_bloom_indexed(li, path, "l_partkey", files=16)
+    df, _stats = read_bloom_skip(spark, path, "l_partkey", [1, 500, 999])
+    return (
+        df.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_partkey")
+    )
+
+
+@query(
     "alpha_mixture_sample",
     # the oracle RECOMPUTES the whole derivation — counts -> integer
     # sqrt -> integer-division thresholds -> fingerprint membership —
@@ -7605,6 +7643,8 @@ _PRIORITY = [
     "scd2_dimension",
     # r7: temperature (alpha=0.5) source sampling, integer-exact
     "alpha_mixture_sample",
+    # r7: per-file Bloom sidecar point-lookup skipping
+    "bloom_skip_lookup",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest
