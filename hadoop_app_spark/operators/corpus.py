@@ -546,8 +546,11 @@ def alpha_mixture_sample(
     take the float pow path (documented best-effort cross-engine).
 
     Scale shape: ONE bounded count aggregate (rows = source
-    cardinality, same guard as mixture_rebalance), then a single-scan
-    CASE-threshold filter — no join, no corpus shuffle."""
+    cardinality, same guard as mixture_rebalance), then a broadcast
+    hash join against the one-row-per-group threshold map — O(1) per
+    row however many groups there are (a CASE chain would both cost
+    O(groups) per row and blow the analyzer's recursion well below the
+    cardinality guard), and the corpus never shuffles."""
     import math
 
     max_groups = 10_000
@@ -558,7 +561,7 @@ def alpha_mixture_sample(
             f"{max_groups} distinct values — pass the source-mixture "
             "column, not a document-grained key"
         )
-    totals = {r[0]: r[1] for r in counts if r[1]}
+    totals = {r[0]: r[1] for r in counts if r[0] is not None and r[1]}
     if not totals:
         return df.where(F.lit(False))
     big_n = sum(totals.values())
@@ -580,13 +583,22 @@ def alpha_mixture_sample(
             for g, n in totals.items()
         }
     fp = doc_fingerprint_fast if fingerprint == "fast" else doc_fingerprint
-    rate = F.lit(0).cast("long")
-    for g, th in sorted(thr.items()):
-        rate = F.when(F.col(group_col) == g, F.lit(th)).otherwise(rate)
+    from pyspark.sql import types as T
+
+    thr_schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType),
+            T.StructField("_thr", T.LongType()),
+        ]
+    )
+    thr_df = df.sparkSession.createDataFrame(
+        sorted(thr.items()), thr_schema
+    )
     return (
         df.withColumn("_fp", fp(text_col))
-        .where(F.col("_fp") % rate_grain < rate)
-        .drop("_fp")
+        .join(F.broadcast(thr_df), group_col)
+        .where(F.col("_fp") % rate_grain < F.col("_thr"))
+        .drop("_fp", "_thr")
     )
 
 

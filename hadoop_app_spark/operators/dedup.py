@@ -637,7 +637,6 @@ def ngram_jaccard(
 def edit1_pairs(
     df: DataFrame,
     str_col: str,
-    id_col: str | None = None,
     min_len: int = 3,
 ) -> DataFrame:
     """Fuzzy self-join at edit distance exactly 1 -> [a, b] (a < b):

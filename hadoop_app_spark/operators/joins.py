@@ -245,17 +245,26 @@ def asof_join(
     )
 
 
-def key_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
-    """Bloom filter over a key column -> [word, bits]: the generic-key
-    twin of corpus.build_bloom_filter (same md5-slice positions, same
-    32-bit words, same bit_or merge — see that docstring for the
-    determinism/mergeability contract). Keys are stringified so any
-    key type hashes identically across engines."""
+def key_bloom(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Bloom filter over a key column -> [*by, word, bits]: the
+    generic-key twin of corpus.build_bloom_filter (same md5-slice
+    positions, same 32-bit words, same bit_or merge — see that
+    docstring for the determinism/mergeability contract). Keys are
+    stringified so any key type hashes identically across engines.
+    ``by`` builds one independent filter PER group (e.g. per file for
+    sources/skipping's sidecar index) in the same single pass."""
     if k > 4:
         raise ValueError("k <= 4: positions are 32-bit slices of one 128-bit md5")
-    kk = keys.select(F.col(key_col).cast("string").alias("_k")).where(
-        F.col("_k").isNotNull()
-    ).distinct()
+    by = list(by)
+    kk = keys.select(
+        *by, F.col(key_col).cast("string").alias("_k")
+    ).where(F.col("_k").isNotNull()).distinct()
     pos = F.explode(
         F.transform(
             F.sequence(F.lit(1), F.lit(k)),
@@ -266,12 +275,13 @@ def key_bloom(keys: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 4) 
         )
     ).alias("pos")
     return (
-        kk.select(pos)
+        kk.select(*by, pos)
         .select(
+            *by,
             F.floor(F.col("pos") / F.lit(32)).cast("long").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
         )
-        .groupBy("word")
+        .groupBy(*by, "word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
 

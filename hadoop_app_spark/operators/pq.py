@@ -173,9 +173,8 @@ def pq_adc_topk(
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     # LUT[j][s][c]: query j's dot with code c of subspace s
     lut = np.stack(
-        [np.stack([Q[:, s * sub : (s + 1) * sub] @ books[s].T for s in range(m)], axis=1)],
-        axis=0,
-    )[0]  # (n_queries, m, n_codes)
+        [Q[:, s * sub : (s + 1) * sub] @ books[s].T for s in range(m)], axis=1
+    )  # (n_queries, m, n_codes)
     enc = codes if codes is not None else pq_encode(corpus, codebooks, id_col, vec_col)
     bq = corpus.sparkSession.sparkContext.broadcast((qids, lut))
 

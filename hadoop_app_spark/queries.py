@@ -69,6 +69,19 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(tag, sf) scratch path. The file-writing
+    queries OVERWRITE this on every invocation instead of mkdtemp-ing a
+    fresh dir — the bench times each query several times and a leak of
+    one fact-table copy per timed call accumulates unboundedly."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+
+
 def _dsum(col):
     """Exact double sum: accumulate in decimal, return double."""
     c = F.col(col) if isinstance(col, str) else col
@@ -3972,8 +3985,6 @@ def q_source_codecs(spark, sf_dir):
     "losslessly (MaxTemperatureMapper.java:17-22 offsets)",
 )
 def q_pyds_ncdc_scan(spark, sf_dir):
-    import tempfile
-
     from hadoop_app_spark.sources.pyds import read_ncdc_py
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3987,7 +3998,7 @@ def q_pyds_ncdc_scan(spark, sf_dir):
             (F.col("l_linenumber") % 10).cast("string"),
         ).alias("value")
     )
-    out = tempfile.mkdtemp(prefix="pyds_ncdc_")
+    out = _scratch_dir("pyds_ncdc", sf_dir)
     lines.write.mode("overwrite").text(out)
     df = read_ncdc_py(spark, out, num_partitions=8)
     return (
@@ -4024,7 +4035,6 @@ def q_pyds_ncdc_scan(spark, sf_dir):
     "stream_tumbling_exec contract applied to a custom source)",
 )
 def q_stream_pyds_exec(spark, sf_dir):
-    import tempfile
     import uuid
 
     from hadoop_app_spark.sources.pyds import read_ncdc_stream
@@ -4040,7 +4050,7 @@ def q_stream_pyds_exec(spark, sf_dir):
             (F.col("l_linenumber") % 10).cast("string"),
         ).alias("value")
     )
-    out = tempfile.mkdtemp(prefix="pyds_stream_src_")
+    out = _scratch_dir("pyds_stream_src", sf_dir)
     lines.write.mode("overwrite").text(out)
     name = "stream_pyds_" + uuid.uuid4().hex[:8]
     q = (
@@ -6543,8 +6553,6 @@ def q_mixture_rebalance(spark, sf_dir):
     "pinned in tests/test_skipping.py (files_read < files_total)",
 )
 def q_bloom_skip_lookup(spark, sf_dir):
-    import tempfile
-
     from hadoop_app_spark.sources.skipping import (
         read_bloom_skip,
         write_bloom_indexed,
@@ -6553,7 +6561,7 @@ def q_bloom_skip_lookup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity"
     )
-    path = tempfile.mkdtemp(prefix="bloom_skip_") + "/lineitem"
+    path = _scratch_dir("bloom_skip", sf_dir) + "/lineitem"
     write_bloom_indexed(li, path, "l_partkey", files=16)
     df, _stats = read_bloom_skip(spark, path, "l_partkey", [1, 500, 999])
     return (

@@ -53,34 +53,17 @@ def write_bloom_indexed(
 ) -> None:
     """Write ``df`` to ``path`` as ~``files`` range-clustered parquet
     files plus a per-file Bloom sidecar over ``col``."""
-    if k > 4:
-        raise ValueError("k <= 4: positions are 32-bit slices of one 128-bit md5")
+    from hadoop_app_spark.operators.joins import key_bloom
+
     spark = df.sparkSession
     df.repartitionByRange(files, F.col(col)).write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path).select(
-        F.input_file_name().alias("file"),
-        F.col(col).cast("string").alias("_k"),
-    ).where(F.col("_k").isNotNull()).distinct()
-    pos = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda j: F.conv(
-                F.substring(F.md5(F.col("_k")), (j - 1) * 8 + 1, 8), 16, 10
-            ).cast("long")
-            % F.lit(m_bits),
-        )
-    ).alias("pos")
+        F.input_file_name().alias("file"), col
+    )
+    # one filter per file in one pass — key_bloom's grouped form owns
+    # the md5-slice/32-bit-word/bit_or convention
     index = (
-        back.select("file", pos)
-        .select(
-            "file",
-            F.floor(F.col("pos") / F.lit(32)).cast("long").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
-                "mask"
-            ),
-        )
-        .groupBy("file", "word")
-        .agg(F.expr("bit_or(mask)").alias("bits"))
+        key_bloom(back, col, m_bits, k, by=["file"])
         .withColumn("m_bits", F.lit(m_bits))
         .withColumn("k", F.lit(k))
     )

@@ -256,7 +256,15 @@ def windowed_cms(
                 (j - 1).cast("int").alias("row"),
                 (
                     F.conv(
-                        F.substring(F.md5(F.col(key_col)), (j - 1) * 8 + 1, 8), 16, 10
+                        # cast first: md5 only implicitly accepts STRING,
+                        # so a BIGINT key (user ids) would fail analysis
+                        F.substring(
+                            F.md5(F.col(key_col).cast("string")),
+                            (j - 1) * 8 + 1,
+                            8,
+                        ),
+                        16,
+                        10,
                     ).cast("long")
                     % F.lit(width)
                 ).cast("int").alias("col"),
