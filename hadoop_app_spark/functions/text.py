@@ -74,19 +74,28 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def ngrams_from_tokens(toks: Column, n: int) -> Column:
     """Word n-gram shingles from an EXISTING token-array column.
 
-    Guarded for short texts: Spark's sequence(1, 0) counts DOWN, so
-    fewer-than-n tokens must short-circuit to an empty array. Callers
-    that need several n values should tokenize once and slice this
-    shared array per n — HOF lambdas are exempt from subexpression
-    elimination, so per-n ``ngrams()`` calls re-run the whitespace
-    regex over the full text (measured 3x slower at sf0.1).
+    Guarded for short texts: fewer-than-n tokens short-circuit to an
+    empty array. Callers that need several n values should tokenize
+    once and slice this shared array per n — HOF lambdas are exempt
+    from subexpression elimination, so per-n ``ngrams()`` calls re-run
+    the whitespace regex over the full text (measured 3x slower at
+    sf0.1).
+
+    Implementation: an (n-1)-fold zip_with over n shifted slices of the
+    token array, NOT transform(sequence(1, m), i -> slice(toks, i, n)).
+    An index lambda re-evaluates the captured outer array per element
+    (interpreted, no codegen), which measured 6-20x slower at sf0.1 —
+    it was 40%+ of the whole set-similarity join; zip_with walks the
+    shifted copies once. Shingle content and order are identical.
     """
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
     empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= n, F.filter(shingles, lambda g: g != "")).otherwise(empty)
+    return F.when(F.size(toks) >= n, F.filter(acc, lambda g: g != "")).otherwise(empty)
 
 
 def ngrams(col: Column | str, n: int = 3) -> Column:

@@ -26,10 +26,12 @@ shuffle shape stay identical.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_app_spark.functions.text import ngrams, tokenize
+from hadoop_app_spark.functions.text import ngrams, ngrams_from_tokens, tokenize
 
 _MOD = 1_000_000_007
 # fixed odd multipliers/offsets for the k minhash permutations
@@ -714,14 +716,25 @@ def set_similarity_join(
     prefixes, so candidate buckets are the small tails of the df
     distribution, never the stopword head — the candidate join is
     bounded by sum over prefix shingles of bucket^2, with buckets
-    shrunk by exactly the ordering. One df aggregation, one sorted
-    collect per doc, explode of ~(1-t)|s| prefix rows per doc, an
-    equi-join, and an array verify on candidates only."""
-    shingles = (
-        df.select(F.col(id_col).alias("id"), ngrams(F.col(text_col), n).alias("sh"))
-        .select("id", F.array_distinct("sh").alias("sh"))
-        .where(F.size("sh") > 0)
+    shrunk by exactly the ordering, then further cut by Bayardo's
+    LENGTH filter (J >= t forces t*|a| <= |b| <= |a|/t; the bound is
+    applied as integer cross-multiplication against floor(t * 1e6), a
+    quantization <= t so the filter only ever WEAKENS — recall stays
+    complete). One df aggregation, one sorted collect per doc, explode
+    of ~(1-t)|s| prefix rows per doc, an equi-join, and an array
+    verify on candidates only (the verify reuses the rarest-first
+    array — a sorted copy of the shingle set, so intersect/union over
+    it is the same Jaccard). Input is repartitioned first: corpus
+    files arrive as few large splits, and every stage of this plan
+    inherits the scan's parallelism otherwise."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_toks")
     )
+    shingles = toks.select(
+        "id",
+        F.array_distinct(ngrams_from_tokens(F.col("_toks"), n)).alias("sh"),
+    ).where(F.size("sh") > 0)
     tok = shingles.select("id", F.explode("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
     ordered = (
@@ -732,19 +745,27 @@ def set_similarity_join(
                 F.sort_array(F.collect_list(F.struct("df", "s"))), lambda x: x["s"]
             ).alias("ss")
         )
+        .withColumn("sz", F.size("ss"))
     )
-    plen = F.size("ss") - F.floor(F.lit(threshold) * F.size("ss")).cast("int") + 1
+    tq = int(math.floor(threshold * 1_000_000))
+    plen = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")).cast("int") + 1
     prefix = ordered.select(
-        "id", F.explode(F.slice("ss", 1, plen)).alias("p")
+        "id", "sz", F.explode(F.slice("ss", 1, plen)).alias("p")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") * 1_000_000 >= F.lit(tq) * F.col("a.sz"))
+            & (F.col("a.sz") * 1_000_000 >= F.lit(tq) * F.col("b.sz")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa"))
-    sb = shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("_sb"))
+    sa = ordered.select(F.col("id").alias("id_a"), F.col("ss").alias("_sa"))
+    sb = ordered.select(F.col("id").alias("id_b"), F.col("ss").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size(F.array_union("_sa", "_sb")).cast("double")
     return (
