@@ -729,6 +729,91 @@ def _probe_graph(spark, dp):
     return ring.unionByName(chord).unionByName(hubs)
 
 
+def f_scd2(spark, dp, ep, scratch):
+    """SCD2 apply with history 9x the open set (each scaled copy of a
+    doc plays a CLOSED version; the highest-id copy is open) and a
+    change stream touching every key once: work must track
+    |open| + |changes|, with the closed 90% passing through as a
+    union arm that never enters the window shuffle."""
+    from hadoop_app_spark.operators.upsert import scd2_apply
+
+    d = _docs(spark, dp).select("doc_id", "source")
+    base = F.col("doc_id") % 1_000_000_000
+    snap = d.select(
+        base.alias("k"),
+        F.col("source").alias("attr"),
+        F.col("doc_id").alias("_copy"),
+    )
+    w_open = snap.groupBy("k").agg(F.max("_copy").alias("_copy"))
+    open_ = (
+        snap.join(w_open, ["k", "_copy"])
+        .select(
+            "k", "attr",
+            F.lit("2001-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        )
+    )
+    hist = (
+        snap.join(w_open.withColumnRenamed("_copy", "_open"), "k")
+        .where(F.col("_copy") != F.col("_open"))
+        .select(
+            "k", "attr",
+            F.lit("2000-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+            F.lit("2001-01-01 00:00:00").cast("timestamp_ntz").alias("valid_to"),
+        )
+    )
+    changes = d.select(
+        base.alias("k"),
+        F.lit("updated").alias("attr"),
+        F.lit("2002-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.col("doc_id").alias("seq"),
+        F.lit(None).cast("string").alias("op"),
+    ).dropDuplicates(["k"])
+    return scd2_apply(
+        hist.unionByName(open_), changes, ["k"], ["attr"],
+        ts_col="ts", seq_col="seq", op_col="op",
+    ).count()
+
+
+def f_bloom_skip(spark, dp, ep, scratch):
+    """Point lookup through the per-file Bloom sidecar: at 10x data the
+    files grow 10x but a 3-key probe must still read a bounded handful
+    — rows-out is the matched keys' rows, never scan-proportional."""
+    from hadoop_app_spark.sources.skipping import read_bloom_skip, write_bloom_indexed
+
+    root = str(scratch / "bloom_skip") + f"/t{CURRENT_SCALE}"
+    d = _docs(spark, dp).select("doc_id", "source")
+    write_bloom_indexed(d, root, "doc_id", files=16)
+    df, stats = read_bloom_skip(spark, root, "doc_id", [1, 17, 4099])
+    n = df.count()
+    log = f"files {stats['files_read']}/{stats['files_total']}"
+    print(f"    [bloom_skip {CURRENT_SCALE}x] {log}")
+    return n
+
+
+def f_pyds_scan(spark, dp, ep, scratch):
+    """Custom Python DataSource scan with a pushed year filter over
+    fixed-width files rebuilt from the scaled docs: wall must track
+    bytes (record-stride splits keep every partition busy)."""
+    from hadoop_app_spark.sources.pyds import read_ncdc_py
+
+    root = str(scratch / "pyds") + f"/t{CURRENT_SCALE}"
+    d = _docs(spark, dp)
+    lines = d.select(
+        F.concat(
+            F.lit("H" * 15),
+            (F.lit(1950) + F.col("doc_id") % 50).cast("string"),
+            F.rpad(F.lit("x"), 68, "x"),
+            F.lit("+"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(root)
+    df = read_ncdc_py(spark, root, num_partitions=32)
+    return df.where(F.col("year") >= 1975).groupBy("year").count().count()
+
+
 def f_triangle_census(spark, dp, ep, scratch):
     from hadoop_app_spark.operators.graph import triangle_census
 
@@ -826,6 +911,10 @@ FAMILIES = {
     "pagerank": f_pagerank,
     # r7 batch 2: lossless prefix-filtered similarity join
     "set_similarity": f_set_similarity,
+    # r7 closing slate: SCD2, Bloom skipping, Python DataSource
+    "scd2": f_scd2,
+    "bloom_skip": f_bloom_skip,
+    "pyds_scan": f_pyds_scan,
 }
 
 
