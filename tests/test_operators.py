@@ -2261,3 +2261,35 @@ def test_alpha_mixture_sample_flattens_head_keeps_tail(spark):
     # deterministic: re-running yields the identical membership
     again = {r[0]: r[1] for r in alpha_mixture_sample(d, "lang").groupBy("lang").count().collect()}
     assert again == after
+
+
+def test_ngrams_from_tokens_matches_python_reference(spark):
+    """The zip_with shingle kernel must produce the same content and
+    ORDER as the straightforward Python sliding window, across n and
+    the short/empty/null edge cases the when-guard covers."""
+    from hadoop_app_spark.functions.text import ngrams_from_tokens
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c"]),      # exactly n for n=3
+        (3, ["a", "b"]),           # shorter than n=3 -> empty
+        (4, ["a"]),
+        (5, []),                   # empty array
+        (6, None),                 # null array -> empty (size=null)
+        (7, ["x", "x", "x", "x"]),  # repeats preserved positionally
+    ]
+    df = spark.createDataFrame(rows, "id int, t array<string>")
+    for n in (1, 2, 3, 4):
+        got = {
+            r.id: r.sh
+            for r in df.select(
+                "id", ngrams_from_tokens(F.col("t"), n).alias("sh")
+            ).collect()
+        }
+        for rid, toks in rows:
+            ref = (
+                [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                if toks and len(toks) >= n
+                else []
+            )
+            assert got[rid] == ref, (n, rid, got[rid], ref)
