@@ -76,17 +76,22 @@ def ngram_occurrences(
     its own select BEFORE the bigram lambda references it: HOF lambdas
     are exempt from subexpression elimination, so an inlined tokenize
     would re-run per array element — O(len^2) regex work per doc
-    (the corpus.py ngram precedent; measured ~40x here at sf0.1)."""
+    (the corpus.py ngram precedent; measured ~40x here at sf0.1).
+    Bigrams come from ONE zip_with over the two shifted slices, not an
+    index lambda doing element_at on the captured array — per-element
+    outer-array indexing is the interpreted-HOF slow class the shingle
+    kernel rebuild measured at 6-20x (functions/text.ngrams_from_tokens
+    rationale)."""
     toks = F.col("_toks")
-    # guard: Spark's sequence(1, 0) counts DOWN — single-token docs
-    # must yield an empty bigram array, not a reversed bogus one
+    # guard: fewer than two tokens must yield an empty bigram array
+    # (slice with a negative length would throw if evaluated)
+    m = F.size(toks) - 1
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)

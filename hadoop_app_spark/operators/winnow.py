@@ -41,18 +41,23 @@ _MOD = 1_000_000_007
 
 
 def _gram_hashes(norm: Column, k: int) -> Column:
-    """Array of poly hashes of every k-gram of *norm* (codes computed
-    once; each gram folds a k-slice — O(len·k) int64 ops)."""
+    """Array of poly hashes of every k-gram of *norm*: a (k-1)-fold
+    zip_with over k shifted slices of the char codes, accumulating
+    acc*31+c mod M position-wise — the identical fold order (acc0 = 0,
+    codes left to right) as a per-gram aggregate, without the
+    index-lambda form transform(sequence(i), aggregate(slice(codes, i,
+    k))) whose per-element outer-array slicing is the interpreted-HOF
+    slow class (functions/text.ngrams_from_tokens rationale, measured
+    6-20x). O(len·k) int64 ops, each lambda touching only its args."""
     codes = F.transform(F.split(norm, "", -1), lambda ch: F.ascii(ch).cast("long"))
     n_grams = F.length(norm) - F.lit(k - 1)
-    return F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.aggregate(
-            F.slice(codes, i, k),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + c) % F.lit(_MOD).cast("long"),
-        ),
-    )
+    mod = F.lit(_MOD).cast("long")
+    acc = F.transform(F.slice(codes, 1, n_grams), lambda c: c % mod)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc, F.slice(codes, j, n_grams), lambda a, c: (a * 31 + c) % mod
+        )
+    return acc
 
 
 def winnow_fingerprints(
