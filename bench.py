@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "scd2_dimension",
     "alpha_mixture_sample",
     "bloom_skip_lookup",
+    "mad_outliers",
 ]
 
 

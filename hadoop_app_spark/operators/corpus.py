@@ -823,6 +823,58 @@ def compression_stats(
     )
 
 
+def mad_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier accounting via the median absolute
+    deviation -> [group, n, med, mad, n_outliers]: the classic
+    "median +- k*MAD" rule, immune to the very outliers it flags
+    (a mean/stddev gate moves with every extreme value; the median
+    pair does not).
+
+    Exactness: values quantize to integers via floor() (the
+    cross-engine convention from quantile_sketch), both medians are
+    exact integer-rank type-1 quantiles via :func:`quantile_profile`'s
+    mechanics, and the flag ``|x - med| > k * mad`` is pure integer
+    arithmetic — an oracle reproduces every count bit-for-bit. A
+    zero-MAD group (over half the values identical) flags everything
+    off the median, the rule's documented degenerate case.
+
+    Scale shape (100 TB): two (group, value) partial-combine hash
+    aggregations plus cumulative windows over DISTINCT values only
+    (the quantile_profile shape twice), with the bounded one-row-per-
+    group medians broadcast back — the raw rows are never windowed and
+    never shuffled beyond the two value-histogram aggs."""
+    x = F.floor(F.col(value_col)).cast("long")
+    v = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col), x.alias("_x")
+    )
+    med = quantile_profile(v, "_x", group_col, ps=((1, 2),)).select(
+        group_col, F.col("n").alias("_n"), F.col("p50").alias("med")
+    )
+    dev = v.join(F.broadcast(med), group_col).select(
+        group_col, "_x", "med", F.abs(F.col("_x") - F.col("med")).alias("_d")
+    )
+    mad = quantile_profile(dev, "_d", group_col, ps=((1, 2),)).select(
+        group_col, F.col("p50").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("_d") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def quantile_profile(
     df: DataFrame,
     value_col: str,

@@ -5423,6 +5423,53 @@ def q_domain_filter_caps(spark, sf_dir):
 
 
 @query(
+    "mad_outliers",
+    oracle="""
+        WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS x
+                   FROM events WHERE value IS NOT NULL),
+        c AS (SELECT event_type, x, count(*) AS c FROM v GROUP BY 1, 2),
+        cum AS (SELECT event_type, x, c,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum
+                FROM c),
+        tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        med AS (SELECT cum.event_type,
+                       min(CASE WHEN cum >= (tot.n + 1) // 2 THEN x END) AS med
+                FROM cum JOIN tot USING (event_type) GROUP BY 1),
+        d AS (SELECT v.event_type, abs(v.x - med.med) AS dv
+              FROM v JOIN med USING (event_type)),
+        dc AS (SELECT event_type, dv, count(*) AS c FROM d GROUP BY 1, 2),
+        dcum AS (SELECT event_type, dv, c,
+                        sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum
+                 FROM dc),
+        mad AS (SELECT dcum.event_type,
+                       min(CASE WHEN cum >= (tot.n + 1) // 2 THEN dv END) AS mad
+                FROM dcum JOIN tot USING (event_type) GROUP BY 1)
+        SELECT v.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               max(m.med) AS med,
+               max(md.mad) AS mad,
+               CAST(sum(CASE WHEN abs(v.x - m.med) > 3 * md.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM v JOIN med m USING (event_type) JOIN mad md USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="robust per-event-type outlier accounting via median absolute "
+    "deviation (median +- 3*MAD — the estimator the outliers themselves "
+    "cannot move, unlike mean/stddev gates): values floor-quantized, both "
+    "medians exact integer-rank type-1 quantiles over DISTINCT-value "
+    "histograms (the quantile_profile mechanics twice), flag arithmetic "
+    "pure integer — bit-exact cross-engine; raw rows are never windowed, "
+    "only two (group, value) partial-combine aggs shuffle "
+    "(operators/corpus.mad_profile)",
+)
+def q_mad_outliers(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import mad_profile
+
+    e = _t(spark, sf_dir, "events")
+    return mad_profile(e, "value", "event_type", k=3).orderBy("event_type")
+
+
+@query(
     "quantile_profile",
     oracle=f"""
         WITH v AS (SELECT source, {_NTOK} AS n_tokens FROM documents),
@@ -7653,6 +7700,8 @@ _PRIORITY = [
     "alpha_mixture_sample",
     # r7: per-file Bloom sidecar point-lookup skipping
     "bloom_skip_lookup",
+    # r7: robust median/MAD outlier accounting, integer-exact
+    "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design
     # (the bpe_merges convention); weights pinned bit-exact vs a pure-
     # Python decimal reference and repartition-invariant in pytest

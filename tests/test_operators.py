@@ -2293,3 +2293,22 @@ def test_ngrams_from_tokens_matches_python_reference(spark):
                 else []
             )
             assert got[rid] == ref, (n, rid, got[rid], ref)
+
+
+def test_mad_profile_flags_and_degenerate_group(spark):
+    from hadoop_app_spark.operators.corpus import mad_profile
+
+    rows = (
+        # group "a": median 10, MAD 1 -> 100 is an outlier (|90| > 3)
+        [("a", float(v)) for v in (8, 9, 10, 11, 12, 100)]
+        # group "z": over half identical -> MAD 0, everything off the
+        # median flags (the documented degenerate case)
+        + [("z", 5.0)] * 4
+        + [("z", 6.0), ("z", 7.0)]
+        # NULL values are excluded up front
+        + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r.g: (r.n, r.med, r.mad, r.n_outliers) for r in mad_profile(df, "value", "g").collect()}
+    assert got["a"] == (6, 10, 1, 1)
+    assert got["z"] == (6, 5, 0, 2)
