@@ -729,6 +729,19 @@ def _probe_graph(spark, dp):
     return ring.unionByName(chord).unionByName(hubs)
 
 
+def f_mad_outliers(spark, dp, ep, scratch):
+    """Median/MAD over a HIGH-CARDINALITY derived value keyed by
+    source: rows-out = |groups| at every scale, and the two
+    distinct-value histogram aggs are the only shuffles — the
+    quantile_exact claim applied twice."""
+    from hadoop_app_spark.operators.corpus import mad_profile
+
+    d = _docs(spark, dp).select(
+        "source", (F.abs(F.xxhash64("doc_id")) % 100_000).cast("double").alias("v")
+    )
+    return mad_profile(d, "v", "source").count()
+
+
 def f_scd2(spark, dp, ep, scratch):
     """SCD2 apply with history 9x the open set (each scaled copy of a
     doc plays a CLOSED version; the highest-id copy is open) and a
@@ -915,6 +928,7 @@ FAMILIES = {
     "scd2": f_scd2,
     "bloom_skip": f_bloom_skip,
     "pyds_scan": f_pyds_scan,
+    "mad_outliers": f_mad_outliers,
 }
 
 
