@@ -190,6 +190,47 @@ def minhash_signatures_vectorized(
     return base.mapInPandas(run, f"{id_col} {id_type}, signature array<long>")
 
 
+def minhash_band_rows(signatures: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Band-membership rows ``(id, bucket)`` for a signature table:
+    the signature splits into ``bands`` contiguous slices and each
+    becomes one string bucket key ``"{band}_{v1,v2,...}"``.
+
+    Band widths distribute the signature with NO empty band: base
+    width = k div bands, the first k mod bands bands get one extra.
+    (A uniform ceil(k/bands) width would run the last band's slice
+    past the array whenever bands didn't divide k — every doc would
+    then share the empty band's bucket and the whole corpus would
+    become one candidate clique.) Zero-width bands (bands > k) are
+    dropped rather than bucketed on emptiness.
+
+    This is the shared banding kernel: `minhash_lsh_pairs` pairs these
+    rows within one corpus; `build_minhash_index` / `dedup_increment`
+    persist them as the incremental-dedup index and probe new batches
+    against it.
+    """
+    size = F.size("signature")
+    base = F.floor(size / bands).cast("int")
+    rem = (size % bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    F.col("signature"),
+                    (b * base + F.least(b, rem) + 1).cast("int"),
+                    (base + (b < rem).cast("int")).cast("int"),
+                ),
+            )
+        ).alias("band", "band_sig"),
+    ).select(
+        id_col,
+        F.size("band_sig").alias("_bw"),
+        F.concat_ws("_", F.col("band"), F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"),
+    )
+    return banded.where(F.col("_bw") > 0).drop("_bw")
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -223,35 +264,7 @@ def minhash_lsh_pairs(
     """
     from hadoop_app_spark.functions.metrics import observe_counts
 
-    # distribute the signature across bands with NO empty band: base
-    # width = k div bands, the first k mod bands bands get one extra.
-    # (The previous uniform ceil(k/bands) width ran the last band's
-    # slice past the array whenever bands didn't divide k — every doc
-    # then shared the empty band's bucket and the whole corpus became
-    # one candidate clique.)
-    size = F.size("signature")
-    base = F.floor(size / bands).cast("int")
-    rem = (size % bands).cast("int")
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    F.col("signature"),
-                    (b * base + F.least(b, rem) + 1).cast("int"),
-                    (base + (b < rem).cast("int")).cast("int"),
-                ),
-            )
-        ).alias("band", "band_sig"),
-    ).select(
-        id_col,
-        F.size("band_sig").alias("_bw"),
-        F.concat_ws("_", F.col("band"), F.concat_ws(",", F.col("band_sig").cast("array<string>"))).alias("bucket"),
-    )
-    # bands > k would still yield zero-width bands (no signal, universal
-    # collision) — drop them rather than bucket on emptiness
-    banded = banded.where(F.col("_bw") > 0).drop("_bw")
+    banded = minhash_band_rows(signatures, id_col, bands)
     # bucket size + min id via groupBy-agg joined back on the bucket key
     # — NOT a Window.partitionBy("bucket"): the degenerate bucket this
     # function's max_bucket_size guard exists for (boilerplate docs
