@@ -336,6 +336,146 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 8,
+    repartition_to: int | None = None,
+) -> None:
+    """Persist a corpus's MinHash band-membership rows
+    ``(bucket, id)`` as a bucketed+sorted table — the standing dedup
+    index a daily-ingest pipeline probes new batches against.
+
+    Scale shape: the table is bucketed (and sorted) BY the band
+    bucket key, so the recurring `dedup_increment` join needs NO
+    exchange and NO sort on the index side — only the (small) new
+    batch shuffles, making each day's work proportional to the batch,
+    not the accumulated corpus. Appends (survivor rows from each
+    increment) write through the same bucket spec, so the layout
+    property is permanent. Size ``n_buckets`` for the corpus you
+    expect the index to GROW to (bucket files only ever gain rows).
+
+    Moral ancestor in the reference: the `dt=` daily-partition batch
+    selection (UserNewcar.java:241-247) — this is that daily pattern
+    lifted to the dedup layer with state that persists between days.
+    """
+    from hadoop_app_spark.operators.bucketing import write_bucketed
+
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to
+    )
+    rows = minhash_band_rows(sigs, id_col, bands).select("bucket", F.col(id_col).alias("id"))
+    write_bucketed(rows, index_table, ["bucket"], n_buckets)
+
+
+def dedup_increment(
+    new_batch: DataFrame,
+    index_table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    repartition_to: int | None = None,
+    append: bool = True,
+    dropped_table: str | None = None,
+) -> DataFrame:
+    """Deduplicate *new_batch* against the persisted MinHash index
+    (and against itself), returning the surviving new rows; their
+    band rows are appended to the index so tomorrow's batch dedups
+    against today's survivors too.
+
+    Policy (deterministic, order-independent — the oracle replays it):
+      1. index wins: a new doc sharing ANY band bucket with any
+         indexed doc drops;
+      2. within the batch, the standard greedy min-id rule over band
+         buckets (same as `minhash_dedup`) — computed over ALL new
+         docs, so a doc that loses to an index-dropped lower-id
+         sibling still drops (conservative: the sibling's family is
+         already represented in the index).
+
+    Scale shape: the index probe streams the bucketed index scan
+    through a ShuffledHashJoin whose hash table is built on the (small)
+    batch side — the `shuffle_hash` hint + inner-join-then-distinct
+    formulation, chosen over the natural batch-left-semi because SMJ
+    would re-SORT the whole index every day (append files break the
+    one-file-per-bucket condition Spark needs to trust write-time
+    order) and LeftSemi can't build its hash on the left. Measured
+    plan: index side = bare `FileScan ... Bucketed: true` (no
+    exchange, no sort, only the `bucket` column read), batch side =
+    one small exchange, and the in-stage partial HashAggregate
+    collapses hits to <= batch ids before the only other shuffle. Per
+    day: O(batch) shuffle + one linear narrow index scan, vs the
+    recompute-everything alternative's O(corpus) re-shingle +
+    re-shuffle.
+
+    Join-blowup bound: an index built from a deduped corpus (pass the
+    seed through `minhash_dedup` first — survivors by the greedy
+    policy share no bucket) has singleton buckets, so the inner join
+    emits at most ``bands`` rows per batch doc; increments preserve
+    the invariant because each day's survivors neither hit the index
+    nor pair with each other.
+
+    Read-your-writes hazard, by construction avoided: the dropped-id
+    set (which READS the index) is materialized to a small sidecar
+    table ``{index_table}_dropped`` (O(batch) rows) BEFORE the append
+    runs — a lazily-returned survivor plan that re-read the live
+    index after the append would find the batch's own band rows and
+    drop every doc against itself. The sidecar is overwritten by the
+    next increment, so consume (write out / count) the returned
+    survivors before the next day's call — the natural daily cadence —
+    or pass a distinct ``dropped_table`` per call to keep several
+    generations' survivor plans alive at once.
+    """
+    spark = new_batch.sparkSession
+    sigs = minhash_signatures(
+        new_batch, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to
+    )
+    banded = minhash_band_rows(sigs, id_col, bands)
+    index = spark.table(index_table)
+    hit_ids = (
+        index.select("bucket")
+        .join(banded.hint("shuffle_hash"), "bucket")
+        .select(id_col)
+        .distinct()
+    )
+    intra_losers = (
+        minhash_lsh_pairs(sigs, id_col, bands).select(F.col("id_b").alias(id_col)).distinct()
+    )
+    dropped = hit_ids.union(intra_losers).distinct()
+    # materialize the index-reading subplan NOW, before any append
+    # mutates what spark.table(index_table) resolves to
+    dropped_table = dropped_table or f"{index_table}_dropped"
+    dropped.write.mode("overwrite").format("parquet").saveAsTable(dropped_table)
+    dropped_snap = spark.table(dropped_table)
+    survivors = new_batch.join(dropped_snap, id_col, "left_anti")
+    if append:
+        # banded + survivors read only the batch and the snapshot —
+        # this write's plan never reads the table it appends to
+        surv_rows = (
+            banded.join(survivors.select(id_col), id_col, "left_semi")
+            .select("bucket", F.col(id_col).alias("id"))
+        )
+        # read the existing bucket spec so the append preserves layout
+        desc = {r.col_name: r.data_type for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()}
+        n_buckets = int(desc.get("Num Buckets", "8"))
+        (
+            surv_rows.write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "bucket")
+            .sortBy("bucket")
+            .saveAsTable(index_table)
+        )
+    return survivors
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """16-bit SimHash over whitespace tokens.
 

@@ -2905,6 +2905,93 @@ def q_minhash_cluster_canonical(spark, sf_dir):
 
 
 @query(
+    "dedup_increment",
+    oracle=None,  # assigned below: reuses _minhash_banded_cte
+    doc="incremental dedup against a PERSISTED MinHash band index (the "
+    "daily-ingest operator): a deduped day-0 seed builds a bucketed index "
+    "table; two daily batches then each dedup against the accumulated index "
+    "plus themselves and append their survivors' band rows, so day 2 dedups "
+    "against day 0 AND day 1. Work per day is O(batch) shuffle + one "
+    "narrow exchange-free bucketed index scan — never a corpus re-shingle. "
+    "Oracle replays both generations (index contents included) in SQL.",
+)
+def q_dedup_increment(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        minhash_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    # fixed table names + overwrite on build: idempotent across runs
+    seed = minhash_dedup(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", hash_fn="poly", repartition_to=par
+    )
+    build_minhash_index(seed, "text", "doc_id", "mh_incr_index", hash_fn="poly", repartition_to=par)
+    gens = []
+    for gen in (1, 2):
+        surv = dedup_increment(
+            d.where(F.col("doc_id") % 3 == gen),
+            "mh_incr_index",
+            "text",
+            "doc_id",
+            hash_fn="poly",
+            repartition_to=par,
+            dropped_table=f"mh_incr_dropped_g{gen}",
+        )
+        gens.append(surv.select(F.lit(gen).alias("generation"), "doc_id", "n_chars"))
+    return gens[0].unionAll(gens[1])
+
+
+def _dedup_increment_oracle() -> str:
+    """DuckDB replay of both index generations: seed dedup -> index0,
+    day-1 drops (index hit OR lower-id intra pair) -> surv1 -> index1 =
+    index0 + surv1 bands, day-2 drops vs index1 -> surv2. Zero-shingle
+    docs have no band rows, so they survive in both engines."""
+    return f"""
+        WITH {_minhash_banded_cte()},
+        sb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+        seed_losers AS (SELECT DISTINCT x.doc_id FROM sb a JOIN sb x
+                        ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
+        idx0 AS (SELECT b, bs FROM sb
+                 WHERE doc_id NOT IN (SELECT doc_id FROM seed_losers)),
+        b1 AS (SELECT * FROM banded WHERE doc_id % 3 = 1),
+        drop1 AS (
+            SELECT DISTINCT b1.doc_id FROM b1 JOIN idx0
+              ON b1.b = idx0.b AND b1.bs = idx0.bs
+            UNION
+            SELECT x.doc_id FROM b1 a JOIN b1 x
+              ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
+        surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+                  AND doc_id NOT IN (SELECT doc_id FROM drop1)),
+        idx1 AS (SELECT b, bs FROM idx0
+                 UNION ALL
+                 SELECT b, bs FROM banded
+                 WHERE doc_id IN (SELECT doc_id FROM surv1)),
+        b2 AS (SELECT * FROM banded WHERE doc_id % 3 = 2),
+        drop2 AS (
+            SELECT DISTINCT b2.doc_id FROM b2 JOIN idx1
+              ON b2.b = idx1.b AND b2.bs = idx1.bs
+            UNION
+            SELECT x.doc_id FROM b2 a JOIN b2 x
+              ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
+        surv2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+                  AND doc_id NOT IN (SELECT doc_id FROM drop2))
+        SELECT 1 AS generation, d.doc_id, d.n_chars
+        FROM documents d JOIN surv1 USING (doc_id)
+        UNION ALL
+        SELECT 2 AS generation, d.doc_id, d.n_chars
+        FROM documents d JOIN surv2 USING (doc_id)
+    """
+
+
+REGISTRY["dedup_increment"] = QueryDef(
+    REGISTRY["dedup_increment"].fn, _dedup_increment_oracle(), REGISTRY["dedup_increment"].doc
+)
+
+
+@query(
     "minhash_dedup_fast",
     oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
     doc="full MinHash+LSH dedup, vectorized scale path: mapInPandas signature "
@@ -7616,6 +7703,11 @@ _PRIORITY = [
     # image_near_dup (r8 swap-out): the 56-bit compat arm — the wide
     # arm is gated; this one shares its plumbing and oracle family.
     "image_near_dup",
+    # --- r8 additions (rotate into the gate in r9 per convention) ---
+    # dedup_increment: incremental dedup against a persisted bucketed
+    # MinHash band index — the daily-ingest operator (VERDICT r7
+    # item 4); oracle replays both index generations in SQL
+    "dedup_increment",
     "near_dup_components",
     "embedding_quantize",
     "fanout_explode",

@@ -137,6 +137,48 @@ def test_minhash_lsh_dedup(spark, docs_df):
     assert 4 in surviving and 5 in surviving  # non-dups and shingle-less docs kept
 
 
+def test_dedup_increment_against_persisted_index(spark, docs_df):
+    """Two daily increments against a persisted index: day-1 docs
+    duplicating indexed content drop ('index wins'), intra-batch dups
+    resolve greedy-min-id, zero-shingle docs always survive, and the
+    appended band rows make day 2 dedup against day-1 survivors."""
+    from hadoop_app_spark.operators.dedup import build_minhash_index, dedup_increment
+
+    for t in ("mh_idx_t", "mh_idx_t_dropped"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    seed = docs_df.where(F.col("doc_id").isin(1, 4))  # deduped seed
+    build_minhash_index(seed, "text", "doc_id", "mh_idx_t")
+    idx0 = spark.table("mh_idx_t").count()
+
+    day1 = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog again and again today"),  # dup of indexed 1
+            (12, "some genuinely new material never seen before in any prior batch at all"),
+            (13, "some genuinely new material never seen before in any prior batch at all"),  # intra dup of 12
+            (14, "x"),  # zero-shingle
+        ],
+        "doc_id long, text string",
+    )
+    s1 = sorted(r.doc_id for r in dedup_increment(day1, "mh_idx_t", "text", "doc_id").collect())
+    assert s1 == [12, 14]  # 11 lost to index, 13 lost to 12, 14 shingle-less
+    idx1 = spark.table("mh_idx_t").count()
+    assert idx1 > idx0  # survivor 12's bands appended (14 has none)
+
+    day2 = spark.createDataFrame(
+        [
+            (21, "some genuinely new material never seen before in any prior batch at all"),  # dup of day-1 survivor 12
+            (22, "and here is one more fresh document unlike everything indexed so far entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    s2 = sorted(r.doc_id for r in dedup_increment(day2, "mh_idx_t", "text", "doc_id").collect())
+    assert s2 == [22]  # 21 drops against the APPENDED day-1 rows
+    # index layout must survive appends: still one bucketed table
+    assert spark.table("mh_idx_t").columns == ["bucket", "id"]
+    for t in ("mh_idx_t", "mh_idx_t_dropped"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_simhash_groups(spark, docs_df):
     sh = {r.doc_id: r.simhash for r in simhash(docs_df, "text", "doc_id").collect()}
     assert sh[1] == sh[2]
