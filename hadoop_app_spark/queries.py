@@ -4138,19 +4138,37 @@ def q_stream_pyds_exec(spark, sf_dir):
         ).alias("value")
     )
     out = _scratch_dir("pyds_stream_src", sf_dir)
-    lines.write.mode("overwrite").text(out)
+    # 4 name-ordered files + maxFilesPerTrigger=2 -> exactly 2 REAL
+    # micro-batches. availableNow can't do this here: Spark 4.1's JVM
+    # wrapper for Python streams lacks SupportsTriggerAvailableNow, so
+    # that trigger WARNs and degrades to one drain-everything batch —
+    # instead the query paces itself and stops once a progress round
+    # reports zero input rows after the backlog is consumed.
+    lines.repartition(4).write.mode("overwrite").text(out)
     name = "stream_pyds_" + uuid.uuid4().hex[:8]
     q = (
-        read_ncdc_stream(spark, out, num_partitions=8)
+        read_ncdc_stream(spark, out, num_partitions=8, max_files_per_trigger=2)
         .groupBy("year")
         .agg(F.count("*").alias("n"), F.max("temp").alias("max_temp"))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .trigger(availableNow=True)
+        .trigger(processingTime="50 milliseconds")
         .start()
     )
+    import time as _time
+
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline:
+        progress = q.recentProgress
+        if progress and any(p["numInputRows"] > 0 for p in progress) and progress[-1]["numInputRows"] == 0:
+            break
+        _time.sleep(0.1)
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    q.stop()
     q.awaitTermination()
+    if data_batches < 2:
+        raise RuntimeError(f"expected >=2 paced micro-batches, saw {data_batches}")
     return spark.table(name).orderBy("year")
 
 

@@ -223,7 +223,23 @@ class NcdcStreamReader(DataSourceStreamReader):
     read on executors. That is the FileStreamSource contract rebuilt on
     the public Python API, minus the unbounded seen-file log: the
     name-ordered arrival convention makes one string a complete,
-    checkpointable offset."""
+    checkpointable offset.
+
+    Admission control: ``maxFilesPerTrigger`` (default unlimited) caps
+    how far past the last planned offset each ``latestOffset()`` call
+    advances, so a pre-populated directory drains over SEVERAL real
+    micro-batches instead of one — FileStreamSource's option rebuilt
+    Python-side. (Spark 4.1's JVM wrapper for Python streams implements
+    neither SupportsTriggerAvailableNow nor SupportsAdmissionControl,
+    so Trigger.AvailableNow logs a WARN and falls back to one
+    drain-everything batch REGARDLESS of this option — pair the option
+    with a processing-time trigger and stop when a progress round
+    reports zero input rows, as `q_stream_pyds_exec` does. Under that
+    fallback leave the option unset: a capped latestOffset would make
+    the single Once-style batch stop early and silently skip files.)
+    The cap's cursor is reader-instance state re-synced from `start`
+    on every `partitions()` call, so a query restarted from a
+    checkpoint resumes from the committed offset, never behind it."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -231,6 +247,8 @@ class NcdcStreamReader(DataSourceStreamReader):
             raise ValueError("ncdc stream requires a directory path")
         self.path = path
         self.num_partitions = int(options.get("numPartitions", 8))
+        self.max_files = int(options.get("maxFilesPerTrigger", 0))  # 0 = unlimited
+        self._cursor = ""  # high-watermark this reader last planned up to
 
     def _files(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -247,10 +265,21 @@ class NcdcStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         names = self._files()
-        return {"watermark": names[-1] if names else ""}
+        if not names:
+            return {"watermark": self._cursor}
+        if self.max_files > 0:
+            fresh = [n for n in names if n > self._cursor][: self.max_files]
+            if fresh:
+                self._cursor = fresh[-1]
+        else:
+            self._cursor = max(self._cursor, names[-1])
+        return {"watermark": self._cursor}
 
     def partitions(self, start: dict, end: dict) -> Sequence[ByteRange]:
         lo, hi = start["watermark"], end["watermark"]
+        # restart re-sync: never plan behind the committed start
+        if lo > self._cursor:
+            self._cursor = lo
         batch = [n for n in self._files() if lo < n <= hi]
         if not batch:
             return []
@@ -303,14 +332,15 @@ def read_ncdc_py(spark, path: str, num_partitions: int = 8):
     )
 
 
-def read_ncdc_stream(spark, path: str, num_partitions: int = 8):
+def read_ncdc_stream(spark, path: str, num_partitions: int = 8, max_files_per_trigger: int = 0):
     """Streaming DataFrame over an append-only directory of NCDC files
     (new files must arrive with increasing names; offset = filename
-    high-watermark). Pair with any sink/trigger — availableNow drains
-    the current directory and stops."""
+    high-watermark). ``max_files_per_trigger`` > 0 paces intake so a
+    backlog drains over several real micro-batches (use with a
+    processing-time trigger; see NcdcStreamReader's availableNow
+    caveat)."""
     register_ncdc_source(spark)
-    return (
-        spark.readStream.format("ncdc")
-        .option("numPartitions", str(num_partitions))
-        .load(path)
-    )
+    r = spark.readStream.format("ncdc").option("numPartitions", str(num_partitions))
+    if max_files_per_trigger > 0:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.load(path)

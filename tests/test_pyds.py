@@ -152,6 +152,57 @@ def test_stream_reads_and_resumes_from_checkpoint(spark, tmp_path):
     assert drain("pyds_s2") == {1950: 30, 1951: 30, 1952: 30, 1960: 30, 1970: 12}
 
 
+def test_stream_paced_intake_runs_multiple_microbatches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over a 2-file directory must drain in TWO
+    real micro-batches (VERDICT r7 item 7) — the Python-side admission
+    control, since the JVM wrapper can't declare availableNow support."""
+    import time
+
+    from hadoop_app_spark.sources.pyds import read_ncdc_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f000.txt").write_text("\n".join(_mkline(1950, i, 1) for i in range(40)) + "\n")
+    (src / "f001.txt").write_text("\n".join(_mkline(1960, i, 1) for i in range(20)) + "\n")
+    q = (
+        read_ncdc_stream(spark, str(src), num_partitions=2, max_files_per_trigger=1)
+        .groupBy("year")
+        .count()
+        .writeStream.format("memory")
+        .queryName("pyds_paced")
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        got = {r.year: r["count"] for r in spark.table("pyds_paced").collect()}
+        if got == {1950: 40, 1960: 20}:
+            break
+        time.sleep(0.1)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    q.stop()
+    q.awaitTermination()
+    assert got == {1950: 40, 1960: 20}
+    # one batch per file: the pre-populated backlog did NOT collapse
+    # into a single drain-everything batch
+    assert len(data_batches) >= 2
+    assert [p["numInputRows"] for p in data_batches[:2]] == [40, 20]
+
+
+def test_stream_cursor_resyncs_from_committed_start(uniform_dir):
+    """Restart safety: a fresh reader (cursor='') asked to plan from a
+    checkpointed offset must jump its cursor forward, never re-plan or
+    re-emit behind the committed start."""
+    from hadoop_app_spark.sources.pyds import NcdcStreamReader
+
+    r = NcdcStreamReader({"path": uniform_dir, "numPartitions": "2", "maxFilesPerTrigger": "1"})
+    assert r.partitions({"watermark": "u.txt"}, {"watermark": "u.txt"}) == []
+    assert r._cursor == "u.txt"
+    # nothing new past the committed start -> offset stays put
+    assert r.latestOffset() == {"watermark": "u.txt"}
+
+
 def test_stream_offsets_are_filename_watermarks(uniform_dir):
     from hadoop_app_spark.sources.pyds import NcdcStreamReader
 
