@@ -46,6 +46,25 @@ from hadoop_app_spark.operators.similarity import (
 )
 
 
+def fixed_pq_codebooks(m: int = 8, n_codes: int = 16, sub: int = 8) -> list[list[list[float]]]:
+    """Deterministic INTEGER-valued codebooks from a closed-form formula
+    (the LSH-hyperplane convention: both engines can regenerate them,
+    no training, no literals to ship): C[s][c][j] = ((c*7 + j*3 + s*5)
+    mod 31) - 15. Integer entries are the exactness lever — paired with
+    integer-quantized vectors every encode distance, ADC lookup-table
+    entry and shortlist score is an integer carried exactly in float64
+    REGARDLESS of summation order (numpy pairwise, BLAS, SQL
+    sequential all agree), so the full PQ pipeline becomes
+    SQL-oracle-able where trained float-mean codebooks are rows-only."""
+    return [
+        [
+            [float(((c * 7 + j * 3 + s * 5) % 31) - 15) for j in range(sub)]
+            for c in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",

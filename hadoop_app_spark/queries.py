@@ -3215,6 +3215,95 @@ REGISTRY["ivf_ann_topk_hof"] = QueryDef(
 )
 
 
+_PQ_FIXED_ORACLE = f"""
+    WITH corp AS (
+        SELECT vec_id, [floor(x * 256) for x in embedding::DOUBLE[]] AS v
+        FROM embeddings),
+    books AS (
+        SELECT s, c, j, CAST(((c*7 + j*3 + s*5) % 31) - 15 AS DOUBLE) AS w
+        FROM unnest(range(0, 8)) AS ss(s),
+             unnest(range(0, 16)) AS cc(c),
+             unnest(range(0, 8)) AS jj(j)),
+    enc AS (
+        SELECT vec_id, s, c,
+               sum((v[s*8 + j + 1] - w) * (v[s*8 + j + 1] - w)) AS d2
+        FROM corp CROSS JOIN books
+        GROUP BY vec_id, s, c),
+    codes AS (
+        SELECT vec_id, s, c
+        FROM (SELECT vec_id, s, c,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2, c) AS rn
+              FROM enc)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id <= 5),
+    adc AS (
+        SELECT q.query_id, codes.vec_id,
+               sum(q.qv[b.s*8 + b.j + 1] * b.w) AS score
+        FROM q CROSS JOIN codes
+        JOIN books b ON b.s = codes.s AND b.c = codes.c
+        WHERE codes.vec_id <> q.query_id
+        GROUP BY q.query_id, codes.vec_id),
+    short AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rn
+              FROM adc)
+        WHERE rn <= 64),
+    scored AS (
+        SELECT s.query_id, s.vec_id,
+               CASE WHEN sqrt({_IVF_DOT.format(a="corp.v", b="corp.v")})
+                         * sqrt({_IVF_DOT.format(a="q.qv", b="q.qv")}) <> 0
+                    THEN {_IVF_DOT.format(a="corp.v", b="q.qv")}
+                         / (sqrt({_IVF_DOT.format(a="corp.v", b="corp.v")})
+                            * sqrt({_IVF_DOT.format(a="q.qv", b="q.qv")}))
+                    ELSE 0 END AS cosine
+        FROM short s
+        JOIN corp ON corp.vec_id = s.vec_id
+        JOIN q ON q.query_id = s.query_id)
+    SELECT query_id, vec_id, rank
+    FROM (SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@query(
+    "pq_ann_topk_fixed",
+    oracle=_PQ_FIXED_ORACLE,
+    doc="ORACLED twin of pq_ann_topk (VERDICT r7 item 8, the "
+    "wordpiece_encode_fixed convention): the SAME encode -> ADC -> "
+    "shortlist -> exact-re-rank pipeline (operators/pq.pq_adc_topk) run "
+    "over integer-quantized vectors (floor(x*256)) with formula-generated "
+    "integer codebooks both engines regenerate — every distance, LUT entry "
+    "and shortlist score is an integer carried exactly in float64, so "
+    "summation order can't flip the 64-candidate boundary and DuckDB "
+    "replays the whole pipeline including the final exact-cosine ranks. "
+    "The trained-codebook arm stays rows-only (engine-seeded float means) "
+    "with its pytest pins.",
+)
+def q_pq_ann_topk_fixed(spark, sf_dir):
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks, pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+    queries_df = qd.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = qd.repartition(spark.sparkContext.defaultParallelism)
+    return pq_adc_topk(corpus, queries_df, fixed_pq_codebooks(), k=5, shortlist=64).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 @query(
     "multimodal_meta",
     oracle="""
@@ -5609,13 +5698,32 @@ def q_quantile_profile(spark, sf_dir):
 
 @query(
     "quantile_sketch",
-    # no SQL oracle BY DESIGN (the bpe/PCA rows-only convention): the
-    # GK sketch's outputs depend on compaction internals no other
-    # engine reproduces. The pinned guarantee is the rank-error bound
-    # vs the oracled quantile_profile row — tests/test_operators.py::
-    # test_quantile_sketch_rank_error_bound — plus exact agreement at
-    # accuracy >= n where the sketch degenerates to the full data.
-    oracle=None,
+    # ORACLED as of r8 (VERDICT r7 item 8): at accuracy >= n the GK
+    # summary retains every observation and percentile_approx IS the
+    # exact type-1 integer-rank quantile (the convention the gated
+    # stream_quantile_exec row already proves per window), so the
+    # oracle is quantile_profile's exact SQL verbatim. The registry
+    # entry's accuracy (10,000) exceeds n at every test SF; production
+    # drops accuracy for bounded state — THAT regime's guarantee stays
+    # the pytest-pinned rank-error bound (test_quantile_sketch_rank_
+    # error_bound), not bit equality.
+    oracle=f"""
+        WITH v AS (SELECT source, {_NTOK} AS n_tokens FROM documents),
+        c AS (SELECT source, n_tokens, count(*) AS c FROM v GROUP BY source, n_tokens),
+        cum AS (
+            SELECT source, n_tokens, c,
+                   sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum
+            FROM c),
+        tot AS (SELECT source, sum(c) AS n FROM c GROUP BY source),
+        j AS (SELECT cum.*, tot.n FROM cum JOIN tot USING (source))
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN cum >= (1*n + 3) // 4 THEN n_tokens END) AS p25,
+               min(CASE WHEN cum >= (1*n + 1) // 2 THEN n_tokens END) AS p50,
+               min(CASE WHEN cum >= (3*n + 3) // 4 THEN n_tokens END) AS p75,
+               min(CASE WHEN cum >= (9*n + 9) // 10 THEN n_tokens END) AS p90
+        FROM j GROUP BY source
+    """,
     doc="mergeable approximate-quantile twin of quantile_profile (VERDICT "
     "r5 item 3): percentile_approx's GK-class summary built map-side per "
     "partition and merged in the partial-aggregate tree — one "
@@ -7888,8 +7996,10 @@ _PRIORITY = [
     # pq_ann_topk (r7): product-quantization ADC + exact re-rank, the
     # ANN family's memory scale path; rows-only by design (engine-
     # seeded codebooks), full-shortlist == brute-force pinned in
-    # tests/test_pq.py
+    # tests/test_pq.py; the _fixed twin (r8) is the ORACLE-exact face:
+    # same pipeline over integer-quantized vectors + formula codebooks
     "pq_ann_topk",
+    "pq_ann_topk_fixed",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",
