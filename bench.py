@@ -160,6 +160,37 @@ BENCH_QUERIES = [
 ]
 
 
+# The 22 TPC-H-shaped classics (VERDICT r7 item 5): tracked as a named
+# sub-total so the classic-SQL surface trends separately from the
+# corpus/dedup/streaming operators. Keys are registry names; the Qn
+# mapping is each entry's docstring in queries.py.
+TPCH_QUERIES = [
+    "pricing_summary",  # Q1
+    "min_cost_supplier",  # Q2
+    "shipping_priority",  # Q3
+    "order_priority_check",  # Q4
+    "local_supplier_volume",  # Q5
+    "forecast_revenue_change",  # Q6
+    "volume_shipping",  # Q7
+    "nation_market_share",  # Q8
+    "product_type_profit",  # Q9
+    "returned_item_report",  # Q10
+    "important_part_value",  # Q11
+    "late_line_priority",  # Q12
+    "customer_order_distribution",  # Q13
+    "promo_revenue",  # Q14
+    "top_supplier",  # Q15
+    "parts_supplier_count",  # Q16
+    "small_qty_avg_yearly",  # Q17
+    "large_volume_customer",  # Q18
+    "disjunctive_bundle_revenue",  # Q19
+    "dominant_part_suppliers",  # Q20
+    "suppliers_kept_waiting",  # Q21
+    "global_sales_opportunity",  # Q22
+]
+assert set(TPCH_QUERIES) <= set(BENCH_QUERIES)
+
+
 # Committed reference time for the calibration query below, measured on
 # an unthrottled run (see BASELINE.md §throttle-sentinel). A run whose
 # calib_sec deviates >2x from this is flagged "throttled": true so
@@ -259,6 +290,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calib_sec": calib,
         "throttled": calib > 2 * CALIB_REF_SEC,
+        # classic-SQL sub-bench (22 TPC-H shapes), tracked per-round
+        "tpch22_total": round(sum(times[n] for n in TPCH_QUERIES), 3),
+        "tpch22_warm_total": round(sum(warm[n] for n in TPCH_QUERIES), 3),
     }
     # the stdout line is TOTALS-ONLY: r4 and r5 both lost their official
     # records ("parsed": null) because the line inlined 50-63 per-query
