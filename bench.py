@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "alpha_mixture_sample",
     "bloom_skip_lookup",
     "mad_outliers",
+    # r8 additions: Bloom-pruned takedown retraction
+    "bloom_retraction",
 ]
 
 

@@ -262,6 +262,39 @@ def curate(
     return out
 
 
+def write_curated(curated: DataFrame, path: str, files: int = 16) -> None:
+    """Persist a curated corpus Bloom-indexed on ``doc_id`` (sources/
+    skipping.write_bloom_indexed): range-clustering by id makes the
+    per-file filters selective, and the `_bloom_index/` sidecar makes
+    every later id-list operation — contamination audits, takedown
+    retractions — touch only the files that can contain those ids
+    instead of re-scanning the corpus."""
+    from hadoop_app_spark.sources.skipping import write_bloom_indexed
+
+    write_bloom_indexed(curated, path, "doc_id", files=files)
+
+
+def audit_contaminated(spark, path: str, doc_ids: list) -> tuple[DataFrame, dict]:
+    """Point-lookup the given doc_ids in a written curated corpus —
+    the post-hoc decontamination check (a benchmark suite grew AFTER
+    the corpus was built; which flagged docs actually shipped?).
+    Sidecar auto-discovery: Bloom-pruned when ``write_curated`` built
+    the index, plain filtered scan otherwise. Returns (rows, stats)."""
+    from hadoop_app_spark.sources.skipping import point_lookup
+
+    return point_lookup(spark, path, "doc_id", doc_ids)
+
+
+def retract_contaminated(spark, path: str, doc_ids: list) -> dict:
+    """Remove the given doc_ids from a written curated corpus by
+    rewriting ONLY the Bloom-passing files (sources/skipping.
+    retract_ids) — the retraction half of the decontamination loop.
+    Work is proportional to |affected files|, not corpus size."""
+    from hadoop_app_spark.sources.skipping import retract_ids
+
+    return retract_ids(spark, path, "doc_id", doc_ids)
+
+
 def run_corpus_pipeline(
     spark, sf_dir: str, sample: bool = False
 ) -> tuple[DataFrame, dict[str, int]]:

@@ -6832,6 +6832,46 @@ def q_bloom_skip_lookup(spark, sf_dir):
 
 
 @query(
+    "bloom_retraction",
+    # the oracle is simply the corpus minus the retracted ids: if
+    # retraction left any victim row behind (false negative — designed
+    # impossible) or dropped a bystander (rewrite bug), the per-flag
+    # counts/sums diverge
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, {q} AS sum_qty
+        FROM lineitem
+        WHERE l_partkey NOT IN (1, 500, 999)
+        GROUP BY 1 ORDER BY 1
+    """.format(q=_DSUM.format(c="l_quantity")),
+    doc="Bloom-indexed takedown retraction (the decontamination/right-to-"
+    "be-forgotten loop, sources/skipping.retract_ids + plans/"
+    "corpus_pipeline.retract_contaminated): lineitem is written "
+    "range-clustered with a per-file Bloom sidecar, a 3-id takedown "
+    "list deletes by REWRITING ONLY the Bloom-passing files (work "
+    "proportional to affected files, never the corpus — at 100 TB a "
+    "k-id list touches O(k) files), the sidecar refreshes in the same "
+    "pass, and the query returns the post-retraction per-flag "
+    "accounting; file-proportionality and sidecar consistency are "
+    "pinned in tests/test_skipping.py",
+)
+def q_bloom_retraction(spark, sf_dir):
+    from hadoop_app_spark.sources.skipping import retract_ids, write_bloom_indexed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity"
+    )
+    path = _scratch_dir("bloom_retract", sf_dir) + "/lineitem"
+    write_bloom_indexed(li, path, "l_partkey", files=16)
+    retract_ids(spark, path, "l_partkey", [1, 500, 999])
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "alpha_mixture_sample",
     # the oracle RECOMPUTES the whole derivation — counts -> integer
     # sqrt -> integer-division thresholds -> fingerprint membership —
@@ -7963,6 +8003,8 @@ _PRIORITY = [
     "alpha_mixture_sample",
     # r7: per-file Bloom sidecar point-lookup skipping
     "bloom_skip_lookup",
+    # r8: Bloom-pruned takedown retraction (rewrite only passing files)
+    "bloom_retraction",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

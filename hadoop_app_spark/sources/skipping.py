@@ -66,6 +66,10 @@ def write_bloom_indexed(
         key_bloom(back, col, m_bits, k, by=["file"])
         .withColumn("m_bits", F.lit(m_bits))
         .withColumn("k", F.lit(k))
+        # recorded so point_lookup's auto-discovery can verify the
+        # sidecar indexes the column being probed (a filter on any
+        # OTHER column must fall back to a full scan, never prune)
+        .withColumn("indexed_col", F.lit(col))
     )
     index.write.mode("overwrite").parquet(f"{path}/{INDEX_DIR}")
 
@@ -81,28 +85,40 @@ def _probe_positions(value: str, m_bits: int, k: int) -> list[tuple[int, int]]:
     return out
 
 
-def read_bloom_skip(
-    spark: SparkSession, path: str, col: str, values: list
-) -> tuple[DataFrame, dict]:
-    """Rows of ``path`` where ``col`` is in ``values``, scanning only
-    Bloom-passing files. Returns (DataFrame, stats) with stats =
-    {"files_total", "files_read"} so pruning is observable."""
+def _load_index(spark: SparkSession, path: str):
+    """(rows, blooms, m_bits, k) from a sidecar — blooms is
+    {file: {word: bits}}. Bounded by design: files x SET words only."""
     idx = spark.read.parquet(f"{path}/{INDEX_DIR}").collect()
     if not idx:
-        empty = spark.read.parquet(path).where(F.lit(False))
-        return empty, {"files_total": 0, "files_read": 0}
-    m_bits, k = idx[0]["m_bits"], idx[0]["k"]
+        return [], {}, 0, 0
     blooms: dict[str, dict[int, int]] = {}
     for r in idx:
         blooms.setdefault(r["file"], {})[r["word"]] = r["bits"]
+    return idx, blooms, idx[0]["m_bits"], idx[0]["k"]
+
+
+def _passing_files(blooms, m_bits: int, k: int, values: list) -> list[str]:
     probes = [_probe_positions(str(v), m_bits, k) for v in values]
-    passing = [
+    return [
         f
         for f, words in sorted(blooms.items())
         if any(
             all(words.get(w, 0) & m for w, m in probe) for probe in probes
         )
     ]
+
+
+def read_bloom_skip(
+    spark: SparkSession, path: str, col: str, values: list
+) -> tuple[DataFrame, dict]:
+    """Rows of ``path`` where ``col`` is in ``values``, scanning only
+    Bloom-passing files. Returns (DataFrame, stats) with stats =
+    {"files_total", "files_read"} so pruning is observable."""
+    _, blooms, m_bits, k = _load_index(spark, path)
+    if not blooms:
+        empty = spark.read.parquet(path).where(F.lit(False))
+        return empty, {"files_total": 0, "files_read": 0}
+    passing = _passing_files(blooms, m_bits, k, values)
     stats = {"files_total": len(blooms), "files_read": len(passing)}
     if not passing:
         empty = spark.read.parquet(path).where(F.lit(False))
@@ -111,3 +127,125 @@ def read_bloom_skip(
     # the exact predicate still applies: Bloom false positives cost
     # I/O only, and parquet row-group stats prune further inside files
     return df.where(F.col(col).isin(values)), stats
+
+
+def point_lookup(
+    spark: SparkSession, path: str, col: str, values: list
+) -> tuple[DataFrame, dict]:
+    """``read_bloom_skip`` with sidecar AUTO-DISCOVERY: probe
+    ``{path}/_bloom_index`` and use it when it exists AND indexes
+    ``col``; otherwise fall back to a plain filtered scan (parquet
+    min/max row-group pruning still applies there — just no file-level
+    Bloom skipping). Stats gains ``"index": "bloom" | "none"`` so
+    callers can see which path served them.
+
+    This is the reader a downstream consumer calls without knowing how
+    the table was written — the lakehouse contract where indexes are a
+    property of the TABLE, not an argument of the query (Delta/Iceberg
+    bloom filter indexes behave the same way).
+    """
+    try:
+        idx_head = spark.read.parquet(f"{path}/{INDEX_DIR}").limit(1).collect()
+    except Exception:
+        idx_head = []
+    if idx_head and (
+        "indexed_col" not in idx_head[0].__fields__  # pre-r8 sidecar
+        or idx_head[0]["indexed_col"] == col
+    ):
+        df, stats = read_bloom_skip(spark, path, col, values)
+        return df, {**stats, "index": "bloom"}
+    df = spark.read.parquet(path).where(F.col(col).isin(values))
+    return df, {"files_total": None, "files_read": None, "index": "none"}
+
+
+def retract_ids(
+    spark: SparkSession, path: str, col: str, values: list
+) -> dict:
+    """Delete every row where ``col`` is in ``values`` by REWRITING ONLY
+    the Bloom-passing files — the retraction/right-to-be-forgotten
+    operator a 100 TB corpus needs (a contaminated-id or takedown list
+    arrives AFTER the corpus is built; a full-corpus rewrite for a
+    thousand ids is absurd when an index names the handful of files
+    that can contain them).
+
+    Mechanics: Bloom-passing files are re-read, filtered, and their
+    replacements written via a scratch dir + atomic per-file rename into
+    ``path``; the originals are removed and the sidecar is updated in
+    the same pass (surviving rows kept, new files' filters built by the
+    same grouped ``key_bloom``). False positives cost a no-op rewrite
+    of that file, never correctness; false negatives cannot exist, so
+    retraction is COMPLETE.
+
+    Returns stats: {"files_total", "files_rewritten", "rows_removed"}.
+    At 100 TB: work is proportional to |passing files|, not the corpus
+    — with range-clustered layout and a k-id takedown list that is
+    O(k) files.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from hadoop_app_spark.operators.joins import key_bloom
+
+    idx, blooms, m_bits, k = _load_index(spark, path)
+    stats = {"files_total": len(blooms), "files_rewritten": 0, "rows_removed": 0}
+    if not blooms:
+        return stats
+    passing = _passing_files(blooms, m_bits, k, values)
+    if not passing:
+        return stats
+    col_set = spark.read.parquet(*passing).where(F.col(col).isin(values))
+    stats["rows_removed"] = col_set.count()
+    kept = spark.read.parquet(*passing).where(~F.col(col).isin(values))
+
+    def _local(p: str) -> str:
+        return p[len("file:") :] if p.startswith("file:") else p
+
+    scratch = os.path.join(_local(path), f"_retract_{uuid.uuid4().hex}")
+    # scratch lives UNDER path but `_`-prefixed, so concurrent readers
+    # of the table never see half-written files
+    kept.write.mode("overwrite").parquet(scratch)
+    moved = []
+    for fname in sorted(os.listdir(scratch)):
+        if not fname.endswith(".parquet"):
+            continue
+        dst = os.path.join(_local(path), f"part-retract-{uuid.uuid4().hex}.parquet")
+        os.rename(os.path.join(scratch, fname), dst)
+        moved.append(dst)
+    shutil.rmtree(scratch, ignore_errors=True)
+    for f in passing:
+        os.remove(_local(f))
+    stats["files_rewritten"] = len(moved)
+
+    # sidecar refresh: drop retired files' rows, add the new files'
+    # filters (same grouped kernel as the writer). The surviving rows
+    # are bounded driver-side metadata (files x set words), so the
+    # read-modify-overwrite cycle never touches corpus-scale data.
+    survivors = [r for r in idx if r["file"] not in set(passing)]
+    parts = []
+    if moved:
+        back = spark.read.parquet(*moved).select(
+            F.input_file_name().alias("file"), col
+        )
+        parts.append(
+            key_bloom(back, col, m_bits, k, by=["file"])
+            .withColumn("m_bits", F.lit(m_bits))
+            .withColumn("k", F.lit(k))
+            .withColumn("indexed_col", F.lit(col))
+        )
+    if survivors:
+        # inferred schema: pre-r8 sidecars lack indexed_col; unionByName
+        # with allowMissingColumns null-fills either side's gap
+        parts.append(spark.createDataFrame(survivors))
+    idx_path = f"{path}/{INDEX_DIR}"
+    if parts:
+        new_idx = parts[0]
+        for p in parts[1:]:
+            new_idx = new_idx.unionByName(p, allowMissingColumns=True)
+        rows = new_idx.collect()  # bounded metadata; frees the old files
+        spark.createDataFrame(rows, new_idx.schema).write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+    else:
+        shutil.rmtree(_local(idx_path), ignore_errors=True)
+    return stats

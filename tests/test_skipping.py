@@ -7,7 +7,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadoop_app_spark.catalog import load_table
-from hadoop_app_spark.sources.skipping import read_bloom_skip, write_bloom_indexed
+from hadoop_app_spark.sources.skipping import (
+    point_lookup,
+    read_bloom_skip,
+    retract_ids,
+    write_bloom_indexed,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -56,3 +61,101 @@ def test_sidecar_is_invisible_to_plain_scans(spark, indexed):
     path, li = indexed
     # the _bloom_index dir must not leak rows into a normal read
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_point_lookup_autodiscovers_index(spark, indexed):
+    path, li = indexed
+    some = [r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()]
+    df, stats = point_lookup(spark, path, "l_partkey", some)
+    assert stats["index"] == "bloom"
+    assert 0 < stats["files_read"] < stats["files_total"]
+    exp = sorted(map(tuple, li.where(F.col("l_partkey").isin(some)).collect()))
+    assert sorted(map(tuple, df.collect())) == exp
+
+
+def test_point_lookup_wrong_column_falls_back(spark, indexed):
+    path, li = indexed
+    # the sidecar indexes l_partkey; probing l_orderkey must NOT prune
+    # (a Bloom over another column has no say) — plain scan, same rows
+    some = [r.l_orderkey for r in li.select("l_orderkey").distinct().limit(2).collect()]
+    df, stats = point_lookup(spark, path, "l_orderkey", some)
+    assert stats["index"] == "none"
+    exp = sorted(map(tuple, li.where(F.col("l_orderkey").isin(some)).collect()))
+    assert sorted(map(tuple, df.collect())) == exp
+
+
+def test_point_lookup_unindexed_table_falls_back(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    li.write.parquet(path)
+    df, stats = point_lookup(spark, path, "l_partkey", [1])
+    assert stats["index"] == "none"
+    assert df.count() == li.where(F.col("l_partkey") == 1).count()
+
+
+def test_retract_rewrites_only_passing_files(spark, tmp_path):
+    path = str(tmp_path / "retract")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    victims = [
+        r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()
+    ]
+    n_before = li.count()
+    n_victim_rows = li.where(F.col("l_partkey").isin(victims)).count()
+    _, pre_stats = read_bloom_skip(spark, path, "l_partkey", victims)
+
+    stats = retract_ids(spark, path, "l_partkey", victims)
+    assert stats["rows_removed"] == n_victim_rows
+    # work proportional to passing files, never the corpus
+    assert stats["files_rewritten"] <= pre_stats["files_read"] < 8
+
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_partkey").isin(victims)).count() == 0
+    assert after.count() == n_before - n_victim_rows
+    # the refreshed sidecar still serves lookups: retracted ids gone,
+    # an untouched id still found with pruning intact
+    df, s2 = point_lookup(spark, path, "l_partkey", victims)
+    assert s2["index"] == "bloom" and df.count() == 0
+    alive = [
+        r.l_partkey
+        for r in after.select("l_partkey").distinct().limit(1).collect()
+    ]
+    df3, s3 = point_lookup(spark, path, "l_partkey", alive)
+    assert s3["index"] == "bloom"
+    assert df3.count() == after.where(F.col("l_partkey").isin(alive)).count()
+    assert 0 < s3["files_read"] <= s3["files_total"]
+
+
+def test_retract_absent_ids_is_noop(spark, tmp_path):
+    path = str(tmp_path / "retract_noop")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    n = li.count()
+    stats = retract_ids(spark, path, "l_partkey", [10**15])
+    assert stats["rows_removed"] == 0
+    assert spark.read.parquet(path).count() == n
+
+
+def test_curated_write_audit_retract_loop(spark, tmp_path):
+    """The decontamination loop end-to-end at the pipeline layer:
+    write_curated -> audit_contaminated -> retract_contaminated."""
+    from hadoop_app_spark.plans.corpus_pipeline import (
+        audit_contaminated,
+        retract_contaminated,
+        write_curated,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    path = str(tmp_path / "curated")
+    write_curated(docs, path, files=8)
+    flagged = [0, 3, 10**12]  # two shipped docs + one never-present id
+    hits, stats = audit_contaminated(spark, path, flagged)
+    assert stats["index"] == "bloom"
+    assert sorted(r.doc_id for r in hits.collect()) == [0, 3]
+    r = retract_contaminated(spark, path, flagged)
+    assert r["rows_removed"] == 2
+    still, _ = audit_contaminated(spark, path, flagged)
+    assert still.count() == 0
+    assert spark.read.parquet(path).count() == docs.count() - 2
