@@ -157,7 +157,9 @@ BENCH_QUERIES = [
     "alpha_mixture_sample",
     "bloom_skip_lookup",
     "mad_outliers",
-    # r8 additions: Bloom-pruned takedown retraction
+    # r8 additions: incremental dedup vs a persisted MinHash band
+    # index, Bloom-pruned takedown retraction
+    "dedup_increment",
     "bloom_retraction",
 ]
 

@@ -1,0 +1,215 @@
+"""Persisted IVF ANN index — index-as-a-table (build / query / append).
+
+`operators/similarity.ivf_topk` builds its inverted file per query
+batch: every call re-scans and re-assigns the whole corpus. A real
+100 TB embedding store cannot do that — the index must be a TABLE on
+disk whose layout makes each query touch only its probe cells, and
+whose daily growth is an append, not a rebuild (the ANN sibling of
+`operators/dedup.dedup_increment`'s persisted MinHash band index).
+
+Layout:
+
+- **build_ivf_index**: assign each vector's Voronoi cell via the same
+  inlined-centroid argmax `ivf_topk` uses (one scan, NO shuffle), then
+  write parquet PARTITIONED BY ``cell`` — each cell is a directory
+  (``cell=K/``), so a probe's ``cell IN (...)`` predicate becomes
+  Catalyst PARTITION PRUNING: unprobed cells are never opened, never
+  read, never decoded. Centroids land in a ``_ivf_centroids/`` sidecar
+  (``_``-prefix: invisible to plain scans, the `_bloom_index`
+  convention from sources/skipping.py).
+- **query_ivf_index**: load the sidecar (n_centroids rows — bounded by
+  construction), pick each query's ``n_probe`` nearest cells
+  driver-side (n_queries x n_centroids dots over a BOUNDED query
+  batch — the documented collect class), scan ONLY the union of
+  probed cell directories, broadcast the (query, cell) probe pairs
+  onto the int cell key, score exact cosine, rank top-k.
+- **append_ivf_index**: assign a new batch against the SIDECAR
+  centroids (the index's cell structure is immutable once built — the
+  standard IVF contract; rebuild when drift warrants) and append its
+  partitioned files. Work is proportional to the batch; existing
+  files and the sidecar are untouched.
+
+Determinism: centroids are the ``n_centroids`` lowest-id vectors (the
+engine's oracle-replayable convention, `ivf_topk`'s default); cell
+assignment and probe order break ties by centroid index; dot products
+accumulate left-to-right in every engine (Spark ``aggregate``, the
+driver loop here, DuckDB ``list_reduce``) so the cell/probe decisions
+are bit-identical cross-engine and the whole query path shares
+`_IVF_ORACLE` with the in-memory form.
+
+At 100 TB: n_centroids grows to ~sqrt(N) (the IVF sizing rule), the
+sidecar stays MB-scale, per-cell directories hold many files, and a
+query reads n_probe/n_centroids of the corpus — the same fraction as
+the in-memory path but with the non-probed fraction never leaving
+disk. Scale knob left explicit rather than defaulted: callers size
+``n_centroids`` to their corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.functions.vectors import cosine_similarity, dot
+from hadoop_app_spark.operators.similarity import _rank_topk
+
+CENTROID_DIR = "_ivf_centroids"
+
+
+def _cell_expr(matrix, vec_col: str):
+    """First index attaining the max dot — `ivf_topk`'s assignment."""
+    dots = F.transform(matrix, lambda c: dot(F.col(vec_col), c))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/{CENTROID_DIR}").orderBy("c_idx").collect()
+    if not rows:
+        raise ValueError(f"no IVF centroid sidecar under {path}")
+    return [list(r["cv"]) for r in rows]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroid_source: DataFrame | None = None,
+) -> None:
+    """Write ``corpus`` as a cell-partitioned IVF index at ``path``.
+
+    ``centroid_source`` mirrors `ivf_topk`'s: a cheaper frame for the
+    one-time bounded centroid fetch (n_centroids lowest-id vectors).
+    """
+    spark = corpus.sparkSession
+    src = centroid_source if centroid_source is not None else corpus
+    cents = [
+        [float(x) for x in r[1]]
+        for r in src.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    ]
+    if not cents:
+        raise ValueError("empty corpus")
+    matrix = F.lit(cents)
+    # repartition on cell first: each cell's rows converge to one task,
+    # so partitionBy emits ONE file per cell instead of (tasks x cells)
+    # small files — the small-file problem maintenance.compact_parquet
+    # exists to fix, avoided at write time here
+    (
+        corpus.withColumn("cell", _cell_expr(matrix, vec_col))
+        .repartition(max(n_centroids, 1), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "c_idx int, cv array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/{CENTROID_DIR}")
+
+
+def _probe_cells(
+    centroids: list[list[float]], qvec: list[float], n_probe: int
+) -> list[int]:
+    """The query's n_probe nearest cells, ties by centroid index —
+    the driver-side twin of `ivf_topk`'s array_sort probe expression.
+    Left-to-right accumulation matches Spark/DuckDB bit-for-bit."""
+    dots = []
+    for idx, c in enumerate(centroids):
+        acc = 0.0
+        for a, b in zip(qvec, c):
+            acc += a * b
+        dots.append((-acc, idx))
+    dots.sort()
+    return [idx for _, idx in dots[:n_probe]]
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query, scanning ONLY probed
+    cell partitions of the persisted index.
+
+    ``queries`` is [query_id, query_vec] and is collected — a query
+    BATCH is bounded by contract (the serving path's unit of work),
+    unlike the corpus, which stays distributed and partition-pruned.
+    """
+    centroids = _load_centroids(spark, path)
+    qrows = queries.select("query_id", "query_vec").collect()
+    probes = [
+        (r["query_id"], list(r["query_vec"]), _probe_cells(centroids, list(r["query_vec"]), n_probe))
+        for r in qrows
+    ]
+    all_cells = sorted({c for _, _, cells in probes for c in cells})
+    if not all_cells:
+        raise ValueError("no queries")
+    probed = spark.createDataFrame(
+        [(qid, qv, c) for qid, qv, cells in probes for c in cells],
+        "query_id long, query_vec array<double>, cell int",
+    )
+    # the isin literal is what Catalyst turns into PartitionFilters —
+    # unprobed cell directories are pruned at planning time
+    indexed = spark.read.parquet(path).where(F.col("cell").isin(all_cells))
+    joined = indexed.join(F.broadcast(probed), "cell").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        id_col,
+        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+    )
+    return _rank_topk(scored, id_col, k)
+
+
+def append_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch into an existing index: assign cells against the
+    persisted sidecar centroids, append partitioned files. Work scales
+    with the batch, never the index."""
+    spark = new_vecs.sparkSession
+    cents = _load_centroids(spark, path)
+    matrix = F.lit(cents)
+    (
+        new_vecs.withColumn("cell", _cell_expr(matrix, vec_col))
+        .repartition(max(len(cents), 1), F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def index_scan_stats(df: DataFrame) -> dict:
+    """{"files_read", "partitions_read"} from an EXECUTED DataFrame's
+    parquet scans (call after collect()/write — layout.scan_output_rows'
+    walker, reading the file/partition metrics instead of rows)."""
+    files = 0
+    parts = 0
+
+    def walk(node):
+        nonlocal files, parts
+        cls = node.getClass().getSimpleName()
+        if cls == "FileSourceScanExec":
+            m = node.metrics()
+            if m.contains("numFiles"):
+                files += m.apply("numFiles").value()
+            if m.contains("numPartitions"):
+                parts += m.apply("numPartitions").value()
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec"):
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return {"files_read": files, "partitions_read": parts}

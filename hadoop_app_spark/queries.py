@@ -3215,6 +3215,36 @@ REGISTRY["ivf_ann_topk_hof"] = QueryDef(
 )
 
 
+@query(
+    "ivf_index_topk",
+    # identical semantics to ivf_ann_topk (same centroids, assignment,
+    # probe order, scoring), so the same oracle replays it — what the
+    # persisted form changes is the ACCESS PATH (cell-partitioned
+    # parquet + partition pruning), which an oracle over values cannot
+    # and need not see; pruning is pinned in tests/test_ann_index.py
+    oracle=_IVF_ORACLE,
+    doc="PERSISTED IVF ANN index (operators/ann_index — the index-as-a-"
+    "table sibling of dedup_increment's MinHash band index): the corpus "
+    "is written ONCE as cell-partitioned parquet (cell=K/ directories + "
+    "a _ivf_centroids sidecar), and each query batch scans ONLY its "
+    "n_probe cells via Catalyst partition pruning — unprobed cells are "
+    "never opened; daily growth is append_ivf_index (assign vs sidecar "
+    "centroids, append files — work ~ batch, never the index)",
+)
+def q_ivf_index_topk(spark, sf_dir):
+    from hadoop_app_spark.operators.ann_index import build_ivf_index, query_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("ivf_index", sf_dir) + "/emb"
+    build_ivf_index(emb, path, n_centroids=16, centroid_source=emb)
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivf_index(spark, path, queries, k=5, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 _PQ_FIXED_ORACLE = f"""
     WITH corp AS (
         SELECT vec_id, [floor(x * 256) for x in embedding::DOUBLE[]] AS v
@@ -8005,6 +8035,8 @@ _PRIORITY = [
     "bloom_skip_lookup",
     # r8: Bloom-pruned takedown retraction (rewrite only passing files)
     "bloom_retraction",
+    # r8: persisted cell-partitioned IVF index (partition-pruned probes)
+    "ivf_index_topk",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

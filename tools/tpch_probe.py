@@ -12,20 +12,29 @@ families:
   - product_type_profit     (Q9: 6-table star)
 
 plus a SKEWED-KEY tier: a copy of the 10x corpus where ~5% of all
-lineitem rows are remapped onto ONE hot orderkey (an existing
+lineitem rows are remapped onto ONE hot orderkey (25%) (an existing
 F-status order, so Q21's filters keep it live). The run asserts that
 AQE's OptimizeSkewedJoin actually engages — the executed plan must
 contain ``skew=true`` on a sort-merge join — and reports the wall
 delta vs the uniform 10x tier.
 
 The skew thresholds are scaled down for the probe
-(skewedPartitionThresholdInBytes/advisoryPartitionSizeInBytes = 1 MB
-vs the 256 MB production default): at sf0.1 a 300k-row hot partition
+(skewedPartitionThresholdInBytes/advisoryPartitionSizeInBytes = 100 KB
+vs the 256 MB production default; empirically the 1 MB setting still
+did not trip on ~MB-scale compressed partitions): at sf0.1 a 300k-row hot partition
 is a few MB, far under the production threshold that assumes
 multi-GB shuffle partitions. The MECHANISM (median-based detection +
 partition splitting with build-side replication) is what is being
 verified; the threshold is a size-relative knob that needs no change
 at 100 TB where hot partitions really are multi-GB.
+
+Finding (recorded in BASELINE.md): plain skewJoin.enabled is NOT
+sufficient for Q21's shape — the semi and anti joins stack on the
+same orderkey partitioning, and AQE abandons a skew split that would
+break a downstream partitioning requirement. At scale the fix is
+``spark.sql.adaptive.forceOptimizeSkewedJoin=true`` (accept one extra
+shuffle to kill the straggler); the probe runs with it and shows the
+split engaging ONLY on the skewed tier.
 
 Scaling semantics: copy k shifts o_orderkey/l_orderkey by
 k*(max_orderkey+1) and c_custkey/o_custkey by k*(max_custkey+1), so
@@ -64,7 +73,10 @@ PROBES = [
 
 DIM_TABLES = ["region", "nation", "supplier", "part"]
 FACT_TABLES = ["customer", "orders", "lineitem"]
-HOT_FRACTION_MOD = 20  # 1/20 ~= 5% of lineitem rows onto the hot key
+HOT_FRACTION_MOD = 4  # 1/4 of lineitem rows onto the hot key: the hot
+# reduce partition must dominate the per-partition MEDIAN (detection is
+# median-relative) — a 5% hot key at 32 partitions was only ~2x median,
+# inside compression noise
 
 
 def _link(src: str, dst: Path) -> None:
@@ -156,7 +168,14 @@ def build_tiers(spark, base: str, out: Path, scales=(1, 10)) -> dict[str, str]:
 def run_one(spark, name: str, sf_dir: str):
     """Run query ``name`` against ``sf_dir``; return (sec, rows_out,
     shuffle_bytes, skew_joined). Best-of-2 cancels codegen compile
-    (scale-independent), matching stress_probe's convention."""
+    (scale-independent), matching stress_probe's convention.
+
+    The skew marker must be read from the DataFrame's OWN finalized
+    AQE plan: a ``.write`` executes a separate wrapping plan, leaving
+    ``df``'s ``executedPlan`` at ``isFinalPlan=false`` with no
+    ``AQEShuffleRead skewed`` markers. All three probed shapes return
+    bounded rows (<=175), so a ``collect()`` both finalizes the plan
+    and yields rows-out."""
     best = None
     for _ in range(2):
         b0 = _stage_bytes(spark)
@@ -165,8 +184,8 @@ def run_one(spark, name: str, sf_dir: str):
         df.write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
         b1 = _stage_bytes(spark)
+        n = len(df.collect())  # executes df's QE -> final adaptive plan
         plan = df._jdf.queryExecution().executedPlan().toString()
-        n = df.count()
         if best is None or dt < best[0]:
             best = (dt, n, _bytes_delta(b0, b1), "skew=true" in plan)
     return best
@@ -182,9 +201,20 @@ def main() -> None:
             # probe-scaled skew knobs (see module docstring): hot
             # partitions here are MBs, not the multi-GB the 256 MB
             # production default assumes
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            # Q21 STACKS the semi and anti joins on the same orderkey:
+            # the semi's output partitioning is consumed by the anti
+            # with no intervening exchange, so splitting the semi's
+            # skewed partition would break that guarantee and AQE
+            # (by default) abandons the skew optimization rather than
+            # add a shuffle. force accepts the extra shuffle — the
+            # right trade once one straggler partition dominates the
+            # stage (the probe demonstrates exactly this engagement;
+            # measured: uniform x10 stays unsplit under force, so the
+            # flag only acts when real skew exists)
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
         },
     )
     tmp = Path(tempfile.mkdtemp(prefix="tpch_probe_"))
@@ -216,7 +246,7 @@ def main() -> None:
             )
         if not sk:
             print(
-                "WARNING: skew tier ran WITHOUT an AQE skew split — "
+                "skew-check FAILED: skew tier ran WITHOUT an AQE skew split — "
                 "check join strategy (broadcast?) or thresholds"
             )
     finally:
