@@ -158,9 +158,10 @@ BENCH_QUERIES = [
     "bloom_skip_lookup",
     "mad_outliers",
     # r8 additions: incremental dedup vs a persisted MinHash band
-    # index, Bloom-pruned takedown retraction
+    # index, Bloom-pruned takedown retraction, persisted IVF index
     "dedup_increment",
     "bloom_retraction",
+    "ivf_index_topk",
 ]
 
 

@@ -208,7 +208,9 @@ def index_scan_stats(df: DataFrame) -> dict:
             walk(children.apply(i))
         if cls == "AdaptiveSparkPlanExec":
             walk(node.executedPlan())
-        if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec"):
+        # ResultQueryStageExec (Spark 4) wraps the final stage the same
+        # way shuffle/broadcast stages wrap theirs — descend into all
+        if cls.endswith("QueryStageExec"):
             walk(node.plan())
 
     walk(df._jdf.queryExecution().executedPlan())

@@ -1,0 +1,94 @@
+"""Persisted IVF index: result parity with the in-memory IVF, real
+partition pruning on probe, append proportionality, sidecar hygiene."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.catalog import load_table
+from hadoop_app_spark.operators.ann_index import (
+    append_ivf_index,
+    build_ivf_index,
+    index_scan_stats,
+    query_ivf_index,
+)
+from hadoop_app_spark.operators.similarity import ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _queries(emb):
+    return emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _res(df):
+    return sorted((r.query_id, r.vec_id, r.rank) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "emb")
+    emb = load_table(spark, SF, "embeddings")
+    build_ivf_index(emb, path, n_centroids=16, centroid_source=emb)
+    return path, emb
+
+
+def test_matches_in_memory_ivf(spark, built):
+    path, emb = built
+    persisted = query_ivf_index(spark, path, _queries(emb), k=5, n_probe=4)
+    in_memory = ivf_topk(emb, _queries(emb), k=5, n_centroids=16, n_probe=4)
+    assert _res(persisted) == _res(in_memory)
+
+
+def test_probe_prunes_partitions(spark, built):
+    path, emb = built
+    # one query, n_probe=2: at most 2 of 16 cell directories are read
+    q1 = _queries(emb).limit(1)
+    df = query_ivf_index(spark, path, q1, k=5, n_probe=2)
+    df.collect()
+    stats = index_scan_stats(df)
+    data_files = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and "_ivf_centroids" not in root
+    )
+    assert data_files >= 8  # the layout actually split into many cells
+    assert 0 < stats["files_read"] <= 2
+    # the pruning is Catalyst partition pruning, not post-scan filtering
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_append_equals_full_build(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    half1 = emb.where(F.col("vec_id") < 250)
+    half2 = emb.where(F.col("vec_id") >= 250)
+    inc_path = str(tmp_path / "inc")
+    # half1 contains the 16 lowest ids, so its centroids == full-corpus
+    # centroids and the incremental index must equal the full rebuild
+    build_ivf_index(half1, inc_path, n_centroids=16, centroid_source=half1)
+    append_ivf_index(half2, inc_path)
+    full_path = str(tmp_path / "full")
+    build_ivf_index(emb, full_path, n_centroids=16, centroid_source=emb)
+    q = _queries(emb)
+    assert _res(query_ivf_index(spark, inc_path, q)) == _res(
+        query_ivf_index(spark, full_path, q)
+    )
+    # and the appended rows landed in the existing layout
+    n_inc = spark.read.parquet(inc_path).count()
+    assert n_inc == emb.count()
+
+
+def test_sidecar_invisible_and_bounded(spark, built):
+    path, emb = built
+    plain = spark.read.parquet(path)
+    assert plain.count() == emb.count()
+    assert "c_idx" not in plain.columns
+    cents = spark.read.parquet(f"{path}/_ivf_centroids")
+    assert cents.count() == 16

@@ -774,6 +774,46 @@ def f_dedup_increment(spark, dp, ep, scratch):
     return surv.count()
 
 
+def f_ivf_index(spark, dp, ep, scratch):
+    """Persisted IVF index at a GROWING corpus with a FIXED query batch
+    + a FIXED append batch. The index builds once per tier (first run);
+    the kept second run times query + append only. Claims: the query
+    scans ~n_probe/n_centroids of the corpus via partition pruning
+    (files_read/total ratio constant across tiers), and the append's
+    work tracks the BATCH (flat across tiers — assignment against the
+    bounded sidecar, no index read)."""
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        index_scan_stats,
+        query_ivf_index,
+    )
+
+    e = spark.read.parquet(ep)
+    root = str(scratch.parent / f"ivf_idx_x{CURRENT_SCALE}")
+    import os
+
+    if not os.path.exists(root):
+        build_ivf_index(e, root, n_centroids=16, centroid_source=e)
+    q = e.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = query_ivf_index(spark, root, q, k=5, n_probe=4)
+    n = res.count()
+    res.collect()
+    stats = index_scan_stats(res)
+    max_id = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    batch = e.where(F.col("vec_id") < 500).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(max_id)
+    )
+    append_ivf_index(batch, root)
+    print(
+        f"    [ivf_index {CURRENT_SCALE}x] files_read={stats['files_read']} "
+        f"partitions_read={stats['partitions_read']}"
+    )
+    return n
+
+
 def f_scd2(spark, dp, ep, scratch):
     """SCD2 apply with history 9x the open set (each scaled copy of a
     doc plays a CLOSED version; the highest-id copy is open) and a
@@ -963,6 +1003,8 @@ FAMILIES = {
     "mad_outliers": f_mad_outliers,
     # r8: fixed batch vs growing persisted MinHash index
     "dedup_increment": f_dedup_increment,
+    # r8: persisted cell-partitioned IVF index (pruned query + append)
+    "ivf_index": f_ivf_index,
 }
 
 
@@ -1012,7 +1054,7 @@ def main() -> None:
     emb_families = {
         "cosine_topk_bf", "lsh_ann_topk", "ivf_ann_topk",
         "embedding_near_dup", "semdedup", "semdedup_fast",
-        "embedding_pca",
+        "embedding_pca", "ivf_index",
     }
     ev_families = {"funnel", "cohort"}
     # families reading BOTH documents and embeddings at scale
