@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "dedup_increment",
     "bloom_retraction",
     "ivf_index_topk",
+    "kmv_source_overlap",
 ]
 
 

@@ -1650,3 +1650,130 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, F.round(est, 3).alias("est_distinct"))
+
+
+def build_kmv(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    pre_buckets: int = 64,
+) -> DataFrame:
+    """K-minimum-values ("bottom-k" / theta) sketch per group ->
+    [*group_cols, h, pos]: the SET-OPERATION member of the sketch
+    family (Bayer/Beyer et al. 2007; the KMV theta sketch HLL cannot
+    replace — HLL registers union but never intersect, KMV minima
+    support union AND intersection/Jaccard estimates, the
+    cross-source overlap questions a mixture build asks).
+
+    The sketch is the k smallest DISTINCT 60-bit hashes of the
+    group's keys (h = the first 15 hex chars of one md5 — the
+    engine-reproducible slice convention, giving DuckDB the identical
+    minima bit-for-bit). est_distinct = (k-1) / (kth_min / 2^60);
+    when the group has fewer than k distinct keys the sketch IS the
+    set and every estimate collapses to exact.
+
+    Scale shape: one distinct hash-agg on (group, h) collapses the
+    corpus to its per-group hash sets (partial-combine friendly),
+    then a two-level tournament bounds the sorts — level 1 ranks
+    within (group, h % pre_buckets) sub-buckets (WindowGroupLimit
+    prunes map-side past k), level 2 ranks the surviving
+    <= pre_buckets*k rows per group. No group ever sorts its full
+    distinct set in one partition; at 100 TB raise pre_buckets with
+    corpus cardinality."""
+    group_cols = group_cols or []
+    h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10).cast("long")
+    dist = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("h"), F.lit(pre_buckets))
+    ).orderBy("h")
+    pre = (
+        dist.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        pre.withColumn("pos", F.row_number().over(w2))
+        .where(F.col("pos") <= k)
+    )
+
+
+KMV_RANGE = float(1 << 60)
+
+
+def kmv_estimate(
+    minima: DataFrame, group_cols: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """-> [*group_cols, est_distinct]: (k-1)/kth_min-normalized, or
+    the exact count when the sketch holds the whole set. One bounded
+    aggregation over <= k rows per group; the single division is the
+    only float op, deterministic cross-engine."""
+    group_cols = group_cols or []
+    agg = minima.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"), F.max("h").alias("_kth")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(KMV_RANGE))
+    )
+    return agg.select(*group_cols, F.round(est, 3).alias("est_distinct"))
+
+
+def kmv_pair_overlap(
+    minima: DataFrame, group_col: str = "source", k: int = 64
+) -> DataFrame:
+    """-> [src_a, src_b, est_union, jaccard, est_intersection] for
+    every group pair (a < b), from per-group KMV minima alone — the
+    sketch-space set algebra (Beyer et al. 2007): the k smallest of
+    H_a UNION H_b are a subset of minima_a UNION minima_b, so the
+    union sketch derives from the two sketches without touching the
+    corpus; jaccard = |union-sketch members in BOTH sketches| /
+    |union sketch|; intersection = jaccard * union estimate.
+
+    Every input here is sketch-sized (<= |groups| * k rows), so the
+    pairing is bounded work by construction: groups pair through a
+    constant-key equi-join (|groups|^2 rows, no corpus involvement),
+    the flags attach by broadcast hash joins on (group, h), and each
+    pair re-ranks <= 2k rows. Rounded to 3 decimals like the other
+    sketch finishers."""
+    m = minima.select(F.col(group_col).alias("_g"), "h")
+    groups = m.select("_g").distinct().withColumn("_one", F.lit(1))
+    pairs = (
+        groups.select(F.col("_g").alias("src_a"), "_one")
+        .join(groups.select(F.col("_g").alias("src_b"), "_one"), "_one")
+        .where(F.col("src_a") < F.col("src_b"))
+        .drop("_one")
+    )
+    rows_a = pairs.join(
+        F.broadcast(m), pairs.src_a == m._g
+    ).select("src_a", "src_b", "h", F.lit(1).alias("_fa"), F.lit(0).alias("_fb"))
+    rows_b = pairs.join(
+        F.broadcast(m), pairs.src_b == m._g
+    ).select("src_a", "src_b", "h", F.lit(0).alias("_fa"), F.lit(1).alias("_fb"))
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("_fa").alias("_fa"), F.max("_fb").alias("_fb"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    sk = merged.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= k)
+    agg = sk.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("_n"),
+        F.max("h").alias("_kth"),
+        F.sum(F.col("_fa") * F.col("_fb")).alias("_both"),
+    )
+    est_union = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(KMV_RANGE))
+    )
+    jacc = F.col("_both").cast("double") / F.col("_n").cast("double")
+    return agg.select(
+        "src_a",
+        "src_b",
+        F.round(est_union, 3).alias("est_union"),
+        F.round(jacc, 6).alias("jaccard"),
+        F.round(jacc * est_union, 3).alias("est_intersection"),
+    )

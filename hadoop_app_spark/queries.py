@@ -5431,6 +5431,119 @@ def q_hll_distinct_shingles(spark, sf_dir):
 
 
 @query(
+    "kmv_source_overlap",
+    # the oracle rebuilds the per-source KMV minima from the same
+    # 60-bit md5 slices, derives each pair's union sketch, and
+    # recomputes the (k-1)/kth estimator + Jaccard + intersection
+    # with the identical float operand order — exact side computed
+    # from the corpus in both engines as the in-values accuracy check
+    oracle=f"""
+        WITH sh AS (
+            SELECT source, array_to_string(toks[i:i+2], ' ') AS s
+            FROM (SELECT source, {{toks}} AS toks FROM documents) t,
+                 unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)),
+        hs AS (
+            SELECT DISTINCT source AS g,
+                   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+            FROM sh),
+        mins AS (
+            SELECT g, h FROM (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS pos
+                FROM hs) WHERE pos <= 64),
+        pairs AS (
+            SELECT a.g AS src_a, b.g AS src_b
+            FROM (SELECT DISTINCT g FROM hs) a, (SELECT DISTINCT g FROM hs) b
+            WHERE a.g < b.g),
+        uni AS (
+            SELECT p.src_a, p.src_b, m.h,
+                   max(CASE WHEN m.g = p.src_a THEN 1 ELSE 0 END) AS fa,
+                   max(CASE WHEN m.g = p.src_b THEN 1 ELSE 0 END) AS fb
+            FROM pairs p JOIN mins m ON m.g IN (p.src_a, p.src_b)
+            GROUP BY 1, 2, 3),
+        sk AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                             ORDER BY h) AS pos
+                FROM uni) WHERE pos <= 64),
+        agg AS (
+            SELECT src_a, src_b, count(*) AS n, max(h) AS kth,
+                   sum(fa * fb) AS nboth
+            FROM sk GROUP BY 1, 2),
+        ds AS (SELECT DISTINCT source AS g, s FROM sh),
+        exu AS (
+            SELECT p.src_a, p.src_b, d.s,
+                   max(CASE WHEN d.g = p.src_a THEN 1 ELSE 0 END) AS fa,
+                   max(CASE WHEN d.g = p.src_b THEN 1 ELSE 0 END) AS fb
+            FROM pairs p JOIN ds d ON d.g IN (p.src_a, p.src_b)
+            GROUP BY 1, 2, 3),
+        ex AS (
+            SELECT src_a, src_b, count(*) AS exact_union,
+                   sum(fa * fb) AS exact_intersection
+            FROM exu GROUP BY 1, 2)
+        SELECT a.src_a, a.src_b,
+               round(CASE WHEN a.n < 64 THEN CAST(a.n AS DOUBLE)
+                          ELSE 63.0 / (CAST(a.kth AS DOUBLE)
+                                       / 1152921504606846976.0) END, 3)
+                   AS est_union,
+               round(CAST(a.nboth AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+                   AS jaccard,
+               round((CAST(a.nboth AS DOUBLE) / CAST(a.n AS DOUBLE))
+                     * CASE WHEN a.n < 64 THEN CAST(a.n AS DOUBLE)
+                            ELSE 63.0 / (CAST(a.kth AS DOUBLE)
+                                         / 1152921504606846976.0) END, 3)
+                   AS est_intersection,
+               e.exact_union, e.exact_intersection
+        FROM agg a JOIN ex e USING (src_a, src_b)
+        ORDER BY src_a, src_b
+    """.format(toks=_TOKS),
+    doc="KMV (k-minimum-values / bottom-k theta) sketch set algebra "
+    "across sources: per-source 64-minima over 3-gram shingles, then "
+    "pairwise UNION + JACCARD + INTERSECTION estimates derived from "
+    "the sketches alone (Beyer et al. 2007) with the exact counts "
+    "alongside as the in-values accuracy check — the set-operation "
+    "capability HLL lacks (registers union but never intersect), i.e. "
+    "the cross-source contamination questions a mixture build asks at "
+    "sketch cost (operators/corpus.build_kmv/kmv_pair_overlap); "
+    "deterministic 60-bit md5-slice hashes make the minima and every "
+    "estimate oracle-reproducible bit-for-bit",
+)
+def q_kmv_source_overlap(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import build_kmv, kmv_pair_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(ngrams_from_tokens(tokenize("text"), 3)).alias("s")
+    )
+    minima = build_kmv(sh, "s", ["source"], k=64)
+    est = kmv_pair_overlap(minima, "source", k=64)
+    ds = sh.select(F.col("source").alias("_g"), "s").distinct()
+    groups = ds.select("_g").distinct().withColumn("_one", F.lit(1))
+    pairs = (
+        groups.select(F.col("_g").alias("src_a"), "_one")
+        .join(groups.select(F.col("_g").alias("src_b"), "_one"), "_one")
+        .where(F.col("src_a") < F.col("src_b"))
+        .drop("_one")
+    )
+    ra = pairs.join(F.broadcast(ds), pairs.src_a == ds._g).select(
+        "src_a", "src_b", "s", F.lit(1).alias("_fa"), F.lit(0).alias("_fb")
+    )
+    rb = pairs.join(F.broadcast(ds), pairs.src_b == ds._g).select(
+        "src_a", "src_b", "s", F.lit(0).alias("_fa"), F.lit(1).alias("_fb")
+    )
+    ex = (
+        ra.unionByName(rb)
+        .groupBy("src_a", "src_b", "s")
+        .agg(F.max("_fa").alias("_fa"), F.max("_fb").alias("_fb"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("exact_union"),
+            F.sum(F.col("_fa") * F.col("_fb")).alias("exact_intersection"),
+        )
+    )
+    return est.join(ex, ["src_a", "src_b"]).orderBy("src_a", "src_b")
+
+
+@query(
     "triangle_census",
     # the oracle replays the same degree-ordered orientation, wedge
     # join, and closing-edge semi-join — every figure is an exact
@@ -8037,6 +8150,8 @@ _PRIORITY = [
     "bloom_retraction",
     # r8: persisted cell-partitioned IVF index (partition-pruned probes)
     "ivf_index_topk",
+    # r8: KMV theta sketch — cross-source union/intersection estimates
+    "kmv_source_overlap",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

@@ -2124,6 +2124,56 @@ def test_hll_estimate_linear_counting_small_range(spark):
     assert abs(est - 40) < 2
 
 
+def test_kmv_minima_match_reference(spark):
+    import hashlib
+
+    from hadoop_app_spark.operators.corpus import build_kmv
+
+    keys = [f"key-{i}" for i in range(500)] + ["key-0", "key-1"]  # dups no-op
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = sorted((r.h, r.pos) for r in build_kmv(df, "k", k=64).collect())
+    hashes = sorted(
+        int(hashlib.md5(k.encode()).hexdigest()[:15], 16) for k in set(keys)
+    )
+    assert got == [(h, i + 1) for i, h in enumerate(hashes[:64])]
+
+
+def test_kmv_estimate_accuracy_and_exhaustive_collapse(spark):
+    from hadoop_app_spark.operators.corpus import build_kmv, kmv_estimate
+
+    big = spark.createDataFrame([(f"v{i}",) for i in range(5000)], "k string")
+    est = kmv_estimate(build_kmv(big, "k", k=256), k=256).collect()[0].est_distinct
+    # KMV std err ~ 1/sqrt(k-2) ~ 6.3% at k=256; fixed keys, 3-sigma
+    assert abs(est - 5000) / 5000 < 0.19
+    small = spark.createDataFrame([(f"v{i}",) for i in range(40)], "k string")
+    est_small = kmv_estimate(build_kmv(small, "k", k=64), k=64).collect()[0]
+    assert est_small.est_distinct == 40.0  # sketch holds the whole set
+
+
+def test_kmv_pair_overlap_estimates_and_exact_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import build_kmv, kmv_pair_overlap
+
+    # A = 0..2999, B = 2000..4999 -> union 5000, intersection 1000
+    rows = [("A", f"v{i}") for i in range(3000)] + [
+        ("B", f"v{i}") for i in range(2000, 5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, k string")
+    minima = build_kmv(df, "k", ["g"], k=256)
+    r = kmv_pair_overlap(minima, "g", k=256).collect()[0]
+    assert abs(r.est_union - 5000) / 5000 < 0.19
+    assert abs(r.jaccard - 0.2) < 0.08
+    assert abs(r.est_intersection - 1000) / 1000 < 0.45
+    # exhaustive pair (both sets fit in k): every estimate is exact
+    small = [("A", f"v{i}") for i in range(30)] + [
+        ("B", f"v{i}") for i in range(20, 50)
+    ]
+    sdf = spark.createDataFrame(small, "g string, k string")
+    rs = kmv_pair_overlap(build_kmv(sdf, "k", ["g"], k=64), "g", k=64).collect()[0]
+    assert (rs.est_union, rs.jaccard, rs.est_intersection) == (50.0, 0.2, 10.0)
+
+
 def test_triangle_census_known_graph(spark):
     from hadoop_app_spark.operators.graph import triangle_census
 

@@ -78,6 +78,13 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # important_part_value: Q11's HAVING > fraction-of-global-total is
     # the same ONE-ROW aggregate crossJoin-broadcast threshold
     "important_part_value",
+    # kmv_source_overlap: the group PAIRING (src_a < src_b over the
+    # DISTINCT-sources frame, <= |sources| rows by construction) is an
+    # intentional bounded nested-loop — sketch-space set algebra never
+    # touches the corpus, and |sources|^2 is the op's declared output
+    # size; the corpus-side work is the one distinct hash-agg inside
+    # build_kmv, machine-checked exact by the oracle
+    "kmv_source_overlap",
 }
 
 
