@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "bloom_retraction",
     "ivf_index_topk",
     "kmv_source_overlap",
+    "compaction_roundtrip",
 ]
 
 

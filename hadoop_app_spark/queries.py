@@ -7015,6 +7015,46 @@ def q_bloom_retraction(spark, sf_dir):
 
 
 @query(
+    "compaction_roundtrip",
+    # content preservation is the oracle: compaction must be a pure
+    # layout rewrite, so the per-flag accounting over the compacted
+    # table equals the direct aggregate; file-count mechanics (64
+    # small files -> size-targeted output, sort_by clustering) are
+    # pinned in tests/test_operators.py::test_compact_parquet
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, {q} AS sum_qty
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1
+    """.format(q=_DSUM.format(c="l_quantity")),
+    doc="small-file compaction round-trip (operators/maintenance."
+    "compact_parquet — the OPTIMIZE maintenance op an ingest-heavy "
+    "100 TB pipeline runs continuously: micro-batch landings fragment "
+    "into per-trigger files, compaction rewrites to size-targeted "
+    "files with optional range-clustering so parquet min/max stats "
+    "prune again): lineitem is fragmented into 64 small files, "
+    "compacted with sort_by=l_orderkey, and the entry returns the "
+    "post-compaction accounting — byte-identical content is the "
+    "contract",
+)
+def q_compaction_roundtrip(spark, sf_dir):
+    from hadoop_app_spark.operators.maintenance import compact_parquet
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    root = _scratch_dir("compaction", sf_dir)
+    src, dst = root + "/small", root + "/compacted"
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    compact_parquet(spark, src, dst, target_mb=64, sort_by=["l_orderkey"])
+    return (
+        spark.read.parquet(dst)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "alpha_mixture_sample",
     # the oracle RECOMPUTES the whole derivation — counts -> integer
     # sqrt -> integer-division thresholds -> fingerprint membership —
@@ -8152,6 +8192,8 @@ _PRIORITY = [
     "ivf_index_topk",
     # r8: KMV theta sketch — cross-source union/intersection estimates
     "kmv_source_overlap",
+    # r8: OPTIMIZE-class small-file compaction round-trip
+    "compaction_roundtrip",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design
