@@ -2150,6 +2150,32 @@ def test_kmv_estimate_accuracy_and_exhaustive_collapse(spark):
     assert est_small.est_distinct == 40.0  # sketch holds the whole set
 
 
+def test_kmv_minima_merge_like_shards(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.corpus import build_kmv
+
+    keys = [f"m{i}" for i in range(2000)]
+    whole = spark.createDataFrame([(k,) for k in keys], "k string")
+    shard_a = spark.createDataFrame([(k,) for k in keys[:1200]], "k string")
+    shard_b = spark.createDataFrame([(k,) for k in keys[900:]], "k string")
+    # mergeability: re-ranking the union of per-shard minima == whole-
+    # corpus minima (the property that lets sketches roll up across
+    # days/shards without re-reading the corpus)
+    merged = (
+        build_kmv(shard_a, "k", k=64)
+        .select("h")
+        .unionByName(build_kmv(shard_b, "k", k=64).select("h"))
+        .distinct()
+        .withColumn("pos", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("pos") <= 64)
+    )
+    assert sorted((r.h, r.pos) for r in merged.collect()) == sorted(
+        (r.h, r.pos) for r in build_kmv(whole, "k", k=64).collect()
+    )
+
+
 def test_kmv_pair_overlap_estimates_and_exact_collapse(spark):
     from pyspark.sql import functions as F
 

@@ -162,6 +162,21 @@ SHOWCASE = {
         "the exchange — output is proportional to churn, unchanged docs drop "
         "in the post-join filter",
     ),
+    "ivf_index_topk": (
+        "PartitionFilters [cell IN (...)] on the index scan — unprobed cell "
+        "directories pruned at planning time; BroadcastHashJoin of the tiny "
+        "(query, cell) probe pairs onto the scan",
+        "the persisted index turns the n_probe/n_centroids scan fraction "
+        "into files never opened — the non-probed corpus stays on disk",
+    ),
+    "kmv_source_overlap": (
+        "ONE distinct HashAggregate on (source, h) collapsing the corpus "
+        "before any pairing; everything above it operates on <= |sources|*k "
+        "sketch rows (windows, the bounded pairing NLJ, flag joins)",
+        "set-operation estimates across sources at sketch cost: the corpus "
+        "is scanned once and exchanged once (the distinct), never re-read "
+        "per pair — |sources|^2 pairs cost sketch-sized work each",
+    ),
 }
 
 
