@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "ivf_index_topk",
     "kmv_source_overlap",
     "compaction_roundtrip",
+    "mixture_epoch_order",
 ]
 
 

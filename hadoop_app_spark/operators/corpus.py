@@ -1777,3 +1777,63 @@ def kmv_pair_overlap(
         F.round(jacc, 6).alias("jaccard"),
         F.round(jacc * est_union, 3).alias("est_intersection"),
     )
+
+
+def mixture_epoch_order(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """-> [id_col, source_col, order_key]: a DETERMINISTIC training
+    order whose every prefix preserves the target source mixture — the
+    data-ordering half of mixture control (mixture_rebalance fixes the
+    epoch's token TOTALS; this fixes the ORDER so a partial epoch, a
+    resume, or a curriculum window still sees sources at their target
+    rates instead of whatever the ingest order front-loaded).
+
+    Construction: each doc draws a deterministic uniform u in [0,1)
+    (its 60-bit md5 slice / 2^60 — the engine's oracle-reproducible
+    randomness), stretched per source by n_s / w_s:
+
+        order_key = u * n_s / w_s
+
+    Uniform u makes each source's keys a uniform point process whose
+    density below any threshold t is t * w_s — so sorting by
+    order_key interleaves sources at rates proportional to w_s
+    UNIFORMLY through the epoch (the stride-scheduling property,
+    achieved statistically instead of via per-source rank windows,
+    which would sort each full source in one partition).
+
+    Scale shape: one bounded per-source count aggregation broadcast
+    back onto the corpus (|sources| rows), then a narrow map — no
+    windows, no per-source sort. The global order itself is realized
+    by whoever consumes the keys (``orderBy(order_key)`` = Spark's
+    distributed range sort; shard-local positions after a
+    repartitionByRange at 100 TB). Sources with weight 0 are dropped
+    (they have no place in the epoch). Ties are impossible in
+    practice (60-bit hashes) and broken by id downstream anyway;
+    the three float ops (div, mul, div) evaluate in fixed order, so
+    keys reproduce bit-for-bit cross-engine."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in weights.items() if w > 0],
+        f"{source_col} string, _w double",
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(counts), source_col)
+        .join(F.broadcast(wdf), source_col)
+        .select(
+            id_col,
+            source_col,
+            (u * F.col("_n").cast("double") / F.col("_w")).alias("order_key"),
+        )
+    )

@@ -6939,6 +6939,42 @@ def q_mixture_rebalance(spark, sf_dir):
 
 
 @query(
+    "mixture_epoch_order",
+    # the oracle recomputes u = md5-slice/2^60 and the (u * n_s / w_s)
+    # stretch with identical operand order — bit-exact doubles
+    oracle="""
+        WITH w AS (SELECT * FROM (VALUES ('src0', 0.3), ('src1', 0.3),
+                                         ('src2', 0.2), ('src3', 0.2))
+                   t(source, w)),
+        n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+        SELECT d.doc_id, d.source,
+               (CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) AS DOUBLE)
+                / 1152921504606846976.0)
+               * CAST(n.n AS DOUBLE) / w.w AS order_key
+        FROM documents d JOIN n USING (source) JOIN w USING (source)
+    """,
+    doc="mixture-preserving deterministic epoch ordering (operators/"
+    "corpus.mixture_epoch_order — the data-ORDERING half of mixture "
+    "control next to mixture_rebalance's token totals): each doc's "
+    "60-bit md5 uniform is stretched by n_source/weight, so sorting by "
+    "order_key interleaves sources at their target rates uniformly "
+    "through the epoch — any prefix (partial epoch, resume, curriculum "
+    "window) still sees the target mixture; one bounded per-source "
+    "count broadcast + a narrow map, NO per-source rank windows (which "
+    "would sort each full source in one partition); prefix-mixture "
+    "property pinned in pytest",
+)
+def q_mixture_epoch_order(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import mixture_epoch_order
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_epoch_order(
+        d, {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+    )
+
+
+@query(
     "bloom_skip_lookup",
     oracle="""
         SELECT l_partkey, count(*) AS n, {q} AS sum_qty
@@ -8194,6 +8230,8 @@ _PRIORITY = [
     "kmv_source_overlap",
     # r8: OPTIMIZE-class small-file compaction round-trip
     "compaction_roundtrip",
+    # r8: mixture-preserving deterministic epoch ordering
+    "mixture_epoch_order",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

@@ -2150,6 +2150,36 @@ def test_kmv_estimate_accuracy_and_exhaustive_collapse(spark):
     assert est_small.est_distinct == 40.0  # sketch holds the whole set
 
 
+def test_mixture_epoch_order_prefix_preserves_mixture(spark):
+    from hadoop_app_spark.operators.corpus import mixture_epoch_order
+
+    # synthetic corpus: the prefix property is statistical (uniform
+    # hashes), so it needs real per-source mass — testdata has only 25
+    # docs per source. Deliberately UNEQUAL source sizes: the n_s/w_s
+    # stretch must keep prefix shares at the weights regardless
+    sizes = {"src0": 800, "src1": 600, "src2": 400, "src3": 200}
+    rows, i = [], 0
+    for s, ns in sizes.items():
+        for _ in range(ns):
+            rows.append((i, s))
+            i += 1
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    ordered = mixture_epoch_order(d, w).orderBy("order_key").collect()
+    n = len(ordered)
+    assert n == sum(sizes.values())
+    # every prefix sees sources at ~target rates (the property the
+    # operator exists for); fixed data -> deterministic assertion
+    for frac in (0.2, 0.5):
+        prefix = ordered[: int(n * frac)]
+        for s, ws in w.items():
+            share = sum(1 for r in prefix if r.source == s) / len(prefix)
+            assert abs(share - ws) < 0.1, (frac, s, share)
+    # determinism: same input -> identical keys
+    again = mixture_epoch_order(d, w).orderBy("order_key").collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in ordered]
+
+
 def test_kmv_minima_merge_like_shards(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
