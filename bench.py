@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "kmv_source_overlap",
     "compaction_roundtrip",
     "mixture_epoch_order",
+    "orc_roundtrip",
 ]
 
 
