@@ -189,29 +189,21 @@ def append_ivf_index(
 
 def index_scan_stats(df: DataFrame) -> dict:
     """{"files_read", "partitions_read"} from an EXECUTED DataFrame's
-    parquet scans (call after collect()/write — layout.scan_output_rows'
-    walker, reading the file/partition metrics instead of rows)."""
+    parquet scans (call after collect()/write) — layout's shared plan
+    walker, reading the file/partition metrics instead of rows."""
+    from hadoop_app_spark.sources.layout import walk_executed_plan
+
     files = 0
     parts = 0
 
-    def walk(node):
+    def on_node(node, cls):
         nonlocal files, parts
-        cls = node.getClass().getSimpleName()
         if cls == "FileSourceScanExec":
             m = node.metrics()
             if m.contains("numFiles"):
                 files += m.apply("numFiles").value()
             if m.contains("numPartitions"):
                 parts += m.apply("numPartitions").value()
-        children = node.children()
-        for i in range(children.size()):
-            walk(children.apply(i))
-        if cls == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan())
-        # ResultQueryStageExec (Spark 4) wraps the final stage the same
-        # way shuffle/broadcast stages wrap theirs — descend into all
-        if cls.endswith("QueryStageExec"):
-            walk(node.plan())
 
-    walk(df._jdf.queryExecution().executedPlan())
+    walk_executed_plan(df, on_node)
     return {"files_read": files, "partitions_read": parts}

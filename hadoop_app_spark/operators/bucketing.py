@@ -75,6 +75,41 @@ def _location_claimed(spark: SparkSession, loc: str) -> bool:
     return False
 
 
+def save_table_recovering_orphan(
+    spark: SparkSession, writer, table: str, mode: str = "overwrite"
+) -> None:
+    """``writer.saveAsTable(table)`` with ONE retry after deleting a
+    true orphan managed location.
+
+    A FRESH session has an empty in-memory catalog, but a managed
+    location under the warehouse can survive from earlier sessions;
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS. Delete the
+    colliding directory ONLY for a true orphan — when the failure names
+    that cause, overwrite was requested, and no catalog entity claims
+    the path (r3 ADVICE: a blind derived-path delete could destroy a
+    custom-LOCATION table stored there). Shared by every table-writing
+    operator (bucketed layouts, dedup index maintenance) so the guard
+    logic lives in exactly one place.
+    """
+    try:
+        writer.saveAsTable(table)
+    except Exception as e:
+        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+        from hadoop_app_spark.sources.fs import delete, exists
+
+        if "." in table:
+            db, t = table.lower().rsplit(".", 1)
+        else:
+            db, t = spark.catalog.currentDatabase().lower(), table.lower()
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        orphan = f"{wh}/{t}" if db == "default" else f"{wh}/{db}.db/{t}"
+        if not exists(spark, orphan) or _location_claimed(spark, orphan):
+            raise
+        delete(spark, orphan, recursive=True)
+        writer.saveAsTable(table)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -106,30 +141,7 @@ def write_bucketed(
     writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
-    try:
-        writer.saveAsTable(table)
-    except Exception as e:
-        # a FRESH session has an empty in-memory catalog, but a managed
-        # location under the warehouse can survive from earlier sessions;
-        # saveAsTable then fails with LOCATION_ALREADY_EXISTS. Delete the
-        # colliding directory ONLY for a true orphan — when the failure
-        # names that cause, overwrite was requested, and no catalog
-        # entity claims the path (r3 ADVICE: a blind derived-path delete
-        # could destroy a custom-LOCATION table stored there).
-        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(e):
-            raise
-        from hadoop_app_spark.sources.fs import delete, exists
-
-        if "." in table:
-            db, t = table.lower().rsplit(".", 1)
-        else:
-            db, t = spark.catalog.currentDatabase().lower(), table.lower()
-        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        orphan = f"{wh}/{t}" if db == "default" else f"{wh}/{db}.db/{t}"
-        if not exists(spark, orphan) or _location_claimed(spark, orphan):
-            raise
-        delete(spark, orphan, recursive=True)
-        writer.saveAsTable(table)
+    save_table_recovering_orphan(spark, writer, table, mode)
 
 
 def bucketed_join(

@@ -453,20 +453,11 @@ def dedup_increment(
     # materialize the index-reading subplan NOW, before any append
     # mutates what spark.table(index_table) resolves to
     dropped_table = dropped_table or f"{index_table}_dropped"
-    try:
-        dropped.write.mode("overwrite").format("parquet").saveAsTable(dropped_table)
-    except Exception as e:  # orphan managed location from an earlier session
-        if "LOCATION_ALREADY_EXISTS" not in str(e):
-            raise
-        from hadoop_app_spark.operators.bucketing import _location_claimed
-        from hadoop_app_spark.sources.fs import delete, exists
+    from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
 
-        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        orphan = f"{wh}/{dropped_table.lower()}"
-        if not exists(spark, orphan) or _location_claimed(spark, orphan):
-            raise
-        delete(spark, orphan, recursive=True)
-        dropped.write.mode("overwrite").format("parquet").saveAsTable(dropped_table)
+    save_table_recovering_orphan(
+        spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
+    )
     dropped_snap = spark.table(dropped_table)
     survivors = new_batch.join(dropped_snap, id_col, "left_anti")
     if append:

@@ -4265,6 +4265,15 @@ def q_stream_pyds_exec(spark, sf_dir):
     # reports zero input rows after the backlog is consumed.
     lines.repartition(4).write.mode("overwrite").text(out)
     name = "stream_pyds_" + uuid.uuid4().hex[:8]
+    # paced-from-trigger-1 over a pre-populated backlog needs durable
+    # pace state (the first latestOffset can't see the checkpoint, so
+    # without it the first batch is unpaced by restart-safety design);
+    # cleared per invocation — this query is a fresh stream each run,
+    # and stale state would mark the regenerated files as committed
+    import shutil
+
+    pace_dir = _scratch_dir("pyds_stream_pace", sf_dir)
+    shutil.rmtree(pace_dir, ignore_errors=True)
     # the drain detector below waits for an EMPTY progress round, but
     # no-data progress events are emitted only every 10s by default —
     # a fixed 10s idle tax on a query whose real work is ~2s (measured
@@ -4273,7 +4282,10 @@ def q_stream_pyds_exec(spark, sf_dir):
     # already run every trigger regardless.
     spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "250ms")
     q = (
-        read_ncdc_stream(spark, out, num_partitions=8, max_files_per_trigger=2)
+        read_ncdc_stream(
+            spark, out, num_partitions=8, max_files_per_trigger=2,
+            pace_state_dir=pace_dir,
+        )
         .groupBy("year")
         .agg(F.count("*").alias("n"), F.max("temp").alias("max_temp"))
         .writeStream.format("memory")

@@ -55,33 +55,47 @@ def write_range_layout(
     out.write.mode("overwrite").parquet(path)
 
 
-def scan_output_rows(df: DataFrame) -> int:
-    """Rows the parquet scan(s) of an EXECUTED DataFrame actually
-    produced after pushed-filter evaluation — the observable the
-    layout exists to minimize. Call after ``df.collect()`` /
-    ``df.write``: those execute THIS DataFrame's query execution.
-    (``df.count()`` builds a separate aggregate plan whose metrics do
-    not attach here — a never-executed frame reports 0.) Walks the
-    executed plan for FileSourceScanExec/BatchScanExec metrics."""
-    total = 0
+def walk_executed_plan(df: DataFrame, on_node) -> None:
+    """Visit every physical node of an EXECUTED DataFrame's plan as
+    ``on_node(node, simple_class_name)``, descending through AQE
+    wrappers and ALL QueryStageExec variants — shuffle, broadcast, AND
+    Spark 4's ResultQueryStageExec, which wraps the FINAL stage the
+    same way (a walker that lists only shuffle/broadcast stages
+    silently misses every scan in the last stage). One walker so every
+    metric reader (row counts, file counts) shares the descent rules."""
 
     def walk(node):
-        nonlocal total
         cls = node.getClass().getSimpleName()
-        if cls in ("FileSourceScanExec", "BatchScanExec"):
-            m = node.metrics()
-            if m.contains("numOutputRows"):
-                total += m.apply("numOutputRows").value()
+        on_node(node, cls)
         children = node.children()
         for i in range(children.size()):
             walk(children.apply(i))
         # AQE wraps stages; descend into materialized subqueries/stages
         if cls == "AdaptiveSparkPlanExec":
             walk(node.executedPlan())
-        if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec"):
+        if cls.endswith("QueryStageExec"):
             walk(node.plan())
 
     walk(df._jdf.queryExecution().executedPlan())
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Rows the parquet scan(s) of an EXECUTED DataFrame actually
+    produced after pushed-filter evaluation — the observable the
+    layout exists to minimize. Call after ``df.collect()`` /
+    ``df.write``: those execute THIS DataFrame's query execution.
+    (``df.count()`` builds a separate aggregate plan whose metrics do
+    not attach here — a never-executed frame reports 0.)"""
+    total = 0
+
+    def on_node(node, cls):
+        nonlocal total
+        if cls in ("FileSourceScanExec", "BatchScanExec"):
+            m = node.metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+
+    walk_executed_plan(df, on_node)
     return total
 
 

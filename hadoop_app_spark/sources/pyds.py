@@ -237,9 +237,31 @@ class NcdcStreamReader(DataSourceStreamReader):
     reports zero input rows, as `q_stream_pyds_exec` does. Under that
     fallback leave the option unset: a capped latestOffset would make
     the single Once-style batch stop early and silently skip files.)
-    The cap's cursor is reader-instance state re-synced from `start`
-    on every `partitions()` call, so a query restarted from a
-    checkpoint resumes from the committed offset, never behind it."""
+    Restart safety (the subtle part): the engine calls the FIRST
+    ``latestOffset()`` before ``initialOffset()`` on a fresh query and
+    before anything at all on a restarted one, so at that moment the
+    reader cannot see the checkpoint's committed offset — and any
+    answer BEHIND it would be committed as a regressed offset, poisoning
+    the log for every later restart. Two regimes:
+
+    - ``paceStateDir`` set (pair it with ``maxFilesPerTrigger``; keep
+      it next to the query's checkpoint — same lifetime): ``commit()``
+      durably records the committed watermark (one string, atomic
+      rename), and the first ``latestOffset()`` resumes pacing from it.
+      A fresh query has no state file and paces from the beginning, so
+      intake is paced from the very first trigger in both lifecycles.
+    - no ``paceStateDir``: the first ``latestOffset()`` is UNPACED (the
+      true directory latest — the only answer that is never behind an
+      unknown committed offset); later triggers pace normally.
+
+    ``partitions()`` adds defense-in-depth either way: every batch
+    START the engine sends is an offset it already planned/committed,
+    so the max start ever seen is a FLOOR and batch files are filtered
+    against ``max(start, floor)`` — even a manually wiped state file
+    cannot make this reader instance re-emit a file it has seen the
+    engine move past."""
+
+    STATE_FILE = "ncdc-pace-watermark"
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -248,7 +270,13 @@ class NcdcStreamReader(DataSourceStreamReader):
         self.path = path
         self.num_partitions = int(options.get("numPartitions", 8))
         self.max_files = int(options.get("maxFilesPerTrigger", 0))  # 0 = unlimited
-        self._cursor = ""  # high-watermark this reader last planned up to
+        self.state_dir = options.get("paceStateDir")
+        # high-watermark this reader last planned up to; None = not yet
+        # recovered (first latestOffset decides: state file, or unpaced)
+        self._cursor: str | None = None
+        # max batch-start ever observed: every start the engine sends is
+        # a committed/planned offset, so files <= floor are never re-emitted
+        self._floor = ""
 
     def _files(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -260,27 +288,53 @@ class NcdcStreamReader(DataSourceStreamReader):
             and not os.path.basename(p).startswith((".", "_"))
         )
 
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, self.STATE_FILE)
+
+    def _recover_cursor(self, names: list[str]) -> str:
+        """First-latestOffset cursor: the durably committed watermark
+        when pace state exists, else the unpaced-safe true latest."""
+        if self.state_dir:
+            try:
+                with open(self._state_path(), "r", encoding="utf-8") as fh:
+                    return fh.read()
+            except FileNotFoundError:
+                return ""  # fresh query: pace from the beginning
+        return names[-1] if names else ""
+
+    def _sync(self, watermark: str) -> None:
+        """Advance the pacing cursor — it may lag the engine, never
+        lead it backward."""
+        if self._cursor is None or watermark > self._cursor:
+            self._cursor = watermark
+
     def initialOffset(self) -> dict:
+        # does NOT touch the cursor: on a fresh query the engine calls
+        # this AFTER the first latestOffset() has already paced past ""
         return {"watermark": ""}
 
     def latestOffset(self) -> dict:
         names = self._files()
-        if not names:
-            return {"watermark": self._cursor}
+        if self._cursor is None:
+            self._cursor = self._recover_cursor(names)
         if self.max_files > 0:
             fresh = [n for n in names if n > self._cursor][: self.max_files]
             if fresh:
                 self._cursor = fresh[-1]
-        else:
+        elif names:
             self._cursor = max(self._cursor, names[-1])
         return {"watermark": self._cursor}
 
     def partitions(self, start: dict, end: dict) -> Sequence[ByteRange]:
         lo, hi = start["watermark"], end["watermark"]
-        # restart re-sync: never plan behind the committed start
-        if lo > self._cursor:
-            self._cursor = lo
-        batch = [n for n in self._files() if lo < n <= hi]
+        # the engine only sends committed/planned starts: raise the
+        # floor, and re-sync pacing so it never plans behind the engine
+        if lo > self._floor:
+            self._floor = lo
+        self._sync(lo)
+        self._sync(hi)
+        eff_lo = max(lo, self._floor)
+        batch = [n for n in self._files() if eff_lo < n <= hi]
         if not batch:
             return []
         want = max(1, self.num_partitions // len(batch))
@@ -294,7 +348,17 @@ class NcdcStreamReader(DataSourceStreamReader):
         yield _read_range(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean: files are immutable once named
+        # files are immutable once named — nothing to clean; the commit
+        # is a floor for pacing and, with paceStateDir, the durable
+        # watermark the next incarnation resumes from (atomic rename so
+        # a crash mid-write leaves the previous state intact)
+        self._sync(end["watermark"])
+        if self.state_dir:
+            os.makedirs(self.state_dir, exist_ok=True)
+            tmp = self._state_path() + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(end["watermark"])
+            os.replace(tmp, self._state_path())
 
 
 class NcdcDataSource(DataSource):
@@ -332,15 +396,27 @@ def read_ncdc_py(spark, path: str, num_partitions: int = 8):
     )
 
 
-def read_ncdc_stream(spark, path: str, num_partitions: int = 8, max_files_per_trigger: int = 0):
+def read_ncdc_stream(
+    spark,
+    path: str,
+    num_partitions: int = 8,
+    max_files_per_trigger: int = 0,
+    pace_state_dir: str | None = None,
+):
     """Streaming DataFrame over an append-only directory of NCDC files
     (new files must arrive with increasing names; offset = filename
     high-watermark). ``max_files_per_trigger`` > 0 paces intake so a
     backlog drains over several real micro-batches (use with a
     processing-time trigger; see NcdcStreamReader's availableNow
-    caveat)."""
+    caveat). Pass ``pace_state_dir`` (a directory with the same
+    lifetime as the query's checkpoint) to make pacing engage from the
+    FIRST trigger and survive restarts; without it the first batch is
+    unpaced — the only restart-safe answer when the committed offset
+    is unknowable (see NcdcStreamReader docstring)."""
     register_ncdc_source(spark)
     r = spark.readStream.format("ncdc").option("numPartitions", str(num_partitions))
     if max_files_per_trigger > 0:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if pace_state_dir:
+        r = r.option("paceStateDir", pace_state_dir)
     return r.load(path)

@@ -87,14 +87,30 @@ def _probe_positions(value: str, m_bits: int, k: int) -> list[tuple[int, int]]:
 
 def _load_index(spark: SparkSession, path: str):
     """(rows, blooms, m_bits, k) from a sidecar — blooms is
-    {file: {word: bits}}. Bounded by design: files x SET words only."""
-    idx = spark.read.parquet(f"{path}/{INDEX_DIR}").collect()
+    {file: {word: bits}}. Bounded by design: files x SET words only.
+    A missing/empty sidecar returns ([], {}, 0, 0) rather than raising,
+    so every caller shares one "no usable index" signal."""
+    try:
+        idx = spark.read.parquet(f"{path}/{INDEX_DIR}").collect()
+    except Exception:
+        idx = []
     if not idx:
         return [], {}, 0, 0
     blooms: dict[str, dict[int, int]] = {}
     for r in idx:
         blooms.setdefault(r["file"], {})[r["word"]] = r["bits"]
     return idx, blooms, idx[0]["m_bits"], idx[0]["k"]
+
+
+def _sidecar_col(idx) -> str | None:
+    """The column a loaded sidecar indexes, or None when unknown
+    (pre-r8 sidecars lack the field — treated as matching by the
+    documented compatibility convention)."""
+    if not idx:
+        return None
+    if "indexed_col" not in idx[0].__fields__:
+        return None
+    return idx[0]["indexed_col"]
 
 
 def _passing_files(blooms, m_bits: int, k: int, values: list) -> list[str]:
@@ -108,13 +124,17 @@ def _passing_files(blooms, m_bits: int, k: int, values: list) -> list[str]:
     ]
 
 
-def read_bloom_skip(
-    spark: SparkSession, path: str, col: str, values: list
+def _skip_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    blooms,
+    m_bits: int,
+    k: int,
 ) -> tuple[DataFrame, dict]:
-    """Rows of ``path`` where ``col`` is in ``values``, scanning only
-    Bloom-passing files. Returns (DataFrame, stats) with stats =
-    {"files_total", "files_read"} so pruning is observable."""
-    _, blooms, m_bits, k = _load_index(spark, path)
+    """Core of read_bloom_skip over an ALREADY-LOADED sidecar, so
+    auto-discovery callers pay exactly one sidecar read."""
     if not blooms:
         empty = spark.read.parquet(path).where(F.lit(False))
         return empty, {"files_total": 0, "files_read": 0}
@@ -129,11 +149,21 @@ def read_bloom_skip(
     return df.where(F.col(col).isin(values)), stats
 
 
+def read_bloom_skip(
+    spark: SparkSession, path: str, col: str, values: list
+) -> tuple[DataFrame, dict]:
+    """Rows of ``path`` where ``col`` is in ``values``, scanning only
+    Bloom-passing files. Returns (DataFrame, stats) with stats =
+    {"files_total", "files_read"} so pruning is observable."""
+    _, blooms, m_bits, k = _load_index(spark, path)
+    return _skip_scan(spark, path, col, values, blooms, m_bits, k)
+
+
 def point_lookup(
     spark: SparkSession, path: str, col: str, values: list
 ) -> tuple[DataFrame, dict]:
-    """``read_bloom_skip`` with sidecar AUTO-DISCOVERY: probe
-    ``{path}/_bloom_index`` and use it when it exists AND indexes
+    """``read_bloom_skip`` with sidecar AUTO-DISCOVERY: load
+    ``{path}/_bloom_index`` ONCE and use it when it exists AND indexes
     ``col``; otherwise fall back to a plain filtered scan (parquet
     min/max row-group pruning still applies there — just no file-level
     Bloom skipping). Stats gains ``"index": "bloom" | "none"`` so
@@ -144,15 +174,10 @@ def point_lookup(
     property of the TABLE, not an argument of the query (Delta/Iceberg
     bloom filter indexes behave the same way).
     """
-    try:
-        idx_head = spark.read.parquet(f"{path}/{INDEX_DIR}").limit(1).collect()
-    except Exception:
-        idx_head = []
-    if idx_head and (
-        "indexed_col" not in idx_head[0].__fields__  # pre-r8 sidecar
-        or idx_head[0]["indexed_col"] == col
-    ):
-        df, stats = read_bloom_skip(spark, path, col, values)
+    idx, blooms, m_bits, k = _load_index(spark, path)
+    sc = _sidecar_col(idx)
+    if blooms and (sc is None or sc == col):
+        df, stats = _skip_scan(spark, path, col, values, blooms, m_bits, k)
         return df, {**stats, "index": "bloom"}
     df = spark.read.parquet(path).where(F.col(col).isin(values))
     return df, {"files_total": None, "files_read": None, "index": "none"}
@@ -174,7 +199,13 @@ def retract_ids(
     the same pass (surviving rows kept, new files' filters built by the
     same grouped ``key_bloom``). False positives cost a no-op rewrite
     of that file, never correctness; false negatives cannot exist, so
-    retraction is COMPLETE.
+    retraction is COMPLETE. Completeness also governs the degraded
+    paths: when the sidecar is missing OR indexes a DIFFERENT column,
+    EVERY data file is a candidate (full rewrite, no pruning) — a
+    takedown must never silently no-op because the table lacks the
+    right index. Rows whose ``col`` is NULL are bystanders, not
+    victims: the keep-filter ORs ``isNull`` so three-valued logic
+    cannot drop them.
 
     Returns stats: {"files_total", "files_rewritten", "rows_removed"}.
     At 100 TB: work is proportional to |passing files|, not the corpus
@@ -187,19 +218,37 @@ def retract_ids(
 
     from hadoop_app_spark.operators.joins import key_bloom
 
+    def _local(p: str) -> str:
+        return p[len("file:") :] if p.startswith("file:") else p
+
+    def _canon(p: str) -> str:
+        # file:///x URIs and plain /x paths must compare equal
+        return "/" + _local(p).lstrip("/")
+
     idx, blooms, m_bits, k = _load_index(spark, path)
-    stats = {"files_total": len(blooms), "files_rewritten": 0, "rows_removed": 0}
-    if not blooms:
-        return stats
-    passing = _passing_files(blooms, m_bits, k, values)
+    sc = _sidecar_col(idx)
+    prunable = bool(blooms) and (sc is None or sc == col)
+    if prunable:
+        passing = _passing_files(blooms, m_bits, k, values)
+        files_total = len(blooms)
+    else:
+        # no sidecar over THIS column: every data file can contain a
+        # victim row, so all of them are rewrite candidates
+        passing = sorted(
+            os.path.join(_local(path), f)
+            for f in os.listdir(_local(path))
+            if f.endswith(".parquet")
+        )
+        files_total = len(passing)
+    stats = {"files_total": files_total, "files_rewritten": 0, "rows_removed": 0}
     if not passing:
         return stats
     col_set = spark.read.parquet(*passing).where(F.col(col).isin(values))
     stats["rows_removed"] = col_set.count()
-    kept = spark.read.parquet(*passing).where(~F.col(col).isin(values))
-
-    def _local(p: str) -> str:
-        return p[len("file:") :] if p.startswith("file:") else p
+    # isNull keeps NULL-key bystanders — ~isin alone is NULL for them
+    kept = spark.read.parquet(*passing).where(
+        ~F.col(col).isin(values) | F.col(col).isNull()
+    )
 
     scratch = os.path.join(_local(path), f"_retract_{uuid.uuid4().hex}")
     # scratch lives UNDER path but `_`-prefixed, so concurrent readers
@@ -217,21 +266,28 @@ def retract_ids(
         os.remove(_local(f))
     stats["files_rewritten"] = len(moved)
 
+    if not idx:
+        return stats  # no sidecar to maintain
+
     # sidecar refresh: drop retired files' rows, add the new files'
-    # filters (same grouped kernel as the writer). The surviving rows
-    # are bounded driver-side metadata (files x set words), so the
+    # filters (same grouped kernel as the writer) — built over the
+    # column the SIDECAR indexes, which on the degraded path is not
+    # the retraction column. The surviving rows are bounded
+    # driver-side metadata (files x set words), so the
     # read-modify-overwrite cycle never touches corpus-scale data.
-    survivors = [r for r in idx if r["file"] not in set(passing)]
+    index_col = sc or col  # pre-r8 sidecars are assumed to index col
+    retired = {_canon(p) for p in passing}
+    survivors = [r for r in idx if _canon(r["file"]) not in retired]
     parts = []
     if moved:
         back = spark.read.parquet(*moved).select(
-            F.input_file_name().alias("file"), col
+            F.input_file_name().alias("file"), index_col
         )
         parts.append(
-            key_bloom(back, col, m_bits, k, by=["file"])
+            key_bloom(back, index_col, m_bits, k, by=["file"])
             .withColumn("m_bits", F.lit(m_bits))
             .withColumn("k", F.lit(k))
-            .withColumn("indexed_col", F.lit(col))
+            .withColumn("indexed_col", F.lit(index_col))
         )
     if survivors:
         # inferred schema: pre-r8 sidecars lack indexed_col; unionByName

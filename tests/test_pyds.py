@@ -165,7 +165,10 @@ def test_stream_paced_intake_runs_multiple_microbatches(spark, tmp_path):
     (src / "f000.txt").write_text("\n".join(_mkline(1950, i, 1) for i in range(40)) + "\n")
     (src / "f001.txt").write_text("\n".join(_mkline(1960, i, 1) for i in range(20)) + "\n")
     q = (
-        read_ncdc_stream(spark, str(src), num_partitions=2, max_files_per_trigger=1)
+        read_ncdc_stream(
+            spark, str(src), num_partitions=2, max_files_per_trigger=1,
+            pace_state_dir=str(tmp_path / "pace"),
+        )
         .groupBy("year")
         .count()
         .writeStream.format("memory")
@@ -191,9 +194,9 @@ def test_stream_paced_intake_runs_multiple_microbatches(spark, tmp_path):
 
 
 def test_stream_cursor_resyncs_from_committed_start(uniform_dir):
-    """Restart safety: a fresh reader (cursor='') asked to plan from a
-    checkpointed offset must jump its cursor forward, never re-plan or
-    re-emit behind the committed start."""
+    """Restart safety: a fresh reader (cursor unknown) asked to plan
+    from a checkpointed offset must jump its cursor forward, never
+    re-plan or re-emit behind the committed start."""
     from hadoop_app_spark.sources.pyds import NcdcStreamReader
 
     r = NcdcStreamReader({"path": uniform_dir, "numPartitions": "2", "maxFilesPerTrigger": "1"})
@@ -201,6 +204,101 @@ def test_stream_cursor_resyncs_from_committed_start(uniform_dir):
     assert r._cursor == "u.txt"
     # nothing new past the committed start -> offset stays put
     assert r.latestOffset() == {"watermark": "u.txt"}
+
+
+def test_stream_restart_latest_offset_never_regresses(tmp_path):
+    """Clean restart: Spark calls latestOffset() FIRST (before
+    initialOffset on a fresh query, before anything on a restart). A
+    paced reader must not answer behind the committed offset — without
+    pace state it answers the true latest (one unpaced batch); with
+    pace state it resumes paced intake from the recorded commit."""
+    from hadoop_app_spark.sources.pyds import NcdcStreamReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for n in ("a.txt", "b.txt", "c.txt", "d.txt"):
+        (src / n).write_text(_mkline(1950, 1, 1) + "\n")
+    opts = {"path": str(src), "numPartitions": "2", "maxFilesPerTrigger": "2"}
+
+    # no pace state: cursor unknown -> first answer is the TRUE latest
+    # (had it paced, it would return 'b.txt' < committed 'd.txt' and
+    # Spark would regress the offset log / re-emit c and d)
+    r = NcdcStreamReader(opts)
+    assert r.latestOffset() == {"watermark": "d.txt"}
+
+    # replay path: partitions() before any latestOffset() paces from the
+    # batch END, so the next paced answer moves forward from it
+    r2 = NcdcStreamReader(opts)
+    r2.partitions({"watermark": "a.txt"}, {"watermark": "c.txt"})
+    assert r2._cursor == "c.txt"
+    assert r2.latestOffset() == {"watermark": "d.txt"}
+
+    # commit() is a floor too
+    r3 = NcdcStreamReader(opts)
+    r3.initialOffset()
+    r3.commit({"watermark": "c.txt"})
+    assert r3.latestOffset() == {"watermark": "d.txt"}
+
+
+def test_stream_pace_state_survives_restart(tmp_path):
+    """paceStateDir: a fresh query paces from trigger 1 (latestOffset
+    called BEFORE initialOffset, as the engine does), commits record the
+    watermark durably, and a restarted incarnation resumes paced intake
+    from the committed offset — never behind, never re-emitting."""
+    from hadoop_app_spark.sources.pyds import NcdcStreamReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for n in ("a.txt", "b.txt", "c.txt", "d.txt"):
+        (src / n).write_text(_mkline(1950, 1, 1) + "\n")
+    opts = {
+        "path": str(src),
+        "numPartitions": "2",
+        "maxFilesPerTrigger": "2",
+        "paceStateDir": str(tmp_path / "pace"),
+    }
+
+    # fresh query, engine call order: latestOffset -> initialOffset ->
+    # partitions -> commit. No state file yet -> paced from the start.
+    r = NcdcStreamReader(opts)
+    assert r.latestOffset() == {"watermark": "b.txt"}
+    assert r.initialOffset() == {"watermark": ""}
+    p = r.partitions({"watermark": ""}, {"watermark": "b.txt"})
+    assert sorted({x.path.rsplit("/", 1)[1] for x in p}) == ["a.txt", "b.txt"]
+    r.commit({"watermark": "b.txt"})
+
+    # restart: first latestOffset reads the durable watermark and paces
+    # PAST it (old behavior would regress to 'b.txt' or drain all)
+    r2 = NcdcStreamReader(opts)
+    assert r2.latestOffset() == {"watermark": "d.txt"}
+    p2 = r2.partitions({"watermark": "b.txt"}, {"watermark": "d.txt"})
+    assert sorted({x.path.rsplit("/", 1)[1] for x in p2}) == ["c.txt", "d.txt"]
+    r2.commit({"watermark": "d.txt"})
+
+    # drained: restart again, nothing new -> offset stays put
+    r3 = NcdcStreamReader(opts)
+    assert r3.latestOffset() == {"watermark": "d.txt"}
+
+
+def test_stream_floor_suppresses_reemission(tmp_path):
+    """Defense-in-depth: once partitions() has seen the engine plan past
+    a file, no later batch of this reader instance can re-emit it, even
+    if the engine hands an older range (regressed-offset corner)."""
+    from hadoop_app_spark.sources.pyds import NcdcStreamReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for n in ("a.txt", "b.txt", "c.txt", "d.txt"):
+        (src / n).write_text(_mkline(1950, 1, 1) + "\n")
+    r = NcdcStreamReader({"path": str(src), "numPartitions": "2"})
+    # engine shows it is already past 'd' (start of a planned batch)
+    assert r.partitions({"watermark": "d.txt"}, {"watermark": "b.txt"}) == []
+    # an older range can no longer re-emit c/d
+    assert r.partitions({"watermark": "b.txt"}, {"watermark": "d.txt"}) == []
+    # but genuinely new files past the floor still flow
+    (src / "e.txt").write_text(_mkline(1960, 2, 1) + "\n")
+    p = r.partitions({"watermark": "d.txt"}, {"watermark": "e.txt"})
+    assert sorted({x.path.rsplit("/", 1)[1] for x in p}) == ["e.txt"]
 
 
 def test_stream_offsets_are_filename_watermarks(uniform_dir):

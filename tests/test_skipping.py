@@ -138,6 +138,87 @@ def test_retract_absent_ids_is_noop(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
 
 
+def test_retract_unindexed_table_is_complete(spark, tmp_path):
+    """No sidecar at all: a takedown must still remove EVERY victim row
+    (full rewrite, no pruning) — never a silent no-op."""
+    path = str(tmp_path / "retract_plain")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    li.write.parquet(path)
+    victims = [
+        r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()
+    ]
+    n_victims = li.where(F.col("l_partkey").isin(victims)).count()
+    stats = retract_ids(spark, path, "l_partkey", victims)
+    assert stats["rows_removed"] == n_victims > 0
+    assert stats["files_total"] == stats["files_rewritten"] or stats["files_rewritten"] > 0
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_partkey").isin(victims)).count() == 0
+    assert after.count() == li.count() - n_victims
+
+
+def test_retract_wrong_column_sidecar_is_complete(spark, tmp_path):
+    """Sidecar indexes l_partkey but the takedown targets l_orderkey: a
+    Bloom over another column has no say, so every file is a candidate;
+    the refreshed sidecar still indexes ITS column and still serves."""
+    path = str(tmp_path / "retract_wrongcol")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    victims = [
+        r.l_orderkey for r in li.select("l_orderkey").distinct().limit(2).collect()
+    ]
+    n_victims = li.where(F.col("l_orderkey").isin(victims)).count()
+    stats = retract_ids(spark, path, "l_orderkey", victims)
+    assert stats["rows_removed"] == n_victims > 0
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_orderkey").isin(victims)).count() == 0
+    assert after.count() == li.count() - n_victims
+    # sidecar rebuilt over l_partkey from the rewritten files: lookups
+    # on the INDEXED column still work and still prune
+    alive = [r.l_partkey for r in after.select("l_partkey").distinct().limit(1).collect()]
+    df, s = point_lookup(spark, path, "l_partkey", alive)
+    assert s["index"] == "bloom"
+    assert df.count() == after.where(F.col("l_partkey").isin(alive)).count()
+
+
+def test_retract_keeps_null_key_bystanders(spark, tmp_path):
+    """Rows whose indexed column is NULL are bystanders: three-valued
+    logic must not silently drop them from rewritten files."""
+    path = str(tmp_path / "retract_nulls")
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .limit(400)
+        # every 7th row gets a NULL key (never enters the Bloom)
+        .withColumn(
+            "l_partkey",
+            F.when(F.col("l_orderkey") % 7 == 0, F.lit(None)).otherwise(
+                F.col("l_partkey")
+            ),
+        )
+    )
+    write_bloom_indexed(li, path, "l_partkey", files=4)
+    back = spark.read.parquet(path)
+    n_nulls = back.where(F.col("l_partkey").isNull()).count()
+    assert n_nulls > 0
+    victims = [
+        r.l_partkey
+        for r in back.where(F.col("l_partkey").isNotNull())
+        .select("l_partkey")
+        .distinct()
+        .limit(3)
+        .collect()
+    ]
+    n_victims = back.where(F.col("l_partkey").isin(victims)).count()
+    n_before = back.count()  # materialize before the rewrite invalidates `back`
+    stats = retract_ids(spark, path, "l_partkey", victims)
+    assert stats["rows_removed"] == n_victims > 0
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_partkey").isin(victims)).count() == 0
+    # the NULL-key rows all survive
+    assert after.where(F.col("l_partkey").isNull()).count() == n_nulls
+    assert after.count() == n_before - n_victims
+
+
 def test_curated_write_audit_retract_loop(spark, tmp_path):
     """The decontamination loop end-to-end at the pipeline layer:
     write_curated -> audit_contaminated -> retract_contaminated."""

@@ -792,6 +792,7 @@ def f_ivf_index(spark, dp, ep, scratch):
     e = spark.read.parquet(ep)
     root = str(scratch.parent / f"ivf_idx_x{CURRENT_SCALE}")
     import os
+    import shutil
 
     if not os.path.exists(root):
         build_ivf_index(e, root, n_centroids=16, centroid_source=e)
@@ -806,7 +807,17 @@ def f_ivf_index(spark, dp, ep, scratch):
     batch = e.where(F.col("vec_id") < 500).withColumn(
         "vec_id", F.col("vec_id") + F.lit(max_id)
     )
-    append_ivf_index(batch, root)
+    # append into a throwaway twin that shares only the (tiny) centroid
+    # sidecar: the probed claim is "append work tracks the batch, reads
+    # the sidecar, never the index" — appending into the REAL root would
+    # mutate it per run (duplicate ids, best-of-2 runs measuring
+    # different indexes, unbounded growth across invocations)
+    atgt = str(scratch / "ivf_append_tgt")
+    shutil.rmtree(atgt, ignore_errors=True)
+    from hadoop_app_spark.operators.ann_index import CENTROID_DIR
+
+    shutil.copytree(os.path.join(root, CENTROID_DIR), os.path.join(atgt, CENTROID_DIR))
+    append_ivf_index(batch, atgt)
     print(
         f"    [ivf_index {CURRENT_SCALE}x] files_read={stats['files_read']} "
         f"partitions_read={stats['partitions_read']}"

@@ -11,12 +11,13 @@ families:
   - customer_order_distribution (Q13: outer-join histogram)
   - product_type_profit     (Q9: 6-table star)
 
-plus a SKEWED-KEY tier: a copy of the 10x corpus where ~5% of all
-lineitem rows are remapped onto ONE hot orderkey (25%) (an existing
-F-status order, so Q21's filters keep it live). The run asserts that
-AQE's OptimizeSkewedJoin actually engages — the executed plan must
-contain ``skew=true`` on a sort-merge join — and reports the wall
-delta vs the uniform 10x tier.
+plus a SKEWED-KEY tier: a copy of the 10x corpus where ~25% of all
+lineitem rows (1/HOT_FRACTION_MOD) are remapped onto ONE hot orderkey
+(an existing F-status order, so Q21's filters keep it live). The run
+asserts that AQE's OptimizeSkewedJoin actually engages — the executed
+plan must contain ``skew=true`` on a sort-merge join, and the process
+exits NONZERO when it does not — and reports the wall delta vs the
+uniform 10x tier.
 
 The skew thresholds are scaled down for the probe
 (skewedPartitionThresholdInBytes/advisoryPartitionSizeInBytes = 100 KB
@@ -134,8 +135,8 @@ def build_tiers(spark, base: str, out: Path, scales=(1, 10)) -> dict[str, str]:
             )
         tiers[f"x{scale}"] = str(d)
 
-    # skew tier: x10 with ~5% of lineitem rows remapped to one hot
-    # F-status orderkey. Only lineitem changes; everything else
+    # skew tier: x10 with 1/HOT_FRACTION_MOD of lineitem rows (~25%)
+    # remapped to one hot F-status orderkey. Only lineitem changes; everything else
     # symlinks the x10 build.
     hot = (
         spark.read.parquet(f"{tiers['x10']}/orders.parquet")
@@ -249,6 +250,9 @@ def main() -> None:
                 "skew-check FAILED: skew tier ran WITHOUT an AQE skew split — "
                 "check join strategy (broadcast?) or thresholds"
             )
+            # the docstring promises an ASSERTION: a scripted recording
+            # run must not bank x10skew timings as mechanism-verified
+            sys.exit(1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
