@@ -2992,6 +2992,74 @@ REGISTRY["dedup_increment"] = QueryDef(
 
 
 @query(
+    "stream_dedup_ingest_exec",
+    oracle=None,  # assigned below: the dedup_increment replay, verbatim
+    doc="the daily-ingest dedup loop run as a REAL stream (streaming/"
+    "ingest.dedup_ingest_stream): corpus files land in a drop directory, "
+    "FileStreamSource feeds them oldest-first one micro-batch per file "
+    "(maxFilesPerTrigger=1, availableNow), and each batch runs "
+    "dedup_increment inside foreachBatch — dedup against the persisted "
+    "bucketed MinHash index + itself, survivors appended with the batch "
+    "sequence as generation, band rows appended to the index. Same seed/"
+    "generation split as dedup_increment, so the SAME DuckDB two-"
+    "generation replay is the oracle: batch operator, streaming "
+    "execution, one ground truth.",
+)
+def q_stream_dedup_ingest_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.operators.dedup import build_minhash_index, minhash_dedup
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    par = spark.sparkContext.defaultParallelism
+    seed = minhash_dedup(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", hash_fn="poly", repartition_to=par
+    )
+    build_minhash_index(
+        seed, "text", "doc_id", "mh_stream_index", hash_fn="poly", repartition_to=par
+    )
+    root = _scratch_dir("dedup_ingest", sf_dir)
+    # fresh per invocation: a reused checkpoint would mark the
+    # regenerated files as already-ingested and emit nothing
+    shutil.rmtree(root, ignore_errors=True)
+    src, out, ck = (os.path.join(root, x) for x in ("src", "out", "ck"))
+    os.makedirs(src)
+    # one file per generation with forced mtime order: FileStreamSource
+    # admits files oldest-first, so gen1 is micro-batch 0, gen2 batch 1
+    for gen in (1, 2):
+        stage = os.path.join(root, f"stage_g{gen}")
+        d.where(F.col("doc_id") % 3 == gen).coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"gen{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+    q = dedup_ingest_stream(
+        spark,
+        src,
+        d.schema,
+        "mh_stream_index",
+        "text",
+        "doc_id",
+        out,
+        ck,
+        hash_fn="poly",
+        repartition_to=par,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("generation", "doc_id", "n_chars")
+
+
+REGISTRY["stream_dedup_ingest_exec"] = QueryDef(
+    REGISTRY["stream_dedup_ingest_exec"].fn,
+    _dedup_increment_oracle(),
+    REGISTRY["stream_dedup_ingest_exec"].doc,
+)
+
+
+@query(
     "minhash_dedup_fast",
     oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
     doc="full MinHash+LSH dedup, vectorized scale path: mapInPandas signature "
@@ -8166,6 +8234,10 @@ _PRIORITY = [
     # MinHash band index — the daily-ingest operator (VERDICT r7
     # item 4); oracle replays both index generations in SQL
     "dedup_increment",
+    # stream_dedup_ingest_exec: the same increment run as a real
+    # foreachBatch stream over a drop directory — one micro-batch per
+    # file, same two-generation oracle as dedup_increment
+    "stream_dedup_ingest_exec",
     "near_dup_components",
     "embedding_quantize",
     "fanout_explode",

@@ -1,0 +1,101 @@
+"""Streaming ingestion with incremental dedup — the daily-ingest loop
+run CONTINUOUSLY.
+
+`operators/dedup.dedup_increment` is the batch half of a real corpus
+pipeline: dedup a new batch against the persisted MinHash band index,
+append the survivors' bands. This module is the other half: the batch
+arrives as a STREAM (a drop directory new corpus files land in), and
+each micro-batch runs the same increment inside ``foreachBatch`` —
+Structured Streaming supplies ordering, checkpointed progress, and
+restart recovery; the increment supplies the dedup policy and the
+index maintenance. Together they are the operator a 100 TB ingest
+actually runs: files land all day, each is deduped against everything
+that ever landed before it, survivors flow to the curated store, and
+the index grows by exactly the survivors.
+
+Scale shape: per micro-batch work is `dedup_increment`'s — O(batch)
+shuffle + one exchange-free bucketed index scan — so the stream's
+steady-state cost tracks the ARRIVAL RATE, never the accumulated
+corpus. Micro-batch boundaries are part of the semantics (docs in the
+same batch dedup greedily against each other; docs in later batches
+lose to the index), which is exactly the arrival-order policy an
+append-only ingest wants, and is deterministic given the file arrival
+order (FileStreamSource processes files oldest-first).
+
+Delivery caveat, stated honestly: ``foreachBatch`` is at-least-once —
+a crash between the survivor append and the checkpoint commit replays
+the batch, appending duplicate survivor rows AND duplicate index band
+rows. The replayed batch still drops (its own bands are now in the
+index), so the CORPUS gains at most one duplicate generation per
+crash, and the per-epoch ``dropped`` sidecar tables make replays
+observable. Exactly-once needs a transactional sink (Delta MERGE on
+``id_col`` — see `streaming/cdc.py` for the feature-gated pattern).
+
+No reference analogue: the reference's closest shape is the `dt=`
+daily-partition batch job (UserNewcar.java:241-247); this is that
+cadence collapsed from "once a day" to "every file".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def dedup_ingest_stream(
+    spark,
+    src_dir: str,
+    schema,
+    index_table: str,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    checkpoint: str,
+    hash_fn: str = "xxhash64",
+    repartition_to: int | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Start the ingest stream: parquet files arriving under
+    ``src_dir`` are deduped per micro-batch against ``index_table``
+    (and themselves) by `dedup_increment`; survivors append to
+    ``out_path`` with a 1-based ``generation`` column (the micro-batch
+    sequence number), and their band rows append to the index.
+
+    Returns the started StreamingQuery; with ``available_now`` (the
+    default) it drains the current directory contents and terminates —
+    call ``awaitTermination()`` then read ``out_path``. Restarting
+    with the same checkpoint resumes after the last committed file.
+    """
+    from hadoop_app_spark.operators.dedup import dedup_increment
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # trailing empty trigger: no index work, no output
+        surv = dedup_increment(
+            batch_df,
+            index_table,
+            text_col,
+            id_col,
+            hash_fn=hash_fn,
+            repartition_to=repartition_to,
+            dropped_table=f"{index_table}_dropped_e{epoch_id}",
+        )
+        (
+            surv.withColumn("generation", F.lit(epoch_id + 1).cast("int"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

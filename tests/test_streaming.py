@@ -824,3 +824,66 @@ def test_windowed_hll_stream_matches_batch_registers(spark, tmp_path):
         for r in build_hll(batch, "k", ["w"]).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dedup_ingest_stream_incremental_and_restart(spark, tmp_path):
+    """Streaming incremental dedup (streaming/ingest.py): per-file
+    micro-batches dedup against the persisted index AND earlier
+    batches' survivors; a checkpoint restart ingests ONLY new files and
+    continues the generation sequence."""
+    import os
+
+    from hadoop_app_spark.operators.dedup import build_minhash_index
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t_seed = "seed document about relational storage engines and pages"
+    t_new = "a genuinely new corpus document with fresh unique words"
+    t_new2 = "another distinct document concerning query optimizer rules"
+    t_new3 = "final standalone document mentioning vectorized execution"
+    seed = docs([(0, t_seed), (1, "the other seed text covers buffer pools")])
+    build_minhash_index(seed, "text", "doc_id", "mh_ingest_test", hash_fn="poly")
+
+    src, out, ck = (str(tmp_path / x) for x in ("src", "out", "ck"))
+    os.makedirs(src)
+
+    def land(gen, rows):
+        stage = str(tmp_path / f"stage{gen}")
+        docs(rows).coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"g{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+
+    # batch 1: 10 dups the index seed; 11 is new; 12 dups 11 intra-batch
+    land(1, [(10, t_seed), (11, t_new), (12, t_new)])
+    # batch 2: 20 dups batch-1 SURVIVOR 11 (via the index append); 21 new
+    land(2, [(20, t_new), (21, t_new2)])
+
+    schema = "doc_id long, text string"
+    q = dedup_ingest_stream(
+        spark, src, schema, "mh_ingest_test", "text", "doc_id", out, ck,
+        hash_fn="poly",
+    )
+    q.awaitTermination()
+    got = {
+        (r.generation, r.doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 11), (2, 21)}
+
+    # restart with the same checkpoint: only the NEW file is ingested,
+    # the generation sequence continues, and the index remembers 21
+    land(3, [(30, t_new2), (31, t_new3)])
+    q2 = dedup_ingest_stream(
+        spark, src, schema, "mh_ingest_test", "text", "doc_id", out, ck,
+        hash_fn="poly",
+    )
+    q2.awaitTermination()
+    got2 = {
+        (r.generation, r.doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {(1, 11), (2, 21), (3, 31)}
