@@ -3060,6 +3060,93 @@ REGISTRY["stream_dedup_ingest_exec"] = QueryDef(
 
 
 @query(
+    "udtf_ncdc_parse",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INT) AS year,
+               max(CASE WHEN l_discount > 0.05 THEN -CAST(l_quantity AS INT)
+                        ELSE CAST(l_quantity AS INT) END) AS max_temp,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_orderkey % 7 = 0
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="the reference MaxTemperature job run through the FIRST-CLASS "
+    "UDTF surface (functions/udtf.NcdcParseUDTF, SURVEY 2.10 Mapper.map "
+    "parity): NCDC lines synthesized from lineitem plus injected garbage "
+    "rows, parsed by `SELECT t.* FROM lines, LATERAL ncdc_parse(line) t` "
+    "in pure SQL, aggregated per year. The UDTF drops malformed lines "
+    "(the null-drop decision), so the oracle computes the same aggregate "
+    "DIRECTLY from the lineitem columns the builder encoded — fully "
+    "independent of the string round-trip. Extension-surface demo on a "
+    "bounded slice: per-row Python eval (Arrow-batched transfer) is the "
+    "documented cost of user row->rows logic, never this engine's own "
+    "scale path.",
+)
+def q_udtf_ncdc_parse(spark, sf_dir):
+    from hadoop_app_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    lines = li.select(
+        F.concat(
+            F.lit("H" * 15),
+            F.year("l_shipdate").cast("string"),
+            F.rpad(F.lit("x"), 68, "x"),
+            F.when(F.col("l_discount") > 0.05, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad(F.col("l_quantity").cast("int").cast("string"), 4, "0"),
+            (F.col("l_linenumber") % 10).cast("string"),
+        ).alias("line")
+    ).unionAll(
+        spark.createDataFrame(
+            [("GARBAGE",), ("H" * 15 + "YYYY" + "x" * 74,), (None,)],
+            "line string",
+        )
+    )
+    lines.createOrReplaceTempView("udtf_ncdc_lines")
+    return spark.sql(
+        """
+        SELECT t.year, max(t.temp) AS max_temp, count(*) AS n
+        FROM udtf_ncdc_lines, LATERAL ncdc_parse(line) t
+        GROUP BY t.year
+        ORDER BY t.year
+        """
+    )
+
+
+@query(
+    "udtf_chunk_spans",
+    oracle="""
+        SELECT d.doc_id, CAST(s / 30 AS INT) AS chunk_id,
+               CAST(s AS INT) AS start,
+               substr(d.text, CAST(s AS INT) + 1, 40) AS chunk
+        FROM documents d,
+             unnest(range(0, greatest(length(d.text), 0), 30)) AS t(s)
+        ORDER BY d.doc_id, chunk_id
+    """,
+    doc="row fan-out through the registered UDTF surface (functions/"
+    "udtf.ChunkSpansUDTF, the UserHotcar 0..N-rows-per-input shape): "
+    "`LATERAL chunk_spans(text, 40, 10)` emits overlapping fixed-size "
+    "character windows (stride = size - overlap, short tail kept, "
+    "empty/null text emits nothing); pure arithmetic, so a DuckDB "
+    "generate_series/range replay is exact per chunk including content.",
+)
+def q_udtf_chunk_spans(spark, sf_dir):
+    from hadoop_app_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.chunk_id, t.start, t.chunk
+        FROM udtf_chunk_docs d, LATERAL chunk_spans(d.text, 40, 10) t
+        ORDER BY d.doc_id, t.chunk_id
+        """
+    )
+
+
+@query(
     "minhash_dedup_fast",
     oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
     doc="full MinHash+LSH dedup, vectorized scale path: mapInPandas signature "
@@ -8238,6 +8325,10 @@ _PRIORITY = [
     # foreachBatch stream over a drop directory — one micro-batch per
     # file, same two-generation oracle as dedup_increment
     "stream_dedup_ingest_exec",
+    # udtf_*: the registered Python UDTF extension surface (SURVEY
+    # 2.10 Mapper.map parity) — 0..1-row parse and 0..N fan-out forms
+    "udtf_ncdc_parse",
+    "udtf_chunk_spans",
     "near_dup_components",
     "embedding_quantize",
     "fanout_explode",
