@@ -75,6 +75,93 @@ def _location_claimed(spark: SparkSession, loc: str) -> bool:
     return False
 
 
+def _bucket_meta(spark: SparkSession, table: str) -> tuple[int, list[str], list[str]]:
+    """(n_buckets, bucket_cols, sort_cols) from the catalog."""
+    import re
+
+    n, bcols, scols = 0, [], []
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            n = int(r.data_type)
+        elif r.col_name == "Bucket Columns":
+            bcols = re.findall(r"`([^`]+)`", r.data_type)
+        elif r.col_name == "Sort Columns":
+            scols = re.findall(r"`([^`]+)`", r.data_type)
+    if not n or not bcols:
+        raise ValueError(f"{table} is not a bucketed table")
+    return n, bcols, scols
+
+
+def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
+    """Rewrite a bucketed table into ~one file per bucket, PRESERVING
+    its bucket/sort spec — the maintenance half of the bucketed-index
+    lifecycle.
+
+    Every append to a bucketed table writes one file per (task,
+    bucket), so a daily-increment index (`operators/dedup.
+    build_minhash_index` + appends) fragments linearly with days x
+    parallelism; small files tax both the scan (file-open overhead)
+    and the driver (listing). Compaction re-reads the table, hash-
+    repartitions BY THE BUCKET COLUMNS to n_buckets tasks (each task
+    then holds whole buckets, so the rewrite emits ~one file per
+    bucket), and swaps it in via staging-table + catalog rename —
+    the exchange-free join property is untouched because the spec is
+    copied from the catalog, never guessed.
+
+    Windows, stated honestly (in-memory catalog, no transactions): a
+    crash after the staged write leaves `{table}__compacting` behind
+    (re-running cleans it up); a crash between DROP and RENAME leaves
+    the data only under the staging name. A lakehouse table format
+    (Delta/Iceberg, `streaming/cdc.py`) makes this swap atomic; the
+    operator keeps the same shape so the upgrade is a format change.
+
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _files(loc: str | None) -> int:
+        if not loc:
+            return -1
+        p = loc[len("file:") :] if loc.startswith("file:") else loc
+        try:
+            return sum(1 for f in os.listdir(p) if not f.startswith(("_", ".")))
+        except OSError:
+            return -1
+
+    n_buckets, bcols, scols = _bucket_meta(spark, table)
+    files_before = _files(_table_location(spark, table))
+    rows = spark.table(table).count()
+    staging = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    # distribute by the BUCKET ID expression, not the raw columns: the
+    # bucketed scan already advertises HashPartitioning(bcols, n), so a
+    # repartition on the columns is elided as redundant while the
+    # physical scan still runs one task per file — the write then emits
+    # one file per (task, bucket) again, i.e. no compaction at all
+    # (measured: 31 tasks / 116 files instead of 4 / 4). pmod(hash(..),
+    # n) is exactly how the writer derives bucket ids (Murmur3, seed
+    # 42), so each task receives whole buckets and emits one file; if
+    # the identity ever drifted, the result is MORE files, never wrong
+    # rows — the writer recomputes bucket ids row-by-row regardless.
+    bucket_id = F.pmod(F.hash(*[F.col(c) for c in bcols]), F.lit(n_buckets))
+    compacted = spark.table(table).repartition(n_buckets, bucket_id)
+    writer = compacted.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bcols
+    )
+    if scols:
+        writer = writer.sortBy(*scols)  # sort spec copied, not assumed == bcols
+    save_table_recovering_orphan(spark, writer, staging)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    return {
+        "files_before": files_before,
+        "files_after": _files(_table_location(spark, table)),
+        "rows": rows,
+    }
+
+
 def save_table_recovering_orphan(
     spark: SparkSession, writer, table: str, mode: str = "overwrite"
 ) -> None:

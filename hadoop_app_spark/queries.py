@@ -3060,6 +3060,65 @@ REGISTRY["stream_dedup_ingest_exec"] = QueryDef(
 
 
 @query(
+    "index_compaction",
+    oracle=None,  # assigned below: the dedup_increment replay, verbatim
+    doc="bucketed-index COMPACTION is semantics-free (operators/"
+    "bucketing.compact_bucketed_table): the dedup_increment pipeline "
+    "with a compaction between day 1 and day 2 — every append writes "
+    "one file per (task, bucket), so the index fragments linearly with "
+    "days x parallelism; compaction re-distributes by the bucket-id "
+    "expression and swaps via staging + catalog rename, PRESERVING the "
+    "bucket/sort spec so the increment's exchange-free index scan "
+    "survives. Same two-generation oracle as dedup_increment: identical "
+    "survivors prove the rewrite changed layout only (the fn raises if "
+    "the file count does not drop).",
+)
+def q_index_compaction(spark, sf_dir):
+    from hadoop_app_spark.operators.bucketing import compact_bucketed_table
+    from hadoop_app_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        minhash_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    seed = minhash_dedup(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", hash_fn="poly", repartition_to=par
+    )
+    build_minhash_index(
+        seed, "text", "doc_id", "mh_cmpq_index", hash_fn="poly", repartition_to=par
+    )
+    gens = []
+    for gen in (1, 2):
+        surv = dedup_increment(
+            d.where(F.col("doc_id") % 3 == gen),
+            "mh_cmpq_index",
+            "text",
+            "doc_id",
+            hash_fn="poly",
+            repartition_to=par,
+            dropped_table=f"mh_cmpq_dropped_g{gen}",
+        )
+        gens.append(surv.select(F.lit(gen).alias("generation"), "doc_id", "n_chars"))
+        if gen == 1:
+            # materialize day 1 BEFORE compaction mutates the index
+            # location its lazy plan reads from
+            gens[0] = spark.createDataFrame(gens[0].collect(), gens[0].schema)
+            stats = compact_bucketed_table(spark, "mh_cmpq_index")
+            if stats["files_after"] >= stats["files_before"]:
+                raise RuntimeError(f"compaction did not reduce files: {stats}")
+    return gens[0].unionAll(gens[1])
+
+
+REGISTRY["index_compaction"] = QueryDef(
+    REGISTRY["index_compaction"].fn,
+    _dedup_increment_oracle(),
+    REGISTRY["index_compaction"].doc,
+)
+
+
+@query(
     "udtf_ncdc_parse",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INT) AS year,
@@ -8329,6 +8388,9 @@ _PRIORITY = [
     # 2.10 Mapper.map parity) — 0..1-row parse and 0..N fan-out forms
     "udtf_ncdc_parse",
     "udtf_chunk_spans",
+    # index_compaction: bucketed-index defrag between increments —
+    # same two-generation oracle proves the rewrite is layout-only
+    "index_compaction",
     "near_dup_components",
     "embedding_quantize",
     "fanout_explode",

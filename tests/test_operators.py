@@ -2460,3 +2460,87 @@ def test_mad_profile_flags_and_degenerate_group(spark):
     got = {r.g: (r.n, r.med, r.mad, r.n_outliers) for r in mad_profile(df, "value", "g").collect()}
     assert got["a"] == (6, 10, 1, 1)
     assert got["z"] == (6, 5, 0, 2)
+
+
+def test_compact_bucketed_table_defragments_and_preserves_colocation(spark):
+    """Appends fragment a bucketed table one-file-per-(task,bucket);
+    compaction must collapse to ~one file per bucket, keep every row,
+    keep the bucket/sort spec, and keep the exchange-free join plan."""
+    from hadoop_app_spark.operators.bucketing import (
+        _bucket_meta,
+        bucketed_join,
+        compact_bucketed_table,
+        write_bucketed,
+    )
+
+    base = spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v")
+    write_bucketed(base, "bkt_compact", ["k"], 4)
+    for lo in (400, 500, 600):
+        spark.range(lo, lo + 100).selectExpr("id AS k", "id * 2 AS v").write.mode(
+            "append"
+        ).format("parquet").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_compact")
+    write_bucketed(
+        spark.range(0, 700).selectExpr("id AS k", "id * 3 AS rv"),
+        "bkt_compact_r",
+        ["k"],
+        4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        stats = compact_bucketed_table(spark, "bkt_compact")
+        assert stats["rows"] == 700
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["files_after"] <= 8  # ~one file per bucket (+noise)
+        assert spark.table("bkt_compact").count() == 700
+        # spec survived the swap
+        n, bcols, scols = _bucket_meta(spark, "bkt_compact")
+        assert (n, bcols, scols) == (4, ["k"], ["k"])
+        # co-location survived: the recurring join still has no Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bkt_compact", "bkt_compact_r", "k")
+        assert joined.count() == 700
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_compact")
+        spark.sql("DROP TABLE IF EXISTS bkt_compact_r")
+        spark.sql("DROP TABLE IF EXISTS bkt_compact__compacting")
+
+
+def test_compact_bucketed_index_keeps_dedup_semantics(spark, tmp_path):
+    """Compacting the MinHash band index between increments must not
+    change a single survivor — same batches, same index contents, ~one
+    file per bucket after."""
+    from hadoop_app_spark.operators.bucketing import compact_bucketed_table
+    from hadoop_app_spark.operators.dedup import build_minhash_index, dedup_increment
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = "seed text about columnar storage formats and encodings"
+    t1 = "fresh text describing adaptive query execution behavior"
+    t2 = "another document on join reordering and cost models"
+    seed = docs([(0, t0), (1, "a second seed about write ahead logging")])
+    for tbl in ("mh_cmp_a", "mh_cmp_b"):
+        build_minhash_index(seed, "text", "doc_id", tbl, hash_fn="poly")
+    b1 = docs([(10, t0), (11, t1)])  # 10 dups seed, 11 survives
+    b2 = docs([(20, t1), (21, t2)])  # 20 dups b1 survivor, 21 survives
+
+    def surv(tbl, batch, gen):
+        out = dedup_increment(
+            batch, tbl, "text", "doc_id", hash_fn="poly",
+            dropped_table=f"{tbl}_dropped_g{gen}",
+        )
+        return sorted(r.doc_id for r in out.collect())
+
+    assert surv("mh_cmp_a", b1, 1) == surv("mh_cmp_b", b1, 1) == [11]
+    stats = compact_bucketed_table(spark, "mh_cmp_a")  # between days
+    assert stats["files_after"] < stats["files_before"]
+    assert surv("mh_cmp_a", b2, 2) == surv("mh_cmp_b", b2, 2) == [21]
+    # index contents identical post-compaction (b survivors appended too)
+    a = sorted(map(tuple, spark.table("mh_cmp_a").collect()))
+    b = sorted(map(tuple, spark.table("mh_cmp_b").collect()))
+    assert a == b
+    for tbl in ("mh_cmp_a", "mh_cmp_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
