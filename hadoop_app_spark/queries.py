@@ -3206,6 +3206,111 @@ def q_udtf_chunk_spans(spark, sf_dir):
 
 
 @query(
+    "schema_evolution_read",
+    oracle="""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+               source, count(*) AS n
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY 1 NULLS FIRST, 2
+    """,
+    doc="schema-evolution read (the lakehouse add-a-column lifecycle): "
+    "half the corpus is written under the v1 schema (doc_id, source), "
+    "half under v2 which ADDS lang; one mergeSchema=true read unions "
+    "the generations with NULL backfill for pre-evolution files — no "
+    "rewrite of old data, the schema is the union of file footers. "
+    "Oracle recomputes the NULL backfill from the split rule directly.",
+)
+def q_schema_evolution_read(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = _scratch_dir("schema_evo", sf_dir)
+    # v1 files lack lang; v2 files (written later, same directory) add it
+    d.where(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(out)
+    d.where(F.col("doc_id") % 2 == 1).select("doc_id", "source", "lang").write.mode(
+        "append"
+    ).parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        merged.groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("lang").asc_nulls_first(), "source")
+    )
+
+
+@query(
+    "csv_malformed_quarantine",
+    oracle="""
+        SELECT 'parsed' AS bucket, count(*) AS rows,
+               CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS qty_sum
+        FROM lineitem WHERE l_orderkey % 11 = 0
+        UNION ALL
+        SELECT 'quarantined', 2, 42, 7
+        ORDER BY 1
+    """,
+    doc="malformed-record quarantine at the CSV source (S4's TSV arity "
+    "validation lifted to the reader contract): a pipe-delimited feed "
+    "with injected type-garbage rows ('abc|7', '42|notanumber') is read "
+    "PERMISSIVE with columnNameOfCorruptRecord, splitting every line "
+    "into parsed rows (aggregated) or a quarantine bucket — bad data is "
+    "counted and kept, never silently dropped and never fatal. Two "
+    "measured reader semantics are baked into the oracle: a corrupt row "
+    "RETAINS the fields that did parse (so the quarantine sums are 42 "
+    "and 7, the salvageable halves of the two garbage rows), and "
+    "corruption is judged against the REQUIRED schema only — an "
+    "aggregate that pruned l_orderkey would never flag 'abc|7' — so the "
+    "query references every data column to make parsing total.",
+)
+def q_csv_malformed_quarantine(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    lines = li.select(
+        F.concat_ws(
+            "|", F.col("l_orderkey"), F.col("l_quantity").cast("int")
+        ).alias("value")
+    ).unionAll(
+        spark.createDataFrame(
+            [("abc|7",), ("42|notanumber",)], "value string"
+        )
+    )
+    out = _scratch_dir("csv_quarantine", sf_dir)
+    lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema(
+            "l_orderkey long, l_quantity int, _corrupt string"
+        )
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    # ONE grouped pass referencing EVERY data column: Spark forbids a
+    # plan whose pruned schema is the corrupt column alone
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and —
+    # measured — corruption is judged against the REQUIRED schema, so
+    # pruning a column would silently unflag rows whose garbage lives
+    # in the pruned field.
+    return (
+        parsed.groupBy(F.col("_corrupt").isNotNull().alias("is_bad"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.sum("l_quantity").cast("long").alias("qty_sum"),
+        )
+        .select(
+            F.when(F.col("is_bad"), F.lit("quarantined"))
+            .otherwise(F.lit("parsed"))
+            .alias("bucket"),
+            "rows",
+            "key_sum",
+            "qty_sum",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "minhash_dedup_fast",
     oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
     doc="full MinHash+LSH dedup, vectorized scale path: mapInPandas signature "
@@ -8391,6 +8496,10 @@ _PRIORITY = [
     # index_compaction: bucketed-index defrag between increments —
     # same two-generation oracle proves the rewrite is layout-only
     "index_compaction",
+    # reader-contract pair: add-a-column mergeSchema union with NULL
+    # backfill, and PERMISSIVE corrupt-record quarantine at the CSV face
+    "schema_evolution_read",
+    "csv_malformed_quarantine",
     "near_dup_components",
     "embedding_quantize",
     "fanout_explode",
