@@ -54,6 +54,7 @@ def dedup_ingest_stream(
     repartition_to: int | None = None,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    append_index: bool = True,
 ):
     """Start the ingest stream: parquet files arriving under
     ``src_dir`` are deduped per micro-batch against ``index_table``
@@ -65,6 +66,9 @@ def dedup_ingest_stream(
     default) it drains the current directory contents and terminates —
     call ``awaitTermination()`` then read ``out_path``. Restarting
     with the same checkpoint resumes after the last committed file.
+    ``append_index=False`` makes the run an AUDIT pass: batches dedup
+    against the index as-is (and against themselves) without growing
+    it — later batches then no longer see earlier batches' survivors.
     """
     from hadoop_app_spark.operators.dedup import dedup_increment
 
@@ -84,6 +88,7 @@ def dedup_ingest_stream(
             id_col,
             hash_fn=hash_fn,
             repartition_to=repartition_to,
+            append=append_index,
             dropped_table=f"{index_table}_dropped_e{epoch_id}",
         )
         (

@@ -774,6 +774,94 @@ def f_dedup_increment(spark, dp, ep, scratch):
     return surv.count()
 
 
+def f_index_compaction(spark, dp, ep, scratch):
+    """Bucketed-index compaction at a GROWING corpus: each run freshly
+    fragments the tier's index (bucketed base write + 3 appends of a
+    FIXED 500-doc batch at shifted ids) and then compacts it. Claims:
+    files_after == the bucket count at EVERY tier (the layout bound is
+    n_buckets, never the corpus size or the append history — printed
+    per tier), while the wall grows with the index, as a full-rewrite
+    maintenance op must (run rarely; daily increments never pay it)."""
+    from hadoop_app_spark.operators.bucketing import compact_bucketed_table
+    from hadoop_app_spark.operators.dedup import build_minhash_index, dedup_increment
+
+    d = _docs(spark, dp)
+    par = spark.sparkContext.defaultParallelism
+    tbl = f"mh_cmp_probe_x{CURRENT_SCALE}"
+    build_minhash_index(d, "text", "doc_id", tbl, repartition_to=par)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    for day in range(3):
+        # each day lands NOVEL content (disjoint doc slice, reversed
+        # text — absent from the index) so survivors append and the
+        # index actually fragments; pure copies would all drop
+        batch = (
+            d.where((F.col("doc_id") % 3 == day) & (F.col("doc_id") < 500))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(max_id * (day + 1)))
+            .withColumn("text", F.reverse(F.col("text")))
+        )
+        dedup_increment(
+            batch, tbl, "text", "doc_id", repartition_to=par, append=True,
+            dropped_table=f"{tbl}_dropped_d{day}",
+        ).count()
+    stats = compact_bucketed_table(spark, tbl)
+    print(
+        f"    [index_compaction {CURRENT_SCALE}x] files "
+        f"{stats['files_before']} -> {stats['files_after']}"
+    )
+    return stats["rows"]
+
+
+def f_dedup_ingest_stream(spark, dp, ep, scratch):
+    """FIXED 2-file drop streamed through dedup_ingest_stream against
+    the tier-scaled persisted index (shared with f_dedup_increment's
+    build, reused across runs), in audit mode (append_index=False) so
+    best-of-2 runs see the SAME index. Kept wall must stay flat across
+    tiers: each micro-batch is dedup_increment's O(batch) work — batch
+    shuffle + exchange-free bucketed index scan — plus fixed streaming
+    overhead (trigger planning, checkpoint commits)."""
+    import os
+
+    from hadoop_app_spark.operators.dedup import build_minhash_index, minhash_dedup
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    d = _docs(spark, dp)
+    par = spark.sparkContext.defaultParallelism
+    tbl = f"mh_probe_idx_x{CURRENT_SCALE}"  # same build as f_dedup_increment
+    if not spark.catalog.tableExists(tbl):
+        seed = minhash_dedup(d, "text", "doc_id", repartition_to=par)
+        build_minhash_index(seed, "text", "doc_id", tbl, repartition_to=par)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    src, out, ck = (str(scratch / x) for x in ("ing_src", "ing_out", "ing_ck"))
+    os.makedirs(src)
+    for gen in (1, 2):
+        stage = str(scratch / f"ing_stage{gen}")
+        # half copies of indexed content (drop against the index), half
+        # novel reversed text (survive) — both halves of the policy
+        # exercised; disjoint slices keep the two files independent
+        (
+            d.where((F.col("doc_id") % 2 == gen - 1) & (F.col("doc_id") < 500))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(max_id * gen))
+            .withColumn(
+                "text",
+                F.when(F.col("doc_id") % 4 < 2, F.reverse(F.col("text"))).otherwise(
+                    F.col("text")
+                ),
+            )
+            .coalesce(1)
+            .write.parquet(stage)
+        )
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"g{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+    q = dedup_ingest_stream(
+        spark, src, "doc_id long, text string", tbl, "text", "doc_id",
+        out, ck, repartition_to=par, append_index=False,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).count()
+
+
 def f_ivf_index(spark, dp, ep, scratch):
     """Persisted IVF index at a GROWING corpus with a FIXED query batch
     + a FIXED append batch. The index builds once per tier (first run);
@@ -1016,6 +1104,8 @@ FAMILIES = {
     "dedup_increment": f_dedup_increment,
     # r8: persisted cell-partitioned IVF index (pruned query + append)
     "ivf_index": f_ivf_index,
+    "index_compaction": f_index_compaction,
+    "dedup_ingest_stream": f_dedup_ingest_stream,
 }
 
 
