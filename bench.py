@@ -166,6 +166,14 @@ BENCH_QUERIES = [
     "compaction_roundtrip",
     "mixture_epoch_order",
     "orc_roundtrip",
+    # r8 session 2: streaming ingest dedup, bucketed-index compaction,
+    # the registered UDTF surface, and the reader-contract pair
+    "stream_dedup_ingest_exec",
+    "index_compaction",
+    "udtf_ncdc_parse",
+    "udtf_chunk_spans",
+    "schema_evolution_read",
+    "csv_malformed_quarantine",
 ]
 
 

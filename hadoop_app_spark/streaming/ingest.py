@@ -96,6 +96,13 @@ def dedup_ingest_stream(
             .write.mode("append")
             .parquet(out_path)
         )
+        # the write above consumed this epoch's dropped sidecar; retain
+        # only the last two (replay observability) — a long-running
+        # stream must not grow the catalog one table per micro-batch
+        if epoch_id >= 2:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {index_table}_dropped_e{epoch_id - 2}"
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
