@@ -374,6 +374,54 @@ def build_minhash_index(
     write_bucketed(rows, index_table, ["bucket"], n_buckets)
 
 
+def seed_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 8,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """``minhash_dedup`` + ``build_minhash_index`` fused for the day-0
+    seed: ONE signature pass over the corpus instead of two.
+
+    The separate calls each tokenize/shingle/minhash the full text —
+    the dominant cost — once for the dedup's candidate pairs and again
+    for the surviving rows' index bands. Here the signatures are
+    computed once, cached (MEMORY_AND_DISK — one narrow row of k
+    minima per doc), and reused for both: pairs -> losers -> the
+    SURVIVORS' band rows, written through the same bucketed layout as
+    ``build_minhash_index``. The cache is dropped once the index write
+    has materialized the chain.
+
+    Returns the surviving rows of ``df`` (lazily — a caller that
+    collects them later pays one signature recompute for the loser
+    set; the index itself is already on disk either way).
+    """
+    from pyspark import StorageLevel
+
+    from hadoop_app_spark.operators.bucketing import write_bucketed
+
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pairs = minhash_lsh_pairs(sigs, id_col, bands)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        surv_sigs = sigs.join(losers, id_col, "left_anti")
+        rows = minhash_band_rows(surv_sigs, id_col, bands).select(
+            "bucket", F.col(id_col).alias("id")
+        )
+        write_bucketed(rows, index_table, ["bucket"], n_buckets)
+    finally:
+        sigs.unpersist()
+    return df.join(losers, id_col, "left_anti")
+
+
 def dedup_increment(
     new_batch: DataFrame,
     index_table: str,

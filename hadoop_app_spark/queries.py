@@ -2916,19 +2916,16 @@ def q_minhash_cluster_canonical(spark, sf_dir):
     "Oracle replays both generations (index contents included) in SQL.",
 )
 def q_dedup_increment(spark, sf_dir):
-    from hadoop_app_spark.operators.dedup import (
-        build_minhash_index,
-        dedup_increment,
-        minhash_dedup,
-    )
+    from hadoop_app_spark.operators.dedup import dedup_increment, seed_minhash_index
 
     d = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    # fixed table names + overwrite on build: idempotent across runs
-    seed = minhash_dedup(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", hash_fn="poly", repartition_to=par
+    # fixed table names + overwrite on build: idempotent across runs.
+    # seed_minhash_index = dedup + index build in ONE signature pass
+    seed_minhash_index(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_incr_index",
+        hash_fn="poly", repartition_to=par,
     )
-    build_minhash_index(seed, "text", "doc_id", "mh_incr_index", hash_fn="poly", repartition_to=par)
     gens = []
     for gen in (1, 2):
         surv = dedup_increment(
@@ -3009,16 +3006,14 @@ def q_stream_dedup_ingest_exec(spark, sf_dir):
     import os
     import shutil
 
-    from hadoop_app_spark.operators.dedup import build_minhash_index, minhash_dedup
+    from hadoop_app_spark.operators.dedup import seed_minhash_index
     from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     par = spark.sparkContext.defaultParallelism
-    seed = minhash_dedup(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", hash_fn="poly", repartition_to=par
-    )
-    build_minhash_index(
-        seed, "text", "doc_id", "mh_stream_index", hash_fn="poly", repartition_to=par
+    seed_minhash_index(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_stream_index",
+        hash_fn="poly", repartition_to=par,
     )
     root = _scratch_dir("dedup_ingest", sf_dir)
     # fresh per invocation: a reused checkpoint would mark the
@@ -3075,19 +3070,13 @@ REGISTRY["stream_dedup_ingest_exec"] = QueryDef(
 )
 def q_index_compaction(spark, sf_dir):
     from hadoop_app_spark.operators.bucketing import compact_bucketed_table
-    from hadoop_app_spark.operators.dedup import (
-        build_minhash_index,
-        dedup_increment,
-        minhash_dedup,
-    )
+    from hadoop_app_spark.operators.dedup import dedup_increment, seed_minhash_index
 
     d = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    seed = minhash_dedup(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", hash_fn="poly", repartition_to=par
-    )
-    build_minhash_index(
-        seed, "text", "doc_id", "mh_cmpq_index", hash_fn="poly", repartition_to=par
+    seed_minhash_index(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_cmpq_index",
+        hash_fn="poly", repartition_to=par,
     )
     gens = []
     for gen in (1, 2):

@@ -2544,3 +2544,32 @@ def test_compact_bucketed_index_keeps_dedup_semantics(spark, tmp_path):
     assert a == b
     for tbl in ("mh_cmp_a", "mh_cmp_b"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_seed_minhash_index_matches_two_step_form(spark, tmp_path):
+    """The fused seed (one signature pass) must produce byte-identical
+    index contents AND the same survivors as minhash_dedup followed by
+    build_minhash_index."""
+    from hadoop_app_spark.catalog import load_table
+    from hadoop_app_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_dedup,
+        seed_minhash_index,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    surv_fused = seed_minhash_index(
+        d, "text", "doc_id", "mh_fused", hash_fn="poly"
+    )
+    surv_two = minhash_dedup(d, "text", "doc_id", hash_fn="poly")
+    build_minhash_index(surv_two, "text", "doc_id", "mh_twostep", hash_fn="poly")
+    assert sorted(r.doc_id for r in surv_fused.collect()) == sorted(
+        r.doc_id for r in surv_two.collect()
+    )
+    a = sorted(map(tuple, spark.table("mh_fused").collect()))
+    b = sorted(map(tuple, spark.table("mh_twostep").collect()))
+    assert a == b and a
+    for t in ("mh_fused", "mh_twostep"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
