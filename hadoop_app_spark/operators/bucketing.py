@@ -75,11 +75,13 @@ def _location_claimed(spark: SparkSession, loc: str) -> bool:
     return False
 
 
-def _bucket_meta(spark: SparkSession, table: str) -> tuple[int, list[str], list[str]]:
-    """(n_buckets, bucket_cols, sort_cols) from the catalog."""
+def _bucket_meta(
+    spark: SparkSession, table: str
+) -> tuple[int, list[str], list[str], str]:
+    """(n_buckets, bucket_cols, sort_cols, provider) from the catalog."""
     import re
 
-    n, bcols, scols = 0, [], []
+    n, bcols, scols, provider = 0, [], [], "parquet"
     for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
         if r.col_name == "Num Buckets":
             n = int(r.data_type)
@@ -87,9 +89,11 @@ def _bucket_meta(spark: SparkSession, table: str) -> tuple[int, list[str], list[
             bcols = re.findall(r"`([^`]+)`", r.data_type)
         elif r.col_name == "Sort Columns":
             scols = re.findall(r"`([^`]+)`", r.data_type)
+        elif r.col_name == "Provider":
+            provider = r.data_type
     if not n or not bcols:
         raise ValueError(f"{table} is not a bucketed table")
-    return n, bcols, scols
+    return n, bcols, scols, provider
 
 
 def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
@@ -130,9 +134,8 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
         except OSError:
             return -1
 
-    n_buckets, bcols, scols = _bucket_meta(spark, table)
+    n_buckets, bcols, scols, provider = _bucket_meta(spark, table)
     files_before = _files(_table_location(spark, table))
-    rows = spark.table(table).count()
     staging = f"{table}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     # distribute by the BUCKET ID expression, not the raw columns: the
@@ -147,7 +150,7 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
     # rows — the writer recomputes bucket ids row-by-row regardless.
     bucket_id = F.pmod(F.hash(*[F.col(c) for c in bcols]), F.lit(n_buckets))
     compacted = spark.table(table).repartition(n_buckets, bucket_id)
-    writer = compacted.write.mode("overwrite").format("parquet").bucketBy(
+    writer = compacted.write.mode("overwrite").format(provider).bucketBy(
         n_buckets, *bcols
     )
     if scols:
@@ -155,10 +158,13 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
     save_table_recovering_orphan(spark, writer, staging)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    # rows counted AFTER the swap: count(*) over the compacted files is
+    # footer/metadata-bound, where a pre-rewrite count would have added
+    # a second full pass over the fragmented input
     return {
         "files_before": files_before,
         "files_after": _files(_table_location(spark, table)),
-        "rows": rows,
+        "rows": spark.table(table).count(),
     }
 
 

@@ -85,14 +85,19 @@ def _probe_positions(value: str, m_bits: int, k: int) -> list[tuple[int, int]]:
     return out
 
 
-def _load_index(spark: SparkSession, path: str):
+def _load_index(spark: SparkSession, path: str, missing_ok: bool = True):
     """(rows, blooms, m_bits, k) from a sidecar — blooms is
     {file: {word: bits}}. Bounded by design: files x SET words only.
-    A missing/empty sidecar returns ([], {}, 0, 0) rather than raising,
-    so every caller shares one "no usable index" signal."""
+    With ``missing_ok`` a missing/unreadable sidecar returns
+    ([], {}, 0, 0) — the shared "no usable index" signal for callers
+    that have a correct fallback; ``missing_ok=False`` re-raises, for
+    callers whose contract REQUIRES the index (an empty answer there
+    would be a wrong answer, not a degraded one)."""
     try:
         idx = spark.read.parquet(f"{path}/{INDEX_DIR}").collect()
     except Exception:
+        if not missing_ok:
+            raise
         idx = []
     if not idx:
         return [], {}, 0, 0
@@ -154,8 +159,13 @@ def read_bloom_skip(
 ) -> tuple[DataFrame, dict]:
     """Rows of ``path`` where ``col`` is in ``values``, scanning only
     Bloom-passing files. Returns (DataFrame, stats) with stats =
-    {"files_total", "files_read"} so pruning is observable."""
-    _, blooms, m_bits, k = _load_index(spark, path)
+    {"files_total", "files_read"} so pruning is observable.
+
+    The sidecar is REQUIRED here: this reader's contract is
+    bloom-pruned-but-complete, and a missing index must raise rather
+    than quietly answer "no rows" (use `point_lookup` for the
+    auto-discovering form that falls back to a plain scan)."""
+    _, blooms, m_bits, k = _load_index(spark, path, missing_ok=False)
     return _skip_scan(spark, path, col, values, blooms, m_bits, k)
 
 
@@ -173,12 +183,21 @@ def point_lookup(
     the table was written — the lakehouse contract where indexes are a
     property of the TABLE, not an argument of the query (Delta/Iceberg
     bloom filter indexes behave the same way).
+
+    Cost shape: discovery is a ONE-ROW probe (missing or
+    foreign-column sidecars never pay a full sidecar load); on a match
+    the sidecar is loaded exactly once and handed to the scan.
     """
-    idx, blooms, m_bits, k = _load_index(spark, path)
-    sc = _sidecar_col(idx)
-    if blooms and (sc is None or sc == col):
-        df, stats = _skip_scan(spark, path, col, values, blooms, m_bits, k)
-        return df, {**stats, "index": "bloom"}
+    try:
+        head = spark.read.parquet(f"{path}/{INDEX_DIR}").limit(1).collect()
+    except Exception:
+        head = []
+    sc = _sidecar_col(head)
+    if head and (sc is None or sc == col):
+        _, blooms, m_bits, k = _load_index(spark, path)
+        if blooms:
+            df, stats = _skip_scan(spark, path, col, values, blooms, m_bits, k)
+            return df, {**stats, "index": "bloom"}
     df = spark.read.parquet(path).where(F.col(col).isin(values))
     return df, {"files_total": None, "files_read": None, "index": "none"}
 
@@ -233,7 +252,25 @@ def retract_ids(
         files_total = len(blooms)
     else:
         # no sidecar over THIS column: every data file can contain a
-        # victim row, so all of them are rewrite candidates
+        # victim row, so all of them are rewrite candidates. Only FLAT
+        # layouts are rewritable here — a partitioned table's partition
+        # values live in directory names, which the per-file rewrite
+        # would destroy — so nested data dirs raise LOUDLY instead of
+        # the two silent failure modes (no-op, or a rewrite that drops
+        # the partition columns).
+        nested = sorted(
+            e
+            for e in os.listdir(_local(path))
+            if os.path.isdir(os.path.join(_local(path), e))
+            and not e.startswith(("_", "."))
+        )
+        if nested:
+            raise NotImplementedError(
+                f"retract_ids without a matching Bloom sidecar needs a flat "
+                f"parquet layout; {path} has partition directories "
+                f"{nested[:3]}... — retract per-partition, or rewrite the "
+                f"table through write_bloom_indexed/write_curated first"
+            )
         passing = sorted(
             os.path.join(_local(path), f)
             for f in os.listdir(_local(path))

@@ -79,6 +79,14 @@ def dedup_ingest_stream(
     )
 
     def _sink(batch_df, epoch_id: int) -> None:
+        # retain only the last two epochs' dropped sidecars (replay
+        # observability) — BEFORE the empty-batch guard, so a trailing
+        # empty trigger still cleans up and a long-running stream never
+        # grows the catalog one table per micro-batch
+        if epoch_id >= 2:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {index_table}_dropped_e{epoch_id - 2}"
+            )
         if batch_df.isEmpty():
             return  # trailing empty trigger: no index work, no output
         surv = dedup_increment(
@@ -96,13 +104,6 @@ def dedup_ingest_stream(
             .write.mode("append")
             .parquet(out_path)
         )
-        # the write above consumed this epoch's dropped sidecar; retain
-        # only the last two (replay observability) — a long-running
-        # stream must not grow the catalog one table per micro-batch
-        if epoch_id >= 2:
-            spark.sql(
-                f"DROP TABLE IF EXISTS {index_table}_dropped_e{epoch_id - 2}"
-            )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -2493,8 +2493,8 @@ def test_compact_bucketed_table_defragments_and_preserves_colocation(spark):
         assert stats["files_after"] <= 8  # ~one file per bucket (+noise)
         assert spark.table("bkt_compact").count() == 700
         # spec survived the swap
-        n, bcols, scols = _bucket_meta(spark, "bkt_compact")
-        assert (n, bcols, scols) == (4, ["k"], ["k"])
+        n, bcols, scols, provider = _bucket_meta(spark, "bkt_compact")
+        assert (n, bcols, scols, provider) == (4, ["k"], ["k"], "parquet")
         # co-location survived: the recurring join still has no Exchange
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = bucketed_join(spark, "bkt_compact", "bkt_compact_r", "k")
@@ -2573,3 +2573,27 @@ def test_seed_minhash_index_matches_two_step_form(spark, tmp_path):
     assert a == b and a
     for t in ("mh_fused", "mh_twostep"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_bucketed_table_preserves_provider(spark):
+    """A non-parquet bucketed table must come back in ITS format — the
+    spec is copied from the catalog, format included."""
+    from hadoop_app_spark.operators.bucketing import (
+        _bucket_meta,
+        compact_bucketed_table,
+        write_bucketed,
+    )
+
+    df = spark.range(0, 200).selectExpr("id AS k", "id * 2 AS v")
+    write_bucketed(df, "bkt_orc", ["k"], 4, format="orc")
+    spark.range(200, 260).selectExpr("id AS k", "id * 2 AS v").write.mode(
+        "append"
+    ).format("orc").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_orc")
+    try:
+        stats = compact_bucketed_table(spark, "bkt_orc")
+        assert stats["rows"] == 260
+        assert _bucket_meta(spark, "bkt_orc")[3] == "orc"
+        assert spark.table("bkt_orc").count() == 260
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orc")
+        spark.sql("DROP TABLE IF EXISTS bkt_orc__compacting")

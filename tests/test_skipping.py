@@ -240,3 +240,28 @@ def test_curated_write_audit_retract_loop(spark, tmp_path):
     still, _ = audit_contaminated(spark, path, flagged)
     assert still.count() == 0
     assert spark.read.parquet(path).count() == docs.count() - 2
+
+
+def test_read_bloom_skip_requires_sidecar(spark, tmp_path):
+    """read_bloom_skip's contract is bloom-pruned-but-COMPLETE: with no
+    sidecar it must raise, never answer 'no rows' (the auto-discovery
+    fallback lives in point_lookup)."""
+    path = str(tmp_path / "nosidecar")
+    load_table(spark, SF, "lineitem").select("l_orderkey").limit(10).write.parquet(path)
+    with pytest.raises(Exception):
+        read_bloom_skip(spark, path, "l_orderkey", [1])
+
+
+def test_retract_partitioned_layout_raises(spark, tmp_path):
+    """A partitioned table with no usable sidecar cannot be rewritten
+    file-by-file (partition values live in directory names): retraction
+    must fail LOUDLY, not no-op and not drop the partition columns."""
+    path = str(tmp_path / "parted")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    ).limit(200)
+    li.write.partitionBy("l_linenumber").parquet(path)
+    with pytest.raises(NotImplementedError, match="flat parquet layout"):
+        retract_ids(spark, path, "l_partkey", [1])
+    # nothing was deleted
+    assert spark.read.parquet(path).count() == 200
