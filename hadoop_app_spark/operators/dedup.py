@@ -733,6 +733,31 @@ def simhash_band_pairs_fast(
     )
 
 
+def simhash_band_rows(
+    sh: DataFrame, id_col: str, bits: int = 56, bands: int = 4
+) -> DataFrame:
+    """[id, simhash, bucket] band-membership rows of a [id, simhash]
+    frame — band b's value is tagged with b in the high bits so bands
+    never collide across positions. The shared kernel under the pair
+    join, the persisted index build, and the increment probe."""
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide {bits}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    return sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(b << w) + F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))).cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
 def _simhash_band_pairs_from(
     sh: DataFrame,
     id_col: str,
@@ -745,26 +770,11 @@ def _simhash_band_pairs_from(
     """Shared banding/verify stage over a [id, simhash] frame."""
     from hadoop_app_spark.functions.metrics import observe_counts
 
-    if bits % bands:
-        raise ValueError(f"bands={bands} must divide {bits}")
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs >= {max_hamming + 1} bands for exact recall"
         )
-    w = bits // bands
-    mask = (1 << w) - 1
-    banded = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    (F.lit(b << w) + F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit(mask))).cast("long")
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    banded = simhash_band_rows(sh, id_col, bits, bands)
     stats = (
         banded.groupBy("bucket")
         .agg(F.count("*").alias("_n"), F.min(id_col).alias("_min_id"), F.min_by("simhash", id_col).alias("_min_sh"))
@@ -809,6 +819,138 @@ def _simhash_band_pairs_from(
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def seed_simhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_table: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    half_bits: int = 28,
+    n_buckets: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Day-0 SimHash seed: greedy-dedup ``df`` by Hamming-banded pairs
+    and persist the SURVIVORS' band rows ``(bucket, id, simhash)`` as
+    the bucketed standing index — `seed_minhash_index`'s sibling for
+    the Hamming family. One fingerprint pass (cached k-bit rows) feeds
+    both the pair join and the index rows.
+
+    The index keeps the FINGERPRINT alongside each band row because a
+    SimHash bucket hit is only a candidate — the increment must verify
+    ``bit_count(xor) <= max_hamming`` against the indexed fingerprint,
+    where MinHash's bucket hit is already the decision.
+    """
+    from pyspark import StorageLevel
+
+    from hadoop_app_spark.operators.bucketing import write_bucketed
+
+    bits = 2 * half_bits
+    sh = simhash_wide(df, text_col, id_col, half_bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        pairs = _simhash_band_pairs_from(
+            sh, id_col, bits, bands, max_hamming, max_bucket_size, None
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        surv_sh = sh.join(losers, id_col, "left_anti")
+        rows = simhash_band_rows(surv_sh, id_col, bits, bands).select(
+            "bucket", F.col(id_col).alias("id"), "simhash"
+        )
+        write_bucketed(rows, index_table, ["bucket"], n_buckets)
+    finally:
+        sh.unpersist()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_increment(
+    new_batch: DataFrame,
+    index_table: str,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    half_bits: int = 28,
+    max_bucket_size: int = 1000,
+    append: bool = True,
+    dropped_table: str | None = None,
+) -> DataFrame:
+    """Deduplicate *new_batch* against the persisted SimHash band index
+    (and against itself), returning the surviving new rows —
+    `dedup_increment`'s Hamming-distance sibling, so the daily-ingest
+    pattern covers BOTH dedup families (shingle-set Jaccard via
+    MinHash, token-frequency Hamming via SimHash).
+
+    Policy (deterministic; the oracle replays both generations):
+      1. index wins: a new doc that shares ANY band bucket with an
+         indexed fingerprint AND verifies within ``max_hamming`` drops
+         — the bucket hit alone is only a candidate, unlike MinHash;
+      2. within the batch, greedy min-id over verified banded pairs,
+         computed over ALL new docs (conservative, as in
+         `dedup_increment`: a doc losing to an index-dropped sibling
+         still drops — its family is represented in the index).
+
+    Scale shape mirrors `dedup_increment`: the index side is a bare
+    bucketed scan (no exchange, no sort) consumed by a ShuffledHashJoin
+    whose hash table builds on the small batch side; the Hamming verify
+    is a post-join bit_count on two longs. The dropped-id set
+    materializes to ``dropped_table`` BEFORE any append (read-your-
+    writes, same hazard and same fix as `dedup_increment`).
+    """
+    from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
+
+    spark = new_batch.sparkSession
+    bits = 2 * half_bits
+    sh = simhash_wide(new_batch, text_col, id_col, half_bits)
+    banded = simhash_band_rows(sh, id_col, bits, bands)
+    index = spark.table(index_table).select(
+        "bucket", F.col("simhash").alias("_idx_sh")
+    )
+    hit_ids = (
+        index.join(banded.hint("shuffle_hash"), "bucket")
+        .where(
+            F.bit_count(F.col("_idx_sh").bitwiseXOR(F.col("simhash")))
+            <= max_hamming
+        )
+        .select(id_col)
+        .distinct()
+    )
+    intra_losers = (
+        _simhash_band_pairs_from(
+            sh, id_col, bits, bands, max_hamming, max_bucket_size, None
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    dropped = hit_ids.union(intra_losers).distinct()
+    dropped_table = dropped_table or f"{index_table}_dropped"
+    save_table_recovering_orphan(
+        spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
+    )
+    dropped_snap = spark.table(dropped_table)
+    survivors = new_batch.join(dropped_snap, id_col, "left_anti")
+    if append:
+        surv_rows = (
+            simhash_band_rows(
+                sh.join(dropped_snap, id_col, "left_anti"), id_col, bits, bands
+            )
+            .select("bucket", F.col(id_col).alias("id"), "simhash")
+        )
+        # read the existing bucket spec so the append preserves layout
+        from hadoop_app_spark.operators.bucketing import _bucket_meta
+
+        n_buckets = _bucket_meta(spark, index_table)[0]
+        (
+            surv_rows.write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "bucket")
+            .sortBy("bucket")
+            .saveAsTable(index_table)
+        )
+    return survivors
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

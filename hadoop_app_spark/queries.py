@@ -3107,6 +3107,134 @@ REGISTRY["index_compaction"] = QueryDef(
 )
 
 
+def _simhash_sh_cte() -> str:
+    """DuckDB CTE chain computing every document's 56-bit wide SimHash
+    (same folds/mix/bit-sums as operators/dedup.simhash_wide; the same
+    construction the simhash_band_neardup oracle inlines) ending in
+    ``sh(doc_id, s)``."""
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h{1 + i // 28} // {1 << (i % 28)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(56)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(56))
+    return f"""
+        toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        folded AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS f1,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 37 + c) % 1000000007) AS f2
+            FROM toks WHERE tok <> ''),
+        hashed AS (
+            SELECT doc_id,
+                   (f1 * 2654435761 + 968665207) % 1000000007 AS h1,
+                   (f2 * 2654435761 + 968665207) % 1000000007 AS h2
+            FROM folded),
+        bits AS (
+            SELECT doc_id, {sums}
+            FROM hashed GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS s FROM bits)"""
+
+
+def _simhash_increment_oracle() -> str:
+    """Two-generation replay of the SimHash index policy: seed greedy
+    dedup -> index0 = survivors' (bucket, fingerprint); each day drops
+    on (band bucket match AND hamming <= 3 vs the index) OR a verified
+    lower-id intra pair; survivors' bands extend the index. Zero-token
+    docs have no fingerprint, hence no bands, hence survive — in both
+    engines."""
+    return f"""
+        WITH {_simhash_sh_cte()},
+        bnd AS (
+            SELECT doc_id, s, bv.b * 16384 + (s // bv.p) % 16384 AS bucket
+            FROM sh, (VALUES (0, CAST(1 AS BIGINT)),
+                             (1, CAST(16384 AS BIGINT)),
+                             (2, CAST(268435456 AS BIGINT)),
+                             (3, CAST(4398046511104 AS BIGINT))) AS bv(b, p)),
+        sb AS (SELECT * FROM bnd WHERE doc_id % 3 = 0),
+        seed_losers AS (SELECT DISTINCT x.doc_id FROM sb a JOIN sb x
+                        ON a.bucket = x.bucket AND a.doc_id < x.doc_id
+                        AND bit_count(xor(a.s, x.s)) <= 3),
+        idx0 AS (SELECT bucket, s FROM sb
+                 WHERE doc_id NOT IN (SELECT doc_id FROM seed_losers)),
+        b1 AS (SELECT * FROM bnd WHERE doc_id % 3 = 1),
+        drop1 AS (
+            SELECT DISTINCT b1.doc_id FROM b1 JOIN idx0
+              ON b1.bucket = idx0.bucket AND bit_count(xor(b1.s, idx0.s)) <= 3
+            UNION
+            SELECT x.doc_id FROM b1 a JOIN b1 x
+              ON a.bucket = x.bucket AND a.doc_id < x.doc_id
+              AND bit_count(xor(a.s, x.s)) <= 3),
+        surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+                  AND doc_id NOT IN (SELECT doc_id FROM drop1)),
+        idx1 AS (SELECT bucket, s FROM idx0
+                 UNION ALL
+                 SELECT bucket, s FROM bnd
+                 WHERE doc_id IN (SELECT doc_id FROM surv1)),
+        b2 AS (SELECT * FROM bnd WHERE doc_id % 3 = 2),
+        drop2 AS (
+            SELECT DISTINCT b2.doc_id FROM b2 JOIN idx1
+              ON b2.bucket = idx1.bucket AND bit_count(xor(b2.s, idx1.s)) <= 3
+            UNION
+            SELECT x.doc_id FROM b2 a JOIN b2 x
+              ON a.bucket = x.bucket AND a.doc_id < x.doc_id
+              AND bit_count(xor(a.s, x.s)) <= 3),
+        surv2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+                  AND doc_id NOT IN (SELECT doc_id FROM drop2))
+        SELECT 1 AS generation, d.doc_id, d.n_chars
+        FROM documents d JOIN surv1 USING (doc_id)
+        UNION ALL
+        SELECT 2 AS generation, d.doc_id, d.n_chars
+        FROM documents d JOIN surv2 USING (doc_id)
+    """
+
+
+@query(
+    "simhash_increment",
+    oracle=None,  # assigned below (needs the CTE builders above)
+    doc="incremental dedup against a persisted SIMHASH band index — "
+    "dedup_increment's Hamming-distance sibling, so the daily-ingest "
+    "pattern covers both dedup families: a greedy-deduped day-0 seed "
+    "persists its survivors' (bucket, id, fingerprint) rows bucketed by "
+    "band bucket; two daily batches then each dedup against the "
+    "accumulated index (bucket hit is only a CANDIDATE — the drop "
+    "requires bit_count(xor) <= 3 against the indexed fingerprint, the "
+    "verify MinHash doesn't need) plus themselves, appending survivors. "
+    "Work per day is O(batch) shuffle + the exchange-free bucketed index "
+    "scan. Oracle replays both generations fingerprint-for-fingerprint "
+    "(operators/dedup.seed_simhash_index/simhash_increment).",
+)
+def q_simhash_increment(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import seed_simhash_index, simhash_increment
+
+    d = _t(spark, sf_dir, "documents")
+    seed_simhash_index(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "sh_incr_index"
+    )
+    gens = []
+    for gen in (1, 2):
+        surv = simhash_increment(
+            d.where(F.col("doc_id") % 3 == gen),
+            "sh_incr_index",
+            "text",
+            "doc_id",
+            dropped_table=f"sh_incr_dropped_g{gen}",
+        )
+        gens.append(surv.select(F.lit(gen).alias("generation"), "doc_id", "n_chars"))
+    return gens[0].unionAll(gens[1])
+
+
+REGISTRY["simhash_increment"] = QueryDef(
+    REGISTRY["simhash_increment"].fn,
+    _simhash_increment_oracle(),
+    REGISTRY["simhash_increment"].doc,
+)
+
+
 @query(
     "udtf_ncdc_parse",
     oracle="""
@@ -8485,6 +8613,9 @@ _PRIORITY = [
     # index_compaction: bucketed-index defrag between increments —
     # same two-generation oracle proves the rewrite is layout-only
     "index_compaction",
+    # simhash_increment: the Hamming-family sibling of dedup_increment
+    # (persisted band index + fingerprint verify, two-generation oracle)
+    "simhash_increment",
     # reader-contract pair: add-a-column mergeSchema union with NULL
     # backfill, and PERMISSIVE corrupt-record quarantine at the CSV face
     "schema_evolution_read",

@@ -2597,3 +2597,76 @@ def test_compact_bucketed_table_preserves_provider(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orc")
         spark.sql("DROP TABLE IF EXISTS bkt_orc__compacting")
+
+
+def test_simhash_increment_policy_and_verify(spark):
+    """The Hamming-family increment: identical text drops via the
+    index, novel text survives, a later batch loses to an earlier
+    batch's survivor, and a bucket hit WITHOUT the Hamming verify must
+    NOT drop (max_hamming=0 keeps what max_hamming=3 drops)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.dedup import (
+        seed_simhash_index,
+        simhash_increment,
+        simhash_wide,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t0 = (
+        "storage engines keep hot pages in shared buffer pools while eviction "
+        "policies track recency and frequency so sequential scans never wipe "
+        "the working set and checkpoints flush dirty pages in the background"
+    )
+    # one token swapped (eviction -> beacon): measured hamming 2 on the
+    # 56-bit wide fingerprint, asserted below so drift is loud
+    t0_near = (
+        "storage engines keep hot pages in shared buffer pools while beacon "
+        "policies track recency and frequency so sequential scans never wipe "
+        "the working set and checkpoints flush dirty pages in the background"
+    )
+    t1 = "vectorized execution batches tuples through operators at once"
+    t2 = "cost based optimizers reorder joins using cardinality estimates"
+    seed = docs([(0, t0), (1, "write ahead logging makes commits durable")])
+    try:
+        surv0 = seed_simhash_index(seed, "text", "doc_id", "sh_t_idx")
+        assert sorted(r.doc_id for r in surv0.collect()) == [0, 1]
+
+        # precondition: the near-dup is within hamming 1..3 of t0
+        sh = {
+            r.doc_id: r.simhash
+            for r in simhash_wide(
+                docs([(0, t0), (9, t0_near)]), "text", "doc_id"
+            ).collect()
+        }
+        ham = bin(sh[0] ^ sh[9]).count("1")
+        assert 1 <= ham <= 3, f"fixture drifted: hamming={ham}"
+
+        b1 = docs([(10, t0), (11, t1), (12, t0_near)])
+        s1 = simhash_increment(
+            b1, "sh_t_idx", "text", "doc_id", dropped_table="sh_t_d1"
+        )
+        # 10 identical -> index hit; 12 within hamming 3 -> verified hit
+        assert sorted(r.doc_id for r in s1.collect()) == [11]
+
+        b2 = docs([(20, t1), (21, t2)])
+        s2 = simhash_increment(
+            b2, "sh_t_idx", "text", "doc_id", dropped_table="sh_t_d2"
+        )
+        # 20 dups batch-1 survivor 11 via the index append
+        assert sorted(r.doc_id for r in s2.collect()) == [21]
+
+        # verify matters: at max_hamming=0 the near-dup (hamming 1..3,
+        # same band by pigeonhole) is a bucket CANDIDATE but fails the
+        # verify and survives
+        seed_simhash_index(seed, "text", "doc_id", "sh_t_idx0")
+        s0 = simhash_increment(
+            docs([(30, t0_near)]), "sh_t_idx0", "text", "doc_id",
+            max_hamming=0, dropped_table="sh_t_d0", append=False,
+        )
+        assert sorted(r.doc_id for r in s0.collect()) == [30]
+    finally:
+        for t in ("sh_t_idx", "sh_t_idx0", "sh_t_d1", "sh_t_d2", "sh_t_d0"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
