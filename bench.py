@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "udtf_chunk_spans",
     "schema_evolution_read",
     "csv_malformed_quarantine",
+    "simhash_increment",
 ]
 
 

@@ -862,6 +862,29 @@ def f_dedup_ingest_stream(spark, dp, ep, scratch):
     return spark.read.parquet(out).count()
 
 
+def f_simhash_increment(spark, dp, ep, scratch):
+    """FIXED daily batch against a GROWING persisted SIMHASH index —
+    the Hamming-family twin of f_dedup_increment. Same claim: kept wall
+    + shuffle bytes flat across tiers (per-day work ~ O(batch); the
+    index contributes the exchange-free bucketed scan plus a post-join
+    bit_count verify on two longs)."""
+    from hadoop_app_spark.operators.dedup import seed_simhash_index, simhash_increment
+
+    d = _docs(spark, dp)
+    tbl = f"sh_probe_idx_x{CURRENT_SCALE}"
+    if not spark.catalog.tableExists(tbl):
+        seed_simhash_index(d, "text", "doc_id", tbl)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    batch = d.where(F.col("doc_id") < 500).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(max_id)
+    )
+    surv = simhash_increment(
+        batch, tbl, "text", "doc_id", append=False,
+        dropped_table=f"sh_probe_dropped_x{CURRENT_SCALE}",
+    )
+    return surv.count()
+
+
 def f_ivf_index(spark, dp, ep, scratch):
     """Persisted IVF index at a GROWING corpus with a FIXED query batch
     + a FIXED append batch. The index builds once per tier (first run);
@@ -1106,6 +1129,7 @@ FAMILIES = {
     "ivf_index": f_ivf_index,
     "index_compaction": f_index_compaction,
     "dedup_ingest_stream": f_dedup_ingest_stream,
+    "simhash_increment": f_simhash_increment,
 }
 
 
