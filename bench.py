@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "schema_evolution_read",
     "csv_malformed_quarantine",
     "simhash_increment",
+    "data_expectations",
 ]
 
 

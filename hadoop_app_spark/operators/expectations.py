@@ -1,0 +1,186 @@
+"""Declarative data-quality expectations — the publish gate of a
+large-scale pipeline (Deequ / Great-Expectations class, rebuilt
+Spark-first).
+
+A corpus or mart is only as good as the checks that ran before it was
+published: row counts in range, keys non-null and unique, measures
+inside their domain, categorical columns drawn from their dictionary,
+foreign keys resolving. This module declares those checks as data
+(small spec objects) and evaluates them efficiently:
+
+- **One scan for all row-local expectations.** ``NotNull``,
+  ``ValueRange``, ``AcceptedValues``, ``RowCountBetween`` and
+  ``UniqueKey`` all reduce to aggregates, so they are computed in a
+  SINGLE wide ``agg`` over the table — adding an expectation adds a
+  column to the aggregate, never a pass over the data. (``UniqueKey``
+  rides along as ``count_distinct``; Spark plans the distinct via
+  expand, still one scan.)
+- **One join pass per referenced dimension.** ``ForeignKey`` counts
+  unresolved keys with a broadcast-eligible left-anti join — the only
+  expectation class that cannot be a scan-local aggregate.
+- **Verdicts are data.** The result is a DataFrame
+  ``[expectation, metric, passed]`` — pipe it to a sink, alert on
+  ``passed = false``, or join it into a run manifest. ``metric`` is
+  the measured value (violation count, fraction, row count) so a
+  failure is diagnosable without a re-run.
+
+Everything here is deterministic and SQL-expressible, so the registry
+oracle recomputes every metric and verdict independently in DuckDB.
+
+No reference analogue: the reference validates per-record (arity
+checks, quality-digit filters — S4/P2); this is that idea lifted from
+"drop the bad row" to "judge the dataset".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RowCountBetween:
+    lo: int
+    hi: int
+
+    @property
+    def name(self) -> str:
+        return f"row_count_between({self.lo},{self.hi})"
+
+
+@dataclass(frozen=True)
+class NotNull:
+    col: str
+
+    @property
+    def name(self) -> str:
+        return f"not_null({self.col})"
+
+
+@dataclass(frozen=True)
+class UniqueKey:
+    cols: tuple
+
+    @property
+    def name(self) -> str:
+        return f"unique_key({','.join(self.cols)})"
+
+
+@dataclass(frozen=True)
+class ValueRange:
+    col: str
+    lo: float
+    hi: float
+
+    @property
+    def name(self) -> str:
+        return f"value_range({self.col},{self.lo},{self.hi})"
+
+
+@dataclass(frozen=True)
+class AcceptedValues:
+    col: str
+    values: tuple
+
+    @property
+    def name(self) -> str:
+        return f"accepted_values({self.col})"
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    col: str
+    dim: DataFrame = field(compare=False)
+    dim_col: str = ""
+
+    @property
+    def name(self) -> str:
+        return f"foreign_key({self.col}->{self.dim_col})"
+
+
+def _metric_expr(e) -> Column:
+    """The scan-local aggregate measuring one expectation."""
+    if isinstance(e, RowCountBetween):
+        return F.count(F.lit(1)).cast("double")
+    if isinstance(e, NotNull):
+        return F.sum(F.col(e.col).isNull().cast("long")).cast("double")
+    if isinstance(e, UniqueKey):
+        # duplicates = rows - distinct keys (0 when the key is unique)
+        return (
+            F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in e.cols])
+        ).cast("double")
+    if isinstance(e, ValueRange):
+        c = F.col(e.col)
+        return F.sum(
+            (c.isNull() | (c < e.lo) | (c > e.hi)).cast("long")
+        ).cast("double")
+    if isinstance(e, AcceptedValues):
+        c = F.col(e.col)
+        return F.sum(
+            (c.isNull() | ~c.isin(list(e.values))).cast("long")
+        ).cast("double")
+    raise TypeError(f"not a scan-local expectation: {e}")
+
+
+def _passed_expr(e, metric: Column) -> Column:
+    if isinstance(e, RowCountBetween):
+        return (metric >= e.lo) & (metric <= e.hi)
+    return metric == 0  # every other class counts violations
+
+
+def check_expectations(df: DataFrame, expectations: list) -> DataFrame:
+    """Evaluate *expectations* over *df*, returning one row per
+    expectation: ``[expectation string, metric double, passed
+    boolean]`` — metrics are violation counts (or the row count for
+    ``RowCountBetween``), so 0 means clean.
+
+    Cost: ONE wide aggregate scan for all scan-local expectations plus
+    one left-anti join per ``ForeignKey``; the verdict frame itself is
+    |expectations| rows.
+    """
+    local = [e for e in expectations if not isinstance(e, ForeignKey)]
+    fks = [e for e in expectations if isinstance(e, ForeignKey)]
+    parts = []
+    if local:
+        wide = df.agg(
+            *[_metric_expr(e).alias(f"_m{i}") for i, e in enumerate(local)]
+        )
+        stacked = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(e.name).alias("expectation"),
+                            F.col(f"_m{i}").alias("metric"),
+                            _passed_expr(e, F.col(f"_m{i}")).alias("passed"),
+                        )
+                        for i, e in enumerate(local)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.expectation", "r.metric", "r.passed")
+        parts.append(stacked)
+    for e in fks:
+        dangling = (
+            df.select(F.col(e.col))
+            .where(F.col(e.col).isNotNull())
+            .join(
+                e.dim.select(F.col(e.dim_col).alias(e.col)).distinct(),
+                e.col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("metric"))
+        )
+        parts.append(
+            dangling.select(
+                F.lit(e.name).alias("expectation"),
+                "metric",
+                (F.col("metric") == 0).alias("passed"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

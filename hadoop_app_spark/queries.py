@@ -3236,6 +3236,93 @@ REGISTRY["simhash_increment"] = QueryDef(
 
 
 @query(
+    "data_expectations",
+    oracle="""
+        SELECT 'row_count_between(1,1000000000)' AS expectation,
+               CAST(count(*) AS DOUBLE) AS metric,
+               count(*) BETWEEN 1 AND 1000000000 AS passed FROM lineitem
+        UNION ALL
+        SELECT 'not_null(l_orderkey)',
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'unique_key(l_orderkey,l_linenumber)',
+               CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE),
+               count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem
+        UNION ALL
+        SELECT 'value_range(l_quantity,1,50)',
+               CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                              OR l_quantity > 50 THEN 1 ELSE 0 END) AS DOUBLE),
+               sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                         OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'value_range(l_discount,0.0,0.05)',
+               CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                              OR l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE),
+               sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                         OR l_discount > 0.05 THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)',
+               CAST(sum(CASE WHEN l_returnflag IS NULL
+                              OR l_returnflag NOT IN ('A','N','R')
+                         THEN 1 ELSE 0 END) AS DOUBLE),
+               sum(CASE WHEN l_returnflag IS NULL
+                         OR l_returnflag NOT IN ('A','N','R')
+                    THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'foreign_key(l_orderkey->o_orderkey)',
+               CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                     WHERE o.o_orderkey IS NULL
+                       AND l.l_orderkey IS NOT NULL) AS DOUBLE),
+               (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderkey IS NULL
+                  AND l.l_orderkey IS NOT NULL) = 0
+    """,
+    doc="declarative data-quality expectations evaluated as a publish "
+    "gate (operators/expectations.check_expectations, Deequ class): "
+    "row-count window, key not-null + uniqueness, measure domains, "
+    "categorical dictionary, and an orders foreign key over lineitem — "
+    "ALL scan-local checks in ONE wide aggregate pass, the FK as one "
+    "broadcast-eligible anti join; verdicts are data ([expectation, "
+    "metric, passed], violation counts so failures are diagnosable "
+    "without a re-run). One expectation (discount <= 0.05) FAILS by "
+    "design so the oracle value-checks both verdict paths.",
+)
+def q_data_expectations(spark, sf_dir):
+    from hadoop_app_spark.operators.expectations import (
+        AcceptedValues,
+        ForeignKey,
+        NotNull,
+        RowCountBetween,
+        UniqueKey,
+        ValueRange,
+        check_expectations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        li,
+        [
+            RowCountBetween(1, 10**9),
+            NotNull("l_orderkey"),
+            UniqueKey(("l_orderkey", "l_linenumber")),
+            ValueRange("l_quantity", 1, 50),
+            ValueRange("l_discount", 0.0, 0.05),  # fails by design
+            AcceptedValues("l_returnflag", ("A", "N", "R")),
+            ForeignKey("l_orderkey", orders, "o_orderkey"),
+        ],
+    )
+
+
+@query(
     "udtf_ncdc_parse",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INT) AS year,
@@ -8616,6 +8703,9 @@ _PRIORITY = [
     # simhash_increment: the Hamming-family sibling of dedup_increment
     # (persisted band index + fingerprint verify, two-generation oracle)
     "simhash_increment",
+    # data_expectations: the Deequ-class publish gate — one wide agg
+    # for every scan-local check + one anti join per foreign key
+    "data_expectations",
     # reader-contract pair: add-a-column mergeSchema union with NULL
     # backfill, and PERMISSIVE corrupt-record quarantine at the CSV face
     "schema_evolution_read",

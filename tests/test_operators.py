@@ -2670,3 +2670,74 @@ def test_simhash_increment_policy_and_verify(spark):
     finally:
         for t in ("sh_t_idx", "sh_t_idx0", "sh_t_d1", "sh_t_d2", "sh_t_d0"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_check_expectations_verdicts_and_metrics(spark):
+    """Synthetic table with known defects: every expectation class
+    measures the exact violation count and judges accordingly."""
+    from hadoop_app_spark.operators.expectations import (
+        AcceptedValues,
+        ForeignKey,
+        NotNull,
+        RowCountBetween,
+        UniqueKey,
+        ValueRange,
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A"),
+            (2, 10, "B"),
+            (2, 200, "A"),  # dup key, out-of-range v
+            (None, 5, "C"),  # null key, foreign category
+            (4, None, "A"),  # null measure
+        ],
+        "k int, v int, cat string",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (4,)], "dk int")
+    out = {
+        r.expectation: (r.metric, r.passed)
+        for r in check_expectations(
+            df,
+            [
+                RowCountBetween(1, 4),  # fails: 5 rows
+                NotNull("k"),  # fails: 1 null
+                UniqueKey(("k",)),  # fails: 5 rows, 3 distinct (count_distinct
+                # ignores NULL, so a null key also counts as a violation —
+                # same semantics as the DuckDB oracle's count(DISTINCT))
+                ValueRange("v", 0, 100),  # fails: 200 and NULL -> 2
+                AcceptedValues("cat", ("A", "B")),  # fails: C -> 1
+                ForeignKey("k", dim, "dk"),  # passes: nulls exempt
+            ],
+        ).collect()
+    }
+    assert out["row_count_between(1,4)"] == (5.0, False)
+    assert out["not_null(k)"] == (1.0, False)
+    assert out["unique_key(k)"] == (2.0, False)
+    assert out["value_range(v,0,100)"] == (2.0, False)
+    assert out["accepted_values(cat)"] == (1.0, False)
+    assert out["foreign_key(k->dk)"] == (0.0, True)
+
+    clean = spark.createDataFrame([(1, 5, "A"), (2, 7, "B")], "k int, v int, cat string")
+    verdicts = check_expectations(
+        clean,
+        [
+            RowCountBetween(1, 10),
+            NotNull("k"),
+            UniqueKey(("k",)),
+            ValueRange("v", 0, 100),
+            AcceptedValues("cat", ("A", "B")),
+            ForeignKey("k", dim, "dk"),
+        ],
+    )
+    assert all(r.passed for r in verdicts.collect())
+
+
+def test_check_expectations_dangling_foreign_key(spark):
+    from hadoop_app_spark.operators.expectations import ForeignKey, check_expectations
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (3,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,)], "dk int")
+    [r] = check_expectations(df, [ForeignKey("k", dim, "dk")]).collect()
+    assert (r.metric, r.passed) == (2.0, False)  # both 3-rows dangle
