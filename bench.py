@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "csv_malformed_quarantine",
     "simhash_increment",
     "data_expectations",
+    "leakage_safe_split",
 ]
 
 

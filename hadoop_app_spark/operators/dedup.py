@@ -953,6 +953,79 @@ def simhash_increment(
     return survivors
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: tuple = (("train", 90), ("val", 5), ("test", 5)),
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents can
+    NEVER straddle splits — the eval-contamination guard a training
+    pipeline needs BEFORE it needs anything else: a random per-doc
+    split leaks test content into train through every near-dup pair,
+    silently inflating eval scores.
+
+    Mechanics: MinHash-LSH candidate pairs -> connected components
+    (each near-dup family collapses to one component, singletons are
+    their own) -> the SPLIT is a deterministic function of the
+    COMPONENT id (md5 slice mod 100 against the cumulative weight
+    thresholds), so every member of a family lands in the same split
+    by construction, assignment is reproducible across runs and
+    engines, and the split of a family never changes as more
+    duplicates of it arrive.
+
+    ``weights``: ordered (name, percent) pairs summing to 100.
+    Returns [id, component, split].
+
+    Scale shape: pairs and components are bounded by the duplicate
+    population (never all-pairs); the split itself is a narrow map.
+    At 100 TB the whole cost is the dedup pass the pipeline already
+    runs — the split adds one join against the component labels.
+    """
+    from hadoop_app_spark.operators.graph import connected_components
+
+    total = sum(p for _, p in weights)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    pairs = minhash_lsh_pairs(
+        minhash_signatures(df, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to),
+        id_col,
+        bands,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labeled = df.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    # the repo's md5-slice uniform (bloom/HLL convention): first 8 hex
+    # chars of md5(component) as an integer, engine-reproducible
+    h = (
+        F.conv(F.substring(F.md5(component.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = None
+    acc = 0
+    for name, pct in weights[:-1]:
+        acc += pct
+        split = (
+            F.when(h < acc, F.lit(name))
+            if split is None
+            else split.when(h < acc, F.lit(name))
+        )
+    split = split.otherwise(F.lit(weights[-1][0]))
+    return labeled.select(
+        F.col(id_col), component.alias("component"), split.alias("split")
+    )
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Docs sharing an identical simhash -> near-dup groups (count>1)."""
     sh = simhash(df, text_col, id_col, bits)

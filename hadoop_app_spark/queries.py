@@ -3323,6 +3323,52 @@ def q_data_expectations(spark, sf_dir):
 
 
 @query(
+    "leakage_safe_split",
+    oracle="""
+        WITH RECURSIVE {banded},
+        e AS (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+              FROM banded a JOIN banded x
+              ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
+        sym AS (SELECT id_a AS a, id_b AS b FROM e
+                UNION SELECT id_b, id_a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        reach(a, b) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+        lab AS (SELECT d.doc_id,
+                       COALESCE(comp.component, d.doc_id) AS component
+                FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+        hashed AS (SELECT doc_id, component,
+                          CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS hh
+                   FROM lab)
+        SELECT doc_id, component,
+               CASE WHEN hh < 90 THEN 'train'
+                    WHEN hh < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hashed
+    """.format(banded=_minhash_banded_cte()),
+    doc="leakage-safe train/val/test split (the eval-contamination guard: "
+    "a random per-doc split leaks test content into train through every "
+    "near-dup pair): MinHash-LSH pairs -> connected components -> the "
+    "split is a deterministic md5-slice function of the COMPONENT id, so "
+    "near-dup families never straddle splits, assignment is reproducible, "
+    "and a family's split never changes as more of its duplicates arrive. "
+    "Oracle replays pairs, components (recursive reach + min), and the "
+    "md5 thresholds (operators/dedup.leakage_safe_split).",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        d, "text", "doc_id", hash_fn="poly",
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+
+
+@query(
     "udtf_ncdc_parse",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INT) AS year,
@@ -8706,6 +8752,9 @@ _PRIORITY = [
     # data_expectations: the Deequ-class publish gate — one wide agg
     # for every scan-local check + one anti join per foreign key
     "data_expectations",
+    # leakage_safe_split: eval-contamination guard — components of
+    # near-dup pairs co-assigned to a split by md5(component)
+    "leakage_safe_split",
     # reader-contract pair: add-a-column mergeSchema union with NULL
     # backfill, and PERMISSIVE corrupt-record quarantine at the CSV face
     "schema_evolution_read",

@@ -2741,3 +2741,42 @@ def test_check_expectations_dangling_foreign_key(spark):
     dim = spark.createDataFrame([(1,), (2,)], "dk int")
     [r] = check_expectations(df, [ForeignKey("k", dim, "dk")]).collect()
     assert (r.metric, r.passed) == (2.0, False)  # both 3-rows dangle
+
+
+def test_leakage_safe_split_families_never_straddle(spark):
+    """Every near-dup family lands in ONE split; weights route by the
+    component hash; singletons follow their own id; bad weights raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.catalog import load_table
+    from hadoop_app_spark.operators.dedup import leakage_safe_split, minhash_lsh_pairs, minhash_signatures
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = leakage_safe_split(d, "text", "doc_id", hash_fn="poly")
+    rows = out.collect()
+    assert len(rows) == d.count()
+    # one split per component — the invariant the operator exists for
+    per_comp = (
+        out.groupBy("component")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert per_comp == 0
+    # the split respects the family structure: both ends of every
+    # candidate pair share a component AND a split
+    pairs = minhash_lsh_pairs(
+        minhash_signatures(d, "text", "doc_id", hash_fn="poly"), "doc_id"
+    )
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"),
+                   F.col("component").alias("ca"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"),
+                   F.col("component").alias("cb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    assert j.where((F.col("sa") != F.col("sb")) | (F.col("ca") != F.col("cb"))).count() == 0
+    # all three splits materialize at this corpus size
+    got = {r.split for r in rows}
+    assert got == {"train", "val", "test"}
+    with _pytest.raises(ValueError, match="sum to 100"):
+        leakage_safe_split(d, "text", "doc_id", weights=(("a", 50), ("b", 40)))
