@@ -3107,6 +3107,75 @@ REGISTRY["index_compaction"] = QueryDef(
 )
 
 
+@query(
+    "stream_validated_ingest_exec",
+    oracle=None,  # assigned below: the dedup replay with labels 1 and 3
+    doc="the VALIDATED ingest loop: expectations judge each micro-batch "
+    "BEFORE it touches the index or the output (streaming/ingest."
+    "dedup_ingest_stream with expectations + quarantine_path) — a "
+    "corrupted day-2 feed (one NULL doc_id) is diverted whole to "
+    "quarantine with its failed-expectation tag, day 3's clean resend "
+    "of the same docs processes normally against the day-1-updated "
+    "index. Output generations are {1, 3}; the oracle is the "
+    "dedup_increment two-generation replay with the second label "
+    "rewritten to 3, and the fn RAISES if the quarantine is empty.",
+)
+def q_stream_validated_ingest_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.operators.dedup import seed_minhash_index
+    from hadoop_app_spark.operators.expectations import NotNull
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    par = spark.sparkContext.defaultParallelism
+    seed_minhash_index(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_vstream_index",
+        hash_fn="poly", repartition_to=par,
+    )
+    root = _scratch_dir("validated_ingest", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir, out, qtn, ck = (os.path.join(root, x) for x in ("src", "out", "qtn", "ck"))
+    os.makedirs(src_dir)
+    gen2 = d.where(F.col("doc_id") % 3 == 2)
+    batches = [
+        d.where(F.col("doc_id") % 3 == 1),  # day 1: clean
+        gen2.unionAll(  # day 2: the corrupted feed (one NULL id)
+            spark.createDataFrame(
+                [(None, "corrupt row", None)], "doc_id long, text string, n_chars long"
+            )
+        ),
+        gen2,  # day 3: the clean resend of day 2's docs
+    ]
+    for g, b in enumerate(batches, start=1):
+        stage = os.path.join(root, f"stage_g{g}")
+        b.coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"gen{g}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + g, 1_000_000_000 + g))
+    q = dedup_ingest_stream(
+        spark, src_dir, d.schema, "mh_vstream_index", "text", "doc_id",
+        out, ck, hash_fn="poly", repartition_to=par,
+        expectations=[NotNull("doc_id")], quarantine_path=qtn,
+    )
+    q.awaitTermination()
+    qrows = spark.read.parquet(qtn)
+    n_q = qrows.count()
+    if n_q == 0 or qrows.where(F.col("quarantine_reason").isNull()).count():
+        raise RuntimeError("corrupted batch was not quarantined")
+    return spark.read.parquet(out).select("generation", "doc_id", "n_chars")
+
+
+REGISTRY["stream_validated_ingest_exec"] = QueryDef(
+    REGISTRY["stream_validated_ingest_exec"].fn,
+    _dedup_increment_oracle().replace("SELECT 2 AS generation", "SELECT 3 AS generation"),
+    REGISTRY["stream_validated_ingest_exec"].doc,
+)
+
+
 def _simhash_sh_cte() -> str:
     """DuckDB CTE chain computing every document's 56-bit wide SimHash
     (same folds/mix/bit-sums as operators/dedup.simhash_wide; the same
@@ -8755,6 +8824,9 @@ _PRIORITY = [
     # leakage_safe_split: eval-contamination guard — components of
     # near-dup pairs co-assigned to a split by md5(component)
     "leakage_safe_split",
+    # stream_validated_ingest_exec: expectations as the ingest
+    # admission gate — corrupted batch quarantined, clean resend flows
+    "stream_validated_ingest_exec",
     # reader-contract pair: add-a-column mergeSchema union with NULL
     # backfill, and PERMISSIVE corrupt-record quarantine at the CSV face
     "schema_evolution_read",

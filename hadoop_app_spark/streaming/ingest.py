@@ -55,6 +55,8 @@ def dedup_ingest_stream(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     append_index: bool = True,
+    expectations: list | None = None,
+    quarantine_path: str | None = None,
 ):
     """Start the ingest stream: parquet files arriving under
     ``src_dir`` are deduped per micro-batch against ``index_table``
@@ -69,6 +71,15 @@ def dedup_ingest_stream(
     ``append_index=False`` makes the run an AUDIT pass: batches dedup
     against the index as-is (and against themselves) without growing
     it — later batches then no longer see earlier batches' survivors.
+
+    ``expectations`` (operators/expectations specs) turn the sink into
+    a validated ingest: each micro-batch is judged BEFORE it touches
+    the index or the output, and a failing batch is diverted whole to
+    ``quarantine_path`` (tagged with its batch sequence and the failed
+    expectation names) instead of poisoning the corpus — bad feeds are
+    kept, inspectable, and re-sendable, never silently admitted. The
+    verdict frame is |expectations| rows, so the per-batch check adds
+    one aggregate scan of the batch, nothing corpus-scale.
     """
     from hadoop_app_spark.operators.dedup import dedup_increment
 
@@ -89,6 +100,27 @@ def dedup_ingest_stream(
             )
         if batch_df.isEmpty():
             return  # trailing empty trigger: no index work, no output
+        if expectations:
+            from hadoop_app_spark.operators.expectations import check_expectations
+
+            failed = [
+                r.expectation
+                for r in check_expectations(batch_df, expectations).collect()
+                if not r.passed
+            ]
+            if failed:
+                if quarantine_path:
+                    (
+                        batch_df.withColumn(
+                            "generation", F.lit(epoch_id + 1).cast("int")
+                        )
+                        .withColumn(
+                            "quarantine_reason", F.lit(";".join(sorted(failed)))
+                        )
+                        .write.mode("append")
+                        .parquet(quarantine_path)
+                    )
+                return  # the batch never touches the index or the output
         surv = dedup_increment(
             batch_df,
             index_table,

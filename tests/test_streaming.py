@@ -887,3 +887,60 @@ def test_dedup_ingest_stream_incremental_and_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == {(1, 11), (2, 21), (3, 31)}
+
+
+def test_validated_ingest_quarantines_bad_batches(spark, tmp_path):
+    """Expectations gate the ingest: a batch with a NULL key is
+    diverted whole to quarantine (tagged with the failed expectation),
+    never touches the index or the output, and the clean resend of the
+    same content processes normally."""
+    import os
+
+    from hadoop_app_spark.operators.dedup import build_minhash_index
+    from hadoop_app_spark.operators.expectations import NotNull, ValueRange
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t_new = "a perfectly novel document about adaptive radix trees"
+    t_new2 = "another novel document describing log structured merges"
+    seed = docs([(0, "seed text on page layouts and slotted arrays")])
+    build_minhash_index(seed, "text", "doc_id", "mh_vq_idx", hash_fn="poly")
+
+    src, out, qtn, ck = (str(tmp_path / x) for x in ("src", "out", "qtn", "ck"))
+    os.makedirs(src)
+
+    def land(g, rows):
+        stage = str(tmp_path / f"stage{g}")
+        docs(rows).coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"g{g}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + g, 1_000_000_000 + g))
+
+    land(1, [(10, t_new)])                      # clean
+    land(2, [(None, t_new2), (21, t_new2)])     # NULL id -> quarantined whole
+    land(3, [(30, t_new2)])                     # clean resend
+
+    q = dedup_ingest_stream(
+        spark, src, "doc_id long, text string", "mh_vq_idx", "text", "doc_id",
+        out, ck, hash_fn="poly",
+        expectations=[NotNull("doc_id"), ValueRange("doc_id", 0, 10**9)],
+        quarantine_path=qtn,
+    )
+    q.awaitTermination()
+    got = {(r.generation, r.doc_id) for r in spark.read.parquet(out).collect()}
+    # 21 was in the quarantined batch, so 30 (same text) is the FIRST
+    # admitted copy and survives as generation 3
+    assert got == {(1, 10), (3, 30)}
+    qr = spark.read.parquet(qtn).collect()
+    assert {(r.generation, r.doc_id) for r in qr} == {(2, None), (2, 21)}
+    # both expectations flag the NULL (ValueRange treats NULL as a
+    # violation by design), joined sorted
+    assert all(
+        r.quarantine_reason
+        == "not_null(doc_id);value_range(doc_id,0,1000000000)"
+        for r in qr
+    )
+    spark.sql("DROP TABLE IF EXISTS mh_vq_idx")
