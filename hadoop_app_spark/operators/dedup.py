@@ -491,48 +491,52 @@ def dedup_increment(
     sigs = minhash_signatures(
         new_batch, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    banded = minhash_band_rows(sigs, id_col, bands)
-    index = spark.table(index_table)
-    hit_ids = (
-        index.select("bucket")
-        .join(banded.hint("shuffle_hash"), "bucket")
-        .select(id_col)
-        .distinct()
-    )
-    intra_losers = (
-        minhash_lsh_pairs(sigs, id_col, bands).select(F.col("id_b").alias(id_col)).distinct()
-    )
-    dropped = hit_ids.union(intra_losers).distinct()
-    # materialize the index-reading subplan NOW, before any append
-    # mutates what spark.table(index_table) resolves to
-    dropped_table = dropped_table or f"{index_table}_dropped"
-    from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
+    try:
+        banded = minhash_band_rows(sigs, id_col, bands)
+        index = spark.table(index_table)
+        hit_ids = (
+            index.select("bucket")
+            .join(banded.hint("shuffle_hash"), "bucket")
+            .select(id_col)
+            .distinct()
+        )
+        intra_losers = (
+            minhash_lsh_pairs(sigs, id_col, bands).select(F.col("id_b").alias(id_col)).distinct()
+        )
+        dropped = hit_ids.union(intra_losers).distinct()
+        # materialize the index-reading subplan NOW, before any append
+        # mutates what spark.table(index_table) resolves to
+        dropped_table = dropped_table or f"{index_table}_dropped"
+        from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
 
-    save_table_recovering_orphan(
-        spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
-    )
-    dropped_snap = spark.table(dropped_table)
-    survivors = new_batch.join(dropped_snap, id_col, "left_anti")
-    if append:
-        # banded + survivors read only the batch and the snapshot —
-        # this write's plan never reads the table it appends to
-        surv_rows = (
-            banded.join(survivors.select(id_col), id_col, "left_semi")
-            .select("bucket", F.col(id_col).alias("id"))
+        save_table_recovering_orphan(
+            spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
         )
-        # read the existing bucket spec so the append preserves layout
-        desc = {r.col_name: r.data_type for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()}
-        n_buckets = int(desc.get("Num Buckets", "8"))
-        (
-            surv_rows.write.mode("append")
-            .format("parquet")
-            .bucketBy(n_buckets, "bucket")
-            .sortBy("bucket")
-            .saveAsTable(index_table)
-        )
-    # every sigs consumer has materialized (dropped write + append);
-    # the returned survivors depend only on new_batch and the snapshot
-    sigs.unpersist()
+        dropped_snap = spark.table(dropped_table)
+        survivors = new_batch.join(dropped_snap, id_col, "left_anti")
+        if append:
+            # banded + survivors read only the batch and the snapshot —
+            # this write's plan never reads the table it appends to
+            surv_rows = (
+                banded.join(survivors.select(id_col), id_col, "left_semi")
+                .select("bucket", F.col(id_col).alias("id"))
+            )
+            # read the existing bucket spec so the append preserves layout
+            desc = {r.col_name: r.data_type for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()}
+            n_buckets = int(desc.get("Num Buckets", "8"))
+            (
+                surv_rows.write.mode("append")
+                .format("parquet")
+                .bucketBy(n_buckets, "bucket")
+                .sortBy("bucket")
+                .saveAsTable(index_table)
+            )
+    finally:
+        # every sigs consumer has materialized (dropped write + append)
+        # on success, and a failing retry loop (foreachBatch) must not
+        # accumulate one leaked cache per attempt; the returned
+        # survivors depend only on new_batch and the snapshot
+        sigs.unpersist()
     return survivors
 
 
@@ -901,12 +905,31 @@ def simhash_increment(
          `dedup_increment`: a doc losing to an index-dropped sibling
          still drops — its family is represented in the index).
 
-    Scale shape mirrors `dedup_increment`: the index side is a bare
-    bucketed scan (no exchange, no sort) consumed by a ShuffledHashJoin
-    whose hash table builds on the small batch side; the Hamming verify
-    is a post-join bit_count on two longs. The dropped-id set
-    materializes to ``dropped_table`` BEFORE any append (read-your-
-    writes, same hazard and same fix as `dedup_increment`).
+    Scale shape mostly mirrors `dedup_increment`: the index side is a
+    bare bucketed scan (no exchange, no sort) consumed by a
+    ShuffledHashJoin whose hash table builds on the small batch side;
+    the Hamming verify is a post-join bit_count on two longs. The
+    dropped-id set materializes to ``dropped_table`` BEFORE any append
+    (read-your-writes, same hazard and same fix as `dedup_increment`).
+
+    Two honest differences from the MinHash twin:
+
+    - MinHash's join-blowup bound ("survivors share no bucket") does
+      NOT transfer — SimHash survivors can legitimately share a band
+      value (they collided on a band but failed the Hamming verify),
+      so a hot band value accumulates index rows across days and its
+      probe emits |index-bucket| x |batch-bucket| candidate rows. On
+      skewed corpora monitor band-value frequencies and periodically
+      re-seed (`seed_simhash_index` re-dedups, collapsing families to
+      one representative per band again).
+    - Intra-batch pairs inherit `_simhash_band_pairs_from`'s audited
+      star expansion for buckets past ``max_bucket_size``: overflow
+      docs verify against the bucket's min-id fingerprint only, so
+      the all-pairs drop-set is approximated there (unlike MinHash,
+      where star preserves it exactly — no verify). The registry
+      oracle replays the all-pairs rule, valid while no bucket
+      overflows (holds at every tested SF; overflow is observable via
+      the pairs function's ``observations`` hook).
     """
     from pyspark import StorageLevel
 
@@ -921,54 +944,58 @@ def simhash_increment(
     sh = simhash_wide(new_batch, text_col, id_col, half_bits).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    banded = simhash_band_rows(sh, id_col, bits, bands)
-    index = spark.table(index_table).select(
-        "bucket", F.col("simhash").alias("_idx_sh")
-    )
-    hit_ids = (
-        index.join(banded.hint("shuffle_hash"), "bucket")
-        .where(
-            F.bit_count(F.col("_idx_sh").bitwiseXOR(F.col("simhash")))
-            <= max_hamming
+    try:
+        banded = simhash_band_rows(sh, id_col, bits, bands)
+        index = spark.table(index_table).select(
+            "bucket", F.col("simhash").alias("_idx_sh")
         )
-        .select(id_col)
-        .distinct()
-    )
-    intra_losers = (
-        _simhash_band_pairs_from(
-            sh, id_col, bits, bands, max_hamming, max_bucket_size, None
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    dropped = hit_ids.union(intra_losers).distinct()
-    dropped_table = dropped_table or f"{index_table}_dropped"
-    save_table_recovering_orphan(
-        spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
-    )
-    dropped_snap = spark.table(dropped_table)
-    survivors = new_batch.join(dropped_snap, id_col, "left_anti")
-    if append:
-        surv_rows = (
-            simhash_band_rows(
-                sh.join(dropped_snap, id_col, "left_anti"), id_col, bits, bands
+        hit_ids = (
+            index.join(banded.hint("shuffle_hash"), "bucket")
+            .where(
+                F.bit_count(F.col("_idx_sh").bitwiseXOR(F.col("simhash")))
+                <= max_hamming
             )
-            .select("bucket", F.col(id_col).alias("id"), "simhash")
+            .select(id_col)
+            .distinct()
         )
-        # read the existing bucket spec so the append preserves layout
-        from hadoop_app_spark.operators.bucketing import _bucket_meta
+        intra_losers = (
+            _simhash_band_pairs_from(
+                sh, id_col, bits, bands, max_hamming, max_bucket_size, None
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        dropped = hit_ids.union(intra_losers).distinct()
+        dropped_table = dropped_table or f"{index_table}_dropped"
+        save_table_recovering_orphan(
+            spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
+        )
+        dropped_snap = spark.table(dropped_table)
+        survivors = new_batch.join(dropped_snap, id_col, "left_anti")
+        if append:
+            surv_rows = (
+                simhash_band_rows(
+                    sh.join(dropped_snap, id_col, "left_anti"), id_col, bits, bands
+                )
+                .select("bucket", F.col(id_col).alias("id"), "simhash")
+            )
+            # read the existing bucket spec so the append preserves layout
+            from hadoop_app_spark.operators.bucketing import _bucket_meta
 
-        n_buckets = _bucket_meta(spark, index_table)[0]
-        (
-            surv_rows.write.mode("append")
-            .format("parquet")
-            .bucketBy(n_buckets, "bucket")
-            .sortBy("bucket")
-            .saveAsTable(index_table)
-        )
-    # every sh consumer has materialized (dropped table write + append);
-    # the returned survivors depend only on new_batch and the snapshot
-    sh.unpersist()
+            n_buckets = _bucket_meta(spark, index_table)[0]
+            (
+                surv_rows.write.mode("append")
+                .format("parquet")
+                .bucketBy(n_buckets, "bucket")
+                .sortBy("bucket")
+                .saveAsTable(index_table)
+            )
+    finally:
+        # every sh consumer has materialized (dropped write + append)
+        # on success, and a failing retry loop must not accumulate one
+        # leaked cache per attempt; the returned survivors depend only
+        # on new_batch and the snapshot
+        sh.unpersist()
     return survivors
 
 
@@ -994,9 +1021,15 @@ def leakage_safe_split(
     their own) -> the SPLIT is a deterministic function of the
     COMPONENT id (md5 slice mod 100 against the cumulative weight
     thresholds), so every member of a family lands in the same split
-    by construction, assignment is reproducible across runs and
-    engines, and the split of a family never changes as more
-    duplicates of it arrive.
+    by construction and assignment is reproducible across runs and
+    engines FOR A GIVEN CORPUS SNAPSHOT. Across snapshots the honest
+    statement is weaker: the component label is the family's min id,
+    so a newly arrived duplicate with a smaller id — or a bridge doc
+    merging two families — relabels the component and can re-route it
+    (two merged families sat in different splits; one must move). A
+    GROWING corpus that must never move evaluated content across
+    splits should persist this function's output and assign only NEW
+    components on later runs, joining previous assignments first.
 
     ``weights``: ordered (name, percent) pairs summing to 100.
     Returns [id, component, split].
@@ -1030,16 +1063,18 @@ def leakage_safe_split(
         .cast("long")
         % 100
     )
-    split = None
+    split = F.lit(weights[-1][0])  # single-split degenerate case works
     acc = 0
+    expr = None
     for name, pct in weights[:-1]:
         acc += pct
-        split = (
+        expr = (
             F.when(h < acc, F.lit(name))
-            if split is None
-            else split.when(h < acc, F.lit(name))
+            if expr is None
+            else expr.when(h < acc, F.lit(name))
         )
-    split = split.otherwise(F.lit(weights[-1][0]))
+    if expr is not None:
+        split = expr.otherwise(F.lit(weights[-1][0]))
     return labeled.select(
         F.col(id_col), component.alias("component"), split.alias("split")
     )

@@ -100,12 +100,27 @@ class ForeignKey:
         return f"foreign_key({self.col}->{self.dim_col})"
 
 
+def _sum0(cond: Column) -> Column:
+    """Violation counter that is 0 (not NULL) on an EMPTY table: a
+    bare sum over zero rows is NULL, which would make ``passed`` NULL
+    — neither true nor false — and split consumers ('alert on false'
+    sees nothing, 'require true' sees a failure)."""
+    return F.coalesce(F.sum(cond.cast("long")), F.lit(0)).cast("double")
+
+
 def _metric_expr(e) -> Column:
-    """The scan-local aggregate measuring one expectation."""
+    """The scan-local aggregate measuring one expectation.
+
+    NULL semantics, stated once: NULLs count as violations for
+    ``ValueRange``/``AcceptedValues`` (an unparseable measure is not
+    in its domain), and ``UniqueKey`` counts any row with a NULL key
+    component as a violation (``count_distinct`` excludes such rows,
+    so they land in the rows-minus-distinct difference — a NULL key
+    component is not a usable identifier)."""
     if isinstance(e, RowCountBetween):
         return F.count(F.lit(1)).cast("double")
     if isinstance(e, NotNull):
-        return F.sum(F.col(e.col).isNull().cast("long")).cast("double")
+        return _sum0(F.col(e.col).isNull())
     if isinstance(e, UniqueKey):
         # duplicates = rows - distinct keys (0 when the key is unique)
         return (
@@ -113,14 +128,10 @@ def _metric_expr(e) -> Column:
         ).cast("double")
     if isinstance(e, ValueRange):
         c = F.col(e.col)
-        return F.sum(
-            (c.isNull() | (c < e.lo) | (c > e.hi)).cast("long")
-        ).cast("double")
+        return _sum0(c.isNull() | (c < e.lo) | (c > e.hi))
     if isinstance(e, AcceptedValues):
         c = F.col(e.col)
-        return F.sum(
-            (c.isNull() | ~c.isin(list(e.values))).cast("long")
-        ).cast("double")
+        return _sum0(c.isNull() | ~c.isin(list(e.values)))
     raise TypeError(f"not a scan-local expectation: {e}")
 
 
@@ -140,6 +151,11 @@ def check_expectations(df: DataFrame, expectations: list) -> DataFrame:
     one left-anti join per ``ForeignKey``; the verdict frame itself is
     |expectations| rows.
     """
+    if not expectations:
+        raise ValueError(
+            "no expectations given — an empty gate would silently pass "
+            "everything; assert at least one check (or skip the call)"
+        )
     local = [e for e in expectations if not isinstance(e, ForeignKey)]
     fks = [e for e in expectations if isinstance(e, ForeignKey)]
     parts = []

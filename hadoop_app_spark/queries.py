@@ -3423,7 +3423,8 @@ def q_data_expectations(spark, sf_dir):
     "near-dup pair): MinHash-LSH pairs -> connected components -> the "
     "split is a deterministic md5-slice function of the COMPONENT id, so "
     "near-dup families never straddle splits, assignment is reproducible, "
-    "and a family's split never changes as more of its duplicates arrive. "
+    "reproducible for a given corpus snapshot (across snapshots a min-id "
+    "relabel or family merge can re-route — persist assignments to pin). "
     "Oracle replays pairs, components (recursive reach + min), and the "
     "md5 thresholds (operators/dedup.leakage_safe_split).",
 )

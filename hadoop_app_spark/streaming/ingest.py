@@ -83,6 +83,10 @@ def dedup_ingest_stream(
     """
     from hadoop_app_spark.operators.dedup import dedup_increment
 
+    if expectations and not quarantine_path:
+        # a failing batch with nowhere to go would be silently
+        # destroyed — the exact opposite of the quarantine contract
+        raise ValueError("expectations require a quarantine_path")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -109,17 +113,16 @@ def dedup_ingest_stream(
                 if not r.passed
             ]
             if failed:
-                if quarantine_path:
-                    (
-                        batch_df.withColumn(
-                            "generation", F.lit(epoch_id + 1).cast("int")
-                        )
-                        .withColumn(
-                            "quarantine_reason", F.lit(";".join(sorted(failed)))
-                        )
-                        .write.mode("append")
-                        .parquet(quarantine_path)
+                (
+                    batch_df.withColumn(
+                        "generation", F.lit(epoch_id + 1).cast("int")
                     )
+                    .withColumn(
+                        "quarantine_reason", F.lit(";".join(sorted(failed)))
+                    )
+                    .write.mode("append")
+                    .parquet(quarantine_path)
+                )
                 return  # the batch never touches the index or the output
         surv = dedup_increment(
             batch_df,

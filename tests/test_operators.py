@@ -2780,3 +2780,42 @@ def test_leakage_safe_split_families_never_straddle(spark):
     assert got == {"train", "val", "test"}
     with _pytest.raises(ValueError, match="sum to 100"):
         leakage_safe_split(d, "text", "doc_id", weights=(("a", 50), ("b", 40)))
+
+
+def test_check_expectations_edge_contracts(spark):
+    """Empty table -> real verdicts (never NULL passed); empty spec
+    list raises; single-split weights work."""
+    import pytest as _pytest
+
+    from hadoop_app_spark.catalog import load_table
+    from hadoop_app_spark.operators.dedup import leakage_safe_split
+    from hadoop_app_spark.operators.expectations import (
+        AcceptedValues,
+        NotNull,
+        RowCountBetween,
+        ValueRange,
+        check_expectations,
+    )
+
+    empty = spark.createDataFrame([], "k int, v int, cat string")
+    rows = check_expectations(
+        empty,
+        [
+            RowCountBetween(1, 10),  # fails: zero rows
+            NotNull("k"),
+            ValueRange("v", 0, 100),
+            AcceptedValues("cat", ("A",)),
+        ],
+    ).collect()
+    # every verdict is a real boolean (a bare sum over zero rows is
+    # NULL, which would be neither alert-on-false nor require-true)
+    assert all(r.passed is not None for r in rows)
+    assert {r.expectation: r.passed for r in rows}["row_count_between(1,10)"] is False
+    assert sum(0 if r.passed else 1 for r in rows) == 1
+
+    with _pytest.raises(ValueError, match="no expectations"):
+        check_expectations(empty, [])
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    one = leakage_safe_split(d, "text", "doc_id", weights=(("train", 100),), hash_fn="poly")
+    assert {r.split for r in one.collect()} == {"train"}

@@ -944,3 +944,20 @@ def test_validated_ingest_quarantines_bad_batches(spark, tmp_path):
         for r in qr
     )
     spark.sql("DROP TABLE IF EXISTS mh_vq_idx")
+
+
+def test_validated_ingest_requires_quarantine_path(spark, tmp_path):
+    """Expectations without a quarantine path would silently destroy
+    failing batches — refused up front."""
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.expectations import NotNull
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    with _pytest.raises(ValueError, match="quarantine_path"):
+        dedup_ingest_stream(
+            spark, str(tmp_path / "src"), "doc_id long, text string",
+            "whatever_idx", "text", "doc_id",
+            str(tmp_path / "out"), str(tmp_path / "ck"),
+            expectations=[NotNull("doc_id")],
+        )
