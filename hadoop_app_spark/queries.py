@@ -4935,13 +4935,24 @@ def q_stream_pyds_exec(spark, sf_dir):
     )
     import time as _time
 
+    # accumulate progress while polling: recentProgress is a ~100-event
+    # ring; empty progress events (every 250ms here) can evict the data
+    # batches before a single final read on a loaded machine
+    seen: dict = {}
+
+    def _drain():
+        for p in q.recentProgress:
+            seen[p["batchId"]] = p["numInputRows"]
+
     deadline = _time.monotonic() + 120
     while _time.monotonic() < deadline:
+        _drain()
         progress = q.recentProgress
-        if progress and any(p["numInputRows"] > 0 for p in progress) and progress[-1]["numInputRows"] == 0:
+        if any(n > 0 for n in seen.values()) and progress and progress[-1]["numInputRows"] == 0:
             break
         _time.sleep(0.1)
-    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    _drain()
+    data_batches = sum(1 for n in seen.values() if n > 0)
     q.stop()
     q.awaitTermination()
     if data_batches < 2:
