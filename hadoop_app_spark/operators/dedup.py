@@ -1080,6 +1080,95 @@ def leakage_safe_split(
     )
 
 
+def pin_split_assignments(
+    labeled: DataFrame,
+    assignments_table: str,
+    id_col: str = "doc_id",
+    append: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Pin split assignments across corpus snapshots — the growing-
+    corpus half of `leakage_safe_split` (whose per-snapshot hash can
+    re-route a family when a min-id relabel or merge changes its
+    component id).
+
+    ``labeled`` is a fresh `leakage_safe_split` output over the CURRENT
+    snapshot; ``assignments_table`` holds every previously pinned
+    ``(id, split)``. Policy, per document:
+
+      1. previously pinned docs KEEP their pin unconditionally —
+         content that was already trained on or evaluated never moves;
+      2. new docs in a family containing pinned members ADOPT the pin
+         of the family's smallest pinned id (the family stays
+         consistent even though its fresh hash may differ);
+      3. new docs in entirely-new families take the fresh hash split.
+
+    A family that MERGED previously differently-pinned members cannot
+    be made consistent without moving used content, so rule 1 wins and
+    the family is REPORTED in the returned conflicts frame (exclude it
+    from eval, or retire one side) — a silent re-route is the one
+    outcome this operator exists to prevent.
+
+    Returns (assignments, conflicts): assignments =
+    [id, component, split, pinned]; conflicts = [component, n_splits,
+    n_docs] for families now spanning >1 split. With ``append`` the
+    newly assigned (unpinned) rows are appended to
+    ``assignments_table`` so tomorrow's run pins against today.
+
+    Scale shape: two joins against the assignments table (itself
+    O(corpus) but narrow — id + split) and a per-component min_by
+    partial aggregate; no new shuffle class beyond the split itself.
+    """
+    spark = labeled.sparkSession
+    prev = spark.table(assignments_table).select(
+        F.col(id_col), F.col("split").alias("_pin")
+    )
+    j = labeled.join(prev, id_col, "left")
+    fam_pin = (
+        j.where(F.col("_pin").isNotNull())
+        .groupBy("component")
+        .agg(F.min_by("_pin", F.col(id_col)).alias("_fam_pin"))
+    )
+    out = (
+        j.join(fam_pin, "component", "left")
+        .select(
+            F.col(id_col),
+            F.col("component"),
+            F.coalesce(F.col("_pin"), F.col("_fam_pin"), F.col("split")).alias(
+                "split"
+            ),
+            F.col("_pin").isNotNull().alias("pinned"),
+        )
+    )
+    # read-your-writes: `out` lazily reads assignments_table, which the
+    # append below mutates — a late evaluation would see every row as
+    # pinned. Materialize the snapshot FIRST (the sidecar pattern the
+    # increments use), then append from the snapshot.
+    from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
+
+    snap_table = f"{assignments_table}_latest"
+    save_table_recovering_orphan(
+        spark, out.write.mode("overwrite").format("parquet"), snap_table
+    )
+    out_snap = spark.table(snap_table)
+    conflicts = (
+        out_snap.groupBy("component")
+        .agg(
+            F.count_distinct("split").alias("n_splits"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_splits") > 1)
+    )
+    if append:
+        (
+            out_snap.where(~F.col("pinned"))
+            .select(id_col, "split")
+            .write.mode("append")
+            .format("parquet")
+            .saveAsTable(assignments_table)
+        )
+    return out_snap, conflicts
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Docs sharing an identical simhash -> near-dup groups (count>1)."""
     sh = simhash(df, text_col, id_col, bits)

@@ -3176,6 +3176,100 @@ REGISTRY["stream_validated_ingest_exec"] = QueryDef(
 )
 
 
+@query(
+    "split_assignment_pinning",
+    oracle="""
+        WITH RECURSIVE {banded},
+        e1 AS (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+               FROM banded a JOIN banded x
+               ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id
+               WHERE a.doc_id % 2 = 0 AND x.doc_id % 2 = 0),
+        sym1 AS (SELECT id_a AS a, id_b AS b FROM e1
+                 UNION SELECT id_b, id_a FROM e1),
+        n1 AS (SELECT DISTINCT a AS node FROM sym1),
+        reach1(a, b) AS (
+            SELECT node, node FROM n1
+            UNION
+            SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a),
+        comp1 AS (SELECT a AS node, min(b) AS component FROM reach1 GROUP BY a),
+        a1 AS (SELECT d.doc_id,
+                      CASE WHEN CAST(concat('0x', substr(md5(CAST(
+                                COALESCE(comp1.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                           THEN 'train'
+                           WHEN CAST(concat('0x', substr(md5(CAST(
+                                COALESCE(comp1.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95
+                           THEN 'val' ELSE 'test' END AS split
+               FROM documents d LEFT JOIN comp1 ON d.doc_id = comp1.node
+               WHERE d.doc_id % 2 = 0),
+        e2 AS (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+               FROM banded a JOIN banded x
+               ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
+        sym2 AS (SELECT id_a AS a, id_b AS b FROM e2
+                 UNION SELECT id_b, id_a FROM e2),
+        n2 AS (SELECT DISTINCT a AS node FROM sym2),
+        reach2(a, b) AS (
+            SELECT node, node FROM n2
+            UNION
+            SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a),
+        comp2 AS (SELECT a AS node, min(b) AS component FROM reach2 GROUP BY a),
+        lab2 AS (SELECT d.doc_id,
+                        COALESCE(comp2.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp2 ON d.doc_id = comp2.node),
+        fam AS (SELECT x.component, min(a1.doc_id) AS mid
+                FROM a1 JOIN lab2 x ON a1.doc_id = x.doc_id
+                GROUP BY x.component),
+        fam_pin AS (SELECT fam.component, a1.split AS fp
+                    FROM fam JOIN a1 ON a1.doc_id = fam.mid)
+        SELECT l.doc_id, l.component,
+               COALESCE(p.split, fam_pin.fp,
+                        CASE WHEN CAST(concat('0x', substr(md5(CAST(l.component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                             THEN 'train'
+                             WHEN CAST(concat('0x', substr(md5(CAST(l.component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95
+                             THEN 'val' ELSE 'test' END) AS split,
+               p.doc_id IS NOT NULL AS pinned
+        FROM lab2 l
+        LEFT JOIN a1 p ON l.doc_id = p.doc_id
+        LEFT JOIN fam_pin ON l.component = fam_pin.component
+    """.format(banded=_minhash_banded_cte()),
+    doc="split-assignment PINNING across corpus snapshots (operators/"
+    "dedup.pin_split_assignments — the growing-corpus half of "
+    "leakage_safe_split): day 1 assigns half the corpus and persists "
+    "(id, split) pins; day 2 re-splits the FULL corpus and pins against "
+    "them — previously assigned docs keep their pin unconditionally, "
+    "new docs in families containing pinned members adopt the smallest "
+    "pinned id's split (even where the fresh hash disagrees — min-id "
+    "relabels re-route nothing), brand-new families take the fresh "
+    "hash; families merging differently-pinned members are REPORTED as "
+    "conflicts rather than silently re-routed. Oracle replays both "
+    "snapshots' components (two recursive reaches), the day-1 hashes, "
+    "and the adoption policy.",
+)
+def q_split_assignment_pinning(spark, sf_dir):
+    from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
+    from hadoop_app_spark.operators.dedup import (
+        leakage_safe_split,
+        pin_split_assignments,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    day1 = leakage_safe_split(
+        d.where(F.col("doc_id") % 2 == 0), "text", "doc_id",
+        hash_fn="poly", repartition_to=par,
+    )
+    # bootstrap the pin table from day 1 (overwrite: idempotent runs)
+    save_table_recovering_orphan(
+        spark,
+        day1.select("doc_id", "split").write.mode("overwrite").format("parquet"),
+        "split_pins",
+    )
+    day2 = leakage_safe_split(
+        d, "text", "doc_id", hash_fn="poly", repartition_to=par
+    )
+    out, _conflicts = pin_split_assignments(day2, "split_pins", "doc_id")
+    return out.select("doc_id", "component", "split", "pinned")
+
+
 def _simhash_sh_cte() -> str:
     """DuckDB CTE chain computing every document's 56-bit wide SimHash
     (same folds/mix/bit-sums as operators/dedup.simhash_wide; the same
@@ -8839,6 +8933,9 @@ _PRIORITY = [
     # stream_validated_ingest_exec: expectations as the ingest
     # admission gate — corrupted batch quarantined, clean resend flows
     "stream_validated_ingest_exec",
+    # split_assignment_pinning: growing-corpus split stability — pins
+    # persist, families adopt their smallest pinned member's split
+    "split_assignment_pinning",
     # reader-contract pair: add-a-column mergeSchema union with NULL
     # backfill, and PERMISSIVE corrupt-record quarantine at the CSV face
     "schema_evolution_read",

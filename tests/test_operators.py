@@ -2819,3 +2819,41 @@ def test_check_expectations_edge_contracts(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
     one = leakage_safe_split(d, "text", "doc_id", weights=(("train", 100),), hash_fn="poly")
     assert {r.split for r in one.collect()} == {"train"}
+
+
+def test_pin_split_assignments_adoption_and_conflicts(spark):
+    """Pins never move; new family members adopt the smallest pinned
+    member's split even when the fresh hash disagrees; merged families
+    with clashing pins are reported, not silently re-routed; appended
+    pins make the next run fully pinned."""
+    from hadoop_app_spark.operators.dedup import pin_split_assignments
+
+    spark.sql("DROP TABLE IF EXISTS pins_t")
+    spark.sql("DROP TABLE IF EXISTS pins_t_latest")
+    spark.createDataFrame(
+        [(1, "train"), (2, "test")], "doc_id long, split string"
+    ).write.format("parquet").saveAsTable("pins_t")
+
+    # day 2: doc 3 bridges 1 and 2 into one family; doc 9 is new alone
+    labeled = spark.createDataFrame(
+        [(1, 1, "val"), (2, 1, "val"), (3, 1, "val"), (9, 9, "val")],
+        "doc_id long, component long, split string",
+    )
+    out, conflicts = pin_split_assignments(labeled, "pins_t")
+    got = {r.doc_id: (r.split, r.pinned) for r in out.collect()}
+    assert got == {
+        1: ("train", True),   # pin kept
+        2: ("test", True),    # pin kept despite the merge
+        3: ("train", False),  # adopts min pinned id (1)'s split
+        9: ("val", False),    # new family: fresh hash split
+    }
+    assert [(r.component, r.n_splits, r.n_docs) for r in conflicts.collect()] == [
+        (1, 2, 3)
+    ]
+    # appended: the next run sees everything pinned, splits unchanged
+    out2, conflicts2 = pin_split_assignments(labeled, "pins_t", append=False)
+    got2 = {r.doc_id: (r.split, r.pinned) for r in out2.collect()}
+    assert got2 == {k: (v[0], True) for k, v in got.items()}
+    assert conflicts2.count() == 1
+    spark.sql("DROP TABLE IF EXISTS pins_t")
+    spark.sql("DROP TABLE IF EXISTS pins_t_latest")
