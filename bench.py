@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "simhash_increment",
     "data_expectations",
     "leakage_safe_split",
+    "split_assignment_pinning",
 ]
 
 

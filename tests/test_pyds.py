@@ -193,7 +193,14 @@ def test_stream_paced_intake_runs_multiple_microbatches(spark, tmp_path):
         if got == {1950: 40, 1960: 20}:
             break
         time.sleep(0.1)
-    drain_progress()
+    # sink rows land at batch completion but the progress EVENT posts
+    # asynchronously afterward — give the second event a bounded window
+    grace = time.monotonic() + 10
+    while time.monotonic() < grace:
+        drain_progress()
+        if sum(1 for n in seen.values() if n > 0) >= 2:
+            break
+        time.sleep(0.1)
     q.stop()
     q.awaitTermination()
     assert got == {1950: 40, 1960: 20}
