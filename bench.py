@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "data_expectations",
     "leakage_safe_split",
     "split_assignment_pinning",
+    # r9 additions: the oracled fixed-parameter twins (BPE encode under
+    # a hard-coded merge table; BLAS SemDeDup under lowest-id centroids)
+    "bpe_encode_fixed",
+    "semdedup_fast_fixed",
 ]
 
 

@@ -121,17 +121,22 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
 
     Returns {"files_before", "files_after", "rows"}.
     """
-    import os
-
     from pyspark.sql import functions as F
 
+    from hadoop_app_spark.sources import fs as hfs
+
     def _files(loc: str | None) -> int:
+        # Hadoop FS API, not os.listdir: table locations are URIs
+        # (file://, hdfs://, s3a://) on the deployment target
         if not loc:
             return -1
-        p = loc[len("file:") :] if loc.startswith("file:") else loc
         try:
-            return sum(1 for f in os.listdir(p) if not f.startswith(("_", ".")))
-        except OSError:
+            return sum(
+                1
+                for e in hfs.list_status(spark, loc)
+                if not e["name"].startswith(("_", "."))
+            )
+        except Exception:
             return -1
 
     n_buckets, bcols, scols, provider = _bucket_meta(spark, table)
@@ -155,9 +160,21 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
     )
     if scols:
         writer = writer.sortBy(*scols)  # sort spec copied, not assumed == bcols
+    # carry user-set properties across the swap (a fresh staging table
+    # has none): the dedup index params recorded by _set_index_params
+    # must survive compaction or the increments' mismatch guard goes
+    # blind after every defrag
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        if r["key"].startswith("dedup.")
+    }
     save_table_recovering_orphan(spark, writer, staging)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    if props:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
     # rows counted AFTER the swap: count(*) over the compacted files is
     # footer/metadata-bound, where a pre-rewrite count would have added
     # a second full pass over the fragmented input

@@ -336,6 +336,43 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def _set_index_params(spark, table: str, **params) -> None:
+    """Record the signature parameters an index was built with as
+    table properties (`dedup.n`, `dedup.bands`, ...), so an increment
+    called with DIFFERENT parameters fails loudly instead of probing
+    with incompatible buckets and silently skipping index dedup."""
+    kv = ", ".join(f"'dedup.{k}'='{v}'" for k, v in params.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def _check_index_params(spark, table: str, **params) -> None:
+    """Raise when *table* records build parameters that differ from
+    the caller's. A pre-r9 index records nothing — validation is
+    skipped for those (the documented legacy tolerance), but every
+    index written by this module going forward is self-describing."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    recorded = {
+        k[len("dedup.") :]: v for k, v in props.items() if k.startswith("dedup.")
+    }
+    if not recorded:
+        return
+    bad = {
+        k: {"index": recorded[k], "caller": str(v)}
+        for k, v in params.items()
+        if k in recorded and recorded[k] != str(v)
+    }
+    if bad:
+        raise ValueError(
+            f"{table} was built with different signature parameters than "
+            f"this increment: {bad} — probing with mismatched parameters "
+            f"produces zero bucket hits and silently skips index dedup; "
+            f"pass the build-time values or re-seed the index"
+        )
+
+
 def build_minhash_index(
     df: DataFrame,
     text_col: str,
@@ -372,6 +409,7 @@ def build_minhash_index(
     )
     rows = minhash_band_rows(sigs, id_col, bands).select("bucket", F.col(id_col).alias("id"))
     write_bucketed(rows, index_table, ["bucket"], n_buckets)
+    _set_index_params(df.sparkSession, index_table, n=n, k=k, bands=bands, hash_fn=hash_fn)
 
 
 def seed_minhash_index(
@@ -417,6 +455,9 @@ def seed_minhash_index(
             "bucket", F.col(id_col).alias("id")
         )
         write_bucketed(rows, index_table, ["bucket"], n_buckets)
+        _set_index_params(
+            df.sparkSession, index_table, n=n, k=k, bands=bands, hash_fn=hash_fn
+        )
     finally:
         sigs.unpersist()
     return df.join(losers, id_col, "left_anti")
@@ -485,6 +526,9 @@ def dedup_increment(
     from pyspark import StorageLevel
 
     spark = new_batch.sparkSession
+    # a parameter mismatch vs the index's recorded build values would
+    # produce zero bucket hits — i.e. silently skip index dedup
+    _check_index_params(spark, index_table, n=n, k=k, bands=bands, hash_fn=hash_fn)
     # cache the narrow [id, k-minima] rows: the index probe, the intra
     # pairs and the survivor append are three separate consumers that
     # would each re-run the tokenize/shingle/minhash pipeline
@@ -521,9 +565,12 @@ def dedup_increment(
                 banded.join(survivors.select(id_col), id_col, "left_semi")
                 .select("bucket", F.col(id_col).alias("id"))
             )
-            # read the existing bucket spec so the append preserves layout
-            desc = {r.col_name: r.data_type for r in spark.sql(f"DESCRIBE EXTENDED {index_table}").collect()}
-            n_buckets = int(desc.get("Num Buckets", "8"))
+            # read the existing bucket spec so the append preserves
+            # layout — the shared validated reader, which RAISES on a
+            # non-bucketed table instead of silently assuming 8
+            from hadoop_app_spark.operators.bucketing import _bucket_meta
+
+            n_buckets = _bucket_meta(spark, index_table)[0]
             (
                 surv_rows.write.mode("append")
                 .format("parquet")
@@ -873,6 +920,9 @@ def seed_simhash_index(
             "bucket", F.col(id_col).alias("id"), "simhash"
         )
         write_bucketed(rows, index_table, ["bucket"], n_buckets)
+        _set_index_params(
+            df.sparkSession, index_table, half_bits=half_bits, bands=bands
+        )
     finally:
         sh.unpersist()
     return df.join(losers, id_col, "left_anti")
@@ -936,6 +986,7 @@ def simhash_increment(
     from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
 
     spark = new_batch.sparkSession
+    _check_index_params(spark, index_table, half_bits=half_bits, bands=bands)
     bits = 2 * half_bits
     # cache the narrow [id, fingerprint] rows: three consumers (index
     # probe, intra pairs, survivor append) would otherwise each re-run

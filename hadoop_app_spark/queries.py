@@ -2923,13 +2923,13 @@ def q_dedup_increment(spark, sf_dir):
     # fixed table names + overwrite on build: idempotent across runs.
     # seed_minhash_index = dedup + index build in ONE signature pass
     seed_minhash_index(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_incr_index",
+        d.where(F.col("doc_id") % 7 == 0), "text", "doc_id", "mh_incr_index",
         hash_fn="poly", repartition_to=par,
     )
     gens = []
     for gen in (1, 2):
         surv = dedup_increment(
-            d.where(F.col("doc_id") % 3 == gen),
+            d.where(F.col("doc_id") % 7 == gen),
             "mh_incr_index",
             "text",
             "doc_id",
@@ -2948,32 +2948,32 @@ def _dedup_increment_oracle() -> str:
     docs have no band rows, so they survive in both engines."""
     return f"""
         WITH {_minhash_banded_cte()},
-        sb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+        sb AS (SELECT * FROM banded WHERE doc_id % 7 = 0),
         seed_losers AS (SELECT DISTINCT x.doc_id FROM sb a JOIN sb x
                         ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
         idx0 AS (SELECT b, bs FROM sb
                  WHERE doc_id NOT IN (SELECT doc_id FROM seed_losers)),
-        b1 AS (SELECT * FROM banded WHERE doc_id % 3 = 1),
+        b1 AS (SELECT * FROM banded WHERE doc_id % 7 = 1),
         drop1 AS (
             SELECT DISTINCT b1.doc_id FROM b1 JOIN idx0
               ON b1.b = idx0.b AND b1.bs = idx0.bs
             UNION
             SELECT x.doc_id FROM b1 a JOIN b1 x
               ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
-        surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+        surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 1
                   AND doc_id NOT IN (SELECT doc_id FROM drop1)),
         idx1 AS (SELECT b, bs FROM idx0
                  UNION ALL
                  SELECT b, bs FROM banded
                  WHERE doc_id IN (SELECT doc_id FROM surv1)),
-        b2 AS (SELECT * FROM banded WHERE doc_id % 3 = 2),
+        b2 AS (SELECT * FROM banded WHERE doc_id % 7 = 2),
         drop2 AS (
             SELECT DISTINCT b2.doc_id FROM b2 JOIN idx1
               ON b2.b = idx1.b AND b2.bs = idx1.bs
             UNION
             SELECT x.doc_id FROM b2 a JOIN b2 x
               ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
-        surv2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+        surv2 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 2
                   AND doc_id NOT IN (SELECT doc_id FROM drop2))
         SELECT 1 AS generation, d.doc_id, d.n_chars
         FROM documents d JOIN surv1 USING (doc_id)
@@ -3012,7 +3012,7 @@ def q_stream_dedup_ingest_exec(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     par = spark.sparkContext.defaultParallelism
     seed_minhash_index(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_stream_index",
+        d.where(F.col("doc_id") % 7 == 0), "text", "doc_id", "mh_stream_index",
         hash_fn="poly", repartition_to=par,
     )
     root = _scratch_dir("dedup_ingest", sf_dir)
@@ -3025,7 +3025,7 @@ def q_stream_dedup_ingest_exec(spark, sf_dir):
     # admits files oldest-first, so gen1 is micro-batch 0, gen2 batch 1
     for gen in (1, 2):
         stage = os.path.join(root, f"stage_g{gen}")
-        d.where(F.col("doc_id") % 3 == gen).coalesce(1).write.parquet(stage)
+        d.where(F.col("doc_id") % 7 == gen).coalesce(1).write.parquet(stage)
         part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
         dst = os.path.join(src, f"gen{gen}.parquet")
         os.rename(os.path.join(stage, part), dst)
@@ -3075,13 +3075,13 @@ def q_index_compaction(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     seed_minhash_index(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_cmpq_index",
+        d.where(F.col("doc_id") % 7 == 0), "text", "doc_id", "mh_cmpq_index",
         hash_fn="poly", repartition_to=par,
     )
     gens = []
     for gen in (1, 2):
         surv = dedup_increment(
-            d.where(F.col("doc_id") % 3 == gen),
+            d.where(F.col("doc_id") % 7 == gen),
             "mh_cmpq_index",
             "text",
             "doc_id",
@@ -3092,8 +3092,10 @@ def q_index_compaction(spark, sf_dir):
         gens.append(surv.select(F.lit(gen).alias("generation"), "doc_id", "n_chars"))
         if gen == 1:
             # materialize day 1 BEFORE compaction mutates the index
-            # location its lazy plan reads from
-            gens[0] = spark.createDataFrame(gens[0].collect(), gens[0].schema)
+            # location its lazy plan reads from — localCheckpoint keeps
+            # the materialized partitions on the EXECUTORS (no driver
+            # collect: survivor sets are corpus-scale at the target)
+            gens[0] = gens[0].localCheckpoint()
             stats = compact_bucketed_table(spark, "mh_cmpq_index")
             if stats["files_after"] >= stats["files_before"]:
                 raise RuntimeError(f"compaction did not reduce files: {stats}")
@@ -3131,16 +3133,16 @@ def q_stream_validated_ingest_exec(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     par = spark.sparkContext.defaultParallelism
     seed_minhash_index(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "mh_vstream_index",
+        d.where(F.col("doc_id") % 7 == 0), "text", "doc_id", "mh_vstream_index",
         hash_fn="poly", repartition_to=par,
     )
     root = _scratch_dir("validated_ingest", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     src_dir, out, qtn, ck = (os.path.join(root, x) for x in ("src", "out", "qtn", "ck"))
     os.makedirs(src_dir)
-    gen2 = d.where(F.col("doc_id") % 3 == 2)
+    gen2 = d.where(F.col("doc_id") % 7 == 2)
     batches = [
-        d.where(F.col("doc_id") % 3 == 1),  # day 1: clean
+        d.where(F.col("doc_id") % 7 == 1),  # day 1: clean
         gen2.unionAll(  # day 2: the corrupted feed (one NULL id)
             spark.createDataFrame(
                 [(None, "corrupt row", None)], "doc_id long, text string, n_chars long"
@@ -3318,13 +3320,13 @@ def _simhash_increment_oracle() -> str:
                              (1, CAST(16384 AS BIGINT)),
                              (2, CAST(268435456 AS BIGINT)),
                              (3, CAST(4398046511104 AS BIGINT))) AS bv(b, p)),
-        sb AS (SELECT * FROM bnd WHERE doc_id % 3 = 0),
+        sb AS (SELECT * FROM bnd WHERE doc_id % 10 = 0),
         seed_losers AS (SELECT DISTINCT x.doc_id FROM sb a JOIN sb x
                         ON a.bucket = x.bucket AND a.doc_id < x.doc_id
                         AND bit_count(xor(a.s, x.s)) <= 3),
         idx0 AS (SELECT bucket, s FROM sb
                  WHERE doc_id NOT IN (SELECT doc_id FROM seed_losers)),
-        b1 AS (SELECT * FROM bnd WHERE doc_id % 3 = 1),
+        b1 AS (SELECT * FROM bnd WHERE doc_id % 10 = 1),
         drop1 AS (
             SELECT DISTINCT b1.doc_id FROM b1 JOIN idx0
               ON b1.bucket = idx0.bucket AND bit_count(xor(b1.s, idx0.s)) <= 3
@@ -3332,13 +3334,13 @@ def _simhash_increment_oracle() -> str:
             SELECT x.doc_id FROM b1 a JOIN b1 x
               ON a.bucket = x.bucket AND a.doc_id < x.doc_id
               AND bit_count(xor(a.s, x.s)) <= 3),
-        surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+        surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 1
                   AND doc_id NOT IN (SELECT doc_id FROM drop1)),
         idx1 AS (SELECT bucket, s FROM idx0
                  UNION ALL
                  SELECT bucket, s FROM bnd
                  WHERE doc_id IN (SELECT doc_id FROM surv1)),
-        b2 AS (SELECT * FROM bnd WHERE doc_id % 3 = 2),
+        b2 AS (SELECT * FROM bnd WHERE doc_id % 10 = 2),
         drop2 AS (
             SELECT DISTINCT b2.doc_id FROM b2 JOIN idx1
               ON b2.bucket = idx1.bucket AND bit_count(xor(b2.s, idx1.s)) <= 3
@@ -3346,7 +3348,7 @@ def _simhash_increment_oracle() -> str:
             SELECT x.doc_id FROM b2 a JOIN b2 x
               ON a.bucket = x.bucket AND a.doc_id < x.doc_id
               AND bit_count(xor(a.s, x.s)) <= 3),
-        surv2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+        surv2 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 2
                   AND doc_id NOT IN (SELECT doc_id FROM drop2))
         SELECT 1 AS generation, d.doc_id, d.n_chars
         FROM documents d JOIN surv1 USING (doc_id)
@@ -3376,12 +3378,12 @@ def q_simhash_increment(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     seed_simhash_index(
-        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id", "sh_incr_index"
+        d.where(F.col("doc_id") % 10 == 0), "text", "doc_id", "sh_incr_index"
     )
     gens = []
     for gen in (1, 2):
         surv = simhash_increment(
-            d.where(F.col("doc_id") % 3 == gen),
+            d.where(F.col("doc_id") % 10 == gen),
             "sh_incr_index",
             "text",
             "doc_id",
@@ -6256,7 +6258,8 @@ def q_hll_distinct_shingles(spark, sf_dir):
                             ELSE 63.0 / (CAST(a.kth AS DOUBLE)
                                          / 1152921504606846976.0) END, 3)
                    AS est_intersection,
-               e.exact_union, e.exact_intersection
+               e.exact_union,
+               CAST(e.exact_intersection AS BIGINT) AS exact_intersection
         FROM agg a JOIN ex e USING (src_a, src_b)
         ORDER BY src_a, src_b
     """.format(toks=_TOKS),
@@ -6422,7 +6425,8 @@ def _pagerank_oracle(iters: int = 3) -> str:
         )
     parts.append(
         f"""
-        SELECT node AS nation, rank_scaled FROM r{iters}"""
+        SELECT node AS nation, CAST(rank_scaled AS BIGINT) AS rank_scaled
+        FROM r{iters}"""
     )
     return "".join(parts)
 
@@ -7674,6 +7678,91 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+# hard-coded data-independent merge table for the oracled BPE-encode
+# twin: exercises chained merges (e+r then er+</w>, o+w then ow+</w>),
+# an EOW-sentinel merge, a double-letter pair (g,g), and merge-order
+# precedence ((s,t) consumes the 't' of 'fast' before (a,t) can)
+_BPE_FIXED_MERGES = [
+    ("s", "t"), ("e", "r"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("g", "g"), ("a", "t"), ("h", "a"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """DuckDB twin of the BPE encode kernel under _BPE_FIXED_MERGES:
+    one recursive CTE walks every distinct word through the 8 merge
+    passes — state (word, step, syms, i, acc) replays the kernel's
+    left-to-right adjacent-pair scan symbol by symbol (i skips 2 on a
+    merge, so overlap handling is replayed too), and finishing a pass
+    rolls acc into the next step's symbol list. Bounded by
+    |vocab| x total merge-pass symbol steps, never corpus size."""
+    vals = ",".join(
+        f"({i},'{a}','{b}')" for i, (a, b) in enumerate(_BPE_FIXED_MERGES)
+    )
+    k = len(_BPE_FIXED_MERGES)
+    return f"""
+        WITH RECURSIVE m(rank, a, b) AS (VALUES {vals}),
+        tok AS (SELECT doc_id, w FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents) WHERE w <> ''),
+        words AS (SELECT DISTINCT w FROM tok),
+        enc(w, step, syms, i, acc) AS (
+            SELECT w, 0, [w[j] for j in range(1, length(w) + 1)] || ['</w>'],
+                   1, CAST([] AS TEXT[])
+            FROM words
+            UNION ALL
+            SELECT w,
+                   CASE WHEN i > len(syms) THEN step + 1 ELSE step END,
+                   CASE WHEN i > len(syms) THEN acc ELSE syms END,
+                   CASE WHEN i > len(syms) THEN 1
+                        WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM m WHERE rank = step)
+                             AND syms[i+1] = (SELECT b FROM m WHERE rank = step)
+                        THEN i + 2
+                        ELSE i + 1 END,
+                   CASE WHEN i > len(syms) THEN CAST([] AS TEXT[])
+                        WHEN i < len(syms)
+                             AND syms[i] = (SELECT a FROM m WHERE rank = step)
+                             AND syms[i+1] = (SELECT b FROM m WHERE rank = step)
+                        THEN acc || [syms[i] || syms[i+1]]
+                        ELSE acc || [syms[i]] END
+            FROM enc WHERE step < {k}),
+        final AS (SELECT w, len(syms) AS n_tok FROM enc WHERE step = {k}),
+        counts AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        per_doc AS (SELECT c.doc_id, sum(c.c) AS n_words,
+                           sum(c.c * f.n_tok) AS bpe_tokens
+                    FROM counts c JOIN final f USING (w) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@query(
+    "bpe_encode_fixed",
+    oracle=_bpe_fixed_oracle(),
+    doc="the ORACLED twin of bpe_token_count (the wordpiece_encode_fixed "
+    "convention, VERDICT r8 item 7): the identical merge-application "
+    "mapInPandas kernel (operators/bpe.bpe_token_counts) under a "
+    "hard-coded data-independent merge table, so the full encode "
+    "algorithm — learned-order merge passes, left-to-right adjacent-pair "
+    "scanning with skip-2 overlap handling, EOW sentinel, per-batch word "
+    "cache — is checked EXACTLY against a from-scratch SQL recursive-CTE "
+    "replay instead of rows-only; the table engineers chained merges and "
+    "an (s,t)-before-(a,t) precedence case so merge ORDER itself is "
+    "cross-engine-pinned",
+)
+def q_bpe_encode_fixed(spark, sf_dir):
+    from hadoop_app_spark.operators.bpe import bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(
+        d, list(_BPE_FIXED_MERGES),
+        repartition_to=spark.sparkContext.defaultParallelism,
+    ).orderBy("doc_id")
+
+
 @query(
     "mixture_rebalance",
     # the oracle RECOMPUTES the rate derivation (totals -> binding
@@ -8257,6 +8346,31 @@ def q_semdedup_fast(spark, sf_dir):
 
 
 @query(
+    "semdedup_fast_fixed",
+    oracle=_semdedup_oracle(n_clusters=16, threshold=0.35),
+    doc="the ORACLED twin of semdedup_fast (the pq_ann_topk_fixed "
+    "convention, VERDICT r8 item 7): the identical BLAS-vectorized "
+    "pipeline — broadcast (k, d) ndarray assignment with argmax "
+    "first-maximum tie rule, blocked-matmul within-cluster duplicate "
+    "kernel, same (csim asc, id asc) keep order — but under the "
+    "SQL-recomputable lowest-id centroid configuration (the default "
+    "centroid_source), so it SHARES the oracled semdedup row's oracle "
+    "verbatim and the production kernels are value-checked end-to-end "
+    "instead of only pytest-pinned; the trained-centroid form stays "
+    "rows-only (engine-seeded float means have no SQL twin)",
+)
+def q_semdedup_fast_fixed(spark, sf_dir):
+    from hadoop_app_spark.operators.semdedup import semdedup_survivors_fast
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return semdedup_survivors_fast(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=0.35
+    )
+
+
+@query(
     "quality_classifier",
     # no SQL oracle BY DESIGN (iterative training loop); exactness is
     # pinned harder than an oracle could: tests/test_quality_model.py
@@ -8706,11 +8820,15 @@ _PRIORITY = [
     "nation_pagerank",
     # exact AllPairs set-similarity join (lossless prefix filter)
     "set_similarity_join",
-    # SymSpell deletion-neighborhood edit-1 fuzzy join
-    "typo_pairs",
-    # Bloom-filter decontamination (oracle rebuilds the filter
-    # bit-for-bit, false positives included)
-    "bloom_decontamination",
+    # r9 swap-out typo_pairs (driver-green r3-r8): the SymSpell
+    # deletion-neighborhood is a deterministic explode + keyed
+    # equi-join + edit-verify — explode/join mechanics gated many
+    # times over; stays oracle-checked locally every round.
+    # r9 swap-out bloom_decontamination (driver-green r3-r8): the
+    # md5-slice Bloom build/probe kernel (operators/joins.key_bloom)
+    # is now gated via bloom_retraction, whose oracle rebuilds the
+    # SAME filter bit-for-bit and additionally value-checks the
+    # file-prune + rewrite on top; stays oracle-checked locally.
     # SCD2 versioned-dimension maintenance (history-keeping sibling of
     # the gated upsert_snapshot)
     "scd2_dimension",
@@ -8753,14 +8871,18 @@ _PRIORITY = [
     # r8 swap-out exact_dedup_simhash (driver-green r2-r7): the gated
     # normalized_dedup row is the same hash-groupBy dedup shape plus
     # CCNet normalization — a strict superset; the simhash fingerprint
-    # arm stays gated via simhash_band_neardup. Stays oracle-checked
+    # arm stays gated via simhash_band_neardup's successor (see r9
+    # swap-outs below). Stays oracle-checked locally every round.
+    # r9 swap-out minhash_dedup (driver-green r2-r8): dedup_increment's
+    # two-generation oracle REPLAYS the full shingle->minhash->band->
+    # greedy-min-id pipeline for the seed AND both increments — a
+    # strict superset of the one-shot form; stays oracle-checked
     # locally every round.
-    "minhash_dedup",
-    # r4 swap-in: cluster_canonical's oracle contains near_dup_components'
-    # ENTIRE pipeline (same embedding near-dup pairs, same recursive-CTE
-    # transitive closure) plus the per-cluster quality election on top —
-    # a strict superset of the gated signal it replaces
-    "cluster_canonical",
+    # r9 swap-out cluster_canonical (driver-green r4-r8): its
+    # embedding near-dup pairs + recursive-CTE transitive closure now
+    # live inside the gated leakage_safe_split oracle (same component
+    # pipeline, plus the md5-split assignment on top); the per-cluster
+    # quality election stays pytest-pinned and locally exact.
     # r4 swap-in: cross-document duplicated-passage spans — the
     # substring-level member of the dedup family (Lee et al. 2022 class)
     "duplicate_passages",
@@ -8768,11 +8890,14 @@ _PRIORITY = [
     # sign-LSH bucket mechanics live inside the gated embedding_near_dup
     # (same hyperplanes, same bucketed candidate join). r6 swap-outs
     # cosine_topk/embedding_near_dup: the verdict's "drop to one ANN
-    # representative" — ivf_ann_topk stays as the family's gated row
-    # (its oracle recomputes exact per-cell cosine, so the kernel the
-    # whole family shares is still value-checked by the driver); all
-    # twins were judge-verified exact in the r5 vanilla differential.
-    "ivf_ann_topk",
+    # representative" — one IVF row stays as the family's gated
+    # representative; all twins were judge-verified exact in the r5
+    # vanilla differential.
+    # r9 swap-out ivf_ann_topk (driver-green r4-r8): ivf_index_topk
+    # SHARES its oracle (_IVF_ORACLE) verbatim — same centroids, same
+    # cells, same exact per-cell cosine — and additionally gates the
+    # persisted, partition-pruned index lifecycle; the in-memory form
+    # stays oracle-checked locally every round.
     # corpus pipeline stages (north star). r5 swap-outs: source_stats
     # (plain keyed counts + the fp-mod distinct the gated corpus_curation
     # row carries); decontamination (keyed gram-join mechanics now gated
@@ -8784,34 +8909,49 @@ _PRIORITY = [
     # gated via lm_perplexity + corpus_curation + the incoming
     # quality_calibration; its _fast twin remains benched + pinned).
     "corpus_curation",
-    # r4 swap-in: the Hamming-banded member of the dedup family; its
-    # brute-force oracle value-checks the banding recall guarantee itself
-    "simhash_band_neardup",
+    # r9 swap-out simhash_band_neardup (driver-green r4-r8):
+    # simhash_increment's two-generation oracle replays the SAME
+    # Hamming-banded pipeline (band rows, bucket pairs, bit_count
+    # verify, greedy min-id) for the seed and both increments — a
+    # strict superset; the one-shot form (and its brute-force recall
+    # check) stays oracle-checked locally every round.
     # event-time streaming execution (batch twins past the gate: their
     # output is bit-identical to / derivable from these stream rows).
     # r4 swap-out stream_tumbling_exec: a tumbling window is definitionally
     # a sliding window with slide == size, so the gated stream_sliding_exec
     # row exercises a strict superset of the window-assignment mechanics;
     # the tumbling execution stays oracle-checked locally.
+    # r9 swap-out stream_dedup_exec (driver-green r4-r8): the gated
+    # stream_dedup_ingest_exec runs dedup AS a real stream with
+    # persisted-index state — a strict superset of the watermarked
+    # dropDuplicates form, which stays oracle-checked locally.
     "stream_sliding_exec",
-    "stream_dedup_exec",
     "stream_session_exec",
     "stream_stateful_exec",
     # micro-format / multi-path sources + multimodal plumbing (north star)
     "source_codecs",
     "multimodal_meta",
     "upsert_snapshot",
-    # --- r5 swap-ins (VERDICT r4 item 1): the round-4 centerpiece
-    # operators rotate INTO the 50-row driver gate so their oracles get
-    # driver CORRECTNESS rows (local green != driver green — the r1
-    # lesson). Every entry below was re-verified with
-    # tools/oracle_check.py --vanilla before the rotation.
-    "winnow_neardup",
-    "semdedup",
-    "sequence_packing",
-    "lm_perplexity",
-    "mixture_rebalance",
-    "html_extract",
+    # --- r9 swap-outs of the r5 cohort (all driver-green r5-r8, the
+    # standing displacement convention; all stay oracle-checked
+    # locally every round):
+    # winnow_neardup: the winnowing fingerprint kernel is pytest-pinned
+    #   and its gram-join candidate shape is gated via
+    #   duplicate_passages (same keyed-gram family);
+    # semdedup: cluster-scoped cosine dedup — the exact-cosine kernel
+    #   is value-checked by the gated IVF row's oracle and the
+    #   cluster mechanics by the k-means family's pinned tests;
+    # sequence_packing: two-pass prefix-scan packing — its explode/
+    #   window mechanics are gated via window_analytics and the
+    #   split arithmetic is pytest-pinned;
+    # lm_perplexity / quality family: the gated corpus_curation chain
+    #   carries the rule battery end-to-end;
+    # mixture_rebalance: the gated mixture_epoch_order row is the same
+    #   stretched-md5 stride-scheduling family one step further
+    #   (epoch ORDER on top of the rebalanced counts);
+    # html_extract: deterministic regexp_extract chains over one scan —
+    #   regex mechanics live in the gated source_codecs arms and the
+    #   locally-exact pii_redaction/regex suites.
     # r7 swap-outs funnel_conversion/url_canonical_dedup: two-round-green
     # simple shapes (the verdict's named displacement picks) — funnel is
     # the min-ts-per-stage window family gated via window_analytics and
@@ -8822,7 +8962,11 @@ _PRIORITY = [
     # displacement pick): exact-percentile mechanics are value-checked
     # by the gated stream_quantile_exec row (whose oracle IS the type-1
     # quantile on the same column family). Stays oracle-checked locally.
-    "stream_static_join_exec",
+    # r9 swap-out stream_static_join_exec (driver-green r5-r8): the
+    # stream-side broadcast join against a static dim is gated via
+    # broadcast_dim_join (the same join, batch face) and the remaining
+    # five stream rows exercise foreachBatch/watermark execution;
+    # stays oracle-checked locally every round.
     "stream_stream_join_exec",
     # --- r7 swap-ins (VERDICT r6 items 1/4): the round-6 centerpiece
     # operators rotate INTO the gate AFTER their named defects were
@@ -8834,7 +8978,11 @@ _PRIORITY = [
     # tools/oracle_check.py --vanilla at sf0.01 before this edit
     # (6 exact / 0 fail, including the two fixed rows).
     "dsir_select",
-    "hybrid_retrieval",
+    # r9 swap-out hybrid_retrieval (driver-green r7-r8): rank fusion
+    # over two rankers whose components BOTH stay gated — bm25_retrieval
+    # (lexical arm, verbatim) and the IVF row's exact-cosine oracle
+    # (dense arm); the RRF arithmetic is one window over their union.
+    # Stays oracle-checked locally every round.
     "stream_quantile_exec",
     # r8 swap image_near_dup -> image_near_dup_wide (VERDICT r7 item 2):
     # the gate's image-dedup representative is now the 256-bit/16-band
@@ -8856,11 +9004,57 @@ _PRIORITY = [
     # value-checks end-to-end; cohort_retention's month-bucket
     # self-join lives inside the gated customer_order_distribution
     # outer-join histogram family. All stay oracle-checked locally.
+    # r9 swap-outs source_overlap/corpus_diff/quality_calibration
+    # (driver-green r6-r8): source_overlap's exact cross-source
+    # membership counts are a strict subset of the gated
+    # kmv_source_overlap oracle (which carries the same exact_union/
+    # exact_intersection columns ALONGSIDE the sketch estimates);
+    # corpus_diff is an anti-join diff whose semi/anti mechanics are
+    # gated via suppliers_kept_waiting; quality_calibration's decile
+    # binning rides the gated corpus_curation quality chain. All stay
+    # oracle-checked locally every round.
     "normalized_dedup",
-    "source_overlap",
-    "corpus_diff",
-    "quality_calibration",
     "inverted_index",
+    # --- r9 swap-ins (VERDICT r8 items 1/2, the standing rotation):
+    # the round-8 centerpiece operators rotate INTO the 50-row driver
+    # gate so their oracles get driver CORRECTNESS rows, led by the
+    # re-cast nation_pagerank class fix (HUGEINT oracle columns are
+    # now machine-rejected by oracle_check + pytest). Every entry
+    # below re-verified exact with tools/oracle_check.py --vanilla at
+    # sf0.01 before this edit (18 exact / 0 fail, including the
+    # kmv_source_overlap HUGEINT cast fix the new guard caught).
+    # incremental dedup, BOTH families + their index lifecycle
+    "dedup_increment",
+    "simhash_increment",
+    "index_compaction",
+    "compaction_roundtrip",
+    # streaming ingest: the increment as a real stream, plus the
+    # expectations-gated admission variant
+    "stream_dedup_ingest_exec",
+    "stream_validated_ingest_exec",
+    # persisted partition-pruned IVF index (shares _IVF_ORACLE with
+    # the in-memory form it displaces)
+    "ivf_index_topk",
+    # KMV sketch set algebra (union/intersect/Jaccard + exact checks)
+    "kmv_source_overlap",
+    # Bloom-pruned takedown retraction (rebuilds the filter bit-for-bit
+    # and value-checks the file prune + rewrite)
+    "bloom_retraction",
+    # registered Python UDTF surface (SURVEY 2.10 Mapper.map parity)
+    "udtf_ncdc_parse",
+    "udtf_chunk_spans",
+    # Deequ-class expectations gate (incl. a designed-to-fail row)
+    "data_expectations",
+    # leakage-safe splits + growing-corpus pinning
+    "leakage_safe_split",
+    "split_assignment_pinning",
+    # reader contracts: mergeSchema evolution + PERMISSIVE quarantine
+    "schema_evolution_read",
+    "csv_malformed_quarantine",
+    # mixture epoch ordering (stride scheduling, stretched-md5 uniforms)
+    "mixture_epoch_order",
+    # zstd ORC round-trip with column blooms (S14 successor, 2nd format)
+    "orc_roundtrip",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --
@@ -8905,41 +9099,29 @@ _PRIORITY = [
     # image_near_dup (r8 swap-out): the 56-bit compat arm — the wide
     # arm is gated; this one shares its plumbing and oracle family.
     "image_near_dup",
-    # --- r8 additions (rotate into the gate in r9 per convention) ---
-    # dedup_increment: incremental dedup against a persisted bucketed
-    # MinHash band index — the daily-ingest operator (VERDICT r7
-    # item 4); oracle replays both index generations in SQL
-    "dedup_increment",
-    # stream_dedup_ingest_exec: the same increment run as a real
-    # foreachBatch stream over a drop directory — one micro-batch per
-    # file, same two-generation oracle as dedup_increment
-    "stream_dedup_ingest_exec",
-    # udtf_*: the registered Python UDTF extension surface (SURVEY
-    # 2.10 Mapper.map parity) — 0..1-row parse and 0..N fan-out forms
-    "udtf_ncdc_parse",
-    "udtf_chunk_spans",
-    # index_compaction: bucketed-index defrag between increments —
-    # same two-generation oracle proves the rewrite is layout-only
-    "index_compaction",
-    # simhash_increment: the Hamming-family sibling of dedup_increment
-    # (persisted band index + fingerprint verify, two-generation oracle)
-    "simhash_increment",
-    # data_expectations: the Deequ-class publish gate — one wide agg
-    # for every scan-local check + one anti join per foreign key
-    "data_expectations",
-    # leakage_safe_split: eval-contamination guard — components of
-    # near-dup pairs co-assigned to a split by md5(component)
-    "leakage_safe_split",
-    # stream_validated_ingest_exec: expectations as the ingest
-    # admission gate — corrupted batch quarantined, clean resend flows
-    "stream_validated_ingest_exec",
-    # split_assignment_pinning: growing-corpus split stability — pins
-    # persist, families adopt their smallest pinned member's split
-    "split_assignment_pinning",
-    # reader-contract pair: add-a-column mergeSchema union with NULL
-    # backfill, and PERMISSIVE corrupt-record quarantine at the CSV face
-    "schema_evolution_read",
-    "csv_malformed_quarantine",
+    # --- r9 swap-outs (rationales at their old gate slots above):
+    # each was driver-green for 2-7 rounds and its mechanics live
+    # inside rows that stay gated (mostly the r8 index-lifecycle
+    # successors whose oracles are strict supersets); all remain
+    # oracle-checked locally every round.
+    "minhash_dedup",
+    "simhash_band_neardup",
+    "ivf_ann_topk",
+    "cluster_canonical",
+    "source_overlap",
+    "corpus_diff",
+    "quality_calibration",
+    "typo_pairs",
+    "bloom_decontamination",
+    "stream_dedup_exec",
+    "stream_static_join_exec",
+    "winnow_neardup",
+    "semdedup",
+    "sequence_packing",
+    "lm_perplexity",
+    "mixture_rebalance",
+    "html_extract",
+    "hybrid_retrieval",
     "near_dup_components",
     "embedding_quantize",
     "fanout_explode",
@@ -9069,18 +9251,18 @@ _PRIORITY = [
     "alpha_mixture_sample",
     # r7: per-file Bloom sidecar point-lookup skipping
     "bloom_skip_lookup",
-    # r8: Bloom-pruned takedown retraction (rewrite only passing files)
-    "bloom_retraction",
-    # r8: persisted cell-partitioned IVF index (partition-pruned probes)
-    "ivf_index_topk",
-    # r8: KMV theta sketch — cross-source union/intersection estimates
-    "kmv_source_overlap",
-    # r8: OPTIMIZE-class small-file compaction round-trip
-    "compaction_roundtrip",
-    # r8: mixture-preserving deterministic epoch ordering
-    "mixture_epoch_order",
-    # r8: ORC interchange round-trip (RCFile-successor format, S14)
-    "orc_roundtrip",
+    # (the r8 additions that sat here — bloom_retraction,
+    # ivf_index_topk, kmv_source_overlap, compaction_roundtrip,
+    # mixture_epoch_order, orc_roundtrip — rotated INTO the gate in r9)
+    # --- r9 additions (rotate into the gate in r10 per convention) ---
+    # bpe_encode_fixed: the oracled BPE-encode twin — the full merge-
+    # application kernel under a hard-coded table vs a recursive-CTE
+    # SQL replay (closes bpe_token_count's rows-only gap)
+    "bpe_encode_fixed",
+    # semdedup_fast_fixed: the BLAS SemDeDup kernels under the SQL-
+    # recomputable lowest-id centroids, sharing semdedup's oracle
+    # (closes semdedup_fast's rows-only gap)
+    "semdedup_fast_fixed",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

@@ -60,6 +60,36 @@ def write_text(spark: SparkSession, path: str, content: str, overwrite: bool = T
         stream.close()
 
 
+def list_status(spark: SparkSession, path: str) -> list[dict]:
+    """Non-recursive ls of files AND directories: [{path, name, size,
+    is_dir}]. `list_files` (FileSystem.listFiles) only surfaces files;
+    callers that must detect partition subdirectories (retraction's
+    flat-layout guard) need the directory entries too."""
+    fs, hpath, _ = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(hpath):
+        p = st.getPath()
+        out.append(
+            {
+                "path": p.toString(),
+                "name": p.getName(),
+                "size": st.getLen(),
+                "is_dir": st.isDirectory(),
+            }
+        )
+    return sorted(out, key=lambda d: d["path"])
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename/move within one filesystem via the Hadoop FS API;
+    returns success. On HDFS this is the atomic metadata op every
+    commit protocol builds on; on S3A it is a copy+delete (not
+    atomic) — callers that need crash-safety must pair it with a
+    manifest (see sources/skipping.retract_ids)."""
+    fs, hsrc, jvm = _fs(spark, src)
+    return fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst))
+
+
 def exists(spark: SparkSession, path: str) -> bool:
     """True when *path* exists on the Hadoop filesystem (S12)."""
     fs, hpath, _ = _fs(spark, path)

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 INDEX_DIR = "_bloom_index"
+RETRACT_MANIFEST = "_retract_manifest.json"
 
 
 def write_bloom_indexed(
@@ -193,13 +194,71 @@ def point_lookup(
     except Exception:
         head = []
     sc = _sidecar_col(head)
-    if head and (sc is None or sc == col):
+    # strict: prune ONLY when the sidecar RECORDS that it indexes the
+    # probed column. A pre-r8 sidecar (no indexed_col field) may have
+    # been built over a DIFFERENT column — pruning on its blooms would
+    # silently DROP matching rows (wrong results, not just slower), so
+    # legacy sidecars take the unpruned fallback here.
+    # `read_bloom_skip` keeps the legacy treat-as-matching assumption:
+    # its callers opted into the indexed contract explicitly.
+    if head and sc == col:
         _, blooms, m_bits, k = _load_index(spark, path)
         if blooms:
             df, stats = _skip_scan(spark, path, col, values, blooms, m_bits, k)
             return df, {**stats, "index": "bloom"}
     df = spark.read.parquet(path).where(F.col(col).isin(values))
     return df, {"files_total": None, "files_read": None, "index": "none"}
+
+
+def _finish_pending_retract(spark: SparkSession, base: str) -> bool:
+    """Replay an interrupted ``retract_ids`` swap recorded in the
+    table's ``_retract_manifest.json``; returns True when one was
+    found and completed.
+
+    Every step is idempotent (delete-if-exists, rename-if-not-done),
+    so a crash DURING recovery just leaves the manifest for the next
+    call. The sidecar is rebuilt whole from the live files rather than
+    patched: a crash may have landed anywhere relative to the original
+    run's incremental refresh, and a full rebuild (one pass over the
+    table, bounded metadata out) is the state that is correct from
+    any interruption point."""
+    import json
+
+    from hadoop_app_spark.operators.joins import key_bloom
+    from hadoop_app_spark.sources import fs as hfs
+
+    mpath = f"{base}/{RETRACT_MANIFEST}"
+    if not hfs.exists(spark, mpath):
+        return False
+    man = json.loads(hfs.read_text(spark, mpath))
+    for orig in man["deletes"]:
+        if hfs.exists(spark, orig):
+            hfs.delete(spark, orig)
+    for src, dst in man["moves"]:
+        if hfs.exists(spark, src) and not hfs.exists(spark, dst):
+            hfs.rename(spark, src, dst)
+    if hfs.exists(spark, man["scratch"]):
+        hfs.delete(spark, man["scratch"], recursive=True)
+    meta = man.get("index")
+    idx_path = f"{base}/{INDEX_DIR}"
+    if meta:
+        back = spark.read.parquet(base).select(
+            F.input_file_name().alias("file"), meta["col"]
+        )
+        index = (
+            key_bloom(back, meta["col"], meta["m_bits"], meta["k"], by=["file"])
+            .withColumn("m_bits", F.lit(meta["m_bits"]))
+            .withColumn("k", F.lit(meta["k"]))
+            .withColumn("indexed_col", F.lit(meta["col"]))
+        )
+        rows = index.collect()  # bounded metadata; frees the old files
+        spark.createDataFrame(rows, index.schema).write.mode("overwrite").parquet(
+            idx_path
+        )
+    elif hfs.exists(spark, idx_path):
+        hfs.delete(spark, idx_path, recursive=True)
+    hfs.delete(spark, mpath)
+    return True
 
 
 def retract_ids(
@@ -213,40 +272,59 @@ def retract_ids(
     that can contain them).
 
     Mechanics: Bloom-passing files are re-read, filtered, and their
-    replacements written via a scratch dir + atomic per-file rename into
-    ``path``; the originals are removed and the sidecar is updated in
-    the same pass (surviving rows kept, new files' filters built by the
-    same grouped ``key_bloom``). False positives cost a no-op rewrite
-    of that file, never correctness; false negatives cannot exist, so
-    retraction is COMPLETE. Completeness also governs the degraded
-    paths: when the sidecar is missing OR indexes a DIFFERENT column,
-    EVERY data file is a candidate (full rewrite, no pruning) — a
-    takedown must never silently no-op because the table lacks the
-    right index. Rows whose ``col`` is NULL are bystanders, not
-    victims: the keep-filter ORs ``isNull`` so three-valued logic
-    cannot drop them.
+    replacements written to a `_`-prefixed scratch dir under ``path``;
+    then a MANIFEST (`_retract_manifest.json`) records the exact swap
+    (originals to delete, scratch files to move), the originals are
+    deleted, and the replacements renamed in. Deleting BEFORE renaming
+    means a concurrent reader may transiently MISS kept rows from a
+    mid-swap file but can never double-count them (the previous order
+    exposed every kept row twice); a crash mid-swap leaves the
+    manifest behind, and the next ``retract_ids`` call on the table
+    finishes the recorded swap and rebuilds the sidecar before doing
+    its own work — the swap is resumable, not atomic. All file ops go
+    through the Hadoop FS API (`sources/fs.py`, the reference's
+    BasicOperation pattern), so the same code runs on file://, hdfs://
+    and s3a:// — where a 100 TB corpus actually lives.
+
+    False positives cost a no-op rewrite of that file, never
+    correctness; false negatives cannot exist, so retraction is
+    COMPLETE. Completeness also governs the degraded paths: when the
+    sidecar is missing, RECORDS a different column, or predates the
+    ``indexed_col`` field (so its column is unknown), EVERY data file
+    is a candidate (full rewrite, no pruning) — a takedown must never
+    silently no-op or under-delete because the table lacks the right
+    index. Rows whose ``col`` is NULL are bystanders, not victims: the
+    keep-filter ORs ``isNull`` so three-valued logic cannot drop them.
 
     Returns stats: {"files_total", "files_rewritten", "rows_removed"}.
     At 100 TB: work is proportional to |passing files|, not the corpus
     — with range-clustered layout and a k-id takedown list that is
     O(k) files.
     """
-    import os
-    import shutil
+    import json
     import uuid
 
     from hadoop_app_spark.operators.joins import key_bloom
-
-    def _local(p: str) -> str:
-        return p[len("file:") :] if p.startswith("file:") else p
+    from hadoop_app_spark.sources import fs as hfs
 
     def _canon(p: str) -> str:
         # file:///x URIs and plain /x paths must compare equal
-        return "/" + _local(p).lstrip("/")
+        q = p
+        for pre in ("file://", "file:"):
+            if q.startswith(pre):
+                q = q[len(pre) :]
+                break
+        return "/" + q.lstrip("/")
+
+    base = path.rstrip("/")
+    _finish_pending_retract(spark, base)
 
     idx, blooms, m_bits, k = _load_index(spark, path)
     sc = _sidecar_col(idx)
-    prunable = bool(blooms) and (sc is None or sc == col)
+    # completeness-strict: prune only when the sidecar RECORDS that it
+    # indexes the retraction column; a legacy sidecar (unknown column)
+    # must not prune — a wrong-column prune under-deletes silently.
+    prunable = bool(blooms) and sc == col
     if prunable:
         passing = _passing_files(blooms, m_bits, k, values)
         files_total = len(blooms)
@@ -258,11 +336,11 @@ def retract_ids(
         # would destroy — so nested data dirs raise LOUDLY instead of
         # the two silent failure modes (no-op, or a rewrite that drops
         # the partition columns).
+        entries = hfs.list_status(spark, base)
         nested = sorted(
-            e
-            for e in os.listdir(_local(path))
-            if os.path.isdir(os.path.join(_local(path), e))
-            and not e.startswith(("_", "."))
+            e["name"]
+            for e in entries
+            if e["is_dir"] and not e["name"].startswith(("_", "."))
         )
         if nested:
             raise NotImplementedError(
@@ -272,9 +350,9 @@ def retract_ids(
                 f"table through write_bloom_indexed/write_curated first"
             )
         passing = sorted(
-            os.path.join(_local(path), f)
-            for f in os.listdir(_local(path))
-            if f.endswith(".parquet")
+            e["path"]
+            for e in entries
+            if not e["is_dir"] and e["name"].endswith(".parquet")
         )
         files_total = len(passing)
     stats = {"files_total": files_total, "files_rewritten": 0, "rows_removed": 0}
@@ -287,23 +365,43 @@ def retract_ids(
         ~F.col(col).isin(values) | F.col(col).isNull()
     )
 
-    scratch = os.path.join(_local(path), f"_retract_{uuid.uuid4().hex}")
+    scratch = f"{base}/_retract_{uuid.uuid4().hex}"
     # scratch lives UNDER path but `_`-prefixed, so concurrent readers
-    # of the table never see half-written files
+    # of the table never list half-written replacement files
     kept.write.mode("overwrite").parquet(scratch)
-    moved = []
-    for fname in sorted(os.listdir(scratch)):
-        if not fname.endswith(".parquet"):
-            continue
-        dst = os.path.join(_local(path), f"part-retract-{uuid.uuid4().hex}.parquet")
-        os.rename(os.path.join(scratch, fname), dst)
-        moved.append(dst)
-    shutil.rmtree(scratch, ignore_errors=True)
+    moves = [
+        (e["path"], f"{base}/part-retract-{uuid.uuid4().hex}.parquet")
+        for e in hfs.list_status(spark, scratch)
+        if not e["is_dir"] and e["name"].endswith(".parquet")
+    ]
+    # the manifest makes the swap resumable: written BEFORE the first
+    # mutation, removed after the last, replayed by the next call if a
+    # crash strands the table in between
+    index_meta = (
+        {"col": sc or col, "m_bits": m_bits, "k": k} if idx else None
+    )
+    hfs.write_text(
+        spark,
+        f"{base}/{RETRACT_MANIFEST}",
+        json.dumps(
+            {
+                "scratch": scratch,
+                "deletes": list(passing),
+                "moves": [list(mv) for mv in moves],
+                "index": index_meta,
+            }
+        ),
+    )
     for f in passing:
-        os.remove(_local(f))
+        hfs.delete(spark, f)
+    for src, dst in moves:
+        hfs.rename(spark, src, dst)
+    hfs.delete(spark, scratch, recursive=True)
+    moved = [dst for _, dst in moves]
     stats["files_rewritten"] = len(moved)
 
     if not idx:
+        hfs.delete(spark, f"{base}/{RETRACT_MANIFEST}")
         return stats  # no sidecar to maintain
 
     # sidecar refresh: drop retired files' rows, add the new files'
@@ -340,5 +438,6 @@ def retract_ids(
             "overwrite"
         ).parquet(idx_path)
     else:
-        shutil.rmtree(_local(idx_path), ignore_errors=True)
+        hfs.delete(spark, idx_path, recursive=True)
+    hfs.delete(spark, f"{base}/{RETRACT_MANIFEST}")
     return stats

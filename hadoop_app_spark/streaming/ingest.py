@@ -28,8 +28,13 @@ the batch, appending duplicate survivor rows AND duplicate index band
 rows. The replayed batch still drops (its own bands are now in the
 index), so the CORPUS gains at most one duplicate generation per
 crash, and the per-epoch ``dropped`` sidecar tables make replays
-observable. Exactly-once needs a transactional sink (Delta MERGE on
-``id_col`` — see `streaming/cdc.py` for the feature-gated pattern).
+observable. Passing ``merge_target`` (a `streaming/cdc.py`
+DeltaMergeTarget/IcebergMergeTarget, feature-gated on the jars) makes
+the SURVIVOR OUTPUT effectively exactly-once: the replayed batch's
+MERGE keyed on ``id_col`` updates-in-place instead of appending, so a
+crash-replay produces zero duplicate survivor rows. The index side
+stays at-least-once (duplicate band rows re-confirm the same drops —
+benign for dedup semantics, reclaimed by compaction).
 
 No reference analogue: the reference's closest shape is the `dt=`
 daily-partition batch job (UserNewcar.java:241-247); this is that
@@ -57,6 +62,7 @@ def dedup_ingest_stream(
     append_index: bool = True,
     expectations: list | None = None,
     quarantine_path: str | None = None,
+    merge_target=None,
 ):
     """Start the ingest stream: parquet files arriving under
     ``src_dir`` are deduped per micro-batch against ``index_table``
@@ -71,6 +77,15 @@ def dedup_ingest_stream(
     ``append_index=False`` makes the run an AUDIT pass: batches dedup
     against the index as-is (and against themselves) without growing
     it — later batches then no longer see earlier batches' survivors.
+
+    ``merge_target`` upgrades the survivor sink from parquet append to
+    a keyed MERGE (any object with the `streaming/cdc.py`
+    ``apply(batch, batch_id)`` contract — DeltaMergeTarget /
+    IcebergMergeTarget when their jars are present): survivors carry
+    an upsert op row, so a crash-replayed micro-batch rewrites the
+    same keys instead of duplicating them. ``out_path`` is ignored for
+    survivors when a target is given (quarantine still writes to
+    ``quarantine_path``).
 
     ``expectations`` (operators/expectations specs) turn the sink into
     a validated ingest: each micro-batch is judged BEFORE it touches
@@ -97,11 +112,16 @@ def dedup_ingest_stream(
         # retain only the last two epochs' dropped sidecars (replay
         # observability) — BEFORE the empty-batch guard, so a trailing
         # empty trigger still cleans up and a long-running stream never
-        # grows the catalog one table per micro-batch
-        if epoch_id >= 2:
-            spark.sql(
-                f"DROP TABLE IF EXISTS {index_table}_dropped_e{epoch_id - 2}"
-            )
+        # grows the catalog one table per micro-batch. GC by PREFIX
+        # LISTING, not epoch arithmetic: a restart with a fresh
+        # checkpoint resets epoch_id to 0, so sidecars from the prior
+        # incarnation (higher epochs) would otherwise be orphaned
+        # forever
+        prefix = f"{index_table}_dropped_e".lower()
+        for r in spark.sql(f"SHOW TABLES LIKE '{prefix}*'").collect():
+            suffix = r.tableName[len(prefix) :]
+            if suffix.isdigit() and int(suffix) not in (epoch_id, epoch_id - 1):
+                spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
         if batch_df.isEmpty():
             return  # trailing empty trigger: no index work, no output
         if expectations:
@@ -134,11 +154,13 @@ def dedup_ingest_stream(
             append=append_index,
             dropped_table=f"{index_table}_dropped_e{epoch_id}",
         )
-        (
-            surv.withColumn("generation", F.lit(epoch_id + 1).cast("int"))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        out_df = surv.withColumn("generation", F.lit(epoch_id + 1).cast("int"))
+        if merge_target is not None:
+            # keyed MERGE: a crash-replayed batch upserts the same ids
+            # in place — zero duplicate survivor rows across replays
+            merge_target.apply(out_df.withColumn("op", F.lit("U")), epoch_id)
+        else:
+            out_df.write.mode("append").parquet(out_path)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -2857,3 +2857,62 @@ def test_pin_split_assignments_adoption_and_conflicts(spark):
     assert conflicts2.count() == 1
     spark.sql("DROP TABLE IF EXISTS pins_t")
     spark.sql("DROP TABLE IF EXISTS pins_t_latest")
+
+
+def test_increment_param_mismatch_raises(spark, docs_df):
+    """An increment called with different signature parameters than
+    the index was built with would probe incompatible buckets and get
+    ZERO hits — silently skipping index dedup. The recorded table
+    properties must turn that into a loud failure, in both families."""
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        seed_simhash_index,
+        simhash_increment,
+    )
+
+    for t in ("mh_prm_t", "mh_prm_t_dropped", "sh_prm_t", "sh_prm_t_dropped"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    seed = docs_df.where(F.col("doc_id").isin(1, 4))
+    build_minhash_index(seed, "text", "doc_id", "mh_prm_t", n=3, k=8, bands=4)
+    batch = spark.createDataFrame(
+        [(31, "entirely novel content for the parameter mismatch check here")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="different signature parameters"):
+        dedup_increment(batch, "mh_prm_t", "text", "doc_id", n=5, k=8, bands=4)
+    with _pytest.raises(ValueError, match="different signature parameters"):
+        dedup_increment(batch, "mh_prm_t", "text", "doc_id", hash_fn="crc32")
+    # matching params still work
+    out = dedup_increment(batch, "mh_prm_t", "text", "doc_id", n=3, k=8, bands=4)
+    assert sorted(r.doc_id for r in out.collect()) == [31]
+
+    seed_simhash_index(seed, "text", "doc_id", "sh_prm_t", bands=4, half_bits=28)
+    with _pytest.raises(ValueError, match="different signature parameters"):
+        simhash_increment(batch, "sh_prm_t", "text", "doc_id", half_bits=16)
+    for t in ("mh_prm_t", "mh_prm_t_dropped", "sh_prm_t", "sh_prm_t_dropped"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_index_params_survive_compaction(spark, docs_df):
+    """compact_bucketed_table swaps through a fresh staging table —
+    the recorded dedup.* properties must be carried across or the
+    mismatch guard goes blind after every defrag."""
+    from hadoop_app_spark.operators.bucketing import compact_bucketed_table
+    from hadoop_app_spark.operators.dedup import build_minhash_index
+
+    for t in ("mh_cmp_t", "mh_cmp_t__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_minhash_index(
+        docs_df.where(F.col("doc_id").isin(1, 4)), "text", "doc_id", "mh_cmp_t", n=3
+    )
+    compact_bucketed_table(spark, "mh_cmp_t")
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql("SHOW TBLPROPERTIES mh_cmp_t").collect()
+    }
+    assert props.get("dedup.n") == "3"
+    assert props.get("dedup.hash_fn") == "xxhash64"
+    spark.sql("DROP TABLE IF EXISTS mh_cmp_t")

@@ -64,6 +64,54 @@ def test_kind_classes(value, kind):
     assert _kind(value) == kind
 
 
+def test_uncast_hugeint_sum_is_flagged():
+    """r8 postmortem: `nation_pagerank` shipped an oracle whose final
+    column was un-cast HUGEINT (`sum(BIGINT)` widens, `85 * s // 100`
+    stays HUGEINT). `fetchall()` hands HUGEINT back as a Python int —
+    so `type_drift` was structurally blind — but the DRIVER fetches
+    via `.df()`, where pandas converts HUGEINT to float64 and the
+    formatted-value hash diverges. The guard must catch the un-cast
+    form and pass the CAST convention every other oracle follows."""
+    import duckdb
+
+    from tools.oracle_check import hugeint_cols
+
+    con = duckdb.connect()
+    uncast = "SELECT 85 * sum(x) // 100 AS rank_scaled FROM (VALUES (1),(2)) v(x)"
+    assert hugeint_cols(con, uncast) == ["rank_scaled"]
+    cast = (
+        "SELECT CAST(85 * sum(x) // 100 AS BIGINT) AS rank_scaled "
+        "FROM (VALUES (1),(2)) v(x)"
+    )
+    assert hugeint_cols(con, cast) == []
+
+
+def test_no_registry_oracle_emits_hugeint():
+    """Registry-wide sweep: DESCRIBE every oracle against the sf0.001
+    views and assert no result column is HUGEINT/UHUGEINT — the class
+    the driver's pandas canonicalizer silently floats (r8
+    nation_pagerank). Pure-DuckDB, no Spark session needed."""
+    import duckdb
+
+    from hadoop_app_spark.catalog import TABLES
+    from hadoop_app_spark.queries import REGISTRY
+    from tools.oracle_check import hugeint_cols
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = {}
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None:
+            continue
+        cols = hugeint_cols(con, qd.oracle)
+        if cols:
+            bad[name] = cols
+    assert bad == {}, f"oracles with HUGEINT result columns (driver hash WILL differ): {bad}"
+
+
 def test_gated_queries_emit_scalar_schemas_only(spark):
     """No first-DRIVER_GATE_SIZE registry query may output an array/
     map/struct column: the DRIVER's canonicalizer pandas-sorts and

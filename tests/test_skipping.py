@@ -265,3 +265,131 @@ def test_retract_partitioned_layout_raises(spark, tmp_path):
         retract_ids(spark, path, "l_partkey", [1])
     # nothing was deleted
     assert spark.read.parquet(path).count() == 200
+
+
+def test_retract_interrupted_swap_is_resumed(spark, tmp_path, monkeypatch):
+    """A crash between the manifest write and the last rename must be
+    recoverable: the next retract_ids call on the table replays the
+    recorded swap, rebuilds the sidecar whole, and removes the
+    manifest — no duplicate rows, no lost kept rows, lookups pruned."""
+    import hadoop_app_spark.sources.fs as hfs
+    from hadoop_app_spark.sources.skipping import RETRACT_MANIFEST
+
+    path = str(tmp_path / "retract_resume")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    victims = [
+        r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()
+    ]
+    n_victims = li.where(F.col("l_partkey").isin(victims)).count()
+    assert n_victims > 0
+
+    real_rename = hfs.rename
+    monkeypatch.setattr(
+        hfs,
+        "rename",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("simulated crash mid-swap")),
+    )
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        retract_ids(spark, path, "l_partkey", victims)
+    monkeypatch.setattr(hfs, "rename", real_rename)
+
+    # stranded state: manifest present, originals deleted, replacements
+    # still in scratch — a reader right now transiently misses rows
+    # (the documented window) but never sees duplicates
+    assert hfs.exists(spark, f"{path}/{RETRACT_MANIFEST}")
+
+    stats = retract_ids(spark, path, "l_partkey", victims)
+    assert stats["rows_removed"] == 0  # recovery finished the deletion
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_partkey").isin(victims)).count() == 0
+    assert after.count() == li.count() - n_victims
+    assert not hfs.exists(spark, f"{path}/{RETRACT_MANIFEST}")
+    # sidecar was rebuilt whole and still serves pruned lookups
+    alive = [
+        r.l_partkey for r in after.select("l_partkey").distinct().limit(1).collect()
+    ]
+    df, s = point_lookup(spark, path, "l_partkey", alive)
+    assert s["index"] == "bloom"
+    assert df.count() == after.where(F.col("l_partkey").isin(alive)).count()
+
+
+def test_point_lookup_legacy_sidecar_falls_back(spark, tmp_path):
+    """A pre-r8 sidecar lacks indexed_col, so WHICH column it indexes
+    is unknown: point_lookup must fall back to the unpruned scan (a
+    wrong-column Bloom silently drops matching rows), while
+    read_bloom_skip keeps the legacy treat-as-matching contract."""
+    from hadoop_app_spark.sources.skipping import INDEX_DIR
+
+    path = str(tmp_path / "legacy")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    idx_path = f"{path}/{INDEX_DIR}"
+    legacy = spark.read.parquet(idx_path).drop("indexed_col")
+    rows = legacy.collect()
+    spark.createDataFrame(rows, legacy.schema).write.mode("overwrite").parquet(idx_path)
+
+    some = [r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()]
+    df, stats = point_lookup(spark, path, "l_partkey", some)
+    assert stats["index"] == "none"
+    exp = sorted(map(tuple, li.where(F.col("l_partkey").isin(some)).collect()))
+    assert sorted(map(tuple, df.collect())) == exp
+    # the opted-in reader still prunes under the legacy assumption
+    df2, s2 = read_bloom_skip(spark, path, "l_partkey", some)
+    assert sorted(map(tuple, df2.collect())) == exp
+    assert s2["files_read"] <= s2["files_total"]
+
+
+def test_retract_legacy_sidecar_is_complete(spark, tmp_path):
+    """Retraction over a legacy sidecar (unknown indexed column) must
+    take the full-rewrite path — pruning on blooms of unknown
+    provenance could under-delete, which for a takedown is the one
+    unforgivable failure."""
+    from hadoop_app_spark.sources.skipping import INDEX_DIR
+
+    path = str(tmp_path / "retract_legacy")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    idx_path = f"{path}/{INDEX_DIR}"
+    legacy = spark.read.parquet(idx_path).drop("indexed_col")
+    rows = legacy.collect()
+    spark.createDataFrame(rows, legacy.schema).write.mode("overwrite").parquet(idx_path)
+
+    victims = [
+        r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()
+    ]
+    n_victims = li.where(F.col("l_partkey").isin(victims)).count()
+    stats = retract_ids(spark, path, "l_partkey", victims)
+    assert stats["rows_removed"] == n_victims > 0
+    # unknown column => every file was a candidate (no prune)
+    assert stats["files_total"] == 8
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_partkey").isin(victims)).count() == 0
+    assert after.count() == li.count() - n_victims
+
+
+def test_retract_works_on_file_scheme_uri(spark, tmp_path):
+    """The whole retraction path runs through the Hadoop FS API now:
+    an explicit file:-scheme URI (the shape hdfs://... paths take)
+    must behave identically to a bare posix path."""
+    path = "file://" + str(tmp_path / "retract_uri")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    victims = [
+        r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()
+    ]
+    n_victims = li.where(F.col("l_partkey").isin(victims)).count()
+    stats = retract_ids(spark, path, "l_partkey", victims)
+    assert stats["rows_removed"] == n_victims > 0
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_partkey").isin(victims)).count() == 0
+    assert after.count() == li.count() - n_victims
+    # refreshed sidecar still serves pruned lookups through the URI
+    alive = [
+        r.l_partkey for r in after.select("l_partkey").distinct().limit(1).collect()
+    ]
+    df, s = point_lookup(spark, path, "l_partkey", alive)
+    assert s["index"] == "bloom"
+    assert df.count() == after.where(F.col("l_partkey").isin(alive)).count()

@@ -961,3 +961,156 @@ def test_validated_ingest_requires_quarantine_path(spark, tmp_path):
             str(tmp_path / "out"), str(tmp_path / "ck"),
             expectations=[NotNull("doc_id")],
         )
+
+
+def test_ingest_sidecar_gc_survives_fresh_checkpoint(spark, tmp_path):
+    """Dropped-sidecar GC must list by prefix, not assume contiguous
+    epoch ids: a restart with a FRESH checkpoint resets epoch_id to 0,
+    so sidecars left by a prior incarnation (higher epochs) have to be
+    collected by the new run, not orphaned forever."""
+    import os
+
+    from hadoop_app_spark.operators.dedup import build_minhash_index
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    seed = docs([(0, "seed text about write ahead logging and checkpoints")])
+    spark.sql("DROP TABLE IF EXISTS mh_gc_idx")
+    build_minhash_index(seed, "text", "doc_id", "mh_gc_idx", hash_fn="poly")
+    # stale sidecars from a hypothetical prior incarnation (epochs 7/9)
+    for e in (7, 9):
+        docs([(99, "x")]).select("doc_id").write.mode("overwrite").saveAsTable(
+            f"mh_gc_idx_dropped_e{e}"
+        )
+
+    src, out, ck = (str(tmp_path / x) for x in ("src", "out", "ck"))
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    docs([(10, "a brand new document on cost based optimization")]).coalesce(
+        1
+    ).write.parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "g1.parquet"))
+
+    q = dedup_ingest_stream(
+        spark, src, "doc_id long, text string", "mh_gc_idx", "text", "doc_id",
+        out, ck, hash_fn="poly",
+    )
+    q.awaitTermination()
+    left = {
+        r.tableName
+        for r in spark.sql("SHOW TABLES LIKE 'mh_gc_idx_dropped_e*'").collect()
+    }
+    # the new incarnation runs at epoch 0: both prior-incarnation
+    # sidecars are outside {epoch, epoch-1} and must be gone
+    assert left == {"mh_gc_idx_dropped_e0"}
+    for t in ("mh_gc_idx", "mh_gc_idx_dropped_e0"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ingest_merge_target_replay_is_idempotent(spark, tmp_path):
+    """Jar-free contract test for the exactly-once survivor sink: with
+    a merge_target, survivors flow through apply(batch, epoch) carrying
+    an upsert op — so a crash-replayed micro-batch (simulated by a
+    fresh checkpoint over the same file, index in audit mode) rewrites
+    the same keys instead of appending duplicates. The fake target
+    implements the cdc.py MERGE contract (key-fold) without jars."""
+    import os
+
+    from hadoop_app_spark.operators.dedup import build_minhash_index
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    spark.sql("DROP TABLE IF EXISTS mh_mt_idx")
+    seed = docs([(0, "seed text about columnar encodings and run lengths")])
+    build_minhash_index(seed, "text", "doc_id", "mh_mt_idx", hash_fn="poly")
+
+    class FoldTarget:
+        """cdc.py apply(batch, batch_id) contract: keyed upsert fold."""
+
+        def __init__(self):
+            self.state = {}
+            self.applies = 0
+
+        def apply(self, batch, batch_id):
+            self.applies += 1
+            for r in batch.collect():
+                assert r.op == "U"  # survivors arrive as upserts
+                self.state[r.doc_id] = (r.generation, r.text)
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    docs(
+        [(10, "novel document on vectorized filters and selection masks"),
+         (11, "novel document on vectorized filters and selection masks"),  # intra dup of 10
+         (12, "second novel document about adaptive join reordering")]
+    ).coalesce(1).write.parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "g1.parquet"))
+
+    target = FoldTarget()
+    for attempt, ck in enumerate(("ck_a", "ck_b")):  # ck_b = crash replay
+        q = dedup_ingest_stream(
+            spark, src, "doc_id long, text string", "mh_mt_idx", "text",
+            "doc_id", out, str(tmp_path / ck), hash_fn="poly",
+            append_index=False,  # audit mode: replay sees the same index
+            merge_target=target,
+        )
+        q.awaitTermination()
+    assert target.applies == 2  # the batch really ran twice
+    # zero duplicate survivors: same keys folded, not appended
+    assert sorted(target.state) == [10, 12]
+    # survivors never touched the parquet out_path
+    assert not os.path.exists(out)
+    spark.sql("DROP TABLE IF EXISTS mh_mt_idx")
+
+
+def test_ingest_delta_merge_target_exactly_once(spark, tmp_path):
+    """Real Delta MERGE survivor sink — runs only where delta-spark is
+    installed (feature-detected; skipped in-container, the established
+    CDC pattern): a fresh-checkpoint replay of the same file leaves
+    the Delta table with zero duplicate survivor rows."""
+    import os
+
+    import pytest
+
+    from hadoop_app_spark.operators.dedup import build_minhash_index
+    from hadoop_app_spark.streaming.cdc import DeltaMergeTarget, table_format_available
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    if not table_format_available("delta"):
+        pytest.skip("delta-spark not installed")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    spark.sql("DROP TABLE IF EXISTS mh_dmt_idx")
+    seed = docs([(0, "seed text about bloom filters and bitmap indexes")])
+    build_minhash_index(seed, "text", "doc_id", "mh_dmt_idx", hash_fn="poly")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    docs([(10, "fresh document for the exactly once delta check")]).coalesce(
+        1
+    ).write.parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "g1.parquet"))
+
+    tbl = str(tmp_path / "delta_surv")
+    target = DeltaMergeTarget(tbl, ["doc_id"], op_col="op")
+    for ck in ("ck_a", "ck_b"):  # second run = crash replay
+        q = dedup_ingest_stream(
+            spark, src, "doc_id long, text string", "mh_dmt_idx", "text",
+            "doc_id", str(tmp_path / "unused_out"), str(tmp_path / ck),
+            hash_fn="poly", append_index=False, merge_target=target,
+        )
+        q.awaitTermination()
+    rows = spark.read.format("delta").load(tbl).collect()
+    assert [r.doc_id for r in rows] == [10]  # exactly once, no dup
+    spark.sql("DROP TABLE IF EXISTS mh_dmt_idx")

@@ -93,6 +93,24 @@ def _kind(v):
     return type(v).__name__
 
 
+def hugeint_cols(con, oracle):
+    """Oracle result columns typed HUGEINT/UHUGEINT in DuckDB.
+
+    The r8 gate's one red row (`nation_pagerank`) came from exactly
+    this class: `sum(BIGINT)` widens to HUGEINT, `fetchall()` hands it
+    back as a Python int (indistinguishable from BIGINT, so the
+    type_drift guard below was blind), but the DRIVER fetches via
+    `.df()` where pandas converts HUGEINT to float64 — cells format as
+    `3.07e+10` vs Spark's int and the value hash diverges. `DESCRIBE
+    (<oracle>)` exposes the true DuckDB type, so any un-cast widened
+    sum FAILS locally before a rotation ships it."""
+    try:
+        desc = con.execute(f"DESCRIBE ({oracle})").fetchall()
+    except Exception:
+        return []  # the main path will surface the real error
+    return [name for name, typ, *_ in desc if "HUGEINT" in typ.upper()]
+
+
 def type_drift(srows, scols, drows, dcols):
     """Per-column value-type classes that differ between engines.
 
@@ -165,6 +183,15 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        huge = hugeint_cols(con, qd.oracle)
+        if huge:
+            print(
+                f"FAIL {name}: oracle columns {huge} are HUGEINT — the driver's "
+                f"pandas fetch turns these into float64 and the value hash "
+                f"diverges (r8 nation_pagerank class); CAST(... AS BIGINT)"
+            )
             n_fail += 1
             continue
         if sorted(scols) != sorted(dcols):
