@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     # a hard-coded merge table; BLAS SemDeDup under lowest-id centroids)
     "bpe_encode_fixed",
     "semdedup_fast_fixed",
+    # r9 additions: the ANN index lifecycle (append + streaming ingest)
+    "ivf_index_increment",
+    "stream_ann_ingest_exec",
 ]
 
 

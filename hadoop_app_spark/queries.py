@@ -3980,6 +3980,105 @@ def q_ivf_index_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ivf_index_increment",
+    # the IVF cell structure is immutable once built (the standard IVF
+    # contract), so seed(A) + append(B) holds EXACTLY the rows of
+    # build(A ∪ B) — the same _IVF_ORACLE replays the incremental form
+    # verbatim, value-checking the append path end-to-end: a mis-
+    # assigned cell or a dropped batch row changes some query's top-k
+    oracle=_IVF_ORACLE,
+    doc="incremental IVF index maintenance — the ANN sibling of "
+    "dedup_increment's daily loop (operators/ann_index.append_ivf_index): "
+    "the index is SEEDED from two thirds of the corpus (centroids drawn "
+    "from the full corpus — the sidecar fixes the cell structure for the "
+    "index's lifetime), the remaining third arrives as a daily batch and "
+    "is assigned against the SIDECAR centroids + appended into the "
+    "cell-partitioned layout (work ~ batch, the accumulated index is "
+    "never re-read), and the probe then answers from seed+append "
+    "together; at 100 TB the append is the only daily cost and the probe "
+    "still partition-prunes to n_probe cells",
+)
+def q_ivf_index_increment(spark, sf_dir):
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("ivf_incr", sf_dir) + "/emb"
+    build_ivf_index(
+        emb.where(F.col("vec_id") % 3 != 2), path, n_centroids=16,
+        centroid_source=emb,
+    )
+    append_ivf_index(emb.where(F.col("vec_id") % 3 == 2), path)
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivf_index(spark, path, queries, k=5, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+@query(
+    "stream_ann_ingest_exec",
+    # same immutable-cell argument as ivf_index_increment: streaming the
+    # appends file-by-file lands exactly the rows a full build would,
+    # so the probe shares _IVF_ORACLE verbatim
+    oracle=_IVF_ORACLE,
+    doc="the IVF append loop run as a REAL stream (streaming/ingest."
+    "ann_ingest_stream — dedup_ingest_exec's sibling for the similarity "
+    "index): embedding files land in a drop directory, FileStreamSource "
+    "feeds them oldest-first one micro-batch per file, and each batch is "
+    "assigned against the persisted sidecar centroids and appended into "
+    "the cell-partitioned index inside foreachBatch; the probe then "
+    "answers from everything that ever landed. Batch operator, streaming "
+    "execution, one ground truth — the two-generation convention the "
+    "dedup family established",
+)
+def q_stream_ann_ingest_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.operators.ann_index import build_ivf_index, query_ivf_index
+    from hadoop_app_spark.streaming.ingest import ann_ingest_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _scratch_dir("ann_ingest", sf_dir)
+    # fresh per invocation: a reused checkpoint would mark the
+    # regenerated files as already-ingested and append nothing
+    shutil.rmtree(root, ignore_errors=True)
+    src, idx, ck = (os.path.join(root, x) for x in ("src", "idx", "ck"))
+    os.makedirs(src)
+    build_ivf_index(
+        emb.where(F.col("vec_id") % 3 == 0).select("vec_id", "embedding"),
+        idx, n_centroids=16, centroid_source=emb,
+    )
+    # one file per daily batch with forced mtime order (oldest-first
+    # admission), the dedup-ingest fixture convention
+    for gen in (1, 2):
+        stage = os.path.join(root, f"stage_g{gen}")
+        emb.where(F.col("vec_id") % 3 == gen).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"gen{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+    q = ann_ingest_stream(
+        spark, src, "vec_id long, embedding array<float>", idx, ck
+    )
+    q.awaitTermination()
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivf_index(spark, idx, queries, k=5, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 _PQ_FIXED_ORACLE = f"""
     WITH corp AS (
         SELECT vec_id, [floor(x * 256) for x in embedding::DOUBLE[]] AS v
@@ -9263,6 +9362,14 @@ _PRIORITY = [
     # recomputable lowest-id centroids, sharing semdedup's oracle
     # (closes semdedup_fast's rows-only gap)
     "semdedup_fast_fixed",
+    # ivf_index_increment: incremental IVF maintenance — seed two
+    # thirds, append the rest against the immutable sidecar centroids,
+    # probe; _IVF_ORACLE replays it verbatim (cells are fixed, so
+    # seed+append == full build)
+    "ivf_index_increment",
+    # stream_ann_ingest_exec: the IVF append loop as a real stream
+    # (one micro-batch per landed embedding file), same oracle
+    "stream_ann_ingest_exec",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

@@ -169,3 +169,55 @@ def dedup_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ann_ingest_stream(
+    spark,
+    src_dir: str,
+    schema,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Continuously grow a persisted IVF ANN index from a drop
+    directory of embedding files — `dedup_ingest_stream`'s sibling for
+    the similarity-search index (`operators/ann_index`): each
+    micro-batch is assigned against the index's immutable sidecar
+    centroids and appended into its cell-partitioned layout, so the
+    index a query probes is always everything that has ever landed.
+
+    Per micro-batch work is `append_ivf_index`'s — one narrow
+    assignment scan of the batch + an append of ~n_cells files; the
+    accumulated index is never re-read, never re-assigned. Appends are
+    at-least-once under crash-replay like every foreachBatch sink: a
+    replayed batch re-appends its rows, which for ANN top-k means a
+    duplicate CANDIDATE (same id, same vector — ranks shift only by
+    the duplicate's own adjacent slot). Exact-once needs the table-
+    format upgrade (`streaming/cdc.py`), same as the dedup loop.
+
+    Returns the started StreamingQuery (availableNow by default:
+    drains the directory and terminates).
+    """
+    from hadoop_app_spark.operators.ann_index import append_ivf_index
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # trailing empty trigger: nothing to assign
+        append_ivf_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

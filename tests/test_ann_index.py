@@ -92,3 +92,58 @@ def test_sidecar_invisible_and_bounded(spark, built):
     assert "c_idx" not in plain.columns
     cents = spark.read.parquet(f"{path}/_ivf_centroids")
     assert cents.count() == 16
+
+
+def test_ann_ingest_stream_appends_and_restarts(spark, tmp_path):
+    """Streaming IVF ingest (streaming/ingest.ann_ingest_stream): each
+    landed file appends into the persisted index; a checkpoint restart
+    ingests ONLY new files; the probe answers from everything landed
+    and still partition-prunes."""
+    from hadoop_app_spark.streaming.ingest import ann_ingest_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    root = tmp_path
+    src, idx, ck = (str(root / x) for x in ("src", "idx", "ck"))
+    os.makedirs(src)
+    build_ivf_index(
+        emb.where(F.col("vec_id") % 3 == 0).select("vec_id", "embedding"),
+        idx, n_centroids=16, centroid_source=emb,
+    )
+
+    def land(gen, frame):
+        stage = str(root / f"stage{gen}")
+        frame.select("vec_id", "embedding").coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"g{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+
+    land(1, emb.where(F.col("vec_id") % 3 == 1))
+    schema = "vec_id long, embedding array<float>"
+    q = ann_ingest_stream(spark, src, schema, idx, ck)
+    q.awaitTermination()
+    n_after_1 = spark.read.parquet(idx).count()
+    assert n_after_1 == emb.where(F.col("vec_id") % 3 != 2).count()
+
+    # restart with the SAME checkpoint: only the new file is ingested
+    land(2, emb.where(F.col("vec_id") % 3 == 2))
+    q2 = ann_ingest_stream(spark, src, schema, idx, ck)
+    q2.awaitTermination()
+    assert spark.read.parquet(idx).count() == emb.count()
+
+    # the fully-streamed index answers identically to a full build
+    full = str(root / "full")
+    build_ivf_index(
+        emb.select("vec_id", "embedding"), full, n_centroids=16,
+        centroid_source=emb,
+    )
+    streamed = query_ivf_index(spark, idx, _queries(emb), k=5, n_probe=4)
+    built_all = query_ivf_index(spark, full, _queries(emb), k=5, n_probe=4)
+    assert _res(streamed) == _res(built_all)
+
+    # pruning survives the appended small files: 1 query, n_probe=2
+    q1 = _queries(emb).limit(1)
+    df = query_ivf_index(spark, idx, q1, k=5, n_probe=2)
+    df.collect()
+    stats = index_scan_stats(df)
+    assert 0 < stats["partitions_read"] <= 2
