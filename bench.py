@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     # r9 additions: the ANN index lifecycle (append + streaming ingest)
     "ivf_index_increment",
     "stream_ann_ingest_exec",
+    # r9 additions: orphan-file vacuum (the third maintenance op)
+    "vacuum_roundtrip",
 ]
 
 

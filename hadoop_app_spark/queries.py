@@ -8056,6 +8056,68 @@ def q_bloom_retraction(spark, sf_dir):
 
 
 @query(
+    "vacuum_roundtrip",
+    # the oracle checks BOTH failure modes by value: an orphan part
+    # file left behind is READ by the post-vacuum scan and inflates
+    # the per-flag counts (orphans planted from real duplicate rows);
+    # a live file wrongly deleted deflates them — only remove-exactly-
+    # the-orphans reproduces the direct aggregate
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, {q} AS sum_qty
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1
+    """.format(q=_DSUM.format(c="l_quantity")),
+    doc="orphan-file VACUUM round-trip (sources/skipping."
+    "vacuum_indexed_table — the third maintenance op of the indexed-"
+    "table lifecycle beside retraction and compaction, Delta VACUUM's "
+    "shape on the plain layout): failure windows strand files a plain "
+    "scan silently READS (a writer dead mid-commit leaves part files "
+    "no sidecar references — duplicate rows, not just wasted bytes; a "
+    "pre-manifest retraction crash leaves a _retract_* scratch dir), "
+    "so the entry plants BOTH orphan kinds from real duplicate data, "
+    "vacuums against the sidecar's live-file manifest via the Hadoop "
+    "FS API, RAISES if the stats do not show both removed, and returns "
+    "the per-flag accounting — equal to the direct aggregate only if "
+    "vacuum removed exactly the orphans",
+)
+def q_vacuum_roundtrip(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.sources.skipping import (
+        vacuum_indexed_table,
+        write_bloom_indexed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity"
+    )
+    path = _scratch_dir("vacuum", sf_dir) + "/lineitem"
+    shutil.rmtree(_scratch_dir("vacuum", sf_dir), ignore_errors=True)
+    write_bloom_indexed(li, path, "l_partkey", files=16)
+    # plant orphans carrying REAL duplicate rows (local-fixture os ops;
+    # the operator itself goes through the Hadoop FS API)
+    part = next(
+        f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(path, part), os.path.join(path, "part-orphan-dead.parquet")
+    )
+    scratch = os.path.join(path, "_retract_deadbeef")
+    os.makedirs(scratch, exist_ok=True)
+    shutil.copy(os.path.join(path, part), os.path.join(scratch, "part-0.parquet"))
+    stats = vacuum_indexed_table(spark, path)
+    if stats["orphans_removed"] != 1 or stats["scratch_dirs_removed"] != 1:
+        raise RuntimeError(f"vacuum missed planted orphans: {stats}")
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "compaction_roundtrip",
     # content preservation is the oracle: compaction must be a pure
     # layout rewrite, so the per-flag accounting over the compacted
@@ -9370,6 +9432,10 @@ _PRIORITY = [
     # stream_ann_ingest_exec: the IVF append loop as a real stream
     # (one micro-batch per landed embedding file), same oracle
     "stream_ann_ingest_exec",
+    # vacuum_roundtrip: orphan-file GC against the sidecar's live-file
+    # manifest — planted orphans would inflate the scan, a wrongly-
+    # deleted live file would deflate it; only exact removal matches
+    "vacuum_roundtrip",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

@@ -75,6 +75,7 @@ def list_status(spark: SparkSession, path: str) -> list[dict]:
                 "name": p.getName(),
                 "size": st.getLen(),
                 "is_dir": st.isDirectory(),
+                "mtime_ms": st.getModificationTime(),
             }
         )
     return sorted(out, key=lambda d: d["path"])

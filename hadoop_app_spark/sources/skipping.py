@@ -441,3 +441,85 @@ def retract_ids(
         hfs.delete(spark, idx_path, recursive=True)
     hfs.delete(spark, f"{base}/{RETRACT_MANIFEST}")
     return stats
+
+
+def vacuum_indexed_table(
+    spark: SparkSession, path: str, min_age_sec: float = 0.0
+) -> dict:
+    """Delete ORPHAN files from a Bloom-indexed table directory — the
+    VACUUM half of the retraction/compaction lifecycle (Delta VACUUM's
+    shape on the plain-parquet layout this module owns).
+
+    Orphans exist because failure windows leave files behind: a crash
+    before ``retract_ids`` wrote its manifest strands a ``_retract_*``
+    scratch dir, and a writer that died mid-commit leaves part files no
+    sidecar references. They are not just wasted bytes — a stray part
+    file in the table directory is READ by every plain scan, silently
+    duplicating rows, so vacuum is a correctness repair, not only
+    hygiene.
+
+    Safety order: (1) a pending retraction manifest is FINISHED first
+    (its scratch files are in-flight state, not garbage); (2) the
+    sidecar is the manifest of live files — every ``*.parquet`` data
+    file it does NOT name, older than ``min_age_sec``, is deleted, as
+    is any remaining ``_retract_*`` scratch dir (post-step-1 those can
+    only be pre-manifest crash leftovers); (3) the sidecar itself, the
+    manifest name, and partition/nested dirs are never touched. A
+    table WITHOUT a sidecar has no live-file manifest, so vacuum
+    REFUSES (ValueError) rather than guessing — deleting data on a
+    heuristic is the one unforgivable failure here. ``min_age_sec``
+    guards against racing an in-flight writer on eventually-visible
+    stores; all ops go through the Hadoop FS API (file://, hdfs://,
+    s3a://).
+
+    Returns {"files_live", "orphans_removed", "scratch_dirs_removed",
+    "bytes_reclaimed"}.
+    """
+    import time
+
+    from hadoop_app_spark.sources import fs as hfs
+
+    def _canon(p: str) -> str:
+        q = p
+        for pre in ("file://", "file:"):
+            if q.startswith(pre):
+                q = q[len(pre) :]
+                break
+        return "/" + q.lstrip("/")
+
+    base = path.rstrip("/")
+    _finish_pending_retract(spark, base)
+
+    idx, _, _, _ = _load_index(spark, path)
+    if not idx:
+        raise ValueError(
+            f"{path} has no {INDEX_DIR} sidecar: vacuum needs the sidecar's "
+            f"live-file manifest to tell orphans from data — write the table "
+            f"through write_bloom_indexed, or clean the directory manually"
+        )
+    live = {_canon(r["file"]) for r in idx}
+    now_ms = time.time() * 1000.0
+    stats = {
+        "files_live": len(live),
+        "orphans_removed": 0,
+        "scratch_dirs_removed": 0,
+        "bytes_reclaimed": 0,
+    }
+    for e in hfs.list_status(spark, base):
+        young = (now_ms - e["mtime_ms"]) < min_age_sec * 1000.0
+        if e["is_dir"]:
+            if e["name"].startswith("_retract_") and not young:
+                stats["scratch_dirs_removed"] += 1
+                stats["bytes_reclaimed"] += sum(
+                    f["size"] for f in hfs.list_files(spark, e["path"], True)
+                )
+                hfs.delete(spark, e["path"], recursive=True)
+            continue  # sidecar dir, partition dirs: never touched
+        if not e["name"].endswith(".parquet"):
+            continue  # manifest, _SUCCESS markers, etc.
+        if _canon(e["path"]) in live or young:
+            continue
+        stats["orphans_removed"] += 1
+        stats["bytes_reclaimed"] += e["size"]
+        hfs.delete(spark, e["path"])
+    return stats

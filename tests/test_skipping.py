@@ -393,3 +393,107 @@ def test_retract_works_on_file_scheme_uri(spark, tmp_path):
     df, s = point_lookup(spark, path, "l_partkey", alive)
     assert s["index"] == "bloom"
     assert df.count() == after.where(F.col("l_partkey").isin(alive)).count()
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    """Vacuum deletes exactly the files the sidecar does not name —
+    planted orphans (which a plain scan would READ, duplicating rows)
+    go, every live file stays, and the table reads back unchanged."""
+    import shutil
+
+    from hadoop_app_spark.sources.skipping import vacuum_indexed_table
+
+    path = str(tmp_path / "vac")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    n = li.count()
+    import os as _os
+
+    part = next(f for f in sorted(_os.listdir(path)) if f.endswith(".parquet"))
+    shutil.copy(
+        _os.path.join(path, part), _os.path.join(path, "part-orphan.parquet")
+    )
+    scratch = _os.path.join(path, "_retract_dead")
+    _os.makedirs(scratch)
+    shutil.copy(_os.path.join(path, part), _os.path.join(scratch, "p.parquet"))
+    # the orphan is visible to a plain scan — the bug vacuum repairs
+    assert spark.read.parquet(path).count() > n
+
+    stats = vacuum_indexed_table(spark, path)
+    assert stats["orphans_removed"] == 1
+    assert stats["scratch_dirs_removed"] == 1
+    assert stats["files_live"] == 8
+    assert stats["bytes_reclaimed"] > 0
+    assert spark.read.parquet(path).count() == n
+    # lookups still pruned afterwards
+    alive = [r.l_partkey for r in li.select("l_partkey").distinct().limit(1).collect()]
+    df, s = point_lookup(spark, path, "l_partkey", alive)
+    assert s["index"] == "bloom" and df.count() > 0
+
+
+def test_vacuum_refuses_without_sidecar(spark, tmp_path):
+    """No sidecar = no live-file manifest: vacuum must refuse loudly,
+    never guess which data files are garbage."""
+    from hadoop_app_spark.sources.skipping import vacuum_indexed_table
+
+    path = str(tmp_path / "vac_plain")
+    load_table(spark, SF, "lineitem").select("l_orderkey").limit(10).write.parquet(path)
+    with pytest.raises(ValueError, match="live-file manifest"):
+        vacuum_indexed_table(spark, path)
+
+
+def test_vacuum_min_age_spares_young_files(spark, tmp_path):
+    """min_age_sec guards against racing an in-flight writer: a young
+    orphan survives this vacuum and is removed once old enough."""
+    import shutil
+
+    from hadoop_app_spark.sources.skipping import vacuum_indexed_table
+
+    path = str(tmp_path / "vac_age")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    import os as _os
+
+    part = next(f for f in sorted(_os.listdir(path)) if f.endswith(".parquet"))
+    shutil.copy(_os.path.join(path, part), _os.path.join(path, "part-young.parquet"))
+    stats = vacuum_indexed_table(spark, path, min_age_sec=3600)
+    assert stats["orphans_removed"] == 0  # too young to touch
+    stats2 = vacuum_indexed_table(spark, path, min_age_sec=0)
+    assert stats2["orphans_removed"] == 1
+
+
+def test_vacuum_finishes_pending_retraction_first(spark, tmp_path):
+    """An in-flight retraction's scratch files are STATE, not garbage:
+    vacuum must replay the manifest (completing the swap) before any
+    orphan sweep, so interrupted-retraction data is never destroyed."""
+    import hadoop_app_spark.sources.fs as hfs
+    from hadoop_app_spark.sources.skipping import (
+        RETRACT_MANIFEST,
+        vacuum_indexed_table,
+    )
+
+    path = str(tmp_path / "vac_pending")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    write_bloom_indexed(li, path, "l_partkey", files=8)
+    victims = [
+        r.l_partkey for r in li.select("l_partkey").distinct().limit(2).collect()
+    ]
+    n_victims = li.where(F.col("l_partkey").isin(victims)).count()
+
+    real_rename = hfs.rename
+    try:
+        hfs.rename = lambda *a: (_ for _ in ()).throw(RuntimeError("crash"))
+        with pytest.raises(RuntimeError):
+            retract_ids(spark, path, "l_partkey", victims)
+    finally:
+        hfs.rename = real_rename
+    assert hfs.exists(spark, f"{path}/{RETRACT_MANIFEST}")
+
+    stats = vacuum_indexed_table(spark, path)
+    # the recovery consumed the scratch dir as part of the swap —
+    # nothing of the in-flight retraction was swept as garbage
+    after = spark.read.parquet(path)
+    assert after.where(F.col("l_partkey").isin(victims)).count() == 0
+    assert after.count() == li.count() - n_victims
+    assert not hfs.exists(spark, f"{path}/{RETRACT_MANIFEST}")
+    assert stats["files_live"] > 0
