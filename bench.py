@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "stream_ann_ingest_exec",
     # r9 additions: orphan-file vacuum (the third maintenance op)
     "vacuum_roundtrip",
+    # r9 additions: deterministic LPA communities (graph family)
+    "nation_communities",
 ]
 
 

@@ -367,3 +367,70 @@ def pagerank_fixedpoint(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    cnt: str = "cnt",
+    node: str = "node",
+) -> DataFrame:
+    """Weighted synchronous label propagation -> [node, community]
+    after ``iters`` supersteps — the graph family's community detector
+    beside components/triangles/PageRank (Raghavan et al. 2007, made
+    DETERMINISTIC: classic LPA breaks ties randomly and updates
+    asynchronously, which is useless for a differential gate, so here
+    every node updates simultaneously from the previous round's
+    labels, the winning label maximizes the INTEGER edge-weight sum,
+    and ties go to the lexicographically smallest label — a fixed
+    trajectory any engine replays exactly).
+
+    Edges are treated as undirected (symmetrized here); self-loops
+    contribute the node's own label like any neighbor, which acts as
+    the label-retention term. A node with no incident edges keeps its
+    previous label. No damping/convergence test — ``iters`` is fixed
+    and small because at corpus scale each extra superstep is a full
+    edge-frame shuffle.
+
+    Scale shape: one row per node for labels; each superstep is one
+    join of the (symmetrized) edge frame with the label frame on the
+    neighbor key plus a (node, label) weighted count and a per-node
+    argmax window over at most deg(v) candidate labels. Like
+    `pagerank_fixedpoint`, the 100 TB lives in deriving the edge
+    frame; the iteration runs on the projected graph. For near-dup
+    families this is the bounded-rounds alternative to full
+    transitive closure: k supersteps reach radius-k families without
+    iterating to convergence.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v"), F.col(cnt).alias("_w")
+    ).unionAll(
+        edges.select(
+            F.col(dst).alias("_u"), F.col(src).alias("_v"), F.col(cnt).alias("_w")
+        )
+    )
+    labels = nodes.select(F.col(node).alias("_n"), F.col(node).alias("_lbl"))
+    win = Window.partitionBy("_v").orderBy(F.col("_s").desc(), F.col("_lbl").asc())
+    for _ in range(iters):
+        cand = (
+            und.join(labels, und["_u"] == labels["_n"])
+            .groupBy("_v", "_lbl")
+            .agg(F.sum("_w").alias("_s"))
+        )
+        winners = (
+            cand.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select(F.col("_v").alias("_n"), F.col("_lbl").alias("_new"))
+        )
+        labels = (
+            labels.join(winners, "_n", "left")
+            .select(
+                "_n", F.coalesce(F.col("_new"), F.col("_lbl")).alias("_lbl")
+            )
+        )
+    return labels.select(F.col("_n").alias(node), F.col("_lbl").alias("community"))

@@ -6530,6 +6530,99 @@ def _pagerank_oracle(iters: int = 3) -> str:
     return "".join(parts)
 
 
+def _lpa_oracle(iters: int = 3) -> str:
+    """DuckDB twin of label_propagation over the nation trade graph:
+    the same deterministic synchronous trajectory, iterations unrolled
+    as CTEs (integer weight sums order identically in both engines;
+    ties go to the lexicographically smallest label in both)."""
+    parts = [
+        """
+        WITH raw AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS cnt
+            FROM lineitem l
+            JOIN orders o    ON l.l_orderkey = o.o_orderkey
+            JOIN customer c  ON o.o_custkey = c.c_custkey
+            JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+            JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+            JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2),
+        und AS (SELECT src AS u, dst AS v, cnt AS w FROM raw
+                UNION ALL
+                SELECT dst AS u, src AS v, cnt AS w FROM raw),
+        nodes AS (SELECT n_name AS node FROM nation),
+        l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        c{k} AS (SELECT e.v AS node, l.lbl, sum(e.w) AS s
+                 FROM und e JOIN l{k - 1} l ON e.u = l.node GROUP BY 1, 2),
+        p{k} AS (SELECT node, lbl FROM (
+                     SELECT node, lbl,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY s DESC, lbl) AS rn
+                     FROM c{k}) WHERE rn = 1),
+        l{k} AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+                 FROM l{k - 1} l LEFT JOIN p{k} p USING (node))"""
+        )
+    parts.append(
+        f"""
+        SELECT l{iters}.node AS nation, l1.lbl AS community_r1,
+               l{iters}.lbl AS community
+        FROM l{iters} JOIN l1 USING (node)"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "nation_communities",
+    oracle=_lpa_oracle(3),
+    doc="weighted label-propagation communities over the nation trade "
+    "graph (operators/graph.label_propagation — the graph family's "
+    "community detector beside components/triangles/PageRank): classic "
+    "LPA is randomized and asynchronous, useless for a differential "
+    "gate, so this is the DETERMINISTIC form — synchronous supersteps "
+    "from the previous round's labels, winner = max integer edge-weight "
+    "sum, ties to the lexicographically smallest label — a fixed "
+    "trajectory the oracle unrolls as CTEs; the 100 TB lives in the "
+    "five-way fact-to-graph aggregation (same as nation_pagerank), the "
+    "supersteps run on the projected graph; for near-dup families this "
+    "is the bounded-rounds alternative to full transitive closure. The "
+    "output carries BOTH the round-1 label (where the dense trade graph "
+    "still has 3 communities, every per-node argmax/tie visible) and "
+    "the converged round-3 label, so the value hash checks the "
+    "trajectory, not just the collapsed fixpoint",
+)
+def q_nation_communities(spark, sf_dir):
+    from hadoop_app_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn, sn = n.alias("cn"), n.alias("sn")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .groupBy(
+            F.col("cn.n_name").alias("src"), F.col("sn.n_name").alias("dst")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    r1 = label_propagation(edges, nodes, iters=1).withColumnRenamed(
+        "community", "community_r1"
+    )
+    r3 = label_propagation(edges, nodes, iters=3)
+    return r3.join(r1, "node").select(
+        F.col("node").alias("nation"), "community_r1", "community"
+    )
+
+
 @query(
     "nation_pagerank",
     oracle=_pagerank_oracle(3),
@@ -9436,6 +9529,10 @@ _PRIORITY = [
     # manifest — planted orphans would inflate the scan, a wrongly-
     # deleted live file would deflate it; only exact removal matches
     "vacuum_roundtrip",
+    # nation_communities: deterministic weighted label propagation —
+    # the graph family's community detector, oracle unrolls the
+    # synchronous trajectory as CTEs
+    "nation_communities",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
     # quality_classifier: iterative training loop, rows-only by design

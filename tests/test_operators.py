@@ -2916,3 +2916,52 @@ def test_index_params_survive_compaction(spark, docs_df):
     assert props.get("dedup.n") == "3"
     assert props.get("dedup.hash_fn") == "xxhash64"
     spark.sql("DROP TABLE IF EXISTS mh_cmp_t")
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """Weighted synchronous LPA on a hand-built graph: two 3-cliques
+    joined by one weak bridge stay separate communities; each
+    community converges to its lexicographically-smallest seed label
+    (the tie rule); an isolated node keeps its own label; a self-loop
+    acts as label retention."""
+    from hadoop_app_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        # clique A: a1-a2-a3 (heavy), clique B: b1-b2-b3 (heavy),
+        # weak bridge a3-b1, self-loop c (isolated with self-loop),
+        # d fully isolated
+        [
+            ("a1", "a2", 10), ("a2", "a3", 10), ("a1", "a3", 10),
+            ("b1", "b2", 10), ("b2", "b3", 10), ("b1", "b3", 10),
+            ("a3", "b1", 1),
+            ("c", "c", 5),
+        ],
+        "src string, dst string, cnt long",
+    )
+    nodes = spark.createDataFrame(
+        [("a1",), ("a2",), ("a3",), ("b1",), ("b2",), ("b3",), ("c",), ("d",)],
+        "node string",
+    )
+    out = {r.node: r.community for r in label_propagation(edges, nodes, iters=3).collect()}
+    assert out["a1"] == out["a2"] == out["a3"] == "a1"
+    assert out["b1"] == out["b2"] == out["b3"] == "b1"
+    assert out["a1"] != out["b1"]  # the weak bridge does not merge them
+    assert out["c"] == "c"  # self-loop retains
+    assert out["d"] == "d"  # no neighbors: keeps own label
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """Equal-weight two-node graph: after one synchronous round each
+    node adopts the other's label; the EDGE-WEIGHT argmax ties inside
+    a round go to the lexicographically smallest label."""
+    from hadoop_app_spark.operators.graph import label_propagation
+
+    # y's neighbors x and z offer labels 'x' and 'z' at EQUAL weight:
+    # y must adopt 'x' (smallest), never 'z'
+    edges = spark.createDataFrame(
+        [("x", "y", 7), ("y", "z", 7)], "src string, dst string, cnt long"
+    )
+    nodes = spark.createDataFrame([("x",), ("y",), ("z",)], "node string")
+    out = {r.node: r.community for r in label_propagation(edges, nodes, iters=1).collect()}
+    assert out["y"] == "x"
+    assert out["x"] == "y" and out["z"] == "y"  # their only neighbor
