@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "vacuum_roundtrip",
     # r9 additions: deterministic LPA communities (graph family)
     "nation_communities",
+    # r9 additions: contrastive training-pair mining (near-dup graph)
+    "contrastive_pairs",
 ]
 
 

@@ -520,7 +520,9 @@ def dedup_increment(
     drop every doc against itself. The sidecar is overwritten by the
     next increment, so consume (write out / count) the returned
     survivors before the next day's call — the natural daily cadence —
-    or pass a distinct ``dropped_table`` per call to keep several
+    or pass a distinct ``dropped_table`` per call (or ``False`` for an
+    executor-side localCheckpoint snapshot — same decoupling, one
+    fewer table round-trip, no replay sidecar) to keep several
     generations' survivor plans alive at once.
     """
     from pyspark import StorageLevel
@@ -549,14 +551,24 @@ def dedup_increment(
         )
         dropped = hit_ids.union(intra_losers).distinct()
         # materialize the index-reading subplan NOW, before any append
-        # mutates what spark.table(index_table) resolves to
-        dropped_table = dropped_table or f"{index_table}_dropped"
-        from hadoop_app_spark.operators.bucketing import save_table_recovering_orphan
+        # mutates what spark.table(index_table) resolves to.
+        # dropped_table=False: executor-side localCheckpoint instead of
+        # a catalog table — same read-your-writes decoupling, one fewer
+        # table round-trip; for batch pipelines that don't need the
+        # replay-observability sidecar (the streaming loop passes an
+        # explicit per-epoch table and keeps it)
+        if dropped_table is False:
+            dropped_snap = dropped.localCheckpoint()
+        else:
+            dropped_table = dropped_table or f"{index_table}_dropped"
+            from hadoop_app_spark.operators.bucketing import (
+                save_table_recovering_orphan,
+            )
 
-        save_table_recovering_orphan(
-            spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
-        )
-        dropped_snap = spark.table(dropped_table)
+            save_table_recovering_orphan(
+                spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
+            )
+            dropped_snap = spark.table(dropped_table)
         survivors = new_batch.join(dropped_snap, id_col, "left_anti")
         if append:
             # banded + survivors read only the batch and the snapshot —
@@ -1017,11 +1029,16 @@ def simhash_increment(
             .distinct()
         )
         dropped = hit_ids.union(intra_losers).distinct()
-        dropped_table = dropped_table or f"{index_table}_dropped"
-        save_table_recovering_orphan(
-            spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
-        )
-        dropped_snap = spark.table(dropped_table)
+        # dropped_table=False: localCheckpoint snapshot, no catalog
+        # table — see dedup_increment's twin block
+        if dropped_table is False:
+            dropped_snap = dropped.localCheckpoint()
+        else:
+            dropped_table = dropped_table or f"{index_table}_dropped"
+            save_table_recovering_orphan(
+                spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
+            )
+            dropped_snap = spark.table(dropped_table)
         survivors = new_batch.join(dropped_snap, id_col, "left_anti")
         if append:
             surv_rows = (

@@ -91,6 +91,20 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst))
 
 
+def copy_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Recursive copy of directory *src* AS *dst* (dst is replaced) in
+    ONE JVM call — FileUtil.copy, no per-file py4j round-trips. With a
+    non-existent dst the source directory's CONTENTS land at the dst
+    root (verified semantics, not the copy-into-subdir variant)."""
+    fs, hsrc, jvm = _fs(spark, src)
+    hdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(hdst):
+        fs.delete(hdst, True)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, hsrc, fs, hdst, False, spark._jsc.hadoopConfiguration()
+    )
+
+
 def exists(spark: SparkSession, path: str) -> bool:
     """True when *path* exists on the Hadoop filesystem (S12)."""
     fs, hpath, _ = _fs(spark, path)

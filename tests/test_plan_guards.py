@@ -62,6 +62,10 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # top_supplier: the Q15 max-revenue threshold is a ONE-ROW aggregate
     # crossJoin-broadcast onto the per-supplier revenue table
     "top_supplier",
+    # contrastive_pairs: the negative pool is a CONSTANT-SIZE (64-row)
+    # broadcast crossJoined onto the anchor frame — O(anchors x pool),
+    # the documented bounded-side NLJ class
+    "contrastive_pairs",
     # nation_pagerank: each power iteration crossJoin-broadcasts the
     # ONE-ROW dangling-mass share onto the |V|-row rank frame (one NLJ
     # per iteration) — the same one-row-stats class as bm25/dsir
