@@ -7697,19 +7697,24 @@ def q_lm_perplexity(spark, sf_dir):
 
 @query(
     "wordpiece_merges",
-    oracle=None,  # per-round argmax loop has no SQL twin — rows-only;
-    # exact merge-sequence + segmentation equality vs an independently
-    # written Fraction-scored reference is pinned in
-    # tests/test_wordpiece.py (a DIFFERENT exactness mechanism than the
-    # production integer cross-multiplication, so a scoring bug in
-    # either cannot hide)
+    oracle=None,  # assigned below: _wordpiece_trainer_oracle (needs
+    # the builder defined after this block). Until r9 this was
+    # rows-only ('per-round argmax loop has no SQL twin'); the
+    # bpe_merges technique closes it, with the RATIONAL score argmax
+    # done exactly via NOT-EXISTS cross-multiplication in HUGEINT
+    # (comparison-only — never an output column, so the driver's
+    # pandas canonicalizer never sees a HUGEINT). The independent
+    # Fraction-scored reference stays pinned in tests/test_wordpiece.py
+    # (a THIRD exactness mechanism, so a scoring bug cannot hide).
     doc="WordPiece merge induction (Schuster & Nakajima 2012 — the third "
     "tokenizer family member): merges the adjacent pair maximizing "
     "count(ab)/(count(a)*count(b)) — cohesion, not raw frequency — with "
     "word-internal symbols carrying the ## continuation prefix. Scores are "
     "exact rationals compared by integer cross-multiplication, argmax fully "
     "deterministic; one corpus scan -> guarded vocabulary collect -> "
-    "driver-side induction, the learn_bpe_merges_fast shape "
+    "driver-side induction, the learn_bpe_merges_fast shape; and — new in "
+    "r9 — the WHOLE 64-round loop is ORACLED by a from-scratch DuckDB "
+    "replay whose argmax cross-multiplies in HUGEINT inside a NOT EXISTS "
     "(operators/wordpiece.learn_wordpiece)",
 )
 def q_wordpiece_merges(spark, sf_dir):
@@ -7723,17 +7728,153 @@ def q_wordpiece_merges(spark, sf_dir):
     )
 
 
+def _wordpiece_trainer_oracle(n_merges: int = 64, top_words: int = 2_500) -> str:
+    """DuckDB replay of the entire WordPiece induction loop — the
+    bpe_merges technique with one twist: the score is a RATIONAL
+    (count(ab)/(count(a)*count(b))), so the argmax cannot be an ORDER
+    BY key; instead each round's best pair is the one NO other pair
+    beats under exact integer cross-multiplication (NOT EXISTS over
+    the vocab-bounded scored-pair frame, products in HUGEINT so
+    count*count*count cannot overflow BIGINT — HUGEINT stays inside
+    the comparison and never reaches an output column). top_words
+    replays learn_wordpiece's (count desc, word) frequency floor. AS
+    MATERIALIZED is load-bearing, as in _bpe_trainer_oracle."""
+    parts = [
+        f"""
+        WITH RECURSIVE
+        wf AS MATERIALIZED (
+            SELECT w, c FROM (
+                SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn
+                FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                          SELECT unnest(string_split(lower(text), ' ')) AS w
+                          FROM documents)
+                      WHERE w <> '' GROUP BY w))
+            WHERE rn <= {top_words}),
+        s0 AS MATERIALIZED (
+            SELECT w, [CASE WHEN j = 1 THEN w[j] ELSE '##' || w[j] END
+                       for j in range(1, length(w)+1)] AS syms, c
+            FROM wf)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        sc{k} AS MATERIALIZED (
+            SELECT t.s AS sym, sum(x.c) AS n
+            FROM s{p} x, unnest(x.syms) AS t(s) GROUP BY 1),
+        sp{k} AS MATERIALIZED (
+            SELECT pr.l, pr.r, pr.n AS num, la.n * rb.n AS den
+            FROM (SELECT u.p.l AS l, u.p.r AS r, sum(x.c) AS n
+                  FROM s{p} x,
+                       unnest([{{'l': x.syms[i], 'r': x.syms[i+1]}}
+                               for i in range(1, len(x.syms))]) AS u(p)
+                  WHERE len(x.syms) >= 2 GROUP BY 1, 2) pr
+            JOIN sc{k} la ON la.sym = pr.l
+            JOIN sc{k} rb ON rb.sym = pr.r),
+        b{k} AS MATERIALIZED (
+            SELECT x.l, x.r,
+                   x.l || CASE WHEN starts_with(x.r, '##')
+                               THEN substr(x.r, 3) ELSE x.r END AS m
+            FROM sp{k} x
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sp{k} y
+                WHERE CAST(y.num AS HUGEINT) * x.den
+                      > CAST(x.num AS HUGEINT) * y.den
+                   OR (CAST(y.num AS HUGEINT) * x.den
+                       = CAST(x.num AS HUGEINT) * y.den
+                       AND (y.l < x.l OR (y.l = x.l AND y.r < x.r))))),
+        rw{k}(w, syms, i, acc, c) AS (
+            SELECT w, syms, 1, CAST([] AS TEXT[]), c FROM s{p}
+            UNION ALL
+            SELECT w, syms,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT l FROM b{k})
+                             AND syms[i+1] = (SELECT r FROM b{k})
+                        THEN i + 2 ELSE i + 1 END,
+                   CASE WHEN i < len(syms)
+                             AND syms[i] = (SELECT l FROM b{k})
+                             AND syms[i+1] = (SELECT r FROM b{k})
+                        THEN acc || [(SELECT m FROM b{k})]
+                        ELSE acc || [syms[i]] END,
+                   c
+            FROM rw{k} WHERE i <= len(syms)),
+        s{k} AS MATERIALIZED (
+            SELECT w, acc AS syms, c FROM rw{k} WHERE i = len(syms) + 1)"""
+        )
+    sel = "\n        UNION ALL\n".join(
+        f'        SELECT {k - 1} AS rank, l AS "left", r AS "right" FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+REGISTRY["wordpiece_merges"] = QueryDef(
+    REGISTRY["wordpiece_merges"].fn,
+    _wordpiece_trainer_oracle(64, 2_500),
+    REGISTRY["wordpiece_merges"].doc,
+)
+
+
+def _wordpiece_token_count_oracle(
+    n_merges: int = 64, top_words: int = 2_500
+) -> str:
+    """Oracle for WordPiece token counting under the LEARNED piece
+    set: the trainer replay's final vocabulary state s{n} yields the
+    piece set (distinct trained symbols), and the greedy longest-
+    match walker from _wordpiece_fixed_oracle runs against that CTE
+    instead of an inlined VALUES list — trainer and encoder both
+    derived from scratch in SQL, the bpe_token_count composition for
+    the third tokenizer family."""
+    trainer = _wordpiece_trainer_oracle(n_merges, top_words)
+    body = trainer[: trainer.rindex("\n        SELECT 0 AS rank")]
+    return f"""{body},
+        pcs AS MATERIALIZED (
+            SELECT DISTINCT t.s AS sym FROM s{n_merges} x, unnest(x.syms) AS t(s)),
+        pieces AS MATERIALIZED (
+            SELECT starts_with(sym, '##') AS cont,
+                   CASE WHEN starts_with(sym, '##') THEN substr(sym, 3)
+                        ELSE sym END AS body
+            FROM pcs),
+        dw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+        words AS (SELECT DISTINCT word FROM dw),
+        pos AS (SELECT word, unnest(generate_series(1, length(word))) AS p
+                FROM words),
+        step AS (
+          SELECT pos.word, pos.p, coalesce(max(length(pc.body)), 1) AS s
+          FROM pos LEFT JOIN pieces pc
+            ON pc.cont = (pos.p > 1)
+           AND pc.body = substr(pos.word, pos.p, length(pc.body))
+          GROUP BY pos.word, pos.p
+        ),
+        walk(word, p, k) AS (
+          SELECT word, 1, 0 FROM words
+          UNION ALL
+          SELECT w.word, w.p + st.s, w.k + 1
+          FROM walk w JOIN step st ON st.word = w.word AND st.p = w.p
+          WHERE w.p <= length(w.word)
+        ),
+        wtok AS (SELECT word, k FROM walk WHERE p = length(word) + 1),
+        agg AS (
+          SELECT dw.doc_id, count(*) AS n_words, sum(wtok.k) AS wp_tokens
+          FROM dw JOIN wtok USING (word) GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.wp_tokens, 0) AS BIGINT) AS wp_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 @query(
     "wordpiece_token_count",
-    oracle=None,  # the piece set is corpus-learned, so a STATIC SQL
-    # string cannot reproduce it sf-independently — rows-only at the
-    # driver; instead the WHOLE pipeline (frequency floor, trainer,
-    # distributed greedy encode) is pinned EXACTLY per-doc on real
-    # sf0.01 data against a second implementation sharing no code with
-    # it (duckdb load + naive Fraction trainer + independently coded
-    # segmenter): tests/test_wordpiece.py::
-    # test_wordpiece_token_count_cross_implementation_real_corpus
-    # (VERDICT r6 item 7's sanctioned fallback)
+    oracle=_wordpiece_token_count_oracle(64, 2_500),  # rows-only until
+    # r9 ('a STATIC SQL string cannot reproduce the corpus-learned
+    # piece set'): the trainer replay now DERIVES the piece set in SQL
+    # and the greedy walker encodes against it — sf-independent. The
+    # cross-implementation pin (duckdb load + naive Fraction trainer +
+    # independently coded segmenter) stays in tests/test_wordpiece.py
+    # as the third exactness mechanism.
     doc="WordPiece token counting under the corpus-learned piece set: greedy "
     "longest-match-first segmentation (the standard inference rule, with "
     "per-character OOV fallback so counts stay total) as a distributed "
@@ -8071,6 +8212,34 @@ def _bpe_trainer_oracle(n_merges: int = 64) -> str:
     return "".join(parts)
 
 
+def _bpe_token_count_oracle(n_merges: int = 12) -> str:
+    """Oracle for BPE token counting under the LEARNED merge table —
+    the trainer replay composed with the per-doc tail: training
+    rewrote every vocabulary word with the same left-to-right walker
+    the encoder applies (the bpe_token_counts invariant 'training-
+    corpus words reproduce their trained segmentation'), so the
+    trainer CTEs' final state s{n} IS each word's encoded symbol
+    list and per-doc token counts are one join away. Closes the
+    'depends on the learned merge table' rows-only gap by deriving
+    the merge table in SQL too."""
+    trainer = _bpe_trainer_oracle(n_merges)
+    # cut the merges SELECT tail off the trainer; keep the CTE chain
+    body = trainer[: trainer.rindex("\n        SELECT 0 AS rank")]
+    return f"""{body},
+        tok AS (SELECT doc_id, w FROM (
+                    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents) WHERE w <> ''),
+        cnts AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        per_doc AS (SELECT c.doc_id, sum(c.c) AS n_words,
+                           sum(c.c * len(f.syms)) AS bpe_tokens
+                    FROM cnts c JOIN s{n_merges} f USING (w) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 @query(
     "bpe_merges",
     oracle=_bpe_trainer_oracle(64),
@@ -8101,14 +8270,16 @@ def q_bpe_merges(spark, sf_dir):
 
 @query(
     "bpe_token_count",
-    oracle=None,  # depends on the learned merge table — rows-only;
-    # train-consistency (counts == trained segmentation lengths) is
-    # pinned in tests/test_bpe.py
+    oracle=_bpe_token_count_oracle(12),  # rows-only until r9: the
+    # learned merge table is now DERIVED IN SQL by the trainer replay,
+    # and its final vocabulary state doubles as the encode answer
     doc="BPE token counting under the corpus-learned merge table (the encode "
     "half of bpe_merges — the real 'how many tokens is this corpus' number): "
     "mapInPandas kernel with a per-batch word cache (Zipf repetition means "
     "each distinct word encodes once), merge table is a bounded driver-side "
-    "list (operators/bpe.bpe_token_counts)",
+    "list; oracled end-to-end since r9 — the DuckDB replay TRAINS the same "
+    "12 merges then reads each word's token count off the trainer's final "
+    "vocabulary state (operators/bpe.bpe_token_counts)",
 )
 def q_bpe_token_count(spark, sf_dir):
     from hadoop_app_spark.operators.bpe import bpe_token_counts, learn_bpe_merges
