@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     "nation_communities",
     # r9 additions: contrastive training-pair mining (near-dup graph)
     "contrastive_pairs",
+    # r9 session 2: incrementally-maintained materialized agg view,
+    # Unicode NFC encoding-variant dedup
+    "incremental_matview",
+    "unicode_nfc_dedup",
 ]
 
 

@@ -201,6 +201,36 @@ DEDUP_ACCENTS = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
 DEDUP_ACCENTS_PLAIN = "aaaaaaceeeeiiiinooooouuuuyy"
 
 
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — canonical composition, the W3C-
+    recommended storage form. Byte-distinct encodings of the SAME
+    rendered text ('é' precomposed U+00E9 vs 'e' + U+0301 combining
+    acute) hash apart in EVERY dedup family — exact, MinHash, SimHash
+    — because all of them start from raw bytes; normalizing to NFC
+    first makes the variants one key. Real multilingual web crawls mix
+    both encodings freely (macOS filenames and some editors emit NFD),
+    so a corpus pipeline runs this before any content hash.
+
+    Unicode composition has no Catalyst builtin, so this is the
+    documented Arrow-vectorized Python path: a pandas_udf (batched
+    Arrow transfer, one Python call per batch), never a row-at-a-time
+    UDF. The DuckDB oracle twin is its built-in nfc_normalize()."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: this module's `from __future__ import
+    # annotations` stringifies them and Spark cannot resolve 'pd.Series'
+    # from here — the explicit Iterator-free series form with a
+    # returnType argument is annotation-independent
+    def _nfc(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return pandas_udf(_nfc, "string")(_c(col))
+
+
 def normalize_for_dedup(col: Column | str) -> Column:
     """CCNet-style aggressive normalization for duplicate detection:
     lowercase, fold common accents, map every digit to 0, strip all

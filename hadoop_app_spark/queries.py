@@ -2472,6 +2472,156 @@ def _minhash_oracle() -> str:
     """
 
 
+# --- CRC-32 derived from scratch in DuckDB SQL -----------------------------
+#
+# The `_fast` kernels (operators/dedup.minhash_signatures_vectorized,
+# simhash_wide_vectorized) hash tokens with zlib.crc32 — a PUBLIC,
+# fully-specified algorithm (reflected polynomial 0xEDB88320): the
+# 256-entry table is 8 shift-xor rounds per byte value, and the
+# running CRC folds one byte per step. Both are expressible in SQL —
+# the table as a recursive CTE, the fold as list_reduce — so the
+# crc32 hash family has a from-scratch DuckDB twin after all and the
+# `_fast` twins graduate from rows-only to value-checked oracles.
+# Cost note: the CRCs are computed once per DISTINCT token (the
+# corpus vocabulary), never per occurrence.
+
+_CRC32_CTES = """crcgen(i, c, s) AS (
+            SELECT i, CAST(i AS BIGINT), 0 FROM range(256) gen(i)
+            UNION ALL
+            SELECT i, CASE WHEN c % 2 = 1 THEN xor(c // 2, 3988292384)
+                           ELSE c // 2 END, s + 1
+            FROM crcgen WHERE s < 8),
+        crctab AS (SELECT list(c ORDER BY i) AS tab FROM crcgen WHERE s = 8)"""
+
+# UTF-8 bytes of a token column (codepoint -> 1-4 byte expansion);
+# string_split(tok, '') is per-character, unicode() the codepoint.
+_UTF8_BYTES = """flatten(list_transform(string_split(tok, ''), ch ->
+             CASE
+               WHEN unicode(ch) < 128 THEN [unicode(ch)]
+               WHEN unicode(ch) < 2048
+                 THEN [192 + unicode(ch) // 64, 128 + unicode(ch) % 64]
+               WHEN unicode(ch) < 65536
+                 THEN [224 + unicode(ch) // 4096, 128 + (unicode(ch) // 64) % 64,
+                       128 + unicode(ch) % 64]
+               ELSE [240 + unicode(ch) // 262144, 128 + (unicode(ch) // 4096) % 64,
+                     128 + (unicode(ch) // 64) % 64, 128 + unicode(ch) % 64]
+             END))"""
+
+
+def _crc32_of(bytes_expr: str) -> str:
+    """zlib.crc32 over a BIGINT byte-list expression: init 0xFFFFFFFF,
+    per byte crc = (crc >> 8) XOR tab[(crc XOR byte) & 0xFF], final
+    complement. Requires ``crctab`` (one row, column ``tab``) in scope."""
+    return (
+        f"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), {bytes_expr}), "
+        f"(acc, byt) -> xor(acc // 256, tab[xor(acc, byt) % 256 + 1])), 4294967295)"
+    )
+
+
+def _crc_minhash_cte() -> str:
+    """CTE chain ``t .. hs`` reproducing minhash_signatures_vectorized's
+    shingle hashes (dedup.py:162-182): tokens in document order, token
+    hash = crc32(utf8) % 1e9+7 (computed per DISTINCT token, joined
+    back by position), shingle hash = rolling polynomial (P=1000003)
+    over n=3 consecutive token hashes with mod after each step."""
+    return f"""t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                          unnest(range(1, len(toks) + 1)) AS pos FROM t),
+        dtok AS (SELECT DISTINCT tok FROM tokpos),
+        tokcrc AS (SELECT tok, {_crc32_of(_UTF8_BYTES)} % 1000000007 AS h
+                   FROM dtok CROSS JOIN crctab),
+        th AS (SELECT doc_id, list(h ORDER BY pos) AS ths
+               FROM tokpos JOIN tokcrc USING (tok) GROUP BY doc_id),
+        hs AS (SELECT doc_id,
+                      [(((ths[i] * 1000003 + ths[i+1]) % 1000000007) * 1000003
+                        + ths[i+2]) % 1000000007
+                       for i in range(1, greatest(len(ths) - 2, 0) + 1)] AS hs
+               FROM th WHERE len(ths) >= 3)"""
+
+
+def _minhash_signatures_fast_oracle() -> str:
+    """DuckDB twin of the crc32/numpy vectorized signature kernel —
+    same tokens, same crc32 token hashes (derived from scratch above),
+    same rolling shingle combine, same permutation minima."""
+    from hadoop_app_spark.operators.dedup import _MINHASH_A, _MINHASH_B
+
+    a0, b0 = _MINHASH_A[0], _MINHASH_B[0]
+    a7, b7 = _MINHASH_A[7], _MINHASH_B[7]
+    return f"""
+        WITH RECURSIVE {_CRC32_CTES},
+        {_crc_minhash_cte()}
+        SELECT doc_id,
+               list_min(list_transform(hs, x -> ({a0} * x + {b0}) % 1000000007)) AS mh0,
+               list_min(list_transform(hs, x -> ({a7} * x + {b7}) % 1000000007)) AS mh7
+        FROM hs
+    """
+
+
+def _minhash_dedup_fast_oracle(n_bands: int = 4, band_w: int = 2) -> str:
+    """Full-pipeline twin of minhash_dedup_fast: crc32-family
+    signatures -> 4 bands of width 2 -> bucket pairs -> higher id of
+    each pair drops; zero-shingle docs survive (same tail as
+    _minhash_dedup_oracle, different hash family)."""
+    from hadoop_app_spark.operators.dedup import _MINHASH_A, _MINHASH_B
+
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % 1000000007)) AS mh{i}"
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    )
+    sig = "[" + ", ".join(f"mh{i}" for i in range(8)) + "]"
+    return f"""
+        WITH RECURSIVE {_CRC32_CTES},
+        {_crc_minhash_cte()},
+        m AS (SELECT doc_id,
+               {mins}
+              FROM hs),
+        sig AS (SELECT doc_id, {sig} AS sig FROM m),
+        banded AS (SELECT doc_id, b, sig[b*{band_w}+1 : b*{band_w}+{band_w}] AS bs
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b)),
+        losers AS (SELECT DISTINCT x.doc_id AS id_b
+                   FROM banded a JOIN banded x
+                     ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
+def _simhash_band_neardup_fast_oracle() -> str:
+    """Brute-force all-pairs twin of simhash_band_neardup_fast over
+    the crc32 fingerprint family (simhash_wide_vectorized,
+    dedup.py:717-739): per-token h1 = crc32(utf8) & (2^28-1), h2 =
+    crc32(0x01 || utf8) & (2^28-1), 56-bit fingerprint from per-bit
+    majority votes (bit set iff 2*ones > n_tokens, i.e. the +1/-1 sum
+    is positive), pairs kept at Hamming <= 3. The same pigeonhole
+    argument as the poly-family oracle makes banded recall EXACT at
+    max_hamming < bands, so the O(n^2) scan and the bucketed plan must
+    agree — the oracle value-checks the recall guarantee itself."""
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h{1 + i // 28} // {1 << (i % 28)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(56)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(56))
+    return f"""
+        WITH RECURSIVE {_CRC32_CTES},
+        toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        dtok AS (SELECT DISTINCT tok FROM toks),
+        bts AS (SELECT tok, {_UTF8_BYTES} AS bts FROM dtok),
+        tokcrc AS (SELECT tok,
+                          {_crc32_of("bts")} % 268435456 AS h1,
+                          {_crc32_of("list_prepend(CAST(1 AS BIGINT), bts)")} % 268435456 AS h2
+                   FROM bts CROSS JOIN crctab),
+        hashed AS (SELECT doc_id, h1, h2 FROM toks JOIN tokcrc USING (tok)),
+        bits AS (SELECT doc_id,
+                   {sums}
+                 FROM hashed GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS s FROM bits)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
 @query(
     "minhash_signatures",
     oracle=_minhash_oracle(),
@@ -2491,11 +2641,13 @@ def q_minhash_signatures(spark, sf_dir):
 
 @query(
     "minhash_signatures_fast",
-    oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
+    oracle=_minhash_signatures_fast_oracle(),
     doc="MinHash signatures, vectorized scale path: one mapInPandas pass (crc32 "
     "token hashes + numpy rolling shingle combine + broadcasted k-way minima) — "
     "no explode, no k-min aggregation, no shuffle; the HOF/xxhash64 form stays "
-    "available as minhash_signatures(hash_fn='xxhash64')",
+    "available as minhash_signatures(hash_fn='xxhash64'). Oracled: the oracle "
+    "derives zlib.crc32 from scratch in SQL (recursive-CTE table + list_reduce "
+    "byte fold) and replays the whole kernel bit-for-bit",
 )
 def q_minhash_signatures_fast(spark, sf_dir):
     from hadoop_app_spark.operators.dedup import minhash_signatures_vectorized
@@ -3913,10 +4065,12 @@ def q_csv_malformed_quarantine(spark, sf_dir):
 
 @query(
     "minhash_dedup_fast",
-    oracle=None,  # crc32 hash family is kernel-specific; pipeline properties pinned in pytest
+    oracle=_minhash_dedup_fast_oracle(),
     doc="full MinHash+LSH dedup, vectorized scale path: mapInPandas signature "
     "kernel (no explode/agg) feeding the same banding bucket-join and min-id "
-    "survivor policy as the oracled poly gate variant",
+    "survivor policy as the oracled poly gate variant. Oracled end-to-end: the "
+    "crc32 family is derived from scratch in SQL, so signatures, band buckets, "
+    "candidate pairs and survivors are all value-checked",
 )
 def q_minhash_dedup_fast(spark, sf_dir):
     from hadoop_app_spark.operators.dedup import (
@@ -7360,13 +7514,14 @@ def q_simhash_band_neardup(spark, sf_dir):
 
 @query(
     "simhash_band_neardup_fast",
-    oracle=None,  # crc32 fingerprints have no SQL twin — rows-only;
-    # exact-recall/hamming-0 properties pinned in tests/test_retrieval.py
+    oracle=_simhash_band_neardup_fast_oracle(),
     doc="production twin of simhash_band_neardup: fingerprints from a "
     "zero-shuffle mapInPandas kernel (salted crc32 x2, numpy bit-sums), "
     "identical banding join + Hamming verify and the same pigeonhole "
     "exact-recall guarantee over its own fingerprints "
-    "(operators/dedup.simhash_band_pairs_fast)",
+    "(operators/dedup.simhash_band_pairs_fast). Oracled: a brute-force "
+    "all-pairs scan over SQL-derived crc32 fingerprints value-checks both "
+    "the kernel and the banded recall guarantee",
 )
 def q_simhash_band_neardup_fast(spark, sf_dir):
     from hadoop_app_spark.operators.dedup import simhash_band_pairs_fast
@@ -8672,6 +8827,63 @@ def q_compaction_roundtrip(spark, sf_dir):
 
 
 @query(
+    "incremental_matview",
+    # the oracle is the VIEW DEFINITION over the final base state —
+    # the incremental path (build from gen1, merge an insert delta,
+    # retract a batch, recompute only MIN-dirty groups from the
+    # current base) must land on exactly the state a from-scratch
+    # rebuild would produce; groups whose rows all retracted leave
+    # the view (count>0 is implicit: a group matching the WHERE has
+    # at least one surviving row)
+    oracle="""
+        SELECT l_suppkey,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+               min(CAST(l_quantity AS INT)) AS min_qty
+        FROM lineitem
+        WHERE l_orderkey % 7 <= 5
+          AND NOT (l_orderkey % 7 < 5 AND l_orderkey % 11 = 0)
+        GROUP BY l_suppkey
+    """,
+    doc="incrementally-maintained materialized aggregate view "
+    "(operators/matview — the recurring-rollup answer: refresh cost "
+    "O(delta)+O(|view|), never O(base history)): a per-supplier "
+    "count/sum/min rollup materializes as a bucketed table from the "
+    "first five sevenths of lineitem, then ONE refresh merges an "
+    "insert delta (the sixth seventh) and a retraction batch (gen1's "
+    "%11 rows) — counts and sums maintain algebraically, and only the "
+    "groups whose retracted MIN reached the candidate minimum are "
+    "recomputed, via a broadcast semi-join on the dirty keys against "
+    "the current base; the view-definition oracle checks the merged "
+    "state equals a from-scratch rebuild",
+)
+def q_incremental_matview(spark, sf_dir):
+    from hadoop_app_spark.operators.matview import build_agg_view, refresh_agg_view
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_quantity").cast("int").alias("qty")
+    )
+    gen1 = li.where(F.col("l_orderkey") % 7 < 5)
+    inserts = li.where(F.col("l_orderkey") % 7 == 5)
+    retractions = gen1.where(F.col("l_orderkey") % 11 == 0)
+    current = gen1.where(F.col("l_orderkey") % 11 != 0).unionByName(inserts)
+
+    tbl = "mv_supplier_rollup"  # fixed name + overwrite: idempotent
+    build_agg_view(
+        gen1, tbl, ["l_suppkey"], sums={"sum_qty": "qty"}, mins={"min_qty": "qty"}
+    )
+    refresh_agg_view(
+        spark, tbl, inserts=inserts, retractions=retractions, current_base=current
+    )
+    return spark.table(tbl).select(
+        "l_suppkey",
+        F.col("mv_count").alias("n_items"),
+        "sum_qty",
+        "min_qty",
+    )
+
+
+@query(
     "alpha_mixture_sample",
     # the oracle RECOMPUTES the whole derivation — counts -> integer
     # sqrt -> integer-division thresholds -> fingerprint membership —
@@ -9231,6 +9443,66 @@ def q_normalized_dedup(spark, sf_dir):
 
 
 @query(
+    "unicode_nfc_dedup",
+    # the corpus is ASCII-only (normalization is identity there), so
+    # the entry INJECTS the interesting rows itself — the
+    # csv_malformed_quarantine convention: each base doc gains a
+    # precomposed-é variant (+100000) and a decomposed e+U+0301
+    # variant (+200000); NFC makes those two (and only those two)
+    # byte-identical, so the dedup must collapse exactly that pair
+    # while every ASCII base doc survives alone
+    oracle="""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id <= 50),
+        inj AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 100000, replace(text, 'e', chr(233)) FROM base
+            UNION ALL
+            SELECT doc_id + 200000, replace(text, 'e', 'e' || chr(769)) FROM base),
+        n AS (SELECT doc_id, nfc_normalize(text) AS norm FROM inj)
+        SELECT min(doc_id) AS doc_id, count(*) AS n_variants,
+               CAST(min(length(norm)) AS BIGINT) AS n_norm_chars
+        FROM n GROUP BY norm
+    """,
+    doc="Unicode NFC normalization before dedup (north star dedup family — "
+    "the encoding-variant member): precomposed vs combining-mark encodings "
+    "of the same rendered text hash apart in every byte-level dedup, so the "
+    "pipeline normalizes to NFC first (functions/text.nfc_normalize, the "
+    "documented Arrow-vectorized pandas_udf path — composition has no "
+    "Catalyst builtin) and then runs the one-hash-agg min-id dedup; the "
+    "oracle replays the injection and DuckDB's built-in nfc_normalize "
+    "value-checks survivors, variant counts and normalized lengths",
+)
+def q_unicode_nfc_dedup(spark, sf_dir):
+    from hadoop_app_spark.functions.text import nfc_normalize
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 50)
+        .select("doc_id", "text")
+    )
+    composed = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", "e", "\u00e9").alias("text"),  # precomposed
+    )
+    decomposed = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", "e", "e\u0301").alias("text"),  # e + combining acute
+    )
+    inj = base.unionByName(composed).unionByName(decomposed)
+    return (
+        inj.select("doc_id", nfc_normalize(F.col("text")).alias("_norm"))
+        .groupBy("_norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_variants"),
+            F.min(F.length("_norm")).cast("long").alias("n_norm_chars"),
+        )
+        .select("doc_id", "n_variants", "n_norm_chars")
+    )
+
+
+@query(
     "source_overlap",
     oracle=f"""
         WITH p AS (SELECT source,
@@ -9730,6 +10002,15 @@ _PRIORITY = [
     "mixture_epoch_order",
     # zstd ORC round-trip with column blooms (S14 successor, 2nd format)
     "orc_roundtrip",
+    # incrementally-maintained materialized aggregate view (r9): delta
+    # merge into a bucketed view + dirty-MIN recompute via broadcast
+    # semi-join; oracle = view definition over the final base state
+    "incremental_matview",
+    # Unicode NFC normalization before dedup (r9): encoding-variant
+    # member of the dedup family; injects composed/decomposed rows
+    # (the ASCII corpus is identity) and DuckDB's nfc_normalize
+    # value-checks the collapse
+    "unicode_nfc_dedup",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --

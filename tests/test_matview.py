@@ -1,0 +1,119 @@
+"""Incrementally-maintained materialized aggregate views
+(operators/matview): the refreshed state must equal a from-scratch
+rebuild, MIN-dirty groups must actually take the recompute path, and
+corrupt deltas (retracting rows the view never held) must fail loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_app_spark.operators.matview import build_agg_view, refresh_agg_view
+from tests.conftest import rows_set
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            "l_orderkey", "l_suppkey", F.col("l_quantity").cast("int").alias("qty")
+        )
+    )
+
+
+def test_refresh_equals_full_rebuild(spark):
+    li = _docs(spark)
+    gen1 = li.where(F.col("l_orderkey") % 7 < 5)
+    inserts = li.where(F.col("l_orderkey") % 7 == 5)
+    retractions = gen1.where(F.col("l_orderkey") % 11 == 0)
+    current = gen1.where(F.col("l_orderkey") % 11 != 0).unionByName(inserts)
+
+    build_agg_view(
+        gen1, "mv_t1", ["l_suppkey"], sums={"sum_qty": "qty"}, mins={"min_qty": "qty"}
+    )
+    stats = refresh_agg_view(
+        spark, "mv_t1", inserts=inserts, retractions=retractions, current_base=current
+    )
+    got = spark.table("mv_t1")
+    want = current.groupBy("l_suppkey").agg(
+        F.count("*").alias("mv_count"),
+        F.sum("qty").alias("sum_qty"),
+        F.min("qty").alias("min_qty"),
+    )
+    assert rows_set(got) == rows_set(want)
+    # at this scale the retraction batch removes some group minimum —
+    # the dirty path must actually execute, or the test proves nothing
+    assert stats["dirty_recomputed"] > 0
+    assert stats["groups"] == want.count()
+
+
+def test_insert_only_refresh_never_touches_base(spark):
+    li = _docs(spark)
+    gen1 = li.where(F.col("l_orderkey") % 7 < 5)
+    inserts = li.where(F.col("l_orderkey") % 7 == 5)
+
+    build_agg_view(
+        gen1, "mv_t2", ["l_suppkey"], sums={"sum_qty": "qty"}, mins={"min_qty": "qty"}
+    )
+    # current_base intentionally omitted: inserts are min-monotone, so
+    # the refresh must complete without it
+    stats = refresh_agg_view(spark, "mv_t2", inserts=inserts)
+    want = gen1.unionByName(inserts).groupBy("l_suppkey").agg(
+        F.count("*").alias("mv_count"),
+        F.sum("qty").alias("sum_qty"),
+        F.min("qty").alias("min_qty"),
+    )
+    assert rows_set(spark.table("mv_t2")) == rows_set(want)
+    assert stats["dirty_recomputed"] == 0
+
+
+def test_retraction_of_unseen_rows_is_loud(spark):
+    li = _docs(spark)
+    gen1 = li.where(F.col("l_orderkey") % 7 < 5)
+    build_agg_view(gen1, "mv_t3", ["l_suppkey"], sums={"sum_qty": "qty"})
+    # retract a foreign group: supplier ids shifted out of range
+    bogus = gen1.limit(5).withColumn("l_suppkey", F.col("l_suppkey") + 1_000_000)
+    with pytest.raises(ValueError, match="negative|never contained"):
+        refresh_agg_view(spark, "mv_t3", retractions=bogus)
+
+
+def test_min_retraction_without_base_is_loud(spark):
+    li = _docs(spark)
+    gen1 = li.where(F.col("l_orderkey") % 7 < 5)
+    build_agg_view(
+        gen1, "mv_t4", ["l_suppkey"], sums={"sum_qty": "qty"}, mins={"min_qty": "qty"}
+    )
+    retractions = gen1.where(F.col("l_orderkey") % 11 == 0)
+    with pytest.raises(ValueError, match="current_base"):
+        refresh_agg_view(spark, "mv_t4", retractions=retractions)
+
+
+def test_group_leaving_the_view(spark):
+    spark_df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k int, v int"
+    )
+    build_agg_view(spark_df, "mv_t5", ["k"], sums={"sv": "v"})
+    # retract ALL of group 1 -> it must leave the view entirely
+    ret = spark.createDataFrame([(1, 10), (1, 20)], "k int, v int")
+    stats = refresh_agg_view(spark, "mv_t5", retractions=ret)
+    rows = spark.table("mv_t5").collect()
+    assert [(r["k"], r["mv_count"], r["sv"]) for r in rows] == [(2, 1, 5)]
+    assert stats["dropped"] == 1
+
+
+def test_refresh_spec_pinned_across_generations(spark):
+    """The measure spec survives the overwrite swap (table properties
+    re-pinned), so a SECOND refresh still maintains the same measures."""
+    df = spark.createDataFrame([(1, 10), (2, 5)], "k int, v int")
+    build_agg_view(df, "mv_t6", ["k"], sums={"sv": "v"}, mins={"mv": "v"})
+    refresh_agg_view(
+        spark, "mv_t6", inserts=spark.createDataFrame([(1, 3)], "k int, v int")
+    )
+    refresh_agg_view(
+        spark, "mv_t6", inserts=spark.createDataFrame([(2, 1)], "k int, v int")
+    )
+    rows = {r["k"]: (r["mv_count"], r["sv"], r["mv"]) for r in spark.table("mv_t6").collect()}
+    assert rows == {1: (2, 13, 3), 2: (2, 6, 1)}
