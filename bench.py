@@ -191,10 +191,13 @@ BENCH_QUERIES = [
     "nation_communities",
     # r9 additions: contrastive training-pair mining (near-dup graph)
     "contrastive_pairs",
-    # r9 session 2: incrementally-maintained materialized agg view,
-    # Unicode NFC encoding-variant dedup
+    # r9 session 2: incrementally-maintained materialized agg view
+    # (batch + CDC-stream execution), Unicode NFC encoding-variant
+    # dedup, Z-order layout + box lookup
     "incremental_matview",
+    "stream_matview_exec",
     "unicode_nfc_dedup",
+    "zorder_point_lookup",
 ]
 
 

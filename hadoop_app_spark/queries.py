@@ -8884,6 +8884,131 @@ def q_incremental_matview(spark, sf_dir):
 
 
 @query(
+    "stream_matview_exec",
+    # the view-definition oracle over the FINAL base state: whatever
+    # path the deltas took (two micro-batches, an in-batch mix of
+    # inserts and retractions), the maintained view must equal a
+    # from-scratch rebuild — groups fully retracted leave the view
+    oracle="""
+        SELECT l_suppkey,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey % 7 <= 4
+          AND NOT (l_orderkey % 7 <= 1 AND l_orderkey % 11 = 0)
+        GROUP BY l_suppkey
+    """,
+    doc="the materialized-view refresh run as a REAL CDC stream "
+    "(streaming/ingest.matview_refresh_stream): change files land in a "
+    "drop directory with op = 'I'/'D' rows, FileStreamSource feeds them "
+    "oldest-first one micro-batch per file (maxFilesPerTrigger=1, "
+    "availableNow), and each batch refreshes the bucketed count/sum view "
+    "via refresh_agg_view inside foreachBatch — O(batch)+O(|view|) per "
+    "trigger, never O(base history); an applied-epoch ledger in the "
+    "view's table properties makes crash-replayed batches no-ops. Same "
+    "view-definition ground truth as incremental_matview: batch "
+    "operator, streaming execution, one oracle",
+)
+def q_stream_matview_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.operators.matview import build_agg_view
+    from hadoop_app_spark.streaming.ingest import matview_refresh_stream
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_quantity").cast("int").alias("qty")
+    )
+    tbl = "mv_stream_rollup"  # fixed name + overwrite: idempotent
+    build_agg_view(
+        li.where(F.col("l_orderkey") % 7 == 0), tbl, ["l_suppkey"],
+        sums={"sum_qty": "qty"},
+    )
+    root = _scratch_dir("stream_matview", sf_dir)
+    # fresh per invocation: a reused checkpoint would mark the
+    # regenerated files as already-ingested and emit nothing
+    shutil.rmtree(root, ignore_errors=True)
+    src, ck = os.path.join(root, "src"), os.path.join(root, "ck")
+    os.makedirs(src)
+    batches = {
+        # batch 1: pure inserts
+        1: li.where((F.col("l_orderkey") % 7 == 1) | (F.col("l_orderkey") % 7 == 2))
+        .withColumn("op", F.lit("I")),
+        # batch 2: more inserts PLUS retractions of already-inserted rows
+        2: li.where((F.col("l_orderkey") % 7 == 3) | (F.col("l_orderkey") % 7 == 4))
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            li.where(
+                (F.col("l_orderkey") % 7 <= 1) & (F.col("l_orderkey") % 11 == 0)
+            ).withColumn("op", F.lit("D"))
+        ),
+    }
+    for gen, df in batches.items():
+        stage = os.path.join(root, f"stage_g{gen}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"gen{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        # forced mtime order: FileStreamSource admits oldest-first
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+    q = matview_refresh_stream(
+        spark, src, batches[1].schema, tbl, ck
+    )
+    q.awaitTermination()
+    return spark.table(tbl).select(
+        "l_suppkey", F.col("mv_count").alias("n_items"), "sum_qty"
+    )
+
+
+@query(
+    "zorder_point_lookup",
+    # content preservation is the value check (layout rewrites must
+    # never change results); the PRUNING payoff — the reason z-order
+    # exists — is measured in tests/test_layout.py::
+    # test_zorder_layout_prunes_both_dimensions, which pins that the
+    # same box predicate's scan output collapses on the clustered
+    # layout vs a shuffled one, on BOTH dimensions
+    oracle="""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS qty_sum
+        FROM lineitem
+        WHERE l_orderkey < 1000 AND l_partkey < 150
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Z-order (Morton-curve) clustered layout + multi-dimensional box "
+    "lookup (sources/layout.write_zorder_layout — the Delta/Iceberg "
+    "OPTIMIZE ZORDER use-case re-expressed on plain parquet): lineitem is "
+    "rewritten range-partitioned + sorted on the bit-interleaved "
+    "(l_orderkey, l_partkey) key, each column pre-scaled to fill the bits "
+    "budget, so footer min/max stats prune a predicate on EITHER column — "
+    "where a lexicographic sort prunes only its leading column; the entry "
+    "runs a 2-D box predicate over the clustered files and value-checks "
+    "the accounting against the raw table",
+)
+def q_zorder_point_lookup(spark, sf_dir):
+    from hadoop_app_spark.sources.layout import write_zorder_layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+    )
+    path = _scratch_dir("zorder_lookup", sf_dir)
+    write_zorder_layout(li, path, ["l_orderkey", "l_partkey"], bits=14, n_files=16)
+    return (
+        spark.read.parquet(path)
+        .where((F.col("l_orderkey") < 1000) & (F.col("l_partkey") < 150))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.sum(F.col("l_quantity").cast("int")).alias("qty_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "alpha_mixture_sample",
     # the oracle RECOMPUTES the whole derivation — counts -> integer
     # sqrt -> integer-division thresholds -> fingerprint membership —
@@ -10011,6 +10136,14 @@ _PRIORITY = [
     # (the ASCII corpus is identity) and DuckDB's nfc_normalize
     # value-checks the collapse
     "unicode_nfc_dedup",
+    # Z-order clustered layout + 2-D box lookup (r9): content
+    # preservation value-checked here, pruning measured in
+    # tests/test_layout.py
+    "zorder_point_lookup",
+    # the matview refresh as a real CDC stream (r9): I/D change files,
+    # per-batch refresh in foreachBatch, applied-epoch replay ledger;
+    # shares incremental_matview's view-definition ground truth
+    "stream_matview_exec",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --

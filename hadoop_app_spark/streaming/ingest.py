@@ -171,6 +171,80 @@ def dedup_ingest_stream(
     return writer.start()
 
 
+def matview_refresh_stream(
+    spark,
+    src_dir: str,
+    schema,
+    view_table: str,
+    checkpoint: str,
+    op_col: str = "op",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """CDC stream -> incrementally-maintained aggregate view: change
+    files landing under ``src_dir`` (rows tagged ``op_col`` = 'I'
+    insert / 'D' retract) refresh ``view_table`` per micro-batch via
+    `operators/matview.refresh_agg_view` — the recurring-rollup
+    pipeline run continuously, each refresh O(batch)+O(|view|) and
+    never O(base history).
+
+    Replay protection: each applied micro-batch records its epoch in
+    the view's ``matview.applied_epoch`` table property, and a batch
+    whose epoch is <= the recorded one is SKIPPED — so the common
+    at-least-once window (crash between a successful refresh and the
+    checkpoint commit) re-delivers the batch but does not double-apply
+    it. Stated honestly: a crash INSIDE the refresh's own
+    overwrite-then-pin swap can still double-apply that one batch;
+    closing that last window needs a transactional table format
+    (`streaming/cdc.py` targets), same as the dedup loop's survivor
+    sink.
+
+    MIN measures are maintainable only for insert batches (they are
+    min-monotone); a batch that RETRACTS against a MIN-maintaining
+    view would need base access mid-stream — refresh_agg_view raises
+    loudly in that case rather than degrade. Count/sum views take
+    retractions algebraically, no base ever read.
+    """
+    from hadoop_app_spark.operators.matview import refresh_agg_view
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def _applied_epoch() -> int:
+        rows = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {view_table}").collect()
+        }
+        return int(rows.get("matview.applied_epoch", -1))
+
+    def _sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if epoch_id <= _applied_epoch():
+            return  # crash-replayed batch: already in the view
+        refresh_agg_view(
+            spark,
+            view_table,
+            inserts=batch_df.where(F.col(op_col) == "I").drop(op_col),
+            retractions=batch_df.where(F.col(op_col) == "D").drop(op_col),
+        )
+        spark.sql(
+            f"ALTER TABLE {view_table} SET TBLPROPERTIES "
+            f"('matview.applied_epoch'='{epoch_id}')"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def ann_ingest_stream(
     spark,
     src_dir: str,
