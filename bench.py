@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "stream_matview_exec",
     "unicode_nfc_dedup",
     "zorder_point_lookup",
+    # r9 session 2: the PCA family's oracle-exact Walsh-basis face
+    "embedding_pca_fixed",
 ]
 
 

@@ -220,3 +220,88 @@ def project_pca(
             p = p / F.lit(float((eigenvalues[j] + eps) ** 0.5))
         cols.append(p)
     return staged.withColumn(out_col, F.array(*cols)).drop(tmp)
+
+
+def walsh_rows(k: int, d: int) -> list[list[int]]:
+    """First ``k`` rows of the natural-order d x d Walsh-Hadamard
+    matrix: H[r][i] = (-1)^popcount(r & i). Exactly orthogonal, every
+    entry +-1 — a FORMULA rotation basis with none of the eigenvector
+    float/sign/order ambiguity that makes trained PCA components
+    engine-seeded state. Requires d a power of two."""
+    if d & (d - 1):
+        raise ValueError(f"Walsh basis needs power-of-two dim, got {d}")
+    if not 1 <= k <= d:
+        raise ValueError(f"need 1 <= k <= {d}, got {k}")
+    return [
+        [1 if bin(r & i).count("1") % 2 == 0 else -1 for i in range(d)]
+        for r in range(k)
+    ]
+
+
+def project_fixed_basis(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """The PCA family's oracle-exact face (the pq_ann_topk_fixed /
+    semdedup_fast_fixed convention): project integer-quantized
+    embeddings onto the first ``k`` Walsh-Hadamard rows with n-scaled
+    EXACT centering — same plan shape as trained PCA (one bounded
+    per-dimension moment aggregate, rotation broadcast as plan
+    literals, one narrow projection map), but every number BIGINT so
+    a SQL oracle recomputes each projection bit-for-bit.
+
+    Mechanics: q_i = floor(x_i * scale + 0.5) (half-up via floor — the
+    embedding_quantize convention both engines compute identically);
+    per-dimension sums S_i come from ONE posexplode aggregate (d rows,
+    the bounded-collect class); the centered projection is kept
+    integer by scaling through n:
+
+        p_j = n * (q . h_j) - (S . h_j)   ==  n * ((q - S/n) . h_j)
+
+    so no float mean ever exists. Output columns p0..p{k-1} are
+    BIGINT. Trained-eigenvector PCA (train_pca/project_pca) remains
+    the production path and stays rows-only by design; this twin
+    value-checks the projection/rotation/centering PLUMBING they
+    share."""
+    first = df.where(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if first is None:
+        raise ValueError(f"all values of {vec_col!r} are NULL")
+    d = len(first[0])
+    _require_clean_vectors(df, vec_col, d)
+    rows = walsh_rows(k, d)
+
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+    )
+    staged = df.select(F.col(id_col), q.alias("_q"))
+    # ONE bounded aggregate: d per-dimension sums (d rows to the
+    # driver — the centroid/describe bounded-collect class)
+    sums_rows = (
+        staged.select(F.posexplode("_q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").alias("s"))
+        .collect()
+    )
+    S = [0] * d
+    for r in sums_rows:
+        S[r["i"]] = int(r["s"])
+    n = staged.count()
+
+    def dot_h(col, h):
+        return F.aggregate(
+            F.zip_with(col, F.lit(h), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    proj = [
+        (F.lit(n).cast("long") * dot_h(F.col("_q"), rows[j])
+         - F.lit(sum(si * hi for si, hi in zip(S, rows[j]))).cast("long")
+         ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    return staged.select(id_col, *proj)

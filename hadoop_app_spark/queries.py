@@ -9734,6 +9734,67 @@ def q_embedding_pca(spark, sf_dir):
     ).select("vec_id", "pca")
 
 
+def _pca_fixed_oracle(k: int = 8, d: int = 64, scale: int = 1000) -> str:
+    """From-scratch replay of project_fixed_basis: same half-up-via-
+    floor quantization (the embedding_quantize convention), the same
+    Walsh rows inlined as +-1 list literals, per-dimension BIGINT sums
+    from one grouped pass, and the n-scaled centered projection
+    p_j = n*(q.h_j) - (S.h_j) — pure integer arithmetic end to end."""
+    from hadoop_app_spark.operators.pca import walsh_rows
+
+    rows = walsh_rows(k, d)
+    hdefs = ",\n                     ".join(
+        f"[{', '.join(str(v) for v in row)}] AS h{j}" for j, row in enumerate(rows)
+    )
+
+    def dot(vec: str, j: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[{vec}[i] * h{j}[i] for i in range(1, {d} + 1)]), (a, b) -> a + b)"
+        )
+
+    projs = ",\n               ".join(
+        f"CAST(n * ({dot('q', j)}) - ({dot('sv', j)}) AS BIGINT) AS p{j}"
+        for j in range(k)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x ->
+                              CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS q
+                   FROM embeddings),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        sums AS (SELECT i, CAST(sum(q[i]) AS BIGINT) AS s
+                 FROM e CROSS JOIN (SELECT unnest(range(1, {d} + 1)) AS i)
+                 GROUP BY i),
+        sl AS (SELECT list(s ORDER BY i) AS sv FROM sums),
+        h AS (SELECT {hdefs})
+        SELECT vec_id,
+               {projs}
+        FROM e CROSS JOIN st CROSS JOIN sl CROSS JOIN h
+    """
+
+
+@query(
+    "embedding_pca_fixed",
+    oracle=_pca_fixed_oracle(),
+    doc="the PCA family's oracle-exact face (the pq_ann_topk_fixed / "
+    "semdedup_fast_fixed convention): integer-quantized embeddings "
+    "projected onto the first 8 Walsh-Hadamard rows — a FORMULA rotation "
+    "with exactly orthogonal +-1 entries, none of the eigenvector sign/"
+    "order/float ambiguity — with n-scaled exact centering so no float "
+    "mean ever exists (p_j = n*(q.h_j) - S.h_j, all BIGINT); same plan "
+    "shape as trained PCA (one bounded per-dim moment aggregate, rotation "
+    "as plan literals, one narrow map), every projection value-checked; "
+    "trained-eigenvector PCA stays the production path "
+    "(operators/pca.project_fixed_basis)",
+)
+def q_embedding_pca_fixed(spark, sf_dir):
+    from hadoop_app_spark.operators.pca import project_fixed_basis
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return project_fixed_basis(emb, "embedding", "vec_id", k=8, scale=1000)
+
+
 def _quality_calibration_oracle() -> str:
     from hadoop_app_spark.operators.quality_model import PINNED_QUALITY_LR_WEIGHTS
 
@@ -10144,6 +10205,10 @@ _PRIORITY = [
     # per-batch refresh in foreachBatch, applied-epoch replay ledger;
     # shares incremental_matview's view-definition ground truth
     "stream_matview_exec",
+    # the PCA family's oracle-exact face (r9): Walsh-Hadamard formula
+    # basis + n-scaled integer centering, every projection BIGINT;
+    # trained-eigenvector PCA stays rows-only by design
+    "embedding_pca_fixed",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --

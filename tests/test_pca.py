@@ -115,3 +115,42 @@ def test_moments_reject_null_and_ragged_vectors(spark):
     )
     with pytest.raises(ValueError):
         embedding_moments_fast(ragged)
+
+
+def test_fixed_basis_projection_matches_numpy(spark):
+    """project_fixed_basis == the brute-force numpy replay: quantize
+    half-up, Walsh rows, n-scaled centering — all integer-exact."""
+    import numpy as np
+
+    from hadoop_app_spark.operators.pca import project_fixed_basis, walsh_rows
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+        for r in project_fixed_basis(emb, "embedding", "vec_id", k=8).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * 1000 + 0.5).astype(np.int64)
+    H = np.array(walsh_rows(8, Q.shape[1]), dtype=np.int64)
+    n = len(ids)
+    S = Q.sum(axis=0)
+    P = n * (Q @ H.T) - (S @ H.T)[None, :]
+    want = {i: list(map(int, P[r])) for r, i in enumerate(ids)}
+    assert got == want
+
+
+def test_walsh_rows_orthogonal_and_guarded(spark):
+    import numpy as np
+    import pytest
+
+    from hadoop_app_spark.operators.pca import walsh_rows
+
+    H = np.array(walsh_rows(8, 64))
+    assert (H @ H.T == 64 * np.eye(8)).all()
+    with pytest.raises(ValueError, match="power-of-two"):
+        walsh_rows(4, 48)
+    with pytest.raises(ValueError, match="1 <= k"):
+        walsh_rows(0, 64)
