@@ -198,8 +198,11 @@ BENCH_QUERIES = [
     "stream_matview_exec",
     "unicode_nfc_dedup",
     "zorder_point_lookup",
-    # r9 session 2: the PCA family's oracle-exact Walsh-basis face
+    # r9 session 2: the PCA family's oracle-exact Walsh-basis face,
+    # time-series gap-fill/LOCF, integer-exact PMI collocation mining
     "embedding_pca_fixed",
+    "timeseries_gapfill",
+    "token_pmi_topk",
 ]
 
 

@@ -1837,3 +1837,74 @@ def mixture_epoch_order(
             (u * F.col("_n").cast("double") / F.col("_w")).alias("order_key"),
         )
     )
+
+
+def token_pmi_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+) -> DataFrame:
+    """Document-level token co-occurrence with INTEGER-EXACT lift —
+    the collocation/phrase-induction pass (word2vec's phrase pass,
+    bigram-dictionary mining) run as association mining over docs:
+    for token pair (a, b), lift = N * df(a,b) / (df(a) * df(b)), and
+    PMI = log(lift) is monotone in it, so ranking/thresholding on the
+    exact integer ``lift_milli = N * df(a,b) * 1000 div (df(a) *
+    df(b))`` needs no float log anywhere (the wordpiece cross-mult
+    convention).
+
+    Scale shape: per-doc DISTINCT tokens (frequency floor ``min_df``
+    applied via one broadcast join) expand to ordered pairs INSIDE the
+    array with a slice/transform comprehension — the pipeline runs
+    once and shuffles once on the pair key; the self-join alternative
+    would re-execute the tokenize for both sides (the minhash_lsh
+    lesson). Output is bounded by sum(m_i^2) over per-doc distinct
+    vocab m_i — cap the vocabulary with ``min_df`` (or a top-V floor)
+    before pairing, exactly as a 100 TB phrase pass does.
+
+    Returns [tok_a, tok_b, n_ab, n_a, n_b, lift_milli], tok_a < tok_b.
+    """
+    from hadoop_app_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("tok")
+    )
+    df_t = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
+    n_docs = toks.select(id_col).distinct().count()
+    kept = toks.join(
+        F.broadcast(df_t.where(F.col("n_t") >= min_df)), "tok"
+    )
+    arrs = kept.groupBy(id_col).agg(F.sort_array(F.collect_set("tok")).alias("v"))
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("v"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("v"), i + 2, F.size("v")),
+                        lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    counts = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    da = F.broadcast(df_t.select(F.col("tok").alias("tok_a"), F.col("n_t").alias("n_a")))
+    db = F.broadcast(df_t.select(F.col("tok").alias("tok_b"), F.col("n_t").alias("n_b")))
+    return (
+        counts.join(da, "tok_a")
+        .join(db, "tok_b")
+        .withColumn("_num", F.lit(n_docs).cast("long") * F.col("n_ab") * F.lit(1000))
+        .withColumn("_den", F.col("n_a") * F.col("n_b"))
+        # SQL `div`, not `/`: float division + truncation can round the
+        # quotient across an integer boundary; integer div cannot
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("_num div _den").alias("lift_milli"),
+        )
+    )

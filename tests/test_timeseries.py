@@ -1,0 +1,105 @@
+"""Time-series gap-fill (operators/timeseries) and PMI collocation
+mining (operators/corpus.token_pmi_pairs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_gapfill_locf_semantics(spark):
+    from hadoop_app_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        # user 1: readings on day 1 and day 4; gap days 2-3 carry 7.0;
+        # two events on day 1 -> the (ts, id)-max one (value 7.0) wins
+        (1, dt.datetime(2024, 3, 1, 8, 0), 10, 3.0),
+        (1, dt.datetime(2024, 3, 1, 9, 0), 11, 7.0),
+        (1, dt.datetime(2024, 3, 4, 9, 0), 12, 1.0),
+        # user 2: first reading on day 3 -> days 1-2 exist with NULL
+        (2, dt.datetime(2024, 3, 3, 9, 0), 13, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp_ntz, event_id int, value double"
+    )
+    got = {
+        (r["user_id"], str(r["day"])): (r["n_events"], r["locf_value"])
+        for r in gapfill_locf(df, "ts", ["user_id"], "value", "event_id").collect()
+    }
+    assert got == {
+        (1, "2024-03-01"): (2, 7.0),
+        (1, "2024-03-02"): (0, 7.0),
+        (1, "2024-03-03"): (0, 7.0),
+        (1, "2024-03-04"): (1, 1.0),
+        (2, "2024-03-01"): (0, None),
+        (2, "2024-03-02"): (0, None),
+        (2, "2024-03-03"): (1, 5.0),
+        (2, "2024-03-04"): (0, 5.0),
+    }
+
+
+def test_gapfill_spine_is_grid_sized(spark):
+    """Spine rows = |keys| x |days of the global range| regardless of
+    how sparse the observations are."""
+    from hadoop_app_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1), 1, 1.0),
+        (9, dt.datetime(2024, 3, 10), 2, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp_ntz, event_id int, value double"
+    )
+    assert gapfill_locf(df, "ts", ["user_id"], "value", "event_id").count() == 2 * 10
+
+
+def test_token_pmi_pairs_exact_counts(spark):
+    from hadoop_app_spark.operators.corpus import token_pmi_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red apple pie"),
+            (2, "red apple tart"),
+            (3, "red brick wall"),
+            (4, "apple pie"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift_milli"])
+        for r in token_pmi_pairs(docs, "text", "doc_id", min_df=2).collect()
+    }
+    # min_df=2 keeps red(3) apple(3) pie(2); singletons never pair
+    # lift_milli = N * n_ab * 1000 div (n_a * n_b), N = 4 docs
+    assert got == {
+        ("apple", "red"): (2, 3, 3, 4 * 2 * 1000 // 9),
+        ("apple", "pie"): (2, 3, 2, 4 * 2 * 1000 // 6),
+        ("pie", "red"): (1, 2, 3, 4 * 1 * 1000 // 6),
+    }
+
+
+def test_token_pmi_matches_brute_self_join(spark):
+    """The in-array pair expansion produces exactly the pairs a brute
+    (doc, tok) self-join would — on real corpus data."""
+    from hadoop_app_spark.functions.text import tokenize
+    from hadoop_app_spark.operators.corpus import token_pmi_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["tok_a"], r["tok_b"]): r["n_ab"]
+        for r in token_pmi_pairs(d, "text", "doc_id", min_df=2).collect()
+    }
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("tok")
+    )
+    dft = toks.groupBy("tok").count().where(F.col("count") >= 2)
+    kept = toks.join(dft.select("tok"), "tok")
+    a, b = kept.alias("a"), kept.alias("b")
+    brute = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .count()
+    )
+    want = {(r["tok_a"], r["tok_b"]): r["count"] for r in brute.collect()}
+    assert got == want
