@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "embedding_pca_fixed",
     "timeseries_gapfill",
     "token_pmi_topk",
+    "event_transitions",
+    "key_skew_profile",
 ]
 
 

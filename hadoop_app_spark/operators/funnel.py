@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel_stages(
@@ -96,4 +97,46 @@ def cohort_retention(
         active.join(cohort, user_col)
         .groupBy("cohort_week", (F.col("_week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-user event-type transition counts — the Markov-chain
+    feature pass behind next-event models and journey dashboards:
+    order each user's events by the deterministic ``(ts, id)`` key,
+    pair each with its predecessor's type via a PER-USER lag window
+    (partitioned — never a global sort), then count (from_type,
+    to_type) globally with one partial-combine hash agg.
+
+    The transition probability ships as integer-exact
+    ``prob_milli = n * 1000 div n_from`` (n_from = the from-type's
+    total outgoing transitions), so the whole matrix is value-
+    reproducible in any engine — no float division anywhere.
+
+    Returns [from_type, to_type, n, n_from, prob_milli]; a user's
+    first event has no predecessor and contributes nothing.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = df.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    outgoing = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(outgoing), "from_type")
+        .withColumn("_num", F.col("n") * F.lit(1000))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("_num div n_from").alias("prob_milli"),
+        )
     )

@@ -1,0 +1,69 @@
+"""Key-skew diagnostics — the measurement that decides between a
+plain shuffle, a broadcast, AQE skew-join splitting, or salting
+(`operators/joins.salted_join`) BEFORE a 100 TB job burns a day
+discovering its hot key the slow way.
+
+One (key)-grouped count is the only corpus-sized work; everything
+after runs over the per-key count distribution (|keys| rows): exact
+type-1 quantiles of the per-key counts via the repo's bounded 2-pass
+order-statistic extraction (`operators/windows.grouped_percentile_disc`
+— range-repartition + partition-local windows, NO unpartitioned
+window anywhere), the heaviest key's share, and the top-k
+concentration. All shares are integer-exact milli-units (integer
+div), so the profile is value-reproducible in any engine.
+
+Reading the numbers: max_share_milli >= ~1000/parallelism means one
+task owns that key's partition no matter how many executors exist
+(salt or AQE-split); topk_share_milli near 1000 over many keys means
+broadcasting the hot slice beats a full shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """One-row skew profile of ``key_col``: [n_rows, n_keys, max_rows,
+    max_share_milli, topk_share_milli, p50_rows, p90_rows, p99_rows].
+    """
+    from hadoop_app_spark.operators.windows import grouped_percentile_disc
+
+    counts = df.groupBy(key_col).agg(F.count("*").alias("c")).persist()
+    try:
+        # exact percentile_disc over the per-key counts: the bounded
+        # 2-pass extraction — never an unpartitioned window, never a
+        # single-task buffer of all counts
+        qs = grouped_percentile_disc(
+            counts.withColumn("_g", F.lit(1)), ["_g"], "c", [0.5, 0.9, 0.99]
+        ).get((1,), {})
+
+        totals = counts.agg(
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_rows"),
+        )
+        topk = (
+            counts.orderBy(F.col("c").desc(), F.col(key_col))
+            .limit(top_k)
+            .agg(F.sum("c").alias("topk_rows"))
+        )
+        return (
+            totals.crossJoin(F.broadcast(topk))
+            .select(
+                "n_rows",
+                "n_keys",
+                "max_rows",
+                F.expr("(max_rows * 1000) div n_rows").alias("max_share_milli"),
+                F.expr("(topk_rows * 1000) div n_rows").alias("topk_share_milli"),
+                F.lit(qs.get(0.5)).cast("long").alias("p50_rows"),
+                F.lit(qs.get(0.9)).cast("long").alias("p90_rows"),
+                F.lit(qs.get(0.99)).cast("long").alias("p99_rows"),
+            )
+            # the percentile literals are already computed; materialize
+            # the one-row result before unpersisting the counts
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        counts.unpersist()

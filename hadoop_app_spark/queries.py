@@ -1680,6 +1680,83 @@ def q_linear_trend(spark, sf_dir):
 
 
 @query(
+    "event_transitions",
+    # deterministic (ts, event_id) ordering inside each user's lag
+    # window; probabilities ship integer-exact (n*1000 div n_from) —
+    # no float division anywhere
+    oracle="""
+        WITH s AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                          ) AS from_type
+                   FROM events),
+        c AS (SELECT from_type, event_type AS to_type, count(*) AS n
+              FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        o AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+              FROM c GROUP BY 1)
+        SELECT from_type, to_type, n, n_from,
+               CAST(n * 1000 // n_from AS BIGINT) AS prob_milli
+        FROM c JOIN o USING (from_type)
+    """,
+    doc="per-user event-type transition matrix (operators/funnel."
+    "event_transitions — the Markov-chain feature pass behind next-event "
+    "models and journey dashboards, the sequence-mining sibling of "
+    "funnel/cohort): each user's events pair with their predecessor via "
+    "a PER-USER lag window on the deterministic (ts, event_id) key — "
+    "partitioned, never a global sort — then one partial-combine hash "
+    "agg counts (from, to) globally; transition probability ships as "
+    "integer-exact prob_milli so the whole matrix value-reproduces",
+)
+def q_event_transitions(spark, sf_dir):
+    from hadoop_app_spark.operators.funnel import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "key_skew_profile",
+    # type-1 quantile of per-key counts: smallest count value whose
+    # cumulative key-rank reaches ceil(p * n_keys) — the cum window in
+    # the oracle runs over DISTINCT count values; the engine side uses
+    # the bounded 2-pass order-statistic extraction instead
+    oracle="""
+        WITH c AS (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(max(c) AS BIGINT) AS max_rows FROM c),
+        tk AS (SELECT CAST(sum(c) AS BIGINT) AS topk_rows
+               FROM (SELECT c FROM c ORDER BY c DESC, l_suppkey LIMIT 10)),
+        d AS (SELECT c, count(*) AS k FROM c GROUP BY 1),
+        cum AS (SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM d),
+        qs AS (SELECT
+                 CAST(min(CASE WHEN cum >= (1*n_keys + 1) // 2 THEN c END) AS BIGINT) AS p50_rows,
+                 CAST(min(CASE WHEN cum >= (9*n_keys + 9) // 10 THEN c END) AS BIGINT) AS p90_rows,
+                 CAST(min(CASE WHEN cum >= (99*n_keys + 99) // 100 THEN c END) AS BIGINT) AS p99_rows
+               FROM cum CROSS JOIN t)
+        SELECT n_rows, n_keys, max_rows,
+               CAST(max_rows * 1000 // n_rows AS BIGINT) AS max_share_milli,
+               CAST(topk_rows * 1000 // n_rows AS BIGINT) AS topk_share_milli,
+               p50_rows, p90_rows, p99_rows
+        FROM t CROSS JOIN tk CROSS JOIN qs
+    """,
+    doc="key-skew diagnostics (operators/skew.key_skew_profile — the "
+    "measurement that picks between plain shuffle, broadcast, AQE skew "
+    "split, and salted_join BEFORE a 100 TB job discovers its hot key "
+    "the slow way): one grouped count is the only corpus-sized work; "
+    "exact per-key-count quantiles come from the repo's bounded 2-pass "
+    "order-statistic extraction (grouped_percentile_disc — NO "
+    "unpartitioned window, no single-task buffer), and every share is "
+    "integer-exact milli-units",
+)
+def q_key_skew_profile(spark, sf_dir):
+    from hadoop_app_spark.operators.skew import key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_suppkey", top_k=10)
+
+
+@query(
     "token_pmi_topk",
     # lift in exact integers end to end (the wordpiece cross-mult
     # convention): PMI = log(lift) is monotone in lift, so the ranked
@@ -10296,6 +10373,12 @@ _PRIORITY = [
     # collocation mining by exact-integer PMI lift (r9): in-array pair
     # expansion, broadcast df joins, no float log anywhere
     "token_pmi_topk",
+    # per-user event-type transition matrix (r9): per-key lag window,
+    # integer-exact transition probabilities
+    "event_transitions",
+    # key-skew diagnostics (r9): grouped count + bounded 2-pass
+    # order statistics; shares in integer milli-units
+    "key_skew_profile",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --

@@ -1,0 +1,64 @@
+"""Event-transition mining (operators/funnel.event_transitions) and
+key-skew diagnostics (operators/skew.key_skew_profile)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from hadoop_app_spark.operators.funnel import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> b ; user 2: a -> b ; user 3: lone event
+        (1, t0, 1, "a"),
+        (1, t0 + dt.timedelta(minutes=1), 2, "b"),
+        (1, t0 + dt.timedelta(minutes=2), 3, "b"),
+        (2, t0, 4, "a"),
+        (2, t0 + dt.timedelta(minutes=1), 5, "b"),
+        (3, t0, 6, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp_ntz, event_id int, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["n_from"], r["prob_milli"])
+        for r in event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 1000),
+        ("b", "b"): (1, 1, 1000),
+    }
+
+
+def test_event_transitions_tiebreak_by_event_id(spark):
+    """Equal timestamps order by event_id — the documented
+    deterministic tiebreak, never engine-dependent."""
+    from hadoop_app_spark.operators.funnel import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 2, "late"), (1, t0, 1, "early")],
+        "user_id int, ts timestamp_ntz, event_id int, event_type string",
+    )
+    got = [
+        (r["from_type"], r["to_type"])
+        for r in event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()
+    ]
+    assert got == [("early", "late")]
+
+
+def test_key_skew_profile_exact(spark):
+    from hadoop_app_spark.operators.skew import key_skew_profile
+
+    # 4 keys: 6 + 2 + 1 + 1 = 10 rows; counts sorted = [1, 1, 2, 6]
+    rows = [(k,) for k in [1] * 6 + [2] * 2 + [3] + [4]]
+    df = spark.createDataFrame(rows, "k int")
+    r = key_skew_profile(df, "k", top_k=2).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_rows"]) == (10, 4, 6)
+    assert r["max_share_milli"] == 600
+    assert r["topk_share_milli"] == 800  # top-2 keys: 6 + 2 of 10
+    # type-1 quantiles over [1, 1, 2, 6]: p50 -> rank 2 -> 1,
+    # p90 -> rank 4 -> 6, p99 -> rank 4 -> 6
+    assert (r["p50_rows"], r["p90_rows"], r["p99_rows"]) == (1, 6, 6)
