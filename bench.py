@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "token_pmi_topk",
     "event_transitions",
     "key_skew_profile",
+    "dynamic_partition_overwrite",
 ]
 
 

@@ -1680,6 +1680,53 @@ def q_linear_trend(spark, sf_dir):
 
 
 @query(
+    "dynamic_partition_overwrite",
+    # the oracle is the EXPECTED FINAL STATE: day 6's rows carry the
+    # corrected (doubled) values, every other day keeps the original
+    # ones — a static overwrite would have emptied the other 29 days,
+    # and a blind append would double-count day 6, so both classic
+    # backfill failure modes shift the per-day accounting and fail the
+    # value hash. value*2 is an exponent bump: float-exact in any
+    # engine; per-day sums accumulate in DECIMAL (the _DSUM rule).
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+               {v} AS value_sum
+        FROM (SELECT ts,
+                     CASE WHEN CAST(ts AS DATE) = DATE '2024-01-06'
+                          THEN value * 2 ELSE value END AS value
+              FROM events)
+        GROUP BY 1 ORDER BY 1
+    """.format(v=_DSUM.format(c="value")),
+    doc="dynamic partition overwrite — the BACKFILL contract "
+    "(sources/sinks.overwrite_partitions): events land day-partitioned, "
+    "then ONE day's corrected rows (values doubled) rewrite ONLY that "
+    "day via partitionOverwriteMode=dynamic pinned on the write itself "
+    "— never session config, never the static mode whose overwrite "
+    "deletes the whole table; the per-day accounting over the final "
+    "table proves the other 29 partitions stayed byte-untouched and "
+    "day 6 carries exactly the corrected content",
+)
+def q_dynamic_partition_overwrite(spark, sf_dir):
+    from hadoop_app_spark.sources.sinks import overwrite_partitions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", F.to_date("ts").alias("day")
+    )
+    path = _scratch_dir("dyn_overwrite", sf_dir)
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    fixed = ev.where(F.col("day") == F.lit("2024-01-06").cast("date")).withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions(fixed, path, ["day"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), _dsum("value").alias("value_sum"))
+        .orderBy("day")
+    )
+
+
+@query(
     "event_transitions",
     # deterministic (ts, event_id) ordering inside each user's lag
     # window; probabilities ship integer-exact (n*1000 div n_from) —
@@ -10376,6 +10423,9 @@ _PRIORITY = [
     # per-user event-type transition matrix (r9): per-key lag window,
     # integer-exact transition probabilities
     "event_transitions",
+    # dynamic partition overwrite (r9): the backfill sink contract —
+    # one day rewritten, 29 untouched, both failure modes value-fail
+    "dynamic_partition_overwrite",
     # key-skew diagnostics (r9): grouped count + bounded 2-pass
     # order statistics; shares in integer milli-units
     "key_skew_profile",

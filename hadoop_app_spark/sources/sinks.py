@@ -83,3 +83,30 @@ def read_table(spark, path: str, fmt: str = "parquet", schema=None, header: bool
     if fmt == "csv":
         r = r.option("header", str(header).lower())
     return r.load(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite — the BACKFILL sink contract: write
+    ``df`` into the ``partition_cols``-partitioned parquet table at
+    ``path``, replacing ONLY the partitions ``df`` actually contains
+    and leaving every other partition byte-untouched.
+
+    This is the idempotent day-rewrite every 100 TB pipeline runs
+    (late data arrived, a bug fix reprocessed one day): static
+    overwrite (Spark's default ``partitionOverwriteMode=STATIC``)
+    would DELETE THE WHOLE TABLE first — the classic destroyed-table
+    incident — so this helper pins ``dynamic`` on the single write
+    instead of trusting session config, and re-reads are safe at any
+    point because each partition directory swap is committer-atomic
+    per partition.
+
+    The reference's closest shape is the `dt=` daily batch job
+    (UserNewcar.java's dt-partitioned inputs); this is the WRITE side
+    of that layout done safely.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
