@@ -5887,22 +5887,7 @@ def _quality_lr_z_sql(weights) -> str:
     Generated from the pinned weight constants, so oracle and
     implementation cannot drift. Apply the algebraic sigmoid
     ``0.5 + 0.5 * z / (1.0 + abs(z))`` to the result."""
-    # coalesce like quality_feature_cols does: NULL text is the empty
-    # document Spark-side, so the oracle must never let NULL propagate
-    # into z (a NULL-text row would otherwise produce p=NULL and break
-    # row counts on any corpus with missing text)
-    t = "coalesce(text, '')"
-    ntok = f"len(list_filter(string_split_regex({t}, '{_WS}'), x -> x <> ''))"
-    ln = f"CAST(length({t}) AS DOUBLE)"
-    feats = [
-        "CAST(1.0 AS DOUBLE)",
-        f"least({ln} / 500.0, 1.0)",
-        f"(CAST(length(regexp_replace(lower({t}), '[^a-z ]', '', 'g')) AS DOUBLE)"
-        f" / greatest({ln}, 1.0))",
-        f"least(CAST(length(regexp_replace({t}, '[^.!?]', '', 'g')) AS DOUBLE)"
-        " / 3.0, 1.0)",
-        f"least(CAST({ntok} AS DOUBLE) * 5.0 / greatest({ln}, 1.0), 1.0)",
-    ]
+    feats = _quality_feats_sql()
     # weights go in as CAST('<repr>' AS DOUBLE) STRING literals: DuckDB
     # parses a bare 17-significant-digit numeric literal as DECIMAL
     # first, and the decimal->double conversion can land one ulp off
@@ -5912,6 +5897,25 @@ def _quality_lr_z_sql(weights) -> str:
     return " + ".join(
         f"({f}) * CAST('{w!r}' AS DOUBLE)" for f, w in zip(feats, weights)
     )
+
+
+def _quality_feats_sql() -> list[str]:
+    """The five quality_feature_cols as DuckDB expressions — same
+    coalesce (NULL text is the empty document Spark-side, so NULL must
+    never propagate into z), same IEEE-exact mul/div/least/greatest
+    chain. Shared by the fixed-weight scorers and the trainer replay."""
+    t = "coalesce(text, '')"
+    ntok = f"len(list_filter(string_split_regex({t}, '{_WS}'), x -> x <> ''))"
+    ln = f"CAST(length({t}) AS DOUBLE)"
+    return [
+        "CAST(1.0 AS DOUBLE)",
+        f"least({ln} / 500.0, 1.0)",
+        f"(CAST(length(regexp_replace(lower({t}), '[^a-z ]', '', 'g')) AS DOUBLE)"
+        f" / greatest({ln}, 1.0))",
+        f"least(CAST(length(regexp_replace({t}, '[^.!?]', '', 'g')) AS DOUBLE)"
+        " / 3.0, 1.0)",
+        f"least(CAST({ntok} AS DOUBLE) * 5.0 / greatest({ln}, 1.0), 1.0)",
+    ]
 
 
 # the language/quality/token oracles already exist on text_metrics; reuse the
@@ -9587,14 +9591,78 @@ def q_semdedup_fast_fixed(spark, sf_dir):
     )
 
 
+def _quality_trainer_oracle(n_iter: int = 10) -> str:
+    """From-scratch DuckDB replay of train_quality_lr's WHOLE gradient-
+    descent loop (the bpe_merges 'iterative trainer has no SQL twin'
+    class, closed for gradient descent): n_iter unrolled rounds, each
+    one MATERIALIZED gradient CTE + a one-row weight CTE.
+
+    Why this replays bit-for-bit:
+    - the five features and the left-fold z = x.w are the same
+      IEEE-exact expressions the fixed-weight scorers already hash
+      identically (shared _quality_feats_sql);
+    - Spark's double->DECIMAL(38,18) cast goes through Java's SHORTEST
+      roundtrip string then HALF_UP quantization; DuckDB's direct cast
+      rounds the BINARY expansion instead (measured: 1/3 lands on
+      ...312 vs ...300) — but DuckDB's double->VARCHAR is the same
+      shortest repr, and VARCHAR->DECIMAL quantizes HALF_UP (measured
+      incl. ties: 5e-19 -> 1E-18, -5e-19 -> -1E-18), so
+      CAST(CAST(term AS VARCHAR) AS DECIMAL(38,18)) IS Spark's cast;
+    - decimal sums are exact and order-free; the weight update reads
+      the sum back to double via VARCHAR (strtod is correctly rounded
+      in both engines — the linear_trend rule), then w - (g / n) in
+      plain IEEE (lr = 1.0 multiplies away);
+    - AS MATERIALIZED on the feature frame and every gradient CTE is
+      load-bearing: inlined CTEs re-expand the whole prefix per round
+      (the bpe_merges 6^rounds lesson).
+    """
+    feats = _quality_feats_sql()
+    d = len(feats)
+    sig = "(0.5 + (0.5 * z) / (1.0 + abs(z)))"
+    x_cols = ", ".join(f"({f}) AS x{j}" for j, f in enumerate(feats))
+    z = " + ".join(f"x{j} * w{j}" for j in range(d))
+    parts = [
+        f"""feat AS MATERIALIZED (
+            SELECT {x_cols},
+                   CAST(CAST(length(text) >= 300 AS INT) AS DOUBLE) AS y,
+                   doc_id
+            FROM documents),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+        w_0 AS (SELECT {', '.join(f'CAST(0.0 AS DOUBLE) AS w{j}' for j in range(d))})"""
+    ]
+    for r in range(1, n_iter + 1):
+        gsums = ", ".join(
+            f"sum(CAST(CAST(({sig} - y) * x{j} AS VARCHAR) AS DECIMAL(38,18))) AS g{j}"
+            for j in range(d)
+        )
+        wnew = ", ".join(
+            f"w{j} - (CAST(CAST(g{j} AS VARCHAR) AS DOUBLE) / n) AS w{j}"
+            for j in range(d)
+        )
+        parts.append(
+            f"""g_{r} AS MATERIALIZED (
+            SELECT {gsums}
+            FROM (SELECT feat.*, {z} AS z FROM feat CROSS JOIN w_{r - 1})),
+        w_{r} AS (SELECT {wnew} FROM g_{r} CROSS JOIN w_{r - 1} CROSS JOIN st)"""
+        )
+    sep = ",\n        "
+    body = sep.join(parts)
+    return f"""
+        WITH {body}
+        SELECT doc_id, CAST(y AS INT) AS y,
+               CAST({sig} >= 0.5 AS INT) AS pred
+        FROM (SELECT doc_id, y, {z} AS z FROM feat CROSS JOIN w_{n_iter})
+    """
+
+
 @query(
     "quality_classifier",
-    # no SQL oracle BY DESIGN (iterative training loop); exactness is
-    # pinned harder than an oracle could: tests/test_quality_model.py
-    # asserts the trained weights EQUAL a pure-Python decimal-exact
-    # reference implementation bit-for-bit, and that they are invariant
-    # under repartitioning (decimal gradient accumulation)
-    oracle=None,
+    # the WHOLE training loop replayed in SQL (10 unrolled gradient-
+    # descent rounds; see _quality_trainer_oracle) — plus the harder
+    # pin that predates it: tests/test_quality_model.py asserts the
+    # trained weights EQUAL a pure-Python decimal-exact reference
+    # bit-for-bit and are invariant under repartitioning
+    oracle=_quality_trainer_oracle(),
     doc="trained quality classifier (north star: the CCNet/fastText-class "
     "LEARNED quality gate): distributed logistic regression over cheap text "
     "features — per iteration one scan, d map-side-combined DECIMAL gradient "
@@ -9602,8 +9670,12 @@ def q_semdedup_fast_fixed(spark, sf_dir):
     "accumulation makes training deterministic to the bit under any "
     "partitioning; the algebraic sigmoid avoids Math.exp's last-ulp "
     "platform variance. Labels here: long-document proxy (len >= 300) so "
-    "the fit is verifiable; scoring is a pure narrow map "
-    "(operators/quality_model.train_quality_lr/score_quality_lr)",
+    "the fit is verifiable; scoring is a pure narrow map. ORACLED end to "
+    "end: the DuckDB replay re-runs all 10 gradient-descent rounds from "
+    "scratch (shortest-repr VARCHAR casts reproduce Spark's double->"
+    "decimal HALF_UP quantization exactly), so training AND scoring are "
+    "value-checked (operators/quality_model.train_quality_lr/"
+    "score_quality_lr)",
 )
 def q_quality_classifier(spark, sf_dir):
     from hadoop_app_spark.operators.quality_model import (
@@ -10659,9 +10731,10 @@ _PRIORITY = [
     "contrastive_pairs",
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
-    # quality_classifier: iterative training loop, rows-only by design
-    # (the bpe_merges convention); weights pinned bit-exact vs a pure-
-    # Python decimal reference and repartition-invariant in pytest
+    # quality_classifier: ORACLED in r9 (10 unrolled gradient-descent
+    # rounds replayed in SQL via shortest-repr VARCHAR decimal casts);
+    # weights additionally pinned bit-exact vs a pure-Python decimal
+    # reference and repartition-invariant in pytest
     "quality_classifier",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
