@@ -192,3 +192,48 @@ def test_matview_stream_replay_is_noop(spark, tmp_path):
     q2.awaitTermination()
     after = {r["k"]: (r["mv_count"], r["sv"]) for r in spark.table("mv_s2").collect()}
     assert after == before
+
+
+def test_view_side_of_merge_is_exchange_free(spark):
+    """The PLANS.md claim, machine-checked: joining the bucketed view
+    to a delta aggregate on the bucket key consumes the view side as a
+    bucketed FileScan with NO Exchange above it (the same join
+    refresh_agg_view builds — same table layout, same keys)."""
+    from hadoop_app_spark.operators.matview import _agg_exprs
+
+    df = _docs(spark)
+    build_agg_view(
+        df.where(F.col("l_orderkey") % 7 < 5), "mv_plan", ["l_suppkey"],
+        sums={"sum_qty": "qty"},
+    )
+    ins = (
+        df.where(F.col("l_orderkey") % 7 == 5)
+        .groupBy("l_suppkey")
+        .agg(*_agg_exprs({"sum_qty": "qty"}, {}, "i_"))
+    )
+    merged = spark.table("mv_plan").join(ins, ["l_suppkey"], "full_outer")
+    merged.collect()  # execute so AQE materializes the real join plan
+
+    from hadoop_app_spark.sources.layout import walk_executed_plan
+
+    smjs = []
+    walk_executed_plan(
+        merged, lambda n, cls: smjs.append(n) if cls == "SortMergeJoinExec" else None
+    )
+    assert smjs, "merge join missing from the executed plan"
+
+    # the view branch is Sort -> bucketed FileScan, NO Exchange: the
+    # bucket layout satisfies the join's partitioning requirement
+    def walk(node, acc):
+        cls = node.getClass().getSimpleName()
+        acc.append(cls)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan(), acc)
+        return acc
+
+    names = walk(smjs[0].children().apply(0), [])
+    assert "FileSourceScanExec" in names, names
+    assert not any("Exchange" in n for n in names), names

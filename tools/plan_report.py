@@ -177,6 +177,25 @@ SHOWCASE = {
         "is scanned once and exchanged once (the distinct), never re-read "
         "per pair — |sources|^2 pairs cost sketch-sized work each",
     ),
+    "incremental_matview": (
+        "the registry entry executes the refresh eagerly, so the returned "
+        "plan is the final view's bare bucketed scan; the refresh's OWN "
+        "merge plan (audited separately) shows the view side as 'FileScan "
+        "... Bucketed: true' with NO Exchange above it — only the delta "
+        "aggregate shuffles",
+        "refresh cost O(delta)+O(|view|): the bucketed layout amortizes the "
+        "view's shuffle to zero across every daily refresh — the base "
+        "history is never rescanned",
+    ),
+    "token_pmi_topk": (
+        "ONE tokenize scan feeding the in-array pair comprehension; the "
+        "only corpus exchange is the (tok_a, tok_b) pair aggregate; both "
+        "document-frequency joins are BroadcastHashJoin",
+        "the self-join alternative would re-execute the tokenize for both "
+        "sides (no ReusedExchange across non-identical subtrees — the "
+        "minhash_lsh lesson); pair expansion inside the array keeps the "
+        "pipeline single-pass",
+    ),
 }
 
 
