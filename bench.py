@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "key_skew_profile",
     "dynamic_partition_overwrite",
+    "stream_rollup_exec",
 ]
 
 

@@ -1680,6 +1680,70 @@ def q_linear_trend(spark, sf_dir):
 
 
 @query(
+    "stream_rollup_exec",
+    # the mergeability oracle: whatever micro-batch path the stream
+    # took (two files, one trigger each, versioned partial merges),
+    # the committed rollup must equal the one-shot batch aggregation
+    # over all events — count/sum partials merge exactly, DECIMAL
+    # accumulation keeps the merge order-free, and bucket labels
+    # format the NAIVE timestamp directly (tz-free in both engines)
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+                   AS bucket_start,
+               event_type,
+               count(*) AS n,
+               {v} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """.format(v=_DSUM.format(c="value")),
+    doc="continuous time-bucket rollup run as a REAL stream (streaming/"
+    "rollup.incremental_rollup — the TimescaleDB-cagg/Druid-rollup "
+    "analogue): event files land in a drop directory, each micro-batch "
+    "folds its PARTIAL (bucket, key) count/decimal-sum aggregates into "
+    "the stored rollup behind an atomic version pointer, rewriting only "
+    "the hash partitions its buckets touch; batch-id replay guard makes "
+    "crash-redelivery a no-op. The oracle is the mergeability theorem "
+    "itself: the committed table equals the one-shot aggregation over "
+    "everything seen",
+)
+def q_stream_rollup_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.streaming.rollup import current_rollup, incremental_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    root = _scratch_dir("stream_rollup", sf_dir)
+    # fresh per invocation: a reused checkpoint would mark the
+    # regenerated files as already-ingested and emit nothing
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for gen, pred in ((1, F.col("event_id") % 2 == 0), (2, F.col("event_id") % 2 == 1)):
+        stage = os.path.join(root, f"stage_g{gen}")
+        ev.where(pred).coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"gen{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_rollup(
+        stream,
+        os.path.join(root, "rollup"),
+        checkpoint_dir=os.path.join(root, "ck"),
+    )
+    q.awaitTermination()
+    return current_rollup(spark, os.path.join(root, "rollup")).select(
+        "bucket_start", "event_type", "n", "sum_value"
+    )
+
+
+@query(
     "dynamic_partition_overwrite",
     # the oracle is the EXPECTED FINAL STATE: day 6's rows carry the
     # corrected (doubled) values, every other day keeps the original
@@ -10498,6 +10562,9 @@ _PRIORITY = [
     # dynamic partition overwrite (r9): the backfill sink contract —
     # one day rewritten, 29 untouched, both failure modes value-fail
     "dynamic_partition_overwrite",
+    # continuous time-bucket rollup as a real stream (r9): versioned
+    # partial merges; oracle = the one-shot batch aggregation
+    "stream_rollup_exec",
     # key-skew diagnostics (r9): grouped count + bounded 2-pass
     # order statistics; shares in integer milli-units
     "key_skew_profile",

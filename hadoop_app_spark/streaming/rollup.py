@@ -44,6 +44,25 @@ def current_rollup(spark, root: str) -> DataFrame | None:
 
 
 def _partial(batch: DataFrame, ts_col: str, bucket: str, keys: Sequence[str], value_col: str) -> DataFrame:
+    from pyspark.sql.types import TimestampNTZType
+
+    # bucket_start is the MERGE KEY for every future batch, so its
+    # formatting must not depend on the session timezone — a stream
+    # resumed under a different tz would otherwise split/duplicate its
+    # own buckets (r3 ADVICE). Two cases:
+    # - TIMESTAMP (instant): format via an explicit UTC
+    #   reinterpretation, one canonical wall-clock per instant;
+    # - TIMESTAMP_NTZ (naive): the value already IS timezone-free —
+    #   format it DIRECTLY. Routing a naive value through
+    #   convert_timezone would interpret it in the session tz and
+    #   shift the label by the session offset (measured: a 00:09 naive
+    #   event labels 05:00 under America/New_York), re-creating for
+    #   NTZ exactly the resume-split hazard the UTC path fixes for
+    #   instants.
+    if isinstance(batch.schema[ts_col].dataType, TimestampNTZType):
+        start = F.col("_w.start")
+    else:
+        start = F.expr("convert_timezone('UTC', _w.start)")
     return (
         batch.groupBy(F.window(ts_col, bucket).alias("_w"), *keys)
         .agg(
@@ -51,13 +70,7 @@ def _partial(batch: DataFrame, ts_col: str, bucket: str, keys: Sequence[str], va
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum_dec"),
         )
         .select(
-            # bucket_start is the MERGE KEY for every future batch: format
-            # the instant via an explicit UTC reinterpretation so a stream
-            # resumed (or the stored rollup read) under a different session
-            # timezone cannot split/duplicate buckets (r3 ADVICE)
-            F.date_format(
-                F.expr("convert_timezone('UTC', _w.start)"), "yyyy-MM-dd HH:mm"
-            ).alias("bucket_start"),
+            F.date_format(start, "yyyy-MM-dd HH:mm").alias("bucket_start"),
             *keys,
             "n",
             "_sum_dec",

@@ -1114,3 +1114,51 @@ def test_ingest_delta_merge_target_exactly_once(spark, tmp_path):
     rows = spark.read.format("delta").load(tbl).collect()
     assert [r.doc_id for r in rows] == [10]  # exactly once, no dup
     spark.sql("DROP TABLE IF EXISTS mh_dmt_idx")
+
+
+def test_rollup_ntz_bucket_labels_are_tz_independent(spark, tmp_path):
+    """TIMESTAMP_NTZ events: bucket_start formats the naive value
+    DIRECTLY — the same stream processed under two session timezones
+    must produce identical merge keys, or a resumed stream would
+    split its own buckets (the hazard the UTC path fixes for
+    instants would be re-created for naive values by routing them
+    through convert_timezone)."""
+    import datetime as dt
+    import os
+
+    from hadoop_app_spark.streaming.rollup import current_rollup, incremental_rollup
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1, 0, 9 + i), "view", 1.0) for i in range(5)
+    ]
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+    labels = {}
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            base = tmp_path / tz.replace("/", "_")
+            src = str(base / "src")
+            os.makedirs(src)
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(base / "stage")
+            )
+            part = next(
+                f for f in os.listdir(str(base / "stage")) if f.endswith(".parquet")
+            )
+            os.rename(str(base / "stage" / part), os.path.join(src, "g1.parquet"))
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = incremental_rollup(
+                stream, str(base / "r"), checkpoint_dir=str(base / "ck")
+            )
+            q.awaitTermination()
+            labels[tz] = sorted(
+                r["bucket_start"] for r in current_rollup(spark, str(base / "r")).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert labels["UTC"] == labels["America/New_York"] == ["2024-03-01 00:00"]
