@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "dynamic_partition_overwrite",
     "stream_rollup_exec",
+    "stream_topk_exec",
 ]
 
 

@@ -1680,6 +1680,63 @@ def q_linear_trend(spark, sf_dir):
 
 
 @query(
+    "stream_topk_exec",
+    oracle=None,  # assigned below: the cosine_topk brute-force oracle,
+    # verbatim — top-k is MERGEABLE, so the streamed fold over two
+    # micro-batches must land on the batch top-k over all vectors
+    doc="incremental streaming top-k similarity (streaming/similarity."
+    "streaming_topk — the EDBT'20/SIGMOD'20 incremental-top-k shape): "
+    "corpus embedding files land in a drop directory, each micro-batch "
+    "scores against the bounded query set with the batch brute-force "
+    "kernel and MERGES into the stored q x k result behind an atomic "
+    "version pointer (batch-id replay guard; state is q*k rows, never "
+    "corpus-sized). The oracle is the mergeability theorem: the final "
+    "committed result equals the one-shot batch top-k — the exact "
+    "cosine_topk oracle, verbatim",
+)
+def q_stream_topk_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.streaming.similarity import current_topk, streaming_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    root = _scratch_dir("stream_topk", sf_dir)
+    # fresh per invocation: a reused checkpoint would mark the
+    # regenerated files as already-ingested and emit nothing
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for gen, pred in ((1, F.col("vec_id") % 2 == 0), (2, F.col("vec_id") % 2 == 1)):
+        stage = os.path.join(root, f"stage_g{gen}")
+        emb.where(pred).coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"gen{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_topk(
+        stream,
+        queries,
+        os.path.join(root, "topk"),
+        k=5,
+        checkpoint_dir=os.path.join(root, "ck"),
+    )
+    q.awaitTermination()
+    return current_topk(spark, os.path.join(root, "topk")).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
     "stream_rollup_exec",
     # the mergeability oracle: whatever micro-batch path the stream
     # took (two files, one trigger each, versioned partial merges),
@@ -6176,6 +6233,14 @@ REGISTRY["cosine_topk_vectorized"] = QueryDef(
     REGISTRY["cosine_topk_vectorized"].doc,
 )
 
+# streaming top-k: the mergeability theorem makes the batch brute-force
+# oracle the ground truth for the streamed fold, verbatim
+REGISTRY["stream_topk_exec"] = QueryDef(
+    REGISTRY["stream_topk_exec"].fn,
+    REGISTRY["cosine_topk"].oracle,
+    REGISTRY["stream_topk_exec"].doc,
+)
+
 
 @query(
     "near_dup_components",
@@ -10565,6 +10630,9 @@ _PRIORITY = [
     # continuous time-bucket rollup as a real stream (r9): versioned
     # partial merges; oracle = the one-shot batch aggregation
     "stream_rollup_exec",
+    # incremental streaming top-k (r9): mergeable q x k state; oracle
+    # = the batch brute-force cosine_topk, verbatim
+    "stream_topk_exec",
     # key-skew diagnostics (r9): grouped count + bounded 2-pass
     # order statistics; shares in integer milli-units
     "key_skew_profile",
