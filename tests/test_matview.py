@@ -237,3 +237,62 @@ def test_view_side_of_merge_is_exchange_free(spark):
     names = walk(smjs[0].children().apply(0), [])
     assert "FileSourceScanExec" in names, names
     assert not any("Exchange" in n for n in names), names
+
+
+def test_matview_random_delta_sequences_equal_rebuild(spark):
+    """Property: ANY sequence of insert/retraction batches maintained
+    through refresh_agg_view lands on exactly the view a from-scratch
+    rebuild over the net rows produces — the Gupta-Mumick delta algebra
+    has no order- or batching-dependence."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        base=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(-50, 50)), min_size=1, max_size=12
+        ),
+        batches=st.lists(
+            st.lists(st.tuples(st.integers(0, 4), st.integers(-50, 50)), max_size=6),
+            min_size=1,
+            max_size=3,
+        ),
+        retract_mask=st.lists(st.booleans(), min_size=3, max_size=3),
+    )
+    def run(base, batches, retract_mask):
+        live = list(base)
+        build_agg_view(
+            spark.createDataFrame(base, "k int, v int"), "mv_prop", ["k"],
+            sums={"sv": "v"},
+        )
+        for i, batch in enumerate(batches):
+            ins = batch
+            # retract a deterministic subset of currently-live rows
+            ret = live[:: 2] if (retract_mask[i % 3] and live) else []
+            ret = ret[:4]
+            kwargs = {}
+            if ins:
+                kwargs["inserts"] = spark.createDataFrame(ins, "k int, v int")
+            if ret:
+                kwargs["retractions"] = spark.createDataFrame(ret, "k int, v int")
+            if not kwargs:
+                continue
+            refresh_agg_view(spark, "mv_prop", **kwargs)
+            for r in ret:
+                live.remove(r)
+            live.extend(ins)
+        got = {
+            r["k"]: (r["mv_count"], r["sv"])
+            for r in spark.table("mv_prop").collect()
+        }
+        want = {}
+        for k, v in live:
+            c, s = want.get(k, (0, 0))
+            want[k] = (c + 1, s + v)
+        assert got == want
+
+    run()
