@@ -1867,9 +1867,13 @@ def token_pmi_pairs(
     """
     from hadoop_app_spark.functions.text import tokenize
 
+    # ONE tokenize pass, materialized: three consumers follow (the
+    # document-frequency aggregate, the distinct-doc count, and the
+    # pairing input) — without the checkpoint each would re-run the
+    # tokenize+explode over the whole corpus
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("tok")
-    )
+    ).localCheckpoint(eager=True)
     df_t = toks.groupBy("tok").agg(F.count("*").alias("n_t"))
     n_docs = toks.select(id_col).distinct().count()
     kept = toks.join(

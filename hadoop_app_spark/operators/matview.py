@@ -58,6 +58,29 @@ def _agg_exprs(sums: dict[str, str], mins: dict[str, str], prefix: str = "") -> 
     return exprs
 
 
+def _pin_spec(
+    spark: SparkSession,
+    table: str,
+    keys: Sequence[str],
+    sums: dict[str, str],
+    mins: dict[str, str],
+    applied_epoch: int | None = None,
+) -> None:
+    """Write the view's spec (and optionally its streaming replay
+    ledger) as table properties — the ONE serialization both
+    build_agg_view and refresh_agg_view use, in a single ALTER so the
+    spec and the ledger can never be pinned separately."""
+    props = {
+        "matview.keys": ",".join(keys),
+        "matview.sums": ",".join(f"{o}:{c}" for o, c in sums.items()),
+        "matview.mins": ",".join(f"{o}:{c}" for o, c in mins.items()),
+    }
+    if applied_epoch is not None:
+        props["matview.applied_epoch"] = str(applied_epoch)
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
 def build_agg_view(
     base: DataFrame,
     table: str,
@@ -78,17 +101,13 @@ def build_agg_view(
     spark = base.sparkSession
     mv = base.groupBy(*keys).agg(*_agg_exprs(sums, mins))
     write_bucketed(mv, table, list(keys), n_buckets)
-    props = {
-        "matview.keys": ",".join(keys),
-        "matview.sums": ",".join(f"{o}:{c}" for o, c in sums.items()),
-        "matview.mins": ",".join(f"{o}:{c}" for o, c in mins.items()),
-    }
-    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
-    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    _pin_spec(spark, table, list(keys), sums, mins)
     return spark.table(table)
 
 
-def _view_spec(spark: SparkSession, table: str) -> tuple[list[str], dict, dict]:
+def _view_spec(
+    spark: SparkSession, table: str
+) -> tuple[list[str], dict, dict, int | None]:
     rows = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
@@ -97,7 +116,20 @@ def _view_spec(spark: SparkSession, table: str) -> tuple[list[str], dict, dict]:
         raise ValueError(f"{table} is not a materialized aggregate view")
     keys = rows["matview.keys"].split(",")
     parse = lambda s: dict(p.split(":") for p in s.split(",") if p)
-    return keys, parse(rows.get("matview.sums", "")), parse(rows.get("matview.mins", ""))
+    epoch = rows.get("matview.applied_epoch")
+    return (
+        keys,
+        parse(rows.get("matview.sums", "")),
+        parse(rows.get("matview.mins", "")),
+        int(epoch) if epoch is not None else None,
+    )
+
+
+def applied_epoch(spark: SparkSession, table: str) -> int:
+    """The last streaming epoch recorded as applied to *table*, or -1
+    if none ever was."""
+    _, _, _, epoch = _view_spec(spark, table)
+    return -1 if epoch is None else epoch
 
 
 def refresh_agg_view(
@@ -106,15 +138,20 @@ def refresh_agg_view(
     inserts: DataFrame | None = None,
     retractions: DataFrame | None = None,
     current_base: DataFrame | None = None,
+    epoch: int | None = None,
 ) -> dict:
     """Merge an insert/retraction delta into view *table* in place.
 
     *current_base* (the base table AFTER the delta is applied) is
     required only when *retractions* is given AND the view maintains
-    MIN columns — it is scanned just for the dirty groups. Returns
-    counts: groups touched, dirty groups recomputed, groups dropped.
+    MIN columns — it is scanned just for the dirty groups. *epoch*
+    (streaming callers) records the batch id in the same ALTER that
+    re-pins the spec after the swap, so the replay ledger survives the
+    table rewrite; a plain batch refresh carries any existing ledger
+    forward untouched. Returns counts: groups touched, dirty groups
+    recomputed, groups dropped.
     """
-    keys, sums, mins = _view_spec(spark, table)
+    keys, sums, mins, prev_epoch = _view_spec(spark, table)
     n_buckets, _, _, _ = _bucket_meta(spark, table)
     mv = spark.table(table)
 
@@ -155,12 +192,25 @@ def refresh_agg_view(
         proj.append(cand_expr.alias(out))
         if ret is not None:
             # dirty: the retracted batch's min reaches the candidate —
-            # the true min may have left the group
+            # the true min may have left the group. coalesce(False):
+            # a NULL comparison (the retracted rows' min column was
+            # all-NULL, which F.min ignored, so the group's min cannot
+            # have left) must read NOT-dirty — an un-coalesced NULL
+            # flag would exclude the group from BOTH the clean and the
+            # dirty branch below and silently drop it from the view
             proj.append(
-                (F.col(f"r_{_CNT}").isNotNull() & (F.col(f"r_{out}") <= cand_expr))
-                .alias(f"_dirty_{out}")
+                F.coalesce(
+                    F.col(f"r_{_CNT}").isNotNull() & (F.col(f"r_{out}") <= cand_expr),
+                    F.lit(False),
+                ).alias(f"_dirty_{out}")
             )
-    merged = merged.select(*proj)
+    # ONE materialization of the merge (bounded: ~|view| + |delta
+    # groups| rows): the validation aggregate, both survivor branches,
+    # and the final write all read this snapshot — without it the
+    # full-outer-join plan (and the view scan under it) re-executes
+    # per consumer, and the final write would read the table it is
+    # about to replace (the lazy-plan/mutation hazard)
+    merged = merged.select(*proj).localCheckpoint(eager=True)
 
     # LOUD validation in ONE aggregate scan (the expectations pattern):
     # a negative maintained count means the caller retracted rows the
@@ -190,11 +240,14 @@ def refresh_agg_view(
             dirty_cond = dirty_cond | F.col(c)
         dirty_keys = survivors.where(dirty_cond).select(*keys)
         # broadcast the (few) dirty keys into the base scan; recompute
-        # is O(rows of dirty groups), never O(base)
+        # is O(rows of dirty groups), never O(base) — checkpointed so
+        # the base scan runs ONCE (the count below and the final write
+        # would otherwise each re-run it)
         exact = (
             current_base.join(F.broadcast(dirty_keys), list(keys), "left_semi")
             .groupBy(*keys)
             .agg(*_agg_exprs(sums, mins))
+            .localCheckpoint(eager=True)
         )
         dirty_recomputed = exact.count()
         clean = survivors.where(~dirty_cond).drop(*dirty_flags)
@@ -202,23 +255,22 @@ def refresh_agg_view(
     elif dirty_flags:
         survivors = survivors.drop(*dirty_flags)
 
-    # materialize BEFORE overwriting: the plan reads the table it is
-    # about to replace (the lazy-plan/mutation hazard — scratch-free
-    # via an executor-side localCheckpoint, the q_index_compaction fix)
-    final = survivors.localCheckpoint(eager=True)
-    write_bucketed(final, table, list(keys), n_buckets)
-    keys_, sums_, mins_ = keys, sums, mins  # re-pin: overwrite dropped props
-    kv = ", ".join(
-        f"'{k}'='{v}'"
-        for k, v in {
-            "matview.keys": ",".join(keys_),
-            "matview.sums": ",".join(f"{o}:{c}" for o, c in sums_.items()),
-            "matview.mins": ",".join(f"{o}:{c}" for o, c in mins_.items()),
-        }.items()
+    # every input to the write is checkpointed, so overwriting the
+    # table the merge originally read is safe
+    write_bucketed(survivors, table, list(keys), n_buckets)
+    # ONE ALTER re-pins spec + replay ledger together: the epoch the
+    # caller hands in (streaming) or whatever ledger existed before
+    # (plain batch refreshes must not wipe the stream's progress)
+    _pin_spec(
+        spark,
+        table,
+        keys,
+        sums,
+        mins,
+        applied_epoch=epoch if epoch is not None else prev_epoch,
     )
-    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
     return {
-        "groups": final.count(),
+        "groups": spark.table(table).count(),
         "dropped": int(checks["dropped"]),
         "dirty_recomputed": int(dirty_recomputed),
     }

@@ -154,6 +154,23 @@ def _dsum(col):
     return F.sum(c.cast("decimal(18,6)")).cast("double")
 
 
+def _land_stream_file(df, src_dir: str, gen: int) -> None:
+    """Land *df* as the single parquet file ``gen{gen}.parquet`` under
+    *src_dir* with a forced mtime in generation order — the ONE landing
+    protocol every drop-directory stream entry uses (FileStreamSource
+    admits files oldest-first, so gen N is micro-batch N-1)."""
+    import os
+    import shutil
+
+    stage = os.path.join(os.path.dirname(src_dir), f"_stage_g{gen}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+    dst = os.path.join(src_dir, f"gen{gen}.parquet")
+    os.rename(os.path.join(stage, part), dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+
+
 # NOTE (r7, found via linear_trend): DuckDB's decimal->double cast
 # DOUBLE-ROUNDS (scaled int128 -> double, then /10^scale) while
 # Spark's BigDecimal conversion rounds once — bit-divergence begins
@@ -1711,13 +1728,7 @@ def q_stream_topk_exec(spark, sf_dir):
     src = os.path.join(root, "src")
     os.makedirs(src)
     for gen, pred in ((1, F.col("vec_id") % 2 == 0), (2, F.col("vec_id") % 2 == 1)):
-        stage = os.path.join(root, f"stage_g{gen}")
-        emb.where(pred).coalesce(1).write.parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"gen{gen}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+        _land_stream_file(emb.where(pred), src, gen)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1777,13 +1788,7 @@ def q_stream_rollup_exec(spark, sf_dir):
     src = os.path.join(root, "src")
     os.makedirs(src)
     for gen, pred in ((1, F.col("event_id") % 2 == 0), (2, F.col("event_id") % 2 == 1)):
-        stage = os.path.join(root, f"stage_g{gen}")
-        ev.where(pred).coalesce(1).write.parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"gen{gen}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+        _land_stream_file(ev.where(pred), src, gen)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2921,7 +2926,16 @@ def _simhash_band_neardup_fast_oracle() -> str:
     is positive), pairs kept at Hamming <= 3. The same pigeonhole
     argument as the poly-family oracle makes banded recall EXACT at
     max_hamming < bands, so the O(n^2) scan and the bucketed plan must
-    agree — the oracle value-checks the recall guarantee itself."""
+    agree — the oracle value-checks the recall guarantee itself.
+
+    Precondition (shared with the gated poly-family twin): exact
+    recall additionally requires NO band bucket past the engine's
+    max_bucket_size=1000 star-expansion threshold — an overflowing
+    bucket degrades to min-id star pairs and would miss pairs the
+    brute scan emits. MEASURED on this corpus: max crc-family band
+    bucket = 52 at sf0.01, 384 at sf0.1 — every SF the harness runs
+    stays well under the cap (the ~7x-per-10x growth would cross it
+    around sf1; re-measure before oracling at larger SFs)."""
     sums = ",\n                   ".join(
         f"sum(CASE WHEN (h{1 + i // 28} // {1 << (i % 28)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(56)
@@ -9282,14 +9296,7 @@ def q_stream_matview_exec(spark, sf_dir):
         ),
     }
     for gen, df in batches.items():
-        stage = os.path.join(root, f"stage_g{gen}")
-        df.coalesce(1).write.parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"gen{gen}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        # forced mtime order: FileStreamSource admits oldest-first
-        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+        _land_stream_file(df, src, gen)
     q = matview_refresh_stream(
         spark, src, batches[1].schema, tbl, ck
     )

@@ -188,16 +188,19 @@ def matview_refresh_stream(
     pipeline run continuously, each refresh O(batch)+O(|view|) and
     never O(base history).
 
-    Replay protection: each applied micro-batch records its epoch in
-    the view's ``matview.applied_epoch`` table property, and a batch
+    Replay protection: each applied micro-batch's epoch rides INTO
+    ``refresh_agg_view`` and is recorded by the SAME ALTER that
+    re-pins the view spec after the table swap (not a separate
+    statement a crash could separate from the refresh), and a batch
     whose epoch is <= the recorded one is SKIPPED — so the common
     at-least-once window (crash between a successful refresh and the
     checkpoint commit) re-delivers the batch but does not double-apply
     it. Stated honestly: a crash INSIDE the refresh's own
-    overwrite-then-pin swap can still double-apply that one batch;
-    closing that last window needs a transactional table format
-    (`streaming/cdc.py` targets), same as the dedup loop's survivor
-    sink.
+    overwrite-then-pin swap (table recreated, properties not yet
+    pinned) still loses the ledger and double-applies that one batch
+    on replay; closing that last window needs a transactional table
+    format (`streaming/cdc.py` targets), same as the dedup loop's
+    survivor sink.
 
     MIN measures are maintainable only for insert batches (they are
     min-monotone); a batch that RETRACTS against a MIN-maintaining
@@ -205,7 +208,7 @@ def matview_refresh_stream(
     loudly in that case rather than degrade. Count/sum views take
     retractions algebraically, no base ever read.
     """
-    from hadoop_app_spark.operators.matview import refresh_agg_view
+    from hadoop_app_spark.operators.matview import applied_epoch, refresh_agg_view
 
     stream = (
         spark.readStream.schema(schema)
@@ -213,27 +216,17 @@ def matview_refresh_stream(
         .parquet(src_dir)
     )
 
-    def _applied_epoch() -> int:
-        rows = {
-            r["key"]: r["value"]
-            for r in spark.sql(f"SHOW TBLPROPERTIES {view_table}").collect()
-        }
-        return int(rows.get("matview.applied_epoch", -1))
-
     def _sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if epoch_id <= _applied_epoch():
+        if epoch_id <= applied_epoch(spark, view_table):
             return  # crash-replayed batch: already in the view
         refresh_agg_view(
             spark,
             view_table,
             inserts=batch_df.where(F.col(op_col) == "I").drop(op_col),
             retractions=batch_df.where(F.col(op_col) == "D").drop(op_col),
-        )
-        spark.sql(
-            f"ALTER TABLE {view_table} SET TBLPROPERTIES "
-            f"('matview.applied_epoch'='{epoch_id}')"
+            epoch=epoch_id,
         )
 
     writer = (

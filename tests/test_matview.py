@@ -296,3 +296,50 @@ def test_matview_random_delta_sequences_equal_rebuild(spark):
         assert got == want
 
     run()
+
+
+def test_null_min_retraction_keeps_the_group(spark):
+    """A retraction whose min-column values are all NULL cannot have
+    removed the group's min (F.min ignored them) — the dirty flag must
+    read NOT-dirty, not NULL: an un-coalesced NULL flag would exclude
+    the group from both the clean and the dirty branch and silently
+    drop it from the view."""
+    rows = [(1, None), (1, None), (1, 5), (2, 3), (2, 7)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    build_agg_view(df, "mv_null", ["k"], sums={}, mins={"mv": "v"})
+    # retract group 1's NULL rows AND group 2's current min, so the
+    # dirty branch executes for group 2 while group 1's flag is the
+    # NULL-comparison case
+    ret = spark.createDataFrame([(1, None), (2, 3)], "k int, v int")
+    current = spark.createDataFrame([(1, None), (1, 5), (2, 7)], "k int, v int")
+    stats = refresh_agg_view(
+        spark, "mv_null", retractions=ret, current_base=current
+    )
+    got = {r["k"]: (r["mv_count"], r["mv"]) for r in spark.table("mv_null").collect()}
+    assert got == {1: (2, 5), 2: (1, 7)}
+    assert stats["dirty_recomputed"] == 1  # group 2 only
+
+
+def test_batch_refresh_preserves_stream_ledger(spark):
+    """A plain batch refresh (no epoch) must carry the streaming
+    replay ledger forward through the table swap — wiping it would
+    re-open the double-apply window for the next crash-replay."""
+    from hadoop_app_spark.operators.matview import applied_epoch
+
+    build_agg_view(
+        spark.createDataFrame([(1, 10)], "k int, v int"), "mv_led", ["k"],
+        sums={"sv": "v"},
+    )
+    assert applied_epoch(spark, "mv_led") == -1
+    refresh_agg_view(
+        spark, "mv_led",
+        inserts=spark.createDataFrame([(1, 1)], "k int, v int"),
+        epoch=7,
+    )
+    assert applied_epoch(spark, "mv_led") == 7
+    # plain refresh, no epoch: the ledger must survive the swap
+    refresh_agg_view(
+        spark, "mv_led",
+        inserts=spark.createDataFrame([(2, 2)], "k int, v int"),
+    )
+    assert applied_epoch(spark, "mv_led") == 7
