@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "dynamic_partition_overwrite",
     "stream_rollup_exec",
     "stream_topk_exec",
+    "conversion_attribution",
 ]
 
 

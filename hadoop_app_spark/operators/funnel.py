@@ -140,3 +140,63 @@ def event_transitions(
             F.expr("_num div n_from").alias("prob_milli"),
         )
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    value_col: str,
+    touch_type: str = "click",
+    campaign_col: Column | str = "campaign",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Multi-touch conversion attribution — the marketing-analytics
+    question every event pipeline eventually answers: which campaign
+    gets credit for a purchase? Two standard models side by side:
+    FIRST-touch (the preceding *touch_type* event that started the
+    journey) and LAST-touch (the most recent one before conversion).
+
+    Mechanics: the touch event's campaign is carried to every later
+    row of the same user by first/last IGNORE-NULLS windows over the
+    deterministic ``(ts, id)`` order — PER-USER partitions, never a
+    global sort — then conversions aggregate per (model, campaign)
+    with one partial-combine hash agg. Conversions with no preceding
+    touch are reported under campaign -1: orphan revenue stays
+    visible instead of silently vanishing (the quarantine discipline).
+    Revenue accumulates in DECIMAL so totals are bit-stable under any
+    partitioning.
+
+    Returns [model, campaign, n_purchases, revenue]."""
+    camp = F.col(campaign_col) if isinstance(campaign_col, str) else campaign_col
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = df.withColumn(
+        "_camp", F.when(F.col(type_col) == touch_type, camp)
+    )
+    touched = tagged.select(
+        type_col,
+        value_col,
+        F.first("_camp", ignorenulls=True).over(w).alias("_first"),
+        F.last("_camp", ignorenulls=True).over(w).alias("_last"),
+    ).where(F.col(type_col) == conversion_type)
+    models = touched.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce(F.col("_first"), F.lit(-1)).alias("campaign"),
+        value_col,
+    ).unionByName(
+        touched.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce(F.col("_last"), F.lit(-1)).alias("campaign"),
+            value_col,
+        )
+    )
+    return models.groupBy("model", "campaign").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("revenue"),
+    )

@@ -1853,6 +1853,60 @@ def q_dynamic_partition_overwrite(spark, sf_dir):
 
 
 @query(
+    "conversion_attribution",
+    # per-user carry of the first/last preceding click's campaign via
+    # IGNORE NULLS windows on the deterministic (ts, event_id) key;
+    # revenue sums in DECIMAL (the _DSUM rule); purchases with no
+    # preceding click are reported under campaign -1, never dropped
+    oracle="""
+        WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+                          CASE WHEN event_type = 'click'
+                               THEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                          END AS camp
+                   FROM events),
+        touched AS (SELECT *,
+                        first_value(camp IGNORE NULLS) OVER w AS first_touch,
+                        last_value(camp IGNORE NULLS) OVER w AS last_touch
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p AS (SELECT * FROM touched WHERE event_type = 'purchase'),
+        m AS (SELECT 'first_touch' AS model, coalesce(first_touch, -1) AS campaign,
+                     value FROM p
+              UNION ALL
+              SELECT 'last_touch', coalesce(last_touch, -1), value FROM p)
+        SELECT model, campaign, count(*) AS n_purchases, {v} AS revenue
+        FROM m GROUP BY 1, 2
+    """.format(v=_DSUM.format(c="value")),
+    doc="multi-touch conversion attribution (operators/funnel."
+    "attribute_conversions — the marketing-analytics sibling of funnel/"
+    "transitions): each purchase credits the FIRST and the LAST preceding "
+    "click's campaign (parsed from the event's JSON props) via per-user "
+    "IGNORE-NULLS carry windows on the deterministic (ts, event_id) key — "
+    "partitioned, never a global sort — then one hash agg per model; "
+    "orphan purchases (no preceding click) land under campaign -1, "
+    "counted and visible, never silently dropped; revenue accumulates in "
+    "DECIMAL so the totals are bit-stable",
+)
+def q_conversion_attribution(spark, sf_dir):
+    from hadoop_app_spark.operators.funnel import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        id_col="event_id",
+        value_col="value",
+        touch_type="click",
+        campaign_col=(
+            F.get_json_object("props", "$.k").cast("long") % 10
+        ),
+    )
+
+
+@query(
     "event_transitions",
     # deterministic (ts, event_id) ordering inside each user's lag
     # window; probabilities ship integer-exact (n*1000 div n_from) —
@@ -3683,13 +3737,7 @@ def q_stream_dedup_ingest_exec(spark, sf_dir):
     # one file per generation with forced mtime order: FileStreamSource
     # admits files oldest-first, so gen1 is micro-batch 0, gen2 batch 1
     for gen in (1, 2):
-        stage = os.path.join(root, f"stage_g{gen}")
-        d.where(F.col("doc_id") % 7 == gen).coalesce(1).write.parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"gen{gen}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+        _land_stream_file(d.where(F.col("doc_id") % 7 == gen), src, gen)
     q = dedup_ingest_stream(
         spark,
         src,
@@ -3822,13 +3870,7 @@ def q_stream_validated_ingest_exec(spark, sf_dir):
         gen2,  # day 3: the clean resend of day 2's docs
     ]
     for g, b in enumerate(batches, start=1):
-        stage = os.path.join(root, f"stage_g{g}")
-        b.coalesce(1).write.parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src_dir, f"gen{g}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + g, 1_000_000_000 + g))
+        _land_stream_file(b, src_dir, g)
     q = dedup_ingest_stream(
         spark, src_dir, d.schema, "mh_vstream_index", "text", "doc_id",
         out, ck, hash_fn="poly", repartition_to=par,
@@ -4737,15 +4779,11 @@ def q_stream_ann_ingest_exec(spark, sf_dir):
     # one file per daily batch with forced mtime order (oldest-first
     # admission), the dedup-ingest fixture convention
     for gen in (1, 2):
-        stage = os.path.join(root, f"stage_g{gen}")
-        emb.where(F.col("vec_id") % 3 == gen).select(
-            "vec_id", "embedding"
-        ).coalesce(1).write.parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"gen{gen}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+        _land_stream_file(
+            emb.where(F.col("vec_id") % 3 == gen).select("vec_id", "embedding"),
+            src,
+            gen,
+        )
     q = ann_ingest_stream(
         spark, src, "vec_id long, embedding array<float>", idx, ck
     )
@@ -10631,6 +10669,9 @@ _PRIORITY = [
     # per-user event-type transition matrix (r9): per-key lag window,
     # integer-exact transition probabilities
     "event_transitions",
+    # multi-touch conversion attribution (r9): first/last-touch credit
+    # via per-user IGNORE-NULLS carry windows; orphans under -1
+    "conversion_attribution",
     # dynamic partition overwrite (r9): the backfill sink contract —
     # one day rewritten, 29 untouched, both failure modes value-fail
     "dynamic_partition_overwrite",

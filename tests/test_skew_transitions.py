@@ -62,3 +62,48 @@ def test_key_skew_profile_exact(spark):
     # type-1 quantiles over [1, 1, 2, 6]: p50 -> rank 2 -> 1,
     # p90 -> rank 4 -> 6, p99 -> rank 4 -> 6
     assert (r["p50_rows"], r["p90_rows"], r["p99_rows"]) == (1, 6, 6)
+
+
+def test_conversion_attribution_models(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.funnel import attribute_conversions
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: click(c1) -> click(c2) -> purchase 10: first=1 last=2
+        (1, at(0), 1, "click", 0.0, 1),
+        (1, at(1), 2, "click", 0.0, 2),
+        (1, at(2), 3, "purchase", 10.0, None),
+        # user 2: purchase with NO preceding click -> campaign -1
+        (2, at(0), 4, "purchase", 5.0, None),
+        # user 3: click(c1) -> purchase -> purchase (both credit c1/c1)
+        (3, at(0), 5, "click", 0.0, 1),
+        (3, at(1), 6, "purchase", 2.0, None),
+        (3, at(2), 7, "purchase", 3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id int, ts timestamp_ntz, event_id int, event_type string, "
+        "value double, campaign long",
+    )
+    got = {
+        (r["model"], r["campaign"]): (r["n_purchases"], r["revenue"])
+        for r in attribute_conversions(
+            df, "user_id", "ts", "event_type", "event_id", "value",
+            campaign_col=F.col("campaign"),
+        ).collect()
+    }
+    assert got == {
+        ("first_touch", 1): (3, 15.0),
+        ("first_touch", -1): (1, 5.0),
+        ("last_touch", 2): (1, 10.0),
+        ("last_touch", 1): (2, 5.0),
+        ("last_touch", -1): (1, 5.0),
+    }
