@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "stream_rollup_exec",
     "stream_topk_exec",
     "conversion_attribution",
+    "timeseries_interpolate",
 ]
 
 

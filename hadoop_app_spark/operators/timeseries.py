@@ -56,6 +56,31 @@ def gapfill_locf(
     then session-timezone-independent in every engine.
     """
     keys = list(key_cols)
+    joined = _daily_spine(df, ts_col, keys, value_col, id_col, out_count)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "day",
+        out_count,
+        F.last("_lastv", ignorenulls=True).over(w).alias(out_value),
+    )
+
+
+def _daily_spine(
+    df: DataFrame,
+    ts_col: str,
+    keys: list,
+    value_col: str,
+    id_col: str,
+    out_count: str,
+) -> DataFrame:
+    """Shared spine construction: (keys..., day, out_count, _lastv) —
+    one grid row per key per day of the global observed range, counts
+    zero-filled, the day's last reading by (ts, id) struct-max."""
     day = F.to_date(F.col(ts_col)).alias("day")
     obs = (
         df.select(*keys, day, ts_col, id_col, value_col)
@@ -79,20 +104,73 @@ def gapfill_locf(
             F.explode(F.sequence("_mind", "_maxd")).alias("day"),
         )
     )
-    joined = spine.join(obs, keys + ["day"], "left_outer").select(
+    return spine.join(obs, keys + ["day"], "left_outer").select(
         *keys,
         "day",
         F.coalesce(F.col(out_count), F.lit(0)).cast("long").alias(out_count),
         "_lastv",
     )
-    w = (
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    out_count: str = "n_events",
+    out_value: str = "lin_value",
+) -> DataFrame:
+    """:func:`gapfill_locf`'s linear sibling: gap days take the
+    straight line between the surrounding observations,
+    ``prev + (next - prev) * (d_prev / (d_prev + d_next))``; days
+    before a key's first (after its last) observation take the nearest
+    one. Observed days reproduce their own reading exactly (the
+    interpolation fraction is 0 there).
+
+    Determinism: the carried endpoints are SELECTED readings (the
+    (ts, id) struct-max, never recomputed), and the interpolation is
+    one fixed-shape IEEE expression over them and integer day
+    distances — so the filled values are bit-identical in any engine,
+    and the registry oracle replays them exactly. Same per-key carry
+    windows as LOCF (one forward, one backward pass over the dense
+    spine), same grid-bounded cost."""
+    keys = list(key_cols)
+    joined = _daily_spine(df, ts_col, keys, value_col, id_col, out_count)
+    # endpoint structs are NULL on gap days so ignorenulls carries the
+    # nearest OBSERVED (day, value) pair in each direction
+    point = F.when(
+        F.col("_lastv").isNotNull(), F.struct(F.col("day").alias("d"), F.col("_lastv").alias("v"))
+    )
+    back = (
         Window.partitionBy(*keys)
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = joined.select(
         *keys,
         "day",
         out_count,
-        F.last("_lastv", ignorenulls=True).over(w).alias(out_value),
+        F.last(point, ignorenulls=True).over(back).alias("_p"),
+        F.first(point, ignorenulls=True).over(fwd).alias("_n"),
     )
+    p, n = F.col("_p"), F.col("_n")
+    lin = (
+        F.when(
+            p.isNotNull() & n.isNotNull() & (n["d"] != p["d"]),
+            p["v"]
+            + (n["v"] - p["v"])
+            * (
+                F.datediff(F.col("day"), p["d"]).cast("double")
+                / F.datediff(n["d"], p["d"]).cast("double")
+            ),
+        )
+        .when(p.isNotNull(), p["v"])
+        .otherwise(n["v"])
+    )
+    return t.select(*keys, "day", out_count, lin.alias(out_value))

@@ -2065,6 +2065,63 @@ def q_timeseries_gapfill(spark, sf_dir):
 
 
 @query(
+    "timeseries_interpolate",
+    # same spine/struct-max machinery as timeseries_gapfill; the
+    # interpolation is ONE fixed-shape IEEE expression over SELECTED
+    # endpoint readings and integer day distances, so the filled
+    # values are bit-identical in both engines
+    oracle="""
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+                   FROM events),
+        obs AS (SELECT user_id, day, count(*) AS n_events,
+                       (max({'ts': ts, 'eid': event_id, 'v': value})).v AS lastv
+                FROM e GROUP BY 1, 2),
+        b AS (SELECT min(day) AS mind, max(day) AS maxd FROM e),
+        spine AS (SELECT u.user_id,
+                         CAST(unnest(generate_series(b.mind, b.maxd,
+                                                     INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN b),
+        j AS (SELECT s.user_id, s.day,
+                     CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events, o.lastv
+              FROM spine s LEFT JOIN obs o USING (user_id, day)),
+        t AS (SELECT *,
+                last_value(CASE WHEN lastv IS NOT NULL
+                                THEN {'d': day, 'v': lastv} END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                first_value(CASE WHEN lastv IS NOT NULL
+                                 THEN {'d': day, 'v': lastv} END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+              FROM j)
+        SELECT user_id, day, n_events,
+               CASE
+                 WHEN p IS NOT NULL AND n IS NOT NULL AND n.d <> p.d
+                   THEN p.v + (n.v - p.v)
+                        * (CAST(day - p.d AS DOUBLE) / CAST(n.d - p.d AS DOUBLE))
+                 WHEN p IS NOT NULL THEN p.v
+                 ELSE n.v
+               END AS lin_value
+        FROM t
+    """,
+    doc="time-series gap-fill by linear interpolation (operators/"
+    "timeseries.gapfill_interpolate — timeseries_gapfill's straight-line "
+    "sibling): gap days take the line between the surrounding observed "
+    "readings, range edges take the nearest one, observed days reproduce "
+    "their own reading exactly; endpoints are SELECTED (ts, event_id) "
+    "struct-max readings carried by one forward and one backward per-key "
+    "IGNORE-NULLS window over the dense spine, and the interpolation is "
+    "a fixed-shape IEEE expression over them — bit-identical across "
+    "engines, grid-bounded cost",
+)
+def q_timeseries_interpolate(spark, sf_dir):
+    from hadoop_app_spark.operators.timeseries import gapfill_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    return gapfill_interpolate(ev, "ts", ["user_id"], "value", "event_id")
+
+
+@query(
     "count_distinct",
     oracle="""
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
@@ -10663,6 +10720,9 @@ _PRIORITY = [
     # time-series gap-fill + LOCF (r9): dense per-key daily spine,
     # zero-filled counts, last reading carried by a per-key window
     "timeseries_gapfill",
+    # the linear-interpolation sibling (r9): straight line between
+    # carried endpoint readings, nearest at range edges
+    "timeseries_interpolate",
     # collocation mining by exact-integer PMI lift (r9): in-array pair
     # expansion, broadcast df joins, no float log anywhere
     "token_pmi_topk",

@@ -103,3 +103,32 @@ def test_token_pmi_matches_brute_self_join(spark):
     )
     want = {(r["tok_a"], r["tok_b"]): r["count"] for r in brute.collect()}
     assert got == want
+
+
+def test_gapfill_interpolate_semantics(spark):
+    from hadoop_app_spark.operators.timeseries import gapfill_interpolate
+
+    rows = [
+        # user 1: 2.0 on day 1, 8.0 on day 4 -> days 2,3 at 4.0, 6.0
+        (1, dt.datetime(2024, 3, 1, 8), 1, 2.0),
+        (1, dt.datetime(2024, 3, 4, 8), 2, 8.0),
+        # user 2: single reading on day 2 -> every day takes it
+        (2, dt.datetime(2024, 3, 2, 8), 3, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp_ntz, event_id int, value double"
+    )
+    got = {
+        (r["user_id"], str(r["day"])): (r["n_events"], r["lin_value"])
+        for r in gapfill_interpolate(df, "ts", ["user_id"], "value", "event_id").collect()
+    }
+    assert got == {
+        (1, "2024-03-01"): (1, 2.0),
+        (1, "2024-03-02"): (0, 4.0),
+        (1, "2024-03-03"): (0, 6.0),
+        (1, "2024-03-04"): (1, 8.0),
+        (2, "2024-03-01"): (0, 5.0),  # before first obs -> nearest
+        (2, "2024-03-02"): (1, 5.0),
+        (2, "2024-03-03"): (0, 5.0),  # after last obs -> nearest
+        (2, "2024-03-04"): (0, 5.0),
+    }
