@@ -70,10 +70,12 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # ONE-ROW dangling-mass share onto the |V|-row rank frame (one NLJ
     # per iteration) — the same one-row-stats class as bm25/dsir
     "nation_pagerank",
-    # timeseries_gapfill: the spine crossJoin-broadcasts the ONE-ROW
-    # global (min_day, max_day) bounds onto the distinct-keys frame
-    # before the sequence explode — the one-row-stats class
+    # timeseries_gapfill / _interpolate: the shared spine crossJoin-
+    # broadcasts the ONE-ROW global (min_day, max_day) bounds onto the
+    # distinct-keys frame before the sequence explode — the
+    # one-row-stats class
     "timeseries_gapfill",
+    "timeseries_interpolate",
     # bloom_prefilter_join: the gated entry assembles three ONE-ROW
     # counts (fact / bloom-pass / true-match) via crossJoin — the
     # one-row-stats class; the operator itself is k broadcast HASH
