@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "stream_topk_exec",
     "conversion_attribution",
     "timeseries_interpolate",
+    "minhash_dedup_decisions",
 ]
 
 

@@ -3525,6 +3525,47 @@ REGISTRY["minhash_dedup"] = QueryDef(
 
 
 @query(
+    "minhash_dedup_decisions",
+    # the DECISION AUDIT for every dropped doc: the same banded CTE as
+    # minhash_dedup derives, per loser, the smallest-id winner it lost
+    # to and how many distinct candidates implicated it — the record a
+    # takedown/appeal workflow needs ('why is my doc gone, and to
+    # whom') that a bare survivor set cannot answer
+    oracle="""
+        WITH {banded},
+        e AS (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+              FROM banded a JOIN banded x
+                ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id)
+        SELECT id_b AS doc_id,
+               min(id_a) AS winner,
+               CAST(count(DISTINCT id_a) AS BIGINT) AS n_candidates
+        FROM e GROUP BY 1
+    """.format(banded=_minhash_banded_cte()),
+    doc="dedup decision audit (the explainability face of minhash_dedup — "
+    "north star dedup family): every doc the min-id survivor policy drops "
+    "is reported with the smallest-id winner it lost to and its distinct "
+    "candidate count, from the SAME banding pipeline the dedup runs (one "
+    "signature pass, one bucket shuffle, one grouped pass over the pair "
+    "set) — the record takedown/appeal and quality-audit workflows "
+    "consult; the oracle recomputes signatures, buckets, pairs and the "
+    "per-loser argmin from scratch",
+)
+def q_minhash_dedup_decisions(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "text", "doc_id", n=3, k=8, hash_fn="poly",
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    pairs = minhash_lsh_pairs(sigs, "doc_id")
+    return pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("winner"),
+        F.countDistinct("id_a").alias("n_candidates"),
+    )
+
+
+@query(
     "minhash_cluster_canonical",
     oracle="""
         WITH RECURSIVE {banded},
@@ -10723,6 +10764,9 @@ _PRIORITY = [
     # the linear-interpolation sibling (r9): straight line between
     # carried endpoint readings, nearest at range edges
     "timeseries_interpolate",
+    # dedup decision audit (r9): per dropped doc, the winner it lost
+    # to and its candidate count — the takedown/appeal record
+    "minhash_dedup_decisions",
     # collocation mining by exact-integer PMI lift (r9): in-array pair
     # expansion, broadcast df joins, no float log anywhere
     "token_pmi_topk",
