@@ -301,6 +301,7 @@ def pagerank_fixedpoint(
     node: str = "node",
     scale: int = 10**12,
     weight_scale: int = 10**6,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted PageRank in FIXED-POINT integer arithmetic ->
     [node, rank_scaled]: rank x 10^12 as BIGINT after ``iters``
@@ -324,7 +325,13 @@ def pagerank_fixedpoint(
     partial-combine sum by dst — the Pregel superstep expressed as
     DataFrame ops. The edge-frame derivation (usually a multi-join
     aggregation of a fact table) is where the 100 TB lives; the
-    iteration runs on the projected graph.
+    iteration runs on the projected graph. Every ``checkpoint_every``
+    supersteps the rank frame is localCheckpoint-ed: an iterative plan
+    otherwise stacks one join per round, so at deep iteration counts
+    planning cost grows superlinearly and every action re-executes all
+    upstream supersteps — checkpointing bounds plan depth to
+    checkpoint_every rounds. Pure integer arithmetic, so truncating
+    lineage cannot change a single bit of the trajectory.
     """
     n_nodes = nodes.count()
     base = (scale * 15 // 100) // n_nodes
@@ -342,7 +349,7 @@ def pagerank_fixedpoint(
     ranks = nodes.select(F.col(node).alias(node)).withColumn(
         "rank_scaled", F.lit(scale // n_nodes).cast("long")
     )
-    for _ in range(iters):
+    for it in range(iters):
         dangling = (
             ranks.join(out_nodes, node, "left_anti")
             .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("_d"))
@@ -366,6 +373,8 @@ def pagerank_fixedpoint(
                 ).cast("long").alias("rank_scaled"),
             )
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -377,6 +386,7 @@ def label_propagation(
     dst: str = "dst",
     cnt: str = "cnt",
     node: str = "node",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Weighted synchronous label propagation -> [node, community]
     after ``iters`` supersteps — the graph family's community detector
@@ -403,7 +413,12 @@ def label_propagation(
     frame; the iteration runs on the projected graph. For near-dup
     families this is the bounded-rounds alternative to full
     transitive closure: k supersteps reach radius-k families without
-    iterating to convergence.
+    iterating to convergence. Every ``checkpoint_every`` supersteps
+    the label frame is localCheckpoint-ed, bounding plan depth (and
+    re-execution of upstream supersteps) at the radius-k iteration
+    counts the docstring advertises; the trajectory is deterministic
+    integer/lexicographic arithmetic, so truncating lineage changes
+    nothing.
     """
     from pyspark.sql import Window
 
@@ -416,7 +431,7 @@ def label_propagation(
     )
     labels = nodes.select(F.col(node).alias("_n"), F.col(node).alias("_lbl"))
     win = Window.partitionBy("_v").orderBy(F.col("_s").desc(), F.col("_lbl").asc())
-    for _ in range(iters):
+    for it in range(iters):
         cand = (
             und.join(labels, und["_u"] == labels["_n"])
             .groupBy("_v", "_lbl")
@@ -433,4 +448,6 @@ def label_propagation(
                 "_n", F.coalesce(F.col("_new"), F.col("_lbl")).alias("_lbl")
             )
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("_n").alias(node), F.col("_lbl").alias("community"))

@@ -9896,7 +9896,7 @@ def _quality_trainer_oracle(n_iter: int = 10) -> str:
     parts = [
         f"""feat AS MATERIALIZED (
             SELECT {x_cols},
-                   CAST(CAST(length(text) >= 300 AS INT) AS DOUBLE) AS y,
+                   CAST(CAST(length(coalesce(text, '')) >= 300 AS INT) AS DOUBLE) AS y,
                    doc_id
             FROM documents),
         st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
@@ -9956,7 +9956,11 @@ def q_quality_classifier(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents").withColumn(
-        "y", (F.length("text") >= 300).cast("int")
+        # coalesce: the feature expressions NULL-proof themselves, so
+        # the label must too — else a NULL-text doc raises in Spark
+        # while the DuckDB replay silently propagates NULL gradients
+        # (divergent failure modes, ADVICE r9)
+        "y", (F.length(F.coalesce(F.col("text"), F.lit(""))) >= 300).cast("int")
     )
     w = train_quality_lr(d, "text", "y", n_iter=10, lr=1.0)
     scored = score_quality_lr(d, "text", w, out_col="p")

@@ -161,6 +161,11 @@ class DeltaMergeTarget:
         self.keys = list(keys)
         self.op_col = op_col
 
+    def read(self, batch_or_spark) -> DataFrame:
+        """Current target contents — the matview sink's view scan.
+        Accepts a SparkSession (duck-typed: anything with .read)."""
+        return batch_or_spark.read.format("delta").load(self.path)
+
     def apply(self, batch: DataFrame, batch_id: int) -> None:
         from delta.tables import DeltaTable  # deferred: optional package
 
@@ -210,6 +215,10 @@ class IcebergMergeTarget:
         # streams in one session both see batch_id=0); a per-target
         # token makes the temp-view name unique per (target, batch)
         self._token = uuid.uuid4().hex[:12]
+
+    def read(self, spark) -> DataFrame:
+        """Current target contents — the matview sink's view scan."""
+        return spark.table(self.table)
 
     def apply(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

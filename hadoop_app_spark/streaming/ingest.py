@@ -180,6 +180,9 @@ def matview_refresh_stream(
     op_col: str = "op",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    base_table: str | None = None,
+    view_target=None,
+    spec: dict | None = None,
 ):
     """CDC stream -> incrementally-maintained aggregate view: change
     files landing under ``src_dir`` (rows tagged ``op_col`` = 'I'
@@ -198,17 +201,37 @@ def matview_refresh_stream(
     it. Stated honestly: a crash INSIDE the refresh's own
     overwrite-then-pin swap (table recreated, properties not yet
     pinned) still loses the ledger and double-applies that one batch
-    on replay; closing that last window needs a transactional table
-    format (`streaming/cdc.py` targets), same as the dedup loop's
-    survivor sink.
+    on replay; ``view_target`` (below) closes that last window.
 
-    MIN measures are maintainable only for insert batches (they are
-    min-monotone); a batch that RETRACTS against a MIN-maintaining
-    view would need base access mid-stream — refresh_agg_view raises
-    loudly in that case rather than degrade. Count/sum views take
-    retractions algebraically, no base ever read.
+    ``base_table``: a table/view NAME the sink resolves per batch and
+    passes as ``current_base`` — with it, a batch that RETRACTS
+    against a MIN/MAX-maintaining view recomputes exactly the dirty
+    groups from the named base (which the caller keeps in lockstep,
+    e.g. the CDC snapshot target the same feed maintains) instead of
+    raising. Without it, refresh_agg_view still raises loudly on a
+    MIN/MAX-dirtying retraction rather than degrade; count/sum views
+    take retractions algebraically either way, no base ever read.
+
+    ``view_target`` (+ ``spec`` = {'keys': [...], 'sums': {...},
+    'mins': {...}, 'maxs': {...}}) upgrades the view swap itself to a
+    transactional keyed MERGE: per batch, `operators/matview.
+    matview_changes` computes only the TOUCHED groups' change rows
+    (each carrying the epoch in ``mv_epoch``) and the target — a
+    `streaming/cdc.py` DeltaMergeTarget/IcebergMergeTarget when the
+    jars are present, anything with the ``apply(batch, batch_id)`` +
+    ``read(spark)`` contract otherwise — folds them in atomically, so
+    the data and the replay ledger (``max(mv_epoch)`` over the view)
+    commit in ONE transaction and the overwrite-then-pin crash window
+    is gone. ``view_table`` is ignored in this mode.
     """
-    from hadoop_app_spark.operators.matview import applied_epoch, refresh_agg_view
+    from hadoop_app_spark.operators.matview import (
+        applied_epoch,
+        matview_changes,
+        refresh_agg_view,
+    )
+
+    if view_target is not None and spec is None:
+        raise ValueError("view_target requires the view spec")
 
     stream = (
         spark.readStream.schema(schema)
@@ -219,6 +242,26 @@ def matview_refresh_stream(
     def _sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        base = spark.table(base_table) if base_table is not None else None
+        if view_target is not None:
+            view = view_target.read(spark)
+            done = view.agg(F.max("mv_epoch").alias("e")).collect()[0]["e"]
+            if done is not None and epoch_id <= done:
+                return  # crash-replayed batch: the MERGE committed
+            changes = matview_changes(
+                view.drop("mv_epoch"),
+                spec["keys"],
+                spec.get("sums", {}),
+                spec.get("mins", {}),
+                spec.get("maxs", {}),
+                inserts=batch_df.where(F.col(op_col) == "I").drop(op_col),
+                retractions=batch_df.where(F.col(op_col) == "D").drop(op_col),
+                current_base=base,
+                epoch=epoch_id,
+                op_col=op_col,
+            )
+            view_target.apply(changes, epoch_id)
+            return
         if epoch_id <= applied_epoch(spark, view_table):
             return  # crash-replayed batch: already in the view
         refresh_agg_view(
@@ -226,6 +269,7 @@ def matview_refresh_stream(
             view_table,
             inserts=batch_df.where(F.col(op_col) == "I").drop(op_col),
             retractions=batch_df.where(F.col(op_col) == "D").drop(op_col),
+            current_base=base,
             epoch=epoch_id,
         )
 
