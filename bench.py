@@ -211,6 +211,10 @@ BENCH_QUERIES = [
     "conversion_attribution",
     "timeseries_interpolate",
     "minhash_dedup_decisions",
+    # r10 additions: IVF centroid maintenance (staged rebuild + swap),
+    # SimHash hot-band re-seeding (permuted geometry, invariant drops)
+    "ivf_index_rebuild",
+    "simhash_reseed_increment",
 ]
 
 

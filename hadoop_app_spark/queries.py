@@ -69,7 +69,8 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
-def _seed_clone(spark, seed_tbl: str, work_tbl: str, fingerprint: str, build):
+def _seed_clone(spark, seed_tbl: str, work_tbl: str, fingerprint: str, build,
+                compact: bool = True):
     """Memoize a DETERMINISTIC day-0 index seed per (params, sf) and
     hand each caller a fresh CLONE to mutate.
 
@@ -103,7 +104,8 @@ def _seed_clone(spark, seed_tbl: str, work_tbl: str, fingerprint: str, build):
     if props.get("bench.fingerprint") != fingerprint:
         spark.sql(f"DROP TABLE IF EXISTS {seed_tbl}")
         build(seed_tbl)
-        compact_bucketed_table(spark, seed_tbl)
+        if compact:  # plain (non-bucketed) seeds have no spec to keep
+            compact_bucketed_table(spark, seed_tbl)
         spark.sql(
             f"ALTER TABLE {seed_tbl} SET TBLPROPERTIES "
             f"('bench.fingerprint'='{fingerprint}')"
@@ -146,6 +148,30 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
 
     h = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+
+
+def _memo_dir(tag: str, sf_dir: str, fingerprint: str, build) -> str:
+    """Path-based sibling of `_seed_clone` for DIRECTORY fixtures (IVF
+    index layouts, stream drop files): build once per (params, sf)
+    under a fingerprint marker, return the memo path for callers to
+    COPY from per invocation. A fingerprint mismatch rebuilds, so a
+    parameter edit can never reuse a stale fixture."""
+    import os
+    import shutil
+
+    root = _scratch_dir(f"memo_{tag}", sf_dir)
+    marker = os.path.join(root, "_fingerprint")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read()
+    if current != fingerprint:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        build(root)
+        with open(marker, "w") as f:
+            f.write(fingerprint)
+    return root
 
 
 def _dsum(col):
@@ -4066,15 +4092,26 @@ def q_split_assignment_pinning(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    day1 = leakage_safe_split(
-        d.where(F.col("doc_id") % 2 == 0), "text", "doc_id",
-        hash_fn="poly", repartition_to=par,
-    )
-    # bootstrap the pin table from day 1 (overwrite: idempotent runs)
-    save_table_recovering_orphan(
-        spark,
-        day1.select("doc_id", "split").write.mode("overwrite").format("parquet"),
-        "split_pins",
+    # the day-1 bootstrap pin table is a pure function of (corpus
+    # slice, params): memoized + cloned per invocation (the index-
+    # lifecycle convention), so the timed work is day 2's split + the
+    # pinning pass — the operator's daily steady state. The clone is
+    # required (not just a reuse): pin_split_assignments APPENDS the
+    # newly assigned rows to the table it reads.
+    def _bootstrap(t):
+        day1 = leakage_safe_split(
+            d.where(F.col("doc_id") % 2 == 0), "text", "doc_id",
+            hash_fn="poly", repartition_to=par,
+        )
+        save_table_recovering_orphan(
+            spark,
+            day1.select("doc_id", "split").write.mode("overwrite").format("parquet"),
+            t,
+        )
+
+    _seed_clone(
+        spark, "split_pins_seed", "split_pins",
+        f"splitpins|{sf_dir}|mod2|poly", _bootstrap, compact=False,
     )
     day2 = leakage_safe_split(
         d, "text", "doc_id", hash_fn="poly", repartition_to=par
@@ -4214,6 +4251,63 @@ REGISTRY["simhash_increment"] = QueryDef(
     REGISTRY["simhash_increment"].fn,
     _simhash_increment_oracle(),
     REGISTRY["simhash_increment"].doc,
+)
+
+
+@query(
+    "simhash_reseed_increment",
+    oracle=None,  # assigned below: _simhash_increment_oracle() VERBATIM
+    doc="SimHash hot-band re-seeding (operators/dedup."
+    "reseed_simhash_bands, VERDICT r9 item 5): a band value that "
+    "accumulates verify-failing members skews every future batch's "
+    "candidate join, and hot_simhash_bands (one grouped count over the "
+    "index) detects it — the remedy re-bands the stored fingerprints "
+    "under a deterministically PERMUTED bit geometry, spreading the hot "
+    "value across buckets. This entry is the invariance proof run "
+    "end-to-end: the index is re-banded under seed 7 before day 1 and "
+    "AGAIN under seed 11 before day 2, and the increments still match "
+    "the plain-geometry oracle VERBATIM — banding is only candidate "
+    "generation, the Hamming verify runs on true fingerprints, and "
+    "pigeonhole (hamming <= bands-1 forces an identical band under ANY "
+    "permutation) makes recall geometry-independent. Candidate-volume "
+    "spreading + warning automation are pinned in "
+    "tests/test_operators.py::test_simhash_hot_band_*",
+)
+def q_simhash_reseed_increment(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import (
+        reseed_simhash_bands,
+        simhash_increment,
+        seed_simhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # same memoized day-0 seed as simhash_increment, cloned to a
+    # separate work table (both entries can run in one session)
+    _seed_clone(
+        spark, "sh_incr_seed", "sh_reseed_index",
+        f"simhash|{sf_dir}|mod10|hb28b4",
+        lambda t: seed_simhash_index(
+            d.where(F.col("doc_id") % 10 == 0), "text", "doc_id", t
+        ),
+    )
+    gens = []
+    for gen, seed in ((1, 7), (2, 11)):
+        reseed_simhash_bands(spark, "sh_reseed_index", seed)
+        surv = simhash_increment(
+            d.where(F.col("doc_id") % 10 == gen),
+            "sh_reseed_index",
+            "text",
+            "doc_id",
+            dropped_table=False,
+        )
+        gens.append(surv.select(F.lit(gen).alias("generation"), "doc_id", "n_chars"))
+    return gens[0].unionAll(gens[1])
+
+
+REGISTRY["simhash_reseed_increment"] = QueryDef(
+    REGISTRY["simhash_reseed_increment"].fn,
+    _simhash_increment_oracle(),
+    REGISTRY["simhash_reseed_increment"].doc,
 )
 
 
@@ -4864,24 +4958,35 @@ def q_stream_ann_ingest_exec(spark, sf_dir):
     from hadoop_app_spark.streaming.ingest import ann_ingest_stream
 
     emb = _t(spark, sf_dir, "embeddings")
+
+    # day-0 fixtures (seed index layout + the two drop files) are pure
+    # functions of (corpus, params): memoized once, copied per
+    # invocation — the timed work is the STREAM (assign + append per
+    # micro-batch) and the probe, the operator's steady state
+    def _fixtures(memo_root):
+        build_ivf_index(
+            emb.where(F.col("vec_id") % 3 == 0).select("vec_id", "embedding"),
+            os.path.join(memo_root, "idx"), n_centroids=16, centroid_source=emb,
+        )
+        msrc = os.path.join(memo_root, "src")
+        os.makedirs(msrc)
+        # one file per daily batch with forced mtime order (oldest-
+        # first admission), the dedup-ingest fixture convention
+        for gen in (1, 2):
+            _land_stream_file(
+                emb.where(F.col("vec_id") % 3 == gen).select("vec_id", "embedding"),
+                msrc,
+                gen,
+            )
+
+    memo = _memo_dir("ann_ingest", sf_dir, "mod3|c16|probe4", _fixtures)
     root = _scratch_dir("ann_ingest", sf_dir)
     # fresh per invocation: a reused checkpoint would mark the
     # regenerated files as already-ingested and append nothing
     shutil.rmtree(root, ignore_errors=True)
     src, idx, ck = (os.path.join(root, x) for x in ("src", "idx", "ck"))
-    os.makedirs(src)
-    build_ivf_index(
-        emb.where(F.col("vec_id") % 3 == 0).select("vec_id", "embedding"),
-        idx, n_centroids=16, centroid_source=emb,
-    )
-    # one file per daily batch with forced mtime order (oldest-first
-    # admission), the dedup-ingest fixture convention
-    for gen in (1, 2):
-        _land_stream_file(
-            emb.where(F.col("vec_id") % 3 == gen).select("vec_id", "embedding"),
-            src,
-            gen,
-        )
+    shutil.copytree(os.path.join(memo, "idx"), idx)
+    shutil.copytree(os.path.join(memo, "src"), src, copy_function=shutil.copy2)
     q = ann_ingest_stream(
         spark, src, "vec_id long, embedding array<float>", idx, ck
     )
@@ -4890,6 +4995,55 @@ def q_stream_ann_ingest_exec(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return query_ivf_index(spark, idx, queries, k=5, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+@query(
+    "ivf_index_rebuild",
+    # rebuild re-trains centroids from the CURRENT corpus under the
+    # engine's deterministic convention (n_centroids lowest-id
+    # vectors), so seed -> drifted-append -> rebuild holds EXACTLY the
+    # rows build-from-scratch over the same corpus would — the same
+    # _IVF_ORACLE replays it verbatim; a rebuild that lost a row,
+    # mis-assigned a cell, or kept the stale centroids changes some
+    # query's top-k and value-fails
+    oracle=_IVF_ORACLE,
+    doc="IVF index rebuild — centroid maintenance for the persisted ANN "
+    "index (operators/ann_index.rebuild_ivf_index, VERDICT r9 item 4): "
+    "the cell structure is immutable under appends (the standard IVF "
+    "contract), so sustained DRIFTED appends skew cell occupancy and "
+    "degrade both recall and pruning; cell_occupancy_profile (the "
+    "key_skew_profile shape over the partition column — metadata-cheap) "
+    "is the trigger, and the rebuild re-trains centroids from the "
+    "current corpus and re-partitions via a staged build + swap (the "
+    "live index is never read-and-overwritten). Here the index is "
+    "seeded with centroids drawn ONLY from the seed third (a drifted "
+    "structure by construction), grows by the other two thirds, then "
+    "rebuilds — after which the probe answers exactly as a from-scratch "
+    "build; occupancy-restoration and pruning are pinned in "
+    "tests/test_ann_index.py",
+)
+def q_ivf_index_rebuild(spark, sf_dir):
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _scratch_dir("ivf_rebuild", sf_dir) + "/emb"
+    seed = emb.where(F.col("vec_id") % 3 == 0)
+    # centroid_source defaults to the seed — the index's cell structure
+    # is born from a third of the corpus and drifts as the rest lands
+    build_ivf_index(seed, path, n_centroids=16)
+    append_ivf_index(emb.where(F.col("vec_id") % 3 != 0), path)
+    rebuild_ivf_index(spark, path, n_centroids=16)
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivf_index(spark, path, queries, k=5, n_probe=4).select(
         "query_id", "vec_id", "rank"
     )
 
@@ -10792,6 +10946,13 @@ _PRIORITY = [
     # key-skew diagnostics (r9): grouped count + bounded 2-pass
     # order statistics; shares in integer milli-units
     "key_skew_profile",
+    # IVF centroid maintenance (r10): seed -> drifted-append -> rebuild
+    # == build-from-scratch, staged build + swap; occupancy trigger =
+    # key_skew_profile over the cell key
+    "ivf_index_rebuild",
+    # SimHash hot-band re-seeding (r10): permuted band geometry under
+    # the PLAIN-geometry oracle — drop decisions provably invariant
+    "simhash_reseed_increment",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --

@@ -147,3 +147,101 @@ def test_ann_ingest_stream_appends_and_restarts(spark, tmp_path):
     df.collect()
     stats = index_scan_stats(df)
     assert 0 < stats["partitions_read"] <= 2
+
+
+def _synthetic_drift(spark):
+    """Seed cluster near e1, drifted appends near e2: appends all land
+    in the seed structure's few nearest cells — real occupancy skew."""
+    import math
+
+    dim = 8
+    rows = []
+    # seed: 64 vectors around axis 0, ids 1000..1063 — HIGH ids, so the
+    # lowest-id centroid convention retrains onto the drifted batch
+    for i in range(64):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[1] = 0.01 * (i % 8)
+        v[i % dim] += 0.05 * (i % 5)
+        rows.append((1000 + i, [x / math.sqrt(sum(y * y for y in v)) for x in v]))
+    # drift: 192 vectors around axis 4, ids 0..191
+    for i in range(192):
+        v = [0.0] * dim
+        v[4] = 1.0
+        v[5] = 0.01 * (i % 16)
+        rows.append((i, [x / math.sqrt(sum(y * y for y in v)) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_rebuild_equals_build_from_scratch(spark, tmp_path):
+    """VERDICT r9 item 4: seed -> drifted-append -> rebuild produces
+    exactly the rows (and query answers) a from-scratch build over the
+    current corpus produces — only structure changed."""
+    from hadoop_app_spark.operators.ann_index import rebuild_ivf_index
+
+    emb = load_table(spark, SF, "embeddings")
+    seed = emb.where(F.col("vec_id") % 3 == 0)
+    grown = str(tmp_path / "grown")
+    build_ivf_index(seed, grown, n_centroids=16)  # centroids from seed only
+    append_ivf_index(emb.where(F.col("vec_id") % 3 != 0), grown)
+    rebuild_ivf_index(spark, grown, n_centroids=16)
+
+    scratch = str(tmp_path / "scratch")
+    build_ivf_index(emb, scratch, n_centroids=16, centroid_source=emb)
+
+    got = sorted(
+        (r.vec_id, r.cell) for r in spark.read.parquet(grown).select("vec_id", "cell").collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cell) for r in spark.read.parquet(scratch).select("vec_id", "cell").collect()
+    )
+    assert got == want
+    assert _res(query_ivf_index(spark, grown, _queries(emb), k=5, n_probe=4)) == _res(
+        query_ivf_index(spark, scratch, _queries(emb), k=5, n_probe=4)
+    )
+
+
+def test_rebuild_restores_occupancy_and_pruning(spark, tmp_path):
+    """The decision diagnostic and the payoff: drifted appends
+    concentrate occupancy (max_share_milli spikes), the rebuild
+    flattens it, and a probe after the rebuild reads fewer rows than
+    the same probe against the skewed layout."""
+    from hadoop_app_spark.operators.ann_index import (
+        cell_occupancy_profile,
+        rebuild_ivf_index,
+    )
+    from hadoop_app_spark.sources.layout import scan_output_rows
+
+    emb = _synthetic_drift(spark)
+    path = str(tmp_path / "drift")
+    build_ivf_index(emb.where(F.col("vec_id") >= 1000), path, n_centroids=8)
+    append_ivf_index(emb.where(F.col("vec_id") < 1000), path)
+
+    before = cell_occupancy_profile(spark, path).collect()[0]
+    # a drifted query probing the fat region scans many rows pre-rebuild
+    q = spark.createDataFrame(
+        [(999, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    pre = query_ivf_index(spark, path, q, k=5, n_probe=2)
+    pre.collect()
+    pre_rows = scan_output_rows(pre)
+
+    rebuild_ivf_index(spark, path, n_centroids=8)
+    after = cell_occupancy_profile(spark, path).collect()[0]
+    post = query_ivf_index(spark, path, q, k=5, n_probe=2)
+    post.collect()
+    post_rows = scan_output_rows(post)
+
+    # all 192 drifted vectors piled into the seed structure's nearest
+    # cell(s); the rebuild spreads them across re-trained cells
+    assert before["max_share_milli"] > after["max_share_milli"]
+    assert post_rows < pre_rows
+    # answers stay correct: same top-k as brute force over the corpus
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    got = _res(post)
+    want = _res(brute_force_topk(emb, q, k=5))
+    # IVF is approximate, but with the rebuilt structure the probed
+    # cells contain the true neighborhood for this in-cluster query
+    assert got == want
