@@ -212,9 +212,13 @@ BENCH_QUERIES = [
     "timeseries_interpolate",
     "minhash_dedup_decisions",
     # r10 additions: IVF centroid maintenance (staged rebuild + swap),
-    # SimHash hot-band re-seeding (permuted geometry, invariant drops)
+    # SimHash hot-band re-seeding (permuted geometry, invariant drops),
+    # OHLC downsampling, winsorization, column-level snapshot diff
     "ivf_index_rebuild",
     "simhash_reseed_increment",
+    "timeseries_downsample",
+    "winsorize_features",
+    "snapshot_column_diff",
 ]
 
 

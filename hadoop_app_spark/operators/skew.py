@@ -24,6 +24,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.0625,
+    hi: float = 0.9375,
+    out_col: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Clamp ``value_col`` at its exact type-1 ``lo``/``hi`` percentiles
+    — robust feature preparation (outlier taming before quality scoring
+    / normalization) built on the same bounded 2-pass order-statistic
+    extraction every percentile in this engine uses
+    (`operators/windows.grouped_percentile_disc`): range-repartition +
+    partition-local windows, never a single-task value buffer.
+
+    The default tails are 1/16 (0.0625) and 15/16 (0.9375) —
+    EXACT binary fractions, so the extraction's float rank
+    ``ceil(p * n)`` equals the oracle's integer rank arithmetic
+    ``(n + 15) div 16`` / ``(15n + 15) div 16`` at ANY n (an inexact
+    p like 0.05 can land the float product on the wrong side of an
+    integer for adversarial n). Callers picking other tails should
+    prefer binary fractions for the same reason.
+
+    Returns ``(frame with out_col appended, {"lo": v, "hi": v})`` —
+    the clamp bounds are two scalars (the documented bounded collect),
+    and the clamp itself is one narrow codegen map."""
+    from hadoop_app_spark.operators.windows import grouped_percentile_disc
+
+    qs = grouped_percentile_disc(
+        df.select(value_col).withColumn("_g", F.lit(1)), ["_g"], value_col, [lo, hi]
+    ).get((1,), {})
+    lo_v, hi_v = qs[lo], qs[hi]
+    out_col = out_col or f"{value_col}_wins"
+    return (
+        df.withColumn(
+            out_col, F.least(F.greatest(F.col(value_col), F.lit(lo_v)), F.lit(hi_v))
+        ),
+        {"lo": lo_v, "hi": hi_v},
+    )
+
+
 def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     """One-row skew profile of ``key_col``: [n_rows, n_keys, max_rows,
     max_share_milli, topk_share_milli, p50_rows, p90_rows, p99_rows].

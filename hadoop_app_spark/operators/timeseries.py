@@ -112,6 +112,55 @@ def _daily_spine(
     )
 
 
+def downsample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    unit: str = "week",
+) -> DataFrame:
+    """Downsample an event series to per-(key, bucket) OHLC candles —
+    the storage/grain-reduction member of the time-series family
+    (gapfill densifies; this coarsens): for each key and ``unit``
+    bucket, [bucket, n_events, v_open, v_high, v_low, v_close, v_sum].
+
+    open/close are the readings of the bucket's FIRST/LAST row by the
+    deterministic ``(ts, id)`` struct-min/max (the gapfill convention —
+    SELECTED values, never recomputed, so floats pass through
+    bit-identical in any engine); high/low/sum are plain min/max/sum.
+    ``ts_col`` must be naive (TIMESTAMP_NTZ): date_trunc is then
+    session-timezone-independent, and both Spark and DuckDB truncate
+    weeks to Monday.
+
+    Scale shape: ONE groupBy with full map-side partial combine (every
+    measure including open/close is an ordinary min/max aggregate over
+    structs) — no window over raw events, no second scan; output is
+    |keys| x |buckets|, the reduced grain. At 100 TB this is the
+    retention-policy rewrite: raw events age out, candles stay."""
+    keys = list(key_cols)
+    bucket = F.to_date(F.date_trunc(unit, F.col(ts_col))).alias("bucket")
+    v = F.col(value_col)
+    first_s = F.min(F.struct(ts_col, id_col, v.alias("_v")))
+    last_s = F.max(F.struct(ts_col, id_col, v.alias("_v")))
+    return (
+        df.select(*keys, bucket, ts_col, id_col, value_col)
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            first_s.getField("_v").alias("v_open"),
+            F.max(v).alias("v_high"),
+            F.min(v).alias("v_low"),
+            last_s.getField("_v").alias("v_close"),
+            # decimal accumulation: a plain double sum is order-
+            # dependent (partitioning-sensitive, engine-divergent);
+            # decimal sums are exact and order-free, read back to
+            # double once (the engine's exact-double-sum convention)
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias("v_sum"),
+        )
+    )
+
+
 def gapfill_interpolate(
     df: DataFrame,
     ts_col: str,

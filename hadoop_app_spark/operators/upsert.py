@@ -129,3 +129,61 @@ def scd2_apply(
         )
     )
     return hist.unionByName(versions)
+
+
+def column_change_profile(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Column-level change accounting between two snapshot versions —
+    the per-COLUMN companion to the row-level corpus_diff: one row per
+    compared column, ``[column_name, n_added, n_removed, n_common,
+    n_changed]``, where n_changed counts keys present in BOTH versions
+    whose value for that column differs (NULL-safe: NULL->value and
+    value->NULL count as changes, NULL->NULL does not).
+
+    The release dashboard a continuously refreshed corpus or dimension
+    publishes with every version: "this crawl touched 2% of documents,
+    and 98% of those changes were in the `text` column, none in
+    `license`" — churn becomes actionable when attributed to columns.
+
+    Scale shape: ONE full-outer join on the key (the only corpus-sized
+    shuffle) feeding ONE wide aggregate with map-side combine — every
+    per-column change count is a sum over the same joined pass, so
+    adding columns adds expressions, not scans; the melt to rows runs
+    over a single driver-sized row."""
+    compare = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in key_cols and c in new.columns]
+    )
+    keys = list(key_cols)
+    o = old.select(
+        *keys, *[F.col(c).alias(f"_o_{c}") for c in compare], F.lit(1).alias("_o")
+    )
+    n = new.select(
+        *keys, *[F.col(c).alias(f"_n_{c}") for c in compare], F.lit(1).alias("_n")
+    )
+    j = o.join(n, keys, "full_outer")
+    both = F.col("_o").isNotNull() & F.col("_n").isNotNull()
+    aggs = [
+        F.sum(F.col("_o").isNull().cast("long")).alias("n_added"),
+        F.sum(F.col("_n").isNull().cast("long")).alias("n_removed"),
+        F.sum(both.cast("long")).alias("n_common"),
+    ]
+    for c in compare:
+        aggs.append(
+            F.sum(
+                (both & ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).cast("long")
+            ).alias(f"_chg_{c}")
+        )
+    row = j.agg(*aggs)
+    stack = ", ".join(f"'{c}', _chg_{c}" for c in compare)
+    return row.selectExpr(
+        f"stack({len(compare)}, {stack}) AS (column_name, n_changed)",
+        "n_added",
+        "n_removed",
+        "n_common",
+    ).select("column_name", "n_added", "n_removed", "n_common", "n_changed")

@@ -2148,6 +2148,159 @@ def q_timeseries_interpolate(spark, sf_dir):
 
 
 @query(
+    "timeseries_downsample",
+    # open/close are SELECTED readings (struct-min/max by (ts,
+    # event_id) — the gapfill convention), high/low plain extremes,
+    # the sum decimal-exact; date_trunc('week') is Monday-based and
+    # session-tz-independent over the naive TIMESTAMP_NTZ in BOTH
+    # engines. The oracle replays open/close via per-bucket rank-1
+    # rows under the same (ts, event_id) order
+    oracle=f"""
+        WITH e AS (SELECT event_type,
+                          CAST(date_trunc('week', ts) AS DATE) AS bucket,
+                          ts, event_id, value
+                   FROM events),
+        w AS (SELECT *,
+                     row_number() OVER (PARTITION BY event_type, bucket
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY event_type, bucket
+                                        ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM e)
+        SELECT event_type, bucket,
+               count(*) AS n_events,
+               max(CASE WHEN rn_a = 1 THEN value END) AS v_open,
+               max(value) AS v_high,
+               min(value) AS v_low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS v_close,
+               {_DSUM.format(c="value")} AS v_sum
+        FROM w GROUP BY 1, 2
+    """,
+    doc="time-series OHLC downsampling (operators/timeseries."
+    "downsample_ohlc — the grain-reduction member beside gapfill/"
+    "interpolate: raw events age out under a retention policy, weekly "
+    "candles stay): per (event_type, Monday-week) bucket, open/close = "
+    "the bucket's first/last reading by deterministic (ts, event_id) "
+    "struct-min/max, high/low plain extremes, volume decimal-exact — "
+    "ONE groupBy with full map-side partial combine (open/close are "
+    "ordinary struct aggregates, no window over raw events, no second "
+    "scan), output |keys| x |weeks|",
+)
+def q_timeseries_downsample(spark, sf_dir):
+    from hadoop_app_spark.operators.timeseries import downsample_ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    return downsample_ohlc(ev, "ts", ["event_type"], "value", "event_id")
+
+
+@query(
+    "winsorize_features",
+    # type-1 percentile clamp at the 1/16 tails — EXACT binary
+    # fractions, so the extraction's float ceil(p*n) rank equals the
+    # oracle's integer (n+15) div 16 / (15n+15) div 16 at ANY n; the
+    # clamped doubles are SELECTED order statistics, bit-identical
+    # cross-engine
+    oracle="""
+        WITH c AS (SELECT value AS v, count(*) AS cnt FROM events GROUP BY 1),
+        cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+        tot AS (SELECT count(*) AS n FROM events),
+        b AS (SELECT min(CASE WHEN cum >= (n + 15) // 16 THEN v END) AS lo,
+                     min(CASE WHEN cum >= (15 * n + 15) // 16 THEN v END) AS hi
+              FROM cum CROSS JOIN tot)
+        SELECT event_id, value,
+               least(greatest(value, lo), hi) AS value_wins
+        FROM events CROSS JOIN b
+    """,
+    doc="winsorization — robust feature clamping at exact type-1 "
+    "percentiles (operators/skew.winsorize, the outlier-taming step "
+    "before quality scoring or min-max normalization): the 1/16 and "
+    "15/16 tail cuts come from the engine's bounded 2-pass "
+    "order-statistic extraction (range-repartition + partition-local "
+    "windows — never percentile()'s single-task value buffer), and the "
+    "clamp itself is one narrow whole-stage-codegen map; binary-"
+    "fraction tails keep the float rank ceil integer-exact at any n",
+)
+def q_winsorize_features(spark, sf_dir):
+    from hadoop_app_spark.operators.skew import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out, _bounds = winsorize(ev, "value", out_col="value_wins")
+    return out
+
+
+@query(
+    "snapshot_column_diff",
+    # deterministic snapshot views of orders (drop %11 from old, drop
+    # %13 from new, flip status at %7, bump price at %5 — +1.0 on a
+    # double is exact) so the oracle rebuilds both sides and the same
+    # full-outer accounting exactly; NULL-safe inequality == IS
+    # DISTINCT FROM in both engines
+    oracle="""
+        WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+                   FROM orders WHERE o_orderkey % 11 <> 0),
+        n AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 13 <> 0),
+        j AS (SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+                     o.o_orderstatus AS os, n.o_orderstatus AS ns,
+                     o.o_totalprice AS op, n.o_totalprice AS np,
+                     o.o_orderpriority AS opr, n.o_orderpriority AS npr
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+        t AS (SELECT
+                CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+                CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                               AND os IS DISTINCT FROM ns
+                          THEN 1 ELSE 0 END) AS BIGINT) AS chg_status,
+                CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                               AND op IS DISTINCT FROM np
+                          THEN 1 ELSE 0 END) AS BIGINT) AS chg_price,
+                CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                               AND opr IS DISTINCT FROM npr
+                          THEN 1 ELSE 0 END) AS BIGINT) AS chg_prio
+              FROM j)
+        SELECT 'o_orderstatus' AS column_name, n_added, n_removed, n_common,
+               chg_status AS n_changed FROM t
+        UNION ALL
+        SELECT 'o_totalprice', n_added, n_removed, n_common, chg_price FROM t
+        UNION ALL
+        SELECT 'o_orderpriority', n_added, n_removed, n_common, chg_prio FROM t
+    """,
+    doc="column-level snapshot change profile (operators/upsert."
+    "column_change_profile — corpus_diff's per-COLUMN companion, the "
+    "release dashboard a refreshed dimension publishes per version): "
+    "keys present in both versions are checked column-by-column with "
+    "NULL-safe inequality, added/removed keys counted once — ONE "
+    "full-outer join on the key feeding ONE wide map-side-combined "
+    "aggregate (per-column counts are expressions over the same pass, "
+    "never extra scans), melted to |columns| rows driver-side",
+)
+def q_snapshot_column_diff(spark, sf_dir):
+    from hadoop_app_spark.operators.upsert import column_change_profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    old = o.where(F.col("o_orderkey") % 11 != 0)
+    new = o.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return column_change_profile(old, new, ["o_orderkey"])
+
+
+@query(
     "count_distinct",
     oracle="""
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
@@ -9481,7 +9634,10 @@ def q_compaction_roundtrip(spark, sf_dir):
         SELECT l_suppkey,
                count(*) AS n_items,
                CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
-               min(CAST(l_quantity AS INT)) AS min_qty
+               min(CAST(l_quantity AS INT)) AS min_qty,
+               max(CAST(l_quantity AS INT)) AS max_qty,
+               CAST(sum(CAST(l_quantity AS INT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_qty
         FROM lineitem
         WHERE l_orderkey % 7 <= 5
           AND NOT (l_orderkey % 7 < 5 AND l_orderkey % 11 = 0)
@@ -9490,17 +9646,25 @@ def q_compaction_roundtrip(spark, sf_dir):
     doc="incrementally-maintained materialized aggregate view "
     "(operators/matview — the recurring-rollup answer: refresh cost "
     "O(delta)+O(|view|), never O(base history)): a per-supplier "
-    "count/sum/min rollup materializes as a bucketed table from the "
+    "count/sum/min/MAX rollup materializes as a bucketed table from the "
     "first five sevenths of lineitem, then ONE refresh merges an "
     "insert delta (the sixth seventh) and a retraction batch (gen1's "
     "%11 rows) — counts and sums maintain algebraically, and only the "
-    "groups whose retracted MIN reached the candidate minimum are "
-    "recomputed, via a broadcast semi-join on the dirty keys against "
-    "the current base; the view-definition oracle checks the merged "
-    "state equals a from-scratch rebuild",
+    "groups whose retracted MIN or MAX reached the candidate extreme "
+    "are recomputed, via a broadcast semi-join on the dirty keys "
+    "against the current base; MAX makes the reference's own flagship "
+    "aggregate (max-per-group, MaxTemperatureReducer.java:13-20) "
+    "incrementally maintainable, and AVG is derived at read time from "
+    "SUM/COUNT (read_agg_view — no stored state, one IEEE division "
+    "both engines perform identically); the view-definition oracle "
+    "checks the merged state equals a from-scratch rebuild",
 )
 def q_incremental_matview(spark, sf_dir):
-    from hadoop_app_spark.operators.matview import build_agg_view, refresh_agg_view
+    from hadoop_app_spark.operators.matview import (
+        build_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", F.col("l_quantity").cast("int").alias("qty")
@@ -9512,16 +9676,19 @@ def q_incremental_matview(spark, sf_dir):
 
     tbl = "mv_supplier_rollup"  # fixed name + overwrite: idempotent
     build_agg_view(
-        gen1, tbl, ["l_suppkey"], sums={"sum_qty": "qty"}, mins={"min_qty": "qty"}
+        gen1, tbl, ["l_suppkey"], sums={"sum_qty": "qty"},
+        mins={"min_qty": "qty"}, maxs={"max_qty": "qty"},
     )
     refresh_agg_view(
         spark, tbl, inserts=inserts, retractions=retractions, current_base=current
     )
-    return spark.table(tbl).select(
+    return read_agg_view(spark, tbl, avgs={"avg_qty": "sum_qty"}).select(
         "l_suppkey",
         F.col("mv_count").alias("n_items"),
         "sum_qty",
         "min_qty",
+        "max_qty",
+        "avg_qty",
     )
 
 
@@ -9534,7 +9701,8 @@ def q_incremental_matview(spark, sf_dir):
     oracle="""
         SELECT l_suppkey,
                count(*) AS n_items,
-               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty
+               CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+               min(CAST(l_quantity AS INT)) AS min_qty
         FROM lineitem
         WHERE l_orderkey % 7 <= 4
           AND NOT (l_orderkey % 7 <= 1 AND l_orderkey % 11 = 0)
@@ -9544,10 +9712,14 @@ def q_incremental_matview(spark, sf_dir):
     "(streaming/ingest.matview_refresh_stream): change files land in a "
     "drop directory with op = 'I'/'D' rows, FileStreamSource feeds them "
     "oldest-first one micro-batch per file (maxFilesPerTrigger=1, "
-    "availableNow), and each batch refreshes the bucketed count/sum view "
-    "via refresh_agg_view inside foreachBatch — O(batch)+O(|view|) per "
-    "trigger, never O(base history); an applied-epoch ledger in the "
-    "view's table properties makes crash-replayed batches no-ops. Same "
+    "availableNow), and each batch refreshes the bucketed count/sum/MIN "
+    "view via refresh_agg_view inside foreachBatch — O(batch)+O(|view|) "
+    "per trigger, never O(base history); an applied-epoch ledger in the "
+    "view's table properties makes crash-replayed batches no-ops. The "
+    "delete batch RETRACTS current group minima mid-stream: the sink "
+    "resolves the caller-named base table per batch (VERDICT r9 item 3) "
+    "and recomputes exactly the dirty groups — a MIN/MAX view under a "
+    "CDC feed with deletes no longer crashes by design. Same "
     "view-definition ground truth as incremental_matview: batch "
     "operator, streaming execution, one oracle",
 )
@@ -9564,8 +9736,17 @@ def q_stream_matview_exec(spark, sf_dir):
     tbl = "mv_stream_rollup"  # fixed name + overwrite: idempotent
     build_agg_view(
         li.where(F.col("l_orderkey") % 7 == 0), tbl, ["l_suppkey"],
-        sums={"sum_qty": "qty"},
+        sums={"sum_qty": "qty"}, mins={"min_qty": "qty"},
     )
+    # the base the sink resolves per batch for MIN-dirty recompute.
+    # Registered as the POST-stream state: batch 1 is insert-only
+    # (min-monotone, base never read), so the only base access happens
+    # at batch 2, whose post-state this is — the caller keeps the base
+    # in lockstep with the feed, the sink just names it
+    li.where(
+        (F.col("l_orderkey") % 7 <= 4)
+        & ~((F.col("l_orderkey") % 7 <= 1) & (F.col("l_orderkey") % 11 == 0))
+    ).createOrReplaceTempView("mv_stream_rollup_base")
     root = _scratch_dir("stream_matview", sf_dir)
     # fresh per invocation: a reused checkpoint would mark the
     # regenerated files as already-ingested and emit nothing
@@ -9588,11 +9769,12 @@ def q_stream_matview_exec(spark, sf_dir):
     for gen, df in batches.items():
         _land_stream_file(df, src, gen)
     q = matview_refresh_stream(
-        spark, src, batches[1].schema, tbl, ck
+        spark, src, batches[1].schema, tbl, ck,
+        base_table="mv_stream_rollup_base",
     )
     q.awaitTermination()
     return spark.table(tbl).select(
-        "l_suppkey", F.col("mv_count").alias("n_items"), "sum_qty"
+        "l_suppkey", F.col("mv_count").alias("n_items"), "sum_qty", "min_qty"
     )
 
 
@@ -10649,17 +10831,28 @@ _PRIORITY = [
     # three): Q21 semi+anti double correlation, Q17 decorrelated scalar
     # subquery, Q13 outer-join histogram.
     "suppliers_kept_waiting",
-    "small_qty_avg_yearly",
-    "customer_order_distribution",
-    # sketch family: Count-Min frequencies + HLL distinct, both with
-    # cell-for-cell oracle rebuilds
-    "cms_heavy_hitters",
-    "hll_distinct_shingles",
-    # graph analytics: degree-ordered triangles + integer PageRank
-    "triangle_census",
+    # r10 swap-outs small_qty_avg_yearly/customer_order_distribution
+    # (driver-green r8-r9): the decorrelation class keeps its hardest
+    # representative gated (Q21's semi+anti DOUBLE decorrelation in
+    # suppliers_kept_waiting, which stays); Q17's scalar-subquery
+    # decorrelation and Q13's outer-join histogram are single-step
+    # members of the same family and stay oracle-checked locally.
+    # r10 swap-outs cms_heavy_hitters/hll_distinct_shingles
+    # (driver-green r8-r9): the mergeable-sketch family's gated
+    # representative is now kmv_source_overlap (which carries exact
+    # union/intersection columns ALONGSIDE the estimates — the
+    # strictest cross-engine check of the family); CMS cell rebuilds
+    # and HLL register rebuilds stay oracle-checked locally.
+    # r10 swap-out triangle_census (driver-green r8-r9): the graph
+    # family's gate slots go to the fixed nation_pagerank (kept) and
+    # the incoming nation_communities (deterministic LPA) — the
+    # degree-ordered triangle join stays oracle-checked locally.
     "nation_pagerank",
-    # exact AllPairs set-similarity join (lossless prefix filter)
-    "set_similarity_join",
+    # r10 swap-out set_similarity_join (driver-green r8-r9, the bench's
+    # most expensive entry — output-bound by probe): its prefix-filter
+    # candidate mechanics are the same keyed-gram join family the
+    # gated dedup_increment oracle replays end-to-end; stays
+    # oracle-checked locally every round.
     # r9 swap-out typo_pairs (driver-green r3-r8): the SymSpell
     # deletion-neighborhood is a deterministic explode + keyed
     # equi-join + edit-verify — explode/join mechanics gated many
@@ -10669,16 +10862,20 @@ _PRIORITY = [
     # is now gated via bloom_retraction, whose oracle rebuilds the
     # SAME filter bit-for-bit and additionally value-checks the
     # file-prune + rewrite on top; stays oracle-checked locally.
-    # SCD2 versioned-dimension maintenance (history-keeping sibling of
-    # the gated upsert_snapshot)
-    "scd2_dimension",
-    # Spark-4 custom Python DataSource scan with filter pushdown
-    "pyds_ncdc_scan",
-    # r4 swap-in: bm25_retrieval's final stage IS global_topn's
-    # TakeOrderedAndProject partial top-k (with an id tiebreak), plus the
-    # tf/df/idf scoring pipeline on top — a strict superset of the gated
-    # signal it replaces
-    "bm25_retrieval",
+    # r10 swap-out scd2_dimension (driver-green r8-r9): the S15 CRUD
+    # family keeps upsert_snapshot gated; SCD2 is its history-keeping
+    # sibling (same keyed compaction + window versioning) and stays
+    # oracle-checked locally every round.
+    # r10 swap-out pyds_ncdc_scan (driver-green r8-r9): the NCDC parse
+    # surface stays gated twice over (source_codecs' fixed-width arm +
+    # udtf_ncdc_parse); the Python DataSource pushdown contract is
+    # pytest-pinned in tests/test_pyds.py; stays oracle-checked
+    # locally every round.
+    # r10 swap-out bm25_retrieval (driver-green r4-r9, the verdict's
+    # displacement class): its TakeOrderedAndProject partial top-k is
+    # gated via topk_per_group and the tf/df/idf scoring chain is
+    # plain keyed aggregates; stays oracle-checked locally every
+    # round.
     # scalar-function surface. r5 swap-outs (all driver-green r2-r4, all
     # with mechanics inside rows that STAY gated): array_hof_functions
     # (HOF transform/filter/aggregate folds run inside the gated
@@ -10723,9 +10920,11 @@ _PRIORITY = [
     # live inside the gated leakage_safe_split oracle (same component
     # pipeline, plus the md5-split assignment on top); the per-cluster
     # quality election stays pytest-pinned and locally exact.
-    # r4 swap-in: cross-document duplicated-passage spans — the
-    # substring-level member of the dedup family (Lee et al. 2022 class)
-    "duplicate_passages",
+    # r10 swap-out duplicate_passages (driver-green r4-r9, the
+    # longest-tenured non-core row): the keyed-gram candidate join is
+    # the same family the gated dedup_increment oracle replays, and
+    # the span-merge window is gated via window_analytics; stays
+    # oracle-checked locally every round.
     # similarity / ANN (north star). r5 swap-out lsh_ann_topk: the
     # sign-LSH bucket mechanics live inside the gated embedding_near_dup
     # (same hyperplanes, same bucketed candidate join). r6 swap-outs
@@ -10807,7 +11006,13 @@ _PRIORITY = [
     # broadcast_dim_join (the same join, batch face) and the remaining
     # five stream rows exercise foreachBatch/watermark execution;
     # stays oracle-checked locally every round.
-    "stream_stream_join_exec",
+    # r10 swap-out stream_stream_join_exec (driver-green r5-r9): the
+    # stream family's gated coverage GROWS this round (sliding/session/
+    # stateful stay; matview CDC, rollup-as-stream via the matview
+    # sink, dedup/validated/ANN ingest in or entering) — the interval
+    # stream-stream join's watermark state bound is pytest-pinned and
+    # its batch twin's range join is locally exact; stays
+    # oracle-checked locally every round.
     # --- r7 swap-ins (VERDICT r6 items 1/4): the round-6 centerpiece
     # operators rotate INTO the gate AFTER their named defects were
     # fixed this round — inverted_index re-gated with a scalar-ized
@@ -10817,18 +11022,25 @@ _PRIORITY = [
     # ~2.5s warm at sf0.1). Every entry below re-verified exact with
     # tools/oracle_check.py --vanilla at sf0.01 before this edit
     # (6 exact / 0 fail, including the two fixed rows).
-    "dsir_select",
+    # r10 swap-out dsir_select (driver-green r7-r9): hashed-ngram
+    # bucketing + broadcast importance models — the fp-mod sampling
+    # and bucket-count mechanics ride the gated corpus_curation and
+    # mixture_epoch_order rows; stays oracle-checked locally.
     # r9 swap-out hybrid_retrieval (driver-green r7-r8): rank fusion
-    # over two rankers whose components BOTH stay gated — bm25_retrieval
-    # (lexical arm, verbatim) and the IVF row's exact-cosine oracle
-    # (dense arm); the RRF arithmetic is one window over their union.
-    # Stays oracle-checked locally every round.
-    "stream_quantile_exec",
-    # r8 swap image_near_dup -> image_near_dup_wide (VERDICT r7 item 2):
-    # the gate's image-dedup representative is now the 256-bit/16-band
-    # scale arm (65,536-key buckets — the 100 TB design); the 56-bit
-    # compat arm stays registry-resident and oracle-checked locally.
-    "image_near_dup_wide",
+    # over two rankers whose components both stay oracle-checked — the
+    # bm25 lexical arm (locally, after its own r10 rotation) and the
+    # gated IVF row's exact-cosine oracle (dense arm); the RRF
+    # arithmetic is one window over their union.
+    # r10 swap-out stream_quantile_exec (driver-green r7-r9): the GK
+    # sketch's rank-error bound is pytest-pinned and its type-1
+    # quantile ground truth is the same bounded 2-pass order-statistic
+    # extraction the incoming key_skew_profile row gates end-to-end;
+    # stays oracle-checked locally every round.
+    # r10 swap-out image_near_dup_wide (driver-green r8-r9): the
+    # Hamming banding family's gated coverage is now the STRONGEST
+    # member (simhash_increment's two-generation index replay, staying
+    # gated); the 256-bit/16-band image arm shares the same banded
+    # bucket mechanics and stays oracle-checked locally every round.
     # --- r6 swap-ins (VERDICT r5 item 1, the standing rotation process):
     # the round-5 additions rotate INTO the 50-row driver gate so their
     # oracles get driver CORRECTNESS rows, plus the two never-gated r4
@@ -10853,8 +11065,15 @@ _PRIORITY = [
     # gated via suppliers_kept_waiting; quality_calibration's decile
     # binning rides the gated corpus_curation quality chain. All stay
     # oracle-checked locally every round.
-    "normalized_dedup",
-    "inverted_index",
+    # r10 swap-out normalized_dedup (driver-green r6-r9): displaced by
+    # its own successor — the incoming unicode_nfc_dedup is the same
+    # hash-groupBy dedup shape PLUS the NFC encoding-variant collapse
+    # (a strict superset of the normalization idea); the CCNet rule
+    # chain stays oracle-checked locally every round.
+    # r10 swap-out inverted_index (driver-green r7-r9): postings are
+    # groupBy collect_list + scalarization, rank-by-count mechanics
+    # the gated topk_per_group row carries; stays oracle-checked
+    # locally every round.
     # --- r9 swap-ins (VERDICT r8 items 1/2, the standing rotation):
     # the round-8 centerpiece operators rotate INTO the 50-row driver
     # gate so their oracles get driver CORRECTNESS rows, led by the
@@ -10895,57 +11114,79 @@ _PRIORITY = [
     "mixture_epoch_order",
     # zstd ORC round-trip with column blooms (S14 successor, 2nd format)
     "orc_roundtrip",
-    # incrementally-maintained materialized aggregate view (r9): delta
-    # merge into a bucketed view + dirty-MIN recompute via broadcast
-    # semi-join; oracle = view definition over the final base state
+    # --- r10 swap-ins (VERDICT r9 items 1/2/3, the standing rotation):
+    # the round-9 centerpiece operators rotate INTO the 50-row driver
+    # gate so their oracles get driver CORRECTNESS rows, led by the
+    # matview pair (now maintaining MIN + MAX with dirty-group
+    # recompute and a read-time AVG) and the ANN index lifecycle.
+    # Every entry below re-verified exact with tools/oracle_check.py
+    # --vanilla at sf0.01 before this edit (16 exact / 0 fail), and
+    # the full post-rotation 50-row gate re-verified exact after it.
+    # incrementally-maintained materialized aggregate view: delta merge
+    # into a bucketed view + dirty-MIN/MAX recompute via broadcast
+    # semi-join, AVG derived at read time; oracle = view definition
+    # over the final base state
     "incremental_matview",
-    # Unicode NFC normalization before dedup (r9): encoding-variant
-    # member of the dedup family; injects composed/decomposed rows
-    # (the ASCII corpus is identity) and DuckDB's nfc_normalize
-    # value-checks the collapse
-    "unicode_nfc_dedup",
-    # Z-order clustered layout + 2-D box lookup (r9): content
-    # preservation value-checked here, pruning measured in
-    # tests/test_layout.py
-    "zorder_point_lookup",
-    # the matview refresh as a real CDC stream (r9): I/D change files,
-    # per-batch refresh in foreachBatch, applied-epoch replay ledger;
-    # shares incremental_matview's view-definition ground truth
+    # the matview refresh as a real CDC stream: I/D change files,
+    # per-batch refresh in foreachBatch, applied-epoch replay ledger,
+    # and a delete batch RETRACTING group minima mid-stream (the sink
+    # resolves the caller-named base table per batch)
     "stream_matview_exec",
-    # the PCA family's oracle-exact face (r9): Walsh-Hadamard formula
-    # basis + n-scaled integer centering, every projection BIGINT;
-    # trained-eigenvector PCA stays rows-only by design
-    "embedding_pca_fixed",
-    # time-series gap-fill + LOCF (r9): dense per-key daily spine,
-    # zero-filled counts, last reading carried by a per-key window
+    # ANN index lifecycle: seed+append == build(A∪B) (batch), then the
+    # same appends as a real stream — both share _IVF_ORACLE verbatim
+    "ivf_index_increment",
+    "stream_ann_ingest_exec",
+    # orphan-file vacuum (the third maintenance op): deletes exactly
+    # the non-manifest files, finishes pending retractions first
+    "vacuum_roundtrip",
+    # deterministic label-propagation communities (graph family)
+    "nation_communities",
+    # contrastive training-pair mining over the near-dup graph
+    "contrastive_pairs",
+    # time-series gap-fill + LOCF and the linear-interpolation sibling
+    # (calendar-grid spine, per-key windows only; FLOAT interpolation
+    # value-hashes cross-engine)
     "timeseries_gapfill",
-    # the linear-interpolation sibling (r9): straight line between
-    # carried endpoint readings, nearest at range edges
     "timeseries_interpolate",
-    # dedup decision audit (r9): per dropped doc, the winner it lost
-    # to and its candidate count — the takedown/appeal record
-    "minhash_dedup_decisions",
-    # collocation mining by exact-integer PMI lift (r9): in-array pair
-    # expansion, broadcast df joins, no float log anywhere
-    "token_pmi_topk",
-    # per-user event-type transition matrix (r9): per-key lag window,
-    # integer-exact transition probabilities
-    "event_transitions",
-    # multi-touch conversion attribution (r9): first/last-touch credit
-    # via per-user IGNORE-NULLS carry windows; orphans under -1
-    "conversion_attribution",
-    # dynamic partition overwrite (r9): the backfill sink contract —
-    # one day rewritten, 29 untouched, both failure modes value-fail
-    "dynamic_partition_overwrite",
-    # continuous time-bucket rollup as a real stream (r9): versioned
-    # partial merges; oracle = the one-shot batch aggregation
-    "stream_rollup_exec",
-    # incremental streaming top-k (r9): mergeable q x k state; oracle
-    # = the batch brute-force cosine_topk, verbatim
-    "stream_topk_exec",
-    # key-skew diagnostics (r9): grouped count + bounded 2-pass
-    # order statistics; shares in integer milli-units
+    # key-skew diagnostics: grouped count + bounded 2-pass order
+    # statistics; shares in integer milli-units
     "key_skew_profile",
+    # multi-touch conversion attribution (first/last-touch credit via
+    # per-user IGNORE-NULLS carry windows; orphans under -1)
+    "conversion_attribution",
+    # dynamic partition overwrite: the backfill sink contract — one
+    # day rewritten, 29 untouched, both failure modes value-fail
+    "dynamic_partition_overwrite",
+    # Unicode NFC normalization before dedup — normalized_dedup's own
+    # successor (same hash-groupBy shape + the encoding-variant
+    # collapse DuckDB's nfc_normalize value-checks)
+    "unicode_nfc_dedup",
+    # rows-only -> value-hash upgrades (VERDICT r9 item 1's trailing
+    # clause): the driver rows for these were rows-only before their
+    # oracles landed — the 10-round gradient-descent trainer replay
+    # and the two 64-round MATERIALIZED-CTE tokenizer-trainer replays
+    "quality_classifier",
+    "bpe_merges",
+    "wordpiece_merges",
+    # --- r9/r10 additions below the gate budget (gate-eligible, each
+    # oracle-exact locally; the r11 rotation queue draws from here):
+    # Z-order clustered layout + 2-D box lookup (content preservation
+    # value-checked; pruning measured in tests/test_layout.py)
+    "zorder_point_lookup",
+    # the PCA family's oracle-exact face (Walsh-Hadamard formula basis,
+    # every projection BIGINT); trained-eigenvector PCA rows-only
+    "embedding_pca_fixed",
+    # dedup decision audit: per dropped doc, the winner it lost to and
+    # its candidate count — the takedown/appeal record
+    "minhash_dedup_decisions",
+    # collocation mining by exact-integer PMI lift
+    "token_pmi_topk",
+    # per-user event-type transition matrix
+    "event_transitions",
+    # continuous time-bucket rollup as a real stream
+    "stream_rollup_exec",
+    # incremental streaming top-k (mergeable q x k state)
+    "stream_topk_exec",
     # IVF centroid maintenance (r10): seed -> drifted-append -> rebuild
     # == build-from-scratch, staged build + swap; occupancy trigger =
     # key_skew_profile over the cell key
@@ -10953,6 +11194,16 @@ _PRIORITY = [
     # SimHash hot-band re-seeding (r10): permuted band geometry under
     # the PLAIN-geometry oracle — drop decisions provably invariant
     "simhash_reseed_increment",
+    # time-series OHLC downsampling (r10): grain reduction beside
+    # gapfill/interpolate — one struct-aggregate groupBy, no windows
+    "timeseries_downsample",
+    # winsorization (r10): robust feature clamp at exact type-1
+    # percentiles from the bounded 2-pass extraction; binary-fraction
+    # tails keep float rank ceil integer-exact
+    "winsorize_features",
+    # column-level snapshot change profile (r10): corpus_diff's
+    # per-column companion — one full-outer join, one wide aggregate
+    "snapshot_column_diff",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --
@@ -11064,9 +11315,9 @@ _PRIORITY = [
     "embedding_near_dup",
     "tfidf_top_terms",
     "pii_redaction",
-    # bpe_merges: iterative argmax loop, rows-only by design; exact
-    # equality vs a pure-Python reference is pytest-pinned
-    "bpe_merges",
+    # bpe_merges: ORACLED in r9 (64 unrolled MATERIALIZED-CTE trainer
+    # rounds) and rotated INTO the gate in r10; the encode twin stays
+    # here with its fixed-table oracle face
     "bpe_token_count",
     # r7 swap-outs (rationales at their old gate slots above): each was
     # driver-green and its mechanics live inside rows that stay gated;
@@ -11134,9 +11385,8 @@ _PRIORITY = [
     # naive pure-Python reference in tests/test_unigram.py
     "unigram_vocab",
     "unigram_token_count",
-    # wordpiece trainer + encode (r6): likelihood-scored merge loop,
-    # rows-only by design; pinned vs a Fraction-scored reference
-    "wordpiece_merges",
+    # wordpiece trainer ORACLED in r9 (unrolled-CTE replay) and rotated
+    # INTO the gate in r10; the encode twin stays here
     "wordpiece_token_count",
     # r7: ORACLED fixed-vocab twins of the two encodes (recursive-CTE
     # greedy walk / Viterbi DP oracles — VERDICT r6 item 7)
@@ -11161,33 +11411,31 @@ _PRIORITY = [
     # recomputable lowest-id centroids, sharing semdedup's oracle
     # (closes semdedup_fast's rows-only gap)
     "semdedup_fast_fixed",
-    # ivf_index_increment: incremental IVF maintenance — seed two
-    # thirds, append the rest against the immutable sidecar centroids,
-    # probe; _IVF_ORACLE replays it verbatim (cells are fixed, so
-    # seed+append == full build)
-    "ivf_index_increment",
-    # stream_ann_ingest_exec: the IVF append loop as a real stream
-    # (one micro-batch per landed embedding file), same oracle
-    "stream_ann_ingest_exec",
-    # vacuum_roundtrip: orphan-file GC against the sidecar's live-file
-    # manifest — planted orphans would inflate the scan, a wrongly-
-    # deleted live file would deflate it; only exact removal matches
-    "vacuum_roundtrip",
-    # nation_communities: deterministic weighted label propagation —
-    # the graph family's community detector, oracle unrolls the
-    # synchronous trajectory as CTEs
-    "nation_communities",
-    # contrastive_pairs: training-pair mining over the near-dup graph —
-    # LSH positives + deterministic md5-picked negatives from a
-    # constant-size pool (no RNG, oracle replays the pick exactly)
-    "contrastive_pairs",
+    # (ivf_index_increment, stream_ann_ingest_exec, vacuum_roundtrip,
+    # nation_communities, contrastive_pairs, quality_classifier — the
+    # r9 additions that sat here — rotated INTO the gate in r10)
     # r7: robust median/MAD outlier accounting, integer-exact
     "mad_outliers",
-    # quality_classifier: ORACLED in r9 (10 unrolled gradient-descent
-    # rounds replayed in SQL via shortest-repr VARCHAR decimal casts);
-    # weights additionally pinned bit-exact vs a pure-Python decimal
-    # reference and repartition-invariant in pytest
-    "quality_classifier",
+    # --- r10 swap-outs (rationales at their old gate slots above):
+    # each was driver-green for 2-6 rounds and its mechanics live
+    # inside rows that stay gated; all remain oracle-checked locally
+    # every round.
+    "small_qty_avg_yearly",
+    "customer_order_distribution",
+    "cms_heavy_hitters",
+    "hll_distinct_shingles",
+    "triangle_census",
+    "set_similarity_join",
+    "scd2_dimension",
+    "pyds_ncdc_scan",
+    "bm25_retrieval",
+    "duplicate_passages",
+    "dsir_select",
+    "stream_quantile_exec",
+    "image_near_dup_wide",
+    "normalized_dedup",
+    "inverted_index",
+    "stream_stream_join_exec",
     # global_topn (r4 swap-out): its TakeOrderedAndProject mechanics are
     # inside the now-gated bm25_retrieval's final stage
     "global_topn",

@@ -107,3 +107,43 @@ def test_conversion_attribution_models(spark):
         ("last_touch", 1): (2, 5.0),
         ("last_touch", -1): (1, 5.0),
     }
+
+
+def test_winsorize_bounds_and_clamp(spark):
+    """The clamp bounds are the exact type-1 1/16 and 15/16 order
+    statistics, and every output value lies inside them while interior
+    values pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.skew import winsorize
+
+    vals = [float(i) for i in range(1, 33)]  # 1..32: p=1/16 -> rank 2, 15/16 -> rank 30
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    out, bounds = winsorize(df, "v")
+    assert bounds == {"lo": 2.0, "hi": 30.0}
+    rows = {r["id"]: r["v_wins"] for r in out.collect()}
+    assert rows[0] == 2.0 and rows[31] == 30.0   # tails clamped
+    assert rows[10] == vals[10]                  # interior untouched
+
+
+def test_column_change_profile_null_safety(spark):
+    """NULL->value and value->NULL count as changes; NULL->NULL does
+    not; added/removed keys never contribute to per-column counts."""
+    from hadoop_app_spark.operators.upsert import column_change_profile
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "c", 5), (4, "gone", 1)],
+        "k int, s string, x int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 7), (2, None, None), (3, None, 5), (9, "new", 0)],
+        "k int, s string, x int",
+    )
+    prof = {
+        r["column_name"]: (r["n_added"], r["n_removed"], r["n_common"], r["n_changed"])
+        for r in column_change_profile(old, new, ["k"]).collect()
+    }
+    # k=9 added, k=4 removed, k in {1,2,3} common
+    # s: only k=3 changed (c -> NULL); k=2 NULL -> NULL is NOT a change
+    # x: only k=1 changed (NULL -> 7)
+    assert prof == {"s": (1, 1, 3, 1), "x": (1, 1, 3, 1)}

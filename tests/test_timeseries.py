@@ -132,3 +132,44 @@ def test_gapfill_interpolate_semantics(spark):
         (2, "2024-03-03"): (0, 5.0),  # after last obs -> nearest
         (2, "2024-03-04"): (0, 5.0),
     }
+
+
+def test_downsample_ohlc_deterministic_open_close(spark):
+    """open/close are the (ts, id) struct-min/max READINGS, not value
+    extremes: a bucket whose first row is not its min value must keep
+    the first row's value as open."""
+    from hadoop_app_spark.operators.timeseries import downsample_ohlc
+
+    rows = [
+        # one key, one week (2024-01-01 is a Monday)
+        ("a", "2024-01-01 10:00:00", 1, 5.0),
+        ("a", "2024-01-02 10:00:00", 2, 1.0),
+        ("a", "2024-01-03 10:00:00", 3, 9.0),
+        ("a", "2024-01-07 10:00:00", 4, 3.0),
+        # second week
+        ("a", "2024-01-08 10:00:00", 5, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id long, v double").select(
+        "k", F.to_timestamp("ts").alias("ts"), "id", "v"
+    )
+    out = {
+        str(r["bucket"]): (r["n_events"], r["v_open"], r["v_high"], r["v_low"], r["v_close"], r["v_sum"])
+        for r in downsample_ohlc(df, "ts", ["k"], "v", "id").collect()
+    }
+    assert out == {
+        "2024-01-01": (4, 5.0, 9.0, 1.0, 3.0, 18.0),
+        "2024-01-08": (1, 7.0, 7.0, 7.0, 7.0, 7.0),
+    }
+
+
+def test_downsample_ohlc_monthly_unit(spark):
+    from hadoop_app_spark.operators.timeseries import downsample_ohlc
+
+    rows = [("a", "2024-01-05 00:00:00", 1, 2.0), ("a", "2024-02-05 00:00:00", 2, 4.0)]
+    df = spark.createDataFrame(rows, "k string, ts string, id long, v double").select(
+        "k", F.to_timestamp("ts").alias("ts"), "id", "v"
+    )
+    out = sorted(
+        str(r["bucket"]) for r in downsample_ohlc(df, "ts", ["k"], "v", "id", unit="month").collect()
+    )
+    assert out == ["2024-01-01", "2024-02-01"]
