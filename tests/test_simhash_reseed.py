@@ -101,3 +101,32 @@ def test_reseed_preserves_drop_decisions_on_real_corpus(spark):
         for r in spark.table(t).select("id", "simhash").distinct().collect()
     )
     assert content("sh_tw_plain") == content("sh_tw_reseed")
+
+
+def test_double_reseed_preserves_drop_decisions(spark):
+    """Geometry changes COMPOSE: re-banding again under a different
+    seed (the registry entry runs one reseed; this pins the repeated
+    maintenance cadence) still produces the plain-geometry survivors."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    seed = d.where(F.col("doc_id") % 10 == 0)
+    batch1 = d.where(F.col("doc_id") % 10 == 1)
+    batch2 = d.where(F.col("doc_id") % 10 == 2)
+    for tbl in ("sh_dbl_plain", "sh_dbl_reseed"):
+        seed_simhash_index(seed, "text", "doc_id", tbl)
+
+    got, want = [], []
+    reseed_simhash_bands(spark, "sh_dbl_reseed", new_seed=7)
+    for i, batch in enumerate((batch1, batch2)):
+        if i == 1:
+            reseed_simhash_bands(spark, "sh_dbl_reseed", new_seed=11)
+        got.append(sorted(
+            r.doc_id for r in simhash_increment(
+                batch, "sh_dbl_reseed", "text", "doc_id", dropped_table=False
+            ).select("doc_id").collect()
+        ))
+        want.append(sorted(
+            r.doc_id for r in simhash_increment(
+                batch, "sh_dbl_plain", "text", "doc_id", dropped_table=False
+            ).select("doc_id").collect()
+        ))
+    assert got == want and all(want)

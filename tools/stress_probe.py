@@ -1067,6 +1067,134 @@ def f_cdc_apply(spark, dp, ep, scratch):
     return current_snapshot(spark, root).count()
 
 
+def f_matview_refresh(spark, dp, ep, scratch):
+    """Incremental matview refresh against a GROWING base HISTORY with
+    a FIXED delta — the O(delta)+O(|view|), never-O(base) claim probed
+    on its strongest axis: the tier multiplies per-user history depth
+    (ts-shifted copies of the 1x events, SAME users, so |view| is
+    constant), the view builds once per tier, and the kept run times
+    ONE insert-only refresh of a fixed 500-row delta. Flat wall +
+    shuffle across tiers = the refresh never re-reads the base."""
+    from hadoop_app_spark.operators.matview import build_agg_view, refresh_agg_view
+
+    ev1 = spark.read.parquet(EVENT_PATHS[1]).select(
+        "event_id", "user_id", "ts", F.col("value").cast("int").alias("v")
+    )
+    n_ev = ev1.agg(F.max("event_id")).collect()[0][0] + 1
+    parts = [ev1]
+    for k in range(1, CURRENT_SCALE):
+        parts.append(
+            ev1.withColumn("event_id", F.col("event_id") + F.lit(k * n_ev))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k * 40} DAYS"))
+        )
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    tbl = f"mv_probe_x{CURRENT_SCALE}"
+    if not spark.catalog.tableExists(tbl):
+        build_agg_view(
+            base, tbl, ["user_id"], sums={"sv": "v"},
+            mins={"mn": "v"}, maxs={"mx": "v"},
+        )
+    delta = ev1.where(F.col("event_id") < 500).withColumn(
+        "event_id", F.col("event_id") + F.lit(CURRENT_SCALE * n_ev + 7)
+    )
+    stats = refresh_agg_view(spark, tbl, inserts=delta)
+    return stats["groups"]
+
+
+def f_simhash_reseed(spark, dp, ep, scratch):
+    """Band-geometry re-seed of a GROWING SimHash index: expected
+    ~linear (one snapshot + re-band + bucketed rewrite of |index|
+    rows — the one-time cost a skewed probe would otherwise pay every
+    day), with the post-reseed FIXED-batch increment staying flat (the
+    f_simhash_increment claim, unchanged by geometry)."""
+    from hadoop_app_spark.operators.dedup import (
+        reseed_simhash_bands,
+        seed_simhash_index,
+        simhash_increment,
+    )
+
+    d = _docs(spark, dp)
+    tbl = f"sh_reseed_probe_x{CURRENT_SCALE}"
+    if not spark.catalog.tableExists(tbl):
+        seed_simhash_index(d, "text", "doc_id", tbl)
+    reseed_simhash_bands(spark, tbl, new_seed=7)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    batch = d.where(F.col("doc_id") < 500).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(max_id)
+    )
+    surv = simhash_increment(
+        batch, tbl, "text", "doc_id", append=False, dropped_table=False,
+    )
+    return surv.count()
+
+
+def f_ivf_rebuild(spark, dp, ep, scratch):
+    """IVF centroid rebuild at a GROWING index: one full re-assignment
+    scan + one partitioned write — expected ~linear wall (the amortized
+    cost the append path avoids daily), with the post-rebuild probe's
+    partition pruning intact (files_read ratio ~n_probe/n_centroids,
+    printed alongside)."""
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivf_index,
+        index_scan_stats,
+        query_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    e = spark.read.parquet(ep)
+    root = str(scratch.parent / f"ivf_rebuild_x{CURRENT_SCALE}")
+    if not os.path.exists(root):
+        # drifted-by-construction: centroids from the lowest-id 1x slice
+        build_ivf_index(
+            e, root, n_centroids=16,
+            centroid_source=e.where(F.col("vec_id") < 1000),
+        )
+    rebuild_ivf_index(spark, root, n_centroids=16)
+    q = e.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = query_ivf_index(spark, root, q, k=5, n_probe=4)
+    n = res.count()
+    res.collect()
+    stats = index_scan_stats(res)
+    print(
+        f"    [ivf_rebuild {CURRENT_SCALE}x] files_read={stats['files_read']} "
+        f"partitions_read={stats['partitions_read']}"
+    )
+    return n
+
+
+def f_ohlc_downsample(spark, dp, ep, scratch):
+    """Weekly OHLC candles over a growing event corpus: ONE groupBy
+    whose every measure partial-combines map-side, so the shuffle
+    carries ~|keys x weeks| partial rows per map partition — shuffle
+    bytes should stay near-flat while the scan grows 10x."""
+    from hadoop_app_spark.operators.timeseries import downsample_ohlc
+
+    ev = _events(spark, dp)
+    return downsample_ohlc(ev, "ts", ["event_type"], "value", "event_id").count()
+
+
+def f_column_diff(spark, dp, ep, scratch):
+    """Column-level snapshot diff at growing snapshots: one full-outer
+    join + one wide aggregate — expected ~linear, output |columns|."""
+    from hadoop_app_spark.operators.upsert import column_change_profile
+
+    d = _docs(spark, dp).select("doc_id", "text", "source", "n_chars")
+    old = d.where(F.col("doc_id") % 11 != 0)
+    new = d.where(F.col("doc_id") % 13 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return column_change_profile(old, new, ["doc_id"]).count()
+
+
 FAMILIES = {
     "exact_dedup": f_exact_dedup,
     "minhash_fast_pipeline": f_minhash_fast,
@@ -1130,6 +1258,15 @@ FAMILIES = {
     "index_compaction": f_index_compaction,
     "dedup_ingest_stream": f_dedup_ingest_stream,
     "simhash_increment": f_simhash_increment,
+    # r10: matview refresh vs growing base HISTORY (flat = never
+    # O(base)); index-maintenance ops (linear one-time costs with the
+    # daily paths' claims intact afterward); OHLC grid-bounded shuffle;
+    # column diff linear join
+    "matview_refresh": f_matview_refresh,
+    "simhash_reseed": f_simhash_reseed,
+    "ivf_rebuild": f_ivf_rebuild,
+    "ohlc_downsample": f_ohlc_downsample,
+    "column_diff": f_column_diff,
 }
 
 
@@ -1179,9 +1316,9 @@ def main() -> None:
     emb_families = {
         "cosine_topk_bf", "lsh_ann_topk", "ivf_ann_topk",
         "embedding_near_dup", "semdedup", "semdedup_fast",
-        "embedding_pca", "ivf_index",
+        "embedding_pca", "ivf_index", "ivf_rebuild",
     }
-    ev_families = {"funnel", "cohort"}
+    ev_families = {"funnel", "cohort", "matview_refresh", "ohlc_downsample"}
     # families reading BOTH documents and embeddings at scale
     both_families = {"hybrid_retrieval"}
 
