@@ -219,6 +219,11 @@ BENCH_QUERIES = [
     "timeseries_downsample",
     "winsorize_features",
     "snapshot_column_diff",
+    # r10 additions: retrieval ranking metrics, A/B experiment readout,
+    # snapshot time travel (read-at-version over the CDC layout)
+    "retrieval_ndcg",
+    "ab_test_summary",
+    "snapshot_time_travel",
 ]
 
 

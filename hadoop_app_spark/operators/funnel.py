@@ -200,3 +200,44 @@ def attribute_conversions(
         F.count("*").alias("n_purchases"),
         F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("revenue"),
     )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    user_col: str,
+    variant_col: str,
+    converted: Column,
+    control_value=0,
+) -> DataFrame:
+    """Per-variant experiment summary -> [variant, n_users,
+    n_converted, cr_milli, diff_milli, lift_milli] — the event-
+    analytics family's A/B readout (beside funnel/attribution/
+    transitions): conversion rate per assignment arm plus the absolute
+    and relative deltas against the ``control_value`` arm, all in
+    exact integer milli-units (integer div — bit-identical in any
+    engine; significance testing is a downstream choice, the exact
+    counts it needs are all here).
+
+    ``converted`` is a boolean Column evaluated per EVENT; a user
+    converts if ANY of their events satisfies it (max over an int
+    cast). Scale shape: one (variant, user) pre-aggregate with
+    map-side combine (the only event-volume shuffle), one |variants|-
+    row rollup, one broadcast of the single control row."""
+    per_user = df.groupBy(variant_col, user_col).agg(
+        F.max(converted.cast("int")).alias("_c")
+    )
+    per_var = per_user.groupBy(variant_col).agg(
+        F.count("*").alias("n_users"),
+        F.sum("_c").cast("long").alias("n_converted"),
+    ).withColumn("cr_milli", F.expr("n_converted * 1000 div n_users"))
+    ctrl = per_var.where(F.col(variant_col) == control_value).select(
+        F.col("cr_milli").alias("_cr0")
+    )
+    return per_var.crossJoin(F.broadcast(ctrl)).select(
+        variant_col,
+        "n_users",
+        "n_converted",
+        "cr_milli",
+        (F.col("cr_milli") - F.col("_cr0")).alias("diff_milli"),
+        F.expr("(cr_milli - _cr0) * 1000 div _cr0").alias("lift_milli"),
+    )

@@ -160,3 +160,86 @@ def rrf_fuse(
     return ranked.where(F.col("fused_rank") <= k).select(
         id_col, "kw_rank", "vec_rank", "fused_rank"
     )
+
+
+#: milli-scaled DCG position discounts, floor(1000 / log2(pos + 1)) for
+#: positions 1..10 — ENGINE CONSTANTS, not computed: baking the ten
+#: irrational discounts as integer literals keeps the whole nDCG
+#: pipeline in exact integer arithmetic ("no float log anywhere", the
+#: token_pmi_topk convention), and any engine replaying the metric uses
+#: the same table
+NDCG_MILLI_WEIGHTS = (1000, 630, 500, 430, 386, 356, 333, 315, 301, 289)
+
+
+def retrieval_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    rel_cap: int = 3,
+    mrr_rel: int = 3,
+) -> DataFrame:
+    """Ranking-quality metrics per query term, all in exact integer
+    milli-units -> [term, n_ranked, dcg_milli, idcg_milli, ndcg_milli,
+    mrr_milli] — the evaluation face of the retrieval family (BM25 /
+    inverted index / hybrid fusion rank documents; this scores how well
+    a ranking surfaces the relevant ones).
+
+    Self-contained eval protocol (deterministic, oracle-replayable):
+    the system ranking orders each term's matching docs by
+    (tf desc, id) and keeps top-``k``; graded relevance is
+    ``least(tf, rel_cap)`` (more mentions = more relevant, capped);
+    DCG@k multiplies each position's relevance by the milli-scaled
+    discount table `NDCG_MILLI_WEIGHTS` (integer literals — no float
+    log); the ideal ranking reorders the SAME candidates by
+    (rel desc, tf desc, id); nDCG = DCG * 1000 div IDCG; MRR is
+    1000 div the first rank whose relevance reaches ``mrr_rel`` (0 if
+    none). Integer sums are order-free, so the metric is bit-identical
+    under any partitioning and in any engine.
+
+    Scale shape: the term filter lands right after the explode (only
+    query-matching rows shuffle — the bm25_topk property), both
+    rankings are per-TERM windows over candidate sets the filter
+    already bounded, and the output is |terms| rows."""
+    if k > len(NDCG_MILLI_WEIGHTS):
+        raise ValueError(f"k={k} exceeds the discount table ({len(NDCG_MILLI_WEIGHTS)})")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    ).where(F.col("term").isin(*query_terms))
+    tf = toks.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    rel = F.least(F.col("tf"), F.lit(rel_cap))
+    sys_w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
+    ideal_w = Window.partitionBy("term").orderBy(
+        rel.desc(), F.col("tf").desc(), F.col(id_col)
+    )
+    ranked = tf.select(
+        "term",
+        rel.alias("rel"),
+        F.row_number().over(sys_w).alias("rank"),
+        F.row_number().over(ideal_w).alias("irank"),
+    )
+    w = F.lit(list(NDCG_MILLI_WEIGHTS))
+    gain = lambda pos: F.when(
+        pos <= k, F.col("rel") * F.element_at(w, pos.cast("int"))
+    ).otherwise(F.lit(0))
+    per_term = ranked.groupBy("term").agg(
+        F.sum((F.col("rank") <= k).cast("long")).alias("n_ranked"),
+        F.sum(gain(F.col("rank"))).cast("long").alias("dcg_milli"),
+        F.sum(gain(F.col("irank"))).cast("long").alias("idcg_milli"),
+        F.min(
+            F.when((F.col("rel") >= mrr_rel) & (F.col("rank") <= k), F.col("rank"))
+        ).alias("_first_rel"),
+    )
+    return per_term.select(
+        "term",
+        "n_ranked",
+        "dcg_milli",
+        "idcg_milli",
+        F.expr("dcg_milli * 1000 div idcg_milli").alias("ndcg_milli"),
+        F.coalesce(F.expr("1000 div _first_rel"), F.lit(0)).cast("long").alias(
+            "mrr_milli"
+        ),
+    )

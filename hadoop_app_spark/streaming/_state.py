@@ -76,9 +76,34 @@ def read_manifest(
 def write_manifest(
     spark: SparkSession, root: str, version: int, batch_id: int, pvers: list[int]
 ) -> None:
-    """Atomically commit a format-2 partitioned-snapshot manifest."""
+    """Atomically commit a format-2 partitioned-snapshot manifest.
+
+    Beside the live pointer, an IMMUTABLE per-version sidecar
+    (``_MANIFEST_v{n}``) records the same body — the version log
+    `snapshot_at` time-travels through (a listing reconstruction alone
+    cannot distinguish "untouched at v" from "touched and emptied at
+    v": both leave no v-dir for the partition). Written BEFORE the
+    pointer swap, so a crash between them leaves only an unreachable
+    orphan for a version the pointer never committed; the retry
+    overwrites it."""
     body = f"2 {batch_id} {len(pvers)} {version}\n" + " ".join(str(v) for v in pvers)
+    hfs.write_text(spark, f"{root}/_MANIFEST_v{version}", body)
     _commit(spark, root, body)
+
+
+def read_manifest_at(
+    spark: SparkSession, root: str, version: int
+) -> list[int] | None:
+    """The per-partition versions recorded when *version* committed, or
+    None when no sidecar exists (a pre-feature snapshot, or version 0 /
+    a legacy whole-dir layout — both read as one dir, no map needed)."""
+    sidecar = f"{root}/_MANIFEST_v{version}"
+    if not hfs.exists(spark, sidecar):
+        return None
+    lines = hfs.read_text(spark, sidecar).splitlines()
+    head = lines[0].split()
+    assert head[0] == "2" and int(head[3]) == version
+    return [int(x) for x in lines[1].split()]
 
 
 def _commit(spark: SparkSession, root: str, text: str) -> None:

@@ -70,6 +70,48 @@ def _partition_paths(
     return paths
 
 
+def snapshot_at(spark, root: str, version: int) -> DataFrame:
+    """TIME TRAVEL: the snapshot as of committed *version* — the
+    read-at-version face of the versioned-snapshot layout (what a table
+    format's ``VERSION AS OF`` gives for free; this is the same
+    capability over the plain-parquet version dance).
+
+    Each commit writes an IMMUTABLE per-version manifest sidecar
+    (``_MANIFEST_v{n}``, `streaming/_state.write_manifest`) mapping
+    every partition to the version dir holding its data as of that
+    commit — the version log this reads (an FS-listing reconstruction
+    alone would be WRONG for a partition whose keys were all deleted
+    at v: "touched and emptied" and "untouched" both leave no v-dir).
+    Retention caveat, stated honestly: deleting old ``v{n}`` dirs
+    reclaims space but truncates how far back this can travel — the
+    same retention/VACUUM trade a lakehouse table format makes.
+
+    ``version`` 0 reads the seed; the current version equals
+    ``current_snapshot``.
+    """
+    cur, _, pvers = _state.read_manifest(spark, root, fresh_version=0)
+    if version > cur:
+        raise ValueError(
+            f"snapshot_at({root}): version {version} not committed yet "
+            f"(current {cur})"
+        )
+    if version == 0 or pvers is None:
+        return spark.read.parquet(os.path.join(root, f"v{version}"))
+    pvers_at = _state.read_manifest_at(spark, root, version)
+    if pvers_at is None:
+        raise ValueError(
+            f"snapshot_at({root}): no _MANIFEST_v{version} sidecar — the "
+            "snapshot predates per-version manifests; only versions "
+            "committed with them are travelable"
+        )
+    paths = _partition_paths(spark, root, pvers_at)
+    if not paths:
+        # every partition empty at v (all keys deleted): schema from
+        # the required v0 seed
+        return spark.read.parquet(os.path.join(root, "v0")).limit(0)
+    return spark.read.parquet(*paths)
+
+
 def current_snapshot(spark, root: str) -> DataFrame:
     """The latest committed snapshot version under *root*."""
     version, _, pvers = _state.read_manifest(spark, root, fresh_version=0)

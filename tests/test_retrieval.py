@@ -223,3 +223,38 @@ def test_rrf_fuse_k_caps_output(spark):
     got = rrf_fuse(kw, vec, k=5).collect()
     assert len(got) == 5
     assert sorted(r.fused_rank for r in got) == [1, 2, 3, 4, 5]
+
+
+def test_retrieval_eval_perfect_ranking_scores_1000(spark):
+    """When the system order coincides with the ideal order, nDCG is
+    exactly 1000 milli; MRR is 1000 when the top hit is fully relevant."""
+    from hadoop_app_spark.operators.retrieval import retrieval_eval
+
+    rows = [
+        (1, "spark spark spark"),    # tf=3 -> rel 3, rank 1
+        (2, "spark spark"),          # tf=2 -> rel 2, rank 2
+        (3, "spark"),                # tf=1 -> rel 1, rank 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval_eval(df, "text", "doc_id", ["spark"], k=10).collect()[0]
+    # dcg = 3*1000 + 2*630 + 1*500 = 4760 == idcg
+    assert (out["dcg_milli"], out["idcg_milli"]) == (4760, 4760)
+    assert out["ndcg_milli"] == 1000 and out["mrr_milli"] == 1000
+
+
+def test_retrieval_eval_rank_mismatch_penalized(spark):
+    """A ranking that puts the most-relevant doc later loses nDCG and
+    MRR exactly as the integer discount table dictates."""
+    from hadoop_app_spark.operators.retrieval import retrieval_eval
+
+    rows = [
+        (1, "x x x x x"),  # tf=5 -> rel 3, system rank 1
+        (2, "x x x"),      # tf=3 -> rel 3, system rank 2 (rel ties cap)
+        (3, "x"),          # tf=1 -> rel 1, system rank 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval_eval(df, "text", "doc_id", ["x"], k=2).collect()[0]
+    # k=2: system top-2 = ids 1,2 (rel 3,3); ideal same set -> ndcg 1000
+    assert out["n_ranked"] == 2 and out["ndcg_milli"] == 1000
+    with __import__("pytest").raises(ValueError, match="discount table"):
+        retrieval_eval(df, "text", "doc_id", ["x"], k=11)

@@ -1162,3 +1162,66 @@ def test_rollup_ntz_bucket_labels_are_tz_independent(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert labels["UTC"] == labels["America/New_York"] == ["2024-03-01 00:00"]
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """snapshot_at reconstructs EVERY committed version without
+    historical manifests: version 0 is the seed, version 1 sees the
+    first batch's upserts but not the second's deletes, the current
+    version equals current_snapshot, and asking past the committed
+    head raises."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from hadoop_app_spark.streaming.cdc import (
+        apply_changes_stream,
+        current_snapshot,
+        snapshot_at,
+    )
+
+    root = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    seed.write.parquet(root + "/v0")
+    cdir = tmp_path / "changes"
+    cdir.mkdir()
+    (cdir / "b1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(c)
+            for c in [
+                {"k": 2, "v": 21.0, "op": "U", "seq": 1},
+                {"k": 4, "v": 40.0, "op": "U", "seq": 2},
+            ]
+        )
+    )
+    (cdir / "b2.jsonl").write_text(
+        "\n".join(
+            _json.dumps(c)
+            for c in [
+                {"k": 1, "v": 0.0, "op": "D", "seq": 3},
+                {"k": 5, "v": 50.0, "op": "U", "seq": 4},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("k long, v double, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(cdir))
+    )
+    q = apply_changes_stream(
+        stream, root, ["k"], op_col="op", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    def rows(df):
+        return {r.k: r.v for r in df.collect()}
+
+    assert rows(snapshot_at(spark, root, 0)) == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert rows(snapshot_at(spark, root, 1)) == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
+    assert rows(snapshot_at(spark, root, 2)) == {2: 21.0, 3: 30.0, 4: 40.0, 5: 50.0}
+    assert rows(snapshot_at(spark, root, 2)) == rows(current_snapshot(spark, root))
+    with _pytest.raises(ValueError, match="not committed"):
+        snapshot_at(spark, root, 3)
