@@ -220,10 +220,13 @@ BENCH_QUERIES = [
     "winsorize_features",
     "snapshot_column_diff",
     # r10 additions: retrieval ranking metrics, A/B experiment readout,
-    # snapshot time travel (read-at-version over the CDC layout)
+    # snapshot time travel (read-at-version over the CDC layout),
+    # the Hamming decision audit, the persisted HLL sketch index
     "retrieval_ndcg",
     "ab_test_summary",
     "snapshot_time_travel",
+    "simhash_dedup_decisions",
+    "hll_index_increment",
 ]
 
 

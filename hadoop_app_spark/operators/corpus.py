@@ -1615,6 +1615,89 @@ def build_hll(
     )
 
 
+def seed_hll_index(
+    df,
+    key_col: str,
+    group_cols: list[str],
+    table: str,
+    p: int = 12,
+    n_buckets: int = 8,
+):
+    """Persist `build_hll`'s mergeable registers as a standing SKETCH
+    INDEX — the sketch family's member of the persisted-index lifecycle
+    (MinHash bands, SimHash bands, IVF cells, Bloom sidecars... and now
+    distinct-count state): the register table is bounded at
+    |groups| x 2^p rows FOREVER, so "how many distinct shingles per
+    source, across everything ever ingested" stays answerable without
+    re-scanning history. Bucketed on (group, register) — the exact key
+    `merge_hll_index` joins on, so the daily merge consumes the index
+    side exchange-free. The precision ``p`` is pinned as a table
+    property (the dedup-index self-describing convention): merging a
+    batch sketched at a different p would silently corrupt every
+    register."""
+    from hadoop_app_spark.operators.bucketing import write_bucketed
+
+    spark = df.sparkSession
+    regs = build_hll(df, key_col, group_cols, p)
+    keys = [*group_cols, "register"]
+    write_bucketed(regs, table, keys, n_buckets)
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('sketch.p'='{p}')")
+    return spark.table(table)
+
+
+def merge_hll_index(
+    new_batch,
+    table: str,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 12,
+) -> None:
+    """Daily merge into the persisted HLL index: sketch the batch
+    (O(batch) scan collapsing to <= |groups| x 2^p partial rows), then
+    ONE full-outer merge on (group, register) taking the max rho per
+    cell — registers merge associatively, so seed + any sequence of
+    daily merges holds EXACTLY the registers a one-shot build over the
+    union would (the registry oracle checks that cell-for-cell). The
+    index side never exceeds |groups| x 2^p rows and the bucketed
+    layout feeds the merge join exchange-free; the accumulated corpus
+    is never re-read."""
+    from hadoop_app_spark.operators.bucketing import _bucket_meta, write_bucketed
+
+    spark = new_batch.sparkSession
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    if props.get("sketch.p") != str(p):
+        raise ValueError(
+            f"{table} was sketched at p={props.get('sketch.p')}, caller "
+            f"passed p={p} — merging mismatched precisions corrupts "
+            "every register; pass the build-time value or re-seed"
+        )
+    n_buckets = _bucket_meta(spark, table)[0]
+    keys = [*group_cols, "register"]
+    new_regs = build_hll(new_batch, key_col, group_cols, p).withColumnRenamed(
+        "max_rho", "_new_rho"
+    )
+    merged = (
+        spark.table(table)
+        .join(new_regs, keys, "full_outer")
+        .select(
+            *keys,
+            F.greatest(
+                F.coalesce(F.col("max_rho"), F.lit(0)),
+                F.coalesce(F.col("_new_rho"), F.lit(0)),
+            ).alias("max_rho"),
+        )
+        # snapshot before overwriting the table the join reads (the
+        # refresh_agg_view lazy-plan/mutation discipline); bounded by
+        # |groups| x 2^p rows by construction
+        .localCheckpoint(eager=True)
+    )
+    write_bucketed(merged, table, keys, n_buckets)
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('sketch.p'='{p}')")
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: list[str] | None = None,

@@ -3892,6 +3892,76 @@ def q_minhash_dedup_decisions(spark, sf_dir):
 
 
 @query(
+    "simhash_dedup_decisions",
+    # the Hamming family's decision audit (minhash_dedup_decisions'
+    # sibling): banding recall is EXACT for max_hamming < bands
+    # (pigeonhole), so the brute-force all-pairs oracle derives the
+    # SAME verified pair set and the same per-loser winner/count/
+    # distance accounting the banded plan reports — the hamming of the
+    # winning pair (the evidence a takedown appeal cites) rides along
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM documents),
+        folded AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 1000000007) AS f1,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+                               (acc, c) -> (acc * 37 + c) % 1000000007) AS f2
+            FROM toks WHERE tok <> ''),
+        hashed AS (
+            SELECT doc_id,
+                   (f1 * 2654435761 + 968665207) % 1000000007 AS h1,
+                   (f2 * 2654435761 + 968665207) % 1000000007 AS h2
+            FROM folded),
+        bits AS (
+            SELECT doc_id,
+                   {sums}
+            FROM hashed GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS s FROM bits),
+        e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.s, b.s)) <= 3)
+        SELECT id_b AS doc_id,
+               min(id_a) AS winner,
+               CAST(count(DISTINCT id_a) AS BIGINT) AS n_candidates,
+               CAST(arg_min(hamming, id_a) AS INTEGER) AS win_hamming
+        FROM e GROUP BY 1
+    """.format(
+        sums=",\n                   ".join(
+            f"sum(CASE WHEN (h{1 + i // 28} // {1 << (i % 28)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+            for i in range(56)
+        ),
+        fp=" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(56)),
+        toks=_TOKS,
+    ),
+    doc="SimHash dedup decision audit (the Hamming family's "
+    "explainability face, minhash_dedup_decisions' sibling — together "
+    "the two dedup families both answer 'why is my doc gone, to whom, "
+    "and how close was it'): every doc the greedy min-id policy drops "
+    "reports the smallest-id verified winner, its distinct verified-"
+    "candidate count, and the Hamming distance to that winner (the "
+    "numeric evidence an appeal cites), from the SAME banded pipeline "
+    "the dedup runs — one fingerprint pass, one bucket shuffle, one "
+    "grouped pass over the verified pair set "
+    "(operators/dedup.simhash_band_pairs)",
+)
+def q_simhash_dedup_decisions(spark, sf_dir):
+    from hadoop_app_spark.operators.dedup import simhash_band_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_band_pairs(d, "text", "doc_id")
+    return pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("winner"),
+        F.countDistinct("id_a").alias("n_candidates"),
+        F.min_by("hamming", "id_a").alias("win_hamming"),
+    )
+
+
+@query(
     "minhash_cluster_canonical",
     oracle="""
         WITH RECURSIVE {banded},
@@ -7569,6 +7639,64 @@ def q_hll_distinct_shingles(spark, sf_dir):
         "source", F.explode(ngrams_from_tokens(tokenize("text"), 3)).alias("s")
     )
     regs = build_hll(sh, "s", ["source"])
+    return _hll_shingle_finish(regs, sh)
+
+
+@query(
+    "hll_index_increment",
+    # register merges are associative max-per-cell, so seed(day 0) +
+    # merge(day 1) + merge(day 2) must hold EXACTLY the registers a
+    # one-shot build over the whole corpus holds — the oracle rebuilds
+    # every cell from scratch over the union and compares
+    # register-for-register (a dropped batch, a mismatched precision,
+    # or a lost cell all change some register's max rho)
+    oracle="""
+        WITH sh AS (
+            SELECT source, array_to_string(toks[i:i+2], ' ') AS s
+            FROM (SELECT source, {toks} AS toks FROM documents) t,
+                 unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i))
+        SELECT source, CAST(h // 1048576 AS INTEGER) AS register,
+               CAST(max(CASE WHEN h % 1048576 = 0 THEN 21
+                        ELSE 21 - length(bin(h % 1048576)) END) AS INTEGER)
+                   AS max_rho
+        FROM (SELECT source,
+                     CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+              FROM sh)
+        GROUP BY 1, 2
+    """.format(toks=_TOKS),
+    doc="persisted HLL sketch index with daily merges (operators/corpus."
+    "seed_hll_index/merge_hll_index — the sketch family's member of the "
+    "persisted-index lifecycle beside the MinHash/SimHash band indexes "
+    "and the IVF cells): 'distinct shingles per source across everything "
+    "ever ingested' stays answerable from a table bounded at |groups| x "
+    "2^p rows FOREVER — the index is seeded from a third of the corpus "
+    "and two daily batches merge in by one exchange-free bucketed "
+    "full-outer max-per-cell join each (O(batch) scan + O(index) merge, "
+    "history never re-read); precision p is pinned as a table property "
+    "so a mismatched merge fails loudly. Registers merge associatively, "
+    "so the final state equals a one-shot build — checked CELL-FOR-CELL "
+    "by the oracle, the strongest form the sketch admits",
+)
+def q_hll_index_increment(spark, sf_dir):
+    from hadoop_app_spark.operators.corpus import merge_hll_index, seed_hll_index
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(ngrams_from_tokens(tokenize("text"), 3)).alias("s"),
+    )
+    tbl = "hll_shingle_index"  # fixed name + overwrite: idempotent
+    seed_hll_index(sh.where(F.col("doc_id") % 3 == 0), "s", ["source"], tbl)
+    for gen in (1, 2):
+        merge_hll_index(
+            sh.where(F.col("doc_id") % 3 == gen), tbl, "s", ["source"]
+        )
+    return spark.table(tbl).select("source", "register", "max_rho")
+
+
+def _hll_shingle_finish(regs, sh):
+    from hadoop_app_spark.operators.corpus import hll_estimate
+
     est = hll_estimate(regs, ["source"])
     exact = sh.groupBy("source").agg(
         F.countDistinct("s").alias("exact_distinct")
@@ -11416,8 +11544,15 @@ _PRIORITY = [
     # exact milli-units; one map-side-combined (variant, user) shuffle
     "ab_test_summary",
     # snapshot time travel (r10): read-at-version over the CDC
-    # versioned layout — per-partition reconstruction from FS listings
+    # versioned layout via immutable per-version manifest sidecars
     "snapshot_time_travel",
+    # SimHash dedup decision audit (r10): the Hamming family's
+    # takedown/appeal record — winner, candidate count, win distance
+    "simhash_dedup_decisions",
+    # persisted HLL sketch index (r10): the sketch family's lifecycle
+    # member — daily max-per-cell merges, final state == one-shot
+    # build, cell-for-cell oracle
+    "hll_index_increment",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --

@@ -2965,3 +2965,33 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     out = {r.node: r.community for r in label_propagation(edges, nodes, iters=1).collect()}
     assert out["y"] == "x"
     assert out["x"] == "y" and out["z"] == "y"  # their only neighbor
+
+
+def test_hll_index_merge_equals_one_shot_and_guards_precision(spark):
+    """Register merges are associative: seed + two daily merges holds
+    exactly the one-shot build's registers; a merge at a different
+    precision fails loudly before touching a register."""
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.corpus import (
+        build_hll,
+        merge_hll_index,
+        seed_hll_index,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", F.col("text").alias("s")
+    )
+    seed_hll_index(d.where(F.col("doc_id") % 3 == 0), "s", ["source"], "hll_t1")
+    for gen in (1, 2):
+        merge_hll_index(d.where(F.col("doc_id") % 3 == gen), "hll_t1", "s", ["source"])
+    got = {
+        (r.source, r.register): r.max_rho for r in spark.table("hll_t1").collect()
+    }
+    want = {
+        (r.source, r.register): r.max_rho
+        for r in build_hll(d, "s", ["source"]).collect()
+    }
+    assert got == want
+    with _pytest.raises(ValueError, match="p="):
+        merge_hll_index(d.limit(5), "hll_t1", "s", ["source"], p=10)
