@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "snapshot_time_travel",
     "simhash_dedup_decisions",
     "hll_index_increment",
+    "distribution_drift",
 ]
 
 

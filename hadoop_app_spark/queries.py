@@ -3892,6 +3892,53 @@ def q_minhash_dedup_decisions(spark, sf_dir):
 
 
 @query(
+    "distribution_drift",
+    # the two snapshots are deterministic halves of documents (doc_id
+    # parity), bins = n_chars div 200; every output is exact integer
+    # arithmetic (grouped counts + milli integer div + abs), so the
+    # drift readout is bit-identical in any engine — per-bin
+    # attribution ships WITH the metric (total variation distance =
+    # sum(diff_milli)/2, left to the caller)
+    oracle="""
+        WITH o AS (SELECT n_chars // 200 AS bin, count(*) AS n_old
+                   FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        n AS (SELECT n_chars // 200 AS bin, count(*) AS n_new
+              FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        m AS (SELECT coalesce(o.bin, n.bin) AS bin,
+                     CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+                     CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+              FROM o FULL OUTER JOIN n ON o.bin = n.bin),
+        t AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_,
+                     CAST(sum(n_new) AS BIGINT) AS tn FROM m)
+        SELECT bin, n_old, n_new,
+               CAST(n_old * 1000 // to_ AS BIGINT) AS old_milli,
+               CAST(n_new * 1000 // tn AS BIGINT) AS new_milli,
+               CAST(abs(n_old * 1000 // to_ - n_new * 1000 // tn) AS BIGINT)
+                   AS diff_milli
+        FROM m CROSS JOIN t
+    """,
+    doc="binned distribution drift between snapshots (operators/"
+    "expectations.distribution_drift — the drift gate beside the value "
+    "expectations: 'did this crawl shift the length distribution, and "
+    "WHICH bins moved'): per-bin counts and shares for both snapshots "
+    "plus the absolute share difference, all exact integer milli-units "
+    "(the PSI/KL alternatives need ln — engine-divergent; total "
+    "variation distance = sum(diff_milli)/2 falls out of the rows); one "
+    "map-side-combined grouped count per snapshot, one full-outer merge "
+    "on the bin key, output |bins|",
+)
+def q_distribution_drift(spark, sf_dir):
+    from hadoop_app_spark.operators.expectations import distribution_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return distribution_drift(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        F.expr("n_chars div 200"),
+    )
+
+
+@query(
     "simhash_dedup_decisions",
     # the Hamming family's decision audit (minhash_dedup_decisions'
     # sibling): banding recall is EXACT for max_hamming < bands
@@ -11553,6 +11600,9 @@ _PRIORITY = [
     # member — daily max-per-cell merges, final state == one-shot
     # build, cell-for-cell oracle
     "hll_index_increment",
+    # binned distribution drift (r10): the snapshot drift gate in
+    # exact milli-units — per-bin attribution ships with the metric
+    "distribution_drift",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --

@@ -95,6 +95,14 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # size; the corpus-side work is the one distinct hash-agg inside
     # build_kmv, machine-checked exact by the oracle
     "kmv_source_overlap",
+    # ab_test_summary: the control arm's ONE-ROW rate crossJoin-
+    # broadcasts onto the |variants|-row rollup for the lift columns —
+    # the one-row-stats class
+    "ab_test_summary",
+    # distribution_drift: the ONE-ROW (total_old, total_new) aggregate
+    # crossJoin-broadcasts onto the |bins|-row merge for the milli
+    # shares — the one-row-stats class
+    "distribution_drift",
 }
 
 
