@@ -100,6 +100,27 @@ class ForeignKey:
         return f"foreign_key({self.col}->{self.dim_col})"
 
 
+@dataclass(frozen=True)
+class DriftBound:
+    """Distribution-drift admission gate: the batch's binned
+    distribution (``bin_expr``, a SQL expression over the batch's
+    columns) may differ from ``reference``'s by at most
+    ``max_tvd_milli`` total variation distance (milli-units, the
+    `distribution_drift` metric). The gate a continuously-fed corpus
+    needs beyond row-local checks: a feed whose rows are individually
+    valid can still silently shift the length/language/quality MIX —
+    this quarantines such batches with the drifted bins attributable
+    via `distribution_drift` on the quarantined file."""
+
+    bin_expr: str
+    reference: DataFrame = field(compare=False)
+    max_tvd_milli: int = 100
+
+    @property
+    def name(self) -> str:
+        return f"drift_bound({self.bin_expr},{self.max_tvd_milli})"
+
+
 def _sum0(cond: Column) -> Column:
     """Violation counter that is 0 (not NULL) on an EMPTY table: a
     bare sum over zero rows is NULL, which would make ``passed`` NULL
@@ -148,16 +169,21 @@ def check_expectations(df: DataFrame, expectations: list) -> DataFrame:
     ``RowCountBetween``), so 0 means clean.
 
     Cost: ONE wide aggregate scan for all scan-local expectations plus
-    one left-anti join per ``ForeignKey``; the verdict frame itself is
-    |expectations| rows.
+    one left-anti join per ``ForeignKey`` and one grouped-count merge
+    per ``DriftBound`` (whose reference side is pre-aggregated once by
+    Spark's plan — the batch side is the only per-call scan); the
+    verdict frame itself is |expectations| rows.
     """
     if not expectations:
         raise ValueError(
             "no expectations given — an empty gate would silently pass "
             "everything; assert at least one check (or skip the call)"
         )
-    local = [e for e in expectations if not isinstance(e, ForeignKey)]
+    local = [
+        e for e in expectations if not isinstance(e, (ForeignKey, DriftBound))
+    ]
     fks = [e for e in expectations if isinstance(e, ForeignKey)]
+    drifts = [e for e in expectations if isinstance(e, DriftBound)]
     parts = []
     if local:
         wide = df.agg(
@@ -194,6 +220,23 @@ def check_expectations(df: DataFrame, expectations: list) -> DataFrame:
                 F.lit(e.name).alias("expectation"),
                 "metric",
                 (F.col("metric") == 0).alias("passed"),
+            )
+        )
+    for e in drifts:
+        # TVD in milli-units = sum(|old_share - new_share|) / 2 over
+        # the drift rows; half-integers are exact doubles, so the
+        # metric is engine- and partitioning-independent like every
+        # other gate metric
+        tvd = distribution_drift(e.reference, df, F.expr(e.bin_expr)).agg(
+            (F.coalesce(F.sum("diff_milli"), F.lit(0)) / F.lit(2.0))
+            .cast("double")
+            .alias("metric")
+        )
+        parts.append(
+            tvd.select(
+                F.lit(e.name).alias("expectation"),
+                "metric",
+                (F.col("metric") <= e.max_tvd_milli).alias("passed"),
             )
         )
     out = parts[0]

@@ -2995,3 +2995,80 @@ def test_hll_index_merge_equals_one_shot_and_guards_precision(spark):
     assert got == want
     with _pytest.raises(ValueError, match="p="):
         merge_hll_index(d.limit(5), "hll_t1", "s", ["source"], p=10)
+
+
+def test_drift_bound_expectation_gates_shifted_batches(spark):
+    """DriftBound admits a batch whose binned distribution matches the
+    reference and fails one that shifted — with the TVD metric in the
+    verdict so the quarantine reason is quantified."""
+    from hadoop_app_spark.operators.expectations import (
+        DriftBound,
+        check_expectations,
+    )
+
+    # reference: uniform over bins 0..3 (v in 0..399, bin = v div 100)
+    ref = spark.createDataFrame([(i, i % 400) for i in range(400)], "id long, v long")
+    ok_batch = spark.createDataFrame(
+        [(1000 + i, (i * 5) % 400) for i in range(80)], "id long, v long"
+    )
+    skew_batch = spark.createDataFrame(
+        [(2000 + i, i % 100) for i in range(80)], "id long, v long"  # bin 0 only
+    )
+    spec = [DriftBound("v div 100", ref, max_tvd_milli=100)]
+    ok = check_expectations(ok_batch, spec).collect()[0]
+    assert ok["passed"] and ok["metric"] == 0.0
+    bad = check_expectations(skew_batch, spec).collect()[0]
+    # skew batch: all mass in bin 0 (1000 milli vs 250) -> TVD = 750
+    assert not bad["passed"] and bad["metric"] == 750.0
+
+
+def test_drift_bound_gates_streaming_ingest(spark, tmp_path):
+    """The drift gate composes with the validated ingest stream: a
+    distribution-shifted file quarantines whole (tagged with the
+    drift_bound expectation name) while a matching file is admitted."""
+    import os
+
+    from hadoop_app_spark.operators.expectations import DriftBound
+    from hadoop_app_spark.operators.dedup import seed_minhash_index
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    ref = d.where(F.col("doc_id") % 3 == 0)
+    seed_minhash_index(ref, "text", "doc_id", "drift_seed_idx")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _land(df, gen):
+        stage = str(tmp_path / f"s{gen}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"g{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
+
+    # batch 1 mirrors the reference mix; batch 2 is all-short docs
+    _land(d.where(F.col("doc_id") % 3 == 1), 1)
+    _land(
+        d.where(F.col("doc_id") % 3 == 2).withColumn(
+            "n_chars", F.col("n_chars") % 50
+        ),
+        2,
+    )
+    out, quar, ck = (str(tmp_path / x) for x in ("out", "quar", "ck"))
+    q = dedup_ingest_stream(
+        spark, src, d.schema, "drift_seed_idx", "text", "doc_id", out, ck,
+        expectations=[DriftBound("n_chars div 200", ref, max_tvd_milli=400)],
+        quarantine_path=quar,
+    )
+    q.awaitTermination()
+    admitted = spark.read.parquet(out)
+    quarantined = spark.read.parquet(quar)
+    assert admitted.where(F.col("generation") == 1).count() > 0
+    assert admitted.where(F.col("generation") == 2).count() == 0
+    reasons = {r.quarantine_reason for r in quarantined.select("quarantine_reason").collect()}
+    assert len(reasons) == 1 and "drift_bound" in next(iter(reasons))
