@@ -259,6 +259,24 @@ SHOWCASE["suppliers_kept_waiting"] = (
     "short-circuit on first match, and the <> residual is evaluated "
     "in-join, so the only exchanges are the two orderkey shuffles",
 )
+SHOWCASE["timeseries_downsample"] = (
+    "ONE HashAggregate pair (partial -> final) over the event scan: "
+    "open/close are struct-min/max aggregates, so EVERY OHLC measure "
+    "partial-combines map-side; no Window, no second scan",
+    "the shuffle carries |keys x weeks| partial rows per map partition "
+    "— the probe measured BYTE-IDENTICAL exchange (86,710 B) at 1x and "
+    "10x input: grain reduction whose network cost is grid-bound, not "
+    "row-bound",
+)
+SHOWCASE["hll_index_increment"] = (
+    "the returned plan is the index's bare bucketed scan; the merge's "
+    "OWN plan (audited via the matview convention) joins the batch's "
+    "<= |groups| x 2^p partial registers against 'FileScan ... "
+    "Bucketed: true' with NO Exchange above the index side",
+    "the persisted-sketch lifecycle: daily distinct-count maintenance "
+    "costs one O(batch) scan + one bounded merge — history is never "
+    "re-read, and the index is |groups| x 4096 rows forever",
+)
 SHOWCASE["set_similarity_join"] = (
     "shingle explode -> df aggregate -> rarest-first sort_array inside a "
     "per-doc aggregate -> prefix Slice+Generate -> ONE equi-join on the "
