@@ -819,12 +819,21 @@ def _band_permutation(bits: int, seed: int) -> list[int]:
 def _permute_bits(col: Column, perm: list[int]) -> Column:
     """Apply a bit permutation to a long fingerprint column: the terms
     are disjoint single bits, so the sum IS the permuted value (bounded
-    |perm| shift/mask expressions — whole-stage-codegen friendly)."""
-    out = None
-    for dst, src in enumerate(perm):
-        term = F.shiftleft(F.shiftright(col, int(src)).bitwiseAND(F.lit(1)), dst)
-        out = term if out is None else out + term
-    return out.cast("long")
+    |perm| shift/mask expressions). Summed as a BALANCED tree, not a
+    chain: Catalyst's analysis/codegen walks expression trees
+    recursively, and a |perm|-deep Add chain measurably taxes every
+    plan that embeds it (the banding runs at three sites per
+    increment) — log-depth costs the same arithmetic and plans flat."""
+    terms = [
+        F.shiftleft(F.shiftright(col, int(src)).bitwiseAND(F.lit(1)), dst)
+        for dst, src in enumerate(perm)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0].cast("long")
 
 
 def simhash_band_rows(

