@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "simhash_dedup_decisions",
     "hll_index_increment",
     "distribution_drift",
+    "robust_scale_features",
 ]
 
 

@@ -64,6 +64,50 @@ def winsorize(
     )
 
 
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    out_col: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Median/IQR standardization — `winsorize`'s scaling sibling and
+    the robust alternative to mean/stddev z-scores (a handful of
+    outliers move a mean arbitrarily; they barely move the quartiles):
+    ``scaled = (v - median) / (q3 - q1)`` with all three cut points
+    exact type-1 order statistics from the bounded 2-pass extraction.
+
+    Quartile probabilities 1/4, 1/2, 3/4 are EXACT binary fractions
+    (the `winsorize` rank argument), the cuts are SELECTED values, and
+    the scaling is one subtraction + one correctly-rounded IEEE
+    division per row — bit-identical in any engine, which is what lets
+    the registry oracle value-hash the scaled doubles. Degenerate
+    distributions (IQR 0) raise rather than divide by zero.
+
+    Returns ``(frame with out_col appended, {"q1":v,"med":v,"q3":v})``.
+    """
+    from hadoop_app_spark.operators.windows import grouped_percentile_disc
+
+    qs = grouped_percentile_disc(
+        df.select(value_col).withColumn("_g", F.lit(1)),
+        ["_g"], value_col, [0.25, 0.5, 0.75],
+    ).get((1,), {})
+    q1, med, q3 = qs[0.25], qs[0.5], qs[0.75]
+    if q3 == q1:
+        raise ValueError(
+            f"robust_scale({value_col}): IQR is 0 (q1 == q3 == {q1}) — a "
+            "degenerate distribution has no robust scale; winsorize or "
+            "filter first"
+        )
+    out_col = out_col or f"{value_col}_scaled"
+    return (
+        df.withColumn(
+            out_col,
+            (F.col(value_col) - F.lit(med)).cast("double")
+            / F.lit(float(q3 - q1)),
+        ),
+        {"q1": q1, "med": med, "q3": q3},
+    )
+
+
 def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     """One-row skew profile of ``key_col``: [n_rows, n_keys, max_rows,
     max_share_milli, topk_share_milli, p50_rows, p90_rows, p99_rows].

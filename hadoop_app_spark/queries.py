@@ -2272,6 +2272,42 @@ def q_winsorize_features(spark, sf_dir):
 
 
 @query(
+    "robust_scale_features",
+    # the three quartile cuts are exact type-1 order statistics at
+    # EXACT-binary probabilities (1/4, 1/2, 3/4 — float rank ceil ==
+    # integer rank arithmetic at any n), and the scaling is one
+    # subtraction + one correctly-rounded IEEE division of SELECTED
+    # values per row — the scaled doubles value-hash cross-engine
+    oracle="""
+        WITH c AS (SELECT value AS v, count(*) AS cnt FROM events GROUP BY 1),
+        cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+        tot AS (SELECT count(*) AS n FROM events),
+        b AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+                     min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med,
+                     min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+              FROM cum CROSS JOIN tot)
+        SELECT event_id, value,
+               (value - med) / (q3 - q1) AS value_scaled
+        FROM events CROSS JOIN b
+    """,
+    doc="robust feature scaling by median/IQR (operators/skew."
+    "robust_scale — winsorize's scaling sibling, the feature-prep trio's "
+    "third member beside min-max and clamping: quartiles barely move "
+    "under the outliers that drag a mean/stddev z-score arbitrarily): "
+    "the three cuts come from the bounded 2-pass order-statistic "
+    "extraction at exact-binary quartile probabilities, the per-row "
+    "scaling is one narrow codegen map, and degenerate IQR-0 "
+    "distributions raise instead of dividing by zero",
+)
+def q_robust_scale_features(spark, sf_dir):
+    from hadoop_app_spark.operators.skew import robust_scale
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out, _cuts = robust_scale(ev, "value", out_col="value_scaled")
+    return out
+
+
+@query(
     "snapshot_column_diff",
     # deterministic snapshot views of orders (drop %11 from old, drop
     # %13 from new, flip status at %7, bump price at %5 — +1.0 on a
@@ -11588,6 +11624,9 @@ _PRIORITY = [
     # percentiles from the bounded 2-pass extraction; binary-fraction
     # tails keep float rank ceil integer-exact
     "winsorize_features",
+    # robust median/IQR scaling (r10): the feature-prep trio's third
+    # member — exact-binary quartile cuts, one IEEE division per row
+    "robust_scale_features",
     # column-level snapshot change profile (r10): corpus_diff's
     # per-column companion — one full-outer join, one wide aggregate
     "snapshot_column_diff",

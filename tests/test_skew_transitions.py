@@ -147,3 +147,22 @@ def test_column_change_profile_null_safety(spark):
     # s: only k=3 changed (c -> NULL); k=2 NULL -> NULL is NOT a change
     # x: only k=1 changed (NULL -> 7)
     assert prof == {"s": (1, 1, 3, 1), "x": (1, 1, 3, 1)}
+
+
+def test_robust_scale_cuts_and_degenerate_guard(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.skew import robust_scale
+
+    vals = [float(i) for i in range(1, 9)]  # q1=2, med=4, q3=6 (type-1)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    out, cuts = robust_scale(df, "v")
+    assert cuts == {"q1": 2.0, "med": 4.0, "q3": 6.0}
+    rows = {r["id"]: r["v_scaled"] for r in out.collect()}
+    assert rows[3] == 0.0 and rows[7] == 1.0  # (4-4)/4, (8-4)/4
+
+    import pytest as _pytest
+
+    flat = spark.createDataFrame([(i, 5.0) for i in range(10)], "id long, v double")
+    with _pytest.raises(ValueError, match="IQR is 0"):
+        robust_scale(flat, "v")
