@@ -222,27 +222,59 @@ def rebuild_ivf_index(
     same corpus would — only the cell structure changes, which is why
     the registry entry shares `_IVF_ORACLE` with the build.
 
-    Swap discipline: the new layout is built COMPLETELY at a sibling
-    ``path + '__rebuild'`` staging dir (reading the old index while
-    writing elsewhere — never the read-and-overwrite lazy-plan
-    hazard), then the old dir is deleted and the staging dir renamed
-    in. A crash mid-build leaves the live index untouched; a crash
-    between delete and rename is recoverable (the staging dir is
-    complete — re-running the rebuild finishes the swap). At 100 TB
-    the rebuild is one full re-assignment scan + one partitioned
-    write — the amortized cost the append path avoids daily.
+    Swap discipline (ADVICE r10: a COMPLETE copy of the index exists
+    under SOME name at every instant): the new layout is built
+    COMPLETELY at a sibling ``path + '__rebuild'`` staging dir
+    (reading the old index while writing elsewhere — never the
+    read-and-overwrite lazy-plan hazard), then swapped in three
+    renames: live -> ``path + '__old'``, staging -> live, delete
+    ``__old``. A crash mid-build leaves the live index untouched; a
+    crash between the two renames leaves BOTH the old index (at
+    ``__old``) and the new one (at staging) complete, and re-running
+    the rebuild detects the half-swapped state on entry (live path
+    absent) and finishes the rename before rebuilding — the
+    delete-then-rename window that could orphan the only copy is
+    gone. At 100 TB the rebuild is one full re-assignment scan + one
+    partitioned write — the amortized cost the append path avoids
+    daily.
     """
     from hadoop_app_spark.sources import fs as hfs
 
     staging = path + "__rebuild"
-    # a complete staging dir from a crashed prior rebuild is stale
-    # (appends may have landed since) — always rebuild from live
+    old = path + "__old"
+    if not hfs.exists(spark, path):
+        # half-swapped crash state: the prior rebuild renamed the live
+        # index aside but died before renaming staging in — complete
+        # that swap first so a live index exists to rebuild from
+        if hfs.exists(spark, staging):
+            if not hfs.rename(spark, staging, path):
+                raise RuntimeError(
+                    f"rebuild_ivf_index: recovery rename {staging} -> {path} failed"
+                )
+            hfs.delete(spark, old, recursive=True)
+        elif hfs.exists(spark, old):
+            # staging already renamed in by a parallel recovery, or the
+            # crash hit between delete(path) of a legacy layout — the
+            # aside copy is the only complete index: restore it
+            if not hfs.rename(spark, old, path):
+                raise RuntimeError(
+                    f"rebuild_ivf_index: recovery rename {old} -> {path} failed"
+                )
+        else:
+            raise ValueError(f"rebuild_ivf_index: no index at {path}")
+    # a complete staging/aside dir from a crashed prior rebuild is
+    # stale (appends may have landed since) — always rebuild from live
     hfs.delete(spark, staging, recursive=True)
+    hfs.delete(spark, old, recursive=True)
     cur = spark.read.parquet(path).select(id_col, vec_col)
     build_ivf_index(cur, staging, id_col, vec_col, n_centroids, centroid_source=cur)
-    hfs.delete(spark, path, recursive=True)
+    if not hfs.rename(spark, path, old):
+        raise RuntimeError(f"rebuild_ivf_index: rename {path} -> {old} failed")
     if not hfs.rename(spark, staging, path):
+        # put the live index back rather than leave no readable dir
+        hfs.rename(spark, old, path)
         raise RuntimeError(f"rebuild_ivf_index: rename {staging} -> {path} failed")
+    hfs.delete(spark, old, recursive=True)
 
 
 def index_scan_stats(df: DataFrame) -> dict:

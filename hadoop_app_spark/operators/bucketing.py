@@ -161,13 +161,14 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> dict:
     if scols:
         writer = writer.sortBy(*scols)  # sort spec copied, not assumed == bcols
     # carry user-set properties across the swap (a fresh staging table
-    # has none): the dedup index params recorded by _set_index_params
-    # must survive compaction or the increments' mismatch guard goes
-    # blind after every defrag
+    # has none): the dedup/sketch index params (_set_index_params,
+    # seed_hll_index) and the matview spec+ledger (_pin_spec) must
+    # survive compaction or their mismatch/replay guards go blind
+    # after every defrag
     props = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        if r["key"].startswith("dedup.")
+        if r["key"].startswith(("dedup.", "sketch.", "matview."))
     }
     save_table_recovering_orphan(spark, writer, staging)
     spark.sql(f"DROP TABLE {table}")

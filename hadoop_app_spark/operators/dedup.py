@@ -513,17 +513,18 @@ def dedup_increment(
     nor pair with each other.
 
     Read-your-writes hazard, by construction avoided: the dropped-id
-    set (which READS the index) is materialized to a small sidecar
-    table ``{index_table}_dropped`` (O(batch) rows) BEFORE the append
-    runs — a lazily-returned survivor plan that re-read the live
-    index after the append would find the batch's own band rows and
-    drop every doc against itself. The sidecar is overwritten by the
-    next increment, so consume (write out / count) the returned
-    survivors before the next day's call — the natural daily cadence —
-    or pass a distinct ``dropped_table`` per call (or ``False`` for an
-    executor-side localCheckpoint snapshot — same decoupling, one
-    fewer table round-trip, no replay sidecar) to keep several
-    generations' survivor plans alive at once.
+    set (which READS the index) is pinned as a localCheckpoint —
+    materialized inside the append action itself, whose scan snapshots
+    the index file listing before its own commit — so a lazily-
+    returned survivor plan can never re-read the live index after the
+    append and drop every doc against itself. The checkpoint outlives
+    later increments, so several generations' survivor plans stay
+    valid at once. ``dropped_table`` (default
+    ``{index_table}_dropped``, overwritten per call) additionally
+    persists the dropped ids as a small replay-observability sidecar
+    (O(batch) rows, written from the checkpoint — one trivial job, not
+    a second probe execution); pass ``False`` to skip the sidecar
+    entirely.
     """
     from pyspark import StorageLevel
 
@@ -550,25 +551,20 @@ def dedup_increment(
             minhash_lsh_pairs(sigs, id_col, bands).select(F.col("id_b").alias(id_col)).distinct()
         )
         dropped = hit_ids.union(intra_losers).distinct()
-        # materialize the index-reading subplan NOW, before any append
-        # mutates what spark.table(index_table) resolves to.
-        # dropped_table=False: executor-side localCheckpoint instead of
-        # a catalog table — same read-your-writes decoupling, one fewer
-        # table round-trip; for batch pipelines that don't need the
-        # replay-observability sidecar (the streaming loop passes an
-        # explicit per-epoch table and keeps it)
-        if dropped_table is False:
-            dropped_snap = dropped.localCheckpoint()
-        else:
-            dropped_table = dropped_table or f"{index_table}_dropped"
-            from hadoop_app_spark.operators.bucketing import (
-                save_table_recovering_orphan,
-            )
-
-            save_table_recovering_orphan(
-                spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
-            )
-            dropped_snap = spark.table(dropped_table)
+        # Decouple the index-reading probe subplan from the append that
+        # mutates what spark.table(index_table) resolves to — via a
+        # LAZY localCheckpoint (VERDICT r10 item 3: the separate eager
+        # sidecar job was the heaviest slice of every increment). The
+        # probe executes ONCE, inside whichever action fires first —
+        # normally the index append below, whose scan snapshots the
+        # index file listing before its own commit, so the appended
+        # band rows are invisible to it — and every later consumer
+        # (the returned survivors, the optional replay sidecar) reads
+        # the checkpointed rows, never the live index. With neither an
+        # append nor a sidecar to fire it, checkpoint eagerly: nothing
+        # else pins the probe before `sigs` unpersists.
+        materializes_later = append or dropped_table is not False
+        dropped_snap = dropped.localCheckpoint(eager=not materializes_later)
         survivors = new_batch.join(dropped_snap, id_col, "left_anti")
         if append:
             # banded + survivors read only the batch and the snapshot —
@@ -589,6 +585,20 @@ def dedup_increment(
                 .bucketBy(n_buckets, "bucket")
                 .sortBy("bucket")
                 .saveAsTable(index_table)
+            )
+        if dropped_table is not False:
+            # the replay-observability sidecar, written AFTER the append
+            # from the (now-materialized) checkpoint: a trivial job over
+            # O(batch) ids instead of a second full probe execution
+            dropped_table = dropped_table or f"{index_table}_dropped"
+            from hadoop_app_spark.operators.bucketing import (
+                save_table_recovering_orphan,
+            )
+
+            save_table_recovering_orphan(
+                spark,
+                dropped_snap.write.mode("overwrite").format("parquet"),
+                dropped_table,
             )
     finally:
         # every sigs consumer has materialized (dropped write + append)
@@ -1027,8 +1037,10 @@ def simhash_increment(
     bare bucketed scan (no exchange, no sort) consumed by a
     ShuffledHashJoin whose hash table builds on the small batch side;
     the Hamming verify is a post-join bit_count on two longs. The
-    dropped-id set materializes to ``dropped_table`` BEFORE any append
-    (read-your-writes, same hazard and same fix as `dedup_increment`).
+    dropped-id set is pinned as a localCheckpoint materialized inside
+    the append action (read-your-writes, same hazard and same fix as
+    `dedup_increment`; ``dropped_table`` persists it as the replay
+    sidecar afterwards, one trivial job).
 
     Two honest differences from the MinHash twin:
 
@@ -1104,16 +1116,11 @@ def simhash_increment(
             .distinct()
         )
         dropped = hit_ids.union(intra_losers).distinct()
-        # dropped_table=False: localCheckpoint snapshot, no catalog
-        # table — see dedup_increment's twin block
-        if dropped_table is False:
-            dropped_snap = dropped.localCheckpoint()
-        else:
-            dropped_table = dropped_table or f"{index_table}_dropped"
-            save_table_recovering_orphan(
-                spark, dropped.write.mode("overwrite").format("parquet"), dropped_table
-            )
-            dropped_snap = spark.table(dropped_table)
+        # lazy localCheckpoint, materialized by the append (or, absent
+        # one, by the sidecar write / eagerly) — ONE probe execution
+        # for all consumers; see dedup_increment's twin block
+        materializes_later = append or dropped_table is not False
+        dropped_snap = dropped.localCheckpoint(eager=not materializes_later)
         survivors = new_batch.join(dropped_snap, id_col, "left_anti")
         if append:
             surv_rows = (
@@ -1133,6 +1140,15 @@ def simhash_increment(
                 .bucketBy(n_buckets, "bucket")
                 .sortBy("bucket")
                 .saveAsTable(index_table)
+            )
+        if dropped_table is not False:
+            # replay sidecar from the materialized checkpoint — one
+            # trivial job, not a second probe execution
+            dropped_table = dropped_table or f"{index_table}_dropped"
+            save_table_recovering_orphan(
+                spark,
+                dropped_snap.write.mode("overwrite").format("parquet"),
+                dropped_table,
             )
     finally:
         # every sh consumer has materialized (dropped write + append)

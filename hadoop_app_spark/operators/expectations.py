@@ -264,7 +264,16 @@ def distribution_drift(
     engine-divergent): shares are ``count * 1000 div total`` and the
     diff is an absolute integer difference, bit-identical anywhere.
     Scale shape: one grouped count per snapshot (map-side combined),
-    one full-outer merge on the bin key, output = |bins|."""
+    one full-outer merge on the bin key, output = |bins|.
+
+    Edge semantics (ADVICE r10): the bin merge is NULL-SAFE — a NULL
+    bin (e.g. a NULL input column) is ONE group on both sides, exactly
+    as GROUP BY already treats it, so it merges into one row instead
+    of inflating TVD as an old-only + new-only pair. And an EMPTY side
+    raises at evaluation (``raise_error`` inside the share expression)
+    rather than NULL-ing every share — an empty reference would
+    otherwise coalesce to TVD 0 downstream and wave ANY batch through
+    a `DriftBound` gate."""
     b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
 
     def _binned(df, n_name):
@@ -272,22 +281,36 @@ def distribution_drift(
             F.count("*").alias(n_name)
         )
 
-    o, n = _binned(old, "n_old"), _binned(new, "n_new")
-    merged = o.join(n, out_bin, "full_outer").select(
-        out_bin,
+    o = _binned(old, "n_old").withColumnRenamed(out_bin, "_ob")
+    n = _binned(new, "n_new").withColumnRenamed(out_bin, "_nb")
+    merged = o.join(n, F.col("_ob").eqNullSafe(F.col("_nb")), "full_outer").select(
+        F.coalesce("_ob", "_nb").alias(out_bin),
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
     tot = merged.agg(
         F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn")
     )
+
+    def _share(cnt: str, total: str, side: str):
+        return F.when(
+            F.col(total) == 0,
+            F.raise_error(
+                F.lit(
+                    f"distribution_drift: the {side} snapshot is empty — "
+                    "shares are undefined and a TVD of 0 against nothing "
+                    "must not pass a drift gate"
+                )
+            ).cast("long"),
+        ).otherwise(F.expr(f"{cnt} * 1000 div {total}"))
+
+    old_m = _share("n_old", "_to", "old/reference")
+    new_m = _share("n_new", "_tn", "new")
     return merged.crossJoin(F.broadcast(tot)).select(
         out_bin,
         "n_old",
         "n_new",
-        F.expr("n_old * 1000 div _to").alias("old_milli"),
-        F.expr("n_new * 1000 div _tn").alias("new_milli"),
-        F.abs(
-            F.expr("n_old * 1000 div _to") - F.expr("n_new * 1000 div _tn")
-        ).alias("diff_milli"),
+        old_m.alias("old_milli"),
+        new_m.alias("new_milli"),
+        F.abs(old_m - new_m).alias("diff_milli"),
     )

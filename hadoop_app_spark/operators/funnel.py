@@ -222,22 +222,44 @@ def ab_test_summary(
     converts if ANY of their events satisfies it (max over an int
     cast). Scale shape: one (variant, user) pre-aggregate with
     map-side combine (the only event-volume shuffle), one |variants|-
-    row rollup, one broadcast of the single control row."""
-    per_user = df.groupBy(variant_col, user_col).agg(
-        F.max(converted.cast("int")).alias("_c")
+    row rollup (checkpointed — the control lookup and the returned
+    frame read ONE materialization), one single-row bounded collect
+    for the control rate.
+
+    Loud-failure edges (ADVICE r10): an absent ``control_value`` arm
+    raises (a crossJoin against the empty control row would silently
+    return an EMPTY readout); a control arm whose conversion rate
+    truncates to 0 milli yields NULL ``lift_milli`` (the relative
+    delta is undefined — 0 div 0 must not pass as data) while
+    ``diff_milli`` still carries the absolute delta."""
+    per_var = (
+        df.groupBy(variant_col, user_col)
+        .agg(F.max(converted.cast("int")).alias("_c"))
+        .groupBy(variant_col)
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("_c").cast("long").alias("n_converted"),
+        )
+        .withColumn("cr_milli", F.expr("n_converted * 1000 div n_users"))
+        .localCheckpoint(eager=True)
     )
-    per_var = per_user.groupBy(variant_col).agg(
-        F.count("*").alias("n_users"),
-        F.sum("_c").cast("long").alias("n_converted"),
-    ).withColumn("cr_milli", F.expr("n_converted * 1000 div n_users"))
-    ctrl = per_var.where(F.col(variant_col) == control_value).select(
-        F.col("cr_milli").alias("_cr0")
+    ctrl = per_var.where(F.col(variant_col) == control_value).select("cr_milli").collect()
+    if not ctrl:
+        raise ValueError(
+            f"ab_test_summary: no {variant_col}={control_value!r} arm in the "
+            "data — every delta is relative to the control arm"
+        )
+    cr0 = ctrl[0]["cr_milli"]
+    lift = (
+        F.expr(f"(cr_milli - {cr0}) * 1000 div {cr0}")
+        if cr0 != 0
+        else F.lit(None).cast("long")
     )
-    return per_var.crossJoin(F.broadcast(ctrl)).select(
+    return per_var.select(
         variant_col,
         "n_users",
         "n_converted",
         "cr_milli",
-        (F.col("cr_milli") - F.col("_cr0")).alias("diff_milli"),
-        F.expr("(cr_milli - _cr0) * 1000 div _cr0").alias("lift_milli"),
+        (F.col("cr_milli") - F.lit(cr0)).cast("long").alias("diff_milli"),
+        lift.alias("lift_milli"),
     )

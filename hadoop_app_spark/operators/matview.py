@@ -419,8 +419,11 @@ def matview_changes(
     ONE transaction — ``max(mv_epoch)`` over the target is the applied
     epoch, closing the overwrite-then-pin crash window (the one resid-
     ual: a batch that ONLY deletes leaves no epoch-carrying row, so
-    its crash-replay re-raises the negative-count guard loudly instead
-    of double-applying — fail-safe, never silent).
+    the ledger alone cannot skip its crash-replay; the streaming sink
+    detects that exact signature — delete-only batch, no retraction
+    key present in the view — and skips it, matching MERGE's own
+    idempotent-delete semantics, see `streaming/ingest.
+    matview_refresh_stream`).
 
     Same validation and MIN/MAX dirty-group rules as
     `refresh_agg_view`; *current_base* is needed only when a

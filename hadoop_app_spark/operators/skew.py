@@ -54,6 +54,10 @@ def winsorize(
     qs = grouped_percentile_disc(
         df.select(value_col).withColumn("_g", F.lit(1)), ["_g"], value_col, [lo, hi]
     ).get((1,), {})
+    if not qs:
+        raise ValueError(
+            f"winsorize({value_col}): empty input — no percentiles to clamp on"
+        )
     lo_v, hi_v = qs[lo], qs[hi]
     out_col = out_col or f"{value_col}_wins"
     return (
@@ -90,6 +94,10 @@ def robust_scale(
         df.select(value_col).withColumn("_g", F.lit(1)),
         ["_g"], value_col, [0.25, 0.5, 0.75],
     ).get((1,), {})
+    if not qs:
+        raise ValueError(
+            f"robust_scale({value_col}): empty input — no quartiles to scale on"
+        )
     q1, med, q3 = qs[0.25], qs[0.5], qs[0.75]
     if q3 == q1:
         raise ValueError(

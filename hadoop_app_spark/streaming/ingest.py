@@ -248,6 +248,26 @@ def matview_refresh_stream(
             done = view.agg(F.max("mv_epoch").alias("e")).collect()[0]["e"]
             if done is not None and epoch_id <= done:
                 return  # crash-replayed batch: the MERGE committed
+            # A crash-replayed batch whose change set was ALL deletes
+            # left no epoch-carrying row in the target (the residual
+            # the matview_changes docstring names), so the ledger above
+            # cannot skip it and re-computing its changes would trip
+            # the negative-count guard FOREVER — a wedged stream
+            # (ADVICE r10). Its exact signature: no inserts AND none of
+            # its retraction keys present in the view (a partial delete
+            # leaves a 'U' row that advances the ledger, so it never
+            # gets here). Skipping matches the target's own MERGE
+            # semantics, where a delete of an absent key is a no-op.
+            if batch_df.where(F.col(op_col) == "I").isEmpty():
+                ret_keys = (
+                    batch_df.where(F.col(op_col) == "D")
+                    .select(*spec["keys"])
+                    .distinct()
+                )
+                if view.join(
+                    F.broadcast(ret_keys), spec["keys"], "left_semi"
+                ).isEmpty():
+                    return
             changes = matview_changes(
                 view.drop("mv_epoch"),
                 spec["keys"],

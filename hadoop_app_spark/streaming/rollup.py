@@ -31,13 +31,13 @@ def current_rollup(spark, root: str) -> DataFrame | None:
     """Latest committed rollup, or None before the first batch."""
     from hadoop_app_spark.streaming.cdc import _partition_paths
 
-    v, _, pvers = _state.read_manifest(spark, root)
+    v, _, pvers, exact = _state.read_manifest(spark, root)
     if v < 0:
         return None
     if pvers is None:
         # legacy layout: one whole-rollup dir per version
         return spark.read.parquet(os.path.join(root, f"v{v}"))
-    paths = _partition_paths(spark, root, pvers)
+    paths = _partition_paths(spark, root, pvers, exact=exact)
     if not paths:
         return None
     return spark.read.parquet(*paths)
@@ -106,7 +106,7 @@ def incremental_rollup(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        version, last_batch, pvers = _state.read_manifest(spark, rollup_root)
+        version, last_batch, pvers, exact = _state.read_manifest(spark, rollup_root)
         if batch_id <= last_batch:
             # foreachBatch is at-least-once; batch_id is stable across
             # retries, so a replay of an already-merged batch (crash
@@ -136,7 +136,9 @@ def incremental_rollup(
                     _partition_col(merge_keys, p).alias(_PART)
                 ).distinct().collect()
             )
-            paths = _partition_paths(spark, rollup_root, pvers, only=touched)
+            paths = _partition_paths(
+                spark, rollup_root, pvers, only=touched, exact=exact
+            )
             prev = spark.read.parquet(*paths) if paths else None
         if prev is not None:
             # merge on the STORED decimal accumulator — round-tripping
@@ -160,10 +162,26 @@ def incremental_rollup(
             ).mode("overwrite").parquet(os.path.join(rollup_root, f"v{nv}"))
         finally:
             part0.unpersist()
-        new_pvers = [nv] * p if pvers is None else list(pvers)
+        # record emptiness at commit (one listing, probe-free reads):
+        # rollup merges never delete buckets, but a touched partition
+        # can still be dir-less when the batch produced no row for it
+        from hadoop_app_spark.streaming.cdc import _written_partitions
+
+        written = _written_partitions(spark, os.path.join(rollup_root, f"v{nv}"))
+        new_exact = exact or pvers is None
+        new_pvers = [-1] * p if pvers is None else list(pvers)
         for i in touched:
-            new_pvers[i] = nv
-        _state.write_manifest(spark, rollup_root, nv, batch_id, new_pvers)
+            if i in written:
+                new_pvers[i] = nv
+            elif pvers is None:
+                new_pvers[i] = -1
+            # else: untouched-by-the-write carry-forward stays as-is
+            # (a touched partition whose merge output is empty keeps
+            # nothing here — rollup rows never disappear, so if it had
+            # data before it was rewritten and IS in `written`)
+        _state.write_manifest(
+            spark, rollup_root, nv, batch_id, new_pvers, exact=new_exact
+        )
 
     writer = event_stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint_dir is not None:

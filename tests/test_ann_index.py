@@ -245,3 +245,49 @@ def test_rebuild_restores_occupancy_and_pruning(spark, tmp_path):
     # IVF is approximate, but with the rebuilt structure the probed
     # cells contain the true neighborhood for this in-cluster query
     assert got == want
+
+
+def test_rebuild_swap_crash_recovery(spark, tmp_path):
+    """ADVICE r10: a crash between the swap's renames must never leave
+    the staging dir as an unreachable only copy. Simulate both
+    half-swapped states (live renamed aside + staging complete; live
+    missing with only the aside copy) and assert a re-run recovers and
+    rebuilds to the deterministic layout."""
+    from hadoop_app_spark.operators.ann_index import rebuild_ivf_index
+    from hadoop_app_spark.sources import fs as hfs
+
+    emb = _synthetic_drift(spark)
+    path = str(tmp_path / "crash")
+    build_ivf_index(emb, path, n_centroids=8, centroid_source=emb)
+    want = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    )
+
+    # state A: crash between rename(path, __old) and rename(staging, path)
+    hfs.copy_dir(spark, path, path + "__rebuild")
+    assert hfs.rename(spark, path, path + "__old")
+    assert not hfs.exists(spark, path)
+    rebuild_ivf_index(spark, path, n_centroids=8)
+    got = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    )
+    assert got == want  # same corpus + deterministic centroids
+    assert not hfs.exists(spark, path + "__old")
+    assert not hfs.exists(spark, path + "__rebuild")
+
+    # state B: only the aside copy exists (staging already renamed in
+    # by a prior recovery that died before deleting __old, then lost)
+    assert hfs.rename(spark, path, path + "__old")
+    rebuild_ivf_index(spark, path, n_centroids=8)
+    got = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    )
+    assert got == want
+    assert not hfs.exists(spark, path + "__old")
+
+    # no index anywhere: loud, not a silent empty build
+    with pytest.raises(ValueError, match="no index"):
+        rebuild_ivf_index(spark, str(tmp_path / "nowhere"), n_centroids=8)

@@ -58,3 +58,34 @@ def test_cohort_retention_offsets(spark):
     rows = {(r.cohort_week, r.week_offset): r.n_users for r in cohort_retention(ev).collect()}
     w0 = (datetime(2024, 1, 1) - datetime(1970, 1, 5)).days // 7
     assert rows == {(w0, 0): 1, (w0, 2): 1, (w0 + 1, 0): 1}
+
+
+def test_ab_test_summary_loud_edges(spark):
+    """ADVICE r10: an absent control arm raises (never a silently empty
+    readout) and a zero-milli control rate yields NULL lift_milli while
+    diff_milli still carries the absolute delta."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.funnel import ab_test_summary
+
+    ev = _ev(
+        spark,
+        [(1, 1, 1, "view"), (1, 2, 1, "purchase"), (1, 3, 2, "view"),
+         (1, 4, 3, "view"), (1, 5, 4, "purchase")],
+    ).withColumn("variant", F.col("user_id") % 2)
+    conv = F.col("event_type") == "purchase"
+
+    with pytest.raises(ValueError, match="variant=9"):
+        ab_test_summary(ev, "user_id", "variant", conv, control_value=9)
+
+    # control arm (users 2, 4): make it convert nothing -> cr0 = 0
+    ev0 = ev.withColumn(
+        "event_type",
+        F.when(F.col("variant") == 0, F.lit("view")).otherwise(F.col("event_type")),
+    )
+    rows = {r["variant"]: r for r in ab_test_summary(
+        ev0, "user_id", "variant", conv, control_value=0
+    ).collect()}
+    assert rows[0]["lift_milli"] is None and rows[1]["lift_milli"] is None
+    assert rows[1]["diff_milli"] == rows[1]["cr_milli"]

@@ -549,3 +549,55 @@ def test_matview_changes_transactional_target(spark, tmp_path):
     )
     q2.awaitTermination()
     assert {k: v[:4] for k, v in target.state.items()} == got
+
+
+def test_delete_only_batch_replay_does_not_wedge(spark, tmp_path):
+    """ADVICE r10: a delete-only batch whose changes were ALL deletes
+    leaves no epoch-carrying row, so the max(mv_epoch) ledger cannot
+    skip its crash-replay — the sink must detect the replay signature
+    (no inserts, no retraction key present in the view) and skip, like
+    the target's own idempotent MERGE deletes, instead of raising the
+    negative-count guard on every restart forever."""
+    import os
+
+    from hadoop_app_spark.streaming.ingest import matview_refresh_stream
+
+    schema_v = "k int, mv_count bigint, sv bigint, mv_epoch bigint"
+    target = _DictMergeTarget(spark, schema_v)
+    target.state = {1: (1, 2, 30, -1), 2: (2, 1, 5, -1)}
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "op string, k int, v int"
+    # batch 0: fully retracts group 2 — change set is one 'D' row
+    _land(spark, tmp_path, src, 1, [("D", 2, 5)], schema)
+    spec = {"keys": ["k"], "sums": {"sv": "v"}}
+
+    q = matview_refresh_stream(
+        spark, src, schema, "ignored", str(tmp_path / "ck1"),
+        view_target=target, spec=spec,
+    )
+    q.awaitTermination()
+    assert set(target.state) == {1}
+
+    # crash-replay: a fresh checkpoint re-delivers the delete-only
+    # batch; the ledger (max mv_epoch = -1) cannot skip it — the
+    # replay signature must
+    q2 = matview_refresh_stream(
+        spark, src, schema, "ignored", str(tmp_path / "ck2"),
+        view_target=target, spec=spec,
+    )
+    q2.awaitTermination()  # raises StreamingQueryException if wedged
+    assert set(target.state) == {1}
+
+    # and a genuinely NEW mixed batch afterwards still applies + raises
+    # the guard where it should: retracting more than group 1 holds
+    _land(spark, tmp_path, src, 2, [("D", 1, 10), ("D", 1, 20), ("D", 1, 99), ("I", 3, 7)], schema)
+    import pytest as _pytest
+
+    q3 = matview_refresh_stream(
+        spark, src, schema, "ignored", str(tmp_path / "ck3"),
+        view_target=target, spec=spec,
+    )
+    with _pytest.raises(Exception, match="negative|never contained"):
+        q3.awaitTermination()

@@ -166,3 +166,42 @@ def test_robust_scale_cuts_and_degenerate_guard(spark):
     flat = spark.createDataFrame([(i, 5.0) for i in range(10)], "id long, v double")
     with _pytest.raises(ValueError, match="IQR is 0"):
         robust_scale(flat, "v")
+
+
+def test_winsorize_robust_scale_empty_input_raise(spark):
+    """ADVICE r10: an empty frame raises a named ValueError, not an
+    opaque KeyError from the missing percentile group."""
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.skew import robust_scale, winsorize
+
+    empty = spark.createDataFrame([], "id long, v double")
+    with _pytest.raises(ValueError, match="winsorize\\(v\\): empty input"):
+        winsorize(empty, "v")
+    with _pytest.raises(ValueError, match="robust_scale\\(v\\): empty input"):
+        robust_scale(empty, "v")
+
+
+def test_distribution_drift_null_bin_merges_and_empty_reference_raises(spark):
+    """ADVICE r10: a NULL bin is ONE group on both sides (null-safe
+    merge, exactly GROUP BY's treatment) — never an old-only + new-only
+    pair inflating TVD; an empty reference raises instead of waving any
+    batch through with TVD 0."""
+    import pytest as _pytest
+
+    from hadoop_app_spark.operators.expectations import distribution_drift
+
+    old = spark.createDataFrame(
+        [(None,), ("a",), ("a",), ("b",)], "bin string"
+    )
+    new = spark.createDataFrame(
+        [(None,), ("a",), ("a",), ("b",)], "bin string"
+    )
+    rows = {r["bin"]: r for r in distribution_drift(old, new, "bin").collect()}
+    assert set(rows) == {None, "a", "b"}  # ONE row for the NULL bin
+    assert rows[None]["n_old"] == 1 and rows[None]["n_new"] == 1
+    assert all(r["diff_milli"] == 0 for r in rows.values())
+
+    empty = spark.createDataFrame([], "bin string")
+    with _pytest.raises(Exception, match="reference snapshot is empty|snapshot is empty"):
+        distribution_drift(empty, new, "bin").collect()
