@@ -229,6 +229,13 @@ BENCH_QUERIES = [
     "hll_index_increment",
     "distribution_drift",
     "robust_scale_features",
+    # r11 additions: the composed IVF×PQ index (partition-pruned probe,
+    # in-cell ADC over m-byte codes, exact shortlist re-rank) and the
+    # probability-space unigram-EM trainer face (lattice replayed
+    # end-to-end by the SQL oracle)
+    "ivfpq_index_topk",
+    "ivfpq_index_increment",
+    "unigram_vocab_fixed",
 ]
 
 

@@ -277,6 +277,222 @@ def rebuild_ivf_index(
     hfs.delete(spark, old, recursive=True)
 
 
+PQ_CODEBOOK_DIR = "_pq_codebooks"
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroid_source: DataFrame | None = None,
+    store_vectors: bool = True,
+) -> None:
+    """Write ``corpus`` as a cell-partitioned IVF×PQ index at ``path``
+    — the memory-bounded composition production ANN ships at 100 TB
+    (FAISS IVFPQ; VERDICT r10 item 5): IVF cells prune WHICH partitions
+    a probe opens, and inside a probed cell each vector is ``m`` PQ
+    code bytes instead of ``dim`` floats, so the scoring scan reads
+    ~1% of the raw-embedding bytes even within the probed fraction.
+
+    ONE pass builds it: cell assignment is the same inlined-centroid
+    argmax as `build_ivf_index` (a narrow Catalyst column), and the PQ
+    encode rides the same Arrow batch (`operators/pq.pq_encode` with
+    the cell as a passthrough column) — no join, no second scan. Rows
+    land partitioned by ``cell`` with columns ``(id, codes[, vec])``;
+    with ``store_vectors`` (default) the raw vector rides in the SAME
+    row so the exact re-rank stays self-contained — parquet stores
+    columns separately, so ADC scans that select only ``(id, codes)``
+    never read the vector bytes (column pruning on top of partition
+    pruning). ``store_vectors=False`` is the strict-FAISS layout (codes
+    only); queries then need a ``rerank_source``.
+
+    Sidecars: ``_ivf_centroids`` (the `build_ivf_index` convention) and
+    ``_pq_codebooks`` [(s, c, cv)] pin the geometry, so queries and
+    future appends are self-describing.
+    """
+    spark = corpus.sparkSession
+    from hadoop_app_spark.operators.pq import pq_encode
+
+    src = centroid_source if centroid_source is not None else corpus
+    cents = [
+        [float(x) for x in r[1]]
+        for r in src.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    ]
+    if not cents:
+        raise ValueError("empty corpus")
+    celled = corpus.select(id_col, vec_col).withColumn(
+        "cell", _cell_expr(F.lit(cents), vec_col)
+    )
+    passthrough = ["cell", vec_col] if store_vectors else ["cell"]
+    rows = pq_encode(celled, codebooks, id_col, vec_col, passthrough=passthrough)
+    (
+        rows.repartition(max(n_centroids, 1), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "c_idx int, cv array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/{CENTROID_DIR}")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cv])
+            for s, book in enumerate(codebooks)
+            for c, cv in enumerate(book)
+        ],
+        "s int, c int, cv array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/{PQ_CODEBOOK_DIR}")
+
+
+def append_ivfpq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch into an existing IVF×PQ layout: assign cells
+    against the persisted centroid sidecar, PQ-encode against the
+    persisted codebook sidecar (both pinned at build — the index is
+    self-describing), append partitioned files. Work scales with the
+    batch, never the index — `append_ivf_index`'s composed sibling,
+    and because the cell structure AND the codebooks are immutable
+    under appends, seed + append holds EXACTLY the rows a from-scratch
+    build over the union would (pinned in tests/test_ann_index.py).
+    Whether raw vectors ride along follows the existing layout's
+    schema (store_vectors is a build-time decision)."""
+    from hadoop_app_spark.operators.pq import pq_encode
+
+    spark = new_vecs.sparkSession
+    cents = _load_centroids(spark, path)
+    books = _load_codebooks(spark, path)
+    store_vectors = vec_col in spark.read.parquet(path).columns
+    celled = new_vecs.select(id_col, vec_col).withColumn(
+        "cell", _cell_expr(F.lit(cents), vec_col)
+    )
+    passthrough = ["cell", vec_col] if store_vectors else ["cell"]
+    rows = pq_encode(celled, books, id_col, vec_col, passthrough=passthrough)
+    (
+        rows.repartition(max(len(cents), 1), F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def _load_codebooks(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/{PQ_CODEBOOK_DIR}").orderBy("s", "c").collect()
+    if not rows:
+        raise ValueError(f"no PQ codebook sidecar under {path}")
+    m = max(r["s"] for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["s"]].append(list(r["cv"]))
+    return books
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 64,
+    rerank_source: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k neighbors from a `build_ivfpq_index` layout: probe
+    ``n_probe`` cells per query (partition pruning — unprobed dirs are
+    never opened), ADC-score the probed cells' CODES (column pruning —
+    the stored vectors are never read here), keep ``shortlist``
+    candidates per query, then re-rank the shortlist exactly on true
+    vectors (from the index's stored vector column, or
+    ``rerank_source`` for codes-only layouts).
+
+    The ADC stays JVM-side: each (query, probed-cell) pair broadcasts
+    with the query's FLATTENED m x n_codes lookup table, and the score
+    is ``m`` element_at lookups folded left-to-right in one Catalyst
+    ``aggregate`` — no Python in the scoring path, and with integer-
+    valued codebooks + quantized vectors every lookup sum is an integer
+    carried exactly in float64, which is what lets the registry oracle
+    replay the full pipeline (the `fixed_pq_codebooks` exactness
+    lever). Scale shape: scan = n_probe/n_centroids of the corpus'
+    CODE bytes; the only corpus-volume shuffle is the keyed top-
+    shortlist window; the re-rank join is shortlist x |queries| rows.
+    """
+    from hadoop_app_spark.functions.vectors import cosine_similarity
+
+    centroids = _load_centroids(spark, path)
+    books = _load_codebooks(spark, path)
+    m, n_codes = len(books), len(books[0])
+    sub = len(books[0][0])
+    qrows = queries.select("query_id", "query_vec").collect()
+    if not qrows:
+        raise ValueError("no queries")
+    probe_rows = []
+    for r in qrows:
+        qv = list(r["query_vec"])
+        # LUT[s][c] = q_s . books[s][c], flattened row-major — the ADC
+        # table, m x n_codes doubles per query (broadcast-tiny)
+        lut = []
+        for s in range(m):
+            qs = qv[s * sub : (s + 1) * sub]
+            for c in range(n_codes):
+                acc = 0.0
+                for a, b in zip(qs, books[s][c]):
+                    acc += a * b
+                lut.append(acc)
+        for cell in _probe_cells(centroids, qv, n_probe):
+            probe_rows.append((r["query_id"], qv, cell, lut))
+    all_cells = sorted({p[2] for p in probe_rows})
+    probed = spark.createDataFrame(
+        probe_rows,
+        "query_id long, query_vec array<double>, cell int, lut array<double>",
+    )
+    indexed = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(all_cells))
+        .select(id_col, "codes", "cell")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"), (s * n_codes + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
+        ),
+    )
+    cand = (
+        indexed.join(F.broadcast(probed.select("query_id", "cell", "lut")), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, adc.alias("cosine"))
+    )
+    short = _rank_topk(cand, id_col, shortlist).select("query_id", id_col)
+    if rerank_source is not None:
+        vecs = rerank_source.select(id_col, vec_col)
+    else:
+        vecs = (
+            spark.read.parquet(path)
+            .where(F.col("cell").isin(all_cells))
+            .select(id_col, vec_col)
+        )
+    exact = (
+        short.join(vecs, id_col)
+        .join(
+            F.broadcast(probed.select("query_id", "query_vec").distinct()), "query_id"
+        )
+        .select(
+            "query_id",
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+        )
+    )
+    return _rank_topk(exact, id_col, k)
+
+
 def index_scan_stats(df: DataFrame) -> dict:
     """{"files_read", "partitions_read"} from an EXECUTED DataFrame's
     parquet scans (call after collect()/write) — layout's shared plan

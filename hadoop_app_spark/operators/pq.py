@@ -120,14 +120,19 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """[id, codes]: one Arrow-batched pass; codes[s] is the index of
-    the nearest (L2) codebook entry for subspace ``s`` — ``m`` small
-    ints replacing ``dim`` floats. Argmin ties take the lowest code,
-    so encoding is deterministic and repartition-invariant."""
+    """[id, codes, *passthrough]: one Arrow-batched pass; codes[s] is
+    the index of the nearest (L2) codebook entry for subspace ``s`` —
+    ``m`` small ints replacing ``dim`` floats. Argmin ties take the
+    lowest code, so encoding is deterministic and repartition-
+    invariant. ``passthrough`` columns of *corpus* ride through the
+    same pass unchanged (e.g. an IVF ``cell`` assignment or the raw
+    vector itself — one scan builds a composed index, no re-join)."""
     import numpy as np
     import pandas as pd
 
+    passthrough = list(passthrough or [])
     m = len(codebooks)
     sub = len(codebooks[0][0])
     books = [np.array(b, dtype=np.float64) for b in codebooks]
@@ -144,12 +149,21 @@ def pq_encode(
                 # per-row ||x||^2 term, it cancels inside a subspace
                 d = (books[s] ** 2).sum(axis=1)[None, :] - 2.0 * (Xs @ books[s].T)
                 codes[:, s] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes.tolist())}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes.tolist())}
+            for c in passthrough:
+                # positional (.tolist()), never index-aligned: a Series
+                # with a non-default index would silently reorder rows
+                out[c] = pdf[c].tolist()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} long, codes array<int>"
+    types = dict(corpus.dtypes)
+    extra = "".join(f", {c} {types[c]}" for c in passthrough)
+    # dedupe: vec_col itself may ride through (the composed-index
+    # store_vectors layout) — selecting it twice breaks Arrow's
+    # column-by-name access in the worker
+    cols = [id_col, vec_col] + [c for c in passthrough if c not in (id_col, vec_col)]
+    return corpus.select(*cols).mapInPandas(
+        run, f"{id_col} long, codes array<int>{extra}"
     )
 
 

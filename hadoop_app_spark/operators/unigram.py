@@ -38,8 +38,15 @@ Everything is deterministic: words iterate in sorted order, lattice
 edges in (end, start) ascending order, log-sum-exp in that fixed
 order — so the trainer is pinned EXACTLY (scores and all) against an
 independently written naive reference in tests/test_unigram.py, the
-same convention as py_bpe_train. No SQL oracle — DuckDB cannot
-express lattice EM; the registry entries are rows-only by design.
+same convention as py_bpe_train. No SQL oracle for the LOG-SPACE
+trainer (`_logadd` needs log1p, which DuckDB lacks — ln(1+x) loses
+ULPs exactly where log1p exists to keep them; see `_em_round_prob`
+for the full argument), so `unigram_vocab`/`unigram_token_count` are
+rows-only by design. The PROBABILITY-space face
+(:func:`py_unigram_train_prob`) removes every transcendental from the
+same lattice and IS replayed end-to-end value-exact by the registry's
+`unigram_vocab_fixed` oracle — the wordpiece/quality-classifier
+`_fixed` convention applied to the last rows-only trainer family.
 """
 
 from __future__ import annotations
@@ -69,20 +76,7 @@ def seed_pieces(
     """Initial piece -> log-score table: all single chars plus the
     seed_size highest-count multi-char substrings. Scores are
     log(count / total) over the seed's own occurrence counts."""
-    counts: dict[str, int] = {}
-    for w, c in sorted(word_counts.items()):
-        L = len(w)
-        for i in range(L):
-            for j in range(i + 1, min(i + max_piece_len, L) + 1):
-                p = w[i:j]
-                counts[p] = counts.get(p, 0) + c
-    chars = {p: n for p, n in counts.items() if len(p) == 1}
-    multi = sorted(
-        ((p, n) for p, n in counts.items() if len(p) > 1),
-        key=lambda kv: (-kv[1], kv[0]),
-    )[:seed_size]
-    seed = dict(chars)
-    seed.update(multi)
+    seed = _seed_counts(word_counts, seed_size, max_piece_len)
     total = sum(seed.values())
     return {p: math.log(n / total) for p, n in sorted(seed.items())}
 
@@ -179,6 +173,116 @@ def py_unigram_train(
             del pieces[p]
     pieces, _ = _em_round(word_counts, pieces, max_piece_len)
     return pieces
+
+
+def _em_round_prob(
+    word_counts: dict[str, int], pieces: dict[str, float], K: int
+) -> dict[str, float]:
+    """One E+M round of `_em_round` re-expressed in PROBABILITY space —
+    the oracle-able face (VERDICT r10 item 4). The log-space round's
+    `_logadd` needs log1p/exp, transcendentals no SQL engine reproduces
+    bit-for-bit (DuckDB has no log1p at all — `ln(1+x)` loses ULPs for
+    small x, the exact case log1p exists for); in probability space the
+    forward-backward lattice is ONLY IEEE + * / in a fixed order —
+    alpha/beta accumulate start-/end-ascending with explicit zero terms
+    (x + 0.0 == x exactly for the non-negative values here, so "skip
+    absent piece" and "add zero term" are the same bits), expected
+    counts accumulate per piece in (word, end, start) arrival order,
+    and the M-step normalizer folds in sorted-piece order. Every one of
+    those is correctly rounded per IEEE-754, so an independent engine
+    replaying the same op order produces the same 64-bit doubles.
+
+    The trade, stated honestly: probabilities underflow where logs
+    don't — fine for the _fixed face's bounded words (len <= ~8 at
+    piece probs >= 1e-12 keeps every path product >= ~1e-96, far above
+    double's 1e-308 underflow), wrong for production-length words,
+    which is why the REAL trainer stays log-space and rows-only."""
+    e: dict[str, float] = {}
+    for w in sorted(word_counts):
+        c = word_counts[w]
+        L = len(w)
+        alpha = [0.0] * (L + 1)
+        alpha[0] = 1.0
+        for end in range(1, L + 1):
+            acc = 0.0
+            for start in range(max(0, end - K), end):
+                acc = acc + alpha[start] * pieces.get(w[start:end], 0.0)
+            alpha[end] = acc
+        beta = [0.0] * (L + 1)
+        beta[L] = 1.0
+        for start in range(L - 1, -1, -1):
+            acc = 0.0
+            for end in range(start + 1, min(start + K, L) + 1):
+                acc = acc + pieces.get(w[start:end], 0.0) * beta[end]
+            beta[start] = acc
+        z = alpha[L]
+        if z == 0.0:  # unreachable: single chars are always in the table
+            continue
+        for end in range(1, L + 1):
+            for start in range(max(0, end - K), end):
+                p = w[start:end]
+                pr = pieces.get(p)
+                if pr is not None:
+                    e[p] = e.get(p, 0.0) + c * (((alpha[start] * pr) * beta[end]) / z)
+    total = 0.0
+    for p in sorted(pieces):
+        total = total + e.get(p, 0.0)
+    out: dict[str, float] = {}
+    for p in sorted(pieces):
+        ratio = e.get(p, 0.0) / total
+        if ratio > 0.0:
+            out[p] = ratio
+        elif len(p) == 1:
+            out[p] = 1e-12  # retained char never observed (prob floor)
+    return out
+
+
+def py_unigram_train_prob(
+    word_counts: dict[str, int],
+    max_piece_len: int = 3,
+    seed_size: int = 30,
+    n_em_iters: int = 2,
+) -> dict[str, float]:
+    """Probability-space unigram EM -> piece -> PROBABILITY table: the
+    reduced, fully-SQL-replayable face of `py_unigram_train` (same
+    seed, same lattice, same EM schedule of ``n_em_iters`` rounds plus
+    one final re-score; no pruning — the face fixes the vocabulary at
+    the seed, and pruning is a deterministic float sort already pinned
+    in the full trainer's tests). Scores are probabilities, not logs:
+    with no transcendental anywhere the registry oracle replays the
+    training END-TO-END value-exact (`unigram_vocab_fixed`), closing
+    the tokenizer-trainer class; the log-space trainer itself stays
+    rows-only with the impossibility documented at `_em_round_prob`."""
+    # same selection as seed_pieces, probabilities instead of logs
+    # (n/total is ONE IEEE division over exact integers)
+    counts = _seed_counts(word_counts, seed_size, max_piece_len)
+    total = sum(counts.values())
+    pieces = {p: counts[p] / total for p in sorted(counts)}
+    for _ in range(n_em_iters):
+        pieces = _em_round_prob(word_counts, pieces, max_piece_len)
+    return _em_round_prob(word_counts, pieces, max_piece_len)
+
+
+def _seed_counts(
+    word_counts: dict[str, int], seed_size: int, max_piece_len: int
+) -> dict[str, int]:
+    """The integer substring counts behind `seed_pieces` (all single
+    chars + the seed_size highest-count multis, ties (-count, piece))."""
+    counts: dict[str, int] = {}
+    for w, c in sorted(word_counts.items()):
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                p = w[i:j]
+                counts[p] = counts.get(p, 0) + c
+    out = {p: n for p, n in counts.items() if len(p) == 1}
+    out.update(
+        sorted(
+            ((p, n) for p, n in counts.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:seed_size]
+    )
+    return out
 
 
 def viterbi_segment(

@@ -2416,55 +2416,64 @@ def q_snapshot_column_diff(spark, sf_dir):
     "micro-batches (upserts, then deletes + inserts), and every "
     "committed version is then readable — partition i's content at "
     "version v is the largest n <= v whose v{n}/__snap_p={i} dir "
-    "exists, recovered from one FS listing per version (metadata only, "
-    "no historical manifests kept); the entry returns per-version "
+    "exists, recovered PROBE-FREE from the commit's format-3 emptiness "
+    "manifest (VERDICT r10 item 6 — one sidecar read, zero per-"
+    "partition existence calls); the entry returns per-version "
     "accounting for ALL THREE states read back through snapshot_at / "
-    "the seed",
+    "the seed. The versioned layout is a deterministic fixture "
+    "(memoized via _memo_dir, never mutated by reads), so the timed "
+    "work is the OPERATOR — three version reads — not a stream-fixture "
+    "rebuild per bench sample",
 )
 def q_snapshot_time_travel(spark, sf_dir):
     import os
-    import shutil
 
-    from hadoop_app_spark.streaming.cdc import apply_changes_stream, snapshot_at
+    from hadoop_app_spark.streaming.cdc import snapshot_at
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    root = _scratch_dir("timetravel", sf_dir)
-    # fresh per invocation: a reused checkpoint would mark the change
-    # files as already-applied and commit nothing
-    shutil.rmtree(root, ignore_errors=True)
-    snap, src, ck = (os.path.join(root, x) for x in ("snap", "src", "ck"))
-    os.makedirs(src)
-    d.where(F.col("doc_id") % 3 == 0).write.parquet(os.path.join(snap, "v0"))
-    batch1 = (
-        d.where(F.col("doc_id") % 3 == 1)
-        .unionByName(
-            d.where(F.col("doc_id") % 9 == 0).withColumn(
-                "n_chars", F.col("n_chars") + 1000
+
+    def _build(root):
+        from hadoop_app_spark.streaming.cdc import apply_changes_stream
+
+        snap, src, ck = (os.path.join(root, x) for x in ("snap", "src", "ck"))
+        os.makedirs(src)
+        d.where(F.col("doc_id") % 3 == 0).write.parquet(os.path.join(snap, "v0"))
+        batch1 = (
+            d.where(F.col("doc_id") % 3 == 1)
+            .unionByName(
+                d.where(F.col("doc_id") % 9 == 0).withColumn(
+                    "n_chars", F.col("n_chars") + 1000
+                )
+            )
+            .select(
+                "doc_id", "n_chars", F.lit("U").alias("op"),
+                F.col("doc_id").alias("seq"),
             )
         )
-        .select("doc_id", "n_chars", F.lit("U").alias("op"), F.col("doc_id").alias("seq"))
-    )
-    batch2 = (
-        d.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
-        .select("doc_id", "n_chars", F.lit("D").alias("op"))
-        .unionByName(
-            d.where(F.col("doc_id") % 3 == 2).select(
-                "doc_id", "n_chars", F.lit("U").alias("op")
+        batch2 = (
+            d.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
+            .select("doc_id", "n_chars", F.lit("D").alias("op"))
+            .unionByName(
+                d.where(F.col("doc_id") % 3 == 2).select(
+                    "doc_id", "n_chars", F.lit("U").alias("op")
+                )
             )
+            .select("doc_id", "n_chars", "op", F.col("doc_id").alias("seq"))
         )
-        .select("doc_id", "n_chars", "op", F.col("doc_id").alias("seq"))
-    )
-    for gen, df in ((1, batch1), (2, batch2)):
-        _land_stream_file(df, src, gen)
-    stream = (
-        spark.readStream.schema("doc_id long, n_chars long, op string, seq long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = apply_changes_stream(
-        stream, snap, ["doc_id"], op_col="op", seq_col="seq", checkpoint_dir=ck
-    )
-    q.awaitTermination()
+        for gen, df in ((1, batch1), (2, batch2)):
+            _land_stream_file(df, src, gen)
+        stream = (
+            spark.readStream.schema("doc_id long, n_chars long, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = apply_changes_stream(
+            stream, snap, ["doc_id"], op_col="op", seq_col="seq", checkpoint_dir=ck
+        )
+        q.awaitTermination()
+
+    memo = _memo_dir("timetravel", sf_dir, "mod3|u9|d3x5|v3|fmt3", _build)
+    snap = os.path.join(memo, "snap")
     parts = []
     for v in (0, 1, 2):
         parts.append(
@@ -5629,6 +5638,203 @@ def q_pq_ann_topk_fixed(spark, sf_dir):
     return pq_adc_topk(corpus, queries_df, fixed_pq_codebooks(), k=5, shortlist=64).select(
         "query_id", "vec_id", "rank"
     )
+
+
+_IVFPQ_FIXED_ORACLE = f"""
+    WITH corp AS (
+        SELECT vec_id, [floor(x * 256) for x in embedding::DOUBLE[]] AS v
+        FROM embeddings),
+    cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS c_idx,
+               v AS cv
+        FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 16)),
+    assign AS (
+        SELECT vec_id, v, c_idx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c_idx) AS rn
+        FROM (SELECT corp.vec_id, corp.v, cent.c_idx,
+                     {_IVF_DOT.format(a="corp.v", b="cent.cv")} AS d
+              FROM corp CROSS JOIN cent)),
+    cells AS (SELECT vec_id, v, c_idx AS cell FROM assign WHERE rn = 1),
+    books AS (
+        SELECT s, c, j, CAST(((c*7 + j*3 + s*5) % 31) - 15 AS DOUBLE) AS w
+        FROM unnest(range(0, 8)) AS ss(s),
+             unnest(range(0, 16)) AS cc(c),
+             unnest(range(0, 8)) AS jj(j)),
+    enc AS (
+        SELECT vec_id, s, c,
+               sum((v[s*8 + j + 1] - w) * (v[s*8 + j + 1] - w)) AS d2
+        FROM corp CROSS JOIN books
+        GROUP BY vec_id, s, c),
+    codes AS (
+        SELECT vec_id, s, c
+        FROM (SELECT vec_id, s, c,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2, c) AS rn
+              FROM enc)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id <= 5),
+    probes AS (
+        SELECT query_id, qv, c_idx AS cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d DESC, c_idx) AS rn
+        FROM (SELECT q.query_id, q.qv, cent.c_idx,
+                     {_IVF_DOT.format(a="q.qv", b="cent.cv")} AS d
+              FROM q CROSS JOIN cent)),
+    cand AS (
+        SELECT p.query_id, p.qv, cl.vec_id
+        FROM (SELECT * FROM probes WHERE rn <= 4) p
+        JOIN cells cl USING (cell)
+        WHERE cl.vec_id <> p.query_id),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id,
+               sum(cand.qv[b.s*8 + b.j + 1] * b.w) AS score
+        FROM cand
+        JOIN codes ON codes.vec_id = cand.vec_id
+        JOIN books b ON b.s = codes.s AND b.c = codes.c
+        GROUP BY cand.query_id, cand.vec_id),
+    short AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rn
+              FROM adc)
+        WHERE rn <= 64),
+    scored AS (
+        SELECT s.query_id, s.vec_id,
+               CASE WHEN sqrt({_IVF_DOT.format(a="cl.v", b="cl.v")})
+                         * sqrt({_IVF_DOT.format(a="q.qv", b="q.qv")}) <> 0
+                    THEN {_IVF_DOT.format(a="cl.v", b="q.qv")}
+                         / (sqrt({_IVF_DOT.format(a="cl.v", b="cl.v")})
+                            * sqrt({_IVF_DOT.format(a="q.qv", b="q.qv")}))
+                    ELSE 0 END AS cosine
+        FROM short s
+        JOIN cells cl ON cl.vec_id = s.vec_id
+        JOIN q ON q.query_id = s.query_id)
+    SELECT query_id, vec_id, rank
+    FROM (SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= 5
+"""
+
+
+@query(
+    "ivfpq_index_topk",
+    # the composed pipeline is oracle-able end-to-end under the
+    # fixed_pq_codebooks exactness lever (integer-quantized vectors +
+    # formula-generated integer codebooks): cell assignment, probe
+    # order, every PQ encode distance, every ADC lookup sum and the
+    # 64-candidate shortlist boundary are integers carried exactly in
+    # float64, and the final exact-cosine re-rank reuses the proven
+    # _PQ_FIXED_ORACLE float convention — so DuckDB replays the whole
+    # composition: a mis-assigned cell, a wrong code, a lost shortlist
+    # candidate or a pruning bug all value-fail
+    oracle=_IVFPQ_FIXED_ORACLE,
+    doc="composed IVF×PQ ANN index (operators/ann_index.build_ivfpq_index"
+    "/query_ivfpq_index, VERDICT r10 item 5 — the memory-bounded shape a "
+    "100 TB ANN index actually ships, FAISS IVFPQ): IVF cells prune WHICH "
+    "partitions a probe opens (Catalyst partition pruning on cell=K/ "
+    "dirs), and inside a probed cell each vector is m=8 PQ code bytes "
+    "scored by a per-query lookup table — the ADC scan selects only "
+    "(id, codes), so parquet column pruning keeps the stored raw vectors "
+    "unread until the exact re-rank of the 64-candidate shortlist. Built "
+    "in ONE pass (cell assignment + PQ encode share the Arrow batch, no "
+    "join); the ADC score is a Catalyst aggregate of m element_at "
+    "lookups — no Python in the scoring path. Pruning + in-cell ADC "
+    "pinned in tests/test_ann_index.py",
+)
+def q_ivfpq_index_topk(spark, sf_dir):
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+
+    # memoized build (the lifecycle-entry convention): the timed work
+    # is the SERVING path — probe pruning + in-cell ADC + re-rank
+    def _build(root):
+        build_ivfpq_index(
+            qd, os.path.join(root, "idx"), fixed_pq_codebooks(), n_centroids=16
+        )
+
+    memo = _memo_dir("ivfpq_index", sf_dir, "q256|c16|m8n16", _build)
+    queries = qd.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivfpq_index(
+        spark, os.path.join(memo, "idx"), queries, k=5, n_probe=4, shortlist=64
+    ).select("query_id", "vec_id", "rank")
+
+
+@query(
+    "ivfpq_index_increment",
+    # cell structure AND codebooks are immutable under appends (the
+    # standard IVF contract + the codebook sidecar), so seed(A) +
+    # append(B) holds EXACTLY the rows of build(A ∪ B) — the same
+    # _IVFPQ_FIXED_ORACLE replays the incremental form verbatim: a
+    # mis-assigned cell, a wrong code, or a dropped batch row changes
+    # some query's top-k and value-fails
+    oracle=_IVFPQ_FIXED_ORACLE,
+    doc="incremental IVF×PQ index maintenance — the composed index's "
+    "daily-append path (operators/ann_index.append_ivfpq_index, the "
+    "ivf_index_increment shape for the memory-bounded layout): the index "
+    "is seeded from two thirds of the corpus (centroids from the full "
+    "corpus — sidecar-pinned for the index's lifetime, codebooks "
+    "formula-fixed), the remaining third is assigned + PQ-encoded "
+    "against the SIDECARS and appended into the cell-partitioned layout "
+    "(work ~ batch, the accumulated index never re-read), and the probe "
+    "answers from seed+append with partition pruning + in-cell ADC + "
+    "exact shortlist re-rank",
+)
+def q_ivfpq_index_increment(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+
+    # memoized day-0 seed, copied fresh per invocation (appends mutate
+    # it): the timed work is the daily append + the probe — the
+    # operator's steady state, never a seed rebuild per bench sample
+    def _build(root):
+        build_ivfpq_index(
+            qd.where(F.col("vec_id") % 3 == 0), os.path.join(root, "idx"),
+            fixed_pq_codebooks(), n_centroids=16, centroid_source=qd,
+        )
+
+    memo = _memo_dir("ivfpq_seed", sf_dir, "q256|c16|m8n16|mod3", _build)
+    path = _scratch_dir("ivfpq_incr", sf_dir) + "/idx"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.copytree(os.path.join(memo, "idx"), path)
+    append_ivfpq_index(qd.where(F.col("vec_id") % 3 != 0), path)
+    queries = qd.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivfpq_index(
+        spark, path, queries, k=5, n_probe=4, shortlist=64
+    ).select("query_id", "vec_id", "rank")
 
 
 @query(
@@ -9364,6 +9570,174 @@ def q_unigram_token_count(spark, sf_dir):
     )
 
 
+def _unigram_fixed_oracle(
+    top_words: int = 40, max_len: int = 8, K: int = 3,
+    seed_multi: int = 30, rounds: int = 3,
+) -> str:
+    """SQL replay of the PROBABILITY-space unigram EM
+    (operators/unigram.py_unigram_train_prob, VERDICT r10 item 4): the
+    log-space trainer's `_logadd` needs log1p (absent in DuckDB —
+    ln(1+x) loses ULPs exactly where log1p exists), but in probability
+    space the forward-backward lattice is ONLY IEEE + * / in a fixed
+    order, all correctly rounded, so the whole training replays
+    value-exact. Per EM round: the alpha/beta recurrences unroll into
+    nested selects over a 24-slot per-word prob list (qf[s*K + (e-s)]),
+    accumulating start-/end-ascending with explicit coalesce-0 terms
+    (x + 0.0 == x bit-exact for these non-negative values — the same
+    zero-term trick the Python twin uses); expected counts fold per
+    piece in (word, end, start) order and the normalizer folds in
+    sorted-piece order via list_reduce — the quality_classifier
+    unrolled-replay technique extended to a lattice."""
+    qv = lambda idx: f"coalesce(list_extract(qf, {idx}), 0.0)"
+
+    def alpha_sel():
+        # a{k} = ((0 + a_{k-3}*qf[..]) + a_{k-2}*qf[..]) + a_{k-1}*qf[..]
+        out = []
+        for k in range(1, max_len + 1):
+            acc = "0.0"
+            for s in range(max(0, k - K), k):
+                a = "1.0" if s == 0 else f"a{s}"
+                acc = f"({acc} + {a} * {qv(s * K + (k - s))})"
+            out.append(f"SELECT *, {acc} AS a{k} FROM")
+        return out
+
+    def beta_sel():
+        # bd{k} = beta at start L-k, distance-from-end form; j ascending
+        out = []
+        for k in range(1, max_len):
+            acc = "0.0"
+            for j in range(1, min(K, k) + 1):
+                b = "1.0" if k - j == 0 else f"bd{k - j}"
+                q = (
+                    f"CASE WHEN L - {k} >= 0 THEN "
+                    f"coalesce(list_extract(qf, (L - {k}) * {K} + {j}), 0.0) "
+                    f"ELSE 0.0 END"
+                )
+                acc = f"({acc} + {q} * {b})"
+            out.append(f"SELECT *, {acc} AS bd{k} FROM")
+        return out
+
+    # nested selects: list[0] is OUTERMOST, so reverse — a1 innermost,
+    # each a{k}/bd{k} sees everything computed beneath it
+    chain = list(reversed(alpha_sel() + beta_sel()))
+    lat_inner = " (".join(chain)
+    lat_close = ")" * (len(chain) - 1)
+    aarr = "[" + ", ".join(f"a{k}" for k in range(1, max_len + 1)) + "]"
+    barr = "[1.0, " + ", ".join(f"bd{k}" for k in range(1, max_len)) + "]"
+
+    fold = "list_reduce(list_prepend(0.0, {l}), (acc, x) -> acc + x)"
+    round_ctes = []
+    for r in range(1, rounds + 1):
+        round_ctes.append(f"""
+        g{r} AS MATERIALIZED (
+            SELECT subs.w, subs.c, subs.s, subs.e, subs.p, pp.pr
+            FROM subs JOIN p{r - 1} pp USING (p)),
+        qg{r} AS MATERIALIZED (
+            SELECT wc.w, max(wc.c) AS c, max(length(wc.w)) AS L,
+                   list(coalesce(g.pr, 0.0) ORDER BY sl.idx) AS qf
+            FROM wc CROSS JOIN slots sl
+            LEFT JOIN g{r} g ON g.w = wc.w AND g.s = sl.s AND g.e = sl.s + sl.j
+            GROUP BY wc.w),
+        lat{r} AS MATERIALIZED (
+            SELECT w, c, L, {aarr} AS aarr, {barr} AS barr
+            FROM ({lat_inner} qg{r}{lat_close})),
+        ei{r} AS (
+            SELECT p, {fold.format(l="ts")} AS ec
+            FROM (SELECT g.p,
+                         list(g.c * ((((CASE WHEN g.s = 0 THEN 1.0
+                                        ELSE list_extract(l.aarr, g.s) END)
+                                       * g.pr)
+                                      * list_extract(l.barr, l.L - g.e + 1))
+                                     / list_extract(l.aarr, l.L))
+                              ORDER BY g.w, g.e, g.s) AS ts
+                  FROM g{r} g JOIN lat{r} l USING (w)
+                  GROUP BY g.p)),
+        pe{r} AS (
+            SELECT pp.p, coalesce(ei.ec, 0.0) AS ec
+            FROM p{r - 1} pp LEFT JOIN ei{r} ei USING (p)),
+        tt{r} AS (
+            SELECT {fold.format(l="list(ec ORDER BY p)")} AS t FROM pe{r}),
+        p{r} AS MATERIALIZED (
+            SELECT p, CASE WHEN ratio > 0.0 THEN ratio ELSE 1e-12 END AS pr
+            FROM (SELECT p, ec / (SELECT t FROM tt{r}) AS ratio FROM pe{r})
+            WHERE ratio > 0.0 OR length(p) = 1)""")
+
+    return f"""
+        WITH dw AS (SELECT unnest({_TOKS}) AS w
+                    FROM documents WHERE doc_id % 20 = 0),
+        wc AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM dw
+            WHERE length(w) <= {max_len}
+            GROUP BY w ORDER BY c DESC, w LIMIT {top_words}),
+        slots AS (SELECT s, j, s * {K} + j AS idx
+                  FROM unnest(range(0, {max_len})) ss(s),
+                       unnest(range(1, {K} + 1)) jj(j)),
+        subs AS MATERIALIZED (
+            SELECT wc.w, wc.c, ss.s, ee.e,
+                   substr(wc.w, ss.s + 1, ee.e - ss.s) AS p
+            FROM wc, unnest(range(0, {max_len})) ss(s),
+                 unnest(range(1, {max_len} + 1)) ee(e)
+            WHERE ss.s < length(wc.w) AND ee.e <= length(wc.w)
+              AND ee.e > ss.s AND ee.e - ss.s <= {K}),
+        scnt AS (SELECT p, sum(c) AS n FROM subs GROUP BY p),
+        seedsel AS (
+            SELECT p, n FROM scnt WHERE length(p) = 1
+            UNION ALL
+            SELECT p, n FROM (SELECT p, n,
+                                     row_number() OVER (ORDER BY n DESC, p) AS rn
+                              FROM scnt WHERE length(p) > 1)
+            WHERE rn <= {seed_multi}),
+        p0 AS MATERIALIZED (
+            SELECT p, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS pr
+            FROM seedsel, (SELECT sum(n) AS t FROM seedsel) tot),{",".join(round_ctes)}
+        SELECT p AS piece, pr AS prob FROM p{rounds}
+    """
+
+
+@query(
+    "unigram_vocab_fixed",
+    oracle=None,  # assigned below (the builder needs _TOKS above)
+    doc="the ORACLED face of the unigram-LM trainer (VERDICT r10 item 4, "
+    "closing the last rows-only trainer class): the SAME forward-backward "
+    "EM lattice run in PROBABILITY space (operators/unigram."
+    "py_unigram_train_prob — no log-sum-exp, so no transcendental "
+    "anywhere; every alpha/beta/expected-count/normalizer operation is "
+    "IEEE + * / in a fixed documented order) over a deterministic "
+    "40-word frequency-floored slice, 2 EM rounds + the final re-score, "
+    "no pruning (vocabulary fixed at the seed — pruning is a float sort "
+    "pinned in the full trainer's tests). DuckDB replays the TRAINING "
+    "end-to-end — seed counts, three unrolled lattice rounds, M-step "
+    "renormalizations — and the [piece, prob] table value-hashes exactly; "
+    "the log-space production trainer stays rows-only with the log1p "
+    "impossibility documented at operators/unigram._em_round_prob",
+)
+def q_unigram_vocab_fixed(spark, sf_dir):
+    from hadoop_app_spark.operators.bpe import word_frequency_table
+    from hadoop_app_spark.operators.unigram import py_unigram_train_prob
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    rows = (
+        word_frequency_table(d, "text")
+        .where(F.length("w") <= 8)
+        .orderBy(F.col("count").desc(), "w")
+        .limit(40)
+        .select("w", "count")
+        .collect()
+    )
+    wc = {r[0]: int(r[1]) for r in rows}
+    pieces = py_unigram_train_prob(wc, max_piece_len=3, seed_size=30, n_em_iters=2)
+    return spark.createDataFrame(
+        sorted(pieces.items()), "piece string, prob double"
+    )
+
+
+REGISTRY["unigram_vocab_fixed"] = QueryDef(
+    REGISTRY["unigram_vocab_fixed"].fn,
+    _unigram_fixed_oracle(),
+    REGISTRY["unigram_vocab_fixed"].doc,
+)
+
+
 # Fixed exemplar vocabularies for the ORACLED encode twins below: the
 # corpus-LEARNED piece sets above cannot ride a static SQL string
 # sf-independently (the r6 fallback: cross-implementation pytest pins),
@@ -11258,10 +11632,18 @@ DRIVER_GATE_SIZE = 50
 
 _PRIORITY = [
     # reference core (SURVEY §2.1-2.5)
-    "max_per_group",
-    "inner_equi_join",
-    "broadcast_dim_join",
-    "topk_per_group",
+    # r11 swap-outs max_per_group/inner_equi_join/broadcast_dim_join/
+    # topk_per_group (driver-green r1-r10 — the four longest-tenured
+    # rows by the new `oracle_check.py --rotation-age` report, VERDICT
+    # r10 item 9): A1 max-per-group is gated STRONGER via
+    # incremental_matview's maintained MAX measure (which cites
+    # MaxTemperatureReducer and recomputes dirty groups); reduce-side
+    # equi-join mechanics ride the gated suppliers_kept_waiting (Q21)
+    # and conversion_attribution joins; the broadcast dim join is
+    # INSIDE the gated recommend_flagship pipeline (plans/recommend.py
+    # broadcast city join — the VERDICT S6 row cites it); top-K-per-
+    # group is recommend_flagship's WindowGroupLimit stage. All four
+    # stay oracle-checked locally every round.
     "recommend_flagship",
     "pricing_summary",
     # r8 swap-outs count_distinct/grouping_analytics (driver-green
@@ -11285,7 +11667,12 @@ _PRIORITY = [
     # inner_equi_join; both stay oracle-checked locally.
     # windows (set_operations rotated out r5: three set-op scans over
     # gated-everywhere groupBy mechanics, driver-green r2-r4)
-    "window_analytics",
+    # r11 swap-out window_analytics (driver-green r1-r10): ranking/
+    # analytic window + frame mechanics stay gated via the timeseries
+    # pair (LOCF IGNORE-NULLS carry + interpolation frames),
+    # conversion_attribution (first/last-touch carry windows),
+    # key_skew_profile (the bounded order-statistic extraction), and
+    # recommend_flagship's rank stage; stays oracle-checked locally.
     # --- r8 swap-ins (VERDICT r7 item 1, the standing rotation): the
     # round-7 centerpiece operators rotate INTO the 50-row driver gate
     # so their oracles get driver CORRECTNESS rows. Every entry below
@@ -11311,7 +11698,10 @@ _PRIORITY = [
     # family's gate slots go to the fixed nation_pagerank (kept) and
     # the incoming nation_communities (deterministic LPA) — the
     # degree-ordered triangle join stays oracle-checked locally.
-    "nation_pagerank",
+    # r11 swap-out nation_pagerank (driver-green r8-r10): the graph
+    # family keeps nation_communities gated (deterministic LPA — the
+    # same bounded-superstep + localCheckpoint execution shape); the
+    # integer-rational rank iteration stays oracle-checked locally.
     # r10 swap-out set_similarity_join (driver-green r8-r9, the bench's
     # most expensive entry — output-bound by probe): its prefix-filter
     # candidate mechanics are the same keyed-gram join family the
@@ -11411,7 +11801,13 @@ _PRIORITY = [
     # built-in chains); repetition_ngrams (quality-filter family stays
     # gated via lm_perplexity + corpus_curation + the incoming
     # quality_calibration; its _fast twin remains benched + pinned).
-    "corpus_curation",
+    # r11 swap-out corpus_curation (driver-green r4-r10, the second-
+    # longest-tenured row): the quality family's gated representative
+    # is now quality_classifier (the 10-round decimal-exact trainer
+    # replay — a strictly harder cross-engine check than the rule
+    # battery's scalar chains, which are the same filter/aggregate
+    # class gated many times over); the fp-mod sampling arm rides the
+    # gated mixture_epoch_order row. Stays oracle-checked locally.
     # r9 swap-out simhash_band_neardup (driver-green r4-r8):
     # simhash_increment's two-generation oracle replays the SAME
     # Hamming-banded pipeline (band rows, bucket pairs, bit_count
@@ -11428,13 +11824,26 @@ _PRIORITY = [
     # stream_dedup_ingest_exec runs dedup AS a real stream with
     # persisted-index state — a strict superset of the watermarked
     # dropDuplicates form, which stays oracle-checked locally.
-    "stream_sliding_exec",
+    # r11 swap-out stream_sliding_exec (driver-green r1-r10): the
+    # stream family keeps NINE gated rows (session, stateful, dedup/
+    # validated/ANN ingest, matview CDC + the stream-backed gated
+    # entries) — sliding-window assignment is session's windowing
+    # sibling, its batch twin stays locally exact, and the tumbling
+    # degenerate case rides with it. Stays oracle-checked locally.
     "stream_session_exec",
     "stream_stateful_exec",
     # micro-format / multi-path sources + multimodal plumbing (north star)
     "source_codecs",
-    "multimodal_meta",
-    "upsert_snapshot",
+    # r11 swap-out multimodal_meta (driver-green r1-r10): §2.10's gated
+    # coverage stays with the two registered UDTF rows (udtf_ncdc_parse
+    # / udtf_chunk_spans); the media-meta struct is one pure-Catalyst
+    # projection whose every piece (encode, octet_length, struct) is
+    # gated elsewhere. Stays oracle-checked locally every round.
+    # r11 swap-out upsert_snapshot (driver-green r1-r10): displaced by
+    # its own successors — the incoming snapshot_time_travel and
+    # snapshot_column_diff run the SAME versioned keyed-CDC layout and
+    # value-check three versions of it (a strict superset of the
+    # single-compaction check); stays oracle-checked locally.
     # --- r9 swap-outs of the r5 cohort (all driver-green r5-r8, the
     # standing displacement convention; all stay oracle-checked
     # locally every round):
@@ -11549,7 +11958,10 @@ _PRIORITY = [
     # incremental dedup, BOTH families + their index lifecycle
     "dedup_increment",
     "simhash_increment",
-    "index_compaction",
+    # r11 swap-out index_compaction (driver-green r9-r10): the gated
+    # compaction_roundtrip is its end-to-end superset (same
+    # compact_bucketed_table swap, PLUS the increment-after-compaction
+    # equivalence); stays oracle-checked locally every round.
     "compaction_roundtrip",
     # streaming ingest: the increment as a real stream, plus the
     # expectations-gated admission variant
@@ -11558,8 +11970,12 @@ _PRIORITY = [
     # persisted partition-pruned IVF index (shares _IVF_ORACLE with
     # the in-memory form it displaces)
     "ivf_index_topk",
-    # KMV sketch set algebra (union/intersect/Jaccard + exact checks)
-    "kmv_source_overlap",
+    # r11 swap-out kmv_source_overlap (driver-green r9-r10): the
+    # sketch family's gated representative becomes the incoming
+    # hll_index_increment — the persisted-index LIFECYCLE member whose
+    # oracle rebuilds every register cell-for-cell across seed + two
+    # merges (the strongest form a sketch admits); KMV's exact+estimate
+    # set algebra stays oracle-checked locally every round.
     # Bloom-pruned takedown retraction (rebuilds the filter bit-for-bit
     # and value-checks the file prune + rewrite)
     "bloom_retraction",
@@ -11632,8 +12048,46 @@ _PRIORITY = [
     "quality_classifier",
     "bpe_merges",
     "wordpiece_merges",
+    # --- r11 swap-ins (VERDICT r10 item 1, the standing rotation): the
+    # twelve round-10 additions rotate INTO the 50-row driver gate so
+    # their oracles get driver CORRECTNESS rows. Every entry below
+    # re-verified exact with tools/oracle_check.py --vanilla at sf0.01
+    # before this edit (12 exact / 0 fail); displacement picks cite the
+    # new `--rotation-age` report (item 9), and the full post-rotation
+    # 50-row gate re-verified exact after the edit.
+    # SimHash hot-band re-seeding: ONE timed post-reseed increment
+    # under the permuted geometry vs the plain-geometry oracle (item 2
+    # trimmed the second generation; compositions stay pytest-pinned)
+    "simhash_reseed_increment",
+    # IVF centroid rebuild: seed -> drifted-append -> rebuild ==
+    # build-from-scratch under _IVF_ORACLE; rename-aside swap keeps a
+    # complete copy readable at every instant (ADVICE r10)
+    "ivf_index_rebuild",
+    # persisted HLL sketch index: seed memoized (item 7), the two
+    # timed daily merges register-for-register equal a one-shot build
+    "hll_index_increment",
+    # snapshot time travel + column-level diff: the upsert_snapshot
+    # layout's successors — three versions value-checked, probe-free
+    # reads via the format-3 emptiness manifest (item 6)
+    "snapshot_time_travel",
+    "snapshot_column_diff",
+    # the Hamming family's dedup decision audit (takedown/appeal)
+    "simhash_dedup_decisions",
+    # retrieval ranking metrics: nDCG@10 + MRR in integer milli-units
+    "retrieval_ndcg",
+    # A/B readout: per-variant conversion + lift, loud-edge-hardened
+    # (absent control raises, zero-rate control NULLs lift — ADVICE)
+    "ab_test_summary",
+    # binned distribution drift: exact milli TVD, null-safe bin merge,
+    # empty-reference raise (ADVICE); DriftBound gates stream ingest
+    "distribution_drift",
+    # OHLC downsampling: grain reduction, byte-flat shuffle at 10x
+    "timeseries_downsample",
+    # feature prep: exact type-1 percentile clamp + median/IQR scale
+    "winsorize_features",
+    "robust_scale_features",
     # --- r9/r10 additions below the gate budget (gate-eligible, each
-    # oracle-exact locally; the r11 rotation queue draws from here):
+    # oracle-exact locally; the r12 rotation queue draws from here):
     # Z-order clustered layout + 2-D box lookup (content preservation
     # value-checked; pruning measured in tests/test_layout.py)
     "zorder_point_lookup",
@@ -11651,45 +12105,20 @@ _PRIORITY = [
     "stream_rollup_exec",
     # incremental streaming top-k (mergeable q x k state)
     "stream_topk_exec",
-    # IVF centroid maintenance (r10): seed -> drifted-append -> rebuild
-    # == build-from-scratch, staged build + swap; occupancy trigger =
-    # key_skew_profile over the cell key
-    "ivf_index_rebuild",
-    # SimHash hot-band re-seeding (r10): permuted band geometry under
-    # the PLAIN-geometry oracle — drop decisions provably invariant
-    "simhash_reseed_increment",
-    # time-series OHLC downsampling (r10): grain reduction beside
-    # gapfill/interpolate — one struct-aggregate groupBy, no windows
-    "timeseries_downsample",
-    # winsorization (r10): robust feature clamp at exact type-1
-    # percentiles from the bounded 2-pass extraction; binary-fraction
-    # tails keep float rank ceil integer-exact
-    "winsorize_features",
-    # robust median/IQR scaling (r10): the feature-prep trio's third
-    # member — exact-binary quartile cuts, one IEEE division per row
-    "robust_scale_features",
-    # column-level snapshot change profile (r10): corpus_diff's
-    # per-column companion — one full-outer join, one wide aggregate
-    "snapshot_column_diff",
-    # retrieval ranking-quality metrics (r10): nDCG@10 + MRR in exact
-    # integer milli-units via a literal discount table — no float log
-    "retrieval_ndcg",
-    # A/B experiment readout (r10): per-variant conversion + lift in
-    # exact milli-units; one map-side-combined (variant, user) shuffle
-    "ab_test_summary",
-    # snapshot time travel (r10): read-at-version over the CDC
-    # versioned layout via immutable per-version manifest sidecars
-    "snapshot_time_travel",
-    # SimHash dedup decision audit (r10): the Hamming family's
-    # takedown/appeal record — winner, candidate count, win distance
-    "simhash_dedup_decisions",
-    # persisted HLL sketch index (r10): the sketch family's lifecycle
-    # member — daily max-per-cell merges, final state == one-shot
-    # build, cell-for-cell oracle
-    "hll_index_increment",
-    # binned distribution drift (r10): the snapshot drift gate in
-    # exact milli-units — per-bin attribution ships with the metric
-    "distribution_drift",
+    # --- r11 swap-outs (displacement rationales at their old gate
+    # slots above; all stay oracle-checked locally every round):
+    "max_per_group",
+    "inner_equi_join",
+    "broadcast_dim_join",
+    "topk_per_group",
+    "window_analytics",
+    "stream_sliding_exec",
+    "multimodal_meta",
+    "upsert_snapshot",
+    "nation_pagerank",
+    "corpus_curation",
+    "kmv_source_overlap",
+    "index_compaction",
     # --- beyond the gate budget (r3 consolidation, VERDICT r2 item 3):
     # each entry here is either a perf twin of a gated query or has its
     # semantics transitively verified by a gated row --
@@ -11871,6 +12300,10 @@ _PRIORITY = [
     # naive pure-Python reference in tests/test_unigram.py
     "unigram_vocab",
     "unigram_token_count",
+    # unigram_vocab_fixed (r11): the probability-space EM face — the
+    # trainer replayed END-TO-END by an unrolled-lattice SQL oracle
+    # (no transcendentals), closing the last rows-only trainer class
+    "unigram_vocab_fixed",
     # wordpiece trainer ORACLED in r9 (unrolled-CTE replay) and rotated
     # INTO the gate in r10; the encode twin stays here
     "wordpiece_token_count",
@@ -11953,6 +12386,13 @@ _PRIORITY = [
     # same pipeline over integer-quantized vectors + formula codebooks
     "pq_ann_topk",
     "pq_ann_topk_fixed",
+    # ivfpq_index_topk (r11): the composed IVF×PQ index — cell-pruned
+    # partitions + in-cell ADC over m-byte codes + exact shortlist
+    # re-rank, oracle-exact under the fixed-codebook exactness lever;
+    # the _increment twin gates the append path (seed + append ==
+    # build-from-scratch, same oracle verbatim)
+    "ivfpq_index_topk",
+    "ivfpq_index_increment",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",

@@ -128,7 +128,11 @@ def dedup_ingest_stream(
             from hadoop_app_spark.operators.expectations import check_expectations
 
             failed = [
-                r.expectation
+                # the tag carries the measured METRIC (violation count /
+                # TVD milli) beside the expectation name, so a diverted
+                # feed is diagnosable from the quarantine rows alone —
+                # no re-run needed (VERDICT r10 item 8)
+                f"{r.expectation}={r.metric:g}"
                 for r in check_expectations(batch_df, expectations).collect()
                 if not r.passed
             ]

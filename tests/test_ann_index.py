@@ -291,3 +291,154 @@ def test_rebuild_swap_crash_recovery(spark, tmp_path):
     # no index anywhere: loud, not a silent empty build
     with pytest.raises(ValueError, match="no index"):
         rebuild_ivf_index(spark, str(tmp_path / "nowhere"), n_centroids=8)
+
+
+def _quantized(emb):
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+@pytest.fixture(scope="module")
+def ivfpq_built(spark, tmp_path_factory):
+    from hadoop_app_spark.operators.ann_index import build_ivfpq_index
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "emb")
+    emb = _quantized(load_table(spark, SF, "embeddings"))
+    build_ivfpq_index(emb, path, fixed_pq_codebooks(), n_centroids=16)
+    return path, emb
+
+
+def test_ivfpq_full_shortlist_equals_ivf(spark, ivfpq_built, tmp_path):
+    """With a shortlist covering every probed-cell candidate, the exact
+    re-rank makes the composed IVF×PQ answer EXACTLY the plain IVF
+    index's answer — the composition changes the access path (codes +
+    column pruning), never the probed candidate set."""
+    from hadoop_app_spark.operators.ann_index import query_ivfpq_index
+
+    path, emb = ivfpq_built
+    ivf_path = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf_path, n_centroids=16, centroid_source=emb)
+    q = _queries(emb)
+    got = query_ivfpq_index(spark, path, q, k=5, n_probe=4, shortlist=10_000)
+    want = query_ivf_index(spark, ivf_path, q, k=5, n_probe=4)
+    assert _res(got) == _res(want)
+
+
+def test_ivfpq_prunes_partitions_and_columns(spark, ivfpq_built):
+    """Both prunings at once: a 2-of-16-cell probe opens <= 2 cell dirs
+    (PartitionFilters), and the ADC scan's ReadSchema carries only
+    (id, codes, cell) — the stored raw vectors are read ONLY by the
+    shortlist re-rank scan."""
+    from hadoop_app_spark.operators.ann_index import query_ivfpq_index
+
+    path, emb = ivfpq_built
+    q1 = _queries(emb).limit(1)
+    df = query_ivfpq_index(spark, path, q1, k=5, n_probe=2, shortlist=16)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # exactly one scan reads codes WITHOUT the embedding column (ADC),
+    # and the re-rank scan reads the embedding WITHOUT codes
+    schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert any("codes" in s and "embedding" not in s for s in schemas), schemas
+    assert any("embedding" in s and "codes" not in s for s in schemas), schemas
+
+
+def test_ivfpq_adc_orders_within_cells(spark, ivfpq_built):
+    """The ADC shortlist is a real in-cell ranking: with a tiny
+    shortlist the top-1 ADC candidate survives to the exact top-k, and
+    every returned neighbor lies in the query's probed cells."""
+    from hadoop_app_spark.operators.ann_index import (
+        _load_centroids,
+        _probe_cells,
+        query_ivfpq_index,
+    )
+
+    path, emb = ivfpq_built
+    q1 = _queries(emb).limit(1)
+    qrow = q1.collect()[0]
+    cells = set(
+        _probe_cells(_load_centroids(spark, path), list(qrow["query_vec"]), 4)
+    )
+    got = query_ivfpq_index(spark, path, q1, k=5, n_probe=4, shortlist=8)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    member_cell = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    }
+    assert all(member_cell[r["vec_id"]] in cells for r in rows)
+
+
+def test_ivfpq_append_equals_full_build(spark, tmp_path):
+    """Cell structure + codebooks are immutable under appends, so
+    seed + append holds exactly the rows (codes included) a
+    from-scratch build over the union holds, and queries answer
+    identically."""
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _quantized(load_table(spark, SF, "embeddings"))
+    half1 = emb.where(F.col("vec_id") < 250)
+    half2 = emb.where(F.col("vec_id") >= 250)
+    inc = str(tmp_path / "inc")
+    build_ivfpq_index(
+        half1, inc, fixed_pq_codebooks(), n_centroids=16, centroid_source=emb
+    )
+    append_ivfpq_index(half2, inc)
+    full = str(tmp_path / "full")
+    build_ivfpq_index(
+        emb, full, fixed_pq_codebooks(), n_centroids=16, centroid_source=emb
+    )
+    got = sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(inc).select("vec_id", "cell", "codes").collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(full).select("vec_id", "cell", "codes").collect()
+    )
+    assert got == want
+    q = _queries(emb)
+    assert _res(query_ivfpq_index(spark, inc, q, k=5, n_probe=4)) == _res(
+        query_ivfpq_index(spark, full, q, k=5, n_probe=4)
+    )
+
+
+def test_ivfpq_codes_only_layout_with_rerank_source(spark, tmp_path):
+    """store_vectors=False (the strict-FAISS layout): the index holds
+    only (id, codes) per cell; queries re-rank against a caller-given
+    raw-vector source and answer identically to the self-contained
+    layout."""
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _quantized(load_table(spark, SF, "embeddings"))
+    slim = str(tmp_path / "slim")
+    fat = str(tmp_path / "fat")
+    build_ivfpq_index(
+        emb, slim, fixed_pq_codebooks(), n_centroids=16, store_vectors=False
+    )
+    build_ivfpq_index(emb, fat, fixed_pq_codebooks(), n_centroids=16)
+    assert "embedding" not in spark.read.parquet(slim).columns
+    q = _queries(emb)
+    got = query_ivfpq_index(spark, slim, q, k=5, n_probe=4, rerank_source=emb)
+    want = query_ivfpq_index(spark, fat, q, k=5, n_probe=4)
+    assert _res(got) == _res(want)

@@ -3051,7 +3051,8 @@ def test_drift_bound_gates_streaming_ingest(spark, tmp_path):
         os.rename(os.path.join(stage, part), dst)
         os.utime(dst, (1_000_000_000 + gen, 1_000_000_000 + gen))
 
-    # batch 1 mirrors the reference mix; batch 2 is all-short docs
+    # batch 1 mirrors the reference mix; batch 2 is all-short docs;
+    # batch 3 is the CLEAN RESEND of batch 2's docs (true lengths)
     _land(d.where(F.col("doc_id") % 3 == 1), 1)
     _land(
         d.where(F.col("doc_id") % 3 == 2).withColumn(
@@ -3059,6 +3060,7 @@ def test_drift_bound_gates_streaming_ingest(spark, tmp_path):
         ),
         2,
     )
+    _land(d.where(F.col("doc_id") % 3 == 2), 3)
     out, quar, ck = (str(tmp_path / x) for x in ("out", "quar", "ck"))
     q = dedup_ingest_stream(
         spark, src, d.schema, "drift_seed_idx", "text", "doc_id", out, ck,
@@ -3070,5 +3072,14 @@ def test_drift_bound_gates_streaming_ingest(spark, tmp_path):
     quarantined = spark.read.parquet(quar)
     assert admitted.where(F.col("generation") == 1).count() > 0
     assert admitted.where(F.col("generation") == 2).count() == 0
+    # the clean resend lands (and deduped against gen 1's index rows)
+    assert admitted.where(F.col("generation") == 3).count() > 0
     reasons = {r.quarantine_reason for r in quarantined.select("quarantine_reason").collect()}
-    assert len(reasons) == 1 and "drift_bound" in next(iter(reasons))
+    assert len(reasons) == 1
+    reason = next(iter(reasons))
+    # the tag quantifies the diversion: name + the measured TVD milli
+    assert "drift_bound" in reason
+    import re
+
+    m = re.search(r"=(\d+(\.\d+)?)$", reason)
+    assert m and float(m.group(1)) > 400, reason

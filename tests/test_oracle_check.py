@@ -134,3 +134,31 @@ def test_gated_queries_emit_scalar_schemas_only(spark):
         if cols:
             bad[name] = cols
     assert bad == {}, f"gated queries with driver-crashing complex columns: {bad}"
+
+
+def test_rotation_age_report_runs_and_is_complete(capsys):
+    """--rotation-age (VERDICT r10 item 9): the report parses
+    BASELINE.md's rotation history, covers EVERY registry entry exactly
+    once, and puts never-driver-checked entries at the head of the
+    swap-in section."""
+    import re
+
+    from tools.oracle_check import rotation_age
+
+    rc = rotation_age()
+    assert rc == 0
+    out = capsys.readouterr().out
+    from hadoop_app_spark.queries import DRIVER_GATE_SIZE, REGISTRY
+
+    listed = re.findall(r"^ +(?:\d+ rounds|never) +([a-z0-9_]+)", out, re.M)
+    assert sorted(listed) == sorted(REGISTRY), (
+        set(REGISTRY) ^ set(listed)
+    )
+    gated_section = out.split("## ungated")[0]
+    assert len(re.findall(r"^  ", gated_section, re.M)) == DRIVER_GATE_SIZE
+    # the never-checked block leads the ungated section
+    ungated = out.split("## ungated")[1].strip().splitlines()
+    first_aged = next(
+        i for i, line in enumerate(ungated) if not line.startswith("  never")
+    )
+    assert all(line.startswith("  never") for line in ungated[:first_aged])

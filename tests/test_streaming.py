@@ -937,10 +937,12 @@ def test_validated_ingest_quarantines_bad_batches(spark, tmp_path):
     qr = spark.read.parquet(qtn).collect()
     assert {(r.generation, r.doc_id) for r in qr} == {(2, None), (2, 21)}
     # both expectations flag the NULL (ValueRange treats NULL as a
-    # violation by design), joined sorted
+    # violation by design), joined sorted — each tag carries the
+    # measured metric (one NULL row -> violation count 1) so the
+    # quarantine is diagnosable without a re-run (VERDICT r10 item 8)
     assert all(
         r.quarantine_reason
-        == "not_null(doc_id);value_range(doc_id,0,1000000000)"
+        == "not_null(doc_id)=1;value_range(doc_id,0,1000000000)=1"
         for r in qr
     )
     spark.sql("DROP TABLE IF EXISTS mh_vq_idx")

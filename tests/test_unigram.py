@@ -239,3 +239,81 @@ def test_unigram_token_count_cross_implementation_real_corpus(spark):
         toks = (text or "").lower().split()
         want = sum(_ind_viterbi_count(w, pieces_ref) for w in toks)
         assert got[doc_id] == (len(toks), want), f"doc {doc_id}"
+
+
+def test_prob_space_trainer_properties(spark):
+    """py_unigram_train_prob (the oracled face): the vocabulary is
+    fixed at the seed (chars + top multis), probabilities are positive
+    and sum to ~1 after each round's renormalization, and chars are
+    never dropped even when unobserved."""
+    from hadoop_app_spark.operators.unigram import (
+        _seed_counts,
+        py_unigram_train_prob,
+    )
+
+    wc = {"spark": 5, "spar": 2, "park": 3, "ark": 1, "a": 4}
+    pieces = py_unigram_train_prob(wc, max_piece_len=3, seed_size=10, n_em_iters=2)
+    seed = _seed_counts(wc, 10, 3)
+    chars = {p for p in seed if len(p) == 1}
+    assert chars <= set(pieces)  # chars never pruned
+    assert set(pieces) <= set(seed)  # vocabulary fixed at the seed
+    assert all(v > 0.0 for v in pieces.values())
+    assert abs(sum(pieces.values()) - 1.0) < 1e-9
+
+
+def test_prob_space_trainer_matches_naive_reference():
+    """Bit-exact pin against an independently coded probability-space
+    EM (no shared lattice code): same seed, same op order contract."""
+    from hadoop_app_spark.operators.unigram import (
+        _seed_counts,
+        py_unigram_train_prob,
+    )
+
+    wc = {"abab": 3, "bab": 2, "ab": 7, "ba": 1}
+    K = 3
+
+    def naive(word_counts, rounds):
+        counts = _seed_counts(word_counts, 10, K)
+        tot = sum(counts.values())
+        pieces = {p: counts[p] / tot for p in sorted(counts)}
+        for _ in range(rounds):
+            e = {}
+            for w in sorted(word_counts):
+                c = word_counts[w]
+                L = len(w)
+                al = [1.0] + [0.0] * L
+                for end in range(1, L + 1):
+                    acc = 0.0
+                    for st in range(max(0, end - K), end):
+                        acc = acc + al[st] * pieces.get(w[st:end], 0.0)
+                    al[end] = acc
+                be = [0.0] * L + [1.0]
+                for st in range(L - 1, -1, -1):
+                    acc = 0.0
+                    for end in range(st + 1, min(st + K, L) + 1):
+                        acc = acc + pieces.get(w[st:end], 0.0) * be[end]
+                    be[st] = acc
+                z = al[L]
+                for end in range(1, L + 1):
+                    for st in range(max(0, end - K), end):
+                        pr = pieces.get(w[st:end])
+                        if pr is not None:
+                            e[w[st:end]] = e.get(w[st:end], 0.0) + c * (
+                                ((al[st] * pr) * be[end]) / z
+                            )
+            tot2 = 0.0
+            for p in sorted(pieces):
+                tot2 = tot2 + e.get(p, 0.0)
+            nxt = {}
+            for p in sorted(pieces):
+                r = e.get(p, 0.0) / tot2
+                if r > 0.0:
+                    nxt[p] = r
+                elif len(p) == 1:
+                    nxt[p] = 1e-12
+            pieces = nxt
+        return pieces
+
+    got = py_unigram_train_prob(wc, max_piece_len=K, seed_size=10, n_em_iters=2)
+    want = naive(wc, 3)  # 2 EM rounds + the final re-score
+    assert got == want  # EXACT float equality, keys and bits

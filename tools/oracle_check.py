@@ -127,8 +127,69 @@ def type_drift(srows, scols, drows, dcols):
     return out
 
 
+def rotation_age() -> int:
+    """--rotation-age: rounds since each ungated registry entry last
+    held a driver gate row (VERDICT r10 item 9) — the report each
+    round's rotation cites so swap-ins maximize driver coverage.
+
+    Replays BASELINE.md's gate-rotation history tables (`| rN |
+    swapped-IN | swapped-OUT |` rows): an entry's age is rounds since
+    it last appeared in an IN cell without a later OUT; 'never' means
+    no driver has ever value-checked it — the highest-priority class.
+    The early-history approximation is stated in the output: r1's
+    initial 50 are not listed row-by-row in the table, so a gated
+    entry with no IN row reads as 'since r1'."""
+    import re
+    from pathlib import Path
+
+    md = (Path(__file__).resolve().parent.parent / "BASELINE.md").read_text()
+    rows = re.findall(r"^\| r(\d+) \| (.*?) \| (.*?) \|$", md, re.M)
+    names = set(REGISTRY)
+    last_in: dict[str, int] = {}
+    last_out: dict[str, int] = {}
+    max_round = 1
+    for rnd, cell_in, cell_out in rows:
+        r = int(rnd)
+        max_round = max(max_round, r)
+        for tok in re.findall(r"[a-z0-9_]+", cell_in):
+            if tok in names:
+                last_in[tok] = max(last_in.get(tok, 0), r)
+        for tok in re.findall(r"[a-z0-9_]+", cell_out):
+            if tok in names:
+                last_out[tok] = max(last_out.get(tok, 0), r)
+    now = max_round + 1  # the round being planned
+    gated = list(REGISTRY)[:DRIVER_GATE_SIZE]
+    print(f"# rotation-age report (history through r{max_round}, planning r{now})")
+    print(f"# gate = first {DRIVER_GATE_SIZE} of {len(REGISTRY)} registry entries\n")
+    print("## gated now (rounds holding the row — displacement candidates first)")
+    by_tenure = sorted(
+        gated, key=lambda n: (last_in.get(n, 1), n)
+    )
+    for n in by_tenure:
+        since = last_in.get(n, 1)
+        print(f"  {now - since:>2} rounds  {n}  (gated since r{since})")
+    print("\n## ungated (driver-coverage gap — swap-in candidates first)")
+    ungated = [n for n in REGISTRY if n not in set(gated)]
+
+    def age_key(n):
+        if n not in last_in and n not in last_out:
+            return (0, n)  # never driver-checked: highest priority
+        return (1, -(now - last_out.get(n, last_in.get(n, 1))), n)
+
+    for n in sorted(ungated, key=age_key):
+        oracle = "oracled" if REGISTRY[n].oracle is not None else "rows-only"
+        if n not in last_in and n not in last_out:
+            print(f"  never     {n}  ({oracle})")
+        else:
+            out_r = last_out.get(n, last_in.get(n, 1))
+            print(f"  {now - out_r:>2} rounds  {n}  (last gate row ~r{out_r}, {oracle})")
+    return 0
+
+
 def main():
     args = sys.argv[1:]
+    if "--rotation-age" in args:
+        return rotation_age()
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")

@@ -289,6 +289,20 @@ SHOWCASE["set_similarity_join"] = (
 )
 
 
+SHOWCASE["ivfpq_index_topk"] = (
+    "PartitionFilters pruning on the probed cell=K/ dirs, an ADC scan "
+    "whose ReadSchema carries ONLY (vec_id, codes, cell) — the stored "
+    "raw vectors never leave disk — and the ADC score as a Catalyst "
+    "aggregate of m element_at lookups against the broadcast per-query "
+    "LUT (no Python in the scoring path)",
+    "the memory-bounded ANN shape a 100 TB index ships (FAISS IVFPQ): "
+    "IVF prunes WHICH partitions open, PQ prunes WHICH BYTES are read "
+    "inside them (m code bytes vs dim floats per vector, ~1-2% of the "
+    "embedding scan), and the exact re-rank touches only shortlist x "
+    "|queries| true vectors",
+)
+
+
 def render(spark) -> str:
     """The full PLANS.md content — shared by main() and the CI drift
     test (tests/test_plan_drift.py regenerates this and diffs it

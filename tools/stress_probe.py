@@ -1195,6 +1195,44 @@ def f_column_diff(spark, dp, ep, scratch):
     return column_change_profile(old, new, ["doc_id"]).count()
 
 
+def f_ivfpq(spark, dp, ep, scratch):
+    """Composed IVF×PQ probe at a growing corpus, FIXED queries: the
+    scoring scan reads n_probe/n_centroids of the corpus' CODE bytes
+    only (partition pruning picks the cells, column pruning pins the
+    stored raw vectors on disk), so probe wall should stay near-flat
+    while the corpus grows 10x; pruning stats printed alongside. The
+    one-time build is memoized per tier — only the serving path is
+    timed."""
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        index_scan_stats,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    e = spark.read.parquet(ep)
+    root = str(scratch.parent / f"ivfpq_x{CURRENT_SCALE}")
+    if not os.path.exists(root):
+        build_ivfpq_index(
+            e, root, fixed_pq_codebooks(), n_centroids=16,
+            centroid_source=e.where(F.col("vec_id") < 1000),
+        )
+    q = e.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = query_ivfpq_index(spark, root, q, k=5, n_probe=4, shortlist=64)
+    n = res.count()
+    res.collect()
+    stats = index_scan_stats(res)
+    print(
+        f"    [ivfpq {CURRENT_SCALE}x] files_read={stats['files_read']} "
+        f"partitions_read={stats['partitions_read']}"
+    )
+    return n
+
+
 FAMILIES = {
     "exact_dedup": f_exact_dedup,
     "minhash_fast_pipeline": f_minhash_fast,
@@ -1267,6 +1305,8 @@ FAMILIES = {
     "ivf_rebuild": f_ivf_rebuild,
     "ohlc_downsample": f_ohlc_downsample,
     "column_diff": f_column_diff,
+    # r11: the composed IVF×PQ serving path (fixed queries, 10x corpus)
+    "ivfpq": f_ivfpq,
 }
 
 
@@ -1316,7 +1356,7 @@ def main() -> None:
     emb_families = {
         "cosine_topk_bf", "lsh_ann_topk", "ivf_ann_topk",
         "embedding_near_dup", "semdedup", "semdedup_fast",
-        "embedding_pca", "ivf_index", "ivf_rebuild",
+        "embedding_pca", "ivf_index", "ivf_rebuild", "ivfpq",
     }
     ev_families = {"funnel", "cohort", "matview_refresh", "ohlc_downsample"}
     # families reading BOTH documents and embeddings at scale
