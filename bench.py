@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "ivfpq_index_topk",
     "ivfpq_index_increment",
     "unigram_vocab_fixed",
+    # r11: snapshot retention — metadata-only expiry + two version reads
+    "snapshot_expire",
 ]
 
 

@@ -474,11 +474,14 @@ def query_ivfpq_index(
     if rerank_source is not None:
         vecs = rerank_source.select(id_col, vec_col)
     else:
-        vecs = (
-            spark.read.parquet(path)
-            .where(F.col("cell").isin(all_cells))
-            .select(id_col, vec_col)
-        )
+        stored = spark.read.parquet(path)
+        if vec_col not in stored.columns:
+            raise ValueError(
+                f"query_ivfpq_index({path}): the index stores codes only "
+                f"(built with store_vectors=False) — pass rerank_source "
+                "with the raw vectors for the exact shortlist re-rank"
+            )
+        vecs = stored.where(F.col("cell").isin(all_cells)).select(id_col, vec_col)
     exact = (
         short.join(vecs, id_col)
         .join(

@@ -2488,6 +2488,136 @@ def q_snapshot_time_travel(spark, sf_dir):
 
 
 @query(
+    "snapshot_expire",
+    # four deterministic states; after expire(keep_last=2) the KEPT
+    # versions (2, 3) must read exactly their modular reconstructions —
+    # an expiry that deleted a still-reachable directory (e.g. a v1 dir
+    # an untouched partition still lives in) changes a kept version's
+    # counts and value-fails; the expired version's loud failure is
+    # asserted in-entry
+    oracle="""
+        WITH v0 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+        v1 AS (
+            SELECT doc_id,
+                   n_chars + CASE WHEN doc_id % 9 = 0 THEN 1000 ELSE 0 END
+                       AS n_chars
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+        v2 AS (
+            SELECT * FROM v1 WHERE NOT (doc_id % 3 = 0 AND doc_id % 5 = 0)
+            UNION ALL
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2),
+        v3 AS (
+            SELECT * FROM v2
+            WHERE NOT (doc_id % 3 = 1 AND doc_id % 7 = 0)
+              AND doc_id % 9 <> 0
+            UNION ALL
+            SELECT doc_id, n_chars + 2000 AS n_chars FROM documents
+            WHERE doc_id % 9 = 0)
+        SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM v2
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM v3
+    """,
+    doc="snapshot retention (streaming/cdc.expire_snapshots — the Iceberg "
+    "expire_snapshots / Delta VACUUM-horizon analog over the versioned "
+    "CDC layout, closing the retention caveat snapshot_at documents): "
+    "keep_last versions stay travelable, every directory no kept "
+    "manifest references is reclaimed, and REACHABILITY (not age) "
+    "decides — a partition untouched since an expired version keeps its "
+    "old directory because kept manifests still point there. The entry "
+    "expires a 3-commit history to keep_last=2 and returns the kept "
+    "versions' accounting read back through snapshot_at; the expired "
+    "version must raise loudly (asserted in-entry) and the fixture is "
+    "memoized + copied per invocation, so the timed work is the "
+    "metadata-only expiry + the two version reads",
+)
+def q_snapshot_expire(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.streaming.cdc import expire_snapshots, snapshot_at
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _build(root):
+        from hadoop_app_spark.streaming.cdc import apply_changes_stream
+
+        snap, src, ck = (os.path.join(root, x) for x in ("snap", "src", "ck"))
+        os.makedirs(src)
+        d.where(F.col("doc_id") % 3 == 0).write.parquet(os.path.join(snap, "v0"))
+        batch1 = (
+            d.where(F.col("doc_id") % 3 == 1)
+            .unionByName(
+                d.where(F.col("doc_id") % 9 == 0).withColumn(
+                    "n_chars", F.col("n_chars") + 1000
+                )
+            )
+            .select(
+                "doc_id", "n_chars", F.lit("U").alias("op"),
+                F.col("doc_id").alias("seq"),
+            )
+        )
+        batch2 = (
+            d.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
+            .select("doc_id", "n_chars", F.lit("D").alias("op"))
+            .unionByName(
+                d.where(F.col("doc_id") % 3 == 2).select(
+                    "doc_id", "n_chars", F.lit("U").alias("op")
+                )
+            )
+            .select("doc_id", "n_chars", "op", F.col("doc_id").alias("seq"))
+        )
+        batch3 = (
+            d.where((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 7 == 0))
+            .select("doc_id", "n_chars", F.lit("D").alias("op"))
+            .unionByName(
+                d.where(F.col("doc_id") % 9 == 0)
+                .withColumn("n_chars", F.col("n_chars") + 2000)
+                .select("doc_id", "n_chars", F.lit("U").alias("op"))
+            )
+            .select("doc_id", "n_chars", "op", F.col("doc_id").alias("seq"))
+        )
+        for gen, df in ((1, batch1), (2, batch2), (3, batch3)):
+            _land_stream_file(df, src, gen)
+        stream = (
+            spark.readStream.schema("doc_id long, n_chars long, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = apply_changes_stream(
+            stream, snap, ["doc_id"], op_col="op", seq_col="seq", checkpoint_dir=ck
+        )
+        q.awaitTermination()
+
+    memo = _memo_dir("snapexpire", sf_dir, "mod3|u9|d3x5|b3d7u9|v4", _build)
+    snap = _scratch_dir("snapexpire_work", sf_dir)
+    shutil.rmtree(snap, ignore_errors=True)
+    shutil.copytree(os.path.join(memo, "snap"), snap)
+    res = expire_snapshots(spark, snap, keep_last=2)
+    if res["expired"] != [1] or res["manifests_deleted"] != 1:
+        raise RuntimeError(f"snapshot_expire: unexpected expiry result {res}")
+    try:
+        snapshot_at(spark, snap, 1).count()
+    except ValueError:
+        pass  # the expired version MUST be loudly unreadable
+    else:
+        raise RuntimeError("snapshot_expire: expired version 1 still readable")
+    parts = []
+    for v in (2, 3):
+        parts.append(
+            snapshot_at(spark, snap, v)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(F.lit(v).alias("version"), "n_docs", "sum_chars")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@query(
     "count_distinct",
     oracle="""
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
@@ -12393,6 +12523,10 @@ _PRIORITY = [
     # build-from-scratch, same oracle verbatim)
     "ivfpq_index_topk",
     "ivfpq_index_increment",
+    # snapshot_expire (r11): retention for the versioned snapshot —
+    # reachability-driven reclaim, kept versions value-checked, expired
+    # reads loud (the Iceberg expire_snapshots analog)
+    "snapshot_expire",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",

@@ -103,9 +103,11 @@ def snapshot_at(spark, root: str, version: int) -> DataFrame:
     commit — the version log this reads (an FS-listing reconstruction
     alone would be WRONG for a partition whose keys were all deleted
     at v: "touched and emptied" and "untouched" both leave no v-dir).
-    Retention caveat, stated honestly: deleting old ``v{n}`` dirs
-    reclaims space but truncates how far back this can travel — the
-    same retention/VACUUM trade a lakehouse table format makes.
+    Retention: `expire_snapshots` reclaims directories no kept version
+    references and truncates how far back this can travel — the same
+    retention/VACUUM trade a lakehouse table format makes, with the
+    expired versions failing loudly here (sidecar gone), never
+    reconstructing a half-reclaimed state.
 
     ``version`` 0 reads the seed; the current version equals
     ``current_snapshot``.
@@ -122,8 +124,9 @@ def snapshot_at(spark, root: str, version: int) -> DataFrame:
     if at is None:
         raise ValueError(
             f"snapshot_at({root}): no _MANIFEST_v{version} sidecar — the "
-            "snapshot predates per-version manifests; only versions "
-            "committed with them are travelable"
+            "version was expired by retention (expire_snapshots) or "
+            "predates per-version manifests; only versions with a "
+            "manifest are travelable"
         )
     pvers_at, exact = at
     paths = _partition_paths(spark, root, pvers_at, exact=exact)
@@ -132,6 +135,83 @@ def snapshot_at(spark, root: str, version: int) -> DataFrame:
         # the required v0 seed
         return spark.read.parquet(os.path.join(root, "v0")).limit(0)
     return spark.read.parquet(*paths)
+
+
+def expire_snapshots(spark, root: str, keep_last: int = 7) -> dict:
+    """RETENTION for the versioned snapshot layout: drop the ability to
+    time-travel to all but the newest ``keep_last`` committed versions
+    and reclaim every data directory no kept version references — the
+    trade `snapshot_at`'s docstring names, made explicit (what Iceberg
+    ``expire_snapshots`` / a Delta VACUUM horizon does for a table
+    format, over the plain-parquet version dance).
+
+    Reachability, not age, decides what is deleted: a partition
+    UNTOUCHED since v1 is still served from its v1 directory by every
+    later version's manifest, so ``v1/__snap_p=i`` must survive even
+    when version 1 itself expires. The kept versions' manifests are
+    the reachable set; a ``v{n}/__snap_p={i}`` directory appears in
+    none of them -> deleted; an expired version's ``_MANIFEST_v{n}``
+    sidecar is deleted, so `snapshot_at` fails LOUDLY on it (the
+    "no sidecar" error) instead of reconstructing a half-reclaimed
+    state. The ``v0`` seed directory always survives: it is the
+    schema anchor the all-partitions-empty read path requires.
+
+    Metadata-only cost: O(kept versions) sidecar reads + one listing
+    per surviving version dir — never a data scan. Crash-safe by
+    deletion order (sidecars of expired versions first, then
+    unreachable data dirs): a crash mid-expiry leaves either an
+    already-unreadable version or still-reachable data, never a
+    readable version with missing partitions. Returns
+    ``{"kept", "expired", "dirs_deleted", "manifests_deleted"}``.
+    """
+    cur, _, pvers, _ = _state.read_manifest(spark, root, fresh_version=0)
+    if pvers is None:
+        # legacy / seed-only layout: one whole-dir version, no manifest
+        # chain to prune
+        return {"kept": [cur], "expired": [], "dirs_deleted": 0,
+                "manifests_deleted": 0}
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    keep = [v for v in range(max(1, cur - keep_last + 1), cur + 1)]
+    expired = [v for v in range(1, cur + 1) if v not in keep]
+    reachable: set[tuple[int, int]] = set()
+    for v in keep:
+        at = _state.read_manifest_at(spark, root, v)
+        if at is None:
+            raise ValueError(
+                f"expire_snapshots({root}): kept version {v} has no "
+                "manifest sidecar — refusing to compute reachability "
+                "from an incomplete version log"
+            )
+        for i, pv in enumerate(at[0]):
+            if pv >= 0:
+                reachable.add((pv, i))
+    manifests_deleted = 0
+    for v in expired:
+        if hfs.delete(spark, f"{root}/_MANIFEST_v{v}"):
+            manifests_deleted += 1
+    dirs_deleted = 0
+    for v in range(1, cur + 1):
+        vdir = f"{root}/v{v}"
+        if not hfs.exists(spark, vdir):
+            continue
+        remaining = False
+        for e in hfs.list_status(spark, vdir):
+            if e["is_dir"] and e["name"].startswith(f"{_PART}="):
+                i = int(e["name"].split("=", 1)[1])
+                if (v, i) in reachable:
+                    remaining = True
+                else:
+                    hfs.delete(spark, e["path"], recursive=True)
+                    dirs_deleted += 1
+        if not remaining and v in expired:
+            hfs.delete(spark, vdir, recursive=True)
+    return {
+        "kept": keep,
+        "expired": expired,
+        "dirs_deleted": dirs_deleted,
+        "manifests_deleted": manifests_deleted,
+    }
 
 
 def current_snapshot(spark, root: str) -> DataFrame:

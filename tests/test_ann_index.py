@@ -442,3 +442,19 @@ def test_ivfpq_codes_only_layout_with_rerank_source(spark, tmp_path):
     got = query_ivfpq_index(spark, slim, q, k=5, n_probe=4, rerank_source=emb)
     want = query_ivfpq_index(spark, fat, q, k=5, n_probe=4)
     assert _res(got) == _res(want)
+
+
+def test_ivfpq_codes_only_without_rerank_source_raises(spark, tmp_path):
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _quantized(load_table(spark, SF, "embeddings"))
+    slim = str(tmp_path / "slim")
+    build_ivfpq_index(
+        emb, slim, fixed_pq_codebooks(), n_centroids=16, store_vectors=False
+    )
+    with pytest.raises(ValueError, match="store_vectors=False"):
+        query_ivfpq_index(spark, slim, _queries(emb), k=5, n_probe=4)

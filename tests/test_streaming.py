@@ -1286,3 +1286,70 @@ def test_snapshot_at_probe_free_with_exact_manifest(spark, tmp_path, monkeypatch
         assert got == history[v], f"version {v}"
     # pointer + per-version sidecar existence only — NO __snap_p probes
     assert not [p for p in probes if "__snap_p=" in p], probes
+
+
+def test_expire_snapshots_reachability_and_loud_expired_reads(spark, tmp_path):
+    """Retention for the versioned snapshot (the Iceberg
+    expire_snapshots / Delta VACUUM-horizon analog): kept versions read
+    IDENTICALLY after expiry — including partitions untouched since an
+    EXPIRED version, whose old dirs must survive because kept manifests
+    still reference them — while an expired version's read raises
+    loudly and its unreachable dirs are reclaimed."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from hadoop_app_spark.sources import fs as hfs
+    from hadoop_app_spark.streaming.cdc import (
+        apply_changes_stream,
+        current_snapshot,
+        expire_snapshots,
+        snapshot_at,
+    )
+
+    root = str(tmp_path / "snap")
+    # key 0 is written at v1 (migration) and NEVER touched again — its
+    # v1 partition dir is the reachability crux
+    seed = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "k long, v double"
+    )
+    seed.write.parquet(root + "/v0")
+    cdir = tmp_path / "changes"
+    cdir.mkdir()
+    for g in range(1, 9):
+        change = {"k": 1 + (g % 3), "v": 100.0 + g, "op": "U", "seq": g}
+        (cdir / f"b{g:03d}.jsonl").write_text(_json.dumps(change))
+        _os.utime(cdir / f"b{g:03d}.jsonl", (1_000_000_000 + g,) * 2)
+    stream = (
+        spark.readStream.schema("k long, v double, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(cdir))
+    )
+    apply_changes_stream(
+        stream, root, ["k"], op_col="op", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ck"), n_partitions=4,
+    ).awaitTermination()
+
+    def rows(df):
+        return {r.k: r.v for r in df.collect()}
+
+    before = {v: rows(snapshot_at(spark, root, v)) for v in (6, 7, 8)}
+    assert before[8][0] == 0.0  # key 0 untouched since the migration
+
+    res = expire_snapshots(spark, root, keep_last=3)
+    assert res["kept"] == [6, 7, 8] and res["expired"] == [1, 2, 3, 4, 5]
+    assert res["manifests_deleted"] == 5 and res["dirs_deleted"] > 0
+
+    # kept versions identical, including the v1-resident partitions
+    for v in (6, 7, 8):
+        assert rows(snapshot_at(spark, root, v)) == before[v], f"v{v}"
+    assert rows(current_snapshot(spark, root)) == before[8]
+    # the untouched partition's v1 dir survived (reachable from kept)
+    assert hfs.exists(spark, root + "/v1")
+    # expired version: loud, names retention
+    with _pytest.raises(ValueError, match="expired|predates"):
+        snapshot_at(spark, root, 3)
+    # idempotent: a second expiry deletes nothing further
+    res2 = expire_snapshots(spark, root, keep_last=3)
+    assert res2["dirs_deleted"] == 0 and res2["manifests_deleted"] == 0
