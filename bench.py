@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "unigram_vocab_fixed",
     # r11: snapshot retention — metadata-only expiry + two version reads
     "snapshot_expire",
+    # r11: ANN recall@5 eval — lossy IVF×PQ vs exact ground truth
+    "ann_recall_ivfpq",
 ]
 
 

@@ -243,3 +243,46 @@ def retrieval_eval(
             "mrr_milli"
         ),
     )
+
+
+def ann_recall(
+    ann_results: DataFrame,
+    exact_results: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an ANN ranking against exact ground truth ->
+    [query_id, n_hits, recall_milli] — the ANN family's evaluation face
+    beside `retrieval_eval` (brute/LSH/IVF/PQ/IVF×PQ *produce*
+    neighbor rankings; this measures how many TRUE neighbors the
+    approximate index surfaced, the number every recall/latency
+    trade — n_probe, shortlist, band count — is tuned against).
+
+    Both inputs are ``[query_id, {id_col}, rank]`` frames (any of the
+    family's query functions); rows past rank ``k`` are ignored on
+    both sides so mixed-k frames compare at the caller's k. The query
+    list comes from the EXACT side, so a query the ANN returned
+    nothing for still appears with recall 0 — silent misses are the
+    metric's whole point. Integer milli (hits * 1000 div k),
+    bit-identical in any engine.
+
+    Scale shape: both sides are |queries| x k rows by construction —
+    one keyed equi-join + one grouped count, independent of corpus
+    scale (the corpus work already happened inside the rankers)."""
+    a = ann_results.where(F.col("rank") <= k).select("query_id", id_col)
+    e = exact_results.where(F.col("rank") <= k).select("query_id", id_col)
+    hits = a.join(e, ["query_id", id_col]).groupBy("query_id").agg(
+        F.count("*").alias("_h")
+    )
+    return (
+        e.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"coalesce(_h, 0) * 1000 div {int(k)}")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+    )

@@ -5770,7 +5770,11 @@ def q_pq_ann_topk_fixed(spark, sf_dir):
     )
 
 
-_IVFPQ_FIXED_ORACLE = f"""
+def _ivfpq_fixed_oracle(n_probe: int = 4, shortlist: int = 64, k: int = 5) -> str:
+    """The IVF×PQ pipeline replay, parameterized so the ANN-recall
+    evaluation entry can re-derive a deliberately lossier configuration
+    (fewer probes, tighter shortlist) from the same CTE chain."""
+    return f"""
     WITH corp AS (
         SELECT vec_id, [floor(x * 256) for x in embedding::DOUBLE[]] AS v
         FROM embeddings),
@@ -5811,7 +5815,7 @@ _IVFPQ_FIXED_ORACLE = f"""
               FROM q CROSS JOIN cent)),
     cand AS (
         SELECT p.query_id, p.qv, cl.vec_id
-        FROM (SELECT * FROM probes WHERE rn <= 4) p
+        FROM (SELECT * FROM probes WHERE rn <= {n_probe}) p
         JOIN cells cl USING (cell)
         WHERE cl.vec_id <> p.query_id),
     adc AS (
@@ -5827,7 +5831,7 @@ _IVFPQ_FIXED_ORACLE = f"""
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY score DESC, vec_id) AS rn
               FROM adc)
-        WHERE rn <= 64),
+        WHERE rn <= {shortlist}),
     scored AS (
         SELECT s.query_id, s.vec_id,
                CASE WHEN sqrt({_IVF_DOT.format(a="cl.v", b="cl.v")})
@@ -5844,8 +5848,11 @@ _IVFPQ_FIXED_ORACLE = f"""
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
           FROM scored)
-    WHERE rank <= 5
+    WHERE rank <= {k}
 """
+
+
+_IVFPQ_FIXED_ORACLE = _ivfpq_fixed_oracle()
 
 
 @query(
@@ -5904,6 +5911,98 @@ def q_ivfpq_index_topk(spark, sf_dir):
     return query_ivfpq_index(
         spark, os.path.join(memo, "idx"), queries, k=5, n_probe=4, shortlist=64
     ).select("query_id", "vec_id", "rank")
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH ann AS ({_ivfpq_fixed_oracle(n_probe=2, shortlist=8, k=5)}),
+    exact AS (
+        WITH corp AS (
+            SELECT vec_id, [floor(x * 256) for x in embedding::DOUBLE[]] AS v
+            FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id <= 5),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   CASE WHEN sqrt({_IVF_DOT.format(a="c.v", b="c.v")})
+                             * sqrt({_IVF_DOT.format(a="q.qv", b="q.qv")}) <> 0
+                        THEN {_IVF_DOT.format(a="c.v", b="q.qv")}
+                             / (sqrt({_IVF_DOT.format(a="c.v", b="c.v")})
+                                * sqrt({_IVF_DOT.format(a="q.qv", b="q.qv")}))
+                        ELSE 0 END AS cosine
+            FROM corp c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 5),
+    hits AS (
+        SELECT ann.query_id, count(*) AS h
+        FROM ann JOIN exact
+          ON ann.query_id = exact.query_id AND ann.vec_id = exact.vec_id
+        GROUP BY 1)
+    SELECT e.query_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.h, 0) * 1000 // 5 AS BIGINT) AS recall_milli
+    FROM (SELECT DISTINCT query_id FROM exact) e
+    LEFT JOIN hits h USING (query_id)
+"""
+
+
+@query(
+    "ann_recall_ivfpq",
+    # the oracle re-derives BOTH sides — the IVF×PQ pipeline at a
+    # deliberately lossy configuration (n_probe=2, shortlist=8) and
+    # the exact brute-force top-5 — then counts the overlap, so it
+    # value-checks the ANN ranking, the ground truth, AND the recall
+    # accounting in one pass; everything is integer-exact under the
+    # quantized-vector/fixed-codebook lever
+    oracle=_ANN_RECALL_ORACLE,
+    doc="ANN recall@k evaluation (operators/retrieval.ann_recall — the "
+    "ANN family's evaluation face beside retrieval_ndcg): recall@5 per "
+    "query of the composed IVF×PQ index run at a deliberately LOSSY "
+    "configuration (n_probe=2 of 16 cells, shortlist=8) against exact "
+    "brute-force ground truth — the number every recall/latency knob "
+    "(n_probe, shortlist, band count) is tuned against, in exact "
+    "integer milli-units. Both eval inputs are |queries| x k rows, so "
+    "the metric join is corpus-scale-independent; the corpus work "
+    "already happened inside the rankers",
+)
+def q_ann_recall_ivfpq(spark, sf_dir):
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+    from hadoop_app_spark.operators.retrieval import ann_recall
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+
+    def _build(root):
+        build_ivfpq_index(
+            qd, os.path.join(root, "idx"), fixed_pq_codebooks(), n_centroids=16
+        )
+
+    # the SAME memoized index ivfpq_index_topk serves from (identical
+    # params/fingerprint) — reads don't mutate it
+    memo = _memo_dir("ivfpq_index", sf_dir, "q256|c16|m8n16", _build)
+    queries = qd.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = query_ivfpq_index(
+        spark, os.path.join(memo, "idx"), queries, k=5, n_probe=2, shortlist=8
+    )
+    exact = brute_force_topk(
+        qd.repartition(spark.sparkContext.defaultParallelism), queries, k=5
+    )
+    return ann_recall(ann, exact, k=5)
 
 
 @query(
@@ -12523,6 +12622,10 @@ _PRIORITY = [
     # build-from-scratch, same oracle verbatim)
     "ivfpq_index_topk",
     "ivfpq_index_increment",
+    # ann_recall_ivfpq (r11): the ANN family's evaluation face —
+    # recall@5 of a deliberately lossy IVF×PQ configuration vs exact
+    # ground truth, both sides re-derived by the oracle
+    "ann_recall_ivfpq",
     # snapshot_expire (r11): retention for the versioned snapshot —
     # reachability-driven reclaim, kept versions value-checked, expired
     # reads loud (the Iceberg expire_snapshots analog)

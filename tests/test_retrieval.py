@@ -258,3 +258,58 @@ def test_retrieval_eval_rank_mismatch_penalized(spark):
     assert out["n_ranked"] == 2 and out["ndcg_milli"] == 1000
     with __import__("pytest").raises(ValueError, match="discount table"):
         retrieval_eval(df, "text", "doc_id", ["x"], k=11)
+
+
+def test_ann_recall_semantics(spark):
+    """recall@k counts rank<=k overlaps only; the query list comes from
+    the exact side so an ANN silent miss reads 0, and extra ANN ranks
+    past k are ignored."""
+    from hadoop_app_spark.operators.retrieval import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1), (3, 31, 2)],
+        "query_id long, vec_id long, rank int",
+    )
+    ann = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),          # perfect
+         (2, 21, 1), (2, 99, 2),          # half right
+         (2, 20, 3),                      # true neighbor but past k=2: ignored
+         ],
+        "query_id long, vec_id long, rank int",
+    )
+    got = {r.query_id: (r.n_hits, r.recall_milli) for r in ann_recall(ann, exact, k=2).collect()}
+    assert got == {1: (2, 1000), 2: (1, 500), 3: (0, 0)}
+
+
+def test_ann_recall_perfect_at_full_probe(spark):
+    """IVF×PQ at full probe width + an exhaustive shortlist recalls
+    everything brute force finds — the eval closes the loop on the
+    composition's exactness envelope."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.catalog import load_table
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+    from hadoop_app_spark.operators.retrieval import ann_recall
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+    import tempfile
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double"),
+        ).alias("embedding"),
+    )
+    path = tempfile.mkdtemp() + "/idx"
+    build_ivfpq_index(emb, path, fixed_pq_codebooks(), n_centroids=16)
+    q = emb.where(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = query_ivfpq_index(spark, path, q, k=5, n_probe=16, shortlist=10_000)
+    exact = brute_force_topk(emb, q, k=5)
+    rows = ann_recall(ann, exact, k=5).collect()
+    assert rows and all(r.recall_milli == 1000 for r in rows)
