@@ -156,6 +156,10 @@ def expire_snapshots(spark, root: str, keep_last: int = 7) -> dict:
     state. The ``v0`` seed directory always survives: it is the
     schema anchor the all-partitions-empty read path requires.
 
+    Works on ANY root using this manifest family — the CDC snapshot
+    AND the incremental rollup (`streaming/rollup.py`), whose
+    one-version-per-micro-batch layout grows without bound until
+    exactly this op reclaims it (pinned in tests/test_streaming.py).
     Metadata-only cost: O(kept versions) sidecar reads + one listing
     per surviving version dir — never a data scan. Crash-safe by
     deletion order (sidecars of expired versions first, then

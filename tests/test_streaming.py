@@ -1353,3 +1353,53 @@ def test_expire_snapshots_reachability_and_loud_expired_reads(spark, tmp_path):
     # idempotent: a second expiry deletes nothing further
     res2 = expire_snapshots(spark, root, keep_last=3)
     assert res2["dirs_deleted"] == 0 and res2["manifests_deleted"] == 0
+
+
+def test_expire_snapshots_serves_the_rollup_layout(spark, tmp_path):
+    """The rollup's versioned layout shares the snapshot manifest
+    family, so the SAME expire_snapshots gives it retention: a
+    long-running incremental rollup accumulates one version dir per
+    micro-batch forever; expiry reclaims the unreachable ones while
+    current_rollup reads identically."""
+    import datetime as dt
+
+    from hadoop_app_spark.streaming.cdc import expire_snapshots
+    from hadoop_app_spark.streaming.rollup import current_rollup, incremental_rollup
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=11 * i), "click" if i % 2 else "view",
+         float(i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    cdir = tmp_path / "ev"
+    for b in range(6):  # six micro-batches -> six committed versions
+        df.where(f"event_id div 5 = {b}").coalesce(1).write.parquet(
+            str(cdir / f"p{b}")
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(cdir) + "/*")
+    )
+    root = str(tmp_path / "rollup")
+    incremental_rollup(
+        stream, root, checkpoint_dir=str(tmp_path / "ckpt"), n_partitions=4
+    ).awaitTermination()
+
+    before = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in current_rollup(spark, root).collect()
+    }
+    res = expire_snapshots(spark, root, keep_last=2)
+    assert len(res["expired"]) >= 3 and res["manifests_deleted"] >= 3
+    after = {
+        (r.bucket_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in current_rollup(spark, root).collect()
+    }
+    assert after == before
