@@ -103,6 +103,12 @@ NLJ_ALLOWED = CROSS_ALLOWED | {
     # crossJoin-broadcasts onto the |bins|-row merge for the milli
     # shares — the one-row-stats class
     "distribution_drift",
+    # ann_recall_ivfpq: the exact-ground-truth arm IS brute_force_topk
+    # (the <=6-row query set broadcast-NLJ'd against the corpus — the
+    # cosine_topk class, the documented exact baseline ANN is measured
+    # against), plus its struct re-join; both NLJ sides are bounded by
+    # the query-set size, never corpus x corpus
+    "ann_recall_ivfpq",
 }
 
 
