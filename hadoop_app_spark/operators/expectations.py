@@ -110,7 +110,14 @@ class DriftBound:
     needs beyond row-local checks: a feed whose rows are individually
     valid can still silently shift the length/language/quality MIX —
     this quarantines such batches with the drifted bins attributable
-    via `distribution_drift` on the quarantined file."""
+    via `distribution_drift` on the quarantined file.
+
+    An EMPTY batch evaluates to metric 1000 (maximal drift, ADVICE
+    r11) — it quarantines like any shifted batch instead of raising,
+    so a foreachBatch sink without its own isEmpty guard degrades to
+    a recoverable quarantine rather than a forever-replaying job
+    kill. An empty REFERENCE still raises (that is a configuration
+    error: TVD against nothing must never read as 0)."""
 
     bin_expr: str
     reference: DataFrame = field(compare=False)
@@ -226,9 +233,17 @@ def check_expectations(df: DataFrame, expectations: list) -> DataFrame:
         # TVD in milli-units = sum(|old_share - new_share|) / 2 over
         # the drift rows; half-integers are exact doubles, so the
         # metric is engine- and partitioning-independent like every
-        # other gate metric
+        # other gate metric. An EMPTY batch side pins the metric to
+        # exactly 1000 (maximal drift — quarantine, don't kill the
+        # stream; ADVICE r11): sum(n_new) rides the same drift frame,
+        # no extra scan
         tvd = distribution_drift(e.reference, df, F.expr(e.bin_expr)).agg(
-            (F.coalesce(F.sum("diff_milli"), F.lit(0)) / F.lit(2.0))
+            F.when(
+                F.coalesce(F.sum("n_new"), F.lit(0)) == 0, F.lit(1000.0)
+            )
+            .otherwise(
+                F.coalesce(F.sum("diff_milli"), F.lit(0)) / F.lit(2.0)
+            )
             .cast("double")
             .alias("metric")
         )
@@ -266,14 +281,19 @@ def distribution_drift(
     Scale shape: one grouped count per snapshot (map-side combined),
     one full-outer merge on the bin key, output = |bins|.
 
-    Edge semantics (ADVICE r10): the bin merge is NULL-SAFE — a NULL
-    bin (e.g. a NULL input column) is ONE group on both sides, exactly
-    as GROUP BY already treats it, so it merges into one row instead
-    of inflating TVD as an old-only + new-only pair. And an EMPTY side
-    raises at evaluation (``raise_error`` inside the share expression)
-    rather than NULL-ing every share — an empty reference would
-    otherwise coalesce to TVD 0 downstream and wave ANY batch through
-    a `DriftBound` gate."""
+    Edge semantics (ADVICE r10/r11): the bin merge is NULL-SAFE — a
+    NULL bin (e.g. a NULL input column) is ONE group on both sides,
+    exactly as GROUP BY already treats it, so it merges into one row
+    instead of inflating TVD as an old-only + new-only pair. An EMPTY
+    REFERENCE raises at evaluation (``raise_error`` inside the share
+    expression) rather than NULL-ing every share — it would otherwise
+    coalesce to TVD 0 downstream and wave ANY batch through a
+    `DriftBound` gate. An empty NEW side, by contrast, is a
+    RECOVERABLE condition (an empty micro-batch must quarantine, not
+    kill the stream in a forever-replay loop): its shares evaluate to
+    0, so every reference bin reads as pure loss and the summed TVD is
+    maximal-drift-sized; `DriftBound` additionally pins that case to
+    an exact metric of 1000."""
     b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
 
     def _binned(df, n_name):
@@ -292,20 +312,21 @@ def distribution_drift(
         F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn")
     )
 
-    def _share(cnt: str, total: str, side: str):
-        return F.when(
-            F.col(total) == 0,
-            F.raise_error(
-                F.lit(
-                    f"distribution_drift: the {side} snapshot is empty — "
-                    "shares are undefined and a TVD of 0 against nothing "
-                    "must not pass a drift gate"
-                )
-            ).cast("long"),
-        ).otherwise(F.expr(f"{cnt} * 1000 div {total}"))
-
-    old_m = _share("n_old", "_to", "old/reference")
-    new_m = _share("n_new", "_tn", "new")
+    old_m = F.when(
+        F.col("_to") == 0,
+        F.raise_error(
+            F.lit(
+                "distribution_drift: the old/reference snapshot is empty — "
+                "shares are undefined and a TVD of 0 against nothing "
+                "must not pass a drift gate"
+            )
+        ).cast("long"),
+    ).otherwise(F.expr("n_old * 1000 div _to"))
+    # empty NEW side: shares 0 (recoverable maximal drift), never raise
+    # — an empty batch in a foreachBatch gate would replay forever
+    new_m = F.when(F.col("_tn") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("n_new * 1000 div _tn")
+    )
     return merged.crossJoin(F.broadcast(tot)).select(
         out_bin,
         "n_old",

@@ -226,6 +226,15 @@ def ab_test_summary(
     frame read ONE materialization), one single-row bounded collect
     for the control rate.
 
+    EXECUTION CONTRACT (ADVICE r11): this function is EAGER — calling
+    it runs the event scan (two Spark jobs: the eager
+    ``localCheckpoint`` of the rollup, then the one-row control
+    collect) and the returned frame reads executor-local checkpoint
+    blocks, so it is cheap to re-consume but NOT recomputable after
+    executor loss and NOT a lazy plan callers can defer or re-optimize
+    into a larger query. Callers that need laziness should inline the
+    two groupBys and join the control row themselves.
+
     Loud-failure edges (ADVICE r10): an absent ``control_value`` arm
     raises (a crossJoin against the empty control row would silently
     return an EMPTY readout); a control arm whose conversion rate

@@ -43,7 +43,11 @@ cadence collapsed from "once a day" to "every file".
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def dedup_ingest_stream(
@@ -271,6 +275,22 @@ def matview_refresh_stream(
                 if view.join(
                     F.broadcast(ret_keys), spec["keys"], "left_semi"
                 ).isEmpty():
+                    # Observable by design (ADVICE r11): this signature
+                    # is ALSO what a corrupt first-delivery all-deletes
+                    # feed (retracting keys the view never held) looks
+                    # like — indistinguishable from a replay here, so
+                    # log batch id + key count before skipping; an
+                    # operator can tell 'replay skip' from 'keys never
+                    # existed' by checking the epoch ledger upstream.
+                    _LOG.warning(
+                        "matview sink: skipping delete-only batch "
+                        "epoch=%s (%d distinct retraction keys, none "
+                        "present in the view) — crash-replay signature; "
+                        "if this epoch was never committed, the feed "
+                        "retracted keys that never existed",
+                        epoch_id,
+                        ret_keys.count(),
+                    )
                     return
             changes = matview_changes(
                 view.drop("mv_epoch"),

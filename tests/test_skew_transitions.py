@@ -205,3 +205,32 @@ def test_distribution_drift_null_bin_merges_and_empty_reference_raises(spark):
     empty = spark.createDataFrame([], "bin string")
     with _pytest.raises(Exception, match="reference snapshot is empty|snapshot is empty"):
         distribution_drift(empty, new, "bin").collect()
+
+
+def test_distribution_drift_empty_new_side_is_recoverable(spark):
+    """ADVICE r11: an empty NEW side must not raise (a DriftBound
+    expectation over an empty micro-batch would kill the stream in a
+    forever-replay loop where quarantining is recoverable) — its
+    shares evaluate to 0, and DriftBound pins the gate metric to
+    exactly 1000 (maximal drift -> quarantine)."""
+    from hadoop_app_spark.operators.expectations import (
+        DriftBound,
+        check_expectations,
+        distribution_drift,
+    )
+
+    old = spark.createDataFrame([("a",), ("a",), ("b",)], "bin string")
+    empty = spark.createDataFrame([], "bin string")
+
+    rows = {r["bin"]: r for r in distribution_drift(old, empty, "bin").collect()}
+    assert set(rows) == {"a", "b"}
+    assert all(r["new_milli"] == 0 and r["n_new"] == 0 for r in rows.values())
+    assert all(r["diff_milli"] == r["old_milli"] for r in rows.values())
+
+    verdict = check_expectations(
+        empty.withColumnRenamed("bin", "v"),
+        [DriftBound("v", old.withColumnRenamed("bin", "v"), max_tvd_milli=400)],
+    ).collect()
+    assert len(verdict) == 1
+    assert verdict[0]["metric"] == 1000.0
+    assert verdict[0]["passed"] is False
