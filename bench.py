@@ -240,6 +240,9 @@ BENCH_QUERIES = [
     "snapshot_expire",
     # r11: ANN recall@5 eval — lossy IVF×PQ vs exact ground truth
     "ann_recall_ivfpq",
+    # r12: DriftBound-validated ingest stream (shifted feed quarantined
+    # whole with the TVD-carrying tag; clean resend dedups vs day 1)
+    "stream_drift_ingest_exec",
 ]
 
 

@@ -4365,13 +4365,11 @@ def q_dedup_increment(spark, sf_dir):
     return gens[0].unionAll(gens[1])
 
 
-def _dedup_increment_oracle() -> str:
-    """DuckDB replay of both index generations: seed dedup -> index0,
-    day-1 drops (index hit OR lower-id intra pair) -> surv1 -> index1 =
-    index0 + surv1 bands, day-2 drops vs index1 -> surv2. Zero-shingle
-    docs have no band rows, so they survive in both engines."""
-    return f"""
-        WITH {_minhash_banded_cte()},
+def _dedup_increment_ctes() -> str:
+    """The two-generation increment-replay CTE chain (``sb`` ..
+    ``surv2``), shared by `_dedup_increment_oracle` and the
+    drift-ingest oracle (which adds a quarantine block beside it)."""
+    return f"""{_minhash_banded_cte()},
         sb AS (SELECT * FROM banded WHERE doc_id % 7 = 0),
         seed_losers AS (SELECT DISTINCT x.doc_id FROM sb a JOIN sb x
                         ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
@@ -4398,7 +4396,16 @@ def _dedup_increment_oracle() -> str:
             SELECT x.doc_id FROM b2 a JOIN b2 x
               ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id),
         surv2 AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 2
-                  AND doc_id NOT IN (SELECT doc_id FROM drop2))
+                  AND doc_id NOT IN (SELECT doc_id FROM drop2))"""
+
+
+def _dedup_increment_oracle() -> str:
+    """DuckDB replay of both index generations: seed dedup -> index0,
+    day-1 drops (index hit OR lower-id intra pair) -> surv1 -> index1 =
+    index0 + surv1 bands, day-2 drops vs index1 -> surv2. Zero-shingle
+    docs have no band rows, so they survive in both engines."""
+    return f"""
+        WITH {_dedup_increment_ctes()}
         SELECT 1 AS generation, d.doc_id, d.n_chars
         FROM documents d JOIN surv1 USING (doc_id)
         UNION ALL
@@ -4605,6 +4612,124 @@ REGISTRY["stream_validated_ingest_exec"] = QueryDef(
     REGISTRY["stream_validated_ingest_exec"].fn,
     _dedup_increment_oracle().replace("SELECT 2 AS generation", "SELECT 3 AS generation"),
     REGISTRY["stream_validated_ingest_exec"].doc,
+)
+
+
+def _drift_ingest_oracle() -> str:
+    """The validated-ingest replay EXTENDED with the drift verdict:
+    gens 1/3 are the dedup_increment two-generation replay (labels 1
+    and 3 — the quarantined day never touches the index), and gen 2 is
+    the shifted feed verbatim, every row tagged with the EXACT
+    quarantine reason the stream writes — the DriftBound name plus the
+    measured TVD, recomputed from scratch (integer milli shares over
+    the div-200 bins, full-outer merged, summed |diff| halved,
+    %g-formatted). A drift-metric regression of even one milli breaks
+    the string equality."""
+    return f"""
+        WITH {_dedup_increment_ctes()},
+        ref_bins AS (SELECT n_chars // 200 AS bin, count(*) AS n_old
+                     FROM documents WHERE doc_id % 7 = 0 GROUP BY 1),
+        new_bins AS (SELECT (n_chars % 50) // 200 AS bin, count(*) AS n_new
+                     FROM documents WHERE doc_id % 7 = 2 GROUP BY 1),
+        bins AS (SELECT COALESCE(r.bin, w.bin) AS bin,
+                        COALESCE(n_old, 0) AS n_old,
+                        COALESCE(n_new, 0) AS n_new
+                 FROM ref_bins r FULL OUTER JOIN new_bins w ON r.bin = w.bin),
+        tot AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM bins),
+        tvd AS (SELECT sum(abs(n_old * 1000 // t_o - n_new * 1000 // t_n)) / 2.0 AS v
+                FROM bins, tot)
+        SELECT 1 AS generation, d.doc_id, d.n_chars,
+               CAST(NULL AS VARCHAR) AS quarantine_reason
+        FROM documents d JOIN surv1 USING (doc_id)
+        UNION ALL
+        SELECT 3 AS generation, d.doc_id, d.n_chars,
+               CAST(NULL AS VARCHAR) AS quarantine_reason
+        FROM documents d JOIN surv2 USING (doc_id)
+        UNION ALL
+        SELECT 2 AS generation, d.doc_id, d.n_chars % 50 AS n_chars,
+               'drift_bound(n_chars div 200,400)=' || printf('%g', tvd.v)
+                 AS quarantine_reason
+        FROM documents d, tvd WHERE d.doc_id % 7 = 2
+    """
+
+
+@query(
+    "stream_drift_ingest_exec",
+    oracle=None,  # assigned below: the increment replay + drift verdict
+    doc="the DRIFT-validated ingest loop (VERDICT r11 item 3): a "
+    "DriftBound expectation judges each micro-batch's binned n_chars "
+    "distribution against a reference snapshot BEFORE it touches the "
+    "index or the output — day 1's in-distribution feed lands (gen 1), "
+    "day 2's shifted feed (all lengths collapsed mod 50 -> one bin) "
+    "quarantines WHOLE with the TVD-carrying drift_bound tag, day 3's "
+    "clean resend of the same docs dedups normally against day-1's "
+    "index (gen 3). Returns admitted AND quarantined rows; the oracle "
+    "replays the two-generation dedup AND recomputes the drift verdict "
+    "string (name + %g TVD) from scratch, so the gate's metric is "
+    "value-checked, not just its routing.",
+)
+def q_stream_drift_ingest_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.operators.dedup import seed_minhash_index
+    from hadoop_app_spark.operators.expectations import DriftBound
+    from hadoop_app_spark.streaming.ingest import dedup_ingest_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    par = spark.sparkContext.defaultParallelism
+    # same memoized day-0 seed as dedup_increment, cloned fresh
+    _seed_clone(
+        spark, "mh_incr_seed", "mh_dstream_index",
+        f"minhash|{sf_dir}|mod7|poly|n3k8b4",
+        lambda t: seed_minhash_index(
+            d.where(F.col("doc_id") % 7 == 0), "text", "doc_id", t,
+            hash_fn="poly", repartition_to=par,
+        ),
+    )
+    root = _scratch_dir("drift_ingest", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir, out, qtn, ck = (os.path.join(root, x) for x in ("src", "out", "qtn", "ck"))
+    os.makedirs(src_dir)
+    gen2 = d.where(F.col("doc_id") % 7 == 2)
+    batches = [
+        d.where(F.col("doc_id") % 7 == 1),  # day 1: in-distribution
+        # day 2: every length collapsed below 50 — the whole batch's
+        # bin mass lands in bin 0, TVD vs the reference blows the bound
+        gen2.withColumn("n_chars", F.col("n_chars") % 50),
+        gen2,  # day 3: the clean resend of day 2's docs
+    ]
+    for g, b in enumerate(batches, start=1):
+        _land_stream_file(b, src_dir, g)
+    q = dedup_ingest_stream(
+        spark, src_dir, d.schema, "mh_dstream_index", "text", "doc_id",
+        out, ck, hash_fn="poly", repartition_to=par,
+        expectations=[
+            DriftBound("n_chars div 200", d.where(F.col("doc_id") % 7 == 0),
+                       max_tvd_milli=400)
+        ],
+        quarantine_path=qtn,
+    )
+    q.awaitTermination()
+    qrows = spark.read.parquet(qtn)
+    bad_tag = qrows.where(
+        ~F.coalesce(F.col("quarantine_reason"), F.lit("")).startswith("drift_bound")
+    ).count()
+    if qrows.isEmpty() or bad_tag:
+        raise RuntimeError("shifted batch was not drift-quarantined")
+    admitted = spark.read.parquet(out).select(
+        "generation", "doc_id", "n_chars",
+        F.lit(None).cast("string").alias("quarantine_reason"),
+    )
+    return admitted.unionAll(
+        qrows.select("generation", "doc_id", "n_chars", "quarantine_reason")
+    )
+
+
+REGISTRY["stream_drift_ingest_exec"] = QueryDef(
+    REGISTRY["stream_drift_ingest_exec"].fn,
+    _drift_ingest_oracle(),
+    REGISTRY["stream_drift_ingest_exec"].doc,
 )
 
 
@@ -12630,6 +12755,12 @@ _PRIORITY = [
     # reachability-driven reclaim, kept versions value-checked, expired
     # reads loud (the Iceberg expire_snapshots analog)
     "snapshot_expire",
+    # stream_drift_ingest_exec (r12, VERDICT r11 item 3): the
+    # DriftBound-validated ingest loop as a real stream — shifted feed
+    # quarantines whole with the TVD-carrying tag (value-checked by
+    # the oracle's from-scratch drift recomputation), clean resend
+    # dedups against day-1's index
+    "stream_drift_ingest_exec",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",

@@ -3083,3 +3083,31 @@ def test_drift_bound_gates_streaming_ingest(spark, tmp_path):
 
     m = re.search(r"=(\d+(\.\d+)?)$", reason)
     assert m and float(m.group(1)) > 400, reason
+
+
+def test_stream_drift_ingest_registry_entry(spark):
+    """The gated stream_drift_ingest_exec entry (VERDICT r11 item 3):
+    three generations come back — 1 admitted, 2 quarantined whole with
+    the TVD-carrying drift_bound tag on EVERY row, 3 admitted as the
+    clean resend deduped against day-1's index (so gen-3 survivors
+    never exceed gen-2's row count)."""
+    from hadoop_app_spark.queries import REGISTRY
+
+    out = REGISTRY["stream_drift_ingest_exec"].fn(spark, "/root/testdata/sf0.001")
+    by_gen = {
+        r["generation"]: r["n"]
+        for r in out.groupBy("generation").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_gen) == {1, 2, 3}
+    q = out.where(F.col("generation") == 2)
+    reasons = {r["quarantine_reason"] for r in q.select("quarantine_reason").collect()}
+    assert len(reasons) == 1
+    reason = next(iter(reasons))
+    assert reason.startswith("drift_bound(n_chars div 200,400)=")
+    assert float(reason.split("=")[1]) > 400
+    # the shifted batch was quarantined WHOLE (no dedup): every mod-7==2
+    # doc is present; the clean resend then deduped against the index
+    assert by_gen[3] <= by_gen[2]
+    assert out.where(
+        (F.col("generation") != 2) & F.col("quarantine_reason").isNotNull()
+    ).count() == 0
