@@ -243,6 +243,9 @@ BENCH_QUERIES = [
     # r12: DriftBound-validated ingest stream (shifted feed quarantined
     # whole with the TVD-carrying tag; clean resend dedups vs day 1)
     "stream_drift_ingest_exec",
+    # r12: the production trained-codebook IVF×PQ path (train on a
+    # sample -> build -> serve -> recall@5 vs brute force at the floor)
+    "ivfpq_trained_recall",
 ]
 
 

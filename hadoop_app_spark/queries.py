@@ -6192,6 +6192,70 @@ def q_ivfpq_index_increment(spark, sf_dir):
 
 
 @query(
+    "ivfpq_trained_recall",
+    # rows-only BY DESIGN (the semdedup_fast/pq_ann_topk convention):
+    # trained float-mean codebooks are engine-seeded floats with no
+    # cross-engine replay; the check that matters for a lossy trained
+    # index is its measured recall vs exact ground truth, which the fn
+    # SELF-ASSERTS at a stated floor (raises below it) and the oracled
+    # fixed-codebook twins (ivfpq_index_topk / ann_recall_ivfpq) pin
+    # the identical pipeline's mechanics value-exactly
+    oracle=None,
+    doc="the PRODUCTION IVF×PQ path end-to-end (VERDICT r11 item 4 — "
+    "operators/ann_index.build_trained_ivfpq_index): PQ codebooks "
+    "TRAINED on a deterministic hash-ordered sample (farthest-point "
+    "seeded per-subspace k-means, cost bounded by the sample), index "
+    "built in one corpus pass with the trained books pinned in the "
+    "sidecar, served at the standard config (n_probe=4/16, "
+    "shortlist=64), and recall@5 measured against exact brute-force "
+    "ground truth per query (operators/retrieval.ann_recall). The fn "
+    "raises if mean recall@5 drops below the 600-milli floor (measured "
+    "means: 866/900/700 at sf0.001/0.01/0.1) — the quality gate a "
+    "trained ANN config ships behind",
+)
+def q_ivfpq_trained_recall(spark, sf_dir):
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_trained_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.retrieval import ann_recall
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    # memoized day-0 train+build (deterministic: hash-ordered sample,
+    # lowest-code ties): the timed work is the SERVING + eval path
+    def _build(root):
+        build_trained_ivfpq_index(
+            emb, os.path.join(root, "idx"),
+            n_centroids=16, m=8, n_codes=16, iters=5, sample=2048,
+        )
+
+    memo = _memo_dir("ivfpq_trained", sf_dir, "c16|m8n16|i5|s2048", _build)
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = query_ivfpq_index(
+        spark, os.path.join(memo, "idx"), queries, k=5, n_probe=4, shortlist=64
+    )
+    exact = brute_force_topk(
+        emb.repartition(spark.sparkContext.defaultParallelism), queries, k=5
+    )
+    rec = ann_recall(ann, exact, k=5).localCheckpoint(eager=True)
+    mean = rec.agg(F.avg("recall_milli").alias("m")).collect()[0]["m"]
+    if mean is None or mean < 600:
+        raise RuntimeError(
+            f"trained IVF×PQ recall@5 mean {mean} below the 600-milli "
+            "floor — the trained-codebook config regressed"
+        )
+    return rec
+
+
+@query(
     "multimodal_meta",
     oracle="""
         SELECT doc_id, 'image' AS media_type, 'raw' AS format,
@@ -12747,6 +12811,11 @@ _PRIORITY = [
     # build-from-scratch, same oracle verbatim)
     "ivfpq_index_topk",
     "ivfpq_index_increment",
+    # ivfpq_trained_recall (r12, VERDICT r11 item 4): the production
+    # trained-codebook IVF×PQ path (sample -> train -> build -> serve),
+    # rows-only by design (engine-seeded float codebooks), recall@5
+    # self-asserted at a 600-milli floor vs brute-force ground truth
+    "ivfpq_trained_recall",
     # ann_recall_ivfpq (r11): the ANN family's evaluation face —
     # recall@5 of a deliberately lossy IVF×PQ configuration vs exact
     # ground truth, both sides re-derived by the oracle

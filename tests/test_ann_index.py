@@ -458,3 +458,53 @@ def test_ivfpq_codes_only_without_rerank_source_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="store_vectors=False"):
         query_ivfpq_index(spark, slim, _queries(emb), k=5, n_probe=4)
+
+
+def test_ivfpq_distributed_lut_path_matches_driver_loop(spark, ivfpq_built):
+    """VERDICT r11 item 5: the executor-side LUT/probe build
+    (mapInPandas over the queries frame) answers BIT-IDENTICALLY to
+    the driver loop under the integer-codebook exactness lever —
+    forced via distribute_luts_from=1 so the small test batch takes
+    the distributed path."""
+    from hadoop_app_spark.operators.ann_index import query_ivfpq_index
+
+    path, emb = ivfpq_built
+    q = _queries(emb)
+    driver = query_ivfpq_index(
+        spark, path, q, k=5, n_probe=4, shortlist=64
+    )
+    distributed = query_ivfpq_index(
+        spark, path, q, k=5, n_probe=4, shortlist=64, distribute_luts_from=1
+    )
+    assert _res(driver) == _res(distributed)
+
+
+def test_trained_ivfpq_recall_floor_and_sidecars(spark, tmp_path):
+    """VERDICT r11 item 4: the production composition (sample ->
+    train_pq_codebooks -> build -> serve) hits the stated recall
+    floor against brute-force ground truth, and the trained books
+    round-trip through the sidecar (appends/queries see EXACTLY what
+    training produced)."""
+    from hadoop_app_spark.operators.ann_index import (
+        _load_codebooks,
+        build_trained_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.retrieval import ann_recall
+    from hadoop_app_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "trained")
+    books = build_trained_ivfpq_index(
+        emb, path, n_centroids=16, m=8, n_codes=16, iters=5, sample=2048
+    )
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert _load_codebooks(spark, path) == books  # sidecar round-trip
+    q = _queries(emb)
+    ann = query_ivfpq_index(spark, path, q, k=5, n_probe=4, shortlist=64)
+    exact = brute_force_topk(emb, q, k=5)
+    rec = ann_recall(ann, exact, k=5)
+    mean = rec.agg(F.avg("recall_milli").alias("m")).collect()[0]["m"]
+    assert mean >= 600, f"trained IVF×PQ recall@5 mean {mean} below floor"
