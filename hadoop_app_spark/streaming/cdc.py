@@ -137,13 +137,31 @@ def snapshot_at(spark, root: str, version: int) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
-def expire_snapshots(spark, root: str, keep_last: int = 7) -> dict:
+def expire_snapshots(
+    spark, root: str, keep_last: int = 7, older_than_ms: int | None = None
+) -> dict:
     """RETENTION for the versioned snapshot layout: drop the ability to
-    time-travel to all but the newest ``keep_last`` committed versions
-    and reclaim every data directory no kept version references — the
-    trade `snapshot_at`'s docstring names, made explicit (what Iceberg
-    ``expire_snapshots`` / a Delta VACUUM horizon does for a table
-    format, over the plain-parquet version dance).
+    time-travel to expired committed versions and reclaim every data
+    directory no kept version references — the trade `snapshot_at`'s
+    docstring names, made explicit (what Iceberg ``expire_snapshots``
+    / a Delta VACUUM horizon does for a table format, over the
+    plain-parquet version dance).
+
+    Two horizons (VERDICT r11 item 7):
+
+    - ``keep_last`` alone (the default): keep the newest ``keep_last``
+      versions — a version-COUNT horizon.
+    - ``older_than_ms`` (epoch millis): keep every version whose
+      commit is at or after the cutoff, with ``keep_last`` demoted to
+      the retain-at-least floor (Iceberg's ``retain_last``) so a
+      quiet table never expires down to nothing. Real retention
+      policies are "N days", not "N versions" — the rollup layout
+      commits one version per MICRO-BATCH, so a version-count horizon
+      means minutes at one trigger cadence and weeks at another; an
+      age horizon survives cadence changes. The commit timestamp is
+      the ``_MANIFEST_v{n}`` sidecar's mtime (written at commit, then
+      immutable); a version whose sidecar is already gone (previously
+      expired) stays expired regardless of policy.
 
     Reachability, not age, decides what is deleted: a partition
     UNTOUCHED since v1 is still served from its v1 directory by every
@@ -176,7 +194,21 @@ def expire_snapshots(spark, root: str, keep_last: int = 7) -> dict:
                 "manifests_deleted": 0}
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
-    keep = [v for v in range(max(1, cur - keep_last + 1), cur + 1)]
+    floor = set(range(max(1, cur - keep_last + 1), cur + 1))
+    if older_than_ms is None:
+        keep = sorted(floor)
+    else:
+        age_kept = set()
+        for v in range(1, cur + 1):
+            if v in floor:
+                continue  # the retain-at-least floor keeps it anyway
+            sidecar = f"{root}/_MANIFEST_v{v}"
+            if not hfs.exists(spark, sidecar):
+                continue  # previously expired: stays expired
+            st = hfs.list_status(spark, sidecar)
+            if st and st[0]["mtime_ms"] >= older_than_ms:
+                age_kept.add(v)
+        keep = sorted(floor | age_kept)
     expired = [v for v in range(1, cur + 1) if v not in keep]
     reachable: set[tuple[int, int]] = set()
     for v in keep:

@@ -1355,6 +1355,81 @@ def test_expire_snapshots_reachability_and_loud_expired_reads(spark, tmp_path):
     assert res2["dirs_deleted"] == 0 and res2["manifests_deleted"] == 0
 
 
+def test_expire_snapshots_age_horizon_mixed_cadence(spark, tmp_path):
+    """VERDICT r11 item 7: the age horizon (older_than_ms) decides by
+    COMMIT TIME, not version count — the rollup layout commits one
+    version per micro-batch, so under a cadence change a version-count
+    horizon means wildly different wall-clock retention while "N days"
+    stays "N days". keep_last demotes to the retain-at-least floor, so
+    a quiet table never expires to nothing; the reachability rule is
+    unchanged (untouched partitions survive via kept manifests)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from hadoop_app_spark.sources import fs as hfs
+    from hadoop_app_spark.streaming.cdc import (
+        apply_changes_stream,
+        expire_snapshots,
+        snapshot_at,
+    )
+
+    root = str(tmp_path / "snap")
+    seed = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "k long, v double"
+    )
+    seed.write.parquet(root + "/v0")
+    cdir = tmp_path / "changes"
+    cdir.mkdir()
+    for g in range(1, 9):
+        change = {"k": 1 + (g % 3), "v": 100.0 + g, "op": "U", "seq": g}
+        (cdir / f"b{g:03d}.jsonl").write_text(_json.dumps(change))
+        _os.utime(cdir / f"b{g:03d}.jsonl", (1_000_000_000 + g,) * 2)
+    stream = (
+        spark.readStream.schema("k long, v double, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(cdir))
+    )
+    apply_changes_stream(
+        stream, root, ["k"], op_col="op", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ck"), n_partitions=4,
+    ).awaitTermination()
+
+    # mixed cadence, stamped onto the commit sidecars: v1-v3 landed in
+    # a burst DAYS ago (a fast trigger), v4-v8 hourly today
+    day = 86_400
+    old_s, recent_s = 1_700_000_000, 1_700_000_000 + 10 * day
+    for v in range(1, 4):
+        _os.utime(f"{root}/_MANIFEST_v{v}", (old_s + v,) * 2)
+    for v in range(4, 9):
+        _os.utime(f"{root}/_MANIFEST_v{v}", (recent_s + 3600 * v,) * 2)
+
+    def rows(df):
+        return {r.k: r.v for r in df.collect()}
+
+    before = {v: rows(snapshot_at(spark, root, v)) for v in range(4, 9)}
+    # cutoff = 7 days before "now": the burst expires regardless of
+    # count; ALL of today's five versions survive though keep_last=2
+    cutoff_ms = (recent_s - 7 * day) * 1000
+    res = expire_snapshots(spark, root, keep_last=2, older_than_ms=cutoff_ms)
+    assert res["kept"] == [4, 5, 6, 7, 8]
+    assert res["expired"] == [1, 2, 3]
+    for v in range(4, 9):
+        assert rows(snapshot_at(spark, root, v)) == before[v], f"v{v}"
+    with _pytest.raises(ValueError, match="expired|predates"):
+        snapshot_at(spark, root, 2)
+    # a cutoff in the future would expire everything — the keep_last
+    # floor retains the newest two (the retain-at-least contract)
+    res2 = expire_snapshots(
+        spark, root, keep_last=2, older_than_ms=(recent_s + 30 * day) * 1000
+    )
+    assert res2["kept"] == [7, 8]
+    assert rows(snapshot_at(spark, root, 8)) == before[8]
+    # untouched-since-v1 partition still reachable from kept manifests
+    assert hfs.exists(spark, root + "/v1")
+
+
 def test_expire_snapshots_serves_the_rollup_layout(spark, tmp_path):
     """The rollup's versioned layout shares the snapshot manifest
     family, so the SAME expire_snapshots gives it retention: a
