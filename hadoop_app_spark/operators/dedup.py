@@ -683,19 +683,31 @@ def simhash_wide(df: DataFrame, text_col: str, id_col: str, half_bits: int = 28)
         _mix(_poly_hash(F.col("_tok"))).alias("_h1"),
         _mix(_poly_hash37(F.col("_tok"))).alias("_h2"),
     )
+    # per-bit ONES counts + one token count: bit i of the fingerprint
+    # is the majority rule 2*ones > n (identical to the +1/-1 sum being
+    # positive, without a CaseWhen inside every aggregate buffer)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{j * half_bits + i}")
+        F.sum(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1))).alias(
+            f"_b{j * half_bits + i}"
+        )
         for j, h in enumerate(("_h1", "_h2"))
         for i in range(half_bits)
-    ]
+    ] + [F.count(F.lit(1)).alias("_n")]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
-    fingerprint = sum(
-        (F.when(F.col(f"_b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(2 * half_bits)),
-        F.lit(0),
-    )
-    return agg.select(id_col, fingerprint.cast("long").alias("simhash"))
+    # balanced-tree reassembly, not a 56-deep Add chain: Catalyst's
+    # analysis/codegen walks expression trees recursively and a linear
+    # chain measurably taxes every plan embedding it (the
+    # _permute_bits lesson, applied to the base fingerprint too)
+    terms = [
+        F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(2 * half_bits)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return agg.select(id_col, terms[0].cast("long").alias("simhash"))
 
 
 def simhash_wide_vectorized(
