@@ -12373,21 +12373,39 @@ _PRIORITY = [
     # below re-verified exact with tools/oracle_check.py --vanilla at
     # sf0.01 before this edit (18 exact / 0 fail, including the
     # kmv_source_overlap HUGEINT cast fix the new guard caught).
-    # incremental dedup, BOTH families + their index lifecycle
-    "dedup_increment",
-    "simhash_increment",
+    # r12 swap-out dedup_increment (driver-green r9-r11): the gated
+    # stream_dedup_ingest_exec shares its two-generation replay oracle
+    # VERBATIM (same seed, same batches, streaming execution) — a
+    # batch-face bug turns that gated row red; stays oracle-checked
+    # locally every round.
+    # r12 swap-out simhash_increment (driver-green r9-r11): the banded
+    # Hamming pipeline stays gated TWICE — simhash_reseed_increment
+    # replays the same seed + increment policy under the permuted
+    # geometry, and simhash_dedup_decisions re-derives the band pairs
+    # fingerprint-for-fingerprint; the plain-geometry increment stays
+    # oracle-checked locally every round.
     # r11 swap-out index_compaction (driver-green r9-r10): the gated
     # compaction_roundtrip is its end-to-end superset (same
     # compact_bucketed_table swap, PLUS the increment-after-compaction
     # equivalence); stays oracle-checked locally every round.
     "compaction_roundtrip",
     # streaming ingest: the increment as a real stream, plus the
-    # expectations-gated admission variant
+    # drift-gated admission variant (r12 — displaces its own
+    # predecessor stream_validated_ingest_exec, driver-green r9-r11,
+    # whose labels-1/3 replay this oracle carries as a strict SUPERSET:
+    # the same two-generation dedup replay PLUS the from-scratch drift
+    # verdict string every quarantined row must match)
     "stream_dedup_ingest_exec",
-    "stream_validated_ingest_exec",
-    # persisted partition-pruned IVF index (shares _IVF_ORACLE with
-    # the in-memory form it displaces)
-    "ivf_index_topk",
+    "stream_drift_ingest_exec",
+    # r12 swap-out ivf_index_topk (driver-green r9-r11): displaced by
+    # its own composed successor ivfpq_index_topk (cell pruning + ADC +
+    # re-rank over the same layout); _IVF_ORACLE stays gated via
+    # ivf_index_rebuild; the plain probe stays oracle-checked locally.
+    # composed IVF×PQ index: the memory-bounded production ANN shape
+    # (r12 swap-ins — the serving face and the sidecar-driven append
+    # where seed + append == build-from-scratch, same oracle verbatim)
+    "ivfpq_index_topk",
+    "ivfpq_index_increment",
     # r11 swap-out kmv_source_overlap (driver-green r9-r10): the
     # sketch family's gated representative becomes the incoming
     # hll_index_increment — the persisted-index LIFECYCLE member whose
@@ -12397,21 +12415,38 @@ _PRIORITY = [
     # Bloom-pruned takedown retraction (rebuilds the filter bit-for-bit
     # and value-checks the file prune + rewrite)
     "bloom_retraction",
-    # registered Python UDTF surface (SURVEY 2.10 Mapper.map parity)
+    # registered Python UDTF surface (SURVEY 2.10 Mapper.map parity).
+    # r12 swap-out udtf_chunk_spans (driver-green r9-r11): §2.10's
+    # gated anchor stays udtf_ncdc_parse (same registration + SQL
+    # LATERAL mechanics — the Mapper.map parity row); the span
+    # arithmetic is pytest-pinned and stays oracle-checked locally.
     "udtf_ncdc_parse",
-    "udtf_chunk_spans",
-    # Deequ-class expectations gate (incl. a designed-to-fail row)
-    "data_expectations",
-    # leakage-safe splits + growing-corpus pinning
-    "leakage_safe_split",
+    # r12 swap-out data_expectations (driver-green r9-r11): the
+    # expectations family keeps TWO gated faces — distribution_drift
+    # (the TVD metric) and stream_drift_ingest_exec (DriftBound gating
+    # a live stream) — plus csv_malformed_quarantine's reader gate;
+    # the row-local aggregate classes are ONE wide agg, pytest-pinned,
+    # oracle-checked locally every round.
+    # r12 swap-out leakage_safe_split (driver-green r9-r11): the gated
+    # split_assignment_pinning oracle REPLAYS its day-1 assignment
+    # wholesale (components -> md5 split) before pinning on top — a
+    # strict superset; stays oracle-checked locally every round.
     "split_assignment_pinning",
-    # reader contracts: mergeSchema evolution + PERMISSIVE quarantine
-    "schema_evolution_read",
+    # reader contracts: PERMISSIVE quarantine stays gated; r12
+    # swap-out schema_evolution_read (driver-green r9-r11) — the
+    # mergeSchema union is a Spark reader contract whose NULL-fill
+    # semantics are pytest-pinned; stays oracle-checked locally.
     "csv_malformed_quarantine",
-    # mixture epoch ordering (stride scheduling, stretched-md5 uniforms)
-    "mixture_epoch_order",
-    # zstd ORC round-trip with column blooms (S14 successor, 2nd format)
-    "orc_roundtrip",
+    # r12 swap-out mixture_epoch_order (driver-green r9-r11): the
+    # stretched-md5 uniforms + stride scheduling are deterministic
+    # integer chains over groupBy/window mechanics gated many times
+    # over; stays oracle-checked locally every round.
+    # r12 swap-out orc_roundtrip (driver-green r9-r11): the
+    # second-format round-trip is a write-then-scan contract whose
+    # oracle value-checks content equality end-to-end; every gated row
+    # keeps exercising the columnar scan path; stays oracle-checked
+    # locally every round (a bucketed-ORC variant also rides
+    # tests/test_operators.py's bkt_orc pin).
     # --- r10 swap-ins (VERDICT r9 items 1/2/3, the standing rotation):
     # the round-9 centerpiece operators rotate INTO the 50-row driver
     # gate so their oracles get driver CORRECTNESS rows, led by the
@@ -12430,10 +12465,18 @@ _PRIORITY = [
     # and a delete batch RETRACTING group minima mid-stream (the sink
     # resolves the caller-named base table per batch)
     "stream_matview_exec",
-    # ANN index lifecycle: seed+append == build(A∪B) (batch), then the
-    # same appends as a real stream — both share _IVF_ORACLE verbatim
-    "ivf_index_increment",
-    "stream_ann_ingest_exec",
+    # r12 swap-out ivf_index_increment (driver-green r10-r11):
+    # displaced by its own composed successor ivfpq_index_increment
+    # (the same sidecar-driven append plus the PQ layer, seed+append ==
+    # build pinned under the shared oracle); the plain-IVF append
+    # equivalence stays gated via ivf_index_rebuild's verbatim
+    # _IVF_ORACLE; stays oracle-checked locally every round.
+    # r12 swap-out stream_ann_ingest_exec (driver-green r10-r11): the
+    # foreachBatch ingest discipline stays gated THREE ways
+    # (stream_dedup_ingest_exec, stream_drift_ingest_exec,
+    # stream_matview_exec) and the ANN append path via
+    # ivfpq_index_increment; the IVF stream face stays oracle-checked
+    # locally every round.
     # orphan-file vacuum (the third maintenance op): deletes exactly
     # the non-manifest files, finishes pending retractions first
     "vacuum_roundtrip",
@@ -12441,11 +12484,12 @@ _PRIORITY = [
     "nation_communities",
     # contrastive training-pair mining over the near-dup graph
     "contrastive_pairs",
-    # time-series gap-fill + LOCF and the linear-interpolation sibling
-    # (calendar-grid spine, per-key windows only; FLOAT interpolation
-    # value-hashes cross-engine)
+    # time-series gap-fill + LOCF (calendar-grid spine, per-key windows
+    # only). r12 swap-out timeseries_interpolate (driver-green
+    # r10-r11): the same spine + frame mechanics stay gated via
+    # timeseries_gapfill (its LOCF sibling) and timeseries_downsample;
+    # the interpolation arithmetic stays oracle-checked locally.
     "timeseries_gapfill",
-    "timeseries_interpolate",
     # key-skew diagnostics: grouped count + bounded 2-pass order
     # statistics; shares in integer milli-units
     "key_skew_profile",
@@ -12455,16 +12499,18 @@ _PRIORITY = [
     # dynamic partition overwrite: the backfill sink contract — one
     # day rewritten, 29 untouched, both failure modes value-fail
     "dynamic_partition_overwrite",
-    # Unicode NFC normalization before dedup — normalized_dedup's own
-    # successor (same hash-groupBy shape + the encoding-variant
-    # collapse DuckDB's nfc_normalize value-checks)
-    "unicode_nfc_dedup",
+    # r12 swap-out unicode_nfc_dedup (driver-green r10-r11): the
+    # hash-groupBy dedup shape stays gated via the stream ingest
+    # replays; the NFC encoding-variant collapse is one scalar chain
+    # DuckDB's nfc_normalize value-checks locally every round.
     # rows-only -> value-hash upgrades (VERDICT r9 item 1's trailing
-    # clause): the driver rows for these were rows-only before their
-    # oracles landed — the 10-round gradient-descent trainer replay
-    # and the two 64-round MATERIALIZED-CTE tokenizer-trainer replays
+    # clause). r12 swap-out bpe_merges (driver-green r10-r11): the
+    # tokenizer family keeps THREE gated faces — wordpiece_merges (the
+    # sibling 64-round trainer replay), unigram_vocab_fixed (the EM
+    # lattice in probability space), bpe_encode_fixed (the merge-
+    # application kernel) — the BPE trainer CTE stays oracle-checked
+    # locally every round.
     "quality_classifier",
-    "bpe_merges",
     "wordpiece_merges",
     # --- r11 swap-ins (VERDICT r10 item 1, the standing rotation): the
     # twelve round-10 additions rotate INTO the 50-row driver gate so
@@ -12504,8 +12550,18 @@ _PRIORITY = [
     # feature prep: exact type-1 percentile clamp + median/IQR scale
     "winsorize_features",
     "robust_scale_features",
-    # --- r9/r10 additions below the gate budget (gate-eligible, each
-    # oracle-exact locally; the r12 rotation queue draws from here):
+    # --- r12 swap-ins, second block (VERDICT r11 items 1/2 — the five
+    # r11 additions + the full never-driver-checked r9 backlog; every
+    # entry --vanilla exact at sf0.01 pre-swap, 15/15 incl. the three
+    # above, displacement picks cite --rotation-age):
+    # the probability-space unigram-EM trainer face (lattice replayed
+    # end-to-end by the unrolled SQL oracle — zero transcendentals)
+    "unigram_vocab_fixed",
+    # reachability-driven snapshot retention (+ r12 age horizon)
+    "snapshot_expire",
+    # ANN recall@5 eval: lossy IVF×PQ config vs exact ground truth,
+    # BOTH sides re-derived by the oracle
+    "ann_recall_ivfpq",
     # Z-order clustered layout + 2-D box lookup (content preservation
     # value-checked; pruning measured in tests/test_layout.py)
     "zorder_point_lookup",
@@ -12523,6 +12579,27 @@ _PRIORITY = [
     "stream_rollup_exec",
     # incremental streaming top-k (mergeable q x k state)
     "stream_topk_exec",
+    # the oracled BPE-encode kernel under a hard-coded merge table
+    "bpe_encode_fixed",
+    # BLAS SemDeDup under SQL-recomputable lowest-id centroids
+    "semdedup_fast_fixed",
+    # --- r12 swap-outs (displacement rationales at their old gate
+    # slots above; all stay oracle-checked locally every round):
+    "dedup_increment",
+    "simhash_increment",
+    "stream_validated_ingest_exec",
+    "ivf_index_topk",
+    "ivf_index_increment",
+    "stream_ann_ingest_exec",
+    "udtf_chunk_spans",
+    "data_expectations",
+    "leakage_safe_split",
+    "schema_evolution_read",
+    "mixture_epoch_order",
+    "orc_roundtrip",
+    "timeseries_interpolate",
+    "unicode_nfc_dedup",
+    "bpe_merges",
     # --- r11 swap-outs (displacement rationales at their old gate
     # slots above; all stay oracle-checked locally every round):
     "max_per_group",
@@ -12715,13 +12792,11 @@ _PRIORITY = [
     "dominant_part_suppliers",
     # unigram trainer + encode (r6): lattice-EM loop, rows-only by
     # design (the bpe_merges convention); trainer pinned EXACT vs a
-    # naive pure-Python reference in tests/test_unigram.py
+    # naive pure-Python reference in tests/test_unigram.py; the
+    # probability-space EM face (unigram_vocab_fixed) rotated INTO the
+    # gate in r12
     "unigram_vocab",
     "unigram_token_count",
-    # unigram_vocab_fixed (r11): the probability-space EM face — the
-    # trainer replayed END-TO-END by an unrolled-lattice SQL oracle
-    # (no transcendentals), closing the last rows-only trainer class
-    "unigram_vocab_fixed",
     # wordpiece trainer ORACLED in r9 (unrolled-CTE replay) and rotated
     # INTO the gate in r10; the encode twin stays here
     "wordpiece_token_count",
@@ -12739,15 +12814,9 @@ _PRIORITY = [
     # (the r8 additions that sat here — bloom_retraction,
     # ivf_index_topk, kmv_source_overlap, compaction_roundtrip,
     # mixture_epoch_order, orc_roundtrip — rotated INTO the gate in r9)
-    # --- r9 additions (rotate into the gate in r10 per convention) ---
-    # bpe_encode_fixed: the oracled BPE-encode twin — the full merge-
-    # application kernel under a hard-coded table vs a recursive-CTE
-    # SQL replay (closes bpe_token_count's rows-only gap)
-    "bpe_encode_fixed",
-    # semdedup_fast_fixed: the BLAS SemDeDup kernels under the SQL-
-    # recomputable lowest-id centroids, sharing semdedup's oracle
-    # (closes semdedup_fast's rows-only gap)
-    "semdedup_fast_fixed",
+    # (bpe_encode_fixed and semdedup_fast_fixed — the r9 oracled
+    # fixed-parameter twins that sat here — rotated INTO the gate in
+    # r12 with the rest of the never-driver-checked backlog)
     # (ivf_index_increment, stream_ann_ingest_exec, vacuum_roundtrip,
     # nation_communities, contrastive_pairs, quality_classifier — the
     # r9 additions that sat here — rotated INTO the gate in r10)
@@ -12804,32 +12873,15 @@ _PRIORITY = [
     # same pipeline over integer-quantized vectors + formula codebooks
     "pq_ann_topk",
     "pq_ann_topk_fixed",
-    # ivfpq_index_topk (r11): the composed IVF×PQ index — cell-pruned
-    # partitions + in-cell ADC over m-byte codes + exact shortlist
-    # re-rank, oracle-exact under the fixed-codebook exactness lever;
-    # the _increment twin gates the append path (seed + append ==
-    # build-from-scratch, same oracle verbatim)
-    "ivfpq_index_topk",
-    "ivfpq_index_increment",
+    # (ivfpq_index_topk / ivfpq_index_increment / ann_recall_ivfpq /
+    # snapshot_expire / stream_drift_ingest_exec — the r11 additions
+    # and the r12 drift stream that sat here — rotated INTO the gate
+    # in r12)
     # ivfpq_trained_recall (r12, VERDICT r11 item 4): the production
     # trained-codebook IVF×PQ path (sample -> train -> build -> serve),
     # rows-only by design (engine-seeded float codebooks), recall@5
     # self-asserted at a 600-milli floor vs brute-force ground truth
     "ivfpq_trained_recall",
-    # ann_recall_ivfpq (r11): the ANN family's evaluation face —
-    # recall@5 of a deliberately lossy IVF×PQ configuration vs exact
-    # ground truth, both sides re-derived by the oracle
-    "ann_recall_ivfpq",
-    # snapshot_expire (r11): retention for the versioned snapshot —
-    # reachability-driven reclaim, kept versions value-checked, expired
-    # reads loud (the Iceberg expire_snapshots analog)
-    "snapshot_expire",
-    # stream_drift_ingest_exec (r12, VERDICT r11 item 3): the
-    # DriftBound-validated ingest loop as a real stream — shifted feed
-    # quarantines whole with the TVD-carrying tag (value-checked by
-    # the oracle's from-scratch drift recomputation), clean resend
-    # dedups against day-1's index
-    "stream_drift_ingest_exec",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",
