@@ -246,6 +246,9 @@ BENCH_QUERIES = [
     # r12: the production trained-codebook IVF×PQ path (train on a
     # sample -> build -> serve -> recall@5 vs brute force at the floor)
     "ivfpq_trained_recall",
+    # r12: streaming ingest into the composed IVF×PQ layout (sidecar-
+    # detected PQ encode per micro-batch; streamed appends == build)
+    "stream_ivfpq_ingest_exec",
 ]
 
 

@@ -6192,6 +6192,82 @@ def q_ivfpq_index_increment(spark, sf_dir):
 
 
 @query(
+    "stream_ivfpq_ingest_exec",
+    # the append-immutability contract transfers to streamed appends
+    # verbatim (cell structure AND codebooks pinned in the sidecars),
+    # so seed + two streamed micro-batches hold EXACTLY the rows of
+    # build(corpus) and _IVFPQ_FIXED_ORACLE replays the probe unchanged
+    # — a dropped batch row, a mis-assigned cell or a wrong code
+    # value-fails the top-k
+    oracle=_IVFPQ_FIXED_ORACLE,
+    doc="streaming ingest into the composed IVF×PQ index (streaming/"
+    "ingest.ann_ingest_stream, layout-aware as of r12): the index is "
+    "self-describing, so the stream sink detects the _pq_codebooks "
+    "sidecar and routes each micro-batch through append_ivfpq_index — "
+    "cell-assign AND PQ-encode against the pinned sidecars in one "
+    "Arrow pass, appends into the cell-partitioned layout, the "
+    "accumulated index never re-read. Two daily embedding files land "
+    "as micro-batches over a mod-3 seed; the probe then answers from "
+    "everything landed with partition pruning + in-cell ADC + exact "
+    "shortlist re-rank (the stream_ann_ingest_exec shape for the "
+    "memory-bounded composed layout)",
+)
+def q_stream_ivfpq_ingest_exec(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+    from hadoop_app_spark.streaming.ingest import ann_ingest_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+
+    # day-0 fixtures (the ivfpq seed layout + the two drop files) are
+    # pure functions of (corpus, params): memoized once, copied per
+    # invocation — the timed work is the STREAM (assign + encode +
+    # append per micro-batch) and the probe
+    def _fixtures(memo_root):
+        build_ivfpq_index(
+            qd.where(F.col("vec_id") % 3 == 0), os.path.join(memo_root, "idx"),
+            fixed_pq_codebooks(), n_centroids=16, centroid_source=qd,
+        )
+        msrc = os.path.join(memo_root, "src")
+        os.makedirs(msrc)
+        for gen in (1, 2):
+            _land_stream_file(
+                qd.where(F.col("vec_id") % 3 == gen), msrc, gen
+            )
+
+    memo = _memo_dir("ivfpq_stream", sf_dir, "q256|c16|m8n16|mod3", _fixtures)
+    root = _scratch_dir("ivfpq_stream", sf_dir)
+    # fresh per invocation: a reused checkpoint would mark the
+    # regenerated files as already-ingested and append nothing
+    shutil.rmtree(root, ignore_errors=True)
+    src, idx, ck = (os.path.join(root, x) for x in ("src", "idx", "ck"))
+    shutil.copytree(os.path.join(memo, "idx"), idx)
+    shutil.copytree(os.path.join(memo, "src"), src, copy_function=shutil.copy2)
+    q = ann_ingest_stream(
+        spark, src, "vec_id long, embedding array<double>", idx, ck
+    )
+    q.awaitTermination()
+    queries = qd.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivfpq_index(
+        spark, idx, queries, k=5, n_probe=4, shortlist=64
+    ).select("query_id", "vec_id", "rank")
+
+
+@query(
     "ivfpq_trained_recall",
     # rows-only BY DESIGN (the semdedup_fast/pq_ann_topk convention):
     # trained float-mean codebooks are engine-seeded floats with no
@@ -12882,6 +12958,11 @@ _PRIORITY = [
     # rows-only by design (engine-seeded float codebooks), recall@5
     # self-asserted at a 600-milli floor vs brute-force ground truth
     "ivfpq_trained_recall",
+    # stream_ivfpq_ingest_exec (r12): streaming ingest into the
+    # COMPOSED layout — the sink detects the codebook sidecar and
+    # PQ-encodes each micro-batch against it; shares
+    # _IVFPQ_FIXED_ORACLE verbatim (streamed appends == build)
+    "stream_ivfpq_ingest_exec",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",

@@ -353,10 +353,25 @@ def ann_ingest_stream(
     the duplicate's own adjacent slot). Exact-once needs the table-
     format upgrade (`streaming/cdc.py`), same as the dedup loop.
 
+    LAYOUT-AWARE (r12): the index is self-describing, so the sink
+    detects a composed IVF×PQ layout by its ``_pq_codebooks`` sidecar
+    (one existence check at stream start) and routes batches through
+    `append_ivfpq_index` — cell-assign AND PQ-encode against the
+    pinned sidecars in the same Arrow pass — so the streamed composed
+    index holds EXACTLY the rows a from-scratch build over everything
+    landed would (the append immutability contract, shared oracle).
+
     Returns the started StreamingQuery (availableNow by default:
     drains the directory and terminates).
     """
-    from hadoop_app_spark.operators.ann_index import append_ivf_index
+    from hadoop_app_spark.operators.ann_index import (
+        PQ_CODEBOOK_DIR,
+        append_ivf_index,
+        append_ivfpq_index,
+    )
+    from hadoop_app_spark.sources import fs as hfs
+
+    composed = hfs.exists(spark, f"{index_path}/{PQ_CODEBOOK_DIR}")
 
     stream = (
         spark.readStream.schema(schema)
@@ -367,7 +382,10 @@ def ann_ingest_stream(
     def _sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return  # trailing empty trigger: nothing to assign
-        append_ivf_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+        if composed:
+            append_ivfpq_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+        else:
+            append_ivf_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

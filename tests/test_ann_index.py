@@ -479,6 +479,49 @@ def test_ivfpq_distributed_lut_path_matches_driver_loop(spark, ivfpq_built):
     assert _res(driver) == _res(distributed)
 
 
+def test_ivfpq_stream_ingest_equals_full_build(spark, tmp_path):
+    """r12: ann_ingest_stream detects the composed layout's codebook
+    sidecar and PQ-encodes each micro-batch against it — the streamed
+    index answers identically to a from-scratch build over everything
+    landed (the append-immutability contract, streaming face)."""
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+    from hadoop_app_spark.streaming.ingest import ann_ingest_stream
+
+    emb = _quantized(load_table(spark, SF, "embeddings"))
+    src, idx, ck = (str(tmp_path / x) for x in ("src", "idx", "ck"))
+    os.makedirs(src)
+    build_ivfpq_index(
+        emb.where(F.col("vec_id") % 3 == 0), idx, fixed_pq_codebooks(),
+        n_centroids=16, centroid_source=emb,
+    )
+    for gen in (1, 2):
+        stage = str(tmp_path / f"stage{gen}")
+        emb.where(F.col("vec_id") % 3 == gen).coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"g{gen}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + gen,) * 2)
+    q = ann_ingest_stream(
+        spark, src, "vec_id long, embedding array<double>", idx, ck
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(idx).count() == emb.count()
+    full = str(tmp_path / "full")
+    build_ivfpq_index(
+        emb, full, fixed_pq_codebooks(), n_centroids=16, centroid_source=emb
+    )
+    queries = _queries(emb)
+    streamed = query_ivfpq_index(spark, idx, queries, k=5, n_probe=4)
+    built = query_ivfpq_index(spark, full, queries, k=5, n_probe=4)
+    assert _res(streamed) == _res(built)
+
+
 def test_trained_ivfpq_recall_floor_and_sidecars(spark, tmp_path):
     """VERDICT r11 item 4: the production composition (sample ->
     train_pq_codebooks -> build -> serve) hits the stated recall
