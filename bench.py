@@ -249,6 +249,8 @@ BENCH_QUERIES = [
     # r12: streaming ingest into the composed IVF×PQ layout (sidecar-
     # detected PQ encode per micro-batch; streamed appends == build)
     "stream_ivfpq_ingest_exec",
+    # r12: composed-layout centroid rebuild behind the three-rename swap
+    "ivfpq_index_rebuild",
 ]
 
 

@@ -238,6 +238,20 @@ def rebuild_ivf_index(
     partitioned write — the amortized cost the append path avoids
     daily.
     """
+    _recover_and_clear_staging(spark, path, "rebuild_ivf_index")
+    cur = spark.read.parquet(path).select(id_col, vec_col)
+    build_ivf_index(
+        cur, path + "__rebuild", id_col, vec_col, n_centroids, centroid_source=cur
+    )
+    _swap_staging_in(spark, path, "rebuild_ivf_index")
+
+
+def _recover_and_clear_staging(spark: SparkSession, path: str, opname: str) -> None:
+    """Entry discipline shared by the rebuild ops (ADVICE r10: a
+    COMPLETE copy of the index exists under SOME name at every
+    instant): finish a half-swapped prior rebuild if the live path is
+    absent, then clear any stale staging/aside dirs (appends may have
+    landed since a crashed build — always rebuild from live)."""
     from hadoop_app_spark.sources import fs as hfs
 
     staging = path + "__rebuild"
@@ -249,7 +263,7 @@ def rebuild_ivf_index(
         if hfs.exists(spark, staging):
             if not hfs.rename(spark, staging, path):
                 raise RuntimeError(
-                    f"rebuild_ivf_index: recovery rename {staging} -> {path} failed"
+                    f"{opname}: recovery rename {staging} -> {path} failed"
                 )
             hfs.delete(spark, old, recursive=True)
         elif hfs.exists(spark, old):
@@ -258,22 +272,28 @@ def rebuild_ivf_index(
             # aside copy is the only complete index: restore it
             if not hfs.rename(spark, old, path):
                 raise RuntimeError(
-                    f"rebuild_ivf_index: recovery rename {old} -> {path} failed"
+                    f"{opname}: recovery rename {old} -> {path} failed"
                 )
         else:
-            raise ValueError(f"rebuild_ivf_index: no index at {path}")
-    # a complete staging/aside dir from a crashed prior rebuild is
-    # stale (appends may have landed since) — always rebuild from live
+            raise ValueError(f"{opname}: no index at {path}")
     hfs.delete(spark, staging, recursive=True)
     hfs.delete(spark, old, recursive=True)
-    cur = spark.read.parquet(path).select(id_col, vec_col)
-    build_ivf_index(cur, staging, id_col, vec_col, n_centroids, centroid_source=cur)
+
+
+def _swap_staging_in(spark: SparkSession, path: str, opname: str) -> None:
+    """The three-rename swap: live -> __old, staging -> live, delete
+    __old. A crash between the renames leaves both copies complete;
+    `_recover_and_clear_staging` finishes the swap on the next entry."""
+    from hadoop_app_spark.sources import fs as hfs
+
+    staging = path + "__rebuild"
+    old = path + "__old"
     if not hfs.rename(spark, path, old):
-        raise RuntimeError(f"rebuild_ivf_index: rename {path} -> {old} failed")
+        raise RuntimeError(f"{opname}: rename {path} -> {old} failed")
     if not hfs.rename(spark, staging, path):
         # put the live index back rather than leave no readable dir
         hfs.rename(spark, old, path)
-        raise RuntimeError(f"rebuild_ivf_index: rename {staging} -> {path} failed")
+        raise RuntimeError(f"{opname}: rename {staging} -> {path} failed")
     hfs.delete(spark, old, recursive=True)
 
 
@@ -395,6 +415,75 @@ def build_trained_ivfpq_index(
         store_vectors=store_vectors,
     )
     return books
+
+
+def rebuild_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    corpus: DataFrame | None = None,
+) -> None:
+    """Re-train the IVF cell structure of a composed IVF×PQ layout
+    from the CURRENT corpus and re-partition in place —
+    `rebuild_ivf_index` for the memory-bounded layout, completing the
+    composed lifecycle (build / append / stream-ingest / query /
+    recall-eval / REBUILD). Trigger it the same way: sustained drifted
+    appends pile new vectors into the few cells nearest the drifted
+    region (`cell_occupancy_profile` is the diagnostic) and both
+    recall and pruning degrade, because cells AND codebooks are
+    immutable under appends.
+
+    Centroids follow the engine's deterministic convention (the
+    ``n_centroids`` lowest-id vectors of the current corpus), and
+    ``codebooks`` defaults to the SIDECAR-PINNED books (codes are a
+    pure function of codebooks, so re-encoding under the same books
+    reproduces every code) — a rebuilt index therefore holds EXACTLY
+    the rows `build_ivfpq_index` over the same corpus would, which is
+    why the registry entry shares `_IVFPQ_FIXED_ORACLE` with the
+    build. Pass retrained ``codebooks`` (e.g. `train_pq_codebooks` on
+    the current corpus) to refresh the quantizer in the same swap —
+    recall then re-floors via `ann_recall`, the trained-face contract.
+
+    ``corpus`` supplies raw vectors for codes-only layouts
+    (``store_vectors=False`` stores no ``vec_col`` to rebuild from);
+    a self-contained layout reads its own stored vectors. Swap
+    discipline is `rebuild_ivf_index`'s three-rename dance verbatim
+    (shared helpers): a COMPLETE copy of the index exists under SOME
+    name at every instant, and a half-swapped crash state is finished
+    on the next entry. At 100 TB the rebuild is one re-assign +
+    re-encode scan and one partitioned write — the amortized cost the
+    daily append path avoids.
+    """
+    _recover_and_clear_staging(spark, path, "rebuild_ivfpq_index")
+    if codebooks is None:
+        codebooks = _load_codebooks(spark, path)
+    if corpus is not None:
+        cur = corpus.select(id_col, vec_col)
+        store_vectors = vec_col in spark.read.parquet(path).columns
+    else:
+        live = spark.read.parquet(path)
+        if vec_col not in live.columns:
+            raise ValueError(
+                f"rebuild_ivfpq_index({path}): the index stores codes only "
+                "(built with store_vectors=False) — pass corpus= with the "
+                "raw vectors to rebuild from"
+            )
+        cur = live.select(id_col, vec_col)
+        store_vectors = True
+    build_ivfpq_index(
+        cur,
+        path + "__rebuild",
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        centroid_source=cur,
+        store_vectors=store_vectors,
+    )
+    _swap_staging_in(spark, path, "rebuild_ivfpq_index")
 
 
 def append_ivfpq_index(

@@ -6192,6 +6192,62 @@ def q_ivfpq_index_increment(spark, sf_dir):
 
 
 @query(
+    "ivfpq_index_rebuild",
+    # rebuild re-derives centroids from the CURRENT corpus under the
+    # deterministic lowest-id convention and re-encodes under the
+    # sidecar-pinned codebooks (codes are a pure function of the
+    # books), so seed -> drifted-append -> rebuild holds EXACTLY the
+    # rows build-from-scratch over the same corpus would — the same
+    # _IVFPQ_FIXED_ORACLE replays the probe verbatim; a rebuild that
+    # lost a row, a cell, or a code value-fails the top-k
+    oracle=_IVFPQ_FIXED_ORACLE,
+    doc="IVF×PQ centroid REBUILD (operators/ann_index."
+    "rebuild_ivfpq_index — ivf_index_rebuild for the memory-bounded "
+    "composed layout, completing its lifecycle: build / append / "
+    "stream-ingest / query / recall-eval / rebuild): the index is "
+    "seeded from a third of the corpus so its cell structure is born "
+    "drifted, the rest lands via the sidecar append path, and the "
+    "rebuild re-trains cells from the full current corpus + re-encodes "
+    "under the pinned codebooks behind the crash-safe three-rename "
+    "swap (a complete index readable under SOME name at every "
+    "instant); the probe then answers from the refreshed layout with "
+    "partition pruning + in-cell ADC + exact re-rank",
+)
+def q_ivfpq_index_rebuild(spark, sf_dir):
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+        rebuild_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+    path = _scratch_dir("ivfpq_rebuild", sf_dir) + "/idx"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    seed = qd.where(F.col("vec_id") % 3 == 0)
+    # centroid_source defaults to the seed — the cell structure is
+    # born from a third of the corpus and drifts as the rest lands
+    build_ivfpq_index(seed, path, fixed_pq_codebooks(), n_centroids=16)
+    append_ivfpq_index(qd.where(F.col("vec_id") % 3 != 0), path)
+    rebuild_ivfpq_index(spark, path, n_centroids=16)
+    queries = qd.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivfpq_index(
+        spark, path, queries, k=5, n_probe=4, shortlist=64
+    ).select("query_id", "vec_id", "rank")
+
+
+@query(
     "stream_ivfpq_ingest_exec",
     # the append-immutability contract transfers to streamed appends
     # verbatim (cell structure AND codebooks pinned in the sidecars),
@@ -12963,6 +13019,10 @@ _PRIORITY = [
     # PQ-encodes each micro-batch against it; shares
     # _IVFPQ_FIXED_ORACLE verbatim (streamed appends == build)
     "stream_ivfpq_ingest_exec",
+    # ivfpq_index_rebuild (r12): centroid rebuild for the composed
+    # layout behind the crash-safe three-rename swap; shares
+    # _IVFPQ_FIXED_ORACLE verbatim (rebuild == build-from-scratch)
+    "ivfpq_index_rebuild",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",

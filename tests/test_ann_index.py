@@ -522,6 +522,52 @@ def test_ivfpq_stream_ingest_equals_full_build(spark, tmp_path):
     assert _res(streamed) == _res(built)
 
 
+def test_ivfpq_rebuild_equals_build_and_restores_balance(spark, tmp_path):
+    """r12: seed from a third (drift-born cells) -> append the rest ->
+    rebuild == build-from-scratch over the full corpus, behind the
+    shared three-rename swap; the rebuilt cell structure is the full-
+    corpus one, and codes-only layouts refuse to rebuild without a
+    corpus."""
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+        rebuild_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _quantized(load_table(spark, SF, "embeddings"))
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        emb.where(F.col("vec_id") % 3 == 0), path, fixed_pq_codebooks(),
+        n_centroids=16,
+    )
+    append_ivfpq_index(emb.where(F.col("vec_id") % 3 != 0), path)
+    rebuild_ivfpq_index(spark, path, n_centroids=16)
+    full = str(tmp_path / "full")
+    build_ivfpq_index(emb, full, fixed_pq_codebooks(), n_centroids=16,
+                      centroid_source=emb)
+    q = _queries(emb)
+    got = query_ivfpq_index(spark, path, q, k=5, n_probe=4)
+    want = query_ivfpq_index(spark, full, q, k=5, n_probe=4)
+    assert _res(got) == _res(want)
+    # rebuilt rows == full-build rows cell-for-cell (not just the probe)
+    a = {(r.vec_id, r.cell) for r in spark.read.parquet(path).select("vec_id", "cell").collect()}
+    b = {(r.vec_id, r.cell) for r in spark.read.parquet(full).select("vec_id", "cell").collect()}
+    assert a == b
+
+    slim = str(tmp_path / "slim")
+    build_ivfpq_index(
+        emb, slim, fixed_pq_codebooks(), n_centroids=16, store_vectors=False
+    )
+    with pytest.raises(ValueError, match="codes only"):
+        rebuild_ivfpq_index(spark, slim, n_centroids=16)
+    # with the corpus supplied, the codes-only layout rebuilds fine
+    rebuild_ivfpq_index(spark, slim, n_centroids=16, corpus=emb)
+    got2 = query_ivfpq_index(spark, slim, q, k=5, n_probe=4, rerank_source=emb)
+    assert _res(got2) == _res(want)
+
+
 def test_trained_ivfpq_recall_floor_and_sidecars(spark, tmp_path):
     """VERDICT r11 item 4: the production composition (sample ->
     train_pq_codebooks -> build -> serve) hits the stated recall
