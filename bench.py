@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "stream_ivfpq_ingest_exec",
     # r12: composed-layout centroid rebuild behind the three-rename swap
     "ivfpq_index_rebuild",
+    # r12: cell-directory compaction for the partition-dir ANN layouts
+    "ivfpq_index_compaction",
 ]
 
 

@@ -417,6 +417,69 @@ def build_trained_ivfpq_index(
     return books
 
 
+def compact_index_partitions(spark: SparkSession, path: str) -> dict:
+    """COMPACTION for the cell-partitioned ANN layouts (plain IVF and
+    composed IVF×PQ): every append and every streamed micro-batch
+    writes ~one file per touched cell, so a year of daily ingest
+    leaves O(days) files per cell directory and probes pay per-file
+    open costs inside the very cells they pruned down to — the
+    small-file problem `compact_bucketed_table` fixes for bucketed
+    tables, here for partition-dir layouts. Rewrites the layout to
+    ~one file per cell (repartition on the cell key, then partitionBy
+    — the build's own write shape), carrying the ``_ivf_centroids``
+    and ``_pq_codebooks`` sidecars over unchanged, so cell structure,
+    codes and probe answers are IDENTICAL (the registry entry shares
+    the build's oracle; a lost row or cell value-fails the top-k).
+
+    Swap discipline: the compacted layout is built COMPLETELY at the
+    staging sibling, then swapped in via the shared three-rename dance
+    (`rebuild_ivf_index`'s helpers) — a complete index stays readable
+    under SOME name at every instant, and a crash mid-swap is finished
+    on the next maintenance entry. Raises if the rewrite does not
+    reduce the file count (a no-op compaction signals a mis-sized
+    layout, the `compact_bucketed_table` convention). Returns
+    ``{"files_before", "files_after", "cells"}``.
+    """
+    from hadoop_app_spark.sources import fs as hfs
+
+    def _data_files(p: str) -> int:
+        return sum(
+            1
+            for f in hfs.list_files(spark, p, recursive=True)
+            if f["path"].endswith(".parquet")
+            and CENTROID_DIR not in f["path"]
+            and PQ_CODEBOOK_DIR not in f["path"]
+        )
+
+    _recover_and_clear_staging(spark, path, "compact_index_partitions")
+    staging = path + "__rebuild"
+    n_cells = len(_load_centroids(spark, path))
+    files_before = _data_files(path)
+    (
+        spark.read.parquet(path)
+        .repartition(max(n_cells, 1), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    for side in (CENTROID_DIR, PQ_CODEBOOK_DIR):
+        if hfs.exists(spark, f"{path}/{side}"):
+            hfs.copy_dir(spark, f"{path}/{side}", f"{staging}/{side}")
+    files_after = _data_files(staging)
+    if files_after >= files_before:
+        hfs.delete(spark, staging, recursive=True)
+        raise RuntimeError(
+            f"compact_index_partitions({path}): rewrite produced "
+            f"{files_after} files from {files_before} — nothing to compact"
+        )
+    _swap_staging_in(spark, path, "compact_index_partitions")
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "cells": n_cells,
+    }
+
+
 def rebuild_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -6248,6 +6248,67 @@ def q_ivfpq_index_rebuild(spark, sf_dir):
 
 
 @query(
+    "ivfpq_index_compaction",
+    # compaction is semantics-free: the rewrite repartitions on the
+    # cell key and carries the sidecars unchanged, so cell structure,
+    # codes and the probe's top-k are IDENTICAL — the same
+    # _IVFPQ_FIXED_ORACLE replays the probe verbatim, and the fn
+    # raises if the file count does not drop (layout-only change,
+    # value-checked; the index_compaction convention for the
+    # partition-dir layouts)
+    oracle=_IVFPQ_FIXED_ORACLE,
+    doc="cell-directory COMPACTION for the composed IVF×PQ layout "
+    "(operators/ann_index.compact_index_partitions — "
+    "compact_bucketed_table for partition-dir ANN layouts): every "
+    "append/streamed micro-batch writes ~one file per touched cell, so "
+    "daily ingest leaves O(days) files per cell and probes pay "
+    "per-file opens inside the cells they pruned down to; the "
+    "maintenance op rewrites to ~one file per cell behind the shared "
+    "crash-safe three-rename swap, sidecars carried over, probe "
+    "answers identical. The entry fragments the index with two appends "
+    "before compacting, asserts the file count drops, then probes",
+)
+def q_ivfpq_index_compaction(spark, sf_dir):
+    import shutil
+
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_index_partitions,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+    path = _scratch_dir("ivfpq_compact", sf_dir) + "/idx"
+    shutil.rmtree(path, ignore_errors=True)
+    # seed + two daily appends: each write leaves ~one file per cell,
+    # so the layout enters compaction fragmented (the steady state a
+    # year of ingest produces)
+    build_ivfpq_index(
+        qd.where(F.col("vec_id") % 3 == 0), path, fixed_pq_codebooks(),
+        n_centroids=16, centroid_source=qd,
+    )
+    for gen in (1, 2):
+        append_ivfpq_index(qd.where(F.col("vec_id") % 3 == gen), path)
+    stats = compact_index_partitions(spark, path)
+    if stats["files_after"] >= stats["files_before"]:
+        raise RuntimeError(f"compaction did not reduce files: {stats}")
+    queries = qd.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivfpq_index(
+        spark, path, queries, k=5, n_probe=4, shortlist=64
+    ).select("query_id", "vec_id", "rank")
+
+
+@query(
     "stream_ivfpq_ingest_exec",
     # the append-immutability contract transfers to streamed appends
     # verbatim (cell structure AND codebooks pinned in the sidecars),
@@ -13023,6 +13084,10 @@ _PRIORITY = [
     # layout behind the crash-safe three-rename swap; shares
     # _IVFPQ_FIXED_ORACLE verbatim (rebuild == build-from-scratch)
     "ivfpq_index_rebuild",
+    # ivfpq_index_compaction (r12): cell-directory compaction for the
+    # partition-dir layouts (the small-file maintenance op); shares
+    # _IVFPQ_FIXED_ORACLE verbatim (layout-only change)
+    "ivfpq_index_compaction",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",
