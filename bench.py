@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "ivfpq_index_rebuild",
     # r12: cell-directory compaction for the partition-dir ANN layouts
     "ivfpq_index_compaction",
+    # r12: age-horizon retention (older_than_ms + retain-at-least floor)
+    "snapshot_expire_age",
 ]
 
 

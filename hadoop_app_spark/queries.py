@@ -2487,57 +2487,11 @@ def q_snapshot_time_travel(spark, sf_dir):
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
-@query(
-    "snapshot_expire",
-    # four deterministic states; after expire(keep_last=2) the KEPT
-    # versions (2, 3) must read exactly their modular reconstructions —
-    # an expiry that deleted a still-reachable directory (e.g. a v1 dir
-    # an untouched partition still lives in) changes a kept version's
-    # counts and value-fails; the expired version's loud failure is
-    # asserted in-entry
-    oracle="""
-        WITH v0 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
-        v1 AS (
-            SELECT doc_id,
-                   n_chars + CASE WHEN doc_id % 9 = 0 THEN 1000 ELSE 0 END
-                       AS n_chars
-            FROM documents WHERE doc_id % 3 = 0
-            UNION ALL
-            SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
-        v2 AS (
-            SELECT * FROM v1 WHERE NOT (doc_id % 3 = 0 AND doc_id % 5 = 0)
-            UNION ALL
-            SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2),
-        v3 AS (
-            SELECT * FROM v2
-            WHERE NOT (doc_id % 3 = 1 AND doc_id % 7 = 0)
-              AND doc_id % 9 <> 0
-            UNION ALL
-            SELECT doc_id, n_chars + 2000 AS n_chars FROM documents
-            WHERE doc_id % 9 = 0)
-        SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM v2
-        UNION ALL
-        SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM v3
-    """,
-    doc="snapshot retention (streaming/cdc.expire_snapshots — the Iceberg "
-    "expire_snapshots / Delta VACUUM-horizon analog over the versioned "
-    "CDC layout, closing the retention caveat snapshot_at documents): "
-    "keep_last versions stay travelable, every directory no kept "
-    "manifest references is reclaimed, and REACHABILITY (not age) "
-    "decides — a partition untouched since an expired version keeps its "
-    "old directory because kept manifests still point there. The entry "
-    "expires a 3-commit history to keep_last=2 and returns the kept "
-    "versions' accounting read back through snapshot_at; the expired "
-    "version must raise loudly (asserted in-entry) and the fixture is "
-    "memoized + copied per invocation, so the timed work is the "
-    "metadata-only expiry + the two version reads",
-)
-def q_snapshot_expire(spark, sf_dir):
+def _snapexpire_memo(spark, sf_dir) -> str:
+    """The memoized 3-commit CDC snapshot fixture shared by
+    snapshot_expire and snapshot_expire_age (identical fingerprint —
+    reads don't mutate it; each entry copies it fresh)."""
     import os
-    import shutil
-
-    from hadoop_app_spark.streaming.cdc import expire_snapshots, snapshot_at
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
@@ -2591,7 +2545,63 @@ def q_snapshot_expire(spark, sf_dir):
         )
         q.awaitTermination()
 
-    memo = _memo_dir("snapexpire", sf_dir, "mod3|u9|d3x5|b3d7u9|v4", _build)
+    return _memo_dir("snapexpire", sf_dir, "mod3|u9|d3x5|b3d7u9|v4", _build)
+
+
+
+@query(
+    "snapshot_expire",
+    # four deterministic states; after expire(keep_last=2) the KEPT
+    # versions (2, 3) must read exactly their modular reconstructions —
+    # an expiry that deleted a still-reachable directory (e.g. a v1 dir
+    # an untouched partition still lives in) changes a kept version's
+    # counts and value-fails; the expired version's loud failure is
+    # asserted in-entry
+    oracle="""
+        WITH v0 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+        v1 AS (
+            SELECT doc_id,
+                   n_chars + CASE WHEN doc_id % 9 = 0 THEN 1000 ELSE 0 END
+                       AS n_chars
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1),
+        v2 AS (
+            SELECT * FROM v1 WHERE NOT (doc_id % 3 = 0 AND doc_id % 5 = 0)
+            UNION ALL
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2),
+        v3 AS (
+            SELECT * FROM v2
+            WHERE NOT (doc_id % 3 = 1 AND doc_id % 7 = 0)
+              AND doc_id % 9 <> 0
+            UNION ALL
+            SELECT doc_id, n_chars + 2000 AS n_chars FROM documents
+            WHERE doc_id % 9 = 0)
+        SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM v2
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM v3
+    """,
+    doc="snapshot retention (streaming/cdc.expire_snapshots — the Iceberg "
+    "expire_snapshots / Delta VACUUM-horizon analog over the versioned "
+    "CDC layout, closing the retention caveat snapshot_at documents): "
+    "keep_last versions stay travelable, every directory no kept "
+    "manifest references is reclaimed, and REACHABILITY (not age) "
+    "decides — a partition untouched since an expired version keeps its "
+    "old directory because kept manifests still point there. The entry "
+    "expires a 3-commit history to keep_last=2 and returns the kept "
+    "versions' accounting read back through snapshot_at; the expired "
+    "version must raise loudly (asserted in-entry) and the fixture is "
+    "memoized + copied per invocation, so the timed work is the "
+    "metadata-only expiry + the two version reads",
+)
+def q_snapshot_expire(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.streaming.cdc import expire_snapshots, snapshot_at
+
+    memo = _snapexpire_memo(spark, sf_dir)
     snap = _scratch_dir("snapexpire_work", sf_dir)
     shutil.rmtree(snap, ignore_errors=True)
     shutil.copytree(os.path.join(memo, "snap"), snap)
@@ -2615,6 +2625,76 @@ def q_snapshot_expire(spark, sf_dir):
             .select(F.lit(v).alias("version"), "n_docs", "sum_chars")
         )
     return parts[0].unionByName(parts[1])
+
+
+@query(
+    "snapshot_expire_age",
+    # the same four deterministic states and the same kept-version
+    # value check as snapshot_expire: the AGE policy must land on the
+    # identical kept set {2, 3} (v2 by age, v3 by the retain floor),
+    # and reachability still decides which directories survive — an
+    # age expiry that reclaimed a still-referenced dir value-fails
+    oracle=None,  # assigned below: snapshot_expire's oracle verbatim
+    doc="AGE-horizon snapshot retention (streaming/cdc.expire_snapshots "
+    "older_than_ms, r12 — VERDICT r11 item 7): real retention policies "
+    "are 'N days', not 'N versions', and the rollup layout's one-"
+    "version-per-micro-batch cadence makes version counts meaningless "
+    "across trigger changes. The entry stamps the commit sidecars with "
+    "a mixed cadence (v1 days-old, v2/v3 recent), expires with a "
+    "7-day cutoff and keep_last demoted to the retain-at-least floor "
+    "of 1 — v2 survives by AGE where the count horizon alone would "
+    "have expired it, v1 expires, and the kept versions' accounting "
+    "reads back exactly (same oracle as snapshot_expire: reachability "
+    "still decides which directories survive)",
+)
+def q_snapshot_expire_age(spark, sf_dir):
+    import os
+    import shutil
+
+    from hadoop_app_spark.streaming.cdc import expire_snapshots, snapshot_at
+
+    # same memoized 3-commit fixture as snapshot_expire (shared
+    # builder, identical fingerprint), copied fresh per invocation
+    memo = _snapexpire_memo(spark, sf_dir)
+    snap = _scratch_dir("snapexpire_age", sf_dir)
+    shutil.rmtree(snap, ignore_errors=True)
+    shutil.copytree(os.path.join(memo, "snap"), snap)
+    # mixed cadence stamped onto the commit sidecars: v1 landed 10 days
+    # before the (fixed, deterministic) reference instant; v2/v3 hours
+    day = 86_400
+    now_s = 1_700_000_000 + 10 * day
+    os.utime(os.path.join(snap, "_MANIFEST_v1"), (now_s - 10 * day,) * 2)
+    for v in (2, 3):
+        os.utime(os.path.join(snap, f"_MANIFEST_v{v}"), (now_s - 3600 * (4 - v),) * 2)
+    res = expire_snapshots(
+        spark, snap, keep_last=1, older_than_ms=(now_s - 7 * day) * 1000
+    )
+    if res["kept"] != [2, 3] or res["expired"] != [1]:
+        raise RuntimeError(f"snapshot_expire_age: unexpected expiry {res}")
+    try:
+        snapshot_at(spark, snap, 1).count()
+    except ValueError:
+        pass  # the expired version MUST be loudly unreadable
+    else:
+        raise RuntimeError("snapshot_expire_age: expired version 1 still readable")
+    parts = []
+    for v in (2, 3):
+        parts.append(
+            snapshot_at(spark, snap, v)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(F.lit(v).alias("version"), "n_docs", "sum_chars")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+REGISTRY["snapshot_expire_age"] = QueryDef(
+    REGISTRY["snapshot_expire_age"].fn,
+    REGISTRY["snapshot_expire"].oracle,
+    REGISTRY["snapshot_expire_age"].doc,
+)
 
 
 @query(
@@ -13088,6 +13168,10 @@ _PRIORITY = [
     # partition-dir layouts (the small-file maintenance op); shares
     # _IVFPQ_FIXED_ORACLE verbatim (layout-only change)
     "ivfpq_index_compaction",
+    # snapshot_expire_age (r12): the age-horizon retention face
+    # (older_than_ms + retain-at-least floor over a mixed-cadence
+    # history); shares snapshot_expire's oracle verbatim
+    "snapshot_expire_age",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",
