@@ -236,8 +236,25 @@ def check_expectations(df: DataFrame, expectations: list) -> DataFrame:
         # other gate metric. An EMPTY batch side pins the metric to
         # exactly 1000 (maximal drift — quarantine, don't kill the
         # stream; ADVICE r11): sum(n_new) rides the same drift frame,
-        # no extra scan
-        tvd = distribution_drift(e.reference, df, F.expr(e.bin_expr)).agg(
+        # no extra scan.
+        # The reference side is aggregated ONCE per gate instance and
+        # pinned as an executor-local checkpoint (r12): a DriftBound
+        # lives across micro-batches in a foreachBatch sink, and
+        # re-scanning a corpus-sized reference every trigger is the
+        # hidden O(|reference|)-per-batch cost this removes — each
+        # batch now pays one batch scan + a |bins|-row merge.
+        ref_binned = getattr(e, "_ref_binned", None)
+        if ref_binned is None:
+            ref_binned = (
+                e.reference.select(F.expr(e.bin_expr).alias("bin"))
+                .groupBy("bin")
+                .agg(F.count("*").alias("n_old"))
+                .localCheckpoint(eager=True)
+            )
+            object.__setattr__(e, "_ref_binned", ref_binned)
+        tvd = distribution_drift(
+            e.reference, df, F.expr(e.bin_expr), old_binned=ref_binned
+        ).agg(
             F.when(
                 F.coalesce(F.sum("n_new"), F.lit(0)) == 0, F.lit(1000.0)
             )
@@ -265,6 +282,7 @@ def distribution_drift(
     new: DataFrame,
     bin_col: Column | str,
     out_bin: str = "bin",
+    old_binned: DataFrame | None = None,
 ) -> DataFrame:
     """Binned distribution drift between two snapshots, everything in
     EXACT integer milli-units -> one row per observed bin:
@@ -293,7 +311,14 @@ def distribution_drift(
     kill the stream in a forever-replay loop): its shares evaluate to
     0, so every reference bin reads as pure loss and the summed TVD is
     maximal-drift-sized; `DriftBound` additionally pins that case to
-    an exact metric of 1000."""
+    an exact metric of 1000.
+
+    ``old_binned`` (columns ``[{out_bin}, n_old]``, already grouped
+    under the SAME binning) replaces the reference-side aggregation —
+    the scale lever for repeated gates: a `DriftBound` evaluated once
+    per micro-batch must not re-scan a corpus-sized reference every
+    trigger, so `check_expectations` pre-aggregates it ONCE per gate
+    instance and passes the |bins|-row result here."""
     b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
 
     def _binned(df, n_name):
@@ -301,7 +326,11 @@ def distribution_drift(
             F.count("*").alias(n_name)
         )
 
-    o = _binned(old, "n_old").withColumnRenamed(out_bin, "_ob")
+    o = (
+        old_binned.select(F.col(out_bin), F.col("n_old"))
+        if old_binned is not None
+        else _binned(old, "n_old")
+    ).withColumnRenamed(out_bin, "_ob")
     n = _binned(new, "n_new").withColumnRenamed(out_bin, "_nb")
     merged = o.join(n, F.col("_ob").eqNullSafe(F.col("_nb")), "full_outer").select(
         F.coalesce("_ob", "_nb").alias(out_bin),

@@ -234,3 +234,31 @@ def test_distribution_drift_empty_new_side_is_recoverable(spark):
     assert len(verdict) == 1
     assert verdict[0]["metric"] == 1000.0
     assert verdict[0]["passed"] is False
+
+
+def test_drift_bound_reference_aggregated_once(spark):
+    """r12 scale fix: a DriftBound gate lives across micro-batches in a
+    foreachBatch sink, so its reference is binned ONCE per instance
+    (checkpoint-pinned |bins| rows) — re-evaluations reuse the cache
+    instead of re-scanning a corpus-sized reference every trigger, and
+    verdicts are identical across calls."""
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.operators.expectations import (
+        DriftBound,
+        check_expectations,
+    )
+
+    ref = spark.range(0, 700).select((F.col("id") % 5).alias("v"))
+    gate = DriftBound("v", ref, max_tvd_milli=100)
+    batch = spark.range(0, 350).select((F.col("id") % 5).alias("v"))
+    first = check_expectations(batch, [gate]).collect()
+    cached = gate._ref_binned
+    assert cached is not None
+    assert {r["bin"]: r["n_old"] for r in cached.collect()} == {
+        i: 140 for i in range(5)
+    }
+    second = check_expectations(batch, [gate]).collect()
+    assert gate._ref_binned is cached  # no re-aggregation
+    assert [tuple(r) for r in first] == [tuple(r) for r in second]
+    assert first[0]["metric"] == 0.0 and first[0]["passed"]
