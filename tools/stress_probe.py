@@ -1233,6 +1233,124 @@ def f_ivfpq(spark, dp, ep, scratch):
     return n
 
 
+def f_ivfpq_rebuild(spark, dp, ep, scratch):
+    """Composed-layout centroid rebuild at a GROWING index: one
+    re-assign + re-encode scan (codebooks pinned) + one partitioned
+    write behind the three-rename swap — expected ~linear wall, with
+    the post-rebuild probe's pruning intact (stats printed)."""
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        index_scan_stats,
+        query_ivfpq_index,
+        rebuild_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    e = spark.read.parquet(ep)
+    root = str(scratch.parent / f"ivfpq_rebuild_x{CURRENT_SCALE}")
+    if not os.path.exists(root):
+        # drifted-by-construction: centroids from the lowest-id 1x slice
+        build_ivfpq_index(
+            e, root, fixed_pq_codebooks(), n_centroids=16,
+            centroid_source=e.where(F.col("vec_id") < 1000),
+        )
+    rebuild_ivfpq_index(spark, root, n_centroids=16)
+    q = e.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = query_ivfpq_index(spark, root, q, k=5, n_probe=4, shortlist=64)
+    n = res.count()
+    res.collect()
+    stats = index_scan_stats(res)
+    print(
+        f"    [ivfpq_rebuild {CURRENT_SCALE}x] files_read={stats['files_read']} "
+        f"partitions_read={stats['partitions_read']}"
+    )
+    return n
+
+
+def f_ivfpq_compaction(spark, dp, ep, scratch):
+    """Cell-directory compaction at a GROWING fragmented index (seed +
+    two appends per tier): the rewrite is ~linear (one pass), and the
+    CLAIM is the probe's files_read — fragmented it opens
+    files-per-cell x probed cells; compacted it opens ONE file per
+    probed cell per scan, CONSTANT across tiers (printed both ways)."""
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_index_partitions,
+        index_scan_stats,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    import shutil as _sh
+
+    e = spark.read.parquet(ep)
+    memo = str(scratch.parent / f"ivfpq_compact_x{CURRENT_SCALE}")
+    if not os.path.exists(memo):
+        build_ivfpq_index(
+            e.where(F.col("vec_id") % 3 == 0), memo, fixed_pq_codebooks(),
+            n_centroids=16, centroid_source=e.where(F.col("vec_id") < 1000),
+        )
+        for gen in (1, 2):
+            append_ivfpq_index(e.where(F.col("vec_id") % 3 == gen), memo)
+    # compaction mutates: each timed run works a fresh copy of the
+    # memoized FRAGMENTED layout (copy is linear, identical per tier)
+    root = str(scratch / "idx")
+    _sh.copytree(memo, root)
+    q1 = e.where(F.col("vec_id") <= 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    frag = query_ivfpq_index(spark, root, q1, k=5, n_probe=2, shortlist=16)
+    frag.collect()
+    frag_files = index_scan_stats(frag)["files_read"]
+    stats = compact_index_partitions(spark, root)
+    res = query_ivfpq_index(spark, root, q1, k=5, n_probe=2, shortlist=16)
+    n = res.count()
+    res.collect()
+    after = index_scan_stats(res)["files_read"]
+    print(
+        f"    [ivfpq_compaction {CURRENT_SCALE}x] files "
+        f"{stats['files_before']}->{stats['files_after']}, probe files_read "
+        f"fragmented={frag_files} compacted={after}"
+    )
+    return n
+
+
+def f_drift_gate(spark, dp, ep, scratch):
+    """DriftBound steady state at a GROWING reference, FIXED batch: the
+    reference is binned ONCE per gate instance (r12 — checkpoint-pinned
+    |bins| rows), so the second evaluation's wall should stay ~flat
+    while the reference grows 10x; both evaluations timed, the steady
+    state is what the probe returns."""
+    import time as _t
+
+    from hadoop_app_spark.operators.expectations import (
+        DriftBound,
+        check_expectations,
+    )
+
+    d = _docs(spark, dp)
+    batch = d.where(F.col("doc_id") < 500)
+    gate = DriftBound("n_chars div 200", d, max_tvd_milli=400)
+    t0 = _t.perf_counter()
+    check_expectations(batch, [gate]).collect()  # bins the reference
+    first = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    out = check_expectations(batch, [gate]).collect()  # steady state
+    steady = _t.perf_counter() - t0
+    print(
+        f"    [drift_gate {CURRENT_SCALE}x] first={first:.2f}s "
+        f"steady={steady:.2f}s (steady must stay flat as the reference grows)"
+    )
+    return len(out)
+
+
 FAMILIES = {
     "exact_dedup": f_exact_dedup,
     "minhash_fast_pipeline": f_minhash_fast,
@@ -1307,6 +1425,12 @@ FAMILIES = {
     "column_diff": f_column_diff,
     # r11: the composed IVF×PQ serving path (fixed queries, 10x corpus)
     "ivfpq": f_ivfpq,
+    # r12: composed-layout maintenance (rebuild linear, compaction's
+    # constant post-compaction probe opens) + the once-per-gate
+    # drift-reference aggregation's flat steady state
+    "ivfpq_rebuild": f_ivfpq_rebuild,
+    "ivfpq_compaction": f_ivfpq_compaction,
+    "drift_gate": f_drift_gate,
 }
 
 
@@ -1357,6 +1481,7 @@ def main() -> None:
         "cosine_topk_bf", "lsh_ann_topk", "ivf_ann_topk",
         "embedding_near_dup", "semdedup", "semdedup_fast",
         "embedding_pca", "ivf_index", "ivf_rebuild", "ivfpq",
+        "ivfpq_rebuild", "ivfpq_compaction",
     }
     ev_families = {"funnel", "cohort", "matview_refresh", "ohlc_downsample"}
     # families reading BOTH documents and embeddings at scale
