@@ -6309,15 +6309,25 @@ def q_ivfpq_index_rebuild(spark, sf_dir):
             "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
         ).alias("embedding"),
     )
-    path = _scratch_dir("ivfpq_rebuild", sf_dir) + "/idx"
+    import os
     import shutil
 
+    # memoized DRIFTED fixture (seed from a third — centroid_source
+    # defaults to the seed, so the cell structure is born from a third
+    # of the corpus — plus the appended rest), copied per invocation:
+    # the timed work is the REBUILD + the probe, the op's steady state
+    def _build(root):
+        p = os.path.join(root, "idx")
+        build_ivfpq_index(
+            qd.where(F.col("vec_id") % 3 == 0), p, fixed_pq_codebooks(),
+            n_centroids=16,
+        )
+        append_ivfpq_index(qd.where(F.col("vec_id") % 3 != 0), p)
+
+    memo = _memo_dir("ivfpq_drifted", sf_dir, "q256|c16|m8n16|mod3seed", _build)
+    path = _scratch_dir("ivfpq_rebuild", sf_dir) + "/idx"
     shutil.rmtree(path, ignore_errors=True)
-    seed = qd.where(F.col("vec_id") % 3 == 0)
-    # centroid_source defaults to the seed — the cell structure is
-    # born from a third of the corpus and drifts as the rest lands
-    build_ivfpq_index(seed, path, fixed_pq_codebooks(), n_centroids=16)
-    append_ivfpq_index(qd.where(F.col("vec_id") % 3 != 0), path)
+    shutil.copytree(os.path.join(memo, "idx"), path)
     rebuild_ivfpq_index(spark, path, n_centroids=16)
     queries = qd.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -6366,17 +6376,25 @@ def q_ivfpq_index_compaction(spark, sf_dir):
             "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
         ).alias("embedding"),
     )
+    import os
+
+    # memoized FRAGMENTED fixture (seed + two daily appends — each
+    # write leaves ~one file per cell, the steady state a year of
+    # ingest produces), copied per invocation: the timed work is the
+    # COMPACTION + the probe, not the fixture build
+    def _build(root):
+        p = os.path.join(root, "idx")
+        build_ivfpq_index(
+            qd.where(F.col("vec_id") % 3 == 0), p, fixed_pq_codebooks(),
+            n_centroids=16, centroid_source=qd,
+        )
+        for gen in (1, 2):
+            append_ivfpq_index(qd.where(F.col("vec_id") % 3 == gen), p)
+
+    memo = _memo_dir("ivfpq_frag", sf_dir, "q256|c16|m8n16|mod3full", _build)
     path = _scratch_dir("ivfpq_compact", sf_dir) + "/idx"
     shutil.rmtree(path, ignore_errors=True)
-    # seed + two daily appends: each write leaves ~one file per cell,
-    # so the layout enters compaction fragmented (the steady state a
-    # year of ingest produces)
-    build_ivfpq_index(
-        qd.where(F.col("vec_id") % 3 == 0), path, fixed_pq_codebooks(),
-        n_centroids=16, centroid_source=qd,
-    )
-    for gen in (1, 2):
-        append_ivfpq_index(qd.where(F.col("vec_id") % 3 == gen), path)
+    shutil.copytree(os.path.join(memo, "idx"), path)
     stats = compact_index_partitions(spark, path)
     if stats["files_after"] >= stats["files_before"]:
         raise RuntimeError(f"compaction did not reduce files: {stats}")
