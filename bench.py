@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "ivfpq_index_compaction",
     # r12: age-horizon retention (older_than_ms + retain-at-least floor)
     "snapshot_expire_age",
+    # r12: association mining (A-Priori frequent item pairs over the
+    # order/part baskets — support/confidence/lift in integer units)
+    "frequent_item_pairs",
 ]
 
 

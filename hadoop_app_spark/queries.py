@@ -2093,6 +2093,53 @@ def q_token_pmi_topk(spark, sf_dir):
 
 
 @query(
+    "frequent_item_pairs",
+    # support/confidence/lift all in exact integer micro/milli units
+    # (integer div — the token_pmi cross-mult convention): the oracle
+    # replays the distinct-items set, the A-Priori-equivalent pair
+    # counting, the basket total and every metric from scratch
+    oracle="""
+        WITH it AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                    FROM lineitem),
+        nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM it),
+        ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+               FROM it GROUP BY 1),
+        p AS (SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_pair
+              FROM it a JOIN it b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2
+              HAVING count(*) >= 2)
+        SELECT item_a, item_b, n_pair,
+               ca.n_item AS n_a, cb.n_item AS n_b,
+               CAST(n_pair * 1000000 // (SELECT n FROM nb) AS BIGINT)
+                   AS support_micro,
+               CAST(n_pair * 1000 // ca.n_item AS BIGINT) AS conf_ab_milli,
+               CAST(n_pair * 1000 // cb.n_item AS BIGINT) AS conf_ba_milli,
+               CAST(n_pair * (SELECT n FROM nb) * 1000
+                    // (ca.n_item * cb.n_item) AS BIGINT) AS lift_milli
+        FROM p JOIN ic ca ON p.item_a = ca.item
+               JOIN ic cb ON p.item_b = cb.item
+    """,
+    doc="association mining: frequent co-occurring item pairs with "
+    "A-Priori pruning (operators/itemsets.frequent_item_pairs — the "
+    "market-basket classic, Agrawal/Srikant VLDB'94 class; "
+    "token_pmi_topk's sibling one level up: item pairs within a basket "
+    "instead of token pairs within a document). Baskets are orders, "
+    "items are parts; candidate generation is the within-basket "
+    "self-join — O(sum basket^2), never |items|^2 — with infrequent "
+    "items pruned FIRST via broadcast semi-join (lossless at the pair "
+    "threshold by the A-Priori property); support/confidence/lift in "
+    "exact integer micro/milli units, no float anywhere",
+)
+def q_frequent_item_pairs(spark, sf_dir):
+    from hadoop_app_spark.operators.itemsets import frequent_item_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_item_pairs(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+@query(
     "timeseries_gapfill",
     # the carried reading is SELECTED (struct-max by (ts, event_id)),
     # never recomputed, so the float passes through bit-identical;
@@ -13190,6 +13237,10 @@ _PRIORITY = [
     # (older_than_ms + retain-at-least floor over a mixed-cadence
     # history); shares snapshot_expire's oracle verbatim
     "snapshot_expire_age",
+    # frequent_item_pairs (r12): association mining with A-Priori
+    # pruning — support/confidence/lift in exact integer units over
+    # the order/part baskets; oracle replays the whole derivation
+    "frequent_item_pairs",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",

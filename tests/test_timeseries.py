@@ -105,6 +105,58 @@ def test_token_pmi_matches_brute_self_join(spark):
     assert got == want
 
 
+def test_frequent_item_pairs_exact_metrics(spark):
+    """r12 association mining: known baskets -> exact pair counts and
+    integer support/confidence/lift; duplicate (basket, item) rows
+    count ONCE (set semantics); the A-Priori prune is lossless."""
+    from hadoop_app_spark.operators.itemsets import frequent_item_pairs
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"), (2, "bread"),  # dup bread: one
+        (3, "milk"), (3, "bread"),
+        (4, "milk"), (4, "jam"),
+        (5, "jam"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (
+            r["n_pair"], r["n_a"], r["n_b"], r["support_micro"],
+            r["conf_ab_milli"], r["conf_ba_milli"], r["lift_milli"],
+        )
+        for r in frequent_item_pairs(df, "basket", "item").collect()
+    }
+    # n_baskets = 5; (bread, milk): 3 of 5 baskets, bread df 3, milk
+    # df 4; eggs and jam never pair twice
+    assert got == {
+        ("bread", "milk"): (
+            3, 3, 4, 3 * 1_000_000 // 5, 1000, 750, 3 * 5 * 1000 // 12
+        ),
+    }
+
+    # lossless prune: min_pair_count=1 equals an unpruned brute join
+    all_pairs = frequent_item_pairs(df, "basket", "item", min_pair_count=1)
+    items = df.distinct()
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    brute = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .count()
+    )
+    assert {
+        (r["item_a"], r["item_b"]): r["n_pair"] for r in all_pairs.collect()
+    } == {(r["item_a"], r["item_b"]): r["count"] for r in brute.collect()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no baskets"):
+        frequent_item_pairs(
+            spark.createDataFrame([], "basket long, item string"), "basket", "item"
+        )
+
+
 def test_gapfill_interpolate_semantics(spark):
     from hadoop_app_spark.operators.timeseries import gapfill_interpolate
 
