@@ -258,6 +258,9 @@ BENCH_QUERIES = [
     # r12: association mining (A-Priori frequent item pairs over the
     # order/part baskets — support/confidence/lift in integer units)
     "frequent_item_pairs",
+    # r12: batch ANN serving with the distributed LUT build (64-query
+    # batch; per-query ADC tables computed on the executors)
+    "ivfpq_index_topk_batch",
 ]
 
 

@@ -6022,10 +6022,13 @@ def q_pq_ann_topk_fixed(spark, sf_dir):
     )
 
 
-def _ivfpq_fixed_oracle(n_probe: int = 4, shortlist: int = 64, k: int = 5) -> str:
+def _ivfpq_fixed_oracle(
+    n_probe: int = 4, shortlist: int = 64, k: int = 5, q_max: int = 5
+) -> str:
     """The IVF×PQ pipeline replay, parameterized so the ANN-recall
     evaluation entry can re-derive a deliberately lossier configuration
-    (fewer probes, tighter shortlist) from the same CTE chain."""
+    (fewer probes, tighter shortlist) and the batch-serving entry a
+    LARGER query set (``q_max``) from the same CTE chain."""
     return f"""
     WITH corp AS (
         SELECT vec_id, [floor(x * 256) for x in embedding::DOUBLE[]] AS v
@@ -6058,7 +6061,7 @@ def _ivfpq_fixed_oracle(n_probe: int = 4, shortlist: int = 64, k: int = 5) -> st
                                         ORDER BY d2, c) AS rn
               FROM enc)
         WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id <= 5),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id <= {q_max}),
     probes AS (
         SELECT query_id, qv, c_idx AS cell,
                row_number() OVER (PARTITION BY query_id ORDER BY d DESC, c_idx) AS rn
@@ -6382,6 +6385,66 @@ def q_ivfpq_index_rebuild(spark, sf_dir):
     return query_ivfpq_index(
         spark, path, queries, k=5, n_probe=4, shortlist=64
     ).select("query_id", "vec_id", "rank")
+
+
+@query(
+    "ivfpq_index_topk_batch",
+    # the SAME pipeline replay widened to a 64-query batch (q_max=63)
+    # — every LUT entry and ADC sum is still an integer exact in
+    # float64 REGARDLESS of summation path, so the executor-side
+    # (numpy-matmul) lookup-table build must land bit-identical to
+    # the driver loop, and DuckDB replays the whole batch
+    oracle=None,  # assigned below (built from _ivfpq_fixed_oracle)
+    doc="BATCH serving through the composed IVF×PQ index with the "
+    "DISTRIBUTED lookup-table build (VERDICT r11 item 5 — "
+    "operators/ann_index.query_ivfpq_index past its "
+    "distribute_luts_from threshold, forced here): a 64-query "
+    "evaluation batch computes its per-query ADC tables and probe "
+    "assignments ON THE EXECUTORS (one Arrow pass over the queries "
+    "frame, codebooks broadcast once, stable-argsort probe ties "
+    "matching the driver loop), so no |queries|-proportional work "
+    "runs on the driver; the scoring/rerank pipeline is unchanged. "
+    "The oracle replays all 64 queries end-to-end — a tie broken "
+    "differently or an off-by-one LUT index value-fails",
+)
+def q_ivfpq_index_topk_batch(spark, sf_dir):
+    import os
+
+    from hadoop_app_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from hadoop_app_spark.operators.pq import fixed_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("double")
+        ).alias("embedding"),
+    )
+
+    # the SAME memoized index ivfpq_index_topk serves from
+    def _build(root):
+        build_ivfpq_index(
+            qd, os.path.join(root, "idx"), fixed_pq_codebooks(), n_centroids=16
+        )
+
+    memo = _memo_dir("ivfpq_index", sf_dir, "q256|c16|m8n16", _build)
+    queries = qd.where(F.col("vec_id") <= 63).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return query_ivfpq_index(
+        spark, os.path.join(memo, "idx"), queries, k=5, n_probe=4,
+        shortlist=64, distribute_luts_from=1,
+    ).select("query_id", "vec_id", "rank")
+
+
+REGISTRY["ivfpq_index_topk_batch"] = QueryDef(
+    REGISTRY["ivfpq_index_topk_batch"].fn,
+    _ivfpq_fixed_oracle(q_max=63),
+    REGISTRY["ivfpq_index_topk_batch"].doc,
+)
 
 
 @query(
@@ -13241,6 +13304,10 @@ _PRIORITY = [
     # pruning — support/confidence/lift in exact integer units over
     # the order/part baskets; oracle replays the whole derivation
     "frequent_item_pairs",
+    # ivfpq_index_topk_batch (r12): batch serving with the DISTRIBUTED
+    # lookup-table build (executor-side LUTs + probe assignment); the
+    # 64-query oracle replays the whole batch end-to-end
+    "ivfpq_index_topk_batch",
     # quantile_sketch (r6): rows-only by design (GK sketch internals);
     # rank-error bound vs the gated quantile_profile row pytest-pinned
     "quantile_sketch",
