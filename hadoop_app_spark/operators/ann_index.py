@@ -171,12 +171,18 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Append a batch into an existing index: assign cells against the
     persisted sidecar centroids, append partitioned files. Work scales
-    with the batch, never the index."""
+    with the batch, never the index.
+
+    ``centroids`` lets a RECURRING caller (the streaming ingest sink,
+    which appends one batch per micro-batch against an immutable
+    sidecar) load the centroid sidecar once and skip the per-call
+    read+collect; None (the default) reads the sidecar fresh."""
     spark = new_vecs.sparkSession
-    cents = _load_centroids(spark, path)
+    cents = centroids if centroids is not None else _load_centroids(spark, path)
     matrix = F.lit(cents)
     (
         new_vecs.withColumn("cell", _cell_expr(matrix, vec_col))
@@ -554,6 +560,9 @@ def append_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    store_vectors: bool | None = None,
 ) -> None:
     """Append a batch into an existing IVF×PQ layout: assign cells
     against the persisted centroid sidecar, PQ-encode against the
@@ -564,13 +573,19 @@ def append_ivfpq_index(
     under appends, seed + append holds EXACTLY the rows a from-scratch
     build over the union would (pinned in tests/test_ann_index.py).
     Whether raw vectors ride along follows the existing layout's
-    schema (store_vectors is a build-time decision)."""
+    schema (store_vectors is a build-time decision).
+
+    ``centroids``/``codebooks``/``store_vectors`` let a RECURRING
+    caller (the streaming ingest sink) resolve the immutable sidecars
+    and the layout schema once and skip the per-call reads; None (the
+    default) resolves each fresh from the layout."""
     from hadoop_app_spark.operators.pq import pq_encode
 
     spark = new_vecs.sparkSession
-    cents = _load_centroids(spark, path)
-    books = _load_codebooks(spark, path)
-    store_vectors = vec_col in spark.read.parquet(path).columns
+    cents = centroids if centroids is not None else _load_centroids(spark, path)
+    books = codebooks if codebooks is not None else _load_codebooks(spark, path)
+    if store_vectors is None:
+        store_vectors = vec_col in spark.read.parquet(path).columns
     celled = new_vecs.select(id_col, vec_col).withColumn(
         "cell", _cell_expr(F.lit(cents), vec_col)
     )

@@ -310,6 +310,27 @@ def minhash_lsh_pairs(
     return small_pairs.union(star_pairs).distinct()
 
 
+def _band_min_losers(banded: DataFrame, id_col: str) -> DataFrame:
+    """Greedy min-id loser ids straight from band-membership rows — no
+    pair materialization: a doc loses iff it shares a band bucket with
+    a smaller id, which is exactly the distinct ``id_b`` set of
+    `minhash_lsh_pairs` over the same rows (small buckets: every
+    non-min member pairs with the bucket min; overflowing buckets: the
+    star expansion pairs every non-min member with the min — same
+    condition). One groupBy + one join back on the bucket key instead
+    of collect_list + quadratic in-bucket pair expansion + a pair-level
+    distinct — two exchanges fewer, and skew-immune the same way (the
+    hot bucket collapses to one row in the partial aggregate). May
+    emit a loser id once per losing band row; callers distinct at the
+    end (or feed an anti-join, which tolerates duplicates)."""
+    bucket_min = banded.groupBy("bucket").agg(F.min(id_col).alias("_min_id"))
+    return (
+        banded.join(bucket_min, "bucket")
+        .where(F.col(id_col) > F.col("_min_id"))
+        .select(id_col)
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -326,13 +347,16 @@ def minhash_dedup(
     any lower id. (Union-find connected components would keep fewer
     docs; pairwise-greedy matches common corpus-dedup practice and
     stays a pure join.)
+
+    The loser set comes from `_band_min_losers` (a doc pairs with a
+    lower id iff it shares a band bucket with a smaller id), not from
+    materialized `minhash_lsh_pairs` rows — identical survivors, two
+    exchanges and the in-bucket pair expansion cheaper.
     """
-    pairs = minhash_lsh_pairs(
-        minhash_signatures(df, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to),
-        id_col,
-        bands,
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    losers = _band_min_losers(minhash_band_rows(sigs, id_col, bands), id_col).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -448,10 +472,12 @@ def seed_minhash_index(
         df, text_col, id_col, n, k, hash_fn=hash_fn, repartition_to=repartition_to
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        pairs = minhash_lsh_pairs(sigs, id_col, bands)
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        surv_sigs = sigs.join(losers, id_col, "left_anti")
-        rows = minhash_band_rows(surv_sigs, id_col, bands).select(
+        banded = minhash_band_rows(sigs, id_col, bands)
+        # greedy min-id losers without pair materialization (identical
+        # set — see _band_min_losers); band survivors by anti-joining
+        # the SAME banded rows instead of re-banding surviving sigs
+        losers = _band_min_losers(banded, id_col).distinct()
+        rows = banded.join(losers, id_col, "left_anti").select(
             "bucket", F.col(id_col).alias("id")
         )
         write_bucketed(rows, index_table, ["bucket"], n_buckets)
@@ -545,11 +571,13 @@ def dedup_increment(
             index.select("bucket")
             .join(banded.hint("shuffle_hash"), "bucket")
             .select(id_col)
-            .distinct()
         )
-        intra_losers = (
-            minhash_lsh_pairs(sigs, id_col, bands).select(F.col("id_b").alias(id_col)).distinct()
-        )
+        # greedy min-id intra-batch losers from the band rows directly
+        # (identical set to minhash_lsh_pairs' distinct id_b — see
+        # _band_min_losers); the ONE distinct below dedups hits and
+        # intra losers together, where the previous form paid three
+        # (hits, pairs, id_b) before this final one
+        intra_losers = _band_min_losers(banded, id_col)
         dropped = hit_ids.union(intra_losers).distinct()
         # Decouple the index-reading probe subplan from the append that
         # mutates what spark.table(index_table) resolves to — via a
@@ -968,6 +996,77 @@ def _simhash_band_pairs_from(
     )
 
 
+def _simhash_band_losers_from(
+    sh: DataFrame,
+    id_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket_size: int,
+    perm_seed: int = 0,
+) -> DataFrame:
+    """Greedy min-id loser ids of the Hamming-banded pipeline — the
+    distinct ``id_b`` set `_simhash_band_pairs_from` would emit,
+    computed without materializing pair ROWS: within each small
+    bucket, a member loses iff SOME smaller-id member verifies within
+    ``max_hamming``, evaluated as an array ``filter``/``exists`` over
+    the bucket's collected members (same O(bucket^2) bit_count work,
+    but in one expression per bucket — no pair-row blowup, no
+    pair-level distinct exchange, no per-bucket sort). Overflowing
+    buckets keep the audited star rule: members verify against the
+    bucket's min-id fingerprint only. May emit an id once per losing
+    band; callers distinct at the end."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} bands for exact recall"
+        )
+    banded = simhash_band_rows(sh, id_col, bits, bands, perm_seed)
+    stats = (
+        banded.groupBy("bucket")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(id_col).alias("_min_id"),
+            F.min_by("simhash", id_col).alias("_min_sh"),
+        )
+        .where(F.col("_n") > 1)
+    )
+    sized = banded.join(stats, "bucket")
+    small = sized.where(F.col("_n") <= max_bucket_size)
+    big = sized.where(F.col("_n") > max_bucket_size)
+    grouped = small.groupBy("bucket").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+        ).alias("ms")
+    )
+    small_losers = (
+        grouped.select(
+            F.explode(
+                F.filter(
+                    F.col("ms"),
+                    lambda m: F.exists(
+                        F.col("ms"),
+                        lambda o: (o["id"] < m["id"])
+                        & (
+                            F.bit_count(o["sh"].bitwiseXOR(m["sh"]))
+                            <= F.lit(max_hamming)
+                        ),
+                    ),
+                )
+            ).alias("m")
+        )
+        .select(F.col("m.id").alias(id_col))
+    )
+    big_losers = (
+        big.where(F.col(id_col) != F.col("_min_id"))
+        .where(
+            F.bit_count(F.col("_min_sh").bitwiseXOR(F.col("simhash")))
+            <= F.lit(max_hamming)
+        )
+        .select(id_col)
+    )
+    return small_losers.union(big_losers)
+
+
 def seed_simhash_index(
     df: DataFrame,
     text_col: str,
@@ -999,10 +1098,11 @@ def seed_simhash_index(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        pairs = _simhash_band_pairs_from(
-            sh, id_col, bits, bands, max_hamming, max_bucket_size, None
-        )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # greedy min-id losers without pair-row materialization
+        # (identical set — see _simhash_band_losers_from)
+        losers = _simhash_band_losers_from(
+            sh, id_col, bits, bands, max_hamming, max_bucket_size
+        ).distinct()
         surv_sh = sh.join(losers, id_col, "left_anti")
         rows = simhash_band_rows(surv_sh, id_col, bits, bands).select(
             "bucket", F.col(id_col).alias("id"), "simhash"
@@ -1117,15 +1217,14 @@ def simhash_increment(
                 <= max_hamming
             )
             .select(id_col)
-            .distinct()
         )
-        intra_losers = (
-            _simhash_band_pairs_from(
-                sh, id_col, bits, bands, max_hamming, max_bucket_size, None,
-                perm_seed,
-            )
-            .select(F.col("id_b").alias(id_col))
-            .distinct()
+        # greedy min-id intra-batch losers without pair-row
+        # materialization (identical set — see
+        # _simhash_band_losers_from); the ONE distinct below dedups
+        # hits and intra losers together, replacing the three the
+        # pair form paid (hits, pairs, id_b) before it
+        intra_losers = _simhash_band_losers_from(
+            sh, id_col, bits, bands, max_hamming, max_bucket_size, perm_seed
         )
         dropped = hit_ids.union(intra_losers).distinct()
         # lazy localCheckpoint, materialized by the append (or, absent
@@ -1553,6 +1652,15 @@ def set_similarity_join(
     ).where(F.size("sh") > 0)
     tok = shingles.select("id", F.explode("sh").alias("s"))
     dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    # ordered is consumed FOUR times below (both candidate-join sides
+    # and both verify sides) and Catalyst plans no ReusedExchange for
+    # the aliased subtrees — without a cut, the scan -> tokenize ->
+    # shingle-explode -> dfreq-join -> collect_list pipeline (the
+    # dominant cost) executes once per consumer. A LAZY localCheckpoint
+    # materializes it exactly once inside the caller's first action and
+    # every consumer reads the executor-local blocks (guide §3.3 /
+    # §5: materialize an intermediate reused by non-identical subtrees;
+    # fault tolerance of this intermediate is not critical).
     ordered = (
         tok.join(dfreq, "s")
         .groupBy("id")
@@ -1562,6 +1670,7 @@ def set_similarity_join(
             ).alias("ss")
         )
         .withColumn("sz", F.size("ss"))
+        .localCheckpoint(eager=False)
     )
     tq = int(math.floor(threshold * 1_000_000))
     plen = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")).cast("int") + 1

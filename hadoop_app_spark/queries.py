@@ -5533,7 +5533,8 @@ def q_csv_malformed_quarantine(spark, sf_dir):
 )
 def q_minhash_dedup_fast(spark, sf_dir):
     from hadoop_app_spark.operators.dedup import (
-        minhash_lsh_pairs,
+        _band_min_losers,
+        minhash_band_rows,
         minhash_signatures_vectorized,
     )
 
@@ -5541,7 +5542,9 @@ def q_minhash_dedup_fast(spark, sf_dir):
     sigs = minhash_signatures_vectorized(
         d, "text", "doc_id", repartition_to=spark.sparkContext.defaultParallelism
     )
-    losers = minhash_lsh_pairs(sigs, "doc_id").select(F.col("id_b").alias("doc_id")).distinct()
+    # losers straight from the band rows (identical set to the pair
+    # form's distinct id_b — operators/dedup._band_min_losers)
+    losers = _band_min_losers(minhash_band_rows(sigs, "doc_id"), "doc_id").distinct()
     return d.join(losers, "doc_id", "left_anti").select("doc_id", "n_chars")
 
 

@@ -366,12 +366,23 @@ def ann_ingest_stream(
     """
     from hadoop_app_spark.operators.ann_index import (
         PQ_CODEBOOK_DIR,
+        _load_centroids,
+        _load_codebooks,
         append_ivf_index,
         append_ivfpq_index,
     )
     from hadoop_app_spark.sources import fs as hfs
 
     composed = hfs.exists(spark, f"{index_path}/{PQ_CODEBOOK_DIR}")
+    # the sidecars (and, for the composed layout, the schema decision)
+    # are IMMUTABLE under appends — resolve them once at stream start
+    # instead of re-reading per micro-batch (the recurring-caller
+    # fast path of the append functions)
+    cents = _load_centroids(spark, index_path)
+    books = _load_codebooks(spark, index_path) if composed else None
+    stores_vecs = (
+        vec_col in spark.read.parquet(index_path).columns if composed else None
+    )
 
     stream = (
         spark.readStream.schema(schema)
@@ -383,9 +394,19 @@ def ann_ingest_stream(
         if batch_df.isEmpty():
             return  # trailing empty trigger: nothing to assign
         if composed:
-            append_ivfpq_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+            append_ivfpq_index(
+                batch_df,
+                index_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                centroids=cents,
+                codebooks=books,
+                store_vectors=stores_vecs,
+            )
         else:
-            append_ivf_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+            append_ivf_index(
+                batch_df, index_path, id_col=id_col, vec_col=vec_col, centroids=cents
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -278,14 +278,19 @@ SHOWCASE["hll_index_increment"] = (
     "re-read, and the index is |groups| x 4096 rows forever",
 )
 SHOWCASE["set_similarity_join"] = (
-    "shingle explode -> df aggregate -> rarest-first sort_array inside a "
-    "per-doc aggregate -> prefix Slice+Generate -> ONE equi-join on the "
-    "prefix shingle -> array_intersect/union verify on candidates only",
+    "the rarest-first ordered-shingle table cut at a lazy localCheckpoint "
+    "(Scan ExistingRDD x4) so its four consumers — both prefix-join sides "
+    "and both verify sides — read materialized rows instead of each "
+    "re-running the shingle explode -> df aggregate -> sort_array "
+    "pipeline (the r12 change: that pipeline executed FOUR times before, "
+    "46 Exchange nodes -> 8); then ONE equi-join on the prefix shingle "
+    "and the array_intersect/union verify on candidates only",
     "exact (lossless) near-dup at scale: the prefix keeps only the "
     "~(1-t)|s| RAREST shingles per doc, so candidate buckets live on the "
     "document-frequency tail — the 10x probe shows wall 10.7x while "
     "true-pair output grows ~1000x; the expensive exact verify runs on "
-    "candidates, never the cross product",
+    "candidates, never the cross product, and the dominant tokenize/"
+    "shingle pass over the corpus runs exactly once",
 )
 
 
