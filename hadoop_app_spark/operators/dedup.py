@@ -1670,7 +1670,6 @@ def set_similarity_join(
             ).alias("ss")
         )
         .withColumn("sz", F.size("ss"))
-        .localCheckpoint(eager=False)
     )
     tq = int(math.floor(threshold * 1_000_000))
     plen = F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")).cast("int") + 1

@@ -278,13 +278,15 @@ SHOWCASE["hll_index_increment"] = (
     "re-read, and the index is |groups| x 4096 rows forever",
 )
 SHOWCASE["set_similarity_join"] = (
-    "the rarest-first ordered-shingle table cut at a lazy localCheckpoint "
-    "(Scan ExistingRDD x4) so its four consumers — both prefix-join sides "
-    "and both verify sides — read materialized rows instead of each "
-    "re-running the shingle explode -> df aggregate -> sort_array "
-    "pipeline (the r12 change: that pipeline executed FOUR times before, "
-    "46 Exchange nodes -> 8); then ONE equi-join on the prefix shingle "
-    "and the array_intersect/union verify on candidates only",
+    "the rarest-first ordered-shingle pipeline feeding four consumers "
+    "(both prefix-join sides and both verify sides) as four REPLAYED "
+    "subtrees; ONE equi-join on the prefix shingle and the "
+    "array_intersect/union verify on candidates only. The r12 "
+    "localCheckpoint cut of the shared subtree was MEASURED ~2x slower "
+    "(serializing the four replicas through executor block storage beat "
+    "them running concurrently inside one job) and reverted — the "
+    "apparent 46 -> 8 Exchange drop was plan VISIBILITY behind the "
+    "checkpoint, not removed work (OPTIMIZATION_r12.md)",
     "exact (lossless) near-dup at scale: the prefix keeps only the "
     "~(1-t)|s| RAREST shingles per doc, so candidate buckets live on the "
     "document-frequency tail — the 10x probe shows wall 10.7x while "
