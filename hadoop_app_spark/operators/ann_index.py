@@ -712,10 +712,15 @@ def query_ivfpq_index(
     books = _load_codebooks(spark, path)
     m, n_codes = len(books), len(books[0])
     sub = len(books[0][0])
-    n_queries = queries.count()
-    if not n_queries:
+    threshold = max(int(distribute_luts_from), 1)
+    # ONE bounded job decides the path AND feeds the driver loop: a
+    # limit(threshold) collect returns < threshold rows iff the whole
+    # batch fits the driver fast path (the old count()+collect() pair
+    # scanned the queries frame twice for the same decision)
+    qrows = queries.select("query_id", "query_vec").limit(threshold).collect()
+    if not qrows:
         raise ValueError("no queries")
-    if n_queries >= max(int(distribute_luts_from), 1):
+    if len(qrows) >= threshold:
         # checkpoint: the probed frame is consumed twice (the bounded
         # distinct-cells fetch below + the ADC join) — one prep pass
         probed = _lut_probe_rows_distributed(
@@ -725,7 +730,6 @@ def query_ivfpq_index(
             r["cell"] for r in probed.select("cell").distinct().collect()
         )
     else:
-        qrows = queries.select("query_id", "query_vec").collect()
         probe_rows = []
         for r in qrows:
             qv = list(r["query_vec"])

@@ -477,6 +477,15 @@ def test_ivfpq_distributed_lut_path_matches_driver_loop(spark, ivfpq_built):
         spark, path, q, k=5, n_probe=4, shortlist=64, distribute_luts_from=1
     )
     assert _res(driver) == _res(distributed)
+    # r12 boundary pin: the path decision is now a single limited
+    # collect (len == threshold means "at or past the threshold"), so
+    # a batch EXACTLY at distribute_luts_from must still route
+    # distributed and answer identically
+    at_threshold = query_ivfpq_index(
+        spark, path, q, k=5, n_probe=4, shortlist=64,
+        distribute_luts_from=q.count(),
+    )
+    assert _res(driver) == _res(at_threshold)
 
 
 def test_ivfpq_stream_ingest_equals_full_build(spark, tmp_path):
