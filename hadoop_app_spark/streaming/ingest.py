@@ -112,20 +112,30 @@ def dedup_ingest_stream(
         .parquet(src_dir)
     )
 
+    # retain only the last two epochs' dropped sidecars (replay
+    # observability): sidecars from a PRIOR incarnation are found by
+    # one prefix listing at stream start (a restart with a fresh
+    # checkpoint resets epoch_id to 0, so epoch arithmetic alone would
+    # orphan the higher-numbered ones forever); sidecars this
+    # incarnation writes are tracked as they are created — the
+    # per-micro-batch catalog listing the sink used to pay (one
+    # SHOW TABLES per trigger, driver-side) is gone, the GC outcome
+    # identical (r12)
+    prefix = f"{index_table}_dropped_e".lower()
+    sidecar_epochs = {
+        int(r.tableName[len(prefix) :])
+        for r in spark.sql(f"SHOW TABLES LIKE '{prefix}*'").collect()
+        if r.tableName[len(prefix) :].isdigit()
+    }
+
     def _sink(batch_df, epoch_id: int) -> None:
-        # retain only the last two epochs' dropped sidecars (replay
-        # observability) — BEFORE the empty-batch guard, so a trailing
-        # empty trigger still cleans up and a long-running stream never
-        # grows the catalog one table per micro-batch. GC by PREFIX
-        # LISTING, not epoch arithmetic: a restart with a fresh
-        # checkpoint resets epoch_id to 0, so sidecars from the prior
-        # incarnation (higher epochs) would otherwise be orphaned
-        # forever
-        prefix = f"{index_table}_dropped_e".lower()
-        for r in spark.sql(f"SHOW TABLES LIKE '{prefix}*'").collect():
-            suffix = r.tableName[len(prefix) :]
-            if suffix.isdigit() and int(suffix) not in (epoch_id, epoch_id - 1):
-                spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
+        # GC BEFORE the empty-batch guard, so a trailing empty trigger
+        # still cleans up and a long-running stream never grows the
+        # catalog one table per micro-batch
+        for e in sorted(sidecar_epochs):
+            if e not in (epoch_id, epoch_id - 1):
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}{e}")
+                sidecar_epochs.discard(e)
         if batch_df.isEmpty():
             return  # trailing empty trigger: no index work, no output
         if expectations:
@@ -162,6 +172,7 @@ def dedup_ingest_stream(
             append=append_index,
             dropped_table=f"{index_table}_dropped_e{epoch_id}",
         )
+        sidecar_epochs.add(epoch_id)
         out_df = surv.withColumn("generation", F.lit(epoch_id + 1).cast("int"))
         if merge_target is not None:
             # keyed MERGE: a crash-replayed batch upserts the same ids
