@@ -115,15 +115,15 @@ def minhash_signatures(
     if repartition_to:
         base = base.repartition(repartition_to)
     exploded = base.select(id_col, F.explode(hashes).alias("_h"))  # zero-shingle docs drop here
-    mins = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MOD)).alias(f"_mh{i}")
-        for i, (a, b) in enumerate(zip(_MINHASH_A[:k], _MINHASH_B[:k]))
-    ]
-    return (
-        exploded.groupBy(id_col)
-        .agg(*mins)
-        .select(id_col, F.array(*[f"_mh{i}" for i in range(k)]).alias("signature"))
+    # the k permutation minima as ONE parsed SQL array: the per-k
+    # Column-API loop this replaces paid ~6 py4j round-trips per
+    # permutation on every plan construction (r12); values identical
+    # (same int64 arithmetic, SQL long literals == lit() ints here)
+    mins = ", ".join(
+        f"min((_h * {a}L + {b}L) % {_MOD}L)"
+        for a, b in zip(_MINHASH_A[:k], _MINHASH_B[:k])
     )
+    return exploded.groupBy(id_col).agg(F.expr(f"array({mins})").alias("signature"))
 
 
 def minhash_signatures_vectorized(
@@ -208,21 +208,19 @@ def minhash_band_rows(signatures: DataFrame, id_col: str, bands: int = 4) -> Dat
     persist them as the incremental-dedup index and probe new batches
     against it.
     """
-    size = F.size("signature")
-    base = F.floor(size / bands).cast("int")
-    rem = (size % bands).cast("int")
+    # one parsed SQL string (py4j construction cost — r12); `div` is
+    # SQL integer division == the floor(size/bands) the Column form took
+    slices = (
+        f"posexplode(transform(sequence(0, {bands - 1}), b -> "
+        f"slice(signature, "
+        f"cast(b * (size(signature) div {bands}) "
+        f"+ least(b, size(signature) % {bands}) + 1 as int), "
+        f"cast((size(signature) div {bands}) "
+        f"+ if(b < size(signature) % {bands}, 1, 0) as int))))"
+    )
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    F.col("signature"),
-                    (b * base + F.least(b, rem) + 1).cast("int"),
-                    (base + (b < rem).cast("int")).cast("int"),
-                ),
-            )
-        ).alias("band", "band_sig"),
+        F.expr(slices).alias("band", "band_sig"),
     ).select(
         id_col,
         F.size("band_sig").alias("_bw"),
@@ -369,15 +367,26 @@ def _set_index_params(spark, table: str, **params) -> None:
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
 
-def _check_index_params(spark, table: str, **params) -> None:
-    """Raise when *table* records build parameters that differ from
-    the caller's. A pre-r9 index records nothing — validation is
-    skipped for those (the documented legacy tolerance), but every
-    index written by this module going forward is self-describing."""
-    props = {
+def _index_props(spark, table: str) -> dict:
+    """The index table's properties — the recorded build parameters
+    plus the band-geometry seed. One catalog round-trip; recurring
+    callers (the streaming ingest sink) resolve once and pass the dict
+    through (r12: properties are immutable under appends)."""
+    return {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     }
+
+
+def _check_index_params(spark, table: str, props: dict | None = None, **params) -> None:
+    """Raise when *table* records build parameters that differ from
+    the caller's. A pre-r9 index records nothing — validation is
+    skipped for those (the documented legacy tolerance), but every
+    index written by this module going forward is self-describing.
+    ``props`` skips the catalog read (a recurring caller's pre-resolved
+    `_index_props`); validation itself always runs."""
+    if props is None:
+        props = _index_props(spark, table)
     recorded = {
         k[len("dedup.") :]: v for k, v in props.items() if k.startswith("dedup.")
     }
@@ -501,6 +510,8 @@ def dedup_increment(
     repartition_to: int | None = None,
     append: bool = True,
     dropped_table: str | None = None,
+    n_buckets: int | None = None,
+    index_props: dict | None = None,
 ) -> DataFrame:
     """Deduplicate *new_batch* against the persisted MinHash index
     (and against itself), returning the surviving new rows; their
@@ -556,8 +567,15 @@ def dedup_increment(
 
     spark = new_batch.sparkSession
     # a parameter mismatch vs the index's recorded build values would
-    # produce zero bucket hits — i.e. silently skip index dedup
-    _check_index_params(spark, index_table, n=n, k=k, bands=bands, hash_fn=hash_fn)
+    # produce zero bucket hits — i.e. silently skip index dedup.
+    # ``index_props``/``n_buckets`` are the recurring-caller fast path
+    # (r12, the append_ivfpq_index convention): both are immutable
+    # under appends, so a foreachBatch sink resolves them once at
+    # stream start instead of two catalog round-trips per micro-batch;
+    # the parameter VALIDATION itself always runs.
+    _check_index_params(
+        spark, index_table, props=index_props, n=n, k=k, bands=bands, hash_fn=hash_fn
+    )
     # cache the narrow [id, k-minima] rows: the index probe, the intra
     # pairs and the survivor append are three separate consumers that
     # would each re-run the tokenize/shingle/minhash pipeline
@@ -603,10 +621,12 @@ def dedup_increment(
             )
             # read the existing bucket spec so the append preserves
             # layout — the shared validated reader, which RAISES on a
-            # non-bucketed table instead of silently assuming 8
-            from hadoop_app_spark.operators.bucketing import _bucket_meta
+            # non-bucketed table instead of silently assuming 8 (the
+            # recurring caller passes the once-resolved count instead)
+            if n_buckets is None:
+                from hadoop_app_spark.operators.bucketing import _bucket_meta
 
-            n_buckets = _bucket_meta(spark, index_table)[0]
+                n_buckets = _bucket_meta(spark, index_table)[0]
             (
                 surv_rows.write.mode("append")
                 .format("parquet")
@@ -713,29 +733,29 @@ def simhash_wide(df: DataFrame, text_col: str, id_col: str, half_bits: int = 28)
     )
     # per-bit ONES counts + one token count: bit i of the fingerprint
     # is the majority rule 2*ones > n (identical to the +1/-1 sum being
-    # positive, without a CaseWhen inside every aggregate buffer)
-    bit_sums = [
-        F.sum(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1))).alias(
-            f"_b{j * half_bits + i}"
-        )
-        for j, h in enumerate(("_h1", "_h2"))
+    # positive, without a CaseWhen inside every aggregate buffer).
+    # Both the bit-sum list and the reassembly are built as ONE parsed
+    # SQL string each: the per-bit Column-API loop this replaces made
+    # ~300 py4j round-trips per call (~1.2 s of driver time on every
+    # plan construction — measured r12), and its 56-term when-tree
+    # taxed Catalyst analysis in every plan embedding the fingerprint.
+    # The fold below adds distinct powers of two to a long — integer
+    # exact in any order, so values are bit-identical to the old tree
+    # (pinned in tests/test_operators.py).
+    sums = ", ".join(
+        f"sum(shiftright(_h{j + 1}, {i}) & 1)"
+        for j in range(2)
         for i in range(half_bits)
-    ] + [F.count(F.lit(1)).alias("_n")]
-    agg = hashed.groupBy(id_col).agg(*bit_sums)
-    # balanced-tree reassembly, not a 56-deep Add chain: Catalyst's
-    # analysis/codegen walks expression trees recursively and a linear
-    # chain measurably taxes every plan embedding it (the
-    # _permute_bits lesson, applied to the base fingerprint too)
-    terms = [
-        F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(2**i)).otherwise(F.lit(0))
-        for i in range(2 * half_bits)
-    ]
-    while len(terms) > 1:
-        terms = [
-            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-    return agg.select(id_col, terms[0].cast("long").alias("simhash"))
+    )
+    agg = hashed.groupBy(id_col).agg(
+        F.expr(f"array({sums})").alias("_bs"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    fp = F.expr(
+        f"aggregate(sequence(0, {2 * half_bits - 1}), 0L, (acc, i) -> "
+        "acc + IF(2 * element_at(_bs, i + 1) > _n, shiftleft(1L, i), 0L))"
+    )
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
 
 
 def simhash_wide_vectorized(
@@ -1038,19 +1058,14 @@ def _simhash_band_losers_from(
             F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
         ).alias("ms")
     )
+    # one parsed SQL string, not nested Column-API lambdas: the py4j
+    # construction cost of the HOF tree was ~0.5 s per call (r12)
     small_losers = (
         grouped.select(
             F.explode(
-                F.filter(
-                    F.col("ms"),
-                    lambda m: F.exists(
-                        F.col("ms"),
-                        lambda o: (o["id"] < m["id"])
-                        & (
-                            F.bit_count(o["sh"].bitwiseXOR(m["sh"]))
-                            <= F.lit(max_hamming)
-                        ),
-                    ),
+                F.expr(
+                    "filter(ms, m -> exists(ms, o -> o.id < m.id AND "
+                    f"bit_count(o.sh ^ m.sh) <= {int(max_hamming)}))"
                 )
             ).alias("m")
         )

@@ -100,12 +100,21 @@ def dedup_ingest_stream(
     verdict frame is |expectations| rows, so the per-batch check adds
     one aggregate scan of the batch, nothing corpus-scale.
     """
-    from hadoop_app_spark.operators.dedup import dedup_increment
+    from hadoop_app_spark.operators.dedup import _index_props, dedup_increment
+    from hadoop_app_spark.operators.bucketing import _bucket_meta
 
     if expectations and not quarantine_path:
         # a failing batch with nowhere to go would be silently
         # destroyed — the exact opposite of the quarantine contract
         raise ValueError("expectations require a quarantine_path")
+    # the index's recorded build params and bucket spec are immutable
+    # under appends — resolve both ONCE at stream start and hand them
+    # to every increment (r12, the ann_ingest_stream sidecar
+    # convention): two catalog round-trips per micro-batch become zero,
+    # and the per-batch parameter validation still runs on the resolved
+    # properties
+    idx_props = _index_props(spark, index_table)
+    idx_buckets = _bucket_meta(spark, index_table)[0] if append_index else None
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -171,6 +180,8 @@ def dedup_ingest_stream(
             repartition_to=repartition_to,
             append=append_index,
             dropped_table=f"{index_table}_dropped_e{epoch_id}",
+            n_buckets=idx_buckets,
+            index_props=idx_props,
         )
         sidecar_epochs.add(epoch_id)
         out_df = surv.withColumn("generation", F.lit(epoch_id + 1).cast("int"))
