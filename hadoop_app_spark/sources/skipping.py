@@ -241,6 +241,10 @@ def _finish_pending_retract(spark: SparkSession, base: str) -> bool:
         hfs.delete(spark, man["scratch"], recursive=True)
     meta = man.get("index")
     idx_path = f"{base}/{INDEX_DIR}"
+    # a crash between the staged sidecar write and its rename-in can
+    # strand the staging dir; the rebuild below re-creates the sidecar
+    # whole, so the stale staging copy is garbage either way
+    hfs.delete(spark, idx_path + "__new", recursive=True)
     if meta:
         back = spark.read.parquet(base).select(
             F.input_file_name().alias("file"), meta["col"]
@@ -407,12 +411,18 @@ def retract_ids(
     # sidecar refresh: drop retired files' rows, add the new files'
     # filters (same grouped kernel as the writer) — built over the
     # column the SIDECAR indexes, which on the degraded path is not
-    # the retraction column. The surviving rows are bounded
-    # driver-side metadata (files x set words), so the
-    # read-modify-overwrite cycle never touches corpus-scale data.
+    # the retraction column. The rows are bounded metadata (files x
+    # set words), but that is still ~10^5 word rows per big file, so
+    # they stay JVM-SIDE end to end (r12): the old collect /
+    # createDataFrame cycle serialized every filter word through the
+    # Python driver three times (~1.5 s of the entry's wall). The new
+    # sidecar is staged beside the old one and swapped by rename —
+    # the manifest is still present until after the swap, and
+    # `_finish_pending_retract` rebuilds the sidecar whole from live
+    # files, so every crash window recovers.
     index_col = sc or col  # pre-r8 sidecars are assumed to index col
-    retired = {_canon(p) for p in passing}
-    survivors = [r for r in idx if _canon(r["file"]) not in retired]
+    retired = sorted({_canon(p) for p in passing})
+    has_survivors = any(_canon(r["file"]) not in retired for r in idx)
     parts = []
     if moved:
         back = spark.read.parquet(*moved).select(
@@ -424,19 +434,31 @@ def retract_ids(
             .withColumn("k", F.lit(k))
             .withColumn("indexed_col", F.lit(index_col))
         )
-    if survivors:
-        # inferred schema: pre-r8 sidecars lack indexed_col; unionByName
-        # with allowMissingColumns null-fills either side's gap
-        parts.append(spark.createDataFrame(survivors))
     idx_path = f"{path}/{INDEX_DIR}"
+    if has_survivors:
+        # the same _canon normalization, in SQL: strip a file:(//)
+        # scheme and collapse leading slashes to one
+        canon = (
+            "concat('/', regexp_replace(regexp_replace(file, "
+            "'^file:(//)?', ''), '^/+', ''))"
+        )
+        parts.append(
+            spark.read.parquet(idx_path).where(~F.expr(canon).isin(retired))
+        )
     if parts:
         new_idx = parts[0]
         for p in parts[1:]:
+            # pre-r8 sidecars lack indexed_col; unionByName with
+            # allowMissingColumns null-fills either side's gap
             new_idx = new_idx.unionByName(p, allowMissingColumns=True)
-        rows = new_idx.collect()  # bounded metadata; frees the old files
-        spark.createDataFrame(rows, new_idx.schema).write.mode(
-            "overwrite"
-        ).parquet(idx_path)
+        staging = idx_path + "__new"
+        hfs.delete(spark, staging, recursive=True)
+        new_idx.write.mode("overwrite").parquet(staging)
+        hfs.delete(spark, idx_path, recursive=True)
+        if not hfs.rename(spark, staging, idx_path):
+            raise RuntimeError(
+                f"retract_ids: sidecar swap rename {staging} -> {idx_path} failed"
+            )
     else:
         hfs.delete(spark, idx_path, recursive=True)
     hfs.delete(spark, f"{base}/{RETRACT_MANIFEST}")
