@@ -11,6 +11,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+import re
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -19,8 +24,25 @@ def _d(col: Column | str) -> Column:
     return _c(col).cast("array<double>")
 
 
+def _frag(col: Column | str) -> str | None:
+    """SQL fragment for *col* when it is a plain identifier; None
+    forces the Column-API fallback. The str fast path lets the hot
+    helpers below build ONE parsed expression instead of a nested
+    Column/lambda tree (~10-40 py4j round-trips per call — r12); the
+    produced expressions are identical after parsing."""
+    if isinstance(col, str) and _IDENT.match(col):
+        return f"cast({col} as array<double>)"
+    return None
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array columns (zip_with + aggregate HOFs, JVM-side)."""
+    fa, fb = _frag(a), _frag(b)
+    if fa and fb:
+        return F.expr(
+            f"aggregate(zip_with({fa}, {fb}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(_d(a), _d(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -40,6 +62,15 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     a bare division aborts the whole job with DIVIDE_BY_ZERO on the
     first all-zeros embedding (missing/padded vector) — and matches the
     vectorized numpy twins, which clamp norms and return 0.0."""
+    fa, fb = _frag(a), _frag(b)
+    if fa and fb:
+        d = f"aggregate(zip_with({fa}, {fb}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        na = f"sqrt(aggregate(zip_with({fa}, {fa}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+        nb = f"sqrt(aggregate(zip_with({fb}, {fb}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+        return F.expr(
+            f"CASE WHEN ({na} * {nb}) != 0.0D THEN {d} / ({na} * {nb}) "
+            "ELSE 0.0D END"
+        )
     np_ = l2_norm(a) * l2_norm(b)
     return F.when(np_ != 0.0, dot(a, b) / np_).otherwise(F.lit(0.0))
 

@@ -62,7 +62,40 @@ def _cell_expr(matrix, vec_col: str):
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def _read_sidecar_local(path: str) -> list[dict] | None:
+    """Rows of a tiny sidecar parquet dir read DRIVER-SIDE via pyarrow
+    when the path is local — the sidecars are bounded metadata
+    (n_centroids / m x n_codes rows), and reading them through a Spark
+    job cost ~0.25 s each on every probe (r12). Returns None when the
+    path is non-local or has no parquet files; callers then fall back
+    to the Spark read, preserving its error behavior (object stores
+    and missing sidecars take the exact pre-r12 path)."""
+    p = path
+    for pre in ("file://", "file:"):
+        if p.startswith(pre):
+            p = p[len(pre):]
+            break
+    if "://" in p:
+        return None
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for f in files:
+        rows.extend(pq.read_table(f).to_pylist())
+    return rows
+
+
 def _load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    local = _read_sidecar_local(f"{path}/{CENTROID_DIR}")
+    if local is not None:
+        rows = sorted(local, key=lambda r: r["c_idx"])
+        return [list(r["cv"]) for r in rows]
     rows = spark.read.parquet(f"{path}/{CENTROID_DIR}").orderBy("c_idx").collect()
     if not rows:
         raise ValueError(f"no IVF centroid sidecar under {path}")
@@ -161,7 +194,7 @@ def query_ivf_index(
     scored = joined.select(
         "query_id",
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+        cosine_similarity(vec_col, "query_vec").alias("cosine"),
     )
     return _rank_topk(scored, id_col, k)
 
@@ -600,7 +633,11 @@ def append_ivfpq_index(
 
 
 def _load_codebooks(spark: SparkSession, path: str) -> list[list[list[float]]]:
-    rows = spark.read.parquet(f"{path}/{PQ_CODEBOOK_DIR}").orderBy("s", "c").collect()
+    local = _read_sidecar_local(f"{path}/{PQ_CODEBOOK_DIR}")
+    if local is not None:
+        rows = sorted(local, key=lambda r: (r["s"], r["c"]))
+    else:
+        rows = spark.read.parquet(f"{path}/{PQ_CODEBOOK_DIR}").orderBy("s", "c").collect()
     if not rows:
         raise ValueError(f"no PQ codebook sidecar under {path}")
     m = max(r["s"] for r in rows) + 1
@@ -747,8 +784,12 @@ def query_ivfpq_index(
                 probe_rows.append((r["query_id"], qv, cell, lut))
         all_cells = sorted({p[2] for p in probe_rows})
         probed = spark.createDataFrame(probe_rows, _PROBE_SCHEMA)
+    # ONE reader resolution for both consumers (ADC scan + re-rank
+    # vectors): each spark.read.parquet is a driver-side listing/schema
+    # resolution, ~0.1 s per call at probe cadence (r12)
+    stored = spark.read.parquet(path)
     indexed = (
-        spark.read.parquet(path)
+        stored
         .where(F.col("cell").isin(all_cells))
         .select(id_col, "codes", "cell")
     )
@@ -769,7 +810,6 @@ def query_ivfpq_index(
     if rerank_source is not None:
         vecs = rerank_source.select(id_col, vec_col)
     else:
-        stored = spark.read.parquet(path)
         if vec_col not in stored.columns:
             raise ValueError(
                 f"query_ivfpq_index({path}): the index stores codes only "
@@ -785,7 +825,7 @@ def query_ivfpq_index(
         .select(
             "query_id",
             id_col,
-            cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+            cosine_similarity(vec_col, "query_vec").alias("cosine"),
         )
     )
     return _rank_topk(exact, id_col, k)

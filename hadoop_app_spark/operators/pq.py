@@ -247,6 +247,6 @@ def pq_adc_topk(
     exact = shortlisted.select(
         "query_id",
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+        cosine_similarity(vec_col, "query_vec").alias("cosine"),
     )
     return _rank_topk(exact, id_col, k)

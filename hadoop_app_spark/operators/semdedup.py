@@ -130,7 +130,7 @@ def semdedup_survivors(
         .where(
             (F.col("_xid") != F.col("_yid"))
             & ranked_before
-            & (cosine_similarity(F.col("_xv"), F.col("_yv")) >= F.lit(threshold))
+            & (cosine_similarity("_xv", "_yv") >= F.lit(threshold))
         )
         .select(F.col("_xid").alias(id_col))
         .distinct()

@@ -51,7 +51,7 @@ def brute_force_topk(
     scored = joined.select(
         "query_id",
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+        cosine_similarity(vec_col, "query_vec").alias("cosine"),
     )
     return _rank_topk(scored, id_col, k)
 
@@ -231,7 +231,7 @@ def lsh_topk(
     scored = joined.select(
         "query_id",
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine"),
+        cosine_similarity(vec_col, "query_vec").alias("cosine"),
     )
     return _rank_topk(scored, id_col, k)
 
@@ -498,7 +498,7 @@ def ivf_topk(
     probed = queries.select("query_id", "query_vec", F.explode(probe_cells).alias("cell"))
     joined = indexed.join(F.broadcast(probed), "cell").where(F.col(id_col) != F.col("query_id"))
     scored = joined.select(
-        "query_id", id_col, cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cosine")
+        "query_id", id_col, cosine_similarity(vec_col, "query_vec").alias("cosine")
     )
     return _rank_topk(scored, id_col, k)
 
