@@ -31,7 +31,11 @@ def _frag(col: Column | str) -> str | None:
     Column/lambda tree (~10-40 py4j round-trips per call — r12); the
     produced expressions are identical after parsing."""
     if isinstance(col, str) and _IDENT.match(col):
-        return f"cast({col} as array<double>)"
+        # backtick-quoted so resolution matches F.col exactly: a bare
+        # identifier shaped like a parameterless function keyword
+        # (current_date, current_user, ...) would otherwise parse as
+        # the function call and silently compute garbage (ADVICE r12)
+        return f"cast(`{col}` as array<double>)"
     return None
 
 

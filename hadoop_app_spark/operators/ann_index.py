@@ -62,29 +62,39 @@ def _cell_expr(matrix, vec_col: str):
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
-def _read_sidecar_local(path: str) -> list[dict] | None:
+def _read_sidecar_local(spark: SparkSession, path: str) -> list[dict] | None:
     """Rows of a tiny sidecar parquet dir read DRIVER-SIDE via pyarrow
-    when the path is local — the sidecars are bounded metadata
+    when the path is driver-local — the sidecars are bounded metadata
     (n_centroids / m x n_codes rows), and reading them through a Spark
     job cost ~0.25 s each on every probe (r12). Returns None when the
-    path is non-local or has no parquet files; callers then fall back
-    to the Spark read, preserving its error behavior (object stores
-    and missing sidecars take the exact pre-r12 path)."""
+    path is not provably local, pyarrow is unavailable, or the dir has
+    no parquet files; callers then fall back to the Spark read,
+    preserving its error behavior (object stores and missing sidecars
+    take the exact pre-r12 path).
+
+    A scheme-less path is only treated as local when the Hadoop
+    ``fs.defaultFS`` is ``file:`` — on a cluster whose default FS is
+    HDFS, a coincident same-named directory on the driver's local disk
+    must never shadow the real sidecar (ADVICE r12)."""
     p = path
-    for pre in ("file://", "file:"):
-        if p.startswith(pre):
-            p = p[len(pre):]
-            break
-    if "://" in p:
+    if p.startswith(("file://", "file:")):
+        p = p.removeprefix("file://") if p.startswith("file://") else p[len("file:"):]
+    elif "://" in p:
         return None
+    else:
+        default_fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        if not default_fs.startswith("file:"):
+            return None
     import glob
     import os
 
     files = sorted(glob.glob(os.path.join(p, "*.parquet")))
     if not files:
         return None
-    import pyarrow.parquet as pq
-
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
     rows: list[dict] = []
     for f in files:
         rows.extend(pq.read_table(f).to_pylist())
@@ -92,12 +102,14 @@ def _read_sidecar_local(path: str) -> list[dict] | None:
 
 
 def _load_centroids(spark: SparkSession, path: str) -> list[list[float]]:
-    local = _read_sidecar_local(f"{path}/{CENTROID_DIR}")
+    local = _read_sidecar_local(spark, f"{path}/{CENTROID_DIR}")
     if local is not None:
         rows = sorted(local, key=lambda r: r["c_idx"])
-        return [list(r["cv"]) for r in rows]
-    rows = spark.read.parquet(f"{path}/{CENTROID_DIR}").orderBy("c_idx").collect()
+    else:
+        rows = spark.read.parquet(f"{path}/{CENTROID_DIR}").orderBy("c_idx").collect()
     if not rows:
+        # shared by both paths: a present-but-empty sidecar must fail
+        # loudly, never feed _cell_expr a zero-row matrix (ADVICE r12)
         raise ValueError(f"no IVF centroid sidecar under {path}")
     return [list(r["cv"]) for r in rows]
 
@@ -633,7 +645,7 @@ def append_ivfpq_index(
 
 
 def _load_codebooks(spark: SparkSession, path: str) -> list[list[list[float]]]:
-    local = _read_sidecar_local(f"{path}/{PQ_CODEBOOK_DIR}")
+    local = _read_sidecar_local(spark, f"{path}/{PQ_CODEBOOK_DIR}")
     if local is not None:
         rows = sorted(local, key=lambda r: (r["s"], r["c"]))
     else:

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_app_spark.functions.text import ngrams, ngrams_from_tokens, tokenize
@@ -1650,13 +1650,28 @@ def set_similarity_join(
     LENGTH filter (J >= t forces t*|a| <= |b| <= |a|/t; the bound is
     applied as integer cross-multiplication against floor(t * 1e6), a
     quantization <= t so the filter only ever WEAKENS — recall stays
-    complete). One df aggregation, one sorted collect per doc, explode
-    of ~(1-t)|s| prefix rows per doc, an equi-join, and an array
-    verify on candidates only (the verify reuses the rarest-first
-    array — a sorted copy of the shingle set, so intersect/union over
-    it is the same Jaccard). Input is repartitioned first: corpus
-    files arrive as few large splits, and every stage of this plan
-    inherits the scan's parallelism otherwise."""
+    complete). One df count-over-window on the exploded shingle
+    stream, one sorted collect per doc, explode of ~(1-t)|s| prefix
+    rows per doc, an equi-join, and an array verify on candidates only
+    (the verify reuses the rarest-first array — a sorted copy of the
+    shingle set, so intersect/union over it is the same Jaccard).
+    Input is repartitioned first: corpus files arrive as few large
+    splits, and every stage of this plan inherits the scan's
+    parallelism otherwise.
+
+    Why the df attach is a WINDOW and not the banned bucket-window
+    class (the r3 plan-guard rule): for LSH band stats the join-back
+    table is bounded (n_buckets rows) so a broadcast join-back is both
+    possible and skew-free — that is the rule's premise. Shingle df
+    has no such form at scale: the vocabulary is corpus-sized, so any
+    scalable attach (SMJ join-back or window) shuffles the shingle
+    stream by s exactly once and streams a degenerate shingle's rows
+    through one task either way; the broadcast join-back the r12 shape
+    used only existed because sf0.1's vocabulary fits in a broadcast.
+    The window is the single-tokenize-pass minimal form of that
+    shuffle; if a production corpus has a pathological boilerplate
+    shingle, salt the window key ((s, pmod(xxhash64(id), k))) and
+    sum-window the partials over s."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = df.select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_toks")
@@ -1666,19 +1681,36 @@ def set_similarity_join(
         F.array_distinct(ngrams_from_tokens(F.col("_toks"), n)).alias("sh"),
     ).where(F.size("sh") > 0)
     tok = shingles.select("id", F.explode("sh").alias("s"))
-    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    # Document frequency as ONE count-over-window on the exploded
+    # shingle stream (r13). The previous shape — a separate
+    # dfreq = tok.groupBy(s).count() broadcast-joined back onto tok —
+    # tokenized and exploded the corpus TWICE (column pruning makes the
+    # two scan subtrees canonically unequal, so nothing is reused) and
+    # broadcast the full distinct-shingle table, which cannot scale: at
+    # 100 TB the shingle vocabulary is corpus-sized, far past any
+    # broadcast cap. The window computes the identical df with a single
+    # tokenize pass and a single Exchange on s. Known trade-off: a
+    # sort-window cannot partial-aggregate, so a mega-hot shingle's
+    # rows land in one task; an equally-shuffled SMJ attach has the
+    # same per-key stream (only a broadcast avoids it, and broadcast is
+    # the thing that cannot scale). Measured at sf0.1: 5.1-6.0 s ->
+    # 4.8-5.1 s warm, result set identical (r13 A/B).
+    #
     # ordered is consumed FOUR times below (both candidate-join sides
-    # and both verify sides) and Catalyst plans no ReusedExchange for
-    # the aliased subtrees — without a cut, the scan -> tokenize ->
-    # shingle-explode -> dfreq-join -> collect_list pipeline (the
-    # dominant cost) executes once per consumer. A LAZY localCheckpoint
-    # materializes it exactly once inside the caller's first action and
-    # every consumer reads the executor-local blocks (guide §3.3 /
-    # §5: materialize an intermediate reused by non-identical subtrees;
-    # fault tolerance of this intermediate is not critical).
+    # and both verify sides). The r12 note here claimed Catalyst plans
+    # no ReusedExchange for the aliased subtrees; that was read from
+    # the PRE-execution AdaptiveSparkPlan (isFinalPlan=false), which
+    # never shows reuse. The FINAL executed plan carries
+    # ReusedExchange x3 on this groupBy(id) exchange — AQE's stage
+    # cache deduplicates the four consumers at runtime, so the pipeline
+    # executes once per run, and neither a localCheckpoint (measured 2x
+    # slower, r12) nor a scratch-parquet materialization (measured 2.4x
+    # slower, r13) can beat the built-in reuse.
+    tokdf = tok.withColumn(
+        "df", F.count("*").over(Window.partitionBy("s"))
+    )
     ordered = (
-        tok.join(dfreq, "s")
-        .groupBy("id")
+        tokdf.groupBy("id")
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("df", "s"))), lambda x: x["s"]

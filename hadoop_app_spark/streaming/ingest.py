@@ -99,6 +99,14 @@ def dedup_ingest_stream(
     kept, inspectable, and re-sendable, never silently admitted. The
     verdict frame is |expectations| rows, so the per-batch check adds
     one aggregate scan of the batch, nothing corpus-scale.
+
+    Assumption (ADVICE r12): the index's build parameters and bucket
+    spec are resolved ONCE at stream start — a concurrent
+    ``build_dedup_index`` overwrite that changes n/k/bands/hash_fn
+    mid-stream is NOT supported (per-batch validation would check the
+    stale properties and the increment would silently zero-hit dedup).
+    Appends, the only index mutation this loop performs, keep both
+    immutable. Rebuild the index only with the stream stopped.
     """
     from hadoop_app_spark.operators.dedup import _index_props, dedup_increment
     from hadoop_app_spark.operators.bucketing import _bucket_meta

@@ -653,3 +653,22 @@ def test_trained_ivfpq_recall_floor_and_sidecars(spark, tmp_path):
     rec = ann_recall(ann, exact, k=5)
     mean = rec.agg(F.avg("recall_milli").alias("m")).collect()[0]["m"]
     assert mean >= 600, f"trained IVF×PQ recall@5 mean {mean} below floor"
+
+
+def test_empty_centroid_sidecar_raises_on_local_path(spark, tmp_path):
+    """ADVICE r12 / VERDICT r12 item 6: a present-but-EMPTY centroid
+    sidecar must raise the same loud ValueError on the pyarrow local
+    fast path as on the Spark read path — never return [] and let
+    _cell_expr misbehave over a zero-row centroid matrix."""
+    from hadoop_app_spark.operators.ann_index import (
+        CENTROID_DIR,
+        _load_centroids,
+    )
+
+    path = str(tmp_path / "emptyidx")
+    # zero-row sidecar with real parquet files (schema only)
+    spark.createDataFrame([], "c_idx int, cv array<double>").coalesce(
+        1
+    ).write.parquet(f"{path}/{CENTROID_DIR}")
+    with pytest.raises(ValueError, match="no IVF centroid sidecar"):
+        _load_centroids(spark, path)
