@@ -39,6 +39,37 @@ def _frag(col: Column | str) -> str | None:
     return None
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal for *x*: repr() is Python's shortest
+    round-trip representation, and Spark's literal parser converts it
+    back to the identical double, so the parsed literal is bit-equal
+    to F.lit(x) (pinned in tests/test_vectors.py)."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(float(x)) + "D"
+
+
+def matrix_lit(rows: list) -> Column:
+    """array<array<double>> literal built as ONE parsed expression.
+
+    ``F.lit(list_of_lists)`` walks the nested list through py4j one
+    element at a time — a (16, 64) centroid matrix measured 0.43 s of
+    pure driver-side construction per call (r13), paid once per Lloyd
+    iteration / probe / index build. One F.expr string parses JVM-side
+    in ~10 ms with bit-identical values (see :func:`_dlit`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(float(x)) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array columns (zip_with + aggregate HOFs, JVM-side)."""
     fa, fb = _frag(a), _frag(b)

@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_app_spark.functions.vectors import cosine_similarity, dot
+from hadoop_app_spark.functions.vectors import cosine_similarity, dot, matrix_lit
 from hadoop_app_spark.operators.similarity import _rank_topk
 
 CENTROID_DIR = "_ivf_centroids"
@@ -135,7 +135,7 @@ def build_ivf_index(
     ]
     if not cents:
         raise ValueError("empty corpus")
-    matrix = F.lit(cents)
+    matrix = matrix_lit(cents)
     # repartition on cell first: each cell's rows converge to one task,
     # so partitionBy emits ONE file per cell instead of (tasks x cells)
     # small files — the small-file problem maintenance.compact_parquet
@@ -228,7 +228,7 @@ def append_ivf_index(
     read+collect; None (the default) reads the sidecar fresh."""
     spark = new_vecs.sparkSession
     cents = centroids if centroids is not None else _load_centroids(spark, path)
-    matrix = F.lit(cents)
+    matrix = matrix_lit(cents)
     (
         new_vecs.withColumn("cell", _cell_expr(matrix, vec_col))
         .repartition(max(len(cents), 1), F.col("cell"))
@@ -395,7 +395,7 @@ def build_ivfpq_index(
     if not cents:
         raise ValueError("empty corpus")
     celled = corpus.select(id_col, vec_col).withColumn(
-        "cell", _cell_expr(F.lit(cents), vec_col)
+        "cell", _cell_expr(matrix_lit(cents), vec_col)
     )
     passthrough = ["cell", vec_col] if store_vectors else ["cell"]
     rows = pq_encode(celled, codebooks, id_col, vec_col, passthrough=passthrough)
@@ -632,7 +632,7 @@ def append_ivfpq_index(
     if store_vectors is None:
         store_vectors = vec_col in spark.read.parquet(path).columns
     celled = new_vecs.select(id_col, vec_col).withColumn(
-        "cell", _cell_expr(F.lit(cents), vec_col)
+        "cell", _cell_expr(matrix_lit(cents), vec_col)
     )
     passthrough = ["cell", vec_col] if store_vectors else ["cell"]
     rows = pq_encode(celled, books, id_col, vec_col, passthrough=passthrough)

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_app_spark.functions.vectors import cosine_similarity
+from hadoop_app_spark.functions.vectors import cosine_similarity, matrix_lit
 
 # Past this, the inlined-literal assignment path is the wrong tool:
 # the plan carries n_clusters x dim doubles as ONE literal and every
@@ -72,7 +72,7 @@ def assign_clusters(
     ]
     if not cents:
         raise ValueError("empty centroid source")
-    matrix = F.lit([v for _, v in cents])
+    matrix = matrix_lit([v for _, v in cents])
     # cluster carries the centroid's id, so it keeps id_col's exact type
     # (string ids work; int ids don't silently widen to long) — the same
     # contract the _fast twin derives from the schema (ADVICE r5)

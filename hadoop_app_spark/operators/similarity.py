@@ -30,7 +30,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_app_spark.functions.vectors import cosine_similarity, dot
+from hadoop_app_spark.functions.vectors import cosine_similarity, dot, matrix_lit
 
 _SEED = 42
 
@@ -379,7 +379,7 @@ def train_ivf_centroids(
             raise ValueError("empty corpus")
         cents = [[float(x) for x in first[0][1]]]
         while len(cents) < n_centroids:
-            matrix = F.lit(cents)
+            matrix = matrix_lit(cents)
             # squared L2 distance to the nearest chosen seed
             d2 = F.array_min(
                 F.transform(
@@ -398,7 +398,7 @@ def train_ivf_centroids(
             )
             cents.append([float(x) for x in far[0][1]])
     for _ in range(iters):
-        matrix = F.lit(cents)
+        matrix = matrix_lit(cents)
         dots = F.transform(matrix, lambda c: dot(F.col(vec_col), c))
         cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
         means = (
@@ -471,7 +471,7 @@ def ivf_topk(
     # single nested-array literal: one py4j call and one plan node for
     # the whole centroid matrix — per-element literals made plan
     # construction (~1k gateway calls) dwarf the actual execution
-    matrix = F.lit([[float(x) for x in v] for _, v in cents])
+    matrix = matrix_lit([[float(x) for x in v] for _, v in cents])
 
     def cell_expr(vcol: str):
         dots = F.transform(matrix, lambda c: dot(F.col(vcol), c))

@@ -3111,3 +3111,25 @@ def test_stream_drift_ingest_registry_entry(spark):
     assert out.where(
         (F.col("generation") != 2) & F.col("quarantine_reason").isNotNull()
     ).count() == 0
+
+
+def test_matrix_lit_bit_equals_f_lit(spark):
+    """r13: matrix_lit builds the centroid-matrix literal as one parsed
+    expression (0.43 s of py4j per (16, 64) F.lit call removed); the
+    parsed values must be BIT-identical to F.lit's, including subnormal,
+    negative-zero, and max-double extremes (repr is the shortest
+    round-trip form; the SQL parser converts it back exactly)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from hadoop_app_spark.functions.vectors import matrix_lit
+
+    rows = [
+        [0.1, -2.5e17, 1e-308, -0.0, 5e-324, 1.7976931348623157e308],
+        [3.141592653589793, -1e-05, 123456789.123456789, 7.0, -4.9e-324, 2.2250738585072014e-308],
+    ]
+    a = spark.range(1).select(F.lit(rows).alias("m")).collect()[0]["m"]
+    b = spark.range(1).select(matrix_lit(rows).alias("m")).collect()[0]["m"]
+    bits = lambda m: [struct.pack("<d", x) for r in m for x in r]  # noqa: E731
+    assert bits(a) == bits(b)
